@@ -1,0 +1,70 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Headline set: one per operator family — scan-agg, join-agg, window,
+correlated subquery, json, time-bucket rollup, sessionize, dedup families,
+similarity search, text profile.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_revenue_by_nation",
+    "q11_window_topk",
+    "q15_correlated_subquery",
+    "q26_json_extract",
+    "q33_events_time_buckets",
+    "q34_events_sessionize",
+    "q41_dedup_normalized",
+    "q46_word_jaccard_pairs",
+    "q47_cosine_topk",
+    "q49_minhash_lsh",
+    "q52_document_profile",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from leaf_spark.queries import all_cases
+    from leaf_spark.session import get_spark
+
+    spark = get_spark("leaf-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    cases = all_cases()
+
+    # warm the JVM + parquet footers with the cheapest query
+    cases["q30_events_page"].spark_fn(spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = cases[name].spark_fn(spark, sf_dir)
+        df.count()  # full materialization without driver-side row transfer
+        times[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

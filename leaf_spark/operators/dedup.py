@@ -1,0 +1,222 @@
+"""Deduplication operators for large-scale corpus processing.
+
+All-JVM implementations (builtin higher-order functions, no Python UDFs in
+the hot path) so whole-stage codegen applies and the same code runs at 100 TB:
+
+- exact_dedup           hash-groupBy (one shuffle on the content hash)
+- minhash_signatures    word-shingle → k-permutation MinHash via xxhash64
+- minhash_lsh_pairs     band-bucket self-join → candidate pairs → exact
+                        shingle-Jaccard verification
+- simhash               64-bit SimHash (bitwise majority of word hashes)
+- simhash_neardup_pairs banded SimHash join + hamming-distance filter
+- embedding_neardup     cosine-threshold pairs (brute force — the LSH-bucketed
+                        variant lives in operators.similarity)
+
+Scale notes: every self-join goes through an LSH band bucket (bounded bucket
+fan-out) rather than a cross join; signatures are fixed-width arrays so the
+shuffle payload is small; at 1000 executors the band join shuffles on
+(band_id, bucket_hash) which is uniformly distributed by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def normalized(text: Column) -> Column:
+    """Lowercase + whitespace-collapse — the canonical form for hashing."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the smallest id per identical normalized text.
+
+    One shuffle, on sha-256 of the content — uniformly distributed, no skew.
+    Returns (content_hash, keeper id, n_copies).
+    """
+    h = F.sha2(normalized(F.col(text_col)), 256).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _word_shingles(text: Column, n: int) -> Column:
+    """Distinct n-word shingles as an array<string> (empty-safe)."""
+    words = F.split(normalized(text), " ")
+    return F.array_distinct(
+        F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", words)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """id → shingle set + MinHash signature (array<bigint> length num_hashes).
+
+    Hash family: xxhash64(seed_i, shingle) — deterministic, JVM-side, no UDF.
+    """
+    shingles = _word_shingles(F.col(text_col), shingle_words).alias("shingles")
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(i, s))
+        ),
+    ).alias("minhash_sig")
+    return df.select(F.col(id_col).alias("id"), shingles).select("id", "shingles", sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH banding.
+
+    signature → `bands` bands of r = num_hashes/bands rows; docs sharing any
+    band bucket become candidates; candidates are verified with the exact
+    Jaccard of their shingle sets. Detection probability at similarity s is
+    1-(1-s^r)^b (threshold ≈ (1/b)^(1/r)).
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_words)
+
+    banded = sigs.select(
+        "id",
+        "shingles",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(b, F.to_json(F.slice("minhash_sig", b * r + 1, r))),
+            )
+        ).alias("band_id", "bucket"),
+    )
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document: majority vote per bit over word hashes.
+
+    Fully distributed: explode words → posexplode bit contributions →
+    two hash-aggregations → bit reassembly. No cross join, no UDF.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(normalized(F.col(text_col)), " "))).alias("w"),
+    ).select("id", F.xxhash64("w").alias("h"))
+
+    # (bit shifts with a Column shift amount need SQL-expression form)
+    bits = words.selectExpr(
+        "id",
+        "posexplode(transform(sequence(0, 63), "
+        "j -> if(((h >> j) & 1L) = 1L, 1, -1))) as (pos, pm)",
+    )
+    votes = bits.groupBy("id", "pos").agg(F.sum("pm").alias("v"))
+    return votes.groupBy("id").agg(
+        F.sum(F.expr("if(v > 0, shiftleft(1L, pos), 0L)")).alias("simhash")
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    LSH: split the 64-bit hash into 4 × 16-bit chunks; any pair within
+    hamming distance 3 shares at least one exact chunk (pigeonhole); for
+    larger budgets this is a recall-bounded candidate generator. Join key =
+    (chunk_id, chunk_value) — no cross join.
+    """
+    sh = simhash(df, text_col, id_col)
+    chunked = sh.selectExpr(
+        "id",
+        "simhash",
+        "posexplode(transform(sequence(0, 3), "
+        "c -> (simhash >> (c * 16)) & 65535L)) as (chunk_id, chunk)",
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cosine_threshold: float = 0.95,
+) -> DataFrame:
+    """Brute-force cosine-threshold pairs (baseline; see similarity.ann_lsh
+    for the bucketed scale path). In-order fold keeps the sum deterministic."""
+    from .similarity import cosine_expr
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("id"), v.alias("v"))
+    a, b = base.alias("a"), base.alias("b")
+    cos = cosine_expr(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos.alias("cosine"))
+        .where(F.col("cosine") >= cosine_threshold)
+    )

@@ -1,0 +1,131 @@
+"""Text-analysis operators for corpus pipelines — all builtin-function
+Columns (JVM, codegen) unless noted.
+
+- token_count / bpe_ish_token_count   whitespace + subword-regex counting
+- quality_features / quality_score    length, punctuation/digit/upper ratios,
+                                      stopword ratio, repetition
+- langid_expr                         n-gram/stopword-profile language guess
+- fingerprint                         normalized-content hash + winnowed
+                                      rolling shingle min-hash
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import normalized
+
+# Tiny built-in stopword profiles for the heuristic language id. Real
+# deployments would swap in fastText-style models via a pandas UDF; the
+# engine-side plumbing (argmax over per-language scores) is identical.
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "por", "para", "que"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"),
+}
+
+
+def words_expr(text: Column) -> Column:
+    return F.split(normalized(text), " ")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (empty string → 0)."""
+    return F.when(F.length(normalized(text)) == 0, 0).otherwise(F.size(words_expr(text)))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-flavored proxy: alphanumeric runs + each punctuation mark counts,
+    long words count ~1 token per 4 chars (subword pieces)."""
+    pieces = F.split(F.lower(text), r"[^\p{L}\p{N}]+")
+    sub = F.aggregate(
+        pieces,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + F.when(F.length(w) == 0, 0).otherwise(
+            F.greatest(F.lit(1), F.ceil(F.length(w) / 4.0))
+        ),
+    )
+    punct = F.length(F.regexp_replace(text, r"[\p{L}\p{N}\s]", ""))
+    return (sub + punct).cast("bigint")
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Deterministic per-document quality signals (cols, not rows)."""
+    n_chars = F.length(text)
+    n_tokens = token_count(text)
+    alpha = F.length(F.regexp_replace(text, r"[^\p{L}]", ""))
+    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    punct = F.length(F.regexp_replace(text, r"[^.,!?;:]", ""))
+    upper = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
+    uniq_ratio = F.size(F.array_distinct(words_expr(text))).cast("double") / F.greatest(
+        n_tokens, F.lit(1)
+    )
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_tokens": n_tokens.cast("bigint"),
+        "avg_token_len": alpha.cast("double") / F.greatest(n_tokens, F.lit(1)),
+        "alpha_ratio": alpha.cast("double") / F.greatest(n_chars, F.lit(1)),
+        "digit_ratio": digits.cast("double") / F.greatest(n_chars, F.lit(1)),
+        "punct_ratio": punct.cast("double") / F.greatest(n_chars, F.lit(1)),
+        "upper_ratio": upper.cast("double") / F.greatest(n_chars, F.lit(1)),
+        "unique_token_ratio": uniq_ratio,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Scalar [0,1] score: favors mid-length, low-digit, low-punct,
+    vocabulary-diverse documents (C4/Gopher-style heuristics, simplified)."""
+    f = quality_features(text)
+    length_ok = F.when((f["n_tokens"] >= 10) & (f["n_tokens"] <= 100000), 1.0).otherwise(0.3)
+    return (
+        0.35 * length_ok
+        + 0.25 * (1.0 - F.least(f["digit_ratio"] * 5, F.lit(1.0)))
+        + 0.2 * (1.0 - F.least(f["punct_ratio"] * 5, F.lit(1.0)))
+        + 0.2 * F.least(f["unique_token_ratio"] * 2, F.lit(1.0))
+    )
+
+
+def langid_expr(text: Column) -> Column:
+    """Heuristic language id: argmax over per-language stopword hit counts
+    (ties → profile order). Pure builtin expressions: per-language score via
+    array_intersect on the distinct word set; argmax via array_max over
+    (score, priority) structs."""
+    wset = F.array_distinct(words_expr(text))
+    entries = []
+    n = len(_LANG_PROFILES)
+    for rank, (lang, stops) in enumerate(_LANG_PROFILES.items()):
+        score = F.size(F.array_intersect(wset, F.array(*[F.lit(s) for s in stops])))
+        # higher score wins; on ties earlier profile wins → encode priority
+        entries.append(F.struct(score.alias("s"), F.lit(n - rank).alias("prio"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*entries))
+    return F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column, shingle_words: int = 5) -> Column:
+    """Document fingerprint: xxhash64 over the normalized text combined with
+    the minimum rolling shingle hash (stable under small reorderings at the
+    ends — a 1-hash MinHash 'winnow')."""
+    from .dedup import _word_shingles
+
+    full = F.xxhash64(normalized(text))
+    sh_min = F.array_min(F.transform(_word_shingles(text, shingle_words), lambda s: F.xxhash64(s)))
+    return F.concat_ws(
+        ":", F.conv(F.hex(full), 16, 16), F.conv(F.hex(F.coalesce(sh_min, F.lit(0))), 16, 16)
+    )
+
+
+def document_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass per-document profile: all quality features + token counts +
+    heuristic language + fingerprint. Single projection — no shuffle."""
+    t = F.col(text_col)
+    feats = quality_features(t)
+    cols = [F.col(id_col)] + [c.alias(k) for k, c in feats.items()]
+    cols += [
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        quality_score(t).alias("quality"),
+        langid_expr(t).alias("lang_pred"),
+        fingerprint(t).alias("fp"),
+    ]
+    return df.select(*cols)

@@ -1,0 +1,164 @@
+"""Event-stream query semantics (SURVEY §2.A: range scan A7, idx-window
+paging A9/A10/A12, plus the analytics a stream table invites).
+
+The driver testdata `events` table plays the role of the reference's event
+log: `event_id` ≈ `idx` (dense, ordered), `user_id` ≈ `user`, `props` ≈
+decoded payload. At 100 TB the log is partitioned by stream/time; every query
+here filters or buckets on the ordering column so partition/file pruning
+applies (min/max stats on event_id / ts).
+"""
+
+from __future__ import annotations
+
+from .queries import sql_case
+
+# --- A7 raw range scan + A9/A12 idx-window page ------------------------------
+sql_case(
+    "q30_events_page",
+    """
+    select event_id, user_id, event_type, value
+    from events
+    where event_id >= 1001
+    order by event_id
+    limit 1000
+    """,
+    """
+    select event_id, user_id, event_type, value
+    from events
+    where event_id >= 1001
+    order by event_id
+    limit 1000
+    """,
+    doc="leaf query page: where idx >= $start order by idx limit $limit (A9/A12)",
+)
+
+sql_case(
+    "q31_events_range_scan",
+    """
+    select event_id, user_id, event_type
+    from events
+    where event_id between 2500 and 3500
+    """,
+    """
+    select event_id, user_id, event_type
+    from events
+    where event_id between 2500 and 3500
+    """,
+    doc="raw_get_events range scan (A7); file-skipping on idx min/max",
+)
+
+# --- stream aggregation ------------------------------------------------------
+sql_case(
+    "q32_events_type_stats",
+    """
+    select event_type,
+           count(*) as n,
+           cast(sum(cast(value as decimal(38,6))) as double) as value_sum,
+           min(value) as value_min,
+           max(value) as value_max,
+           count(distinct user_id) as n_users
+    from events
+    group by event_type
+    """,
+    """
+    select event_type,
+           count(*) as n,
+           cast(sum(cast(value as decimal(38,6))) as double) as value_sum,
+           min(value) as value_min,
+           max(value) as value_max,
+           count(distinct user_id) as n_users
+    from events
+    group by event_type
+    """,
+    doc="per-type stats incl. distinct users",
+)
+
+# --- time-bucketed rollup ----------------------------------------------------
+sql_case(
+    "q33_events_time_buckets",
+    """
+    select date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:00') as hour_bucket,
+           event_type,
+           count(*) as n
+    from events
+    group by date_trunc('hour', ts), event_type
+    """,
+    """
+    select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') as hour_bucket,
+           event_type,
+           count(*) as n
+    from events
+    group by date_trunc('hour', ts), event_type
+    """,
+    doc="event-time windowed rollup (batch analog of streaming window agg)",
+)
+
+# --- sessionization (30-minute inactivity gap) -------------------------------
+_Q34_BODY = """
+select user_id, cast(sum(is_new) as bigint) as n_sessions
+from (
+  select user_id,
+         case when prev_ts is null
+                or ({EPOCH}(ts) - {EPOCH}(prev_ts)) > 1800 then 1 else 0 end as is_new
+  from (
+    select user_id, ts,
+           lag(ts) over (partition by user_id order by ts, event_id) as prev_ts
+    from events
+  ) w
+) s
+group by user_id
+"""
+sql_case(
+    "q34_events_sessionize",
+    _Q34_BODY.replace("{EPOCH}", "unix_timestamp"),
+    _Q34_BODY.replace("{EPOCH}", "epoch"),
+    doc="lag-window sessionization; streaming analog = session window / state op",
+)
+
+# --- top-k users -------------------------------------------------------------
+sql_case(
+    "q35_events_topk_users",
+    """
+    select user_id, count(*) as n
+    from events
+    group by user_id
+    order by n desc, user_id
+    limit 10
+    """,
+    """
+    select user_id, count(*) as n
+    from events
+    group by user_id
+    order by n desc, user_id
+    limit 10
+    """,
+    doc="top-k with total-order tiebreak",
+)
+
+# --- pagination completeness: two pages ≡ one range (A12 has_more drain) -----
+sql_case(
+    "q36_events_two_pages",
+    """
+    select event_id, event_type from (
+      select event_id, event_type from events
+      where event_id >= 1 order by event_id limit 500
+    ) p1
+    union all
+    select event_id, event_type from (
+      select event_id, event_type from events
+      where event_id >= 501 order by event_id limit 500
+    ) p2
+    """,
+    """
+    select event_id, event_type from (
+      select event_id, event_type from events
+      where event_id >= 1 order by event_id limit 500
+    ) p1
+    union all
+    select event_id, event_type from (
+      select event_id, event_type from events
+      where event_id >= 501 order by event_id limit 500
+    ) p2
+    """,
+    doc="subscription backfill paging: concat of pages == contiguous range",
+)

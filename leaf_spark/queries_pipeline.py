@@ -1,0 +1,320 @@
+"""LLM-training-pipeline cases over documents/embeddings (north-star
+extensions: dedup, similarity search, text analysis, multimodal plumbing).
+
+Oracle-able cases pair a builtin-function Spark plan with DuckDB SQL;
+genuinely non-SQL ops (MinHash-LSH, SimHash, hyperplane ANN, mapInPandas
+multimodal) register without an oracle → driver rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .queries import register, sql_case
+from .session import load_tables
+
+# --- exact dedup -------------------------------------------------------------
+sql_case(
+    "q40_dedup_exact",
+    """
+    select count(*) as n_docs,
+           count(distinct md5(text)) as n_unique,
+           count(*) - count(distinct md5(text)) as n_dups
+    from documents
+    """,
+    """
+    select count(*) as n_docs,
+           count(distinct md5(text)) as n_unique,
+           count(*) - count(distinct md5(text)) as n_dups
+    from documents
+    """,
+    doc="exact dedup accounting via content hash",
+)
+
+sql_case(
+    "q41_dedup_normalized",
+    """
+    select md5(trim(regexp_replace(lower(text), '\\\\s+', ' '))) as content_hash,
+           count(*) as n_copies,
+           min(doc_id) as keeper_id
+    from documents
+    group by 1
+    """,
+    """
+    select md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) as content_hash,
+           count(*) as n_copies,
+           min(doc_id) as keeper_id
+    from documents
+    group by 1
+    """,
+    doc="normalized exact dedup: hash-groupBy keeps smallest id",
+)
+
+# --- text analysis -----------------------------------------------------------
+sql_case(
+    "q42_text_quality",
+    """
+    select doc_id,
+           length(text) as n_chars,
+           size(split(trim(text), '\\\\s+')) as n_tokens,
+           length(regexp_replace(text, '[^.,!?;:]', '')) as n_punct,
+           cast(length(regexp_replace(text, '[^.,!?;:]', '')) as double)
+             / length(text) as punct_ratio,
+           length(regexp_replace(text, '[^0-9]', '')) as n_digits
+    from documents
+    where doc_id < 200
+    """,
+    """
+    select doc_id,
+           length(text) as n_chars,
+           len(string_split_regex(trim(text), '\\s+')) as n_tokens,
+           length(regexp_replace(text, '[^.,!?;:]', '', 'g')) as n_punct,
+           cast(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) as double)
+             / length(text) as punct_ratio,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) as n_digits
+    from documents
+    where doc_id < 200
+    """,
+    doc="per-doc quality features (token/punct/digit counts)",
+)
+
+sql_case(
+    "q43_lang_stats",
+    """
+    select lang,
+           count(*) as n_docs,
+           cast(sum(n_chars) as bigint) as total_chars,
+           cast(sum(cast(n_chars as decimal(38,6))) as double) / count(*) as avg_chars
+    from documents
+    group by lang
+    """,
+    """
+    select lang,
+           count(*) as n_docs,
+           cast(sum(n_chars) as bigint) as total_chars,
+           cast(sum(cast(n_chars as decimal(38,6))) as double) / count(*) as avg_chars
+    from documents
+    group by lang
+    """,
+    doc="corpus language distribution",
+)
+
+sql_case(
+    "q44_token_totals",
+    """
+    select source,
+           count(*) as n_docs,
+           cast(sum(size(split(trim(text), '\\\\s+'))) as bigint) as total_tokens
+    from documents
+    group by source
+    """,
+    """
+    select source,
+           count(*) as n_docs,
+           cast(sum(len(string_split_regex(trim(text), '\\s+'))) as bigint) as total_tokens
+    from documents
+    group by source
+    """,
+    doc="whitespace token accounting per source",
+)
+
+sql_case(
+    "q45_fingerprint",
+    """
+    select doc_id,
+           md5(trim(regexp_replace(lower(text), '\\\\s+', ' '))) as fp
+    from documents
+    where doc_id < 300
+    """,
+    """
+    select doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) as fp
+    from documents
+    where doc_id < 300
+    """,
+    doc="content fingerprint (normalized md5)",
+)
+
+# --- word-set Jaccard near-dup (pure relational — oracle-able) ---------------
+sql_case(
+    "q46_word_jaccard_pairs",
+    """
+    with words as (
+      select doc_id, explode(array_distinct(split(trim(lower(text)), '\\\\s+'))) as word
+      from documents where doc_id < 120
+    ),
+    sizes as (select doc_id, count(*) as sz from words group by doc_id),
+    inter as (
+      select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_common
+      from words a join words b on a.word = b.word and a.doc_id < b.doc_id
+      group by a.doc_id, b.doc_id
+    )
+    select doc_a, doc_b, n_common,
+           cast(n_common as double) / (sa.sz + sb.sz - n_common) as jaccard
+    from inter
+    join sizes sa on sa.doc_id = doc_a
+    join sizes sb on sb.doc_id = doc_b
+    where cast(n_common as double) / (sa.sz + sb.sz - n_common) >= 0.5
+    """,
+    """
+    with words as (
+      select doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) as word
+      from documents where doc_id < 120
+    ),
+    sizes as (select doc_id, count(*) as sz from words group by doc_id),
+    inter as (
+      select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_common
+      from words a join words b on a.word = b.word and a.doc_id < b.doc_id
+      group by a.doc_id, b.doc_id
+    )
+    select doc_a, doc_b, n_common,
+           cast(n_common as double) / (sa.sz + sb.sz - n_common) as jaccard
+    from inter
+    join sizes sa on sa.doc_id = doc_a
+    join sizes sb on sb.doc_id = doc_b
+    where cast(n_common as double) / (sa.sz + sb.sz - n_common) >= 0.5
+    """,
+    doc="n-gram(1) set Jaccard via relational ops — exact near-dup baseline",
+)
+
+# --- embedding cosine top-k (oracle via DuckDB list lambdas) -----------------
+_COS_SPARK = """
+with target as (
+  select transform(embedding, x -> cast(x as double)) as tv
+  from embeddings where vec_id = 0
+)
+select vec_id,
+       round(
+         aggregate(zip_with(transform(embedding, x -> cast(x as double)), tv,
+                            (x, y) -> x * y), 0.0d, (acc, x) -> acc + x)
+         / (sqrt(aggregate(transform(embedding, x -> cast(x as double)), 0.0d,
+                           (acc, x) -> acc + x * x))
+            * sqrt(aggregate(tv, 0.0d, (acc, x) -> acc + x * x))),
+         5) as cosine
+from embeddings cross join target
+where vec_id <> 0
+order by cosine desc, vec_id
+limit 10
+"""
+_COS_ORACLE = """
+with target as (
+  select list_transform(embedding, x -> cast(x as double)) as tv
+  from embeddings where vec_id = 0
+)
+select vec_id,
+       round(
+         list_sum(list_transform(range(1, len(embedding) + 1),
+                  i -> cast(embedding[i] as double) * tv[i]))
+         / (sqrt(list_sum(list_transform(embedding, x -> cast(x as double) * cast(x as double))))
+            * sqrt(list_sum(list_transform(tv, x -> x * x)))),
+         5) as cosine
+from embeddings cross join target
+where vec_id <> 0
+order by cosine desc, vec_id
+limit 10
+"""
+sql_case(
+    "q47_cosine_topk",
+    _COS_SPARK,
+    _COS_ORACLE,
+    doc="brute-force cosine top-k (similarity-search baseline)",
+)
+
+# --- embedding near-dup pairs (brute force, oracle-able) ---------------------
+_NEAR_SPARK = """
+select a.vec_id as id_a, b.vec_id as id_b,
+       round(
+         aggregate(zip_with(transform(a.embedding, x -> cast(x as double)),
+                            transform(b.embedding, x -> cast(x as double)),
+                            (x, y) -> x * y), 0.0d, (acc, x) -> acc + x)
+         / (sqrt(aggregate(transform(a.embedding, x -> cast(x as double)), 0.0d,
+                           (acc, x) -> acc + x * x))
+            * sqrt(aggregate(transform(b.embedding, x -> cast(x as double)), 0.0d,
+                             (acc, x) -> acc + x * x))),
+         5) as cosine
+from embeddings a join embeddings b on a.vec_id < b.vec_id
+where a.vec_id < 150 and b.vec_id < 150
+  and round(
+        aggregate(zip_with(transform(a.embedding, x -> cast(x as double)),
+                           transform(b.embedding, x -> cast(x as double)),
+                           (x, y) -> x * y), 0.0d, (acc, x) -> acc + x)
+        / (sqrt(aggregate(transform(a.embedding, x -> cast(x as double)), 0.0d,
+                          (acc, x) -> acc + x * x))
+           * sqrt(aggregate(transform(b.embedding, x -> cast(x as double)), 0.0d,
+                            (acc, x) -> acc + x * x))),
+        5) >= 0.8
+"""
+_NEAR_ORACLE = """
+select a.vec_id as id_a, b.vec_id as id_b,
+       round(
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+                  i -> cast(a.embedding[i] as double) * cast(b.embedding[i] as double)))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> cast(x as double) * cast(x as double))))
+            * sqrt(list_sum(list_transform(b.embedding, x -> cast(x as double) * cast(x as double))))),
+         5) as cosine
+from embeddings a join embeddings b on a.vec_id < b.vec_id
+where a.vec_id < 150 and b.vec_id < 150
+  and round(
+        list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> cast(a.embedding[i] as double) * cast(b.embedding[i] as double)))
+        / (sqrt(list_sum(list_transform(a.embedding, x -> cast(x as double) * cast(x as double))))
+           * sqrt(list_sum(list_transform(b.embedding, x -> cast(x as double) * cast(x as double))))),
+        5) >= 0.8
+"""
+sql_case(
+    "q48_embedding_neardup",
+    _NEAR_SPARK,
+    _NEAR_ORACLE,
+    doc="embedding-cosine near-dup pairs (brute-force baseline)",
+)
+
+# --- rows-only cases (non-SQL-expressible) -----------------------------------
+
+
+@register("q49_minhash_lsh", None, doc="MinHash+LSH banding near-dup (SURVEY north-star)")
+def q49_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_pairs
+
+    t = load_tables(spark, sf_dir)
+    return minhash_lsh_pairs(
+        t["documents"], num_hashes=64, bands=16, jaccard_threshold=0.4
+    ).orderBy("id_a", "id_b")
+
+
+@register("q50_simhash", None, doc="SimHash near-dup pairs (banded hamming join)")
+def q50_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_neardup_pairs
+
+    t = load_tables(spark, sf_dir)
+    return simhash_neardup_pairs(t["documents"], max_hamming=12).orderBy("id_a", "id_b")
+
+
+@register("q51_ann_lsh", None, doc="hyperplane-LSH approximate nearest neighbors")
+def q51_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ann_lsh_topk
+
+    t = load_tables(spark, sf_dir)
+    queries = (
+        t["embeddings"]
+        .where(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    return ann_lsh_topk(t["embeddings"], queries, k=5, num_planes=10).orderBy(
+        "qid", F.col("cosine").desc(), "id"
+    )
+
+
+@register("q52_document_profile", None, doc="one-pass text profile incl. langid + fingerprint")
+def q52_document_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import document_profile
+
+    t = load_tables(spark, sf_dir)
+    return document_profile(t["documents"].where(F.col("doc_id") < 200))
+
+
+@register("q53_multimodal_meta", None, doc="binary-asset metadata extraction via mapInPandas")
+def q53_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import extract_image_metadata, synthesize_assets
+
+    t = load_tables(spark, sf_dir)
+    return extract_image_metadata(synthesize_assets(t["documents"])).orderBy("asset_id")

@@ -1,0 +1,105 @@
+"""SparkSession factory tuned for this engine.
+
+Local tests run on ``local[N]``; the same builder settings are what we would
+ship to a 1000-executor cluster — AQE on (runtime re-planning, skew-join
+splitting, shuffle-partition coalescing), adaptive broadcast thresholds, and
+Arrow for any pandas-UDF exchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession, functions as F
+
+# timestamp columns that may surface as raw nanosecond longs (see load_tables)
+_NANO_TS_COLS = {"ts", "o_orderdate", "l_shipdate"}
+
+
+def get_spark(
+    app_name: str = "leaf_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Scale notes: on a real cluster, drop ``master`` (use the cluster
+    manager's), raise ``spark.sql.shuffle.partitions`` to ~2-3× total cores
+    (AQE coalesces the excess), and leave everything else identical.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle = str(shuffle_partitions or int(cpus))
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime shuffle-partition coalescing + skew-join handling —
+        # this is what makes a fixed config survive a 100× scale-up.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        # Broadcast dims up to 64 MB — region/nation/customer-sized sides
+        # should never shuffle-join.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Arrow for pandas UDF / toPandas exchange (vectorized, not per-row).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Read-side parallelism: keep file splits bounded so a 100 TB scan
+        # yields well-sized tasks instead of a few giant ones.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Timestamps: parquet INT96/µs handled consistently. The driver
+        # testdata uses TIMESTAMP(NANOS) which Spark only reads with the
+        # legacy flag (arrives as timestamp_ntz under UTC).
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
+    """Register the driver testdata parquet tables as temp views.
+
+    Returns a dict name → DataFrame. Filters/projections on these views push
+    down to the parquet scan (verify with ``df.explain('formatted')`` —
+    ``PushedFilters`` / ``ReadSchema``).
+    """
+    names = names or (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    )
+    out = {}
+    missing = [n for n in names if not os.path.exists(os.path.join(sf_dir, f"{n}.parquet"))]
+    if missing:
+        # fail loudly: silently skipping would leave stale temp views from a
+        # previous sf_dir registered, and queries would read the wrong scale
+        raise FileNotFoundError(f"{sf_dir}: missing tables {missing}")
+    for n in names:
+        path = os.path.join(sf_dir, f"{n}.parquet")
+        df = spark.read.parquet(path)
+        # TIMESTAMP(NANOS) parquet columns arrive as BIGINT nanos under
+        # the legacy flag — restore them to timestamp_ntz (µs precision).
+        for field in df.schema.fields:
+            if field.name in _NANO_TS_COLS and field.dataType.simpleString() == "bigint":
+                df = df.withColumn(
+                    field.name,
+                    F.timestamp_micros(F.expr(f"{field.name} div 1000")).cast(
+                        "timestamp_ntz"
+                    ),
+                )
+        df.createOrReplaceTempView(n)
+        out[n] = df
+    return out

@@ -1,0 +1,156 @@
+"""Local differential checker — mimics the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and (when an oracle exists) the
+matching ``oracle_sql()`` on DuckDB over the same parquet tables, then
+compares row count, sorted column names, and an order-insensitive value hash.
+
+Usage:  python tools/check.py [sf_dir] [name_filter ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def _norm_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return f"b:{int(v)}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        return f"f:{v!r}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, bytes):
+        return f"x:{v.hex()}"
+    return f"s:{v}"
+
+
+def value_hash(rows: list[dict]) -> str:
+    # order-insensitive: hash each row (sorted by column name), sort row
+    # digests, hash the concatenation
+    row_digests = sorted(
+        hashlib.sha256(
+            "|".join(f"{k}={_norm_cell(v)}" for k, v in sorted(r.items())).encode()
+        ).hexdigest()
+        for r in rows
+    )
+    return hashlib.sha256("".join(row_digests).encode()).hexdigest()
+
+
+def spark_rows(df) -> list[dict]:
+    cols = df.columns
+    return [dict(zip(cols, row)) for row in df.collect()]
+
+
+def duck_rows(con, sql: str) -> list[dict]:
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    return [dict(zip(cols, row)) for row in cur.fetchall()]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filter = sys.argv[2:]
+
+    import duckdb
+
+    import __spark_entry__ as e
+    from leaf_spark.session import get_spark
+
+    spark = get_spark("leaf-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create or replace view {t} as select * from '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    failures = []
+    for name in sorted(qs):
+        if name_filter and not any(f in name for f in name_filter):
+            continue
+        t0 = time.time()
+        try:
+            df = qs[name](spark, sf_dir)
+            srows = spark_rows(df)
+        except Exception:
+            print(f"FAIL {name}: SPARK ERROR")
+            traceback.print_exc(limit=3)
+            n_fail += 1
+            failures.append(name)
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only ({len(srows)} rows, {dt:.1f}s)")
+            n_rows_only += 1
+            continue
+        try:
+            orows = duck_rows(con, oracles[name])
+        except Exception as ex:
+            print(f"FAIL {name}: ORACLE ERROR {ex}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        scols, ocols = sorted(srows[0]) if srows else [], sorted(orows[0]) if orows else []
+        if len(srows) != len(orows):
+            print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(orows)}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        if srows and scols != ocols:
+            print(f"FAIL {name}: columns spark={scols} duck={ocols}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        sh, oh = value_hash(srows), value_hash(orows)
+        if sh != oh:
+            print(f"FAIL {name}: value hash mismatch ({len(srows)} rows)")
+            # show first differing row for debugging
+            skeys = {
+                hashlib.sha256(
+                    "|".join(f"{k}={_norm_cell(v)}" for k, v in sorted(r.items())).encode()
+                ).hexdigest(): r
+                for r in srows
+            }
+            okeys = {
+                hashlib.sha256(
+                    "|".join(f"{k}={_norm_cell(v)}" for k, v in sorted(r.items())).encode()
+                ).hexdigest(): r
+                for r in orows
+            }
+            only_s = [skeys[k] for k in skeys if k not in okeys][:2]
+            only_o = [okeys[k] for k in okeys if k not in skeys][:2]
+            for r in only_s:
+                print(f"  spark-only: {r}")
+            for r in only_o:
+                print(f"  duck-only:  {r}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        print(f"PASS {name} ({len(srows)} rows, {dt:.1f}s)")
+        n_pass += 1
+
+    print(
+        f"\n== {n_pass} pass, {n_rows_only} rows-only, {n_fail} fail"
+        + (f" → {failures}" if failures else "")
+    )
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
