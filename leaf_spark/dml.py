@@ -1,0 +1,501 @@
+"""DML/DDL interpreter for module SQL over Spark-managed tables.
+
+The reference's materializer runs arbitrary SQLite DML per event
+(leaf-stream/src/module/basic.rs:76-105). Spark has no UPDATE/DELETE on
+parquet-backed tables (that's Delta's job), so this module re-expresses the
+DML subset modules use as DataFrame algebra, executed through ``spark.sql``
+over temp views — declarative, Catalyst-planned, and batch-oriented:
+
+- CREATE TABLE / INDEX / VIEW / DROP          → schema registry ops
+- INSERT INTO … SELECT/VALUES                 → union-append
+- INSERT … ON CONFLICT DO UPDATE/NOTHING      → full-outer-merge (the
+                                                MERGE INTO equivalent)
+- UPDATE t SET … WHERE …                      → projection rewrite
+- DELETE FROM t WHERE …                       → anti-filter
+
+Every statement is first translated from the SQLite dialect
+(sqlcompat.translate) and table names are mapped through a per-stream view
+prefix so many streams can share one SparkSession.
+
+Scale note: the fold is BATCH-oriented — ``event`` is a whole micro-batch
+and statements like INSERT…SELECT FROM event apply set-wise (one distributed
+job per statement per batch, not per event). Sequential per-event semantics
+are preserved by the upsert dedup (last event per conflict key wins, in idx
+order) and by falling back to a per-event loop for statements whose
+semantics genuinely depend on row-at-a-time application (see
+stream.py:_fold_batch).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import sqlcompat
+from .sqlcompat import SqlTranslationError, tokenize, _find_args, _is_word, _j
+
+_SQLITE_TYPE_MAP = {
+    "integer": T.LongType(),
+    "int": T.LongType(),
+    "bigint": T.LongType(),
+    "smallint": T.LongType(),
+    "tinyint": T.LongType(),
+    "real": T.DoubleType(),
+    "double": T.DoubleType(),
+    "float": T.DoubleType(),
+    "numeric": T.DoubleType(),
+    "text": T.StringType(),
+    "varchar": T.StringType(),
+    "char": T.StringType(),
+    "clob": T.StringType(),
+    "blob": T.BinaryType(),
+    "any": T.StringType(),
+    "boolean": T.LongType(),  # SQLite stores bools as ints
+}
+
+
+@dataclass
+class TableDef:
+    name: str  # flattened name (state.x → state_x)
+    schema: T.StructType
+    primary_key: tuple[str, ...] = ()
+    is_state: bool = False
+
+
+@dataclass
+class TableStore:
+    """Per-(stream, module) managed tables: name → DataFrame + schema.
+
+    DataFrames are lazily chained within a fold; ``checkpoint_all`` truncates
+    lineage at commit points (localCheckpoint keeps them in executor memory —
+    the parquet persistence of committed state is stream.py's job).
+    """
+
+    spark: SparkSession
+    view_prefix: str
+    defs: dict[str, TableDef] = field(default_factory=dict)
+    tables: dict[str, DataFrame] = field(default_factory=dict)
+    views: dict[str, str] = field(default_factory=dict)  # name → select SQL
+    _mutations: int = 0
+
+    def view_name(self, table: str) -> str:
+        return f"{self.view_prefix}{table}"
+
+    def register(self, name: str, df: DataFrame) -> None:
+        self.tables[name] = df
+        df.createOrReplaceTempView(self.view_name(name))
+
+    def create(self, tdef: TableDef, if_not_exists: bool) -> None:
+        if tdef.name in self.defs:
+            if if_not_exists:
+                return
+            raise ValueError(f"table {tdef.name} already exists")
+        self.defs[tdef.name] = tdef
+        self.register(tdef.name, self.spark.createDataFrame([], tdef.schema))
+
+    def drop(self, name: str, if_exists: bool) -> None:
+        if name not in self.defs:
+            if if_exists:
+                return
+            raise ValueError(f"no such table {name}")
+        del self.defs[name]
+        del self.tables[name]
+        self.spark.catalog.dropTempView(self.view_name(name))
+
+    def mutated(self, name: str, df: DataFrame) -> None:
+        self.register(name, df)
+        self._mutations += 1
+        # bound lineage growth inside long per-event folds
+        if self._mutations % 32 == 0:
+            self.tables[name].localCheckpoint(eager=False)
+
+    def checkpoint_all(self) -> None:
+        for name, df in list(self.tables.items()):
+            self.register(name, df.localCheckpoint(eager=True))
+
+    def state_tables(self) -> list[str]:
+        return [n for n, d in self.defs.items() if d.is_state]
+
+
+# ---------------------------------------------------------------------------
+# Statement execution
+# ---------------------------------------------------------------------------
+
+
+class DmlExecutor:
+    """Executes one translated module statement against a TableStore.
+
+    ``sql_args`` are named parameters for spark.sql; ``extra_views`` maps
+    logical names (``event``, ``events``) to already-registered view names.
+    """
+
+    def __init__(self, store: TableStore, extra_views: dict[str, str] | None = None):
+        self.store = store
+        self.extra_views = extra_views or {}
+
+    # -- name mapping --------------------------------------------------------
+
+    def _map_names(self, sql: str) -> str:
+        """Map logical table names to per-stream temp-view names."""
+        toks = tokenize(sql)
+        known = set(self.store.defs) | set(self.store.views) | set(self.extra_views)
+        out = []
+        for i, t in enumerate(toks):
+            if (
+                _is_word(t)
+                and (low := t.lower()) in known
+                and (i == 0 or toks[i - 1] != ".")
+                and (i + 1 >= len(toks) or toks[i + 1] != "(")
+            ):
+                if low in self.extra_views:
+                    out.append(self.extra_views[low])
+                else:
+                    out.append(self.store.view_name(low))
+            else:
+                out.append(t)
+        return _j(out)
+
+    def _sql(self, sql: str, args: dict | None) -> DataFrame:
+        self._materialize_views()
+        return self.store.spark.sql(self._map_names(sql), args=args or {})
+
+    def _materialize_views(self) -> None:
+        for name, vsql in self.store.views.items():
+            df = self.store.spark.sql(self._map_names(vsql))
+            df.createOrReplaceTempView(self.store.view_name(name))
+
+    # -- entry point ---------------------------------------------------------
+
+    def execute(self, raw_sql: str, args: dict | None = None, is_state: bool = False):
+        """Execute one raw SQLite-dialect statement. Returns a DataFrame for
+        SELECTs, None otherwise."""
+        info = sqlcompat.classify(raw_sql)
+        sql = sqlcompat.translate(raw_sql)
+        kind = info.kind
+        if kind == "select":
+            return self._sql(sql, args)
+        if kind == "create_table":
+            self._create_table(raw_sql, is_state)
+            return None
+        if kind == "create_index":
+            return None  # no Spark analog: partitioning/file-skipping instead
+        if kind == "create_view":
+            self._create_view(sql)
+            return None
+        if kind == "drop":
+            name = (info.target or "").replace("state.", "state_").replace("main.", "")
+            toks = [t.lower() for t in tokenize(raw_sql) if _is_word(t)]
+            if "table" in toks:
+                self.store.drop(name, if_exists="if" in toks)
+            elif "view" in toks:
+                self.store.views.pop(name, None)
+            return None
+        if kind == "insert":
+            self._insert(sql, args)
+            return None
+        if kind == "update":
+            self._update(sql, args)
+            return None
+        if kind == "delete":
+            self._delete(sql, args)
+            return None
+        raise SqlTranslationError(f"unsupported statement: {raw_sql[:80]}")
+
+    # -- CREATE TABLE --------------------------------------------------------
+
+    def _create_table(self, raw_sql: str, is_state: bool) -> None:
+        toks = tokenize(raw_sql)
+        lows = [t.lower() if _is_word(t) else t for t in toks]
+        if_not_exists = "if" in lows and "exists" in lows
+        # name = token before the first '('
+        open_idx = toks.index("(")
+        # flattened name: handle db.name
+        if toks[open_idx - 2] == "." if open_idx >= 2 else False:
+            db = lows[open_idx - 3]
+            base = lows[open_idx - 1]
+            name = base if db == "main" else f"{db}_{base}"
+            if db == "state":
+                is_state = True
+        else:
+            name = lows[open_idx - 1]
+            if name.startswith("state_"):
+                is_state = True
+        args, _close = _find_args(toks, open_idx)
+        fields: list[T.StructField] = []
+        pk: list[str] = []
+        for col_toks in args:
+            cl = [t.lower() if _is_word(t) else t for t in col_toks]
+            if not col_toks:
+                continue
+            head = cl[0]
+            if head in ("primary", "unique", "check", "foreign", "constraint"):
+                if head == "primary":  # table-level PRIMARY KEY (a, b)
+                    p = col_toks.index("(") if "(" in col_toks else None
+                    if p is not None:
+                        key_args, _ = _find_args(col_toks, p)
+                        pk.extend(a[0].lower() for a in key_args if a)
+                continue
+            col = head
+            styp = cl[1] if len(cl) > 1 and _is_word(col_toks[1]) else "any"
+            dtype = _SQLITE_TYPE_MAP.get(styp, T.StringType())
+            nullable = "not" not in cl or "null" not in cl
+            if "primary" in cl and "key" in cl:
+                pk.append(col)
+                nullable = False
+            fields.append(T.StructField(col, dtype, nullable))
+        tdef = TableDef(name, T.StructType(fields), tuple(pk), is_state)
+        self.store.create(tdef, if_not_exists)
+
+    def _create_view(self, sql: str) -> None:
+        toks = tokenize(sql)
+        lows = [t.lower() if _is_word(t) else t for t in toks]
+        as_idx = lows.index("as")
+        name = lows[as_idx - 1]
+        self.store.views[name] = _j(toks[as_idx + 1 :])
+
+    # -- INSERT (incl. upsert) ----------------------------------------------
+
+    _ON_CONFLICT_RE = re.compile(r"\bon\s+conflict\b", re.IGNORECASE)
+
+    def _insert(self, sql: str, args: dict | None) -> None:
+        toks = tokenize(sql)
+        lows = [t.lower() if _is_word(t) else t for t in toks]
+        # split "on conflict" at top level
+        depth = 0
+        conflict_at = None
+        for i, t in enumerate(toks):
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and lows[i] == "on" and i + 1 < len(toks) and lows[i + 1] == "conflict":
+                conflict_at = i
+                break
+        body, conflict = (toks[:conflict_at], toks[conflict_at:]) if conflict_at is not None else (toks, None)
+        lows_b = [t.lower() if _is_word(t) else t for t in body]
+
+        into = lows_b.index("into")
+        name = lows_b[into + 1]
+        j = into + 2
+        cols: list[str] | None = None
+        if j < len(body) and body[j] == "(":
+            col_args, close = _find_args(body, j)
+            cols = [a[0].lower() for a in col_args]
+            j = close + 1
+        if name not in self.store.defs:
+            raise SqlTranslationError(f"insert into unknown table {name}")
+        tdef = self.store.defs[name]
+        target_cols = cols or [f.name for f in tdef.schema.fields]
+
+        src_sql = _j(body[j:])
+        if src_sql.lower().startswith("values"):
+            vtoks = tokenize(src_sql)
+            rows_df = None
+            k = 1
+            selects = []
+            while k < len(vtoks):
+                if vtoks[k] == "(":
+                    vargs, close = _find_args(vtoks, k)
+                    exprs = [f"{_j(a)} as {c}" for a, c in zip(vargs, target_cols)]
+                    selects.append("select " + ", ".join(exprs))
+                    k = close + 1
+                else:
+                    k += 1
+            src = self._sql(" union all ".join(selects), args)
+        else:
+            src = self._sql(src_sql, args)
+            # a trailing __ord__ column (batch-upsert ordering) rides along
+            if src.columns and src.columns[-1] == "__ord__":
+                src = src.toDF(*target_cols, "__ord__")
+            else:
+                src = src.toDF(*target_cols)
+
+        # align to full schema (missing cols → NULL), cast to declared types
+        existing = self.store.tables[name]
+        aligned = src.select(
+            *[
+                (
+                    F.col(f.name) if f.name in src.columns else F.lit(None)
+                ).cast(f.dataType).alias(f.name)
+                for f in tdef.schema.fields
+            ],
+            *([F.col("__ord__")] if "__ord__" in src.columns else []),
+        )
+
+        if conflict is None:
+            self.store.mutated(name, existing.unionByName(aligned))
+            return
+        self._upsert(name, tdef, existing, aligned, conflict, args)
+
+    def _upsert(
+        self,
+        name: str,
+        tdef: TableDef,
+        existing: DataFrame,
+        incoming: DataFrame,
+        conflict_toks: list[str],
+        args: dict | None,
+    ) -> None:
+        lows = [t.lower() if _is_word(t) else t for t in conflict_toks]
+        # conflict target columns
+        if "(" in conflict_toks:
+            key_args, _ = _find_args(conflict_toks, conflict_toks.index("("))
+            keys = [a[0].lower() for a in key_args]
+        elif tdef.primary_key:
+            keys = list(tdef.primary_key)
+        else:
+            raise SqlTranslationError(f"upsert on {name} without conflict target or PK")
+
+        do_idx = lows.index("do")
+        action = lows[do_idx + 1]
+
+        # batch semantics: the LAST row per key within the incoming batch wins
+        # (sequential per-event application order); __ord__ column carries the
+        # in-batch order if the caller provided it, else arrival order.
+        if "__ord__" in incoming.columns:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*keys).orderBy(F.col("__ord__").desc())
+            incoming = (
+                incoming.withColumn("__rn__", F.row_number().over(w))
+                .where(F.col("__rn__") == 1)
+                .drop("__rn__", "__ord__")
+            )
+        else:
+            incoming = incoming.dropDuplicates(keys)
+
+        if action == "nothing":
+            fresh = incoming.join(existing.select(*keys), keys, "left_anti")
+            self.store.mutated(name, existing.unionByName(fresh))
+            return
+
+        # DO UPDATE SET a = expr, ... — expr may reference excluded.c and t.c
+        set_toks = conflict_toks[do_idx + 2 :]
+        assert set_toks and set_toks[0].lower() == "set"
+        assignments = self._parse_assignments(set_toks[1:])
+
+        ev = f"{self.store.view_prefix}__excl__"
+        tv = f"{self.store.view_prefix}__tgt__"
+        incoming.createOrReplaceTempView(ev)
+        existing.createOrReplaceTempView(tv)
+
+        key_eq = " and ".join(f"{tv}.{k} <=> {ev}.{k}" for k in keys)
+        both = f"({ev}.{keys[0]} is not null and {tv}.{keys[0]} is not null)"
+        cols_sql = []
+        for f_ in tdef.schema.fields:
+            c = f_.name
+            if c in assignments:
+                expr = self._qualify(assignments[c], tv, ev, {x.name for x in tdef.schema.fields})
+                updated = expr
+            else:
+                updated = f"{tv}.{c}"
+            cols_sql.append(
+                f"case when {both} then {updated} "
+                f"when {tv}.{keys[0]} is null then {ev}.{c} "
+                f"else {tv}.{c} end as {c}"
+            )
+        merged = self.store.spark.sql(
+            f"select {', '.join(cols_sql)} from {tv} full outer join {ev} on {key_eq}",
+            args=args or {},
+        )
+        self.store.mutated(name, merged)
+
+    @staticmethod
+    def _parse_assignments(toks: list[str]) -> dict[str, str]:
+        """SET a = expr, b = expr — split on top-level commas."""
+        out: dict[str, str] = {}
+        depth = 0
+        cur: list[str] = []
+        parts: list[list[str]] = []
+        for t in toks:
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            if t == "," and depth == 0:
+                parts.append(cur)
+                cur = []
+            else:
+                cur.append(t)
+        if cur:
+            parts.append(cur)
+        for p in parts:
+            eq = p.index("=")
+            out[p[0].lower()] = _j(p[eq + 1 :])
+        return out
+
+    @staticmethod
+    def _qualify(expr: str, tv: str, ev: str, cols: set[str]) -> str:
+        """excluded.c → <excl view>.c; bare target columns → <target view>.c"""
+        toks = tokenize(expr)
+        out: list[str] = []
+        i = 0
+        while i < len(toks):
+            t = toks[i]
+            if _is_word(t) and t.lower() == "excluded" and i + 2 < len(toks) + 1 and i + 1 < len(toks) and toks[i + 1] == ".":
+                out.extend([ev, ".", toks[i + 2]])
+                i += 3
+                continue
+            if (
+                _is_word(t)
+                and t.lower() in cols
+                and (i == 0 or toks[i - 1] != ".")
+                and (i + 1 >= len(toks) or toks[i + 1] not in ("(", "."))
+            ):
+                out.extend([tv, ".", t])
+                i += 1
+                continue
+            out.append(t)
+            i += 1
+        return _j(out)
+
+    # -- UPDATE / DELETE -----------------------------------------------------
+
+    def _split_where(self, toks: list[str]) -> tuple[list[str], list[str] | None]:
+        depth = 0
+        for i, t in enumerate(toks):
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and _is_word(t) and t.lower() == "where":
+                return toks[:i], toks[i + 1 :]
+        return toks, None
+
+    def _update(self, sql: str, args: dict | None) -> None:
+        toks = tokenize(sql)
+        lows = [t.lower() if _is_word(t) else t for t in toks]
+        name = lows[1]
+        if name not in self.store.defs:
+            raise SqlTranslationError(f"update unknown table {name}")
+        tdef = self.store.defs[name]
+        set_idx = lows.index("set")
+        body, where = self._split_where(toks[set_idx + 1 :])
+        assignments = self._parse_assignments(body)
+        pred = _j(where) if where else "true"
+        cols_sql = []
+        for f_ in tdef.schema.fields:
+            c = f_.name
+            if c in assignments:
+                cols_sql.append(
+                    f"case when ({pred}) then cast(({assignments[c]}) as {f_.dataType.simpleString()}) else {c} end as {c}"
+                )
+            else:
+                cols_sql.append(c)
+        df = self._sql(f"select {', '.join(cols_sql)} from {name}", args)
+        self.store.mutated(name, df)
+
+    def _delete(self, sql: str, args: dict | None) -> None:
+        toks = tokenize(sql)
+        lows = [t.lower() if _is_word(t) else t for t in toks]
+        name = lows[lows.index("from") + 1]
+        if name not in self.store.defs:
+            raise SqlTranslationError(f"delete from unknown table {name}")
+        _, where = self._split_where(toks)
+        pred = _j(where) if where else "true"
+        df = self._sql(f"select * from {name} where not coalesce(({pred}), false)", args)
+        self.store.mutated(name, df)

@@ -353,91 +353,10 @@ def register_udfs(spark) -> None:
     rendering of whatever was found — good for filters/display),
     ``drisl_extract_int`` / ``_real`` / ``_blob`` return narrowed types.
     All are pandas UDFs so the CBOR decode runs Arrow-batched per partition,
-    not per-row through Py4J.
+    not per-row through Py4J. (Bodies live in _drisl_udfs to keep real type
+    hints for pandas_udf inference.)
     """
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+    from ._drisl_udfs import make_udfs
 
-    def _series_extract(payloads: pd.Series, paths: pd.Series, conv):
-        out = []
-        for blob, path in zip(payloads, paths):
-            if blob is None or path is None:
-                out.append(None)
-                continue
-            try:
-                v = drisl_extract(bytes(blob), path)
-            except Exception:
-                v = None
-            out.append(conv(v))
-        return pd.Series(out, dtype="object")
-
-    @pandas_udf("string")
-    def _extract_str(payloads: pd.Series, paths: pd.Series) -> pd.Series:
-        def conv(v):
-            if v is None:
-                return None
-            if isinstance(v, bytes):
-                return v.hex()
-            if isinstance(v, str):
-                return v
-            if isinstance(v, float):
-                return repr(v)
-            return str(v)
-
-        return _series_extract(payloads, paths, conv)
-
-    @pandas_udf("long")
-    def _extract_int(payloads: pd.Series, paths: pd.Series) -> pd.Series:
-        def conv(v):
-            return int(v) if isinstance(v, (int, float)) and not isinstance(v, bool) else (
-                (1 if v else 0) if isinstance(v, bool) else None
-            )
-
-        return _series_extract(payloads, paths, conv)
-
-    @pandas_udf("double")
-    def _extract_real(payloads: pd.Series, paths: pd.Series) -> pd.Series:
-        def conv(v):
-            return float(v) if isinstance(v, (int, float)) and not isinstance(v, bool) else None
-
-        return _series_extract(payloads, paths, conv)
-
-    @pandas_udf("binary")
-    def _extract_blob(payloads: pd.Series, paths: pd.Series) -> pd.Series:
-        def conv(v):
-            return v if isinstance(v, bytes) else None
-
-        return _series_extract(payloads, paths, conv)
-
-    @pandas_udf("int")
-    def _exists(payloads: pd.Series, paths: pd.Series) -> pd.Series:
-        out = []
-        for blob, path in zip(payloads, paths):
-            if blob is None or path is None:
-                out.append(0)
-                continue
-            try:
-                out.append(drisl_exists(bytes(blob), path))
-            except Exception:
-                out.append(0)
-        return pd.Series(out, dtype="object")
-
-    @pandas_udf("string")
-    def _to_json(payloads: pd.Series) -> pd.Series:
-        out = []
-        for blob in payloads:
-            if blob is None:
-                out.append(None)
-                continue
-            try:
-                out.append(drisl_to_json(bytes(blob)))
-            except Exception:
-                out.append(None)
-        return pd.Series(out, dtype="object")
-
-    spark.udf.register("drisl_extract", _extract_str)
-    spark.udf.register("drisl_extract_int", _extract_int)
-    spark.udf.register("drisl_extract_real", _extract_real)
-    spark.udf.register("drisl_extract_blob", _extract_blob)
-    spark.udf.register("drisl_exists", _exists)
-    spark.udf.register("drisl_to_json", _to_json)
+    for name, udf in make_udfs().items():
+        spark.udf.register(name, udf)

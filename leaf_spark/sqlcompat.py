@@ -1,0 +1,462 @@
+"""SQLite-dialect → Spark SQL translation + statement authorization.
+
+The reference executes module SQL verbatim on SQLite (queries gated by a
+function allowlist, leaf-stream/src/lib.rs:1104-1110; statement-class ×
+database authorizer callbacks, lib.rs:989-1122 — written but disabled).
+We translate the SQLite dialect surface (SURVEY §2.B) to Spark SQL with a
+token-level rewriter (no sqlglot in this container):
+
+- function renames + argument reshuffles (iif→if, printf→format_string,
+  strftime fmt conversion, unixepoch→unix_timestamp, …)
+- structural rewrites with balanced-paren argument parsing
+  (total → coalesce(sum(cast …)), group_concat → array_join(collect_list),
+  json_object → to_json(named_struct), throw/unauthorized → raise_error)
+- operator rewrites (``a ->> 'k'`` → get_json_object, GLOB → rlike)
+- namespace mapping (``state.t`` → ``state_t`` view names)
+- ``$param`` → ``:param`` named parameters for spark.sql(sql, args=...)
+
+plus the A17-equivalent *pre-execution authorizer*: statement-class
+classification and a query-time function allowlist, shipped enforceable with
+a permissive default to match the reference's actual (bypassed) behavior.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+# ---------------------------------------------------------------------------
+# Tokenizer — minimal SQL-aware scanning (strings, identifiers, parens)
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<str>'(?:[^']|'')*')
+    | (?P<qid>"(?:[^"]|"")*")
+    | (?P<num>\d+\.\d*|\.\d+|\d+)
+    | (?P<arrow2>->>)
+    | (?P<arrow>->)
+    | (?P<param>\$[A-Za-z_][A-Za-z_0-9]*)
+    | (?P<param2>:[A-Za-z_][A-Za-z_0-9]*)
+    | (?P<word>[A-Za-z_][A-Za-z_0-9]*)
+    | (?P<dot>\.)
+    | (?P<op><=|>=|<>|!=|=|<|>|\|\||[(),;*+\-/%])
+    | (?P<ws>\s+)
+    """,
+    re.VERBOSE,
+)
+
+
+def tokenize(sql: str) -> list[str]:
+    out, pos = [], 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if not m:
+            raise ValueError(f"cannot tokenize SQL at {pos}: {sql[pos:pos+30]!r}")
+        tok = m.group(0)
+        if not m.group("ws"):
+            out.append(tok)
+        pos = m.end()
+    return out
+
+
+def _is_word(tok: str) -> bool:
+    return bool(re.match(r"^[A-Za-z_]", tok))
+
+
+# ---------------------------------------------------------------------------
+# Function-call rewriting with balanced parens
+# ---------------------------------------------------------------------------
+
+
+def _find_args(tokens: list[str], open_idx: int) -> tuple[list[list[str]], int]:
+    """tokens[open_idx] == '(' → ([arg token lists], index of closing ')')."""
+    assert tokens[open_idx] == "("
+    depth, args, cur = 1, [], []
+    i = open_idx + 1
+    while i < len(tokens):
+        t = tokens[i]
+        if t == "(":
+            depth += 1
+            cur.append(t)
+        elif t == ")":
+            depth -= 1
+            if depth == 0:
+                if cur or args:
+                    args.append(cur)
+                return args, i
+            cur.append(t)
+        elif t == "," and depth == 1:
+            args.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+        i += 1
+    raise ValueError("unbalanced parens in SQL")
+
+
+def _j(tokens: list[str]) -> str:
+    """Join tokens back into SQL text with minimal spacing."""
+    out = []
+    for i, t in enumerate(tokens):
+        if i > 0 and _needs_space(tokens[i - 1], t):
+            out.append(" ")
+        out.append(t)
+    return "".join(out)
+
+
+def _needs_space(a: str, b: str) -> bool:
+    if a in ("(", ".") or b in ("(", ")", ",", ".", ";"):
+        # keep `f(` tight but allow `( x`
+        return b == "(" and (_is_word(a) or a in (")",)) and False or b not in (
+            "(",
+            ")",
+            ",",
+            ".",
+            ";",
+        ) and a not in ("(", ".")
+    return True
+
+
+# strftime → date_format pattern conversion (SQLite %-codes → JDK patterns)
+_STRFTIME_MAP = [
+    ("%Y", "yyyy"),
+    ("%m", "MM"),
+    ("%d", "dd"),
+    ("%H", "HH"),
+    ("%M", "mm"),
+    ("%S", "ss"),
+    ("%j", "DDD"),
+    ("%W", "ww"),
+]
+
+
+def _convert_strftime_fmt(lit: str) -> str:
+    body = lit[1:-1]
+    for a, b in _STRFTIME_MAP:
+        body = body.replace(a, b)
+    return f"'{body}'"
+
+
+_TYPEOF_CASE = (
+    "case typeof({x}) when 'bigint' then 'integer' when 'int' then 'integer' "
+    "when 'smallint' then 'integer' when 'tinyint' then 'integer' "
+    "when 'double' then 'real' when 'float' then 'real' "
+    "when 'string' then 'text' when 'binary' then 'blob' "
+    "when 'void' then 'null' else typeof({x}) end"
+)
+
+
+def _glob_to_regex(lit: str) -> str:
+    """SQLite GLOB pattern literal → anchored Java regex literal."""
+    body = lit[1:-1]
+    out = []
+    for ch in body:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        elif ch in ".^$+{}[]|()\\":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "'^" + "".join(out) + "$'"
+
+
+class SqlTranslationError(ValueError):
+    pass
+
+
+def _rw_call(name: str, args: list[str]) -> str:
+    """Rewrite one function call (args already translated SQL strings)."""
+    n = name.lower()
+    if n == "iif":
+        # SQLite truthiness: any nonzero numeric is true; Spark if() demands
+        # BOOLEAN → coerce via cast (boolean exprs pass through unchanged)
+        cond = f"coalesce(cast(({args[0]}) as boolean), false)"
+        return f"if({cond}, {args[1]}, {args[2]})"
+    if n == "total":
+        return f"coalesce(cast(sum(cast({args[0]} as double)) as double), 0.0)"
+    if n == "group_concat":
+        sep = args[1] if len(args) > 1 else "','"
+        return (
+            f"array_join(collect_list(cast({args[0]} as string)), {sep})"
+        )
+    if n in ("printf", "format"):
+        return f"format_string({', '.join(args)})"
+    if n == "unixepoch":
+        if not args:
+            return "unix_timestamp()"
+        if len(args) >= 2 and args[1].strip("'\"").lower() == "unixepoch":
+            return f"cast({args[0]} as bigint)"
+        return f"unix_timestamp({args[0]})"
+    if n == "strftime":
+        fmt = args[0]
+        if fmt.strip() == "'%s'":
+            return f"cast(unix_timestamp({args[1]}) as string)"
+        return f"date_format({args[1]}, {_convert_strftime_fmt(fmt)})"
+    if n == "date":
+        if args and args[0].strip("'").lower() == "now":
+            return "current_date()"
+        return f"to_date({args[0]})"
+    if n == "datetime":
+        if args and args[0].strip("'").lower() == "now":
+            return "current_timestamp()"
+        if len(args) >= 2 and args[1].strip("'\"").lower() == "unixepoch":
+            return f"cast(from_unixtime({args[0]}) as timestamp)"
+        return f"cast({args[0]} as timestamp)"
+    if n == "time":
+        return f"date_format(cast({args[0]} as timestamp), 'HH:mm:ss')"
+    if n == "typeof":
+        return _TYPEOF_CASE.format(x=args[0])
+    if n == "substr":
+        return f"substring({', '.join(args)})"
+    if n == "json_extract":
+        return f"get_json_object({args[0]}, {args[1]})"
+    if n == "json_object":
+        pairs = ", ".join(args)
+        return f"to_json(named_struct({pairs}))"
+    if n == "json_group_array":
+        return f"to_json(collect_list({args[0]}))"
+    if n == "json_array":
+        return f"to_json(array({', '.join(args)}))"
+    if n in ("json_set", "json_patch"):
+        # registered as python UDFs (no Spark builtin)
+        return f"{n}({', '.join(args)})"
+    if n == "throw":
+        msg = ", ".join(f"cast({a} as string)" for a in args)
+        return f"raise_error(concat_ws(' ', {msg}))"
+    if n == "unauthorized":
+        msg = ", ".join(f"cast({a} as string)" for a in args)
+        return f"raise_error(concat_ws(' ', 'Unauthorized:', {msg}))"
+    if n == "ltrim" and len(args) == 2:
+        return f"ltrim({args[1]}, {args[0]})"  # SQLite(str, chars) → Spark(trimStr, str)… see note
+    if n == "rtrim" and len(args) == 2:
+        return f"rtrim({args[1]}, {args[0]})"
+    # pass-through (coalesce, ifnull, nullif, abs, round, min, max, sum, avg,
+    # count, length, trim, upper, lower, replace, instr, drisl_*, …)
+    return f"{name}({', '.join(args)})"
+
+
+# note: Spark SQL two-arg ltrim is ltrim(trimStr, str); SQLite is
+# ltrim(str, chars) — hence the swap above keeps SQLite argument order
+# working for module authors.
+
+
+def translate(sql: str) -> str:
+    """Translate one SQLite-dialect statement/expression to Spark SQL."""
+    tokens = tokenize(sql)
+    return _j(_translate_tokens(tokens))
+
+
+def _translate_tokens(tokens: list[str]) -> list[str]:
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        low = t.lower() if _is_word(t) else t
+        # $param → :param
+        if t.startswith("$"):
+            out.append(":" + t[1:])
+            i += 1
+            continue
+        # state.tbl / events.tbl namespace flattening (identifier '.' identifier)
+        if (
+            _is_word(t)
+            and low in ("state", "temp", "main", "events")
+            and i + 2 < n
+            and tokens[i + 1] == "."
+            and _is_word(tokens[i + 2])
+        ):
+            if low == "main":
+                out.append(tokens[i + 2])
+            elif low == "events" and tokens[i + 2].lower() == "events":
+                out.append("events")
+            else:
+                out.append(f"{low}_{tokens[i + 2]}")
+            i += 3
+            continue
+        # function call?
+        if _is_word(t) and i + 1 < n and tokens[i + 1] == "(" and low not in (
+            "select",
+            "where",
+            "from",
+            "and",
+            "or",
+            "not",
+            "in",
+            "exists",
+            "on",
+            "values",
+            "as",
+            "between",
+            "case",
+            "when",
+            "then",
+            "else",
+            "end",
+        ):
+            args_tok, close = _find_args(tokens, i + 1)
+            args = [_j(_translate_tokens(a)) for a in args_tok]
+            out.extend(tokenize(_rw_call(t, args)))
+            i = close + 1
+            continue
+        # a ->> 'k'  /  a -> 'k'
+        if t in ("->>", "->"):
+            prev = out.pop()
+            # reconstruct a parenthesized or simple operand
+            operand = prev
+            while out and (out[-1] == "." or (operand.startswith("(") and False)):
+                operand = out.pop() + operand
+            key = tokens[i + 1]
+            if key.startswith("'"):
+                path = "'$." + key[1:-1] + "'" if not key[1:-1].startswith("$") else key
+            else:
+                path = f"concat('$.', {key})"
+            out.extend(tokenize(f"get_json_object({operand}, {path})"))
+            i += 2
+            continue
+        # x GLOB 'pat'
+        if _is_word(t) and low == "glob":
+            prev = out.pop()
+            pat = tokens[i + 1]
+            if not pat.startswith("'"):
+                raise SqlTranslationError("GLOB requires a literal pattern")
+            out.extend(tokenize(f"{prev} rlike {_glob_to_regex(pat)}"))
+            i += 2
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Statement classification + authorization (A17-equivalent)
+# ---------------------------------------------------------------------------
+
+_QUERY_FN_ALLOWLIST = {
+    # reference leaf-stream/src/lib.rs:1104-1110
+    "unauthorized", "throw",
+    "coalesce", "ifnull", "nullif", "iif",
+    "drisl_extract", "drisl_exists",
+    "json_object", "json_group_array", "json_array", "json_patch", "json_set",
+    "json_extract", "json_each",
+    "max", "min", "sum", "avg", "count", "total", "group_concat",
+    "abs", "round",
+    "length", "substr", "substring", "trim", "ltrim", "rtrim",
+    "upper", "lower", "replace", "instr", "printf", "format", "typeof",
+    "date", "time", "datetime", "strftime", "unixepoch",
+}
+
+_WRITE_WORDS = {"insert", "update", "delete", "replace"}
+_DDL_WORDS = {"create", "drop", "alter", "reindex", "analyze", "vacuum"}
+
+
+@dataclass(frozen=True)
+class StatementInfo:
+    kind: str  # 'select' | 'insert' | 'update' | 'delete' | 'create_table' |
+    #            'create_index' | 'create_view' | 'drop' | 'other'
+    target: str | None = None  # table the statement writes/creates
+    functions: tuple[str, ...] = ()
+    reads_event: bool = False
+
+
+def classify(sql: str) -> StatementInfo:
+    toks = tokenize(sql)
+    if not toks:
+        return StatementInfo("other")
+    lows = [t.lower() if _is_word(t) else t for t in toks]
+    fns = tuple(
+        sorted(
+            {
+                lows[i]
+                for i in range(len(toks) - 1)
+                if _is_word(toks[i]) and toks[i + 1] == "(" and lows[i] not in (
+                    "select", "where", "from", "and", "or", "not", "in", "exists",
+                    "on", "values", "as", "between",
+                )
+            }
+        )
+    )
+    reads_event = "event" in lows
+    head = lows[0]
+
+    def _after(word: str) -> str | None:
+        try:
+            k = lows.index(word)
+        except ValueError:
+            return None
+        j = k + 1
+        while j < len(lows) and lows[j] in ("if", "not", "exists", "or", "replace", "temp", "temporary"):
+            j += 1
+        if j < len(lows) and _is_word(toks[j]):
+            # db.tbl
+            if j + 2 < len(lows) and toks[j + 1] == ".":
+                return f"{lows[j]}.{lows[j+2]}"
+            return lows[j]
+        return None
+
+    if head == "select" or head == "with":
+        return StatementInfo("select", None, fns, reads_event)
+    if head == "insert" or head == "replace":
+        return StatementInfo("insert", _after("into") or _after("replace"), fns, reads_event)
+    if head == "update":
+        return StatementInfo("update", _after("update"), fns, reads_event)
+    if head == "delete":
+        return StatementInfo("delete", _after("from"), fns, reads_event)
+    if head == "create":
+        if "table" in lows:
+            return StatementInfo("create_table", _after("table"), fns, reads_event)
+        if "index" in lows:
+            return StatementInfo("create_index", _after("on"), fns, reads_event)
+        if "view" in lows:
+            return StatementInfo("create_view", _after("view"), fns, reads_event)
+        if "trigger" in lows:
+            return StatementInfo("other", None, fns, reads_event)
+    if head == "drop":
+        return StatementInfo("drop", _after("table") or _after("view") or _after("index"), fns, reads_event)
+    return StatementInfo("other", None, fns, reads_event)
+
+
+class AuthorizationError(PermissionError):
+    pass
+
+
+@dataclass
+class Authorizer:
+    """Pre-execution statement authorization (reference A17 policies).
+
+    Policies mirror leaf-stream/src/lib.rs:989-1122: ``materialize`` may
+    write main/temp (read all), ``state_materialize`` may write state/temp,
+    ``authorize`` and ``query`` are read-only with the function allowlist.
+    ``enforce=False`` (default) matches the reference's shipped behavior —
+    every callback short-circuits Allow (lib.rs:997,1046,1095).
+    """
+
+    enforce: bool = False
+    extra_allowed_functions: set[str] = field(default_factory=set)
+
+    def check(self, sql: str, policy: str) -> None:
+        if not self.enforce:
+            return
+        info = classify(sql)
+        if policy in ("authorize", "query"):
+            if info.kind not in ("select",):
+                raise AuthorizationError(f"{policy}: only SELECT allowed, got {info.kind}")
+            allowed = _QUERY_FN_ALLOWLIST | self.extra_allowed_functions
+            for fn in info.functions:
+                if fn not in allowed:
+                    raise AuthorizationError(f"{policy}: function {fn!r} not in allowlist")
+        elif policy == "materialize":
+            if info.kind in ("insert", "update", "delete", "drop") and info.target:
+                if info.target.startswith("state.") or info.target.startswith("state_"):
+                    raise AuthorizationError("materialize: cannot write state namespace")
+        elif policy == "state_materialize":
+            if info.kind in ("insert", "update", "delete", "drop") and info.target:
+                if not (info.target.startswith("state.") or info.target.startswith("state_") or info.target == "event"):
+                    raise AuthorizationError(
+                        f"state_materialize: may only write state namespace, got {info.target}"
+                    )
+        else:
+            raise ValueError(f"unknown policy {policy}")

@@ -1,0 +1,495 @@
+"""Stream engine — append/authorize/materialize/replay/query (SURVEY §2.A).
+
+Parity map (reference file:line → here):
+
+- A1  add_events atomic batch      leaf-stream/src/lib.rs:596-719
+- A2  batch signing                leaf-stream/src/lib.rs:621-632 (stubbed
+      as sha-256 over the DRISL batch; ECDSA slot documented)
+- A3  authorize filter             leaf-stream/src/module/basic.rs:134-158
+- A4  materialize fold             leaf-stream/src/module/basic.rs:76-105
+- A5  state-event fold             leaf-stream/src/lib.rs:721-773
+- A6  replay / catch-up            leaf-stream/src/lib.rs:468-590
+- A7  raw range scan               leaf-stream/src/lib.rs:775-817
+- A8  raw import                   leaf-stream/src/lib.rs:819-840
+- A9  named-query dispatch         leaf-stream/src/lib.rs:842-862
+- A10 param binding + builtins     leaf-stream/src/module/basic.rs:193-214
+- A14 module provide/swap          leaf-stream/src/lib.rs:391-454
+- A15 clear ephemeral state        leaf-stream/src/lib.rs:173-217
+- A16 open/bootstrap               leaf-stream/src/lib.rs:237-330
+
+Architecture (Spark-first, not a port):
+
+- The event log is an append-only parquet directory per stream; files are
+  written by the single-writer commit path (pyarrow, driver-side — an event
+  batch is small) and read by Spark jobs (replay, queries, streaming). At
+  100 TB the same layout partitions by stream and prunes on idx min/max.
+- The commit point is ``stream.json`` (atomic rename): events files contain
+  only rows ≤ latest_idx; a crash between parquet write and state update
+  leaves ignorable orphan rows — the WAL-equivalent of the reference's
+  ``begin immediate … commit``.
+- Materialized tables are Spark DataFrames managed by dml.TableStore,
+  rebuilt by deterministic replay (the reference's own recovery path) and
+  folded batch-wise: statements that are provably set-oriented
+  (INSERT…SELECT FROM event, incl. ON CONFLICT upserts with last-per-key
+  dedup) run once per batch as one distributed job; anything else falls
+  back to per-event application in idx order (reference semantics,
+  lib.rs:543-569).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+import threading
+from collections.abc import Callable
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import drisl
+from .dml import DmlExecutor, TableStore
+from .module import BasicModuleDef, split_statements, strip_comments
+from .sqlcompat import Authorizer, classify, tokenize, _is_word
+from .types import Event, IncomingEvent, LeafQuery, SqlValue, validate_params
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("idx", T.LongType(), False),
+        T.StructField("user", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("signature", T.BinaryType(), True),
+    ]
+)
+
+_ARROW_SCHEMA = pa.schema(
+    [
+        pa.field("idx", pa.int64(), nullable=False),
+        pa.field("user", pa.string(), nullable=False),
+        pa.field("payload", pa.binary(), nullable=False),
+        pa.field("signature", pa.binary()),
+    ]
+)
+
+
+class StreamError(RuntimeError):
+    pass
+
+
+class BatchRejected(StreamError):
+    """Authorizer rejected an event → the WHOLE batch rolls back
+    (reference lib.rs:592-595)."""
+
+
+def _safe_dirname(did: str) -> str:
+    return re.sub(r"[^A-Za-z0-9._-]", "_", did)
+
+
+def default_signer(batch_payloads: list[bytes]) -> bytes:
+    """A2 stub: one signature per batch over the DRISL-encoded payload list.
+
+    The reference signs with ECDSA P256/K256 (lib.rs:623-632); we compute a
+    deterministic sha-256 so replay/backup round-trips are checkable. Swap in
+    a real key by passing ``signer=`` to Stream.add_events.
+    """
+    return hashlib.sha256(drisl.encode([bytes(p) for p in batch_payloads])).digest()
+
+
+@dataclass
+class StreamState:
+    """≈ stream_state row (streamdb_schema_00.sql:12-21)."""
+
+    stream_did: str
+    latest_idx: int = 0
+    module_cid: str | None = None
+    module_event_cursor: int = 0
+
+
+class Stream:
+    """One append-only, totally-ordered event log + its module-defined
+    materialized state. Single writer per stream (threading lock ≈ the
+    reference's async write lock, lib.rs:607-617)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root_dir: str,
+        stream_did: str,
+        authorizer: Authorizer | None = None,
+    ):
+        self.spark = spark
+        self.stream_did = stream_did
+        self.dir = os.path.join(root_dir, "streams", _safe_dirname(stream_did))
+        self.events_dir = os.path.join(self.dir, "events")
+        self._lock = threading.RLock()
+        self.sql_authorizer = authorizer or Authorizer()
+        self.module: BasicModuleDef | None = None
+        prefix = "leaf_" + hashlib.sha256(stream_did.encode()).hexdigest()[:10] + "_"
+        self.store = TableStore(spark, prefix)
+        self._update_listeners: list[Callable[[int], None]] = []
+        os.makedirs(self.events_dir, exist_ok=True)
+        self.state = self._load_state()
+        drisl.register_udfs(spark)
+
+    # -- A16 open/bootstrap --------------------------------------------------
+
+    def _state_path(self) -> str:
+        return os.path.join(self.dir, "stream.json")
+
+    def _load_state(self) -> StreamState:
+        p = self._state_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                d = json.load(f)
+            if d["stream_did"] != self.stream_did:
+                raise StreamError(
+                    f"stream dir {self.dir} belongs to {d['stream_did']}"
+                )
+            return StreamState(**d)
+        return StreamState(self.stream_did)
+
+    def _commit_state(self) -> None:
+        tmp = self._state_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.state.__dict__, f)
+        os.replace(tmp, self._state_path())  # the atomic commit point
+
+    # -- event log access ----------------------------------------------------
+
+    def events_df(self) -> DataFrame:
+        """The committed event log (rows beyond the commit point filtered —
+        crash-orphan tolerance)."""
+        if not os.listdir(self.events_dir):
+            return self.spark.createDataFrame([], EVENT_SCHEMA)
+        return self.spark.read.schema(EVENT_SCHEMA).parquet(self.events_dir).where(
+            F.col("idx") <= self.state.latest_idx
+        )
+
+    def raw_get_events(self, lo: int = 1, hi: int | None = None) -> list[Event]:
+        """A7: range scan bypassing module/ACL (backup path)."""
+        df = self.events_df().where(F.col("idx") >= lo)
+        if hi is not None:
+            df = df.where(F.col("idx") <= hi)
+        return [
+            Event(r["idx"], r["user"], bytes(r["payload"]), bytes(r["signature"] or b""))
+            for r in df.orderBy("idx").collect()
+        ]
+
+    def raw_import_events(self, events: list[Event]) -> None:
+        """A8: sequentiality-checked bulk insert (restore path)."""
+        with self._lock:
+            expect = self.state.latest_idx + 1
+            for e in events:
+                if e.idx != expect:
+                    raise StreamError(f"import gap: expected idx {expect}, got {e.idx}")
+                expect += 1
+            if not events:
+                return
+            self._append_parquet(events)
+            self.state.latest_idx = events[-1].idx
+            self._commit_state()
+
+    def _append_parquet(self, events: list[Event]) -> None:
+        t = pa.Table.from_pydict(
+            {
+                "idx": [e.idx for e in events],
+                "user": [e.user for e in events],
+                "payload": [e.payload for e in events],
+                "signature": [e.signature for e in events],
+            },
+            schema=_ARROW_SCHEMA,
+        )
+        path = os.path.join(
+            self.events_dir, f"part-{events[0].idx:012d}-{events[-1].idx:012d}.parquet"
+        )
+        pq.write_table(t, path)
+
+    # -- A14 module provide/swap --------------------------------------------
+
+    def needs_module(self) -> bool:
+        return self.module is None
+
+    def provide_module(self, module: BasicModuleDef) -> None:
+        """Install a module matching the recorded CID (or first install)."""
+        with self._lock:
+            cid = module.cid()
+            if self.state.module_cid is not None and self.state.module_cid != cid:
+                raise StreamError(
+                    f"module cid mismatch: stream has {self.state.module_cid}, got {cid}"
+                )
+            self.module = module
+            self.state.module_cid = cid
+            if not self.store.defs and self.state.module_event_cursor > 0:
+                # fresh process: materialized tables live in memory (parquet
+                # snapshots are a later optimization) → deterministic rebuild
+                # from idx 0, the reference's own recovery path (A6)
+                self.state.module_event_cursor = 0
+            self.catch_up()
+
+    def update_module(self, module: BasicModuleDef) -> None:
+        """Swap modules: reset cursor, drop derived tables, replay
+        (reference lib.rs:222-235 + streams.rs:117-127)."""
+        with self._lock:
+            self.module = module
+            self.state.module_cid = module.cid()
+            self.state.module_event_cursor = 0
+            for name in list(self.store.defs):
+                self.store.drop(name, if_exists=True)
+            self.store.views.clear()
+            self.catch_up()
+            self._commit_state()
+
+    # -- A6 replay / catch-up -----------------------------------------------
+
+    def _executor(self, event_view: str | None = None) -> DmlExecutor:
+        extra = {"events": self._events_view()}
+        if event_view:
+            extra["event"] = event_view
+        return DmlExecutor(self.store, extra)
+
+    def _events_view(self) -> str:
+        name = self.store.view_prefix + "events_log"
+        self.events_df().createOrReplaceTempView(name)
+        return name
+
+    def _run_script(self, sql: str, policy: str, event_view: str | None = None,
+                    args: dict | None = None, is_state: bool = False):
+        last = None
+        for stmt in split_statements(strip_comments(sql)):
+            self.sql_authorizer.check(stmt, policy)
+            last = self._executor(event_view).execute(stmt, args=args, is_state=is_state)
+        return last
+
+    def catch_up(self) -> None:
+        """Fold events beyond the cursor through the materializer; cursor==0
+        also runs init_sql + state_init_sql first (lib.rs:468-590)."""
+        if self.module is None:
+            raise StreamError("no module loaded")
+        with self._lock:
+            if self.state.module_event_cursor == 0:
+                self._run_script(self.module.init_sql, "materialize")
+                self._run_script(self.module.state_init_sql, "state_materialize", is_state=True)
+            lo = self.state.module_event_cursor + 1
+            hi = self.state.latest_idx
+            if hi < lo:
+                return
+            pending = self.events_df().where(F.col("idx").between(lo, hi))
+            self._fold_df(pending, self.module.materializer, "materialize")
+            self.state.module_event_cursor = hi
+            self.store.checkpoint_all()
+            self._commit_state()
+
+    # -- fold execution ------------------------------------------------------
+
+    def _batch_safe(self, sql: str) -> bool:
+        """A materializer is batch-safe when every statement is
+        INSERT … SELECT … FROM event (optionally with ON CONFLICT): applying
+        the whole idx-ordered batch set-wise ≡ per-event sequential fold
+        (upserts keep the last event per conflict key via __ord__)."""
+        for stmt in split_statements(strip_comments(sql)):
+            info = classify(stmt)
+            if info.kind != "insert":
+                return False
+            toks = tokenize(stmt)
+            lows = [t.lower() if _is_word(t) else t for t in toks]
+            depth = 0
+            from_ok = False
+            for i, t in enumerate(toks):
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    depth -= 1
+                elif depth == 0 and lows[i] == "from":
+                    if i + 1 < len(toks) and lows[i + 1] == "event":
+                        nxt = lows[i + 2] if i + 2 < len(toks) else None
+                        if nxt in (None, "where", "on", "group", "order", "limit"):
+                            from_ok = True
+                    break
+            if not from_ok:
+                return False
+        return True
+
+    @staticmethod
+    def _inject_ord(stmt: str) -> str:
+        """INSERT…SELECT list gains ``, idx as __ord__`` (top-level FROM) so
+        batch upserts can keep sequential last-write-wins semantics."""
+        toks = tokenize(stmt)
+        lows = [t.lower() if _is_word(t) else t for t in toks]
+        depth = 0
+        for i, t in enumerate(toks):
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and lows[i] == "from":
+                return (
+                    " ".join(toks[:i]) + " , idx as __ord__ from " + " ".join(toks[i + 1 :])
+                )
+        return stmt
+
+    def _fold_df(self, events: DataFrame, fold_sql: str, policy: str) -> None:
+        """Fold an idx-ordered event DataFrame through materializer SQL."""
+        if not fold_sql.strip():
+            return
+        is_state = policy == "state_materialize"
+        ev_view = self.store.view_prefix + "event"
+        if self._batch_safe(fold_sql):
+            events.createOrReplaceTempView(ev_view)
+            for stmt in split_statements(strip_comments(fold_sql)):
+                self.sql_authorizer.check(stmt, policy)
+                has_conflict = " conflict" in stmt.lower()
+                s = self._inject_ord(stmt) if has_conflict else stmt
+                self._executor(ev_view).execute(s, is_state=is_state)
+            return
+        # per-event sequential fold (reference lib.rs:543-569)
+        rows = events.orderBy("idx").collect()
+        for r in rows:
+            one = self.spark.createDataFrame([r], EVENT_SCHEMA)
+            one.createOrReplaceTempView(ev_view)
+            for stmt in split_statements(strip_comments(fold_sql)):
+                self.sql_authorizer.check(stmt, policy)
+                self._executor(ev_view).execute(stmt, is_state=is_state)
+
+    # -- A3 authorize --------------------------------------------------------
+
+    def _authorize(self, staged: list[Event]) -> None:
+        if self.module is None or not self.module.authorizer.strip():
+            return
+        ev_view = self.store.view_prefix + "event"
+        for e in staged:
+            one = self.spark.createDataFrame(
+                [(e.idx, e.user, e.payload, e.signature)], EVENT_SCHEMA
+            )
+            one.createOrReplaceTempView(ev_view)
+            try:
+                for stmt in split_statements(strip_comments(self.module.authorizer)):
+                    self.sql_authorizer.check(stmt, "authorize")
+                    res = self._executor(ev_view).execute(stmt)
+                    if res is not None:
+                        res.collect()  # force evaluation → raise_error fires
+            except BatchRejected:
+                raise
+            except Exception as ex:  # raise_error surfaces as a Py4J error
+                msg = str(ex)
+                m = re.search(r"(Unauthorized:[^\n\"]*)", msg)
+                detail = m.group(1) if m else msg.splitlines()[0][:200]
+                raise BatchRejected(f"event idx={e.idx} rejected: {detail}") from None
+
+    # -- A1 add_events -------------------------------------------------------
+
+    def add_events(
+        self,
+        events: list[IncomingEvent],
+        signer: Callable[[list[bytes]], bytes] | None = default_signer,
+    ) -> int:
+        """Append a batch atomically: authorize each event, materialize, then
+        commit (advance latest_idx). Any failure → nothing is committed."""
+        if self.module is None:
+            raise StreamError("no module loaded")
+        if not events:
+            return self.state.latest_idx
+        with self._lock:
+            self.catch_up()
+            sig = signer([e.payload for e in events]) if signer else b""
+            start = self.state.latest_idx + 1
+            staged = [
+                Event(start + i, e.user, e.payload, sig) for i, e in enumerate(events)
+            ]
+            snapshot = dict(self.store.tables)
+            snapshot_defs = dict(self.store.defs)
+            try:
+                self._authorize(staged)
+                staged_df = self.spark.createDataFrame(
+                    [(e.idx, e.user, e.payload, e.signature) for e in staged],
+                    EVENT_SCHEMA,
+                )
+                self._fold_df(staged_df, self.module.materializer, "materialize")
+                self.store.checkpoint_all()  # force evaluation pre-commit
+            except Exception:
+                # rollback: restore pre-batch table versions (nothing was
+                # written to the log yet — mirrors SQLite txn rollback)
+                self.store.defs = snapshot_defs
+                for name, df in snapshot.items():
+                    self.store.register(name, df)
+                for gone in set(self.store.tables) - set(snapshot):
+                    self.store.drop(gone, if_exists=True)
+                raise
+            self._append_parquet(staged)
+            self.state.latest_idx = staged[-1].idx
+            self.state.module_event_cursor = staged[-1].idx
+            self._commit_state()
+            latest = self.state.latest_idx
+        for cb in list(self._update_listeners):
+            cb(latest)
+        return latest
+
+    # -- A5/A15 state events -------------------------------------------------
+
+    def add_state_events(self, events: list[IncomingEvent]) -> None:
+        """Fold non-persisted state events (no idx, no log append)."""
+        if self.module is None:
+            raise StreamError("no module loaded")
+        if not events:
+            return
+        with self._lock:
+            staged_df = self.spark.createDataFrame(
+                [(0, e.user, e.payload, b"") for e in events], EVENT_SCHEMA
+            )
+            self._fold_df(staged_df, self.module.state_materializer, "state_materialize")
+            self.store.checkpoint_all()
+        for cb in list(self._update_listeners):
+            cb(self.state.latest_idx)
+
+    def clear_state(self) -> None:
+        """Drop every state-namespace table, re-run state_init_sql
+        (lib.rs:173-217)."""
+        if self.module is None:
+            raise StreamError("no module loaded")
+        with self._lock:
+            for name in self.store.state_tables():
+                self.store.drop(name, if_exists=True)
+            self._run_script(self.module.state_init_sql, "state_materialize", is_state=True)
+
+    # -- A9/A10 named queries ------------------------------------------------
+
+    def query(self, user: str | None, q: LeafQuery) -> list[dict]:
+        """Dispatch a named query with validated params + builtin
+        $start/$limit/$requesting_user; rows of the LAST statement return."""
+        if self.module is None:
+            raise StreamError("no module loaded")
+        qdef = self.module.query_def(q.name)
+        bound = validate_params(list(qdef.params), q.params)
+        args: dict = {k: v.to_python() for k, v in bound.items()}
+        args["start"] = q.start if q.start is not None else 1
+        args["limit"] = q.limit
+        args["requesting_user"] = user
+        df = self.query_df(user, q, args)
+        return [] if df is None else [r.asDict() for r in df.collect()]
+
+    def query_df(self, user: str | None, q: LeafQuery, args: dict | None = None) -> DataFrame | None:
+        if args is None:
+            qdef = self.module.query_def(q.name)
+            bound = validate_params(list(qdef.params), q.params)
+            args = {k: v.to_python() for k, v in bound.items()}
+            args["start"] = q.start if q.start is not None else 1
+            args["limit"] = q.limit
+            args["requesting_user"] = user
+        qdef = self.module.query_def(q.name)
+        with self._lock:
+            return self._run_script(qdef.sql, "query", args=args)
+
+    # -- A13 update pub/sub --------------------------------------------------
+
+    def on_update(self, cb: Callable[[int], None]) -> Callable[[], None]:
+        """Register a latest-idx listener; returns an unsubscribe fn."""
+        self._update_listeners.append(cb)
+        return lambda: self._update_listeners.remove(cb)
+
+    def rows_to_wire(self, rows: list[dict]) -> list[dict]:
+        """A11: rows → wire-codec maps ({col: {$type, value}})."""
+        return [{k: SqlValue.of(v).to_wire() for k, v in r.items()} for r in rows]

@@ -1,0 +1,122 @@
+"""SQLite→Spark translation + statement classification + A17 authorizer."""
+
+import pytest
+
+from leaf_spark.sqlcompat import (
+    AuthorizationError,
+    Authorizer,
+    classify,
+    translate,
+)
+
+
+class TestTranslate:
+    def test_iif_coerces_truthiness(self):
+        out = translate("select iif(1, 'a', 'b')")
+        assert "if(coalesce(cast((1) as boolean), false), 'a', 'b')" in out
+
+    def test_params(self):
+        assert translate("select * from t where x >= $start limit $limit") == (
+            "select * from t where x >= :start limit :limit"
+        )
+
+    def test_namespace_flattening(self):
+        assert "state_markers" in translate("select * from state.markers")
+        assert translate("select * from main.t") == "select * from t"
+        assert translate("select * from events.events") == "select * from events"
+
+    def test_total(self):
+        assert translate("select total(x) from t") == (
+            "select coalesce(cast(sum(cast(x as double)) as double), 0.0) from t"
+        )
+
+    def test_group_concat(self):
+        assert "array_join(collect_list(cast(x as string)), ',')" in translate(
+            "select group_concat(x) from t"
+        )
+        assert "';'" in translate("select group_concat(x, ';') from t")
+
+    def test_strftime(self):
+        assert translate("select strftime('%Y-%m', d) from t") == (
+            "select date_format(d, 'yyyy-MM') from t"
+        )
+        assert "unix_timestamp(d)" in translate("select strftime('%s', d) from t")
+
+    def test_unixepoch(self):
+        assert translate("select unixepoch() ") == "select unix_timestamp()"
+        assert translate("select unixepoch(d)") == "select unix_timestamp(d)"
+
+    def test_printf(self):
+        assert translate("select printf('%s-%d', a, b)") == "select format_string('%s-%d', a, b)"
+
+    def test_json_ops(self):
+        assert translate("select j ->> 'k' from t") == (
+            "select get_json_object(j, '$.k') from t"
+        )
+        assert "to_json(named_struct('a', 1))" in translate("select json_object('a', 1)")
+        assert "to_json(collect_list(x))" in translate("select json_group_array(x)")
+        assert "get_json_object(j, '$.a.b')" in translate(
+            "select json_extract(j, '$.a.b') from t"
+        )
+
+    def test_glob(self):
+        assert translate("select * from t where n glob 'a*b?'") == (
+            "select * from t where n rlike '^a.*b.$'"
+        )
+
+    def test_throw_unauthorized(self):
+        out = translate("select throw('x', 1)")
+        assert "raise_error(concat_ws(' ', cast('x' as string), cast(1 as string)))" in out
+        assert "'Unauthorized:'" in translate("select unauthorized('no')")
+
+    def test_ltrim_arg_order_swap(self):
+        assert translate("select ltrim(x, 'ab') from t") == "select ltrim('ab', x) from t"
+
+    def test_nested_functions(self):
+        out = translate("select iif(total(x) > 0, group_concat(y), 'none') from t")
+        assert "coalesce(cast(sum(" in out and "collect_list" in out
+
+
+class TestClassify:
+    def test_kinds(self):
+        assert classify("select 1").kind == "select"
+        assert classify("with a as (select 1) select * from a").kind == "select"
+        assert classify("insert into t values (1)").kind == "insert"
+        assert classify("insert into t values (1)").target == "t"
+        assert classify("update t set a = 1").target == "t"
+        assert classify("delete from t where 1").kind == "delete"
+        c = classify("create table if not exists state.m (a int)")
+        assert c.kind == "create_table" and c.target == "state.m"
+        assert classify("create index i on t(a)").kind == "create_index"
+        assert classify("drop table t").kind == "drop"
+
+    def test_reads_event(self):
+        assert classify("select * from event").reads_event
+        assert not classify("select * from events_tbl").reads_event
+
+
+class TestAuthorizer:
+    def test_permissive_default(self):
+        Authorizer().check("drop table x", "query")  # no raise
+
+    def test_query_rejects_writes(self):
+        with pytest.raises(AuthorizationError):
+            Authorizer(enforce=True).check("insert into t values (1)", "query")
+
+    def test_query_function_allowlist(self):
+        a = Authorizer(enforce=True)
+        a.check("select coalesce(max(x), 0) from t", "query")
+        with pytest.raises(AuthorizationError):
+            a.check("select load_extension('evil') from t", "query")
+
+    def test_materialize_cannot_write_state(self):
+        a = Authorizer(enforce=True)
+        a.check("insert into t select 1", "materialize")
+        with pytest.raises(AuthorizationError):
+            a.check("insert into state.m select 1", "materialize")
+
+    def test_state_materialize_only_state(self):
+        a = Authorizer(enforce=True)
+        a.check("insert into state.m select 1", "state_materialize")
+        with pytest.raises(AuthorizationError):
+            a.check("insert into main_t select 1", "state_materialize")

