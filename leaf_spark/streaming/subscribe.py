@@ -1,0 +1,165 @@
+"""Live query subscriptions — parity with reference A12/A13
+(leaf-stream/src/lib.rs:344-389 register, 873-986 worker loop).
+
+Semantics preserved:
+
+- initial cursor: ``start - 1`` when the query carries a start, else the
+  stream head → default is *new events only* (lib.rs:363-369);
+- each update re-runs the query with ``start = latest_event + 1``
+  (``LeafQuery.update_for_subscription``);
+- ``query_last_event = min(query.last_event(), stream_latest)``;
+  ``has_more = query_last_event < stream_latest`` → the worker re-enqueues
+  itself, which drives backfill paging exactly like the reference's
+  self-scheduling drain loop (lib.rs:926-983);
+- errors are forwarded into the subscription channel, not torn down
+  (lib.rs:965-979);
+- bounded channels (12 results / 16 worker messages, lib.rs:337,355,879).
+
+The worker is a daemon thread per stream (the reference's tokio task); at
+scale each re-run is an ordinary distributed Spark job over the same
+materialized views, so a thousand concurrent subscriptions are a thousand
+small incremental queries — the engine the reference delegates to is SQLite,
+ours is Catalyst.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from ..stream import Stream
+from ..types import LeafQuery
+
+RESULT_CHANNEL_CAPACITY = 12  # lib.rs:355
+WORKER_CHANNEL_CAPACITY = 16  # lib.rs:337
+
+
+@dataclass
+class SubscriptionResponse:
+    rows: list[dict]
+    has_more: bool
+    error: str | None = None
+
+
+@dataclass
+class ActiveSubscription:
+    sub_id: str
+    user: str | None
+    query: LeafQuery
+    latest_event: int
+    channel: "queue.Queue[SubscriptionResponse]" = field(
+        default_factory=lambda: queue.Queue(maxsize=RESULT_CHANNEL_CAPACITY)
+    )
+
+
+@dataclass
+class StreamUpdate:
+    kind: str  # 'new_events' | 'state_changed'
+    latest_idx: int = 0
+
+
+class SubscriptionWorker:
+    """Per-stream worker: fans out updates + re-runs active subscriptions."""
+
+    def __init__(self, stream: Stream):
+        self.stream = stream
+        self.subs: dict[str, ActiveSubscription] = {}
+        self.update_channels: list[queue.Queue] = []
+        self._msgs: "queue.Queue[Any]" = queue.Queue(maxsize=WORKER_CHANNEL_CAPACITY)
+        self._lock = threading.Lock()
+        self._unhook = stream.on_update(self._on_stream_update)
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._stopped = False
+        self._thread.start()
+
+    # -- A13: stream-update pub/sub -----------------------------------------
+
+    def subscribe_updates(self) -> queue.Queue:
+        ch: queue.Queue = queue.Queue(maxsize=RESULT_CHANNEL_CAPACITY)
+        with self._lock:
+            self.update_channels.append(ch)
+        return ch
+
+    def _on_stream_update(self, latest_idx: int) -> None:
+        try:
+            self._msgs.put_nowait(("updated", latest_idx))
+        except queue.Full:
+            pass  # a queued update will observe the newer head anyway
+
+    # -- A12: live query subscriptions ---------------------------------------
+
+    def subscribe_events(self, user: str | None, q: LeafQuery) -> ActiveSubscription:
+        """Register; default = new-events-only; explicit start → backfill."""
+        with self._lock:
+            head = self.stream.state.latest_idx
+            latest = (q.start - 1) if q.start is not None else head
+            sub = ActiveSubscription(uuid.uuid4().hex, user, q, latest)
+            self.subs[sub.sub_id] = sub
+        self._msgs.put(("needs_update", sub.sub_id))
+        return sub
+
+    def unsubscribe(self, sub_id: str) -> None:
+        with self._lock:
+            self.subs.pop(sub_id, None)
+
+    # -- worker loop (lib.rs:888-985) ----------------------------------------
+
+    def _run(self) -> None:
+        while not self._stopped:
+            try:
+                msg = self._msgs.get(timeout=0.25)
+            except queue.Empty:
+                continue
+            kind, arg = msg
+            if kind == "stop":
+                return
+            if kind == "updated":
+                with self._lock:
+                    chans = list(self.update_channels)
+                    sub_ids = list(self.subs)
+                upd = StreamUpdate("new_events", arg)
+                for ch in chans:
+                    try:
+                        ch.put_nowait(upd)
+                    except queue.Full:
+                        pass
+                for sid in sub_ids:
+                    self._service(sid)
+            elif kind == "needs_update":
+                self._service(arg)
+
+    def _service(self, sub_id: str) -> None:
+        with self._lock:
+            sub = self.subs.get(sub_id)
+        if sub is None:
+            return
+        stream_latest = self.stream.state.latest_idx
+        if sub.latest_event >= stream_latest:
+            return
+        q2 = sub.query.update_for_subscription(sub.latest_event + 1)
+        try:
+            rows = self.stream.query(sub.user, q2)
+        except Exception as ex:  # error forwarding, not teardown
+            try:
+                sub.channel.put(SubscriptionResponse([], False, error=str(ex)[:500]))
+            except queue.Full:
+                pass
+            return
+        query_last = min(q2.last_event(), stream_latest)
+        has_more = query_last < stream_latest
+        sub.latest_event = query_last
+        sub.channel.put(SubscriptionResponse(rows, has_more))
+        if has_more:
+            self._msgs.put(("needs_update", sub_id))  # self-scheduling drain
+
+    def close(self) -> None:
+        self._stopped = True
+        self._unhook()
+        try:
+            self._msgs.put_nowait(("stop", None))
+        except queue.Full:
+            pass
+        self._thread.join(timeout=2)
