@@ -56,6 +56,20 @@ def _word_shingles(text: Column, n: int) -> Column:
     )
 
 
+_MERSENNE_31 = 2147483647  # 2^31 - 1, prime
+
+
+def _permutation_consts(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a_i, b_i) for the universal-hash family
+    h_i(x) = (a_i * x + b_i) mod p — seeded, reproducible, no stored model."""
+    import random
+
+    rnd = random.Random(42)
+    a = [rnd.randrange(1, _MERSENNE_31) for _ in range(num_hashes)]
+    b = [rnd.randrange(0, _MERSENNE_31) for _ in range(num_hashes)]
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -65,16 +79,30 @@ def minhash_signatures(
 ) -> DataFrame:
     """id → shingle set + MinHash signature (array<bigint> length num_hashes).
 
-    Hash family: xxhash64(seed_i, shingle) — deterministic, JVM-side, no UDF.
+    Each shingle is xxhash64'd ONCE; the k permutations are cheap integer
+    universal hashes (a_i·h + b_i mod 2³¹-1) over the precomputed base hash —
+    ~k integer ops per shingle instead of k string hashes. All operands stay
+    < 2⁶² so ANSI-mode overflow checking never trips.
     """
+    a_c, b_c = _permutation_consts(num_hashes)
     shingles = _word_shingles(F.col(text_col), shingle_words).alias("shingles")
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(i, s))
+    base = df.select(F.col(id_col).alias("id"), shingles).select(
+        "id",
+        "shingles",
+        F.transform(
+            F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31))
+        ).alias("hs"),
+    )
+    a_arr = F.array(*[F.lit(x) for x in a_c])
+    b_arr = F.array(*[F.lit(x) for x in b_c])
+    sig = F.zip_with(
+        a_arr,
+        b_arr,
+        lambda a, b: F.array_min(
+            F.transform(F.col("hs"), lambda h: F.pmod(a * h + b, F.lit(_MERSENNE_31)))
         ),
     ).alias("minhash_sig")
-    return df.select(F.col(id_col).alias("id"), shingles).select("id", "shingles", sig)
+    return base.select("id", "shingles", sig)
 
 
 def minhash_lsh_pairs(
