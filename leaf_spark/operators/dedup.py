@@ -28,6 +28,20 @@ def normalized(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Ensure compute-heavy narrow transforms use every core.
+
+    Small inputs (one parquet file under maxPartitionBytes) arrive as a
+    single partition, serializing the expensive per-row expressions onto one
+    task. Repartition ONLY when the input has fewer partitions than the
+    cluster has slots — at 100 TB inputs already exceed parallelism and this
+    is a no-op (no shuffle added)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: keep the smallest id per identical normalized text.
 
@@ -86,7 +100,7 @@ def minhash_signatures(
     """
     a_c, b_c = _permutation_consts(num_hashes)
     shingles = _word_shingles(F.col(text_col), shingle_words).alias("shingles")
-    base = df.select(F.col(id_col).alias("id"), shingles).select(
+    base = spread(df).select(F.col(id_col).alias("id"), shingles).select(
         "id",
         "shingles",
         F.transform(
@@ -102,7 +116,7 @@ def minhash_signatures(
             F.transform(F.col("hs"), lambda h: F.pmod(a * h + b, F.lit(_MERSENNE_31)))
         ),
     ).alias("minhash_sig")
-    return base.select("id", "shingles", sig)
+    return base.select("id", "shingles", "hs", sig)
 
 
 def minhash_lsh_pairs(
@@ -125,11 +139,17 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_words)
+    # compute shingles + signatures exactly once (checkpoint cuts the
+    # three downstream consumers off from recomputing the string hashing)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_words).drop(
+        "shingles"
+    ).localCheckpoint()
+    # hashed shingle sets (array<bigint>) are what verification compares —
+    # ~5-10× lighter than the string shingles in every shuffle they cross
+    hsets = sigs.select("id", F.array_distinct("hs").alias("hs"))
 
     banded = sigs.select(
         "id",
-        "shingles",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -140,6 +160,8 @@ def minhash_lsh_pairs(
 
     a = banded.alias("a")
     b = banded.alias("b")
+    # candidate pairs carry only (id_a, id_b) through the band shuffle and
+    # the pair-dedup; shingle-hash sets are joined back in afterwards
     cand = (
         a.join(
             b,
@@ -147,19 +169,18 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
 
+    paired = (
+        cand.join(hsets.select(F.col("id").alias("id_a"), F.col("hs").alias("sh_a")), "id_a")
+        .join(hsets.select(F.col("id").alias("id_b"), F.col("hs").alias("sh_b")), "id_b")
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cand.select(
+        paired.select(
             "id_a",
             "id_b",
             (inter.cast("double") / union).alias("jaccard"),
@@ -174,7 +195,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     Fully distributed: explode words → posexplode bit contributions →
     two hash-aggregations → bit reassembly. No cross join, no UDF.
     """
-    words = df.select(
+    words = spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.split(normalized(F.col(text_col)), " "))).alias("w"),
     ).select("id", F.xxhash64("w").alias("h"))
