@@ -1,0 +1,161 @@
+"""Stateful Structured Streaming operators — the 100 TB scale path.
+
+The reference has no event-time semantics (SURVEY §2.B streaming note: idx
+total order only, no watermarks, no late data — leaf-stream/src/lib.rs:
+647-657), so everything here is a *scale extension* over the driver's
+``events`` table shape (event_id, ts, user_id, event_type, value, props):
+
+- ``windowed_event_counts``  tumbling event-time windows + watermark —
+  late data handled by Spark's state store, partial aggregation map-side.
+- ``sessionized``            native ``session_window`` gap sessions (the
+  streaming analog of the batch lag-window sessionize in q34).
+- ``running_user_stats``     custom per-key stateful fold via
+  ``applyInPandasWithState`` — arbitrary state (counters, last-seen) that
+  built-in aggregations can't express incrementally.
+
+All three run identically under ``Trigger.AvailableNow`` (bounded drain,
+used in tests) and continuous micro-batch triggers (production). State is
+keyed by user/window, so a 1000-executor cluster shards the state store by
+the same keys the shuffle already hashes on — no skew beyond the data's own.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# events.parquet carries TIMESTAMP(NANOS); under the session's
+# nanosAsLong flag the streaming file source must read it as a long
+# (see session.load_tables for the batch-side equivalent).
+EVENTS_NANOS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos since epoch
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, events_dir: str, max_files: int = 16) -> DataFrame:
+    """The driver's events table shape as a streaming source with a real
+    event-time ``ts`` (timestamp) column."""
+    raw = (
+        spark.readStream.schema(EVENTS_NANOS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files))
+        .parquet(events_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time rollup per type; watermark bounds state for late
+    data. In append mode a window emits once the watermark passes its end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "approx_users",
+        )
+    )
+
+
+def sessionized(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "0 seconds"
+) -> DataFrame:
+    """Gap-based sessions per user via the native ``session_window`` state
+    operator (the streaming analog of q34's batch lag-window sessionize)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("session_value"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+_RUN_OUT_SCHEMA = (
+    "user_id long, n_events long, total_value double, last_seen timestamp"
+)
+_RUN_STATE_SCHEMA = "n long, total double, last_us long"
+
+
+def _running_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            last_us = max(last_us, int(pdf["ts"].max().value // 1_000))
+    state.update((n, total, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "last_seen": [pd.Timestamp(last_us, unit="us")],
+        }
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful fold: per-user cumulative (count, value sum, last-seen)
+    maintained across micro-batches in the state store — the
+    ``applyInPandasWithState`` pattern for operators that built-in streaming
+    aggregations can't express (arbitrary Python state transition).
+
+    Output mode: update — one refreshed row per user per micro-batch."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_update,
+        outputStructType=_RUN_OUT_SCHEMA,
+        stateStructType=_RUN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def drain(
+    df: DataFrame,
+    checkpoint_dir: str,
+    table: str,
+    output_mode: str,
+    timeout_s: int = 180,
+) -> None:
+    """Run a streaming transform to completion (AvailableNow) into an
+    in-memory table; production swaps the sink, not the transform."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(table)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)

@@ -33,3 +33,114 @@ def test_readstream_drains_log(spark, populated, tmp_path):
     assert rows[1]["last_idx"] == 15
     total = sum(r["n_events"] for r in rows.values())
     assert total == populated.state.latest_idx
+
+
+# --- stateful extensions (streaming/stateful.py) ---------------------------
+
+
+@pytest.fixture(scope="module")
+def events_src_dir(tmp_path_factory):
+    """events.parquet (sf0.001) copied into a dir usable as a file source."""
+    import shutil
+
+    d = tmp_path_factory.mktemp("events_src")
+    shutil.copy("/root/testdata/sf0.001/events.parquet", str(d / "events.parquet"))
+    return str(d)
+
+
+def _batch_events(spark, events_src_dir):
+    from pyspark.sql import functions as F
+
+    from leaf_spark.streaming.stateful import EVENTS_NANOS_SCHEMA
+
+    raw = spark.read.schema(EVENTS_NANOS_SCHEMA).parquet(events_src_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def test_windowed_counts_match_batch(spark, events_src_dir, tmp_path):
+    from leaf_spark.streaming.stateful import drain, events_stream, windowed_event_counts
+
+    src = events_stream(spark, events_src_dir)
+    drain(
+        windowed_event_counts(src, window="1 hour", watermark="2 hours"),
+        str(tmp_path / "ck1"),
+        "wm_counts",
+        output_mode="complete",
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 6))
+        for r in spark.table("wm_counts").collect()
+    }
+    from pyspark.sql import functions as F
+
+    exp_df = (
+        _batch_events(spark, events_src_dir)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+    )
+    exp = {
+        (r["win"]["start"], r["event_type"]): (r["n"], round(r["tv"], 6))
+        for r in exp_df.collect()
+    }
+    assert got == exp
+
+
+def test_sessionized_append_emits_closed_sessions(spark, events_src_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from leaf_spark.streaming.stateful import drain, events_stream, sessionized
+
+    src = events_stream(spark, events_src_dir)
+    drain(
+        sessionized(src, gap="30 minutes", watermark="0 seconds"),
+        str(tmp_path / "ck2"),
+        "sessions",
+        output_mode="append",
+    )
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.table("sessions").collect()
+    }
+    assert got  # at least the early sessions closed
+    batch = _batch_events(spark, events_src_dir)
+    max_ts = batch.agg(F.max("ts")).first()[0]
+    exp_df = (
+        batch.groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    exp = {
+        (r["user_id"], r["s"]["start"]): r["n"]
+        for r in exp_df.collect()
+        if r["s"]["end"] <= max_ts  # watermark closed these
+    }
+    # every closed session emitted exactly as batch computes it
+    for k, n in exp.items():
+        assert got[k] == n
+
+
+def test_running_user_stats_stateful_fold(spark, events_src_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from leaf_spark.streaming.stateful import drain, events_stream, running_user_stats
+
+    src = events_stream(spark, events_src_dir)
+    drain(
+        running_user_stats(src),
+        str(tmp_path / "ck3"),
+        "user_stats",
+        output_mode="update",
+    )
+    # last update per user == cumulative totals
+    rows = spark.table("user_stats").collect()
+    last = {}
+    for r in rows:  # memory sink appends per batch; later rows overwrite
+        last[r["user_id"]] = (r["n_events"], round(r["total_value"], 6), r["last_seen"])
+    exp_df = (
+        _batch_events(spark, events_src_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"), F.max("ts").alias("mx"))
+    )
+    exp = {
+        r["user_id"]: (r["n"], round(r["tv"], 6), r["mx"]) for r in exp_df.collect()
+    }
+    assert last == exp
