@@ -6,10 +6,14 @@
 - batch_cosine_topk top-k for a (small) query set — broadcast the queries,
                     one pass over the corpus, window top-k
 - hyperplane_signature / ann_lsh_topk
-                    random-hyperplane LSH bucketing: the scale path — the
-                    corpus is bucketed once (shuffle on signature), probes
-                    only scan matching buckets (multi-probe via hamming-1
-                    neighbors for recall)
+                    multi-table random-hyperplane LSH: a scale path — the
+                    corpus is bucketed per table (shuffle on signature),
+                    probes only scan matching buckets (L independent tables
+                    + hamming-1 multi-probe for recall)
+- ivf_train_centroids / ivf_assign / ann_ivf_topk
+                    IVF (inverted-file) ANN: k-means coarse quantizer on a
+                    bounded sample, corpus bucketed by nearest centroid,
+                    queries scan only their nprobe nearest buckets
 
 The hyperplanes are pseudo-random but fully deterministic: plane p,
 dimension i has weight sign(xxhash64(p, i)) ∈ {-1, +1} — reproducible across
@@ -87,9 +91,10 @@ def batch_cosine_topk(
     )
 
 
-def signature_bits(vec: Column, num_planes: int = 16) -> Column:
+def signature_bits(vec: Column, num_planes: int = 16, table: int = 0) -> Column:
     """LSH bit array: bit p = [dot(vec, plane_p) > 0], planes from
-    sign(xxhash64(p, i)). Returns array<string> of '0'/'1'."""
+    sign(xxhash64(table, p, i)). Returns array<string> of '0'/'1'.
+    ``table`` seeds an independent plane set (multi-table LSH)."""
 
     def plane_dot(p: Column) -> Column:
         return F.aggregate(
@@ -97,7 +102,9 @@ def signature_bits(vec: Column, num_planes: int = 16) -> Column:
                 vec,
                 F.sequence(F.lit(0), F.size(vec) - 1),
                 lambda x, i: x.cast("double")
-                * F.when(F.xxhash64(p, i) > 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
+                * F.when(F.xxhash64(F.lit(table), p, i) > 0, F.lit(1.0)).otherwise(
+                    F.lit(-1.0)
+                ),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
@@ -119,50 +126,183 @@ def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    num_planes: int = 12,
+    num_planes: int = 6,
+    num_tables: int = 8,
     multiprobe_bits: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
-    """Approximate top-k: bucket corpus by hyperplane signature; each query
-    probes its own bucket plus all hamming<=multiprobe_bits neighbor buckets
-    (recall knob). Join key = bucket id → uniform shuffle, candidate set
-    ~ corpus/2^planes per probe instead of the full corpus."""
+    """Approximate top-k via multi-table hyperplane LSH.
+
+    ``num_tables`` independent plane sets (textbook L-table LSH): a true
+    neighbor is missed only if it splits from the query in EVERY table, so
+    recall ≈ 1-(1-p^b)^L instead of p^b. Each query additionally probes
+    hamming<=multiprobe_bits neighbor buckets per table. Join key =
+    "table:signature" → uniform shuffle; candidate set ≈
+    L·(1+b·multiprobe)·corpus/2^b instead of the full corpus. The corpus
+    side explodes ×L — the standard LSH space/recall trade."""
     from pyspark.sql import Window
 
-    c = corpus.select(
-        F.col(id_col).alias("id"),
-        _to_double(F.col(vec_col)).alias("v"),
-        hyperplane_signature(F.col(vec_col), num_planes).alias("bucket"),
+    c = corpus.select(F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v"))
+    c_buckets = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(t)),
+                F.concat_ws("", signature_bits(F.col("v"), num_planes, t)),
+            )
+            for t in range(num_tables)
+        ]
     )
-    bits = signature_bits(F.col(query_vec_col), num_planes)
+    cb = c.select("id", "v", F.explode(c_buckets).alias("bucket"))
+
     flip = lambda b: F.when(b == "1", F.lit("0")).otherwise(F.lit("1"))  # noqa: E731
-    hamming1 = F.transform(
-        F.sequence(F.lit(0), F.lit(num_planes - 1)),
-        lambda p: F.concat_ws(
-            "", F.transform(bits, lambda x, i: F.when(i == p, flip(x)).otherwise(x))
-        ),
-    )
-    probes = F.array_distinct(
-        F.concat(
-            F.array(F.concat_ws("", bits)),
-            hamming1 if multiprobe_bits >= 1 else F.array().cast("array<string>"),
+
+    def _table_probes(t: int) -> Column:
+        bits = signature_bits(F.col("qv"), num_planes, t)
+        own = F.array(F.concat_ws(":", F.lit(str(t)), F.concat_ws("", bits)))
+        if multiprobe_bits < 1:
+            return own
+
+        def flipped_sig(p: Column) -> Column:
+            return F.concat_ws(
+                ":",
+                F.lit(str(t)),
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        bits, lambda x, i: F.when(i == p, flip(x)).otherwise(x)
+                    ),
+                ),
+            )
+
+        hamming1 = F.transform(
+            F.sequence(F.lit(0), F.lit(num_planes - 1)), flipped_sig
         )
-    )
+        return F.concat(own, hamming1)
+
+    probe_arrays = [_table_probes(t) for t in range(num_tables)]
+    probes = F.array_distinct(F.concat(*probe_arrays))
     q = queries.select(
         F.col(query_id_col).alias("qid"),
         _to_double(F.col(query_vec_col)).alias("qv"),
-        F.explode(probes).alias("bucket"),
-    )
-    scored = c.join(q, "bucket").select(
+    ).select("qid", "qv", F.explode(probes).alias("bucket"))
+
+    scored = cb.join(q, "bucket").select(
         "qid", "id", cosine_expr(F.col("v"), F.col("qv")).alias("cosine")
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("id"))
     return (
         scored.dropDuplicates(["qid", "id"])
         .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path (coarse quantizer + probes)
+# ---------------------------------------------------------------------------
+
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    num_centroids: int = 32,
+    iters: int = 8,
+    sample_limit: int = 20_000,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Lloyd's k-means on a driver-side sample → coarse centroids.
+
+    The model is tiny (k × d floats) and broadcastable; the sample is capped,
+    so at 100 TB this is a bounded single collect of ``sample_limit`` rows
+    (use ``corpus.sample(fraction)`` upstream to debias a sorted layout).
+    Deterministic: fixed seed, fixed iteration count.
+    """
+    import numpy as np
+
+    rows = corpus.select(vec_col).limit(sample_limit).collect()
+    x = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rnd = np.random.RandomState(seed)
+    cent = x[rnd.choice(len(x), size=min(num_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T  # cosine on normalized vectors
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return [[float(v) for v in c] for c in cent]
+
+
+def _centroids_df(spark, centroids: list[list[float]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cid int, cvec array<double>"
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, v, cid): nearest-centroid bucket per vector. Broadcast the k
+    centroids against the corpus (map-side, no corpus shuffle), then one
+    small-payload shuffle on id for the arg-max reduction."""
+    cents = _centroids_df(corpus.sparkSession, centroids)
+    c = corpus.select(F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v"))
+    scored = c.join(F.broadcast(cents)).select(
+        "id", "v", "cid", cosine_expr(F.col("v"), F.col("cvec")).alias("sim")
+    )
+    return scored.groupBy("id").agg(
+        F.first("v").alias("v"), F.max_by("cid", F.struct("sim", "cid")).alias("cid")
+    )
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_centroids: int = 32,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: bucket the corpus by nearest centroid; each
+    query scans only its ``nprobe`` nearest buckets (~nprobe/k of the corpus
+    instead of all of it). Join key = cid → bounded fan-out; skew bounded by
+    k-means balance + AQE skew-join splitting."""
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = ivf_train_centroids(corpus, num_centroids, vec_col=vec_col)
+    bucketed = ivf_assign(corpus, centroids, vec_col, id_col)
+
+    cents = _centroids_df(corpus.sparkSession, centroids)
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), _to_double(F.col(query_vec_col)).alias("qv")
+    )
+    qs = q.join(F.broadcast(cents)).select(
+        "qid", "qv", "cid", cosine_expr(F.col("qv"), F.col("cvec")).alias("sim")
+    )
+    wp = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    probes = qs.withColumn("pr", F.row_number().over(wp)).where(F.col("pr") <= nprobe)
+
+    scored = bucketed.join(probes.select("qid", "qv", "cid"), "cid").select(
+        "qid", "id", cosine_expr(F.col("v"), F.col("qv")).alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .drop("rk")
     )

@@ -299,9 +299,24 @@ def q51_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") < 5)
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
     )
-    return ann_lsh_topk(t["embeddings"], queries, k=5, num_planes=10).orderBy(
+    return ann_lsh_topk(t["embeddings"], queries, k=5).orderBy(
         "qid", F.col("cosine").desc(), "id"
     )
+
+
+@register("q54_ann_ivf", None, doc="IVF (inverted-file) approximate nearest neighbors")
+def q54_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ann_ivf_topk
+
+    t = load_tables(spark, sf_dir)
+    queries = (
+        t["embeddings"]
+        .where(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    return ann_ivf_topk(
+        t["embeddings"], queries, k=5, num_centroids=16, nprobe=4
+    ).orderBy("qid", F.col("cosine").desc(), "id")
 
 
 @register("q52_document_profile", None, doc="one-pass text profile incl. langid + fingerprint")
