@@ -269,3 +269,63 @@ def embedding_neardup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos.alias("cosine"))
         .where(F.col("cosine") >= cosine_threshold)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_col: str = "id",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Near-dup clustering: (id, cluster_id) where cluster_id is the minimum
+    id reachable through the pair graph (hash-min label propagation).
+
+    Each iteration is one shuffle (neighbor-min aggregation); convergence
+    after O(component diameter) rounds — near-dup components are shallow
+    (stars around a template), so a handful of rounds in practice, with
+    ``max_iters`` as the safety bound. Labels are checkpointed per round to
+    keep lineage flat. At extreme graph sizes swap the loop body for the
+    large-star/small-star variant (O(log n) rounds, same join shape).
+    """
+    sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
+        edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    labels = vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("cluster"))
+    for _ in range(max_iters):
+        nbr = sym.join(labels, sym["dst"] == labels["id"]).select(
+            F.col("src").alias("id"), F.col("cluster")
+        )
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("cluster").alias("cluster"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keepers(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Rows of ``df`` that survive near-dup clustering: the minimum id per
+    connected component is the keeper; everything else drops."""
+    vertices = df.select(F.col(id_col).alias("id"))
+    cc = connected_components(pairs, vertices, id_a, id_b)
+    keep = cc.where(F.col("id") == F.col("cluster")).select(F.col("id").alias(id_col))
+    return df.join(keep, id_col, "semi")

@@ -319,6 +319,68 @@ def q54_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", F.col("cosine").desc(), "id")
 
 
+@register(
+    "q55_dedup_clusters",
+    """
+    with recursive pairs as (
+      with words as (
+        select doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) as word
+        from documents where doc_id < 120
+      ),
+      sizes as (select doc_id, count(*) as sz from words group by doc_id),
+      inter as (
+        select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_common
+        from words a join words b on a.word = b.word and a.doc_id < b.doc_id
+        group by a.doc_id, b.doc_id
+      )
+      select doc_a, doc_b from inter
+      join sizes sa on sa.doc_id = doc_a
+      join sizes sb on sb.doc_id = doc_b
+      where cast(n_common as double) / (sa.sz + sb.sz - n_common) >= 0.5
+    ),
+    edges as (
+      select doc_a as s, doc_b as d from pairs
+      union select doc_b, doc_a from pairs
+    ),
+    reach(s, d) as (
+      select doc_id, doc_id from documents where doc_id < 120
+      union
+      select r.s, e.d from reach r join edges e on r.d = e.s
+    )
+    select s as doc_id, min(d) as cluster_id from reach group by s
+    """,
+    doc="near-dup clustering: connected components over jaccard pairs "
+    "(Spark: hash-min label propagation; oracle: recursive-CTE closure)",
+)
+def q55_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import connected_components
+
+    load_tables(spark, sf_dir)
+    pairs = spark.sql(
+        """
+        with words as (
+          select doc_id, explode(array_distinct(split(trim(lower(text)), '\\\\s+'))) as word
+          from documents where doc_id < 120
+        ),
+        sizes as (select doc_id, count(*) as sz from words group by doc_id),
+        inter as (
+          select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_common
+          from words a join words b on a.word = b.word and a.doc_id < b.doc_id
+          group by a.doc_id, b.doc_id
+        )
+        select doc_a as id_a, doc_b as id_b from inter
+        join sizes sa on sa.doc_id = doc_a
+        join sizes sb on sb.doc_id = doc_b
+        where cast(n_common as double) / (sa.sz + sb.sz - n_common) >= 0.5
+        """
+    )
+    docs = spark.table("documents").where(F.col("doc_id") < 120)
+    cc = connected_components(pairs, docs.select(F.col("doc_id").alias("id")))
+    return cc.select(
+        F.col("id").alias("doc_id"), F.col("cluster").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
 @register("q52_document_profile", None, doc="one-pass text profile incl. langid + fingerprint")
 def q52_document_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import document_profile

@@ -86,3 +86,23 @@ def test_exact_dedup_copies_accounted(spark, docs):
     d = exact_dedup(doubled)
     assert d.agg(F.sum("n_copies")).first()[0] == doubled.count()
     assert d.where(F.col("n_copies") < 2).count() == 0  # every text has its double
+
+
+def test_connected_components_chain_and_isolates(spark):
+    from leaf_spark.operators.dedup import connected_components, dedup_keepers
+
+    # chain 1-2-3-4, pair 10-11, isolates 20, 21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    verts = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 10, 11, 20, 21)], "id long"
+    )
+    cc = {r["id"]: r["cluster"] for r in connected_components(edges, verts).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 21}
+
+    docs = verts.select(F.col("id").alias("doc_id"), F.lit("x").alias("text"))
+    kept = sorted(
+        r["doc_id"] for r in dedup_keepers(docs, edges).collect()
+    )
+    assert kept == [1, 10, 20, 21]
