@@ -119,6 +119,49 @@ def minhash_signatures(
     return base.select("id", "shingles", "hs", sig)
 
 
+def _bucketed_pairs(
+    bucketed: DataFrame, bucket_cols: list[str], bucket_cap: int | None
+) -> DataFrame:
+    """Distinct (id_a, id_b) candidate pairs from a bucketed relation.
+
+    Buckets ≤ bucket_cap emit all pairs (self-join on the bucket key);
+    larger buckets emit only the id-sorted consecutive chain — n-1 pairs
+    instead of n(n-1)/2 — which keeps every member transitively connected
+    for clustering while bounding the join fan-out (the scale guard against
+    mass-duplicated content). bucket_cap=None disables the guard."""
+    from pyspark.sql import Window
+
+    cond_cols = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in bucket_cols]
+
+    if bucket_cap is None:
+        src = bucketed
+        big = None
+    else:
+        w_cnt = Window.partitionBy(*bucket_cols)
+        sized = bucketed.withColumn("__bsz__", F.count(F.lit(1)).over(w_cnt))
+        src = sized.where(F.col("__bsz__") <= bucket_cap).drop("__bsz__")
+        big = sized.where(F.col("__bsz__") > bucket_cap).drop("__bsz__")
+
+    a, b = src.alias("a"), src.alias("b")
+    cond = cond_cols[0]
+    for c in cond_cols[1:]:
+        cond = cond & c
+    pairs = a.join(b, cond & (F.col("a.id") < F.col("b.id"))).select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+    )
+
+    if big is not None:
+        w_ord = Window.partitionBy(*bucket_cols).orderBy("id")
+        chain = (
+            big.withColumn("__nid__", F.lead("id").over(w_ord))
+            .where(F.col("__nid__").isNotNull())
+            .select(F.col("id").alias("id_a"), F.col("__nid__").alias("id_b"))
+        )
+        pairs = pairs.unionByName(chain)
+
+    return pairs.dropDuplicates(["id_a", "id_b"])
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -127,6 +170,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_words: int = 3,
     jaccard_threshold: float = 0.5,
+    bucket_cap: int = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding.
 
@@ -134,6 +178,13 @@ def minhash_lsh_pairs(
     band bucket become candidates; candidates are verified with the exact
     Jaccard of their shingle sets. Detection probability at similarity s is
     1-(1-s^r)^b (threshold ≈ (1/b)^(1/r)).
+
+    ``bucket_cap`` bounds the quadratic failure mode at scale: a bucket of n
+    near-identical documents (boilerplate, mass-mirrored pages) would emit
+    n(n-1)/2 candidates; buckets larger than the cap emit the id-sorted
+    consecutive chain (n-1 pairs) instead — connectivity is preserved for
+    downstream clustering (connected_components), only redundant intra-
+    cluster edges are dropped. No effect on buckets under the cap.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
@@ -158,20 +209,9 @@ def minhash_lsh_pairs(
         ).alias("band_id", "bucket"),
     )
 
-    a = banded.alias("a")
-    b = banded.alias("b")
     # candidate pairs carry only (id_a, id_b) through the band shuffle and
     # the pair-dedup; shingle-hash sets are joined back in afterwards
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _bucketed_pairs(banded, ["band_id", "bucket"], bucket_cap)
 
     paired = (
         cand.join(hsets.select(F.col("id").alias("id_a"), F.col("hs").alias("sh_a")), "id_a")
@@ -217,35 +257,33 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 8,
+    bucket_cap: int = 1000,
 ) -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
     LSH: split the 64-bit hash into 4 × 16-bit chunks; any pair within
     hamming distance 3 shares at least one exact chunk (pigeonhole); for
     larger budgets this is a recall-bounded candidate generator. Join key =
-    (chunk_id, chunk_value) — no cross join.
+    (chunk_id, chunk_value) — no cross join. ``bucket_cap`` chain-pairs
+    oversized chunk buckets (see _bucketed_pairs).
     """
-    sh = simhash(df, text_col, id_col)
+    sh = simhash(df, text_col, id_col).localCheckpoint()
     chunked = sh.selectExpr(
         "id",
-        "simhash",
         "posexplode(transform(sequence(0, 3), "
         "c -> (simhash >> (c * 16)) & 65535L)) as (chunk_id, chunk)",
     )
-    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = _bucketed_pairs(chunked, ["chunk_id", "chunk"], bucket_cap)
+    ha = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    hb = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
     return (
-        a.join(
-            b,
-            (F.col("a.chunk_id") == F.col("b.chunk_id"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_hamming)
     )
 
