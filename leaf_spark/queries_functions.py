@@ -9,7 +9,7 @@ pair also documents the dialect mapping.
 
 from __future__ import annotations
 
-from .queries import sql_case
+from .queries import register, sql_case
 
 # --- conditional: iif / coalesce / nullif / ifnull ---------------------------
 sql_case(
@@ -234,4 +234,84 @@ sql_case(
        or p_name glob 'm*o*'
     """,
     doc="LIKE shared; GLOB → anchored rlike translation",
+)
+
+# --- typeof (SQLite dynamic-type names) --------------------------------------
+sql_case(
+    "q37_typeof",
+    # Spark: the sqlcompat typeof shim output (value-class names mapped to
+    # SQLite's five: integer/real/text/blob/null)
+    """
+    select l_orderkey,
+           case typeof(l_orderkey) when 'bigint' then 'integer'
+                when 'int' then 'integer' when 'smallint' then 'integer'
+                when 'double' then 'real' when 'float' then 'real'
+                when 'string' then 'text' when 'binary' then 'blob'
+                when 'void' then 'null' else typeof(l_orderkey) end as t_key,
+           case typeof(l_quantity) when 'bigint' then 'integer'
+                when 'double' then 'real' when 'float' then 'real'
+                when 'string' then 'text' when 'void' then 'null'
+                else typeof(l_quantity) end as t_qty,
+           case typeof(l_returnflag) when 'string' then 'text'
+                when 'void' then 'null' else typeof(l_returnflag) end as t_flag,
+           case typeof(null) when 'void' then 'null' else 'x' end as t_null
+    from lineitem where l_orderkey < 100
+    """,
+    """
+    select l_orderkey,
+           case lower(typeof(l_orderkey)) when 'bigint' then 'integer'
+                when 'integer' then 'integer' else lower(typeof(l_orderkey)) end as t_key,
+           case lower(typeof(l_quantity)) when 'double' then 'real'
+                else lower(typeof(l_quantity)) end as t_qty,
+           case lower(typeof(l_returnflag)) when 'varchar' then 'text'
+                else lower(typeof(l_returnflag)) end as t_flag,
+           case lower(typeof(NULL)) when '"null"' then 'null' else 'null' end as t_null
+    from lineitem where l_orderkey < 100
+    """,
+    doc="typeof → SQLite dynamic-type names (integer/real/text/null shim)",
+)
+
+# --- json_set / json_patch (compat UDFs; SQLite semantics) -------------------
+
+
+@register(
+    "q38_json_set_patch",
+    """
+    select event_id,
+           json_merge_patch(props, json_object('seen', true)) as patched,
+           json_merge_patch(props, json_object('k2', json_extract(props, '$.k'))) as k2set
+    from events where event_id < 50
+    """,
+    doc="json_patch (RFC-7386 merge) + json_set-style key add via compat UDFs",
+)
+def q38_json_set_patch(spark, sf_dir):
+    from .session import load_tables
+    from .sqlcompat import register_json_udfs
+
+    load_tables(spark, sf_dir)
+    register_json_udfs(spark)
+    return spark.sql(
+        """
+        select event_id,
+               json_patch(props, '{"seen":true}') as patched,
+               json_set(props, '$.k2', cast(get_json_object(props, '$.k') as bigint)) as k2set
+        from events where event_id < 50
+        """
+    )
+
+
+# --- json_each (explode a JSON object to key/value rows) ---------------------
+sql_case(
+    "q39_json_each",
+    """
+    select event_id, key, value
+    from (select event_id, explode(from_json(props, 'map<string,string>'))
+          from events where event_id < 100)
+    """,
+    """
+    select event_id, k as key, json_extract_string(props, '$.' || k) as value
+    from events, unnest(json_keys(props)) as t(k)
+    where event_id < 100
+    """,
+    doc="json_each → explode(from_json(... map)) key/value rows",
 )

@@ -460,3 +460,95 @@ class Authorizer:
                     )
         else:
             raise ValueError(f"unknown policy {policy}")
+
+
+# ---------------------------------------------------------------------------
+# json_set / json_patch runtime UDFs (SQLite semantics; no Spark builtin)
+# ---------------------------------------------------------------------------
+
+
+def _json_min(v) -> str:
+    import json as _json
+
+    return _json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+
+
+def _json_path_steps(path: str) -> list:
+    """'$.a.b[2]' → ['a', 'b', 2] (the SQLite path subset used by modules)."""
+    if not path.startswith("$"):
+        raise ValueError(f"json path must start with $: {path!r}")
+    steps: list = []
+    for m in re.finditer(r"\.([A-Za-z_][A-Za-z_0-9]*)|\[(\d+)\]", path[1:]):
+        steps.append(m.group(1) if m.group(1) is not None else int(m.group(2)))
+    return steps
+
+
+def json_set_py(j: str, path: str, value) -> str | None:
+    """SQLite ``json_set(json, path, value)``: set (create if missing) the
+    value at ``path``. SQL NULL json → NULL; scalar values keep their SQL
+    type (text stays a JSON string — SQLite needs json() to inline objects,
+    which modules can emulate by building with json_object)."""
+    import json as _json
+
+    if j is None:
+        return None
+    doc = _json.loads(j)
+    steps = _json_path_steps(path)
+    if not steps:
+        return _json_min(value)
+    cur = doc
+    for i, s in enumerate(steps[:-1]):
+        nxt_container: dict | list = {} if isinstance(steps[i + 1], str) else []
+        if isinstance(s, str):
+            if not isinstance(cur, dict):
+                return _json_min(doc)  # SQLite: path mismatch → unchanged
+            if s not in cur or not isinstance(cur[s], (dict, list)):
+                cur[s] = nxt_container
+            cur = cur[s]
+        else:
+            if not isinstance(cur, list) or s > len(cur):
+                return _json_min(doc)
+            if s == len(cur):
+                cur.append(nxt_container)
+            cur = cur[s]
+    last = steps[-1]
+    if isinstance(last, str):
+        if isinstance(cur, dict):
+            cur[last] = value
+    else:
+        if isinstance(cur, list):
+            if last < len(cur):
+                cur[last] = value
+            elif last == len(cur):
+                cur.append(value)
+    return _json_min(doc)
+
+
+def json_patch_py(target: str, patch: str) -> str | None:
+    """SQLite ``json_patch`` = RFC-7386 merge patch: null removes keys,
+    nested objects merge recursively, everything else replaces."""
+    import json as _json
+
+    if target is None or patch is None:
+        return None
+
+    def merge(t, p):
+        if not isinstance(p, dict):
+            return p
+        out = dict(t) if isinstance(t, dict) else {}
+        for k, v in p.items():
+            if v is None:
+                out.pop(k, None)
+            else:
+                out[k] = merge(out.get(k), v)
+        return out
+
+    return _json_min(merge(_json.loads(target), _json.loads(patch)))
+
+
+def register_json_udfs(spark) -> None:
+    """Register the compat UDFs the translator references (idempotent)."""
+    from pyspark.sql.types import StringType
+
+    spark.udf.register("json_set", json_set_py, StringType())
+    spark.udf.register("json_patch", json_patch_py, StringType())

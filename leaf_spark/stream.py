@@ -135,6 +135,9 @@ class Stream:
         os.makedirs(self.events_dir, exist_ok=True)
         self.state = self._load_state()
         drisl.register_udfs(spark)
+        from .sqlcompat import register_json_udfs
+
+        register_json_udfs(spark)
 
     # -- A16 open/bootstrap --------------------------------------------------
 

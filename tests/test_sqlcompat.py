@@ -120,3 +120,38 @@ class TestAuthorizer:
         a.check("insert into state.m select 1", "state_materialize")
         with pytest.raises(AuthorizationError):
             a.check("insert into main_t select 1", "state_materialize")
+
+
+class TestJsonUdfs:
+    def test_json_patch_rfc7386(self):
+        from leaf_spark.sqlcompat import json_patch_py
+
+        assert json_patch_py('{"a":1,"b":2}', '{"b":3,"c":4}') == '{"a":1,"b":3,"c":4}'
+        # null removes; nested objects merge
+        assert json_patch_py('{"a":{"x":1,"y":2},"b":1}', '{"a":{"y":null,"z":3}}') == (
+            '{"a":{"x":1,"z":3},"b":1}'
+        )
+        # non-object patch replaces wholesale
+        assert json_patch_py('{"a":1}', '[1,2]') == "[1,2]"
+        assert json_patch_py(None, '{"a":1}') is None
+
+    def test_json_set_paths(self):
+        from leaf_spark.sqlcompat import json_set_py
+
+        assert json_set_py('{"a":1}', "$.b", 2) == '{"a":1,"b":2}'
+        assert json_set_py('{"a":{"b":1}}', "$.a.b", 9) == '{"a":{"b":9}}'
+        assert json_set_py('{"a":1}', "$.b.c", 5) == '{"a":1,"b":{"c":5}}'  # creates
+        assert json_set_py('{"a":[1,2]}', "$.a[1]", 7) == '{"a":[1,7]}'
+        assert json_set_py('{"a":[1]}', "$.a[1]", 2) == '{"a":[1,2]}'  # append
+        assert json_set_py('{"a":1}', "$.a", "txt") == '{"a":"txt"}'  # text stays string
+
+    def test_registered_in_spark(self, spark):
+        from leaf_spark.sqlcompat import register_json_udfs
+
+        register_json_udfs(spark)
+        row = spark.sql(
+            """select json_patch('{"a":1}', '{"b":2}') as p,
+                      json_set('{"x":[1]}', '$.x[0]', 9) as s"""
+        ).first()
+        assert row["p"] == '{"a":1,"b":2}'
+        assert row["s"] == '{"x":[9]}'
