@@ -106,3 +106,30 @@ def test_connected_components_chain_and_isolates(spark):
         r["doc_id"] for r in dedup_keepers(docs, edges).collect()
     )
     assert kept == [1, 10, 20, 21]
+
+
+def test_multimodal_metadata_and_frames(spark, docs):
+    from leaf_spark.operators.multimodal import (
+        extract_image_metadata,
+        sample_frames,
+        synthesize_assets,
+    )
+    import hashlib
+
+    assets = synthesize_assets(docs.where(F.col("doc_id") < 30))
+    meta = extract_image_metadata(assets).collect()
+    assert len(meta) == 30
+    src = {r["doc_id"]: r["text"] for r in docs.where(F.col("doc_id") < 30).collect()}
+    for r in meta:
+        b = src[r["asset_id"]].encode()
+        assert r["n_bytes"] == len(b)
+        assert r["sha256"] == hashlib.sha256(b).hexdigest()
+        assert r["decode_ok"] and 64 <= r["width"] <= 255 and 1 <= r["channels"] <= 3
+
+    frames = sample_frames(assets, every_n_bytes=64, max_frames=4)
+    per_asset = {
+        r["asset_id"]: r["n"]
+        for r in frames.groupBy("asset_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(per_asset) == set(src)
+    assert all(1 <= n <= 4 for n in per_asset.values())
