@@ -360,28 +360,104 @@ class Stream:
 
     # -- A3 authorize --------------------------------------------------------
 
-    def _authorize(self, staged: list[Event]) -> None:
+    _AUTH_CHUNK = 32  # events per evaluation job (bounds union-plan depth)
+
+    _SCALAR_EV_RE = re.compile(
+        r"\(\s*select\s+(idx|user|payload|signature)\s+from\s+event\s*\)",
+        re.IGNORECASE,
+    )
+
+    def _vectorize_auth_stmt(self, stmt: str) -> str | None:
+        """Rewrite an authorizer statement to evaluate per-event over the
+        WHOLE staged batch in one pass, when provably equivalent:
+
+        the statement must be a bare SELECT (no top-level FROM/WHERE/GROUP/
+        ORDER/LIMIT) whose only references to ``event`` are scalar
+        subqueries ``(select col from event)``. Those become column refs on
+        an appended ``from event __ev__`` — one row per staged event, so
+        throw()/unauthorized() fires iff it would fire for some event in
+        the per-event loop. Returns None when not provably rewritable
+        (caller falls back to the per-event path)."""
+        s2 = self._SCALAR_EV_RE.sub(lambda m: "__ev__." + m.group(1).lower(), stmt)
+        toks = tokenize(s2)
+        lows = [t.lower() if _is_word(t) else t for t in toks]
+        if not lows or lows[0] != "select":
+            return None
+        depth = 0
+        for t, low in zip(toks, lows):
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and low in ("from", "where", "group", "order", "limit"):
+                return None  # has its own relation/clauses — not a bare select
+            elif low == "event":
+                return None  # residual event reference we can't prove safe
+        return s2 + " from event as __ev__"
+
+    def _authorize(self, staged: list[Event], staged_df: DataFrame) -> None:
+        """Run the authorizer for every staged event.
+
+        Per-event semantics (each statement sees a single-row ``event``
+        table) are preserved by building one lazy result branch per
+        (event, statement) — a filter of the SAME staged DataFrame, so no
+        per-event driver→JVM data transfer — and forcing evaluation in
+        chunked unions: ~N/32 Spark jobs per batch instead of multiple jobs
+        per event. Any ``throw``/``unauthorized`` fires during evaluation
+        and rejects the whole batch (reference lib.rs:592-595)."""
         if self.module is None or not self.module.authorizer.strip():
             return
-        ev_view = self.store.view_prefix + "event"
-        for e in staged:
-            one = self.spark.createDataFrame(
-                [(e.idx, e.user, e.payload, e.signature)], EVENT_SCHEMA
-            )
-            one.createOrReplaceTempView(ev_view)
-            try:
-                for stmt in split_statements(strip_comments(self.module.authorizer)):
-                    self.sql_authorizer.check(stmt, "authorize")
+        stmts = split_statements(strip_comments(self.module.authorizer))
+        for stmt in stmts:
+            self.sql_authorizer.check(stmt, "authorize")
+        staged_df = staged_df.localCheckpoint()
+        vectorized = [self._vectorize_auth_stmt(s) for s in stmts]
+
+        branches: list[DataFrame] = []
+        views: list[str] = []
+        batch_view = f"{self.store.view_prefix}event_auth_batch"
+        if all(v is not None for v in vectorized):
+            # fast path: each statement evaluates once over all staged rows
+            staged_df.createOrReplaceTempView(batch_view)
+            views.append(batch_view)
+            for v in vectorized:
+                res = self._executor(batch_view).execute(v)
+                if res is not None:
+                    branches.append(self._force_all_columns(res))
+        else:
+            # per-event fallback: lazy branch per (event, statement), no
+            # per-event driver→JVM transfer (filters of one DataFrame)
+            for e in staged:
+                ev_view = f"{self.store.view_prefix}event_auth_{e.idx}"
+                staged_df.where(F.col("idx") == e.idx).createOrReplaceTempView(ev_view)
+                views.append(ev_view)
+                for stmt in stmts:
                     res = self._executor(ev_view).execute(stmt)
                     if res is not None:
-                        res.collect()  # force evaluation → raise_error fires
-            except BatchRejected:
-                raise
-            except Exception as ex:  # raise_error surfaces as a Py4J error
-                msg = str(ex)
-                m = re.search(r"(Unauthorized:[^\n\"]*)", msg)
-                detail = m.group(1) if m else msg.splitlines()[0][:200]
-                raise BatchRejected(f"event idx={e.idx} rejected: {detail}") from None
+                        branches.append(self._force_all_columns(res))
+        try:
+            for lo in range(0, len(branches), self._AUTH_CHUNK):
+                chunk = branches[lo : lo + self._AUTH_CHUNK]
+                df = chunk[0]
+                for b in chunk[1:]:
+                    df = df.unionByName(b)
+                df.collect()  # force evaluation → raise_error fires
+        except Exception as ex:  # raise_error surfaces as a Py4J error
+            msg = str(ex)
+            m = re.search(r"(Unauthorized:[^\n\"]*)", msg)
+            detail = m.group(1) if m else msg.splitlines()[0][:200]
+            raise BatchRejected(f"batch rejected: {detail}") from None
+        finally:
+            for v in views:
+                self.spark.catalog.dropTempView(v)
+
+    @staticmethod
+    def _force_all_columns(res: DataFrame) -> DataFrame:
+        """One string column referencing every output column, so column
+        pruning can't eliminate a raise_error expression (positional rename
+        first: generated names may not round-trip through the parser)."""
+        plain = res.toDF(*[f"c{i}" for i in range(len(res.columns))])
+        return plain.select(F.to_json(F.struct(*plain.columns)).alias("r"))
 
     # -- A1 add_events -------------------------------------------------------
 
@@ -391,7 +467,14 @@ class Stream:
         signer: Callable[[list[bytes]], bytes] | None = default_signer,
     ) -> int:
         """Append a batch atomically: authorize each event, materialize, then
-        commit (advance latest_idx). Any failure → nothing is committed."""
+        commit (advance latest_idx). Any failure → nothing is committed.
+
+        Batch semantics note (deliberate divergence, documented): the
+        reference interleaves authorize(e_i)/materialize(e_i) per event
+        inside the txn (lib.rs:636-675), so e_2's authorizer can observe
+        e_1's materialized effects. Here the whole batch authorizes against
+        the batch-start snapshot, then materializes — callers needing
+        intra-batch visibility submit separate batches."""
         if self.module is None:
             raise StreamError("no module loaded")
         if not events:
@@ -406,11 +489,11 @@ class Stream:
             snapshot = dict(self.store.tables)
             snapshot_defs = dict(self.store.defs)
             try:
-                self._authorize(staged)
                 staged_df = self.spark.createDataFrame(
                     [(e.idx, e.user, e.payload, e.signature) for e in staged],
                     EVENT_SCHEMA,
                 )
+                self._authorize(staged, staged_df)
                 self._fold_df(staged_df, self.module.materializer, "materialize")
                 self.store.checkpoint_all()  # force evaluation pre-commit
             except Exception:

@@ -148,3 +148,45 @@ class TestRawImportExport:
 
         with pytest.raises(StreamError, match="gap"):
             s.raw_import_events([Event(5, "u", b"\xa0", b"")])
+
+
+class TestAuthorizerPaths:
+    """The vectorized (one-pass-over-batch) authorizer and its per-event
+    fallback must both enforce rejection."""
+
+    def test_fallback_path_rejects(self, spark, tmp_path):
+        from leaf_spark.module import BasicModuleDef, QueryDef
+
+        # top-level WHERE → not provably vectorizable → per-event fallback
+        mod = BasicModuleDef(
+            init_sql="create table if not exists log (idx integer primary key)",
+            authorizer=(
+                "select throw('evil user') where (select user from event) = 'did:plc:evil'"
+            ),
+            materializer="insert into log (idx) select idx from event;",
+            queries=(QueryDef("log", "select idx from log order by idx"),),
+        )
+        s = Stream(spark, str(tmp_path), "did:plc:authpaths")
+        s.provide_module(mod)
+        assert s._vectorize_auth_stmt(
+            "select throw('x') where (select user from event) = 'y'"
+        ) is None
+
+        s.add_events([IncomingEvent("did:plc:ok", drisl.encode({"v": 1}))])
+        assert s.state.latest_idx == 1
+        with pytest.raises(BatchRejected, match="evil user"):
+            s.add_events(
+                [
+                    IncomingEvent("did:plc:ok", drisl.encode({"v": 2})),
+                    IncomingEvent("did:plc:evil", drisl.encode({"v": 3})),
+                ]
+            )
+        assert s.state.latest_idx == 1  # whole batch rolled back
+
+    def test_vectorized_path_used_for_chat(self, spark):
+        s_check = Stream.__new__(Stream)  # only needs the regex/classifier
+        for stmt in [
+            "select iif(exists(select 1 from bans where user = (select user from event)), unauthorized('banned user'), 1)",
+            "select iif(drisl_exists((select payload from event), '.content'), 1, throw('missing content'))",
+        ]:
+            assert Stream._vectorize_auth_stmt(s_check, stmt) is not None
