@@ -242,7 +242,7 @@ where a.vec_id < 150 and b.vec_id < 150
                           (acc, x) -> acc + x * x))
            * sqrt(aggregate(transform(b.embedding, x -> cast(x as double)), 0.0d,
                             (acc, x) -> acc + x * x))),
-        5) >= 0.8
+        5) >= 0.3
 """
 _NEAR_ORACLE = """
 select a.vec_id as id_a, b.vec_id as id_b,
@@ -259,7 +259,7 @@ where a.vec_id < 150 and b.vec_id < 150
                  i -> cast(a.embedding[i] as double) * cast(b.embedding[i] as double)))
         / (sqrt(list_sum(list_transform(a.embedding, x -> cast(x as double) * cast(x as double))))
            * sqrt(list_sum(list_transform(b.embedding, x -> cast(x as double) * cast(x as double))))),
-        5) >= 0.8
+        5) >= 0.3
 """
 sql_case(
     "q48_embedding_neardup",

@@ -547,8 +547,14 @@ def json_patch_py(target: str, patch: str) -> str | None:
 
 
 def register_json_udfs(spark) -> None:
-    """Register the compat UDFs the translator references (idempotent)."""
+    """Register the compat UDFs the translator references (idempotent).
+
+    Arrow-optimized (``useArrow=True``): the per-row JSON logic stays
+    Python, but row transfer is Arrow-batched (ArrowEvalPython, not
+    row-at-a-time BatchEvalPython) — the difference between a usable and
+    an unusable operator on a wide scan at scale."""
+    from pyspark.sql import functions as F
     from pyspark.sql.types import StringType
 
-    spark.udf.register("json_set", json_set_py, StringType())
-    spark.udf.register("json_patch", json_patch_py, StringType())
+    spark.udf.register("json_set", F.udf(json_set_py, StringType(), useArrow=True))
+    spark.udf.register("json_patch", F.udf(json_patch_py, StringType(), useArrow=True))
