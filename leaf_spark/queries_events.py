@@ -162,3 +162,75 @@ sql_case(
     """,
     doc="subscription backfill paging: concat of pages == contiguous range",
 )
+
+# --- skew mitigation (operators.skew): results ≡ unsalted equivalents --------
+# Salt never leaks into the output, so both are oracle-checkable: the DuckDB
+# side is the PLAIN group-by / join — proving salted == unsalted.
+
+from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
+
+from .queries import register  # noqa: E402
+from .session import load_tables  # noqa: E402
+
+
+@register(
+    "q56_salted_agg",
+    """
+    select event_type,
+           count(*) as n_events,
+           cast(sum(cast(value as decimal(38,6))) as double) as total_value,
+           min(user_id) as min_user,
+           max(user_id) as max_user
+    from events
+    group by event_type
+    """,
+    doc="salted two-phase aggregation (skew.salted_agg) vs plain GROUP BY oracle",
+)
+def q56_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import salted_agg
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].withColumn("value_dec", F.col("value").cast("decimal(38,6)"))
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("count", "event_id"),
+            "total_value": ("sum", "value_dec"),
+            "min_user": ("min", "user_id"),
+            "max_user": ("max", "user_id"),
+        },
+        num_salts=32,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+        "min_user",
+        "max_user",
+    )
+
+
+@register(
+    "q57_salted_join",
+    """
+    select c.c_mktsegment as segment,
+           count(*) as n_events,
+           cast(sum(cast(e.value as decimal(38,6))) as double) as total_value
+    from events e
+    join customer c on e.user_id = c.c_custkey
+    group by c.c_mktsegment
+    """,
+    doc="salted fact-dim equi-join (skew.salted_join) vs plain JOIN oracle",
+)
+def q57_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import salted_join
+
+    t = load_tables(spark, sf_dir)
+    fact = t["events"].select(F.col("user_id").alias("c_custkey"), "value")
+    dim = t["customer"].select("c_custkey", "c_mktsegment")
+    joined = salted_join(fact, dim, on=["c_custkey"], num_salts=8)
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+    )

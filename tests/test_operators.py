@@ -133,3 +133,61 @@ def test_multimodal_metadata_and_frames(spark, docs):
     }
     assert set(per_asset) == set(src)
     assert all(1 <= n <= 4 for n in per_asset.values())
+
+
+# --- skew mitigation ---------------------------------------------------------
+
+
+def _sorted_rows(df, *cols):
+    return [tuple(r) for r in df.orderBy(*cols).collect()]
+
+
+def test_salted_agg_equals_plain(spark):
+    from leaf_spark.operators.skew import salted_agg
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    salted = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": ("count", "event_id"),
+            "mn": ("min", "user_id"),
+            "mx": ("max", "user_id"),
+            "users": ("collect_set", "user_id"),
+        },
+        num_salts=7,
+    ).select("event_type", "n", "mn", "mx", F.sort_array("users").alias("users"))
+    plain = ev.groupBy("event_type").agg(
+        F.count("event_id").alias("n"),
+        F.min("user_id").alias("mn"),
+        F.max("user_id").alias("mx"),
+        F.sort_array(F.collect_set("user_id")).alias("users"),
+    )
+    assert _sorted_rows(salted, "event_type") == _sorted_rows(plain, "event_type")
+
+
+def test_salted_join_equals_plain_incl_left(spark):
+    from leaf_spark.operators.skew import salted_join
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(F.col("user_id").alias("k"), "event_id")
+    )
+    # dim covering only half the keys → left join produces real NULLs
+    dim = (
+        spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        .where(F.col("c_custkey") % 2 == 0)
+        .select(F.col("c_custkey").alias("k"), "c_mktsegment")
+    )
+    for how in ("inner", "left"):
+        salted = salted_join(ev, dim, on=["k"], how=how, num_salts=5)
+        plain = ev.join(dim, ["k"], how)
+        assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect())), how
+
+
+def test_salted_agg_rejects_non_algebraic(spark):
+    from leaf_spark.operators.skew import salted_agg
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    with pytest.raises(ValueError):
+        salted_agg(ev, ["event_type"], {"bad": ("avg", "value")})
