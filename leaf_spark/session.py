@@ -62,6 +62,48 @@ def get_spark(
     return b.getOrCreate()
 
 
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Ship the ``leaf_spark`` package to executors via ``addPyFile``.
+
+    Pandas-UDF queries (json patch/set, multimodal) import ``leaf_spark``
+    inside worker processes; if the driver process was started from a cwd
+    that doesn't contain the repo, the bare import fails. Zipping the
+    package once per session and registering it with the SparkContext makes
+    worker imports independent of the driver cwd — same mechanism as
+    ``spark-submit --py-files`` on a real cluster.
+    """
+    sc = spark.sparkContext
+    marker = "_leaf_spark_pyfiles_added"
+    if getattr(sc, marker, False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"leaf_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(
+                        "leaf_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+        os.replace(tmp, zip_path)
+    try:
+        sc.addPyFile(zip_path)
+    except Exception:
+        # Already registered under this name in a reused context — fine.
+        pass
+    setattr(sc, marker, True)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
     """Register the driver testdata parquet tables as temp views.
 
@@ -87,6 +129,14 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         # fail loudly: silently skipping would leave stale temp views from a
         # previous sf_dir registered, and queries would read the wrong scale
         raise FileNotFoundError(f"{sf_dir}: missing tables {missing}")
+    # Harness-proofing: the caller may hand us a SparkSession built without
+    # our get_spark() confs (e.g. a bare builder). The testdata parquet uses
+    # TIMESTAMP(NANOS), which Spark refuses to read unless this legacy flag
+    # is on — it is runtime-settable, so set it here where the read happens.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Arrow exchange for the pandas-UDF queries; harmless if already set.
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    ensure_worker_imports(spark)
     for n in names:
         path = os.path.join(sf_dir, f"{n}.parquet")
         df = spark.read.parquet(path)

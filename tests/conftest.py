@@ -5,6 +5,10 @@ import pytest
 sys.path.insert(0, "/root/repo")
 
 
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: spawns a fresh JVM subprocess")
+
+
 @pytest.fixture(scope="session")
 def spark():
     from leaf_spark.session import get_spark
