@@ -120,6 +120,33 @@ class TableStore:
     def state_tables(self) -> list[str]:
         return [n for n, d in self.defs.items() if d.is_state]
 
+    # -- transactional snapshot (rollback support for event-batch folds) -----
+
+    def snapshot(self) -> tuple[dict, dict, dict]:
+        return dict(self.defs), dict(self.tables), dict(self.views)
+
+    def restore(self, snap: tuple[dict, dict, dict]) -> None:
+        """Restore a snapshot taken before a failed fold: drop tables/views
+        created since (incl. their temp views), then reinstate the saved
+        DataFrame versions."""
+        defs, tables, views = snap
+        for gone in set(self.tables) - set(tables):
+            self.tables.pop(gone, None)
+            self.defs.pop(gone, None)
+            try:
+                self.spark.catalog.dropTempView(self.view_name(gone))
+            except Exception:
+                pass
+        for gone_v in set(self.views) - set(views):
+            try:
+                self.spark.catalog.dropTempView(self.view_name(gone_v))
+            except Exception:
+                pass
+        self.defs = dict(defs)
+        self.views = dict(views)
+        for name, df in tables.items():
+            self.register(name, df)
+
 
 # ---------------------------------------------------------------------------
 # Statement execution
@@ -353,6 +380,18 @@ class DmlExecutor:
         do_idx = lows.index("do")
         action = lows[do_idx + 1]
 
+        # SQLite unique constraints treat NULLs as distinct: a row with any
+        # NULL conflict-key column can never conflict (with existing rows OR
+        # with other incoming rows), so it goes straight to the append path —
+        # before dedup, which would otherwise collapse NULL-key rows.
+        null_key = F.lit(False)
+        for k in keys:
+            null_key = null_key | F.col(k).isNull()
+        append_only = incoming.where(null_key).drop(
+            *(["__ord__"] if "__ord__" in incoming.columns else [])
+        )
+        incoming = incoming.where(~null_key)
+
         # batch semantics: the LAST row per key within the incoming batch wins
         # (sequential per-event application order); __ord__ column carries the
         # in-batch order if the caller provided it, else arrival order.
@@ -370,7 +409,9 @@ class DmlExecutor:
 
         if action == "nothing":
             fresh = incoming.join(existing.select(*keys), keys, "left_anti")
-            self.store.mutated(name, existing.unionByName(fresh))
+            self.store.mutated(
+                name, existing.unionByName(fresh).unionByName(append_only)
+            )
             return
 
         # DO UPDATE SET a = expr, ... — expr may reference excluded.c and t.c
@@ -380,11 +421,16 @@ class DmlExecutor:
 
         ev = f"{self.store.view_prefix}__excl__"
         tv = f"{self.store.view_prefix}__tgt__"
-        incoming.createOrReplaceTempView(ev)
-        existing.createOrReplaceTempView(tv)
+        # presence markers: key columns can be NULL in *existing* rows (they
+        # never conflict), so matched/unmatched tests use non-null markers
+        # instead of key nullness.
+        incoming.withColumn("__em__", F.lit(True)).createOrReplaceTempView(ev)
+        existing.withColumn("__tm__", F.lit(True)).createOrReplaceTempView(tv)
 
-        key_eq = " and ".join(f"{tv}.{k} <=> {ev}.{k}" for k in keys)
-        both = f"({ev}.{keys[0]} is not null and {tv}.{keys[0]} is not null)"
+        # plain = (not <=>): NULL keys never match, mirroring SQLite unique-
+        # constraint semantics (incoming NULL-key rows were split off above).
+        key_eq = " and ".join(f"{tv}.{k} = {ev}.{k}" for k in keys)
+        both = f"({ev}.__em__ and {tv}.__tm__)"
         cols_sql = []
         for f_ in tdef.schema.fields:
             c = f_.name
@@ -395,14 +441,14 @@ class DmlExecutor:
                 updated = f"{tv}.{c}"
             cols_sql.append(
                 f"case when {both} then {updated} "
-                f"when {tv}.{keys[0]} is null then {ev}.{c} "
+                f"when {tv}.__tm__ is null then {ev}.{c} "
                 f"else {tv}.{c} end as {c}"
             )
         merged = self.store.spark.sql(
             f"select {', '.join(cols_sql)} from {tv} full outer join {ev} on {key_eq}",
             args=args or {},
         )
-        self.store.mutated(name, merged)
+        self.store.mutated(name, merged.unionByName(append_only))
 
     @staticmethod
     def _parse_assignments(toks: list[str]) -> dict[str, str]:

@@ -293,7 +293,18 @@ class Stream:
         """A materializer is batch-safe when every statement is
         INSERT … SELECT … FROM event (optionally with ON CONFLICT): applying
         the whole idx-ordered batch set-wise ≡ per-event sequential fold
-        (upserts keep the last event per conflict key via __ord__)."""
+        (upserts keep the last event per conflict key via __ord__).
+
+        Statements whose SELECT reads any store-managed table — e.g. the
+        dedup idiom ``INSERT INTO t SELECT … FROM event WHERE NOT EXISTS
+        (SELECT 1 FROM t …)`` — are NOT batch-safe: set-wise application
+        would evaluate every event against the pre-batch snapshot, missing
+        intra-batch effects the reference's sequential fold sees
+        (basic.rs:76-105). Any known table name at subquery depth (or a
+        ``state.``/``main.``-qualified one) forces the per-event path."""
+        known = {n.lower() for n in self.store.defs} | {
+            n.lower() for n in self.store.views
+        }
         for stmt in split_statements(strip_comments(sql)):
             info = classify(stmt)
             if info.kind != "insert":
@@ -315,6 +326,28 @@ class Stream:
                     break
             if not from_ok:
                 return False
+            # reject managed-table references anywhere inside parens
+            # (subqueries); the only sanctioned relation is the top-level
+            # FROM event. db-qualified names flatten like _create_table.
+            depth = 0
+            for i, t in enumerate(toks):
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    depth -= 1
+                elif depth > 0 and _is_word(t):
+                    low = lows[i]
+                    if low in ("state", "main") and i + 2 < len(toks) and toks[i + 1] == ".":
+                        nxt = lows[i + 2]
+                        flat = nxt if low == "main" else f"state_{nxt}"
+                        if flat in known:
+                            return False
+                    if (
+                        low in known
+                        and (i == 0 or toks[i - 1] != ".")
+                        and (i + 1 >= len(toks) or toks[i + 1] != "(")
+                    ):
+                        return False
         return True
 
     @staticmethod
@@ -336,11 +369,17 @@ class Stream:
         return stmt
 
     def _fold_df(self, events: DataFrame, fold_sql: str, policy: str) -> None:
-        """Fold an idx-ordered event DataFrame through materializer SQL."""
+        """Fold an idx-ordered event DataFrame through materializer SQL.
+
+        The staged ``event`` view exposes exactly the reference's
+        materializer columns (idx, user, payload — basic.rs:60-74);
+        signature is log-only, and a module doing ``SELECT * FROM event``
+        must see the same arity as it would on the reference."""
         if not fold_sql.strip():
             return
         is_state = policy == "state_materialize"
         ev_view = self.store.view_prefix + "event"
+        events = events.select("idx", "user", "payload")
         if self._batch_safe(fold_sql):
             events.createOrReplaceTempView(ev_view)
             for stmt in split_statements(strip_comments(fold_sql)):
@@ -352,7 +391,7 @@ class Stream:
         # per-event sequential fold (reference lib.rs:543-569)
         rows = events.orderBy("idx").collect()
         for r in rows:
-            one = self.spark.createDataFrame([r], EVENT_SCHEMA)
+            one = self.spark.createDataFrame([r], events.schema)
             one.createOrReplaceTempView(ev_view)
             for stmt in split_statements(strip_comments(fold_sql)):
                 self.sql_authorizer.check(stmt, policy)
@@ -362,8 +401,11 @@ class Stream:
 
     _AUTH_CHUNK = 32  # events per evaluation job (bounds union-plan depth)
 
+    # authorize-context event table carries ONLY (user, payload) — the
+    # reference's temp event table for authorization (basic.rs:134-158);
+    # idx/signature references fail there too.
     _SCALAR_EV_RE = re.compile(
-        r"\(\s*select\s+(idx|user|payload|signature)\s+from\s+event\s*\)",
+        r"\(\s*select\s+(user|payload)\s+from\s+event\s*\)",
         re.IGNORECASE,
     )
 
@@ -418,7 +460,7 @@ class Stream:
         batch_view = f"{self.store.view_prefix}event_auth_batch"
         if all(v is not None for v in vectorized):
             # fast path: each statement evaluates once over all staged rows
-            staged_df.createOrReplaceTempView(batch_view)
+            staged_df.select("user", "payload").createOrReplaceTempView(batch_view)
             views.append(batch_view)
             for v in vectorized:
                 res = self._executor(batch_view).execute(v)
@@ -429,7 +471,9 @@ class Stream:
             # per-event driver→JVM transfer (filters of one DataFrame)
             for e in staged:
                 ev_view = f"{self.store.view_prefix}event_auth_{e.idx}"
-                staged_df.where(F.col("idx") == e.idx).createOrReplaceTempView(ev_view)
+                staged_df.where(F.col("idx") == e.idx).select(
+                    "user", "payload"
+                ).createOrReplaceTempView(ev_view)
                 views.append(ev_view)
                 for stmt in stmts:
                     res = self._executor(ev_view).execute(stmt)
@@ -486,8 +530,7 @@ class Stream:
             staged = [
                 Event(start + i, e.user, e.payload, sig) for i, e in enumerate(events)
             ]
-            snapshot = dict(self.store.tables)
-            snapshot_defs = dict(self.store.defs)
+            snap = self.store.snapshot()
             try:
                 staged_df = self.spark.createDataFrame(
                     [(e.idx, e.user, e.payload, e.signature) for e in staged],
@@ -497,13 +540,9 @@ class Stream:
                 self._fold_df(staged_df, self.module.materializer, "materialize")
                 self.store.checkpoint_all()  # force evaluation pre-commit
             except Exception:
-                # rollback: restore pre-batch table versions (nothing was
+                # rollback: restore pre-batch table/view versions (nothing was
                 # written to the log yet — mirrors SQLite txn rollback)
-                self.store.defs = snapshot_defs
-                for name, df in snapshot.items():
-                    self.store.register(name, df)
-                for gone in set(self.store.tables) - set(snapshot):
-                    self.store.drop(gone, if_exists=True)
+                self.store.restore(snap)
                 raise
             self._append_parquet(staged)
             self.state.latest_idx = staged[-1].idx
@@ -517,17 +556,32 @@ class Stream:
     # -- A5/A15 state events -------------------------------------------------
 
     def add_state_events(self, events: list[IncomingEvent]) -> None:
-        """Fold non-persisted state events (no idx, no log append)."""
+        """Fold non-persisted state events (no log append).
+
+        Synthetic idx 1..n keeps the fold order deterministic for
+        multi-event batches (per-event path orders by idx; batch upserts
+        break __ord__ ties by it), and the fold runs under the same
+        snapshot/rollback as add_events — the reference applies
+        state-event batches in order inside a transaction and rolls back
+        on error (lib.rs:721-773)."""
         if self.module is None:
             raise StreamError("no module loaded")
         if not events:
             return
         with self._lock:
             staged_df = self.spark.createDataFrame(
-                [(0, e.user, e.payload, b"") for e in events], EVENT_SCHEMA
+                [(i + 1, e.user, e.payload, b"") for i, e in enumerate(events)],
+                EVENT_SCHEMA,
             )
-            self._fold_df(staged_df, self.module.state_materializer, "state_materialize")
-            self.store.checkpoint_all()
+            snap = self.store.snapshot()
+            try:
+                self._fold_df(
+                    staged_df, self.module.state_materializer, "state_materialize"
+                )
+                self.store.checkpoint_all()
+            except Exception:
+                self.store.restore(snap)
+                raise
         for cb in list(self._update_listeners):
             cb(self.state.latest_idx)
 

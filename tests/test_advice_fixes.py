@@ -1,0 +1,193 @@
+"""Regression tests for the round-1 advisor findings (ADVICE.md):
+
+1. high   — _batch_safe must reject INSERT…SELECT FROM event statements whose
+            subqueries read managed tables (intra-batch dedup idiom), falling
+            back to the per-event sequential fold (basic.rs:76-105 semantics).
+2. medium — add_state_events: deterministic fold order for multi-event
+            batches + rollback on mid-fold failure (lib.rs:721-773).
+3. medium — add_events rollback drops batch-created tables/views (snapshot
+            order bug made drop a no-op).
+4. low    — the staged ``event`` view exposes the reference's column set:
+            (idx, user, payload) for materialize, (user, payload) for
+            authorize — SELECT * arity parity.
+5. low    — ON CONFLICT upserts treat NULL conflict keys as SQLite does:
+            never conflict, always insert.
+"""
+
+import pytest
+
+from leaf_spark import drisl
+from leaf_spark.dml import DmlExecutor, TableStore
+from leaf_spark.module import BasicModuleDef, QueryDef
+from leaf_spark.stream import Stream
+from leaf_spark.types import IncomingEvent, LeafQuery
+
+from .fixtures import CHAT, marker
+
+
+def ev(user: str, **payload) -> IncomingEvent:
+    return IncomingEvent(user, drisl.encode(payload))
+
+
+DEDUP = BasicModuleDef(
+    init_sql=(
+        "create table if not exists seen (key text not null, idx integer not null)"
+    ),
+    materializer=(
+        "insert into seen (key, idx) "
+        "select drisl_extract(payload, '.key'), idx from event "
+        "where not exists (select 1 from seen "
+        "where key = drisl_extract(payload, '.key'));"
+    ),
+    queries=(QueryDef("seen", "select key, idx from seen order by idx"),),
+)
+
+
+class TestBatchSafeTableRefs:
+    def test_dedup_idiom_not_batch_safe(self, spark, tmp_root):
+        s = Stream(spark, tmp_root, "did:plc:dedupmod")
+        s.provide_module(DEDUP)
+        assert not s._batch_safe(DEDUP.materializer)
+
+    def test_intra_batch_duplicates_suppressed(self, spark, tmp_root):
+        """All three events arrive in ONE batch; the second 'a' must see the
+        first 'a' already materialized (sequential fold semantics)."""
+        s = Stream(spark, tmp_root, "did:plc:dedupmod2")
+        s.provide_module(DEDUP)
+        s.add_events([ev("u", key="a"), ev("u", key="a"), ev("u", key="b")])
+        rows = s.query(None, LeafQuery("seen"))
+        assert rows == [{"key": "a", "idx": 1}, {"key": "b", "idx": 3}]
+
+    def test_state_qualified_ref_not_batch_safe(self, spark, tmp_root):
+        s = Stream(spark, tmp_root, "did:plc:dedupmod3")
+        s.provide_module(CHAT)  # registers state_read_markers
+        sql = (
+            "insert into messages (idx, sender, content, sent_at) "
+            "select idx, user, 'x', 0 from event where user in "
+            "(select user from state.read_markers)"
+        )
+        assert not s._batch_safe(sql)
+
+    def test_plain_insert_still_batch_safe(self, spark, tmp_root):
+        s = Stream(spark, tmp_root, "did:plc:dedupmod4")
+        s.provide_module(CHAT)
+        assert s._batch_safe(CHAT.materializer)
+
+
+class TestStateEventBatches:
+    def test_multi_event_batch_last_wins_deterministically(self, spark, tmp_root):
+        s = Stream(spark, tmp_root, "did:plc:statebatch")
+        s.provide_module(CHAT)
+        # same user twice in one batch: the LATER event must win the upsert
+        s.add_state_events([marker("u", 5), marker("u", 9)])
+        df = s.store.tables["state_read_markers"]
+        assert [r.asDict() for r in df.collect()] == [{"user": "u", "last_read": 9}]
+
+    def test_mid_fold_failure_rolls_back(self, spark, tmp_root):
+        mod = BasicModuleDef(
+            init_sql="create table if not exists log (idx integer primary key)",
+            materializer="insert into log (idx) select idx from event;",
+            state_init_sql=(
+                "create table if not exists state.m (user text primary key, v integer)"
+            ),
+            state_materializer=(
+                "insert into state.m (user, v) select user, "
+                "drisl_extract_int(payload, '.v') from event where true "
+                "on conflict(user) do update set v = excluded.v; "
+                "insert into no_such_table (x) select idx from event;"
+            ),
+            queries=(QueryDef("log", "select idx from log"),),
+        )
+        s = Stream(spark, tmp_root, "did:plc:staterb")
+        s.provide_module(mod)
+        with pytest.raises(Exception, match="no_such_table"):
+            s.add_state_events([ev("u", v=1)])
+        # first statement's effect must be rolled back
+        assert s.store.tables["state_m"].count() == 0
+
+
+class TestRollbackRestoresCreatedObjects:
+    def test_store_restore_drops_new_tables_and_views(self, spark):
+        import pyspark.sql.types as T
+
+        store = TableStore(spark, "t_rbtest_")
+        ex = DmlExecutor(store)
+        ex.execute("create table base (a integer)")
+        snap = store.snapshot()
+        ex.execute("create table extra (b integer)")
+        ex.execute("create view vextra as select a from base")
+        store.restore(snap)
+        assert set(store.defs) == {"base"}
+        assert store.views == {}
+        # temp views for the rolled-back objects are gone
+        assert not spark.catalog.tableExists("t_rbtest_extra")
+        assert spark.catalog.tableExists("t_rbtest_base")
+        assert isinstance(store.defs["base"].schema, T.StructType)
+
+
+class TestEventViewArity:
+    def test_select_star_materializer_sees_three_columns(self, spark, tmp_root):
+        mod = BasicModuleDef(
+            init_sql=(
+                "create table if not exists raw "
+                "(idx integer primary key, user text, payload blob)"
+            ),
+            materializer="insert into raw select * from event;",
+            queries=(QueryDef("raw", "select idx, user from raw order by idx"),),
+        )
+        s = Stream(spark, tmp_root, "did:plc:arity")
+        s.provide_module(mod)
+        s.add_events([ev("u1", v=1), ev("u2", v=2)])
+        rows = s.query(None, LeafQuery("raw"))
+        assert rows == [{"idx": 1, "user": "u1"}, {"idx": 2, "user": "u2"}]
+
+
+class TestUpsertNullKeys:
+    @pytest.fixture()
+    def store(self, spark):
+        st = TableStore(spark, "t_nullkey_")
+        DmlExecutor(st).execute(
+            "create table t (k text primary key, v integer)"
+        )
+        return st
+
+    def _rows(self, store):
+        return sorted(
+            (r.asDict() for r in store.tables["t"].collect()),
+            key=lambda r: (r["k"] is None, r["k"], r["v"]),
+        )
+
+    def test_null_keys_always_insert(self, store):
+        ex = DmlExecutor(store)
+        ex.execute(
+            "insert into t (k, v) values (null, 1) "
+            "on conflict(k) do update set v = excluded.v"
+        )
+        ex.execute(
+            "insert into t (k, v) values (null, 2) "
+            "on conflict(k) do update set v = excluded.v"
+        )
+        # SQLite: NULL keys never conflict → two distinct rows
+        assert self._rows(store) == [{"k": None, "v": 1}, {"k": None, "v": 2}]
+
+    def test_null_key_rows_dont_merge_with_existing_nulls(self, store):
+        ex = DmlExecutor(store)
+        ex.execute("insert into t (k, v) values (null, 1)")
+        ex.execute(
+            "insert into t (k, v) values ('a', 10), (null, 2) "
+            "on conflict(k) do nothing"
+        )
+        assert self._rows(store) == [
+            {"k": "a", "v": 10},
+            {"k": None, "v": 1},
+            {"k": None, "v": 2},
+        ]
+
+    def test_non_null_keys_still_merge(self, store):
+        ex = DmlExecutor(store)
+        ex.execute("insert into t (k, v) values ('a', 1)")
+        ex.execute(
+            "insert into t (k, v) values ('a', 2), (null, 3) "
+            "on conflict(k) do update set v = excluded.v"
+        )
+        assert self._rows(store) == [{"k": "a", "v": 2}, {"k": None, "v": 3}]
