@@ -42,6 +42,7 @@ import hashlib
 import json
 import os
 import re
+import shutil
 import threading
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -121,11 +122,18 @@ class Stream:
         root_dir: str,
         stream_did: str,
         authorizer: Authorizer | None = None,
+        snapshot_every: int = 256,
     ):
         self.spark = spark
         self.stream_did = stream_did
         self.dir = os.path.join(root_dir, "streams", _safe_dirname(stream_did))
         self.events_dir = os.path.join(self.dir, "events")
+        # parquet state snapshots (≈ the reference's module_<cid>.db +
+        # state.db files, streams.rs:101-150): auto-written every
+        # `snapshot_every` folded events; reopen loads the snapshot and
+        # replays only the tail beyond its cursor.
+        self.snapshot_every = snapshot_every
+        self._snap_cursor = 0
         self._lock = threading.RLock()
         self.sql_authorizer = authorizer or Authorizer()
         self.module: BasicModuleDef | None = None
@@ -212,6 +220,109 @@ class Stream:
         )
         pq.write_table(t, path)
 
+    # -- state snapshots (persistence across restarts) -----------------------
+
+    def _snapshot_base(self) -> str:
+        return os.path.join(self.dir, "snapshot")
+
+    def _snapshot_manifest_path(self) -> str:
+        return os.path.join(self._snapshot_base(), "manifest.json")
+
+    def persist_state(self) -> None:
+        """Write every materialized table (incl. state.*) as parquet plus a
+        manifest carrying the module CID, fold cursor, schemas, and views.
+
+        Mirrors the reference's durable module_<cid>.db / state.db files
+        (leaf-server/src/streams.rs:101-150) with a Spark-native layout:
+        tables are written from executors (``df.write.parquet`` — no driver
+        materialization), versioned under ``snapshot/v<seq>/``, and the
+        manifest rename is the atomic commit point. After the write, tables
+        are re-registered as reads OF the new snapshot, which truncates
+        lineage and lets the previous version be garbage-collected safely."""
+        with self._lock:
+            if self.module is None:
+                return
+            base = self._snapshot_base()
+            prev = None
+            if os.path.exists(self._snapshot_manifest_path()):
+                with open(self._snapshot_manifest_path()) as f:
+                    prev = json.load(f)
+            seq = (prev["seq"] + 1) if prev else 1
+            vdir = os.path.join(base, f"v{seq:06d}")
+            tables_meta: dict[str, dict] = {}
+            for name, tdef in self.store.defs.items():
+                path = os.path.join(vdir, name)
+                self.store.tables[name].write.mode("overwrite").parquet(path)
+                tables_meta[name] = {
+                    "schema": tdef.schema.json(),
+                    "primary_key": list(tdef.primary_key),
+                    "is_state": tdef.is_state,
+                }
+                # re-point the live DataFrame at the durable copy: truncates
+                # lineage and drops references to the previous snapshot files
+                self.store.register(
+                    name, self.spark.read.schema(tdef.schema).parquet(path)
+                )
+            manifest = {
+                "module_cid": self.state.module_cid,
+                "cursor": self.state.module_event_cursor,
+                "seq": seq,
+                "tables": tables_meta,
+                "views": dict(self.store.views),
+            }
+            tmp = self._snapshot_manifest_path() + ".tmp"
+            os.makedirs(base, exist_ok=True)
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, self._snapshot_manifest_path())
+            # GC superseded versions (no live DataFrame references them now)
+            for d in os.listdir(base):
+                if d.startswith("v") and d != f"v{seq:06d}":
+                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+            self._snap_cursor = self.state.module_event_cursor
+
+    def _drop_snapshot(self) -> None:
+        shutil.rmtree(self._snapshot_base(), ignore_errors=True)
+        self._snap_cursor = 0
+
+    def _try_load_snapshot(self) -> bool:
+        """Load the persisted tables if the snapshot matches the installed
+        module; returns True when tables were restored (fold cursor set to
+        the snapshot's — catch_up then replays only the tail)."""
+        p = self._snapshot_manifest_path()
+        if not os.path.exists(p):
+            return False
+        with open(p) as f:
+            manifest = json.load(f)
+        if (
+            manifest["module_cid"] != self.state.module_cid
+            or manifest["cursor"] > self.state.latest_idx
+        ):
+            # stale snapshot from another module (reference deletes stray
+            # module_*.db files on load, streams.rs:116-127) or a cursor
+            # beyond the committed log (corrupt) → full replay instead
+            self._drop_snapshot()
+            return False
+        from .dml import TableDef
+
+        vdir = os.path.join(self._snapshot_base(), f"v{manifest['seq']:06d}")
+        for name, meta in manifest["tables"].items():
+            schema = T.StructType.fromJson(json.loads(meta["schema"]))
+            tdef = TableDef(
+                name, schema, tuple(meta["primary_key"]), meta["is_state"]
+            )
+            df = self.spark.read.schema(schema).parquet(os.path.join(vdir, name))
+            self.store.defs[name] = tdef
+            self.store.register(name, df)
+        self.store.views = dict(manifest.get("views", {}))
+        self.state.module_event_cursor = manifest["cursor"]
+        self._snap_cursor = manifest["cursor"]
+        return True
+
+    def _maybe_persist(self) -> None:
+        if self.state.module_event_cursor - self._snap_cursor >= self.snapshot_every:
+            self.persist_state()
+
     # -- A14 module provide/swap --------------------------------------------
 
     def needs_module(self) -> bool:
@@ -228,10 +339,12 @@ class Stream:
             self.module = module
             self.state.module_cid = cid
             if not self.store.defs and self.state.module_event_cursor > 0:
-                # fresh process: materialized tables live in memory (parquet
-                # snapshots are a later optimization) → deterministic rebuild
-                # from idx 0, the reference's own recovery path (A6)
-                self.state.module_event_cursor = 0
+                # fresh process: restore from the parquet snapshot when one
+                # matches (replays only the tail beyond its cursor); fall
+                # back to deterministic rebuild from idx 0, the reference's
+                # own recovery path (A6)
+                if not self._try_load_snapshot():
+                    self.state.module_event_cursor = 0
             self.catch_up()
 
     def update_module(self, module: BasicModuleDef) -> None:
@@ -241,6 +354,7 @@ class Stream:
             self.module = module
             self.state.module_cid = module.cid()
             self.state.module_event_cursor = 0
+            self._drop_snapshot()  # ≈ reference deleting old module_*.db
             for name in list(self.store.defs):
                 self.store.drop(name, if_exists=True)
             self.store.views.clear()
@@ -286,6 +400,7 @@ class Stream:
             self.state.module_event_cursor = hi
             self.store.checkpoint_all()
             self._commit_state()
+            self._maybe_persist()
 
     # -- fold execution ------------------------------------------------------
 
@@ -548,6 +663,7 @@ class Stream:
             self.state.latest_idx = staged[-1].idx
             self.state.module_event_cursor = staged[-1].idx
             self._commit_state()
+            self._maybe_persist()
             latest = self.state.latest_idx
         for cb in list(self._update_listeners):
             cb(latest)
@@ -594,6 +710,10 @@ class Stream:
             for name in self.store.state_tables():
                 self.store.drop(name, if_exists=True)
             self._run_script(self.module.state_init_sql, "state_materialize", is_state=True)
+            if os.path.exists(self._snapshot_manifest_path()):
+                # the durable snapshot must reflect the clear (reference
+                # clears the state.db FILE, lib.rs:173-217)
+                self.persist_state()
 
     # -- A9/A10 named queries ------------------------------------------------
 
