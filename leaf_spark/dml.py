@@ -153,6 +153,17 @@ class TableStore:
 # ---------------------------------------------------------------------------
 
 
+def run_sql(spark: SparkSession, sql: str, views: dict[str, str] | None = None) -> DataFrame | None:
+    """Run one SQLite-dialect statement — including WITH RECURSIVE — over
+    already-registered temp views (logical name → view name). Ad-hoc entry
+    point used by the query catalog; module SQL goes through Stream."""
+    import hashlib as _hashlib
+
+    prefix = "adhoc_" + _hashlib.sha1(sql.encode()).hexdigest()[:8] + "_"
+    store = TableStore(spark, prefix)
+    return DmlExecutor(store, dict(views or {})).execute(sql)
+
+
 class DmlExecutor:
     """Executes one translated module statement against a TableStore.
 
@@ -197,11 +208,29 @@ class DmlExecutor:
 
     # -- entry point ---------------------------------------------------------
 
-    def execute(self, raw_sql: str, args: dict | None = None, is_state: bool = False):
+    def execute(
+        self,
+        raw_sql: str,
+        args: dict | None = None,
+        is_state: bool = False,
+        _translated: bool = False,
+    ):
         """Execute one raw SQLite-dialect statement. Returns a DataFrame for
         SELECTs, None otherwise."""
         info = sqlcompat.classify(raw_sql)
-        sql = sqlcompat.translate(raw_sql)
+        sql = raw_sql if _translated else sqlcompat.translate(raw_sql)
+        toks = tokenize(sql)
+        if (
+            len(toks) >= 2
+            and _is_word(toks[0])
+            and toks[0].lower() == "with"
+            and _is_word(toks[1])
+            and toks[1].lower() == "recursive"
+        ):
+            # SQLite allows WITH RECURSIVE in module SQL (authorizer action
+            # Recursive, leaf-stream/src/lib.rs:1024); Spark SQL has no
+            # recursive CTE → route to the driver-side fixpoint operator.
+            return self._with_recursive(toks, args, is_state)
         kind = info.kind
         if kind == "select":
             return self._sql(sql, args)
@@ -231,6 +260,108 @@ class DmlExecutor:
             self._delete(sql, args)
             return None
         raise SqlTranslationError(f"unsupported statement: {raw_sql[:80]}")
+
+    # -- WITH RECURSIVE ------------------------------------------------------
+
+    @staticmethod
+    def _match_paren(toks: list[str], open_idx: int) -> int:
+        depth = 0
+        for i in range(open_idx, len(toks)):
+            if toks[i] == "(":
+                depth += 1
+            elif toks[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    return i
+        raise SqlTranslationError("unbalanced parentheses")
+
+    def _with_recursive(self, toks: list[str], args: dict | None, is_state: bool):
+        """Evaluate ``WITH RECURSIVE name [(cols)] AS (base UNION [ALL]
+        step) [, more_ctes…] <main statement>``.
+
+        Each self-referencing CTE becomes an operators.recursive fixpoint
+        (base ∪ stepⁿ, distributed per iteration); non-self-referencing CTEs
+        in the same WITH list evaluate once. The main statement then runs
+        with every CTE bound as a temp view — it may be a SELECT (named
+        queries) or DML (materializer use)."""
+        from .operators.recursive import recursive_cte
+
+        lows = [t.lower() if _is_word(t) else t for t in toks]
+        i = 2
+        extra = dict(self.extra_views)
+        while True:
+            if not _is_word(toks[i]):
+                raise SqlTranslationError("expected CTE name in WITH RECURSIVE")
+            name = lows[i]
+            i += 1
+            cols: list[str] | None = None
+            if i < len(toks) and toks[i] == "(":
+                close = self._match_paren(toks, i)
+                cols = [t.lower() for t in toks[i + 1 : close] if _is_word(t)]
+                i = close + 1
+            if i >= len(toks) or lows[i] != "as":
+                raise SqlTranslationError("expected AS in WITH RECURSIVE")
+            i += 1
+            if i >= len(toks) or toks[i] != "(":
+                raise SqlTranslationError("expected ( after AS")
+            close = self._match_paren(toks, i)
+            body = toks[i + 1 : close]
+            i = close + 1
+            vname = f"{self.store.view_prefix}cte_{name}"
+            df = self._eval_cte(name, cols, body, extra, vname, args, recursive_cte)
+            df.createOrReplaceTempView(vname)
+            extra[name] = vname
+            if i < len(toks) and toks[i] == ",":
+                i += 1
+                continue
+            break
+        main = _j(toks[i:])
+        return DmlExecutor(self.store, extra).execute(
+            main, args=args, is_state=is_state, _translated=True
+        )
+
+    def _eval_cte(self, name, cols, body, extra, vname, args, fixpoint):
+        lows = [t.lower() if _is_word(t) else t for t in body]
+        self_ref = any(
+            _is_word(t)
+            and lows[k] == name
+            and (k == 0 or body[k - 1] != ".")
+            and (k + 1 >= len(body) or body[k + 1] != "(")
+            for k, t in enumerate(body)
+        )
+        sub = DmlExecutor(self.store, extra)
+        if not self_ref:
+            df = sub._sql(_j(body), args)
+            return df.toDF(*cols) if cols else df
+        # split base | step at the first top-level UNION [ALL]
+        depth = 0
+        u = None
+        union_all = False
+        for k, t in enumerate(body):
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and lows[k] == "union":
+                u = k
+                union_all = k + 1 < len(body) and lows[k + 1] == "all"
+                break
+        if u is None:
+            raise SqlTranslationError(
+                f"recursive CTE {name} has no top-level UNION"
+            )
+        base = sub._sql(_j(body[:u]), args)
+        if cols:
+            base = base.toDF(*cols)
+        out_cols = base.columns
+        step_sql = _j(body[u + (2 if union_all else 1) :])
+        step_exec = DmlExecutor(self.store, {**extra, name: vname})
+
+        def step(frontier: DataFrame) -> DataFrame:
+            frontier.createOrReplaceTempView(vname)
+            return step_exec._sql(step_sql, args).toDF(*out_cols)
+
+        return fixpoint(base, step, union_all=union_all)
 
     # -- CREATE TABLE --------------------------------------------------------
 

@@ -231,9 +231,7 @@ sql_case("q16_cross_join", _Q16, _Q16, doc="CROSS JOIN")
 # --- q17: recursive CTE — Spark lacks WITH RECURSIVE → iterative fixpoint ----
 
 
-@register(
-    "q17_recursive_cte",
-    """
+_Q17 = """
     with recursive seq(n) as (
       select 1
       union all
@@ -242,24 +240,21 @@ sql_case("q16_cross_join", _Q16, _Q16, doc="CROSS JOIN")
     select n, count(o_orderkey) as n_orders
     from seq left join orders on (o_orderkey % 16) + 1 = n
     group by n
-    """,
-    doc="WITH RECURSIVE emulation: driver-side fixpoint loop (SURVEY 2.B CTE gap)",
+    """
+
+
+@register(
+    "q17_recursive_cte",
+    _Q17,
+    doc="WITH RECURSIVE in SQL text, routed to the driver-side fixpoint "
+    "operator by DmlExecutor (SURVEY 2.B CTE gap; reference authorizer "
+    "action Recursive, leaf-stream/src/lib.rs:1024)",
 )
 def q17_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.recursive import recursive_cte
+    from .dml import run_sql
 
-    t = load_tables(spark, sf_dir)
-    base = spark.range(1, 2).select(F.col("id").cast("int").alias("n"))
-    seq = recursive_cte(
-        base,
-        lambda prev: prev.where(F.col("n") < 16).select((F.col("n") + 1).alias("n")),
-        max_iterations=100,
-    )
-    return (
-        seq.join(t["orders"], (F.col("o_orderkey") % 16) + 1 == F.col("n"), "left")
-        .groupBy("n")
-        .agg(F.count("o_orderkey").alias("n_orders"))
-    )
+    load_tables(spark, sf_dir)
+    return run_sql(spark, _Q17, {"orders": "orders"})
 
 
 # --- q18: grouping over join with inequality predicate -----------------------
