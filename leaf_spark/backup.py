@@ -120,18 +120,22 @@ def _write_range(backup_dir: str, events: list[Event]) -> None:
 
 def _snapshot_state(stream: Stream, backup_dir: str) -> None:
     """≈ VACUUM INTO: state tables are not replay-recoverable, so snapshot
-    their current rows (storage.rs:743-771)."""
+    their current rows (storage.rs:743-771).
+
+    Written with ``df.write.parquet`` from executors — a large materialized
+    state table never lands on the driver (each ``{name}.parquet`` entry is
+    a parquet directory, scannable by Spark and pyarrow alike)."""
     state_dir = os.path.join(backup_dir, "state")
     names = stream.store.state_tables()
     if not names:
         return
     os.makedirs(state_dir, exist_ok=True)
     for name in names:
-        rows = stream.store.tables[name].toPandas()
-        pq.write_table(
-            pa.Table.from_pandas(rows, preserve_index=False),
-            os.path.join(state_dir, f"{name}.parquet"),
-            compression="zstd",
+        (
+            stream.store.tables[name]
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .parquet(os.path.join(state_dir, f"{name}.parquet"))
         )
 
 
@@ -225,8 +229,7 @@ def _restore_state(spark: SparkSession, stream: Stream, backup_dir: str) -> None
         if name not in stream.store.defs or not stream.store.defs[name].is_state:
             continue  # snapshot of a table the current module doesn't define
         tdef = stream.store.defs[name]
-        df = spark.createDataFrame(
-            pq.read_table(os.path.join(state_dir, fn)).to_pandas(), schema=tdef.schema
-        )
+        # distributed read (the snapshot is a parquet directory)
+        df = spark.read.schema(tdef.schema).parquet(os.path.join(state_dir, fn))
         stream.store.mutated(name, df)
     stream.store.checkpoint_all()

@@ -178,9 +178,13 @@ def _rw_call(name: str, args: list[str]) -> str:
     if n == "total":
         return f"coalesce(cast(sum(cast({args[0]} as double)) as double), 0.0)"
     if n == "group_concat":
+        # SQLite concatenates in arrival order; Spark's collect_list order is
+        # undefined across retries/partitionings. Documented divergence: we
+        # pin a deterministic sorted order so module results are stable
+        # under re-execution (retry-safety beats arrival-order parity).
         sep = args[1] if len(args) > 1 else "','"
         return (
-            f"array_join(collect_list(cast({args[0]} as string)), {sep})"
+            f"array_join(sort_array(collect_list(cast({args[0]} as string))), {sep})"
         )
     if n in ("printf", "format"):
         return f"format_string({', '.join(args)})"
@@ -217,7 +221,8 @@ def _rw_call(name: str, args: list[str]) -> str:
         pairs = ", ".join(args)
         return f"to_json(named_struct({pairs}))"
     if n == "json_group_array":
-        return f"to_json(collect_list({args[0]}))"
+        # same determinism rationale as group_concat above
+        return f"to_json(sort_array(collect_list({args[0]})))"
     if n == "json_array":
         return f"to_json(array({', '.join(args)}))"
     if n in ("json_set", "json_patch"):

@@ -142,6 +142,40 @@ class TestEventViewArity:
         assert rows == [{"idx": 1, "user": "u1"}, {"idx": 2, "user": "u2"}]
 
 
+class TestGroupConcatDeterminism:
+    def test_stable_across_partitionings(self, spark):
+        """translate()'d group_concat must give identical output no matter
+        how the input is partitioned (VERDICT wrong #2)."""
+        from leaf_spark.sqlcompat import translate
+
+        sql = translate("select group_concat(v) as gc from t")
+        assert "sort_array" in sql
+        df = spark.createDataFrame([(i,) for i in range(50)], "v int")
+        outs = set()
+        for n in (1, 8):
+            df.repartition(n).createOrReplaceTempView("t")
+            outs.add(spark.sql(sql).collect()[0]["gc"])
+        assert len(outs) == 1
+
+    def test_json_group_array_sorted(self):
+        from leaf_spark.sqlcompat import translate
+
+        assert "sort_array" in translate("select json_group_array(v) from t")
+
+
+class TestBackupStaysDistributed:
+    def test_no_driver_materialization_in_state_snapshot(self):
+        """The state snapshot/restore path must not collect tables onto the
+        driver (VERDICT wrong #3)."""
+        import inspect
+
+        from leaf_spark import backup
+
+        for fn in (backup._snapshot_state, backup._restore_state):
+            src = inspect.getsource(fn)
+            assert "toPandas" not in src and "collect()" not in src
+
+
 class TestUpsertNullKeys:
     @pytest.fixture()
     def store(self, spark):

@@ -31,7 +31,9 @@ class TestTranslate:
         )
 
     def test_group_concat(self):
-        assert "array_join(collect_list(cast(x as string)), ',')" in translate(
+        # sorted for determinism across retries/partitionings (documented
+        # divergence from SQLite's arrival order)
+        assert "array_join(sort_array(collect_list(cast(x as string))), ',')" in translate(
             "select group_concat(x) from t"
         )
         assert "';'" in translate("select group_concat(x, ';') from t")
@@ -54,7 +56,9 @@ class TestTranslate:
             "select get_json_object(j, '$.k') from t"
         )
         assert "to_json(named_struct('a', 1))" in translate("select json_object('a', 1)")
-        assert "to_json(collect_list(x))" in translate("select json_group_array(x)")
+        assert "to_json(sort_array(collect_list(x)))" in translate(
+            "select json_group_array(x)"
+        )
         assert "get_json_object(j, '$.a.b')" in translate(
             "select json_extract(j, '$.a.b') from t"
         )
