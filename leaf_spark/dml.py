@@ -67,6 +67,24 @@ class TableDef:
 
 
 @dataclass
+class TriggerDef:
+    """CREATE TRIGGER … ON table — the reference's SQLite executes triggers
+    natively (authorizer allows CreateTrigger, leaf-stream/src/lib.rs:1005);
+    here the body is folded into the mutation set-wise: ``new``/``old`` are
+    batch views of the affected rows and each body statement runs ONCE per
+    mutation instead of once per row (equivalent for the common audit/counter
+    shapes; a body whose statements depend on row-at-a-time interleaving
+    diverges — documented)."""
+
+    name: str
+    timing: str  # 'before' | 'after'
+    op: str  # 'insert' | 'update' | 'delete'
+    table: str  # flattened table name
+    when_sql: str | None
+    body: tuple[str, ...]  # raw statements (translated at fire time)
+
+
+@dataclass
 class TableStore:
     """Per-(stream, module) managed tables: name → DataFrame + schema.
 
@@ -80,6 +98,7 @@ class TableStore:
     defs: dict[str, TableDef] = field(default_factory=dict)
     tables: dict[str, DataFrame] = field(default_factory=dict)
     views: dict[str, str] = field(default_factory=dict)  # name → select SQL
+    triggers: dict[str, TriggerDef] = field(default_factory=dict)
     _mutations: int = 0
 
     def view_name(self, table: str) -> str:
@@ -122,14 +141,15 @@ class TableStore:
 
     # -- transactional snapshot (rollback support for event-batch folds) -----
 
-    def snapshot(self) -> tuple[dict, dict, dict]:
-        return dict(self.defs), dict(self.tables), dict(self.views)
+    def snapshot(self) -> tuple[dict, dict, dict, dict]:
+        return dict(self.defs), dict(self.tables), dict(self.views), dict(self.triggers)
 
-    def restore(self, snap: tuple[dict, dict, dict]) -> None:
+    def restore(self, snap: tuple[dict, dict, dict, dict]) -> None:
         """Restore a snapshot taken before a failed fold: drop tables/views
         created since (incl. their temp views), then reinstate the saved
         DataFrame versions."""
-        defs, tables, views = snap
+        defs, tables, views, triggers = snap
+        self.triggers = dict(triggers)
         for gone in set(self.tables) - set(tables):
             self.tables.pop(gone, None)
             self.defs.pop(gone, None)
@@ -242,6 +262,9 @@ class DmlExecutor:
         if kind == "create_view":
             self._create_view(sql)
             return None
+        if kind == "create_trigger":
+            self._create_trigger(raw_sql)
+            return None
         if kind == "drop":
             name = (info.target or "").replace("state.", "state_").replace("main.", "")
             toks = [t.lower() for t in tokenize(raw_sql) if _is_word(t)]
@@ -249,6 +272,10 @@ class DmlExecutor:
                 self.store.drop(name, if_exists="if" in toks)
             elif "view" in toks:
                 self.store.views.pop(name, None)
+            elif "trigger" in toks:
+                if name not in self.store.triggers and "if" not in toks:
+                    raise SqlTranslationError(f"no such trigger {name}")
+                self.store.triggers.pop(name, None)
             return None
         if kind == "insert":
             self._insert(sql, args)
@@ -415,6 +442,211 @@ class DmlExecutor:
         name = lows[as_idx - 1]
         self.store.views[name] = _j(toks[as_idx + 1 :])
 
+    # -- CREATE TRIGGER ------------------------------------------------------
+
+    def _create_trigger(self, raw_sql: str) -> None:
+        """CREATE TRIGGER [IF NOT EXISTS] name [BEFORE|AFTER]
+        (INSERT|UPDATE [OF cols]|DELETE) ON tbl [FOR EACH ROW] [WHEN expr]
+        BEGIN stmt; … END"""
+        toks = tokenize(raw_sql)
+        lows = [t.lower() if _is_word(t) else t for t in toks]
+        i = lows.index("trigger") + 1
+        if_not_exists = False
+        while lows[i] in ("if", "not", "exists"):
+            if_not_exists = True
+            i += 1
+        name = lows[i]
+        i += 1
+        timing = "after"  # SQLite default when omitted
+        if lows[i] in ("before", "after"):
+            timing = lows[i]
+            i += 1
+        elif lows[i] == "instead":
+            raise SqlTranslationError("INSTEAD OF triggers are not supported")
+        op = lows[i]
+        if op not in ("insert", "update", "delete"):
+            raise SqlTranslationError(f"unsupported trigger operation {op!r}")
+        i += 1
+        if op == "update" and i < len(lows) and lows[i] == "of":
+            while lows[i] != "on":
+                i += 1
+        if lows[i] != "on":
+            raise SqlTranslationError("expected ON <table> in CREATE TRIGGER")
+        i += 1
+        # flatten db-qualified table name like _create_table
+        if i + 2 < len(toks) and toks[i + 1] == ".":
+            db, base = lows[i], lows[i + 2]
+            table = base if db == "main" else f"{db}_{base}"
+            i += 3
+        else:
+            table = lows[i]
+            i += 1
+        if lows[i : i + 3] == ["for", "each", "row"]:
+            i += 3
+        when_sql = None
+        begin_idx = lows.index("begin", i)
+        if lows[i] == "when":
+            when_sql = _j(toks[i + 1 : begin_idx])
+        # body = BEGIN … END, where END is the LAST 'end' token (the body may
+        # contain CASE…END expressions)
+        end_idx = len(lows) - 1 - lows[::-1].index("end")
+        from .module import split_statements
+
+        body = tuple(
+            s for s in split_statements(_j(toks[begin_idx + 1 : end_idx])) if s.strip()
+        )
+        if name in self.store.triggers and if_not_exists:
+            return
+        if name in self.store.triggers:
+            raise SqlTranslationError(f"trigger {name} already exists")
+        self.store.triggers[name] = TriggerDef(name, timing, op, table, when_sql, body)
+
+    def _fire_triggers(
+        self,
+        timing: str,
+        op: str,
+        table: str,
+        new_df: DataFrame | None,
+        old_df: DataFrame | None,
+        args: dict | None,
+        paired_df: DataFrame | None = None,
+    ) -> None:
+        """Run matching trigger bodies set-wise over the affected-row views.
+
+        ``new``/``old`` are registered as temp views of the affected batch;
+        for UPDATE both come from one row-paired projection, so a body (or
+        WHEN) referencing both via the paired rewrite sees consistent rows.
+        Triggers do not fire triggers (SQLite's recursive_triggers=off
+        default)."""
+        if getattr(self, "_suppress_triggers", False):
+            return
+        trigs = [
+            t
+            for t in self.store.triggers.values()
+            if t.table == table and t.op == op and t.timing == timing
+        ]
+        if not trigs:
+            return
+        pfx = self.store.view_prefix
+        F_ = F
+        for tg in trigs:
+            fire_extra = dict(self.extra_views)
+            paired_view = None
+            if op == "update":
+                # row-paired projection: old columns plain, new as __new__c —
+                # WHEN and both-role VALUES rewrites see consistent rows
+                p = paired_df
+                if tg.when_sql:
+                    when = sqlcompat.translate(tg.when_sql)
+                    wtoks = tokenize(when)
+                    wl = [t.lower() if _is_word(t) else t for t in wtoks]
+                    out, k = [], 0
+                    while k < len(wtoks):
+                        if (
+                            wl[k] in ("new", "old")
+                            and k + 2 < len(wtoks) + 1
+                            and k + 1 < len(wtoks)
+                            and wtoks[k + 1] == "."
+                        ):
+                            col = wtoks[k + 2].lower()
+                            out.append(col if wl[k] == "old" else f"__new__{col}")
+                            k += 3
+                        else:
+                            out.append(wtoks[k])
+                            k += 1
+                    p = p.where(F_.expr(self._map_names(_j(out))))
+                if p.isEmpty():
+                    continue
+                paired_view = f"{pfx}__trig_pair_{tg.name}__"
+                p.createOrReplaceTempView(paired_view)
+                old_cols = [c for c in p.columns if not c.startswith("__new__")]
+                ovn = f"{pfx}__trig_old_{tg.name}__"
+                nvn = f"{pfx}__trig_new_{tg.name}__"
+                p.select(*old_cols).createOrReplaceTempView(ovn)
+                p.select(
+                    *[F_.col(f"__new__{c}").alias(c) for c in old_cols]
+                ).createOrReplaceTempView(nvn)
+                fire_extra["old"] = ovn
+                fire_extra["new"] = nvn
+            else:
+                primary_role = "old" if op == "delete" else "new"
+                primary_df = old_df if op == "delete" else new_df
+                if tg.when_sql:
+                    when = sqlcompat.translate(tg.when_sql)
+                    vtmp = f"{pfx}__trig_src_{tg.name}__"
+                    primary_df.createOrReplaceTempView(vtmp)
+                    primary_df = self.store.spark.sql(
+                        self._map_names(
+                            f"select {primary_role}.* from {vtmp} as {primary_role} "
+                            f"where {when}"
+                        ),
+                        args=args or {},
+                    )
+                if primary_df.isEmpty():
+                    continue
+                vname = f"{pfx}__trig_{primary_role}_{tg.name}__"
+                primary_df.createOrReplaceTempView(vname)
+                fire_extra[primary_role] = vname
+            body_exec = DmlExecutor(self.store, fire_extra)
+            body_exec._suppress_triggers = True
+            for stmt in tg.body:
+                body_exec.execute(
+                    self._rewrite_trigger_values(stmt, fire_extra, paired_view),
+                    args=args,
+                )
+
+    @staticmethod
+    def _rewrite_trigger_values(
+        stmt: str, extra: dict[str, str], paired_view: str | None
+    ) -> str:
+        """``INSERT … VALUES (new.x, …)`` is per-row in SQLite; the set-wise
+        equivalent is ``INSERT … SELECT new.x, … FROM new`` (or old). A
+        VALUES tuple referencing BOTH roles (UPDATE triggers) selects from
+        the row-paired view, where old columns keep their names and new
+        values live under ``__new__<col>``. Statements that reference
+        new/old only inside subqueries run unchanged."""
+        toks = tokenize(stmt)
+        lows = [t.lower() if _is_word(t) else t for t in toks]
+        if lows[:1] != ["insert"] or "values" not in lows:
+            return stmt
+        v = lows.index("values")
+        refs = {
+            lows[k]
+            for k in range(v, len(toks) - 1)
+            if lows[k] in ("new", "old") and toks[k + 1] == "."
+        }
+        refs &= set(extra) | ({"new", "old"} if paired_view else set())
+        if not refs:
+            return stmt
+        if "(" not in toks[v:]:
+            return stmt
+        vargs, _close = _find_args(toks, v + toks[v:].index("("))
+        head = _j(toks[:v])
+        if len(refs) == 2:
+            if paired_view is None:
+                raise SqlTranslationError(
+                    "trigger body VALUES references both new and old outside "
+                    "an UPDATE trigger"
+                )
+            # token-rewrite against the paired projection
+            out_args = []
+            for a in vargs:
+                al = [t.lower() if _is_word(t) else t for t in a]
+                out, k = [], 0
+                while k < len(a):
+                    if al[k] in ("new", "old") and k + 2 < len(a) + 1 and k + 1 < len(a) and a[k + 1] == ".":
+                        col = a[k + 2].lower()
+                        out.append(col if al[k] == "old" else f"__new__{col}")
+                        k += 3
+                    else:
+                        out.append(a[k])
+                        k += 1
+                out_args.append(_j(out))
+            return f"{head} select {', '.join(out_args)} from {paired_view}"
+        role = refs.pop()
+        exprs = ", ".join(_j(a) for a in vargs)
+        return f"{head} select {exprs} from {role}"
+
     # -- INSERT (incl. upsert) ----------------------------------------------
 
     _ON_CONFLICT_RE = re.compile(r"\bon\s+conflict\b", re.IGNORECASE)
@@ -485,9 +717,19 @@ class DmlExecutor:
         )
 
         if conflict is None:
+            inserted = aligned.drop(
+                *(["__ord__"] if "__ord__" in aligned.columns else [])
+            )
+            self._fire_triggers("before", "insert", name, inserted, None, args)
             self.store.mutated(name, existing.unionByName(aligned))
+            self._fire_triggers("after", "insert", name, inserted, None, args)
             return
         self._upsert(name, tdef, existing, aligned, conflict, args)
+
+    def _has_triggers(self, table: str, op: str) -> bool:
+        return any(
+            t.table == table and t.op == op for t in self.store.triggers.values()
+        ) and not getattr(self, "_suppress_triggers", False)
 
     def _upsert(
         self,
@@ -540,9 +782,12 @@ class DmlExecutor:
 
         if action == "nothing":
             fresh = incoming.join(existing.select(*keys), keys, "left_anti")
+            inserted = fresh.unionByName(append_only)
+            self._fire_triggers("before", "insert", name, inserted, None, args)
             self.store.mutated(
                 name, existing.unionByName(fresh).unionByName(append_only)
             )
+            self._fire_triggers("after", "insert", name, inserted, None, args)
             return
 
         # DO UPDATE SET a = expr, ... — expr may reference excluded.c and t.c
@@ -579,7 +824,32 @@ class DmlExecutor:
             f"select {', '.join(cols_sql)} from {tv} full outer join {ev} on {key_eq}",
             args=args or {},
         )
+        # trigger views (lazy; _fire_triggers no-ops when none are defined)
+        cols = [f_.name for f_ in tdef.schema.fields]
+        inserted = incoming.join(
+            existing.select(*keys).dropDuplicates(keys), keys, "left_anti"
+        ).unionByName(append_only)
+        paired = None
+        if self._has_triggers(name, "update"):
+            mk = (
+                incoming.select(*keys)
+                .dropDuplicates(keys)
+                .join(existing.select(*keys).dropDuplicates(keys), keys, "semi")
+            )
+            old_matched = existing.join(mk, keys, "semi")
+            new_matched = merged.join(mk, keys, "semi")
+            paired = old_matched.join(
+                new_matched.select(
+                    *[F.col(k) for k in keys],
+                    *[F.col(c).alias(f"__new__{c}") for c in cols],
+                ),
+                keys,
+            )
+        self._fire_triggers("before", "insert", name, inserted, None, args)
+        self._fire_triggers("before", "update", name, None, None, args, paired)
         self.store.mutated(name, merged.unionByName(append_only))
+        self._fire_triggers("after", "insert", name, inserted, None, args)
+        self._fire_triggers("after", "update", name, None, None, args, paired)
 
     @staticmethod
     def _parse_assignments(toks: list[str]) -> dict[str, str]:
@@ -664,7 +934,25 @@ class DmlExecutor:
             else:
                 cols_sql.append(c)
         df = self._sql(f"select {', '.join(cols_sql)} from {name}", args)
+        paired = None
+        if self._has_triggers(name, "update"):
+            new_cols = []
+            for f_ in tdef.schema.fields:
+                c = f_.name
+                if c in assignments:
+                    new_cols.append(
+                        f"cast(({assignments[c]}) as {f_.dataType.simpleString()}) as __new__{c}"
+                    )
+                else:
+                    new_cols.append(f"{c} as __new__{c}")
+            paired = self._sql(
+                f"select *, {', '.join(new_cols)} from {name} "
+                f"where coalesce(({pred}), false)",
+                args,
+            )
+        self._fire_triggers("before", "update", name, None, None, args, paired)
         self.store.mutated(name, df)
+        self._fire_triggers("after", "update", name, None, None, args, paired)
 
     def _delete(self, sql: str, args: dict | None) -> None:
         toks = tokenize(sql)
@@ -675,4 +963,11 @@ class DmlExecutor:
         _, where = self._split_where(toks)
         pred = _j(where) if where else "true"
         df = self._sql(f"select * from {name} where not coalesce(({pred}), false)", args)
+        deleted = None
+        if self._has_triggers(name, "delete"):
+            deleted = self._sql(
+                f"select * from {name} where coalesce(({pred}), false)", args
+            )
+        self._fire_triggers("before", "delete", name, None, deleted, args)
         self.store.mutated(name, df)
+        self._fire_triggers("after", "delete", name, None, deleted, args)

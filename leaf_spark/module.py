@@ -37,15 +37,24 @@ def strip_comments(sql: str) -> str:
     return _COMMENT_RE.sub("", sql)
 
 
+_TRIGGER_HEAD_RE = re.compile(r"^\s*create\s+(temp\s+|temporary\s+)?trigger\b", re.IGNORECASE)
+_WORD_RE = re.compile(r"[A-Za-z_]\w*")
+
+
 def split_statements(sql: str) -> list[str]:
-    """Statement split on ';' outside of quoted strings.
+    """Statement split on ';' outside of quoted strings and outside a
+    trigger's BEGIN…END block (a trigger body contains ';'-separated
+    statements but is ONE statement).
 
     (The reference splits naively on ';' after comment-strip,
-    module/basic.rs:181-187; we additionally respect quotes so literals
-    containing ';' survive — strictly safer, same behavior on its corpus.)
+    module/basic.rs:181-187 — SQLite's own parser receives whole scripts
+    elsewhere; respecting quotes and trigger bodies is strictly safer,
+    same behavior on its corpus.)
     """
     out, buf, i, n = [], [], 0, len(sql)
     quote: str | None = None
+    depth = 0  # BEGIN…END nesting within a CREATE TRIGGER statement
+    case_depth = 0  # CASE…END expressions inside the trigger body
     while i < n:
         c = sql[i]
         if quote:
@@ -59,12 +68,31 @@ def split_statements(sql: str) -> list[str]:
         elif c in ("'", '"'):
             quote = c
             buf.append(c)
-        elif c == ";":
+        elif c == ";" and depth == 0:
             stmt = "".join(buf).strip()
             if stmt:
                 out.append(stmt)
             buf = []
         else:
+            if c.isalpha() or c == "_":
+                m = _WORD_RE.match(sql, i)
+                word = m.group(0)
+                low = word.lower()
+                cur = "".join(buf)
+                if low == "begin" and _TRIGGER_HEAD_RE.match(cur):
+                    depth += 1
+                elif low == "case" and depth > 0:
+                    case_depth += 1
+                elif low == "end" and depth > 0:
+                    # CASE…END pairs inside the body close first; a bare
+                    # END then closes the trigger
+                    if case_depth > 0:
+                        case_depth -= 1
+                    else:
+                        depth -= 1
+                buf.append(word)
+                i = m.end()
+                continue
             buf.append(c)
         i += 1
     stmt = "".join(buf).strip()

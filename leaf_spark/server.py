@@ -50,6 +50,10 @@ class LeafServer:
         "admin/list_streams",
     )
 
+    # reference caps the raw upload payload before decoding it
+    # (connection.rs:55-57)
+    MODULE_MAX_BYTES = 10 * 1024 * 1024
+
     def __init__(self, catalog: StreamCatalog):
         self.catalog = catalog
 
@@ -58,6 +62,8 @@ class LeafServer:
     def handle(self, conn: Connection, endpoint: str, args_drisl: bytes) -> bytes:
         """One request → DRISL-encoded Result ack."""
         try:
+            if endpoint == "module/upload" and len(args_drisl) > self.MODULE_MAX_BYTES:
+                raise ValueError("Module larger than 10MB maximum size.")
             args = drisl.decode(args_drisl) if args_drisl else {}
             out = self.dispatch(conn, endpoint, args)
             return drisl.encode({"Ok": out})
@@ -81,6 +87,11 @@ class LeafServer:
 
     def dispatch(self, conn: Connection, endpoint: str, args: dict):
         if endpoint == "module/upload":
+            blob = drisl.encode(args["module"])
+            if len(blob) > self.MODULE_MAX_BYTES:
+                # enforced here too so direct dispatch() callers (no
+                # transport framing) hit the same cap
+                raise ValueError("Module larger than 10MB maximum size.")
             module = BasicModuleDef.from_codec(args["module"])
             return {"cid": self.catalog.modules.upload(module)}
         if endpoint == "module/exists":

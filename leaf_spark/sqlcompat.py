@@ -167,9 +167,25 @@ class SqlTranslationError(ValueError):
     pass
 
 
+_CAST_TYPE_MAP = {
+    "text": "string", "clob": "string", "varchar": "string", "char": "string",
+    "any": "string",
+    "integer": "bigint", "int": "bigint", "bigint": "bigint",
+    "smallint": "bigint", "tinyint": "bigint",
+    "real": "double", "double": "double", "float": "double", "numeric": "double",
+    "blob": "binary",
+}
+
+
 def _rw_call(name: str, args: list[str]) -> str:
     """Rewrite one function call (args already translated SQL strings)."""
     n = name.lower()
+    if n == "cast":
+        # cast(x as TEXT) — SQLite type names → Spark type names
+        m = re.search(r"\s+as\s+(\w+)\s*$", args[0], re.IGNORECASE)
+        if m and m.group(1).lower() in _CAST_TYPE_MAP:
+            return f"cast({args[0][: m.start()]} as {_CAST_TYPE_MAP[m.group(1).lower()]})"
+        return f"cast({args[0]})"
     if n == "iif":
         # SQLite truthiness: any nonzero numeric is true; Spark if() demands
         # BOOLEAN → coerce via cast (boolean exprs pass through unchanged)
@@ -418,9 +434,9 @@ def classify(sql: str) -> StatementInfo:
         if "view" in lows:
             return StatementInfo("create_view", _after("view"), fns, reads_event)
         if "trigger" in lows:
-            return StatementInfo("other", None, fns, reads_event)
+            return StatementInfo("create_trigger", _after("on"), fns, reads_event)
     if head == "drop":
-        return StatementInfo("drop", _after("table") or _after("view") or _after("index"), fns, reads_event)
+        return StatementInfo("drop", _after("table") or _after("view") or _after("index") or _after("trigger"), fns, reads_event)
     return StatementInfo("other", None, fns, reads_event)
 
 

@@ -92,13 +92,51 @@ def _safe_dirname(did: str) -> str:
 
 
 def default_signer(batch_payloads: list[bytes]) -> bytes:
-    """A2 stub: one signature per batch over the DRISL-encoded payload list.
+    """A2 fallback: one signature per batch over the DRISL-encoded payload
+    list.
 
-    The reference signs with ECDSA P256/K256 (lib.rs:623-632); we compute a
-    deterministic sha-256 so replay/backup round-trips are checkable. Swap in
-    a real key by passing ``signer=`` to Stream.add_events.
+    The reference signs with ECDSA P256/K256 (lib.rs:623-632); without a key
+    we compute a deterministic sha-256 so replay/backup round-trips are
+    checkable. For real signing use ``ecdsa_signer`` (P-256 via the
+    ``cryptography`` package when importable).
     """
     return hashlib.sha256(drisl.encode([bytes(p) for p in batch_payloads])).digest()
+
+
+def ecdsa_signer(private_key_pem: bytes):
+    """A2: ECDSA P-256 batch signer over the same DRISL batch encoding the
+    reference signs (``key.sign(drisl(events))``, lib.rs:628-632).
+
+    Returns a ``signer`` callable for Stream.add_events. Requires the
+    ``cryptography`` package; raises ImportError otherwise (callers fall
+    back to ``default_signer``)."""
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import ec
+
+    key = serialization.load_pem_private_key(private_key_pem, password=None)
+
+    def signer(batch_payloads: list[bytes]) -> bytes:
+        data = drisl.encode([bytes(p) for p in batch_payloads])
+        return key.sign(data, ec.ECDSA(hashes.SHA256()))
+
+    return signer
+
+
+def verify_batch_signature(
+    public_key_pem: bytes, batch_payloads: list[bytes], signature: bytes
+) -> bool:
+    """Verify an ``ecdsa_signer`` signature against the batch payloads."""
+    from cryptography.exceptions import InvalidSignature
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import ec
+
+    pub = serialization.load_pem_public_key(public_key_pem)
+    data = drisl.encode([bytes(p) for p in batch_payloads])
+    try:
+        pub.verify(signature, data, ec.ECDSA(hashes.SHA256()))
+        return True
+    except InvalidSignature:
+        return False
 
 
 @dataclass
@@ -269,6 +307,10 @@ class Stream:
                 "seq": seq,
                 "tables": tables_meta,
                 "views": dict(self.store.views),
+                "triggers": {
+                    n: t.__dict__ | {"body": list(t.body)}
+                    for n, t in self.store.triggers.items()
+                },
             }
             tmp = self._snapshot_manifest_path() + ".tmp"
             os.makedirs(base, exist_ok=True)
@@ -315,6 +357,12 @@ class Stream:
             self.store.defs[name] = tdef
             self.store.register(name, df)
         self.store.views = dict(manifest.get("views", {}))
+        from .dml import TriggerDef
+
+        self.store.triggers = {
+            n: TriggerDef(**{**d, "body": tuple(d["body"])})
+            for n, d in manifest.get("triggers", {}).items()
+        }
         self.state.module_event_cursor = manifest["cursor"]
         self._snap_cursor = manifest["cursor"]
         return True
@@ -358,6 +406,7 @@ class Stream:
             for name in list(self.store.defs):
                 self.store.drop(name, if_exists=True)
             self.store.views.clear()
+            self.store.triggers.clear()
             self.catch_up()
             self._commit_state()
 
@@ -423,6 +472,12 @@ class Stream:
         for stmt in split_statements(strip_comments(sql)):
             info = classify(stmt)
             if info.kind != "insert":
+                return False
+            # triggers on the insert target run their bodies per statement
+            # execution; per-event application keeps their visibility
+            # semantics identical to the reference's row-at-a-time fold
+            tgt = (info.target or "").replace("state.", "state_").replace("main.", "")
+            if any(t.table == tgt for t in self.store.triggers.values()):
                 return False
             toks = tokenize(stmt)
             lows = [t.lower() if _is_word(t) else t for t in toks]

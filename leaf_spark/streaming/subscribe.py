@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Any
@@ -35,6 +36,12 @@ from ..types import LeafQuery
 
 RESULT_CHANNEL_CAPACITY = 12  # lib.rs:355
 WORKER_CHANNEL_CAPACITY = 16  # lib.rs:337
+# emit backpressure: retry with exponential backoff instead of dropping
+# (reference connection.rs:448-474: 10 ms doubling to 1 s while the client
+# stays connected); EMIT_DEADLINE bounds a consumer that never drains.
+EMIT_BASE_DELAY = 0.01
+EMIT_MAX_DELAY = 1.0
+EMIT_DEADLINE = 5.0
 
 
 @dataclass
@@ -107,6 +114,23 @@ class SubscriptionWorker:
 
     # -- worker loop (lib.rs:888-985) ----------------------------------------
 
+    def _emit(self, ch: queue.Queue, item: Any) -> bool:
+        """Bounded-backoff put (reference retry loop, connection.rs:448-474):
+        10 ms doubling to 1 s; gives up only after EMIT_DEADLINE of
+        continuous backpressure (≈ the reference's disconnected-client
+        bailout) or worker shutdown."""
+        delay = EMIT_BASE_DELAY
+        deadline = time.monotonic() + EMIT_DEADLINE
+        while not self._stopped:
+            try:
+                ch.put(item, timeout=delay)
+                return True
+            except queue.Full:
+                if time.monotonic() >= deadline:
+                    return False
+                delay = min(delay * 2, EMIT_MAX_DELAY)
+        return False
+
     def _run(self) -> None:
         while not self._stopped:
             try:
@@ -122,10 +146,7 @@ class SubscriptionWorker:
                     sub_ids = list(self.subs)
                 upd = StreamUpdate("new_events", arg)
                 for ch in chans:
-                    try:
-                        ch.put_nowait(upd)
-                    except queue.Full:
-                        pass
+                    self._emit(ch, upd)
                 for sid in sub_ids:
                     self._service(sid)
             elif kind == "needs_update":
@@ -143,15 +164,12 @@ class SubscriptionWorker:
         try:
             rows = self.stream.query(sub.user, q2)
         except Exception as ex:  # error forwarding, not teardown
-            try:
-                sub.channel.put(SubscriptionResponse([], False, error=str(ex)[:500]))
-            except queue.Full:
-                pass
+            self._emit(sub.channel, SubscriptionResponse([], False, error=str(ex)[:500]))
             return
         query_last = min(q2.last_event(), stream_latest)
         has_more = query_last < stream_latest
         sub.latest_event = query_last
-        sub.channel.put(SubscriptionResponse(rows, has_more))
+        self._emit(sub.channel, SubscriptionResponse(rows, has_more))
         if has_more:
             self._msgs.put(("needs_update", sub_id))  # self-scheduling drain
 
