@@ -550,15 +550,104 @@ def q55_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register("q52_document_profile", None, doc="one-pass text profile incl. langid + fingerprint")
+_PROFILE_ORACLE = """
+    with base as (
+      select doc_id, text,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) as nt
+      from documents where doc_id < 200
+    ),
+    feat as (
+      select doc_id, text, nt,
+             length(text) as n_chars,
+             case when length(nt) = 0 then 0
+                  else len(string_split(nt, ' ')) end as n_tokens,
+             length(regexp_replace(text, '[^\\p{L}]', '', 'g')) as alpha,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) as digits,
+             length(regexp_replace(text, '[^.,!?;:]', '', 'g')) as punct,
+             length(regexp_replace(text, '[^A-Z]', '', 'g')) as uppr,
+             len(list_distinct(string_split(nt, ' '))) as n_uniq,
+             list_distinct(string_split(nt, ' ')) as wset
+      from base
+    ),
+    scored as (
+      select doc_id,
+             cast(n_chars as bigint) as n_chars,
+             cast(n_tokens as bigint) as n_tokens,
+             cast(alpha as double) / greatest(n_tokens, 1) as avg_token_len,
+             cast(alpha as double) / greatest(n_chars, 1) as alpha_ratio,
+             cast(digits as double) / greatest(n_chars, 1) as digit_ratio,
+             cast(punct as double) / greatest(n_chars, 1) as punct_ratio,
+             cast(uppr as double) / greatest(n_chars, 1) as upper_ratio,
+             cast(n_uniq as double) / greatest(n_tokens, 1) as unique_token_ratio,
+             cast(list_sum(list_transform(
+                    string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
+                    w -> case when length(w) = 0 then 0
+                              else greatest(1, cast(ceil(length(w) / 4.0) as bigint)) end))
+                  + length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))
+                  as bigint) as n_bpe_tokens,
+             len(list_intersect(wset, ['the','a','of','and','to','in','is','that','it','for'])) as s_en,
+             len(list_intersect(wset, ['der','die','das','und','ist','nicht','ein','zu','mit','auf'])) as s_de,
+             len(list_intersect(wset, ['le','la','les','et','est','un','une','pour','dans','que'])) as s_fr,
+             len(list_intersect(wset, ['el','la','los','y','es','un','una','por','para','que'])) as s_es,
+             len(list_intersect(wset, ['的','是','了','在','我','有','和','就','不','人'])) as s_zh
+      from feat
+    )
+    select doc_id, n_chars, n_tokens, avg_token_len, alpha_ratio, digit_ratio,
+           punct_ratio, upper_ratio, unique_token_ratio, n_bpe_tokens,
+           round(0.35 * (case when n_tokens >= 10 and n_tokens <= 100000 then 1.0 else 0.3 end)
+                 + 0.25 * (1.0 - least(digit_ratio * 5, 1.0))
+                 + 0.2 * (1.0 - least(punct_ratio * 5, 1.0))
+                 + 0.2 * least(unique_token_ratio * 2, 1.0), 6) as quality,
+           case when greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 then 'und'
+                when s_en >= s_de and s_en >= s_fr and s_en >= s_es and s_en >= s_zh then 'en'
+                when s_de >= s_fr and s_de >= s_es and s_de >= s_zh then 'de'
+                when s_fr >= s_es and s_fr >= s_zh then 'fr'
+                when s_es >= s_zh then 'es'
+                else 'zh' end as lang_pred
+    from scored
+    """
+
+
+@register(
+    "q52_document_profile",
+    _PROFILE_ORACLE,
+    doc="one-pass text profile (quality features, BPE-ish token count, "
+    "quality score, heuristic langid) — every column recomputed "
+    "independently by the DuckDB oracle; the xxhash64 fingerprint column "
+    "is excluded from the comparison (not DuckDB-expressible) but remains "
+    "in the operator",
+)
 def q52_document_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import document_profile
 
     t = load_tables(spark, sf_dir)
-    return document_profile(t["documents"].where(F.col("doc_id") < 200))
+    return (
+        document_profile(t["documents"].where(F.col("doc_id") < 200))
+        .withColumn("quality", F.round("quality", 6))
+        .drop("fp")
+    )
 
 
-@register("q53_multimodal_meta", None, doc="binary-asset metadata extraction via mapInPandas")
+@register(
+    "q53_multimodal_meta",
+    """
+    select doc_id as asset_id,
+           case when doc_id % 3 = 0 then 'image'
+                when doc_id % 3 = 1 then 'audio'
+                else 'video' end as kind,
+           octet_length(encode(text)) as n_bytes,
+           sha256(text) as sha256,
+           64 + (('0x' || substr(sha256(text), 1, 2))::int % 192) as width,
+           64 + (('0x' || substr(sha256(text), 3, 2))::int % 192) as height,
+           1 + (('0x' || substr(sha256(text), 5, 2))::int % 3) as channels,
+           true as decode_ok
+    from documents
+    """,
+    doc="binary-asset metadata extraction via Arrow-batched mapInPandas; "
+    "the deterministic stub decoder derives dimensions from the content "
+    "sha-256, so the DuckDB oracle recomputes every output column "
+    "independently — a true differential test of the multimodal plumbing",
+)
 def q53_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import extract_image_metadata, synthesize_assets
 
