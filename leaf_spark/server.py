@@ -1,4 +1,4 @@
-"""Server API surface — the reference's 12 socket.io endpoints (A23,
+"""Server API surface — the reference's socket.io endpoints (A23,
 leaf-server/src/http/connection.rs:35-624) as an in-process, transport-
 agnostic handler.
 
@@ -44,6 +44,7 @@ class LeafServer:
         "stream/state_event_batch",
         "stream/clear_state",
         "stream/subscribe_events",
+        "stream/poll_subscription",
         "stream/unsubscribe",
         "stream/query",
         "stream/set_handle",
@@ -145,6 +146,39 @@ class LeafServer:
                 self._effective_user(conn, args), self._decode_query(args["query"])
             )
             return {"subscriptionId": sub.sub_id}
+        if endpoint == "stream/poll_subscription":
+            # HTTP long-poll equivalent of the reference's socket.io push
+            # (connection.rs:430-480): drain queued subscription responses,
+            # blocking up to timeoutSec for the first one.
+            import queue as _queue
+
+            stream = self.catalog.open(args["streamDid"])
+            worker = self.catalog.worker(args["streamDid"])
+            sub = worker.subs.get(args["subscriptionId"])
+            if sub is None:
+                raise KeyError(f"unknown subscription {args['subscriptionId']}")
+            responses = []
+            timeout = float(args.get("timeoutSec") or 0)
+            try:
+                responses.append(
+                    sub.channel.get(timeout=timeout)
+                    if timeout > 0
+                    else sub.channel.get_nowait()
+                )
+                while True:
+                    responses.append(sub.channel.get_nowait())
+            except _queue.Empty:
+                pass
+            return {
+                "responses": [
+                    {
+                        "rows": stream.rows_to_wire(r.rows),
+                        "hasMore": r.has_more,
+                        "error": r.error,
+                    }
+                    for r in responses
+                ]
+            }
         if endpoint == "stream/unsubscribe":
             self.catalog.worker(args["streamDid"]).unsubscribe(args["subscriptionId"])
             return {}
