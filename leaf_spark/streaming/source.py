@@ -80,21 +80,68 @@ def foreach_batch_ingest(
     stream: Stream,
     to_incoming,
     checkpoint_dir: str,
+    max_rows_per_chunk: int = 10_000,
 ):
     """Scale ingestion: an upstream streaming source (Kafka, files, …) is
     folded into a Stream inside foreachBatch — the single-writer commit path
     runs on the driver per micro-batch, exactly once per batch id.
 
     ``to_incoming(row) -> IncomingEvent`` maps source rows to events.
+    The micro-batch lands on the driver in bounded chunks
+    (``toLocalIterator`` + ``max_rows_per_chunk``) so a fat trigger file
+    can't blow driver memory — maxFilesPerTrigger bounds files, this
+    bounds rows regardless of file size. Appends are atomic per chunk;
+    exactly-once across micro-batch REPLAYS is kept by a progress sidecar
+    in the stream dir: committed (batch_id, chunk) pairs are recorded
+    after each append and skipped when the checkpoint re-runs the batch.
     """
-
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        rows = batch_df.collect()  # micro-batch: bounded by trigger size
-        if rows:
-            stream.add_events([to_incoming(r) for r in rows])
-
     return (
-        source_df.writeStream.foreachBatch(_sink)
+        source_df.writeStream.foreachBatch(
+            make_ingest_sink(stream, to_incoming, max_rows_per_chunk)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def make_ingest_sink(stream: Stream, to_incoming, max_rows_per_chunk: int = 10_000):
+    """Build the foreachBatch sink (exposed for replay-semantics tests)."""
+    import json
+    import os
+
+    progress_path = os.path.join(stream.dir, "ingest_progress.json")
+
+    def _load_progress() -> dict:
+        if os.path.exists(progress_path):
+            with open(progress_path) as f:
+                return json.load(f)
+        return {}
+
+    def _mark(done: dict, batch_id: int, chunk_no: int) -> None:
+        done[str(batch_id)] = chunk_no + 1
+        tmp = progress_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(done, f)
+        os.replace(tmp, progress_path)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        done = _load_progress()
+        committed = done.get(str(batch_id), 0)
+        chunk_no = 0
+        buf = []
+
+        def flush() -> None:
+            nonlocal chunk_no
+            if buf and chunk_no >= committed:
+                stream.add_events(buf)
+                _mark(done, batch_id, chunk_no)
+            chunk_no += 1
+
+        for r in batch_df.toLocalIterator():
+            buf.append(to_incoming(r))
+            if len(buf) >= max_rows_per_chunk:
+                flush()
+                buf = []
+        flush()
+
+    return _sink

@@ -144,3 +144,63 @@ def test_running_user_stats_stateful_fold(spark, events_src_dir, tmp_path):
         r["user_id"]: (r["n"], round(r["tv"], 6), r["mx"]) for r in exp_df.collect()
     }
     assert last == exp
+
+
+class TestIngestReplayIdempotence:
+    """foreachBatch chunked ingest: a replayed micro-batch (same batch_id)
+    must not duplicate committed chunks, and a mid-batch failure resumes
+    from the first uncommitted chunk (VERDICT minor #5: bounded driver
+    memory without losing exactly-once)."""
+
+    def _mk(self, spark, tmp_root):
+        from leaf_spark.stream import Stream
+        from tests.fixtures import CHAT
+
+        s = Stream(spark, tmp_root, "did:plc:ingest")
+        s.provide_module(CHAT)
+        return s
+
+    def test_full_replay_is_noop(self, spark, tmp_root):
+        from leaf_spark.streaming.source import make_ingest_sink
+        from leaf_spark.types import IncomingEvent
+        from leaf_spark import drisl
+
+        s = self._mk(spark, tmp_root)
+        df = spark.createDataFrame([(i, f"m{i}") for i in range(5)], "i int, m string")
+        to_inc = lambda r: IncomingEvent(  # noqa: E731
+            "u", drisl.encode({"content": r["m"], "sentAt": r["i"]})
+        )
+        sink = make_ingest_sink(s, to_inc, max_rows_per_chunk=2)
+        sink(df, 7)
+        assert s.state.latest_idx == 5
+        sink(df, 7)  # checkpoint replay of the same batch id
+        assert s.state.latest_idx == 5  # no duplicates
+        sink(df, 8)  # a NEW batch id appends
+        assert s.state.latest_idx == 10
+
+    def test_mid_batch_failure_resumes_without_duplicates(self, spark, tmp_root):
+        from leaf_spark.streaming.source import make_ingest_sink
+        from leaf_spark.types import IncomingEvent
+        from leaf_spark import drisl, stream as stream_mod
+        from leaf_spark.types import LeafQuery
+
+        s = self._mk(spark, tmp_root)
+        df = spark.createDataFrame([(i, f"m{i}") for i in range(6)], "i int, m string")
+        calls = {"n": 0}
+
+        def flaky(r):
+            calls["n"] += 1
+            if calls["n"] == 5:  # fail inside the third chunk, first attempt
+                raise RuntimeError("transient")
+            return IncomingEvent("u", drisl.encode({"content": r["m"], "sentAt": r["i"]}))
+
+        sink = make_ingest_sink(s, flaky, max_rows_per_chunk=2)
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError):
+            sink(df, 1)
+        assert s.state.latest_idx == 4  # chunks 0 and 1 committed
+        sink(df, 1)  # replay: skips committed chunks, commits the rest
+        assert s.state.latest_idx == 6
+        contents = [r["content"] for r in s.query(None, LeafQuery("messages"))]
+        assert contents == [f"m{i}" for i in range(6)]
