@@ -669,6 +669,11 @@ class DmlExecutor:
         lows_b = [t.lower() if _is_word(t) else t for t in body]
 
         into = lows_b.index("into")
+        # INSERT OR REPLACE / OR IGNORE / bare REPLACE INTO (SQLite conflict
+        # clauses) — emulated as PK upserts below
+        head_words = lows_b[:into]
+        or_replace = "replace" in head_words
+        or_ignore = "ignore" in head_words
         name = lows_b[into + 1]
         j = into + 2
         cols: list[str] | None = None
@@ -680,22 +685,44 @@ class DmlExecutor:
             raise SqlTranslationError(f"insert into unknown table {name}")
         tdef = self.store.defs[name]
         target_cols = cols or [f.name for f in tdef.schema.fields]
+        if conflict is None and (or_replace or or_ignore) and tdef.primary_key:
+            # synthesize the equivalent upsert clause. Divergence note:
+            # SQLite's REPLACE is delete-then-insert (fires delete+insert
+            # triggers); this emulation updates in place (fires update
+            # triggers for existing keys) — same resulting rows.
+            if or_ignore:
+                conflict = tokenize("on conflict do nothing")
+            else:
+                non_keys = [
+                    f.name
+                    for f in tdef.schema.fields
+                    if f.name not in tdef.primary_key
+                ]
+                if non_keys:
+                    sets = ", ".join(f"{c} = excluded.{c}" for c in non_keys)
+                    conflict = tokenize(f"on conflict do update set {sets}")
+                else:
+                    conflict = tokenize("on conflict do nothing")
 
         src_sql = _j(body[j:])
         if src_sql.lower().startswith("values"):
             vtoks = tokenize(src_sql)
-            rows_df = None
             k = 1
             selects = []
             while k < len(vtoks):
                 if vtoks[k] == "(":
                     vargs, close = _find_args(vtoks, k)
                     exprs = [f"{_j(a)} as {c}" for a, c in zip(vargs, target_cols)]
+                    # tuple position as __ord__: multi-tuple upserts keep
+                    # SQLite's last-tuple-wins conflict order
+                    exprs.append(f"{len(selects)} as __ord__")
                     selects.append("select " + ", ".join(exprs))
                     k = close + 1
                 else:
                     k += 1
             src = self._sql(" union all ".join(selects), args)
+            if conflict is None:
+                src = src.drop("__ord__")
         else:
             src = self._sql(src_sql, args)
             # a trailing __ord__ column (batch-upsert ordering) rides along

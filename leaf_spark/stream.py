@@ -554,7 +554,15 @@ class Stream:
             events.createOrReplaceTempView(ev_view)
             for stmt in split_statements(strip_comments(fold_sql)):
                 self.sql_authorizer.check(stmt, policy)
-                has_conflict = " conflict" in stmt.lower()
+                low = stmt.lower()
+                # any conflict-resolving insert needs __ord__ so the batch
+                # upsert keeps last-event-wins order (incl. the SQLite
+                # OR REPLACE / OR IGNORE / REPLACE INTO forms)
+                has_conflict = (
+                    " conflict" in low
+                    or re.search(r"^\s*replace\b", low) is not None
+                    or re.search(r"\binsert\s+or\s+(replace|ignore)\b", low) is not None
+                )
                 s = self._inject_ord(stmt) if has_conflict else stmt
                 self._executor(ev_view).execute(s, is_state=is_state)
             return

@@ -225,3 +225,43 @@ class TestUpsertNullKeys:
             "on conflict(k) do update set v = excluded.v"
         )
         assert self._rows(store) == [{"k": "a", "v": 2}, {"k": None, "v": 3}]
+
+
+class TestSqliteConflictClauses:
+    """INSERT OR REPLACE / OR IGNORE / REPLACE INTO emulated as PK upserts."""
+
+    @pytest.fixture()
+    def kv(self, spark):
+        st = TableStore(spark, "t_orrep_")
+        DmlExecutor(st).execute(
+            "create table kv (k text primary key, v integer)"
+        )
+        return st
+
+    def _rows(self, store):
+        return sorted(
+            (r.asDict() for r in store.tables["kv"].collect()), key=lambda r: r["k"]
+        )
+
+    def test_insert_or_replace(self, kv):
+        ex = DmlExecutor(kv)
+        ex.execute("insert into kv values ('a', 1)")
+        ex.execute("insert or replace into kv values ('a', 2), ('b', 3)")
+        assert self._rows(kv) == [{"k": "a", "v": 2}, {"k": "b", "v": 3}]
+
+    def test_replace_into(self, kv):
+        ex = DmlExecutor(kv)
+        ex.execute("insert into kv values ('a', 1)")
+        ex.execute("replace into kv values ('a', 9)")
+        assert self._rows(kv) == [{"k": "a", "v": 9}]
+
+    def test_insert_or_ignore(self, kv):
+        ex = DmlExecutor(kv)
+        ex.execute("insert into kv values ('a', 1)")
+        ex.execute("insert or ignore into kv values ('a', 2), ('c', 3)")
+        assert self._rows(kv) == [{"k": "a", "v": 1}, {"k": "c", "v": 3}]
+
+    def test_multi_tuple_last_wins(self, kv):
+        ex = DmlExecutor(kv)
+        ex.execute("insert or replace into kv values ('x', 1), ('x', 2), ('x', 3)")
+        assert self._rows(kv) == [{"k": "x", "v": 3}]
