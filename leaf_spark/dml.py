@@ -277,6 +277,9 @@ class DmlExecutor:
                     raise SqlTranslationError(f"no such trigger {name}")
                 self.store.triggers.pop(name, None)
             return None
+        if kind == "alter":
+            self._alter(raw_sql)
+            return None
         if kind == "insert":
             self._insert(sql, args)
             return None
@@ -287,6 +290,95 @@ class DmlExecutor:
             self._delete(sql, args)
             return None
         raise SqlTranslationError(f"unsupported statement: {raw_sql[:80]}")
+
+    # -- ALTER TABLE ---------------------------------------------------------
+
+    def _alter(self, raw_sql: str) -> None:
+        """SQLite ALTER TABLE: RENAME TO, RENAME [COLUMN] a TO b,
+        ADD [COLUMN] coldef [DEFAULT lit], DROP [COLUMN] c — schema-registry
+        ops plus a projection over the managed DataFrame (reference
+        authorizer allows AlterTable, leaf-stream/src/lib.rs:1020)."""
+        toks = tokenize(raw_sql)
+        lows = [t.lower() if _is_word(t) else t for t in toks]
+        i = lows.index("table") + 1
+        if i + 2 < len(toks) and toks[i + 1] == ".":
+            db, base = lows[i], lows[i + 2]
+            name = base if db == "main" else f"{db}_{base}"
+            i += 3
+        else:
+            name = lows[i]
+            i += 1
+        if name not in self.store.defs:
+            raise SqlTranslationError(f"alter unknown table {name}")
+        tdef = self.store.defs[name]
+        op = lows[i]
+        i += 1
+        if op == "rename" and lows[i] == "to":
+            new = lows[i + 1]
+            self._rename_table(name, new)
+            return
+        if op == "rename":
+            if lows[i] == "column":
+                i += 1
+            old_c, new_c = lows[i], lows[i + 2]  # a TO b
+            if lows[i + 1] != "to":
+                raise SqlTranslationError("expected TO in RENAME COLUMN")
+            fields = [
+                T.StructField(new_c if f.name == old_c else f.name, f.dataType, f.nullable)
+                for f in tdef.schema.fields
+            ]
+            tdef.schema = T.StructType(fields)
+            tdef.primary_key = tuple(
+                new_c if k == old_c else k for k in tdef.primary_key
+            )
+            self.store.register(name, self.store.tables[name].withColumnRenamed(old_c, new_c))
+            return
+        if op == "add":
+            if lows[i] == "column":
+                i += 1
+            col = lows[i]
+            styp = lows[i + 1] if i + 1 < len(lows) and _is_word(toks[i + 1]) else "any"
+            dtype = _SQLITE_TYPE_MAP.get(styp, T.StringType())
+            default_sql = "null"
+            if "default" in lows[i:]:
+                d = lows.index("default", i)
+                default_sql = _j(toks[d + 1 :])
+            tdef.schema = T.StructType(
+                [*tdef.schema.fields, T.StructField(col, dtype, True)]
+            )
+            df = self.store.tables[name].withColumn(
+                col, F.expr(default_sql).cast(dtype)
+            )
+            self.store.register(name, df)
+            return
+        if op == "drop":
+            if lows[i] == "column":
+                i += 1
+            col = lows[i]
+            if col in tdef.primary_key:
+                raise SqlTranslationError(f"cannot drop primary-key column {col}")
+            tdef.schema = T.StructType(
+                [f for f in tdef.schema.fields if f.name != col]
+            )
+            self.store.register(name, self.store.tables[name].drop(col))
+            return
+        raise SqlTranslationError(f"unsupported ALTER TABLE operation {op!r}")
+
+    def _rename_table(self, old: str, new: str) -> None:
+        if new in self.store.defs:
+            raise SqlTranslationError(f"table {new} already exists")
+        tdef = self.store.defs.pop(old)
+        tdef.name = new
+        df = self.store.tables.pop(old)
+        try:
+            self.store.spark.catalog.dropTempView(self.store.view_name(old))
+        except Exception:
+            pass
+        self.store.defs[new] = tdef
+        self.store.register(new, df)
+        for tg in self.store.triggers.values():
+            if tg.table == old:
+                tg.table = new
 
     # -- WITH RECURSIVE ------------------------------------------------------
 

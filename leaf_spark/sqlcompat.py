@@ -437,6 +437,8 @@ def classify(sql: str) -> StatementInfo:
             return StatementInfo("create_trigger", _after("on"), fns, reads_event)
     if head == "drop":
         return StatementInfo("drop", _after("table") or _after("view") or _after("index") or _after("trigger"), fns, reads_event)
+    if head == "alter":
+        return StatementInfo("alter", _after("table"), fns, reads_event)
     return StatementInfo("other", None, fns, reads_event)
 
 
@@ -470,11 +472,11 @@ class Authorizer:
                 if fn not in allowed:
                     raise AuthorizationError(f"{policy}: function {fn!r} not in allowlist")
         elif policy == "materialize":
-            if info.kind in ("insert", "update", "delete", "drop") and info.target:
+            if info.kind in ("insert", "update", "delete", "drop", "alter") and info.target:
                 if info.target.startswith("state.") or info.target.startswith("state_"):
                     raise AuthorizationError("materialize: cannot write state namespace")
         elif policy == "state_materialize":
-            if info.kind in ("insert", "update", "delete", "drop") and info.target:
+            if info.kind in ("insert", "update", "delete", "drop", "alter") and info.target:
                 if not (info.target.startswith("state.") or info.target.startswith("state_") or info.target == "event"):
                     raise AuthorizationError(
                         f"state_materialize: may only write state namespace, got {info.target}"

@@ -265,3 +265,62 @@ class TestSqliteConflictClauses:
         ex = DmlExecutor(kv)
         ex.execute("insert or replace into kv values ('x', 1), ('x', 2), ('x', 3)")
         assert self._rows(kv) == [{"k": "x", "v": 3}]
+
+
+class TestAlterTable:
+    @pytest.fixture()
+    def store(self, spark):
+        st = TableStore(spark, "t_alter_")
+        ex = DmlExecutor(st)
+        ex.execute("create table t (id integer primary key, name text)")
+        ex.execute("insert into t values (1, 'a'), (2, 'b')")
+        return st
+
+    def _rows(self, store, table="t"):
+        return sorted(
+            (r.asDict() for r in store.tables[table].collect()),
+            key=lambda r: r["id"],
+        )
+
+    def test_add_column_with_default(self, store):
+        ex = DmlExecutor(store)
+        ex.execute("alter table t add column score integer default 7")
+        assert self._rows(store) == [
+            {"id": 1, "name": "a", "score": 7},
+            {"id": 2, "name": "b", "score": 7},
+        ]
+        ex.execute("insert into t values (3, 'c', 9)")
+        assert self._rows(store)[-1]["score"] == 9
+
+    def test_add_column_null_default(self, store):
+        ex = DmlExecutor(store)
+        ex.execute("alter table t add column extra text")
+        assert all(r["extra"] is None for r in self._rows(store))
+
+    def test_rename_column(self, store):
+        ex = DmlExecutor(store)
+        ex.execute("alter table t rename column name to title")
+        assert self._rows(store) == [
+            {"id": 1, "title": "a"},
+            {"id": 2, "title": "b"},
+        ]
+
+    def test_drop_column(self, store):
+        ex = DmlExecutor(store)
+        ex.execute("alter table t drop column name")
+        assert self._rows(store) == [{"id": 1}, {"id": 2}]
+        from leaf_spark.sqlcompat import SqlTranslationError
+
+        with pytest.raises(SqlTranslationError, match="primary-key"):
+            ex.execute("alter table t drop column id")
+
+    def test_rename_table(self, store):
+        ex = DmlExecutor(store)
+        ex.execute("alter table t rename to t2")
+        assert "t" not in store.defs and "t2" in store.defs
+        assert self._rows(store, "t2") == [
+            {"id": 1, "name": "a"},
+            {"id": 2, "name": "b"},
+        ]
+        # queries resolve the new name
+        assert ex.execute("select count(*) as n from t2").collect()[0]["n"] == 2
