@@ -1,0 +1,259 @@
+"""Corpus-cleaning operators for LLM training-data pipelines.
+
+The filtering/cleaning stages a large-scale pretraining pipeline runs after
+dedup (reference scope: the engine's query surface; these extend it the way
+a 100 TB corpus job would — Gopher/C4-style rules re-expressed Spark-first):
+
+- repetition_metrics      Gopher-style intra-doc repetition signals
+                          (dup-word frac, top-bigram frac, dup-5-gram frac)
+                          — single projection, all builtin HOFs, no shuffle
+- crossdoc_ngram_overlap  per-doc fraction of n-grams shared with any other
+                          document — one shuffle on the gram hash (uniform)
+- decontaminate           flag training docs sharing any n-gram with a
+                          holdout/benchmark set — broadcast the (small)
+                          holdout gram set, no full shuffle of the corpus
+- pii_scrub               count + mask emails / phone numbers / IPv4s with
+                          builtin regexp_count/regexp_replace (JVM, codegen)
+- line_dedup              corpus-level exact line dedup (CCNet-style):
+                          first occurrence (by doc id, line position) wins;
+                          reassembles cleaned text order-preserving
+
+Scale notes: repetition metrics and pii_scrub are embarrassingly parallel
+projections. crossdoc/line_dedup shuffle once on a hash that is uniform by
+construction (no skew); decontaminate broadcasts the holdout set, which is
+the realistic shape (benchmarks are MBs, the corpus is TBs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import normalized, spread
+
+
+def words_of(text: Column) -> Column:
+    return F.split(normalized(text), " ")
+
+
+def word_ngrams(words: Column, n: int) -> Column:
+    """All (non-distinct) n-word grams of a word array; empty when the doc
+    has fewer than n words."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals, one row per document.
+
+    All builtin higher-order functions over the word array — a single
+    narrow projection (whole-stage codegen, no shuffle, linear scan at any
+    scale). The top-bigram count is O(distinct² ) array ops per doc, which
+    is bounded by document length, not corpus size.
+    """
+    w = words_of(F.col(text_col))
+    bigrams = word_ngrams(w, 2)
+    five = word_ngrams(w, 5)
+    n_words = F.size(w)
+    n_bi = F.size(bigrams)
+    # Top-bigram multiplicity as the longest run in the sorted gram array —
+    # one linear aggregate pass. (A nested transform/filter count would make
+    # Catalyst re-expand the gram-construction expression per outer element:
+    # no CSE inside lambda bodies → O(len²) expression evaluations.)
+    run = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    top_bi = run["best"]
+    return df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        (1.0 - F.size(F.array_distinct(w)) / F.greatest(n_words, F.lit(1))).alias(
+            "dup_word_frac"
+        ),
+        (F.coalesce(top_bi, F.lit(0)) / F.greatest(n_bi, F.lit(1))).alias(
+            "top_bigram_frac"
+        ),
+        F.when(F.size(five) == 0, F.lit(0.0))
+        .otherwise(1.0 - F.size(F.array_distinct(five)) / F.size(five))
+        .alias("dup_5gram_frac"),
+    )
+
+
+def crossdoc_ngram_overlap(
+    df: DataFrame, n: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per document: how many of its distinct n-grams appear in ANY other
+    document, and the overlap fraction.
+
+    Exactly two shuffles — groupBy on the gram (uniformly distributed text
+    hash) to count distinct source docs, then groupBy back on the doc id.
+    No self-join of documents; the gram table is the join surrogate, which
+    is the shape that survives 100 TB.
+    """
+    grams = (
+        spread(df)
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(word_ngrams(words_of(F.col(text_col)), n))).alias(
+                "gram"
+            ),
+        )
+    )
+    counts = grams.groupBy("gram").agg(
+        F.countDistinct(id_col).alias("n_docs_with_gram")
+    )
+    return (
+        grams.join(counts, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("n_docs_with_gram") > 1, 1).otherwise(0)).alias(
+                "n_shared_grams"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            "n_grams",
+            "n_shared_grams",
+            (F.col("n_shared_grams") / F.col("n_grams")).alias("shared_frac"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    holdout: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per training doc, the number of distinct
+    n-grams that also occur in the holdout set, plus a contaminated flag.
+
+    The holdout gram set is broadcast (benchmarks are small relative to the
+    corpus), so the corpus is scanned exactly once with no shuffle of the
+    training side; the final per-doc rollup groups on the doc id.
+    """
+    def grams(d: DataFrame) -> DataFrame:
+        return d.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(word_ngrams(words_of(F.col(text_col)), n))
+            ).alias("gram"),
+        )
+
+    hold_grams = grams(holdout).select("gram").distinct()
+    return (
+        grams(spread(train))
+        .join(F.broadcast(hold_grams).withColumn("hit", F.lit(1)), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated_grams"),
+        )
+        .select(
+            F.col(id_col),
+            "n_grams",
+            "n_contaminated_grams",
+            (F.col("n_contaminated_grams") > 0).alias("contaminated"),
+        )
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9()\-. ]{6,}[0-9]"
+_IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """Detect + mask emails, phone-like numbers, and IPv4 addresses.
+
+    Pure builtin regexp_count / regexp_replace — JVM regex inside codegen,
+    an embarrassingly parallel projection. Masking order matters: emails
+    first (an email never contains a phone match once masked), then IPs,
+    then phones (the loosest pattern last so it cannot eat IP octets).
+    """
+    t = F.col(text_col)
+    masked = F.regexp_replace(t, _EMAIL_RE, "<EMAIL>")
+    masked = F.regexp_replace(masked, _IPV4_RE, "<IP>")
+    masked = F.regexp_replace(masked, _PHONE_RE, "<PHONE>")
+    return df.withColumns(
+        {
+            "n_emails": F.regexp_count(t, F.lit(_EMAIL_RE)).cast("bigint"),
+            "n_phones": F.regexp_count(
+                F.regexp_replace(F.regexp_replace(t, _EMAIL_RE, " "), _IPV4_RE, " "),
+                F.lit(_PHONE_RE),
+            ).cast("bigint"),
+            "n_ipv4": F.regexp_count(
+                F.regexp_replace(t, _EMAIL_RE, " "), F.lit(_IPV4_RE)
+            ).cast("bigint"),
+            out_col: masked,
+        }
+    )
+
+
+def line_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-level exact line dedup (CCNet-style): a line (trimmed,
+    non-empty) is kept only at its first occurrence across the whole corpus,
+    ordered by (doc id, line position); later occurrences are dropped.
+    Returns (id, n_lines, n_kept, clean_text) with order-preserving
+    reassembly of the surviving lines.
+
+    One shuffle on the line hash (uniform) to elect the winner, one back on
+    the doc id to reassemble. Lines travel as hashes + positions; the text
+    itself is re-emitted from the winning row only.
+    """
+    lines = (
+        spread(df)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        )
+        .withColumn("line", F.trim(F.col("line")))
+        .where(F.length("line") > 0)
+    )
+    w = lines.groupBy("line").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first_at")
+    )
+    kept = lines.join(w, "line").where(
+        (F.col(id_col) == F.col("first_at")[id_col])
+        & (F.col("pos") == F.col("first_at")["pos"])
+    )
+    total = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    return total.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

@@ -653,3 +653,241 @@ def q53_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return extract_image_metadata(synthesize_assets(t["documents"])).orderBy("asset_id")
+
+
+# --- corpus cleaning (training-data pipeline extensions) --------------------
+
+
+@register(
+    "q58_repetition_metrics",
+    """
+    with w as (
+      select doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') as words
+      from documents
+    ),
+    g as (
+      select doc_id, words,
+             len(words) as n_words,
+             case when len(words) >= 2
+                  then list_transform(range(1, len(words)),
+                                      i -> array_to_string(words[i:i+1], ' '))
+                  else [] end as bigrams,
+             case when len(words) >= 5
+                  then list_transform(range(1, len(words) - 3),
+                                      i -> array_to_string(words[i:i+4], ' '))
+                  else [] end as five
+      from w
+    )
+    select doc_id,
+           cast(n_words as bigint) as n_words,
+           1.0 - cast(len(list_distinct(words)) as double) / greatest(n_words, 1)
+             as dup_word_frac,
+           cast(coalesce(list_max(list_transform(list_distinct(bigrams),
+                    b -> len(list_filter(bigrams, x -> x = b)))), 0) as double)
+             / greatest(len(bigrams), 1) as top_bigram_frac,
+           case when len(five) = 0 then 0.0
+                else 1.0 - cast(len(list_distinct(five)) as double) / len(five)
+           end as dup_5gram_frac
+    from g
+    """,
+    doc="Gopher-style intra-doc repetition signals (dup-word frac, "
+    "top-bigram frac, dup-5-gram frac) — single all-builtin projection, "
+    "no shuffle; oracle recomputes every column with DuckDB list lambdas",
+)
+def q58_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cleaning import repetition_metrics
+
+    t = load_tables(spark, sf_dir)
+    return repetition_metrics(t["documents"])
+
+
+@register(
+    "q59_crossdoc_ngram_overlap",
+    """
+    with w as (
+      select doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') as words
+      from documents
+    ),
+    grams as (
+      select doc_id, unnest(list_distinct(
+               case when len(words) >= 8
+                    then list_transform(range(1, len(words) - 6),
+                                        i -> array_to_string(words[i:i+7], ' '))
+                    else [] end)) as gram
+      from w
+    ),
+    counts as (
+      select gram, count(distinct doc_id) as n_docs_with_gram
+      from grams group by gram
+    )
+    select g.doc_id,
+           cast(count(*) as bigint) as n_grams,
+           cast(sum(case when c.n_docs_with_gram > 1 then 1 else 0 end) as bigint)
+             as n_shared_grams,
+           cast(sum(case when c.n_docs_with_gram > 1 then 1 else 0 end) as double)
+             / count(*) as shared_frac
+    from grams g join counts c using (gram)
+    group by g.doc_id
+    """,
+    doc="per-doc fraction of 8-grams shared with any other document — "
+    "gram-hash shuffle instead of a doc self-join (the 100 TB shape)",
+)
+def q59_crossdoc_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cleaning import crossdoc_ngram_overlap
+
+    t = load_tables(spark, sf_dir)
+    return crossdoc_ngram_overlap(t["documents"], n=8)
+
+
+@register(
+    "q60_pii_scrub",
+    """
+    with aug as (
+      select doc_id,
+             text || ' reach user' || cast(doc_id as varchar)
+                  || '@example.com or +1 (555) 010-'
+                  || lpad(cast(doc_id % 10000 as varchar), 4, '0')
+                  || ' via 10.2.3.' || cast(doc_id % 256 as varchar) as t
+      from documents
+    )
+    select doc_id,
+           cast(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) as bigint) as n_emails,
+           cast(len(regexp_extract_all(
+             regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', ' ', 'g'),
+               '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', ' ', 'g'),
+             '\\+?[0-9][0-9()\\-. ]{6,}[0-9]')) as bigint) as n_phones,
+           cast(len(regexp_extract_all(
+             regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', ' ', 'g'),
+             '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) as bigint) as n_ipv4,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+             '\\+?[0-9][0-9()\\-. ]{6,}[0-9]', '<PHONE>', 'g')) as clean_md5
+    from aug
+    """,
+    doc="PII detect + mask (emails / phones / IPv4) over deterministically "
+    "injected contact strings; builtin regexp_count/regexp_replace, "
+    "embarrassingly parallel — oracle recomputes counts and the masked-text "
+    "md5 independently in DuckDB",
+)
+def q60_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cleaning import pii_scrub
+
+    t = load_tables(spark, sf_dir)
+    aug = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (555) 010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" via 10.2.3."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    return pii_scrub(aug).select(
+        "doc_id", "n_emails", "n_phones", "n_ipv4",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+@register(
+    "q61_decontaminate",
+    """
+    with w as (
+      select doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') as words
+      from documents
+    ),
+    grams as (
+      select doc_id, unnest(list_distinct(
+               case when len(words) >= 8
+                    then list_transform(range(1, len(words) - 6),
+                                        i -> array_to_string(words[i:i+7], ' '))
+                    else [] end)) as gram
+      from w
+    ),
+    hold as (select distinct gram from grams where doc_id % 97 = 0),
+    train as (select * from grams where doc_id % 97 <> 0)
+    select t.doc_id,
+           cast(count(*) as bigint) as n_grams,
+           cast(sum(case when h.gram is not null then 1 else 0 end) as bigint)
+             as n_contaminated_grams,
+           sum(case when h.gram is not null then 1 else 0 end) > 0 as contaminated
+    from train t left join hold h using (gram)
+    group by t.doc_id
+    """,
+    doc="benchmark decontamination: training docs sharing any 8-gram with "
+    "the holdout split (doc_id % 97 = 0) — holdout gram set is broadcast, "
+    "corpus scanned once with no training-side shuffle",
+)
+def q61_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cleaning import decontaminate
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    return decontaminate(
+        docs.where(F.col("doc_id") % 97 != 0),
+        docs.where(F.col("doc_id") % 97 == 0),
+        n=8,
+    )
+
+
+@register(
+    "q62_line_dedup",
+    """
+    with pages as (
+      select doc_id % 40 as page_id, doc_id,
+             trim(text) as line,
+             row_number() over (partition by doc_id % 40 order by doc_id) - 1 as pos
+      from documents
+      where length(trim(text)) > 0
+    ),
+    ranked as (
+      select page_id, pos, line,
+             row_number() over (partition by line order by page_id, pos) as rnk
+      from pages
+    ),
+    totals as (select page_id, count(*) as n_lines from pages group by page_id),
+    kept as (
+      select page_id, count(*) as n_kept,
+             md5(string_agg(line, chr(10) order by pos)) as clean_md5
+      from ranked where rnk = 1 group by page_id
+    )
+    select t.page_id,
+           cast(t.n_lines as bigint) as n_lines,
+           cast(coalesce(k.n_kept, 0) as bigint) as n_kept,
+           coalesce(k.clean_md5, md5('')) as clean_md5
+    from totals t left join kept k using (page_id)
+    """,
+    doc="corpus-level exact line dedup (CCNet-style, first occurrence by "
+    "(page, position) wins) over synthesized multi-line pages — one shuffle "
+    "on the line hash to elect winners, one on the page id to reassemble",
+)
+def q62_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cleaning import line_dedup
+
+    t = load_tables(spark, sf_dir)
+    pages = (
+        t["documents"]
+        .groupBy((F.col("doc_id") % 40).alias("page_id"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s["text"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+    )
+    deduped = line_dedup(pages, text_col="text", id_col="page_id")
+    return deduped.select(
+        "page_id", "n_lines", "n_kept", F.md5("clean_text").alias("clean_md5")
+    )
