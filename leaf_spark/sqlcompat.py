@@ -193,7 +193,57 @@ def _rw_call(name: str, args: list[str]) -> str:
         return f"if({cond}, {args[1]}, {args[2]})"
     if n == "total":
         return f"coalesce(cast(sum(cast({args[0]} as double)) as double), 0.0)"
-    if n == "group_concat":
+    if n == "log" and len(args) == 1:
+        # SQLite log(X) is base-10 (ln is the natural log there); Spark's
+        # one-arg log(X) is the natural log — silent wrong-answers otherwise
+        return f"log10({args[0]})"
+    if n == "trunc" and len(args) == 1:
+        # numeric truncate-toward-zero; Spark's trunc() is date-only
+        return f"cast(cast({args[0]} as bigint) as double)"
+    if n == "char":
+        return "concat(" + ", ".join(f"chr({a})" for a in args) + ")"
+    if n == "unicode":
+        return f"ascii({args[0]})"
+    if n == "quote":
+        tc = _TYPEOF_CASE.format(x=args[0])
+        q = "chr(39)"  # quote chars via chr() — keeps the rewrite re-tokenizable
+        return (
+            f"case when ({args[0]}) is null then 'NULL' "
+            f"when {tc} in ('integer', 'real') then cast({args[0]} as string) "
+            f"else concat({q}, replace(cast({args[0]} as string), {q}, "
+            f"concat({q}, {q})), {q}) end"
+        )
+    if n == "random" and not args:
+        # SQLite: uniform signed 64-bit int; xxhash64 of a fresh uuid is
+        # exactly that, and stays JVM-side
+        return "xxhash64(uuid())"
+    if n == "zeroblob":
+        return f"unhex(repeat('00', cast({args[0]} as int)))"
+    if n == "randomblob":
+        return (
+            f"unhex(substring(repeat(sha2(uuid(), 256), "
+            f"cast(ceil(cast({args[0]} as double) / 32) as int)), "
+            f"1, cast({args[0]} as int) * 2))"
+        )
+    if n in ("likely", "unlikely"):
+        return f"({args[0]})"
+    if n == "likelihood":
+        return f"({args[0]})"  # drop the planner hint, keep the value
+    if n == "julianday":
+        if args and args[0].strip("'").lower() == "now":
+            ts = "current_timestamp()"
+        else:
+            ts = f"cast({args[0]} as timestamp)"
+        return f"(cast(unix_timestamp({ts}) as double) / 86400.0 + 2440587.5)"
+    if n == "sqlite_version":
+        return "'3.50.0'"  # compat shim: modules probing the dialect version
+    if n == "concat":
+        # SQLite (3.44+) concat ignores NULL arguments; Spark concat is
+        # NULL if any argument is NULL
+        return f"concat_ws('', {', '.join(args)})"
+    if n == "json_array_length" and len(args) == 2:
+        return f"json_array_length(get_json_object({args[0]}, {args[1]}))"
+    if n in ("group_concat", "string_agg"):
         # SQLite concatenates in arrival order; Spark's collect_list order is
         # undefined across retries/partitionings. Documented divergence: we
         # pin a deterministic sorted order so module results are stable
@@ -506,11 +556,10 @@ def _json_path_steps(path: str) -> list:
     return steps
 
 
-def json_set_py(j: str, path: str, value) -> str | None:
-    """SQLite ``json_set(json, path, value)``: set (create if missing) the
-    value at ``path``. SQL NULL json → NULL; scalar values keep their SQL
-    type (text stays a JSON string — SQLite needs json() to inline objects,
-    which modules can emulate by building with json_object)."""
+def _json_set_mode(j: str, path: str, value, mode: str) -> str | None:
+    """Shared body for json_set / json_insert / json_replace: set the value
+    at ``path``; ``insert`` only creates, ``replace`` only overwrites,
+    ``set`` does both (SQLite json1 semantics)."""
     import json as _json
 
     if j is None:
@@ -518,7 +567,7 @@ def json_set_py(j: str, path: str, value) -> str | None:
     doc = _json.loads(j)
     steps = _json_path_steps(path)
     if not steps:
-        return _json_min(value)
+        return _json_min(value) if mode != "insert" else _json_min(doc)
     cur = doc
     for i, s in enumerate(steps[:-1]):
         nxt_container: dict | list = {} if isinstance(steps[i + 1], str) else []
@@ -526,25 +575,130 @@ def json_set_py(j: str, path: str, value) -> str | None:
             if not isinstance(cur, dict):
                 return _json_min(doc)  # SQLite: path mismatch → unchanged
             if s not in cur or not isinstance(cur[s], (dict, list)):
+                if mode == "replace":
+                    return _json_min(doc)
                 cur[s] = nxt_container
             cur = cur[s]
         else:
             if not isinstance(cur, list) or s > len(cur):
                 return _json_min(doc)
             if s == len(cur):
+                if mode == "replace":
+                    return _json_min(doc)
                 cur.append(nxt_container)
             cur = cur[s]
     last = steps[-1]
     if isinstance(last, str):
         if isinstance(cur, dict):
-            cur[last] = value
+            exists = last in cur
+            if (exists and mode != "insert") or (not exists and mode != "replace"):
+                cur[last] = value
     else:
         if isinstance(cur, list):
             if last < len(cur):
-                cur[last] = value
-            elif last == len(cur):
+                if mode != "insert":
+                    cur[last] = value
+            elif last == len(cur) and mode != "replace":
                 cur.append(value)
     return _json_min(doc)
+
+
+def json_set_py(j: str, path: str, value) -> str | None:
+    """SQLite ``json_set(json, path, value)``: set (create if missing) the
+    value at ``path``. SQL NULL json → NULL; scalar values keep their SQL
+    type (text stays a JSON string — SQLite needs json() to inline objects,
+    which modules can emulate by building with json_object)."""
+    return _json_set_mode(j, path, value, "set")
+
+
+def json_insert_py(j: str, path: str, value) -> str | None:
+    """SQLite ``json_insert``: create the value at path only if absent."""
+    return _json_set_mode(j, path, value, "insert")
+
+
+def json_replace_py(j: str, path: str, value) -> str | None:
+    """SQLite ``json_replace``: overwrite the value at path only if present."""
+    return _json_set_mode(j, path, value, "replace")
+
+
+def json_remove_py(j: str, path: str) -> str | None:
+    """SQLite ``json_remove(json, path)``: delete the value at path
+    (unchanged doc when the path does not resolve)."""
+    import json as _json
+
+    if j is None or path is None:
+        return None
+    doc = _json.loads(j)
+    steps = _json_path_steps(path)
+    if not steps:
+        return None  # SQLite: json_remove(j, '$') is NULL
+    cur = doc
+    for s in steps[:-1]:
+        if isinstance(s, str):
+            if not isinstance(cur, dict) or s not in cur:
+                return _json_min(doc)
+            cur = cur[s]
+        else:
+            if not isinstance(cur, list) or s >= len(cur):
+                return _json_min(doc)
+            cur = cur[s]
+    last = steps[-1]
+    if isinstance(last, str) and isinstance(cur, dict):
+        cur.pop(last, None)
+    elif isinstance(last, int) and isinstance(cur, list) and last < len(cur):
+        del cur[last]
+    return _json_min(doc)
+
+
+def json_type_py(j: str) -> str | None:
+    """SQLite ``json_type(json)`` top-level type name."""
+    import json as _json
+
+    if j is None:
+        return None
+    try:
+        v = _json.loads(j)
+    except ValueError:
+        return None
+    if v is None:
+        return "null"
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if isinstance(v, int):
+        return "integer"
+    if isinstance(v, float):
+        return "real"
+    if isinstance(v, str):
+        return "text"
+    return "array" if isinstance(v, list) else "object"
+
+
+def json_valid_py(j: str) -> int | None:
+    import json as _json
+
+    if j is None:
+        return None
+    try:
+        _json.loads(j)
+        return 1
+    except ValueError:
+        return 0
+
+
+def json_quote_py(v) -> str | None:
+    """SQLite ``json_quote(value)``: the JSON representation of a scalar."""
+    return None if v is None else _json_min(v)
+
+
+def json_norm_py(j: str) -> str | None:
+    """SQLite ``json(json)``: validate + minify."""
+    import json as _json
+
+    if j is None:
+        return None
+    return _json_min(_json.loads(j))
 
 
 def json_patch_py(target: str, patch: str) -> str | None:
@@ -579,5 +733,14 @@ def register_json_udfs(spark) -> None:
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType
 
+    from pyspark.sql.types import IntegerType
+
     spark.udf.register("json_set", F.udf(json_set_py, StringType(), useArrow=True))
     spark.udf.register("json_patch", F.udf(json_patch_py, StringType(), useArrow=True))
+    spark.udf.register("json_insert", F.udf(json_insert_py, StringType(), useArrow=True))
+    spark.udf.register("json_replace", F.udf(json_replace_py, StringType(), useArrow=True))
+    spark.udf.register("json_remove", F.udf(json_remove_py, StringType(), useArrow=True))
+    spark.udf.register("json_type", F.udf(json_type_py, StringType(), useArrow=True))
+    spark.udf.register("json_valid", F.udf(json_valid_py, IntegerType(), useArrow=True))
+    spark.udf.register("json_quote", F.udf(json_quote_py, StringType(), useArrow=True))
+    spark.udf.register("json", F.udf(json_norm_py, StringType(), useArrow=True))

@@ -159,3 +159,101 @@ class TestJsonUdfs:
         ).first()
         assert row["p"] == '{"a":1,"b":2}'
         assert row["s"] == '{"x":[9]}'
+
+
+class TestScalarFunctionSurface:
+    """Round-2 widening of the SQLite builtin surface: each case runs the
+    TRANSLATED SQL in Spark and checks the value SQLite would produce."""
+
+    def _one(self, spark, expr):
+        return spark.sql(translate(f"select {expr} as v")).first()["v"]
+
+    def test_log_is_base10(self, spark):
+        assert self._one(spark, "log(100)") == pytest.approx(2.0)
+        assert self._one(spark, "log(2, 8)") == pytest.approx(3.0)
+        assert self._one(spark, "ln(2.718281828459045)") == pytest.approx(1.0)
+        assert self._one(spark, "log2(8)") == pytest.approx(3.0)
+
+    def test_trunc_numeric(self, spark):
+        assert self._one(spark, "trunc(3.9)") == 3.0
+        assert self._one(spark, "trunc(-3.9)") == -3.0
+
+    def test_char_and_unicode(self, spark):
+        assert self._one(spark, "char(104, 105)") == "hi"
+        assert self._one(spark, "unicode('Abc')") == 65
+
+    def test_quote(self, spark):
+        assert self._one(spark, "quote('it''s')") == "'it''s'"
+        assert self._one(spark, "quote(42)") == "42"
+        assert self._one(spark, "quote(null)") == "NULL"
+
+    def test_concat_skips_nulls(self, spark):
+        assert self._one(spark, "concat('a', null, 'b')") == "ab"
+
+    def test_string_agg_like_group_concat(self):
+        assert "array_join(sort_array(collect_list(cast(x as string))), ';')" in (
+            translate("select string_agg(x, ';') from t")
+        )
+
+    def test_random_is_bigint(self, spark):
+        v1 = self._one(spark, "random()")
+        assert isinstance(v1, int)
+
+    def test_blobs(self, spark):
+        assert self._one(spark, "zeroblob(3)") == bytearray(b"\x00\x00\x00")
+        assert len(self._one(spark, "randomblob(40)")) == 40
+        assert self._one(spark, "hex(zeroblob(2))") == "0000"
+
+    def test_planner_hints_dropped(self, spark):
+        assert self._one(spark, "likely(7)") == 7
+        assert self._one(spark, "likelihood(7, 0.5)") == 7
+
+    def test_julianday(self, spark):
+        # 2000-01-01 12:00 UTC is JD 2451545.0 (the J2000 epoch)
+        v = self._one(spark, "julianday('2000-01-01 12:00:00')")
+        assert v == pytest.approx(2451545.0, abs=1.0)  # session tz offset ≤ 1 day
+
+    def test_sqlite_version_literal(self, spark):
+        assert self._one(spark, "sqlite_version()") == "3.50.0"
+
+    def test_passthrough_math_and_string(self, spark):
+        assert self._one(spark, "sign(-8)") == -1.0
+        assert self._one(spark, "pow(2, 10)") == 1024.0
+        assert self._one(spark, "mod(7, 3)") == 1
+        assert self._one(spark, "instr('hello', 'll')") == 3
+        assert self._one(spark, "hex('AB')") == "4142"
+        assert self._one(spark, "octet_length('abc')") == 3
+
+
+class TestJsonFamily:
+    def _one(self, spark, expr):
+        from leaf_spark.sqlcompat import register_json_udfs
+
+        register_json_udfs(spark)
+        return spark.sql(translate(f"select {expr} as v")).first()["v"]
+
+    def test_insert_only_creates(self, spark):
+        assert self._one(spark, """json_insert('{"a":1}', '$.b', 2)""") == '{"a":1,"b":2}'
+        assert self._one(spark, """json_insert('{"a":1}', '$.a', 9)""") == '{"a":1}'
+
+    def test_replace_only_overwrites(self, spark):
+        assert self._one(spark, """json_replace('{"a":1}', '$.a', 9)""") == '{"a":9}'
+        assert self._one(spark, """json_replace('{"a":1}', '$.b', 2)""") == '{"a":1}'
+
+    def test_remove(self, spark):
+        assert self._one(spark, """json_remove('{"a":1,"b":2}', '$.b')""") == '{"a":1}'
+        assert self._one(spark, """json_remove('[1,2,3]', '$[1]')""") == "[1,3]"
+        assert self._one(spark, """json_remove('{"a":1}', '$.zzz')""") == '{"a":1}'
+
+    def test_type_valid_quote_norm(self, spark):
+        assert self._one(spark, """json_type('{"a":1}')""") == "object"
+        assert self._one(spark, "json_type('[1]')") == "array"
+        assert self._one(spark, "json_type('3.5')") == "real"
+        assert self._one(spark, "json_valid('{\"a\":1}')") == 1
+        assert self._one(spark, "json_valid('nope')") == 0
+        assert self._one(spark, "json_quote('hi')") == '"hi"'
+        assert self._one(spark, """json(' { "a" : 1 } ')""") == '{"a":1}'
+
+    def test_json_array_length_with_path(self, spark):
+        assert self._one(spark, """json_array_length('{"a":[1,2,3]}', '$.a')""") == 3
+        assert self._one(spark, "json_array_length('[1,2]')") == 2
