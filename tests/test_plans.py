@@ -158,3 +158,43 @@ def test_cosine_topk_stays_jvm_and_takeordered(spark, cases):
     assert "EvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan  # no full sort node
+
+
+def test_repetition_metrics_shuffle_free(spark, cases):
+    """Gopher repetition signals are a pure narrow projection: zero
+    exchanges, whole plan in one codegen stage, nothing Python."""
+    plan = plan_of(cases["q58_repetition_metrics"].spark_fn(spark, SF_DIR))
+    assert shuffle_count(plan) == 0, plan
+    assert "EvalPython" not in plan
+
+
+def test_pii_scrub_shuffle_free(spark, cases):
+    plan = plan_of(cases["q60_pii_scrub"].spark_fn(spark, SF_DIR))
+    assert shuffle_count(plan) == 0, plan
+    assert "EvalPython" not in plan
+
+
+def test_crossdoc_overlap_gram_shuffle_not_selfjoin(spark, cases):
+    """Cross-doc overlap must shuffle on the gram hash, never self-join the
+    document table: no cartesian, map-side partial agg before the gram
+    count exchange."""
+    plan = plan_of(cases["q59_crossdoc_ngram_overlap"].spark_fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert re.search(r"partial_count", plan)
+    assert "EvalPython" not in plan
+
+
+def test_decontaminate_broadcasts_holdout(spark, cases):
+    """The holdout gram set is the small side by construction — it must
+    arrive as a broadcast, leaving the training corpus unshuffled for the
+    probe."""
+    plan = plan_of(cases["q61_decontaminate"].spark_fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_line_dedup_winner_election_partial_agg(spark, cases):
+    plan = plan_of(cases["q62_line_dedup"].spark_fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert re.search(r"partial_min", plan)
+    assert "EvalPython" not in plan
