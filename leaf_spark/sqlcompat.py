@@ -177,6 +177,69 @@ _CAST_TYPE_MAP = {
 }
 
 
+_SECONDS_PER = {"day": 86400, "hour": 3600, "minute": 60, "second": 1}
+
+
+def _time_base(args: list[str]) -> tuple[str, list[str]]:
+    """(timestamp expression, remaining modifiers) for a SQLite time value.
+
+    Handles the 'now' keyword and the 'unixepoch' first-modifier (value is
+    unix seconds, reference modules use it for event timestamps)."""
+    first, mods = args[0], list(args[1:])
+    if first.strip("'").lower() == "now":
+        return "current_timestamp()", mods
+    if mods and mods[0].strip().strip("'").lower() == "unixepoch":
+        return f"cast(from_unixtime({first}) as timestamp)", mods[1:]
+    return f"cast({first} as timestamp)", mods
+
+
+def _apply_time_modifiers(ts: str, mods: list[str]) -> str:
+    """Fold SQLite date-function modifiers ('+N days', 'start of month',
+    'weekday N', 'localtime'/'utc') into interval arithmetic / date_trunc.
+    Only literal modifiers are supported (what modules actually write);
+    anything else raises rather than silently ignoring the modifier."""
+    out = ts
+    for raw in mods:
+        m = raw.strip()
+        if len(m) < 2 or m[0] != "'" or m[-1] != "'":
+            raise SqlTranslationError(f"unsupported non-literal time modifier: {raw}")
+        body = m[1:-1].strip().lower()
+        step = re.match(
+            r"^([+-]?\d+(?:\.\d+)?)\s+(year|month|day|hour|minute|second)s?$", body
+        )
+        if step:
+            val, unit = step.group(1), step.group(2)
+            if "." in val:
+                if unit in ("year", "month"):
+                    raise SqlTranslationError(
+                        f"fractional {unit} modifier not supported: {body!r}"
+                    )
+                out = (
+                    f"({out} + make_interval(0, 0, 0, 0, 0, 0, "
+                    f"{float(val) * _SECONDS_PER[unit]}))"
+                )
+            else:
+                out = f"({out} + INTERVAL {val.lstrip('+')} {unit.upper()})"
+        elif body in ("start of day", "start of month", "start of year"):
+            out = f"date_trunc('{body.rsplit(' ', 1)[1].upper()}', {out})"
+        elif re.match(r"^weekday [0-6]$", body):
+            # advance to the next date with that weekday, same time of day;
+            # no move when already there (SQLite stays put, Spark's
+            # next_day always advances — hence the pmod arithmetic)
+            n = int(body.split()[1])
+            out = (
+                f"({out} + make_interval(0, 0, 0, "
+                f"pmod({n + 1} - dayofweek({out}), 7), 0, 0, 0))"
+            )
+        elif body == "localtime":
+            out = f"from_utc_timestamp({out}, current_timezone())"
+        elif body == "utc":
+            out = f"to_utc_timestamp({out}, current_timezone())"
+        else:
+            raise SqlTranslationError(f"unsupported time modifier {body!r}")
+    return out
+
+
 def _rw_call(name: str, args: list[str]) -> str:
     """Rewrite one function call (args already translated SQL strings)."""
     n = name.lower()
@@ -230,11 +293,9 @@ def _rw_call(name: str, args: list[str]) -> str:
     if n == "likelihood":
         return f"({args[0]})"  # drop the planner hint, keep the value
     if n == "julianday":
-        if args and args[0].strip("'").lower() == "now":
-            ts = "current_timestamp()"
-        else:
-            ts = f"cast({args[0]} as timestamp)"
-        return f"(cast(unix_timestamp({ts}) as double) / 86400.0 + 2440587.5)"
+        ts, mods = _time_base(args)
+        chain = _apply_time_modifiers(ts, mods)
+        return f"(cast(unix_timestamp({chain}) as double) / 86400.0 + 2440587.5)"
     if n == "sqlite_version":
         return "'3.50.0'"  # compat shim: modules probing the dialect version
     if n == "concat":
@@ -257,26 +318,34 @@ def _rw_call(name: str, args: list[str]) -> str:
     if n == "unixepoch":
         if not args:
             return "unix_timestamp()"
-        if len(args) >= 2 and args[1].strip("'\"").lower() == "unixepoch":
+        if len(args) == 2 and args[1].strip("'\"").lower() == "unixepoch":
             return f"cast({args[0]} as bigint)"
-        return f"unix_timestamp({args[0]})"
+        if len(args) == 1:
+            return f"unix_timestamp({args[0]})"
+        ts, mods = _time_base(args)
+        return f"unix_timestamp({_apply_time_modifiers(ts, mods)})"
     if n == "strftime":
         fmt = args[0]
+        ts, mods = _time_base(args[1:])
+        chain = _apply_time_modifiers(ts, mods) if mods else args[1]
         if fmt.strip() == "'%s'":
-            return f"cast(unix_timestamp({args[1]}) as string)"
-        return f"date_format({args[1]}, {_convert_strftime_fmt(fmt)})"
+            return f"cast(unix_timestamp({chain}) as string)"
+        return f"date_format({chain}, {_convert_strftime_fmt(fmt)})"
     if n == "date":
-        if args and args[0].strip("'").lower() == "now":
-            return "current_date()"
-        return f"to_date({args[0]})"
+        if len(args) == 1:
+            if args[0].strip("'").lower() == "now":
+                return "current_date()"
+            return f"to_date({args[0]})"
+        ts, mods = _time_base(args)
+        return f"to_date({_apply_time_modifiers(ts, mods)})"
     if n == "datetime":
-        if args and args[0].strip("'").lower() == "now":
+        if args and args[0].strip("'").lower() == "now" and len(args) == 1:
             return "current_timestamp()"
-        if len(args) >= 2 and args[1].strip("'\"").lower() == "unixepoch":
-            return f"cast(from_unixtime({args[0]}) as timestamp)"
-        return f"cast({args[0]} as timestamp)"
+        ts, mods = _time_base(args)
+        return f"cast({_apply_time_modifiers(ts, mods)} as timestamp)"
     if n == "time":
-        return f"date_format(cast({args[0]} as timestamp), 'HH:mm:ss')"
+        ts, mods = _time_base(args)
+        return f"date_format({_apply_time_modifiers(ts, mods)}, 'HH:mm:ss')"
     if n == "typeof":
         return _TYPEOF_CASE.format(x=args[0])
     if n == "substr":
@@ -348,8 +417,12 @@ def _translate_tokens(tokens: list[str]) -> list[str]:
                 out.append(f"{low}_{tokens[i + 2]}")
             i += 3
             continue
-        # function call?
-        if _is_word(t) and i + 1 < n and tokens[i + 1] == "(" and low not in (
+        # function call? — not when the word sits in table-name position
+        # (e.g. ``insert into log (idx)``: a table named like a builtin
+        # followed by its column list must not be rewritten as a call)
+        prev_low = tokens[i - 1].lower() if i > 0 and _is_word(tokens[i - 1]) else ""
+        in_table_pos = prev_low in ("into", "table", "join", "from", "update")
+        if _is_word(t) and not in_table_pos and i + 1 < n and tokens[i + 1] == "(" and low not in (
             "select",
             "where",
             "from",

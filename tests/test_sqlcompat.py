@@ -257,3 +257,83 @@ class TestJsonFamily:
     def test_json_array_length_with_path(self, spark):
         assert self._one(spark, """json_array_length('{"a":[1,2,3]}', '$.a')""") == 3
         assert self._one(spark, "json_array_length('[1,2]')") == 2
+
+
+class TestTimeModifiers:
+    """SQLite date-function modifiers folded into interval arithmetic —
+    every case executes the translated SQL and checks the value SQLite
+    would produce (previously extra modifier args were silently dropped)."""
+
+    def _one(self, spark, expr):
+        return spark.sql(translate(f"select {expr} as v")).first()["v"]
+
+    def test_add_interval(self, spark):
+        assert str(self._one(spark, "date('2024-01-30', '+3 days')")) == "2024-02-02"
+        assert str(self._one(spark, "date('2024-03-31', '-1 month')")) == "2024-02-29"
+        assert str(self._one(spark, "date('2024-02-29', '+1 year')")) == "2025-02-28"
+        assert (
+            str(self._one(spark, "datetime('2024-01-01 10:00:00', '+90 minutes')"))
+            == "2024-01-01 11:30:00"
+        )
+
+    def test_fractional_units_exact(self, spark):
+        assert (
+            str(self._one(spark, "datetime('2024-01-01 00:00:00', '+1.5 hours')"))
+            == "2024-01-01 01:30:00"
+        )
+
+    def test_start_of(self, spark):
+        assert str(self._one(spark, "date('2024-07-19', 'start of month')")) == "2024-07-01"
+        assert str(self._one(spark, "date('2024-07-19', 'start of year')")) == "2024-01-01"
+        assert (
+            str(self._one(spark, "datetime('2024-07-19 13:45:00', 'start of day')"))
+            == "2024-07-19 00:00:00"
+        )
+
+    def test_modifier_chain(self, spark):
+        # SQLite idiom: last day of the month
+        assert (
+            str(self._one(spark, "date('2024-02-10', 'start of month', '+1 month', '-1 day')"))
+            == "2024-02-29"
+        )
+
+    def test_weekday_stays_when_already_there(self, spark):
+        # 2024-07-14 is a Sunday (weekday 0): no move
+        assert str(self._one(spark, "date('2024-07-14', 'weekday 0')")) == "2024-07-14"
+        # next Wednesday (weekday 3) after Sunday the 14th is the 17th
+        assert str(self._one(spark, "date('2024-07-14', 'weekday 3')")) == "2024-07-17"
+
+    def test_unixepoch_base_with_modifiers(self, spark):
+        assert (
+            str(self._one(spark, "datetime(86400, 'unixepoch', '+1 day')"))
+            == "1970-01-03 00:00:00"
+        )
+        assert self._one(spark, "unixepoch('1970-01-02 00:00:00', '+1 hour')") == 90000
+
+    def test_strftime_and_time_with_modifiers(self, spark):
+        assert (
+            self._one(spark, "strftime('%Y-%m-%d', '2024-01-31', '+1 day')")
+            == "2024-02-01"
+        )
+        assert self._one(spark, "time('2024-01-01 23:30:00', '+45 minutes')") == "00:15:00"
+
+    def test_unsupported_modifier_raises(self):
+        from leaf_spark.sqlcompat import SqlTranslationError
+
+        with pytest.raises(SqlTranslationError):
+            translate("select date('2024-01-01', 'not a modifier')")
+        with pytest.raises(SqlTranslationError):
+            translate("select date('2024-01-01', x)")  # non-literal
+
+
+class TestTableNamedLikeBuiltin:
+    def test_insert_column_list_not_rewritten_as_call(self):
+        # a table named 'log' followed by its column list is not log10()
+        out = translate("insert into log (idx) select idx from event")
+        assert "log (idx)" in out or "log(idx)" in out
+        assert "log10" not in out
+
+    def test_from_and_join_positions(self):
+        assert "log10" not in translate("select * from log join date (x) on 1=1")
+        # ...while real calls in expression position still rewrite
+        assert "log10(x)" in translate("select log(x) from t")
