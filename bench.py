@@ -30,6 +30,10 @@ HEADLINE = [
     "q47_cosine_topk",
     "q49_minhash_lsh",
     "q52_document_profile",
+    "q58_repetition_metrics",
+    "q59_crossdoc_ngram_overlap",
+    "q61_decontaminate",
+    "q62_line_dedup",
 ]
 
 
