@@ -100,6 +100,21 @@ class TableStore:
     views: dict[str, str] = field(default_factory=dict)  # name → select SQL
     triggers: dict[str, TriggerDef] = field(default_factory=dict)
     _mutations: int = 0
+    # SQLite connection-state functions (last_insert_rowid / changes /
+    # total_changes). Tracking costs one count job per DML statement, so it
+    # is enabled only when module SQL actually references the functions
+    # (Stream.provide_module detects; standalone executors flip it on first
+    # reference).
+    track_changes: bool = False
+    last_rowid: int = 0
+    changes: int = 0
+    total_changes: int = 0
+
+    def record_change(self, n: int, last_id: int | None = None) -> None:
+        self.changes = int(n)
+        self.total_changes += int(n)
+        if last_id is not None:
+            self.last_rowid = int(last_id)
 
     def view_name(self, table: str) -> str:
         return f"{self.view_prefix}{table}"
@@ -141,14 +156,21 @@ class TableStore:
 
     # -- transactional snapshot (rollback support for event-batch folds) -----
 
-    def snapshot(self) -> tuple[dict, dict, dict, dict]:
-        return dict(self.defs), dict(self.tables), dict(self.views), dict(self.triggers)
+    def snapshot(self) -> tuple[dict, dict, dict, dict, tuple[int, int, int]]:
+        return (
+            dict(self.defs),
+            dict(self.tables),
+            dict(self.views),
+            dict(self.triggers),
+            (self.last_rowid, self.changes, self.total_changes),
+        )
 
-    def restore(self, snap: tuple[dict, dict, dict, dict]) -> None:
+    def restore(self, snap) -> None:
         """Restore a snapshot taken before a failed fold: drop tables/views
         created since (incl. their temp views), then reinstate the saved
         DataFrame versions."""
-        defs, tables, views, triggers = snap
+        defs, tables, views, triggers, counters = snap
+        self.last_rowid, self.changes, self.total_changes = counters
         self.triggers = dict(triggers)
         for gone in set(self.tables) - set(tables):
             self.tables.pop(gone, None)
@@ -239,6 +261,7 @@ class DmlExecutor:
         SELECTs, None otherwise."""
         info = sqlcompat.classify(raw_sql)
         sql = raw_sql if _translated else sqlcompat.translate(raw_sql)
+        sql = self._sub_connection_fns(sql)
         toks = tokenize(sql)
         if (
             len(toks) >= 2
@@ -290,6 +313,64 @@ class DmlExecutor:
             self._delete(sql, args)
             return None
         raise SqlTranslationError(f"unsupported statement: {raw_sql[:80]}")
+
+    # -- SQLite connection-state functions ------------------------------------
+
+    _CONN_FNS = ("last_insert_rowid", "changes", "total_changes")
+
+    def _sub_connection_fns(self, sql: str) -> str:
+        """Replace last_insert_rowid()/changes()/total_changes() with their
+        current values (SQLite evaluates them against the statement history
+        of the connection — here, the per-(stream, module) TableStore).
+        First reference turns tracking on; counts accrue from then on."""
+        if not any(fn in sql for fn in self._CONN_FNS):
+            return sql
+        toks = tokenize(sql)
+        out: list[str] = []
+        i = 0
+        while i < len(toks):
+            t = toks[i]
+            if (
+                _is_word(t)
+                and t.lower() in self._CONN_FNS
+                and i + 2 < len(toks)
+                and toks[i + 1] == "("
+                and toks[i + 2] == ")"
+            ):
+                self.store.track_changes = True
+                val = {
+                    "last_insert_rowid": self.store.last_rowid,
+                    "changes": self.store.changes,
+                    "total_changes": self.store.total_changes,
+                }[t.lower()]
+                out.append(str(val))
+                i += 3
+            else:
+                out.append(t)
+                i += 1
+        return _j(out)
+
+    def _int_pk(self, tdef: TableDef) -> str | None:
+        """The rowid-aliased column: a single INTEGER PRIMARY KEY."""
+        if len(tdef.primary_key) == 1:
+            f_ = next(
+                (f for f in tdef.schema.fields if f.name == tdef.primary_key[0]), None
+            )
+            if f_ is not None and isinstance(f_.dataType, (T.LongType, T.IntegerType)):
+                return f_.name
+        return None
+
+    def _record_insert(self, tdef: TableDef, inserted: DataFrame, extra: int = 0) -> None:
+        if not self.store.track_changes:
+            return
+        pk = self._int_pk(tdef)
+        if pk:
+            row = inserted.agg(
+                F.count(F.lit(1)).alias("n"), F.max(pk).alias("m")
+            ).first()
+            self.store.record_change(row["n"] + extra, row["m"])
+        else:
+            self.store.record_change(inserted.count() + extra)
 
     # -- ALTER TABLE ---------------------------------------------------------
 
@@ -842,6 +923,10 @@ class DmlExecutor:
             self._fire_triggers("before", "insert", name, inserted, None, args)
             self.store.mutated(name, existing.unionByName(aligned))
             self._fire_triggers("after", "insert", name, inserted, None, args)
+            # divergence note: SQLite's last_insert_rowid is the rowid of
+            # the literal last row; with set-wise batch inserts we record
+            # max(pk) — identical for ascending ids, deterministic always
+            self._record_insert(tdef, inserted)
             return
         self._upsert(name, tdef, existing, aligned, conflict, args)
 
@@ -907,6 +992,8 @@ class DmlExecutor:
                 name, existing.unionByName(fresh).unionByName(append_only)
             )
             self._fire_triggers("after", "insert", name, inserted, None, args)
+            # DO NOTHING: only actually-inserted rows count as changes
+            self._record_insert(tdef, inserted)
             return
 
         # DO UPDATE SET a = expr, ... — expr may reference excluded.c and t.c
@@ -969,6 +1056,15 @@ class DmlExecutor:
         self.store.mutated(name, merged.unionByName(append_only))
         self._fire_triggers("after", "insert", name, inserted, None, args)
         self._fire_triggers("after", "update", name, None, None, args, paired)
+        if self.store.track_changes:
+            # every deduped incoming row either inserts or updates; NULL-key
+            # rows always insert — both count as changes in SQLite
+            n = incoming.count() + append_only.count()
+            pk = self._int_pk(tdef)
+            last = (
+                inserted.agg(F.max(pk)).first()[0] if pk else None
+            )
+            self.store.record_change(n, last)
 
     @staticmethod
     def _parse_assignments(toks: list[str]) -> dict[str, str]:
@@ -1069,6 +1165,12 @@ class DmlExecutor:
                 f"where coalesce(({pred}), false)",
                 args,
             )
+        if self.store.track_changes:
+            n = self._sql(
+                f"select count(*) as n from {name} where coalesce(({pred}), false)",
+                args,
+            ).first()["n"]
+            self.store.record_change(n)
         self._fire_triggers("before", "update", name, None, None, args, paired)
         self.store.mutated(name, df)
         self._fire_triggers("after", "update", name, None, None, args, paired)
@@ -1087,6 +1189,12 @@ class DmlExecutor:
             deleted = self._sql(
                 f"select * from {name} where coalesce(({pred}), false)", args
             )
+        if self.store.track_changes:
+            n = self._sql(
+                f"select count(*) as n from {name} where coalesce(({pred}), false)",
+                args,
+            ).first()["n"]
+            self.store.record_change(n)
         self._fire_triggers("before", "delete", name, None, deleted, args)
         self.store.mutated(name, df)
         self._fire_triggers("after", "delete", name, None, deleted, args)

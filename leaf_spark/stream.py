@@ -386,6 +386,21 @@ class Stream:
                 )
             self.module = module
             self.state.module_cid = cid
+            # connection-state fns (last_insert_rowid/changes/total_changes)
+            # cost a count job per DML — track only when the module uses them
+            module_sql = " ".join(
+                [
+                    module.init_sql,
+                    module.materializer,
+                    module.state_init_sql,
+                    module.state_materializer,
+                    *[q.sql for q in module.queries],
+                ]
+            )
+            if re.search(
+                r"\b(last_insert_rowid|changes|total_changes)\s*\(", module_sql, re.I
+            ):
+                self.store.track_changes = True
             if not self.store.defs and self.state.module_event_cursor > 0:
                 # fresh process: restore from the parquet snapshot when one
                 # matches (replays only the tail beyond its cursor); fall

@@ -1,0 +1,131 @@
+"""SQLite connection-state functions: last_insert_rowid(), changes(),
+total_changes() — evaluated against the per-(stream, module) TableStore's
+statement history (SQLite scopes them per connection; the reference keeps
+one SQLite db per (stream, module), leaf-server/src/streams.rs:108-115)."""
+
+import pytest
+
+from leaf_spark.dml import DmlExecutor, TableStore
+
+
+@pytest.fixture()
+def store(spark):
+    st = TableStore(spark, "t_connfns_")
+    ex = DmlExecutor(st)
+    ex.execute("create table t (id integer primary key, v text)")
+    ex.execute("create table audit (n integer)")
+    return st
+
+
+def _ex(store):
+    return DmlExecutor(store)
+
+
+class TestChanges:
+    def test_insert_counts(self, store):
+        ex = _ex(store)
+        store.track_changes = True
+        ex.execute("insert into t values (1, 'a'), (2, 'b'), (3, 'c')")
+        assert ex.execute("select changes() as n").first()["n"] == 3
+        assert ex.execute("select total_changes() as n").first()["n"] == 3
+
+    def test_update_counts_matched_rows(self, store):
+        ex = _ex(store)
+        store.track_changes = True
+        ex.execute("insert into t values (1, 'a'), (2, 'b'), (3, 'c')")
+        ex.execute("update t set v = 'x' where id >= 2")
+        assert ex.execute("select changes() as n").first()["n"] == 2
+        assert ex.execute("select total_changes() as n").first()["n"] == 5
+
+    def test_delete_counts(self, store):
+        ex = _ex(store)
+        store.track_changes = True
+        ex.execute("insert into t values (1, 'a'), (2, 'b')")
+        ex.execute("delete from t where id = 1")
+        assert ex.execute("select changes() as n").first()["n"] == 1
+
+    def test_upsert_do_nothing_counts_only_inserts(self, store):
+        ex = _ex(store)
+        store.track_changes = True
+        ex.execute("insert into t values (1, 'a')")
+        ex.execute(
+            "insert into t values (1, 'dup'), (2, 'new') "
+            "on conflict do nothing"
+        )
+        assert ex.execute("select changes() as n").first()["n"] == 1
+
+    def test_upsert_do_update_counts_all(self, store):
+        ex = _ex(store)
+        store.track_changes = True
+        ex.execute("insert into t values (1, 'a')")
+        ex.execute(
+            "insert into t values (1, 'u'), (2, 'n') "
+            "on conflict do update set v = excluded.v"
+        )
+        assert ex.execute("select changes() as n").first()["n"] == 2
+
+    def test_first_reference_flips_tracking(self, store):
+        ex = _ex(store)
+        assert store.track_changes is False
+        assert ex.execute("select changes() as n").first()["n"] == 0
+        assert store.track_changes is True
+
+
+class TestLastInsertRowid:
+    def test_tracks_integer_pk(self, store):
+        ex = _ex(store)
+        store.track_changes = True
+        ex.execute("insert into t values (7, 'a')")
+        assert ex.execute("select last_insert_rowid() as r").first()["r"] == 7
+        ex.execute("insert into t values (9, 'b'), (8, 'c')")
+        assert ex.execute("select last_insert_rowid() as r").first()["r"] == 9
+
+    def test_usable_in_following_insert(self, store):
+        ex = _ex(store)
+        store.track_changes = True
+        ex.execute("insert into t values (41, 'a')")
+        ex.execute("insert into audit values (last_insert_rowid() + 1)")
+        assert ex.execute("select n from audit").first()["n"] == 42
+
+    def test_update_does_not_move_rowid(self, store):
+        ex = _ex(store)
+        store.track_changes = True
+        ex.execute("insert into t values (5, 'a')")
+        ex.execute("update t set v = 'z' where id = 5")
+        assert ex.execute("select last_insert_rowid() as r").first()["r"] == 5
+
+
+class TestStreamIntegration:
+    def test_module_using_connection_fns(self, spark, tmp_path):
+        from leaf_spark import drisl
+        from leaf_spark.module import BasicModuleDef, QueryDef
+        from leaf_spark.stream import Stream
+        from leaf_spark.types import IncomingEvent, LeafQuery
+
+        mod = BasicModuleDef(
+            init_sql=(
+                "create table if not exists msgs (id integer primary key, body text);"
+                "create table if not exists meta (last_id integer);"
+            ),
+            materializer=(
+                "insert into msgs (id, body) "
+                "select idx, drisl_extract(payload, '.body') from event;"
+                "delete from meta;"
+                "insert into meta values (last_insert_rowid());"
+            ),
+            queries=(
+                QueryDef("last", "select last_id from meta"),
+                QueryDef("max_id", "select max(id) as m from msgs"),
+            ),
+        )
+        s = Stream(spark, str(tmp_path), "did:plc:connfns")
+        s.provide_module(mod)
+        assert s.store.track_changes is True
+        s.add_events(
+            [
+                IncomingEvent("did:plc:u", drisl.encode({"body": "hi"})),
+                IncomingEvent("did:plc:u", drisl.encode({"body": "there"})),
+            ]
+        )
+        last = s.query(None, LeafQuery("last"))[0]["last_id"]
+        assert last == s.query(None, LeafQuery("max_id"))[0]["m"]
