@@ -303,16 +303,44 @@ class DmlExecutor:
         if kind == "alter":
             self._alter(raw_sql)
             return None
-        if kind == "insert":
-            self._insert(sql, args)
-            return None
-        if kind == "update":
-            self._update(sql, args)
-            return None
-        if kind == "delete":
-            self._delete(sql, args)
+        if kind in ("insert", "update", "delete"):
+            body, returning = self._split_returning(toks)
+            affected = {
+                "insert": self._insert,
+                "update": self._update,
+                "delete": self._delete,
+            }[kind](_j(body), args)
+            if returning is None:
+                return None
+            # SQLite RETURNING: rows the statement actually touched —
+            # inserted (post-image), updated (post-image), deleted
+            # (pre-image); exprs evaluate over those rows
+            return affected.selectExpr(*returning)
+        head = toks[0].lower() if toks and _is_word(toks[0]) else ""
+        if head in ("reindex", "analyze", "vacuum", "pragma"):
+            # SQLite maintenance statements the reference authorizer allows
+            # (Reindex/Analyze, leaf-stream/src/lib.rs:1021-1022): no Spark
+            # analog — accepted as no-ops
             return None
         raise SqlTranslationError(f"unsupported statement: {raw_sql[:80]}")
+
+    @staticmethod
+    def _split_returning(toks: list[str]) -> tuple[list[str], list[str] | None]:
+        """Split a top-level RETURNING clause off a DML statement; returns
+        (body tokens, list of returning expressions or None)."""
+        depth = 0
+        for i, t in enumerate(toks):
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and _is_word(t) and t.lower() == "returning":
+                tail = toks[i + 1 :]
+                if tail == ["*"]:
+                    return toks[:i], ["*"]
+                arg_lists, _ = _find_args(["(", *tail, ")"], 0)
+                return toks[:i], [_j(a) for a in arg_lists]
+        return toks, None
 
     # -- SQLite connection-state functions ------------------------------------
 
@@ -824,7 +852,7 @@ class DmlExecutor:
 
     _ON_CONFLICT_RE = re.compile(r"\bon\s+conflict\b", re.IGNORECASE)
 
-    def _insert(self, sql: str, args: dict | None) -> None:
+    def _insert(self, sql: str, args: dict | None) -> "DataFrame":
         toks = tokenize(sql)
         lows = [t.lower() if _is_word(t) else t for t in toks]
         # split "on conflict" at top level
@@ -927,8 +955,8 @@ class DmlExecutor:
             # the literal last row; with set-wise batch inserts we record
             # max(pk) — identical for ascending ids, deterministic always
             self._record_insert(tdef, inserted)
-            return
-        self._upsert(name, tdef, existing, aligned, conflict, args)
+            return inserted
+        return self._upsert(name, tdef, existing, aligned, conflict, args)
 
     def _has_triggers(self, table: str, op: str) -> bool:
         return any(
@@ -943,7 +971,7 @@ class DmlExecutor:
         incoming: DataFrame,
         conflict_toks: list[str],
         args: dict | None,
-    ) -> None:
+    ) -> "DataFrame":
         lows = [t.lower() if _is_word(t) else t for t in conflict_toks]
         # conflict target columns
         if "(" in conflict_toks:
@@ -994,7 +1022,7 @@ class DmlExecutor:
             self._fire_triggers("after", "insert", name, inserted, None, args)
             # DO NOTHING: only actually-inserted rows count as changes
             self._record_insert(tdef, inserted)
-            return
+            return inserted
 
         # DO UPDATE SET a = expr, ... — expr may reference excluded.c and t.c
         set_toks = conflict_toks[do_idx + 2 :]
@@ -1065,6 +1093,10 @@ class DmlExecutor:
                 inserted.agg(F.max(pk)).first()[0] if pk else None
             )
             self.store.record_change(n, last)
+        # post-image of every processed row (for RETURNING)
+        return merged.join(
+            incoming.select(*keys).dropDuplicates(keys), keys, "semi"
+        ).unionByName(append_only)
 
     @staticmethod
     def _parse_assignments(toks: list[str]) -> dict[str, str]:
@@ -1128,7 +1160,7 @@ class DmlExecutor:
                 return toks[:i], toks[i + 1 :]
         return toks, None
 
-    def _update(self, sql: str, args: dict | None) -> None:
+    def _update(self, sql: str, args: dict | None) -> DataFrame:
         toks = tokenize(sql)
         lows = [t.lower() if _is_word(t) else t for t in toks]
         name = lows[1]
@@ -1171,11 +1203,28 @@ class DmlExecutor:
                 args,
             ).first()["n"]
             self.store.record_change(n)
+        # post-image of the matched rows (RETURNING) — built before the
+        # mutation swaps the temp view, so the plan captures the old table
+        post_cols = []
+        for f_ in tdef.schema.fields:
+            c = f_.name
+            if c in assignments:
+                post_cols.append(
+                    f"cast(({assignments[c]}) as {f_.dataType.simpleString()}) as {c}"
+                )
+            else:
+                post_cols.append(c)
+        affected = self._sql(
+            f"select {', '.join(post_cols)} from {name} "
+            f"where coalesce(({pred}), false)",
+            args,
+        )
         self._fire_triggers("before", "update", name, None, None, args, paired)
         self.store.mutated(name, df)
         self._fire_triggers("after", "update", name, None, None, args, paired)
+        return affected
 
-    def _delete(self, sql: str, args: dict | None) -> None:
+    def _delete(self, sql: str, args: dict | None) -> DataFrame:
         toks = tokenize(sql)
         lows = [t.lower() if _is_word(t) else t for t in toks]
         name = lows[lows.index("from") + 1]
@@ -1184,11 +1233,10 @@ class DmlExecutor:
         _, where = self._split_where(toks)
         pred = _j(where) if where else "true"
         df = self._sql(f"select * from {name} where not coalesce(({pred}), false)", args)
-        deleted = None
-        if self._has_triggers(name, "delete"):
-            deleted = self._sql(
-                f"select * from {name} where coalesce(({pred}), false)", args
-            )
+        # pre-image of the removed rows (RETURNING + delete triggers)
+        deleted = self._sql(
+            f"select * from {name} where coalesce(({pred}), false)", args
+        )
         if self.store.track_changes:
             n = self._sql(
                 f"select count(*) as n from {name} where coalesce(({pred}), false)",
@@ -1198,3 +1246,4 @@ class DmlExecutor:
         self._fire_triggers("before", "delete", name, None, deleted, args)
         self.store.mutated(name, df)
         self._fire_triggers("after", "delete", name, None, deleted, args)
+        return deleted

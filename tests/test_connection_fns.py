@@ -129,3 +129,59 @@ class TestStreamIntegration:
         )
         last = s.query(None, LeafQuery("last"))[0]["last_id"]
         assert last == s.query(None, LeafQuery("max_id"))[0]["m"]
+
+
+class TestReturning:
+    def test_insert_returning(self, store):
+        ex = _ex(store)
+        rows = ex.execute(
+            "insert into t values (1, 'a'), (2, 'b') returning id, upper(v) as vv"
+        ).collect()
+        assert sorted((r["id"], r["vv"]) for r in rows) == [(1, "A"), (2, "B")]
+
+    def test_insert_returning_star(self, store):
+        ex = _ex(store)
+        rows = ex.execute("insert into t values (3, 'c') returning *").collect()
+        assert [(r["id"], r["v"]) for r in rows] == [(3, "c")]
+
+    def test_update_returning_post_image(self, store):
+        ex = _ex(store)
+        ex.execute("insert into t values (1, 'a'), (2, 'b')")
+        rows = ex.execute(
+            "update t set v = v || '!' where id = 2 returning v"
+        ).collect()
+        assert [r["v"] for r in rows] == ["b!"]
+
+    def test_delete_returning_pre_image(self, store):
+        ex = _ex(store)
+        ex.execute("insert into t values (1, 'a'), (2, 'b')")
+        rows = ex.execute("delete from t where id >= 1 returning id").collect()
+        assert sorted(r["id"] for r in rows) == [1, 2]
+        assert ex.execute("select count(*) as n from t").first()["n"] == 0
+
+    def test_upsert_returning_processed_rows(self, store):
+        ex = _ex(store)
+        ex.execute("insert into t values (1, 'old')")
+        rows = ex.execute(
+            "insert into t values (1, 'upd'), (5, 'new') "
+            "on conflict do update set v = excluded.v returning id, v"
+        ).collect()
+        assert sorted((r["id"], r["v"]) for r in rows) == [(1, "upd"), (5, "new")]
+
+    def test_upsert_nothing_returns_only_inserted(self, store):
+        ex = _ex(store)
+        ex.execute("insert into t values (1, 'a')")
+        rows = ex.execute(
+            "insert into t values (1, 'dup'), (2, 'new') "
+            "on conflict do nothing returning id"
+        ).collect()
+        assert [r["id"] for r in rows] == [2]
+
+
+class TestMaintenanceNoOps:
+    def test_accepted_as_noops(self, store):
+        ex = _ex(store)
+        assert ex.execute("analyze") is None
+        assert ex.execute("reindex") is None
+        assert ex.execute("vacuum") is None
+        assert ex.execute("pragma journal_mode = WAL") is None
