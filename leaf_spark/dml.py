@@ -216,6 +216,9 @@ class DmlExecutor:
     def __init__(self, store: TableStore, extra_views: dict[str, str] | None = None):
         self.store = store
         self.extra_views = extra_views or {}
+        # SQLite-dialect error semantics (1/0 → NULL, invalid cast → NULL)
+        # regardless of which session the caller built; runtime-settable
+        self.store.spark.conf.set("spark.sql.ansi.enabled", "false")
 
     # -- name mapping --------------------------------------------------------
 

@@ -54,6 +54,10 @@ def get_spark(
         # legacy flag (arrives as timestamp_ntz under UTC).
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # SQLite-dialect parity for module SQL: 1/0 and bad casts are NULL,
+        # not runtime errors (Spark 4 defaults to ANSI). DmlExecutor also
+        # sets this at runtime so foreign sessions behave identically.
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

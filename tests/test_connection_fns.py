@@ -185,3 +185,19 @@ class TestMaintenanceNoOps:
         assert ex.execute("reindex") is None
         assert ex.execute("vacuum") is None
         assert ex.execute("pragma journal_mode = WAL") is None
+
+
+class TestSqliteErrorSemantics:
+    """SQLite yields NULL where ANSI SQL raises: division by zero, invalid
+    casts. DmlExecutor forces non-ANSI evaluation on any session."""
+
+    def test_division_by_zero_is_null(self, store):
+        ex = _ex(store)
+        ex.execute("insert into t values (1, 'a')")
+        row = ex.execute("select v, 1 / 0 as dz, 1 % 0 as mz from t").first()
+        assert row["dz"] is None and row["mz"] is None
+
+    def test_invalid_cast_is_null(self, store):
+        ex = _ex(store)
+        row = ex.execute("select cast('nope' as integer) as x").first()
+        assert row["x"] is None
