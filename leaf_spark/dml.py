@@ -317,8 +317,27 @@ class DmlExecutor:
                 return None
             # SQLite RETURNING: rows the statement actually touched —
             # inserted (post-image), updated (post-image), deleted
-            # (pre-image); exprs evaluate over those rows
-            return affected.selectExpr(*returning)
+            # (pre-image); exprs evaluate over those rows. The target-table
+            # qualifier is stripped (the affected rows carry bare columns).
+            tgt = (info.target or "").replace("state.", "state_").replace("main.", "")
+            cleaned = []
+            for expr in returning:
+                etoks = tokenize(expr)
+                out: list[str] = []
+                i = 0
+                while i < len(etoks):
+                    if (
+                        _is_word(etoks[i])
+                        and etoks[i].lower() == tgt
+                        and i + 1 < len(etoks)
+                        and etoks[i + 1] == "."
+                    ):
+                        i += 2
+                    else:
+                        out.append(etoks[i])
+                        i += 1
+                cleaned.append(_j(out))
+            return affected.selectExpr(*cleaned)
         head = toks[0].lower() if toks and _is_word(toks[0]) else ""
         if head in ("reindex", "analyze", "vacuum", "pragma"):
             # SQLite maintenance statements the reference authorizer allows
@@ -1171,7 +1190,30 @@ class DmlExecutor:
             raise SqlTranslationError(f"update unknown table {name}")
         tdef = self.store.defs[name]
         set_idx = lows.index("set")
-        body, where = self._split_where(toks[set_idx + 1 :])
+        rest = toks[set_idx + 1 :]
+        # UPDATE … FROM (SQLite 3.33 join-update): split a top-level FROM
+        depth = 0
+        from_at = None
+        for i, t in enumerate(rest):
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and _is_word(t) and t.lower() == "from":
+                from_at = i
+                break
+        if from_at is not None:
+            assign_toks = rest[:from_at]
+            tail, fwhere = self._split_where(rest[from_at + 1 :])
+            return self._update_from(
+                name,
+                tdef,
+                assign_toks,
+                _j(tail),
+                _j(fwhere) if fwhere else "true",
+                args,
+            )
+        body, where = self._split_where(rest)
         assignments = self._parse_assignments(body)
         pred = _j(where) if where else "true"
         cols_sql = []
@@ -1224,6 +1266,72 @@ class DmlExecutor:
         )
         self._fire_triggers("before", "update", name, None, None, args, paired)
         self.store.mutated(name, df)
+        self._fire_triggers("after", "update", name, None, None, args, paired)
+        return affected
+
+    def _update_from(
+        self,
+        name: str,
+        tdef: TableDef,
+        assign_toks: list[str],
+        from_sql: str,
+        pred: str,
+        args: dict | None,
+    ) -> DataFrame:
+        """UPDATE t SET … FROM src WHERE … — join-update. Each target row
+        matched by the join takes its assignments from one matching source
+        row; SQLite picks an arbitrary match, here the first by the target
+        key ordering (deterministic across retries). Rows are identified by
+        the primary key (all columns when the table has none)."""
+        assignments = self._parse_assignments(assign_toks)
+        keys = list(tdef.primary_key) or [f.name for f in tdef.schema.fields]
+        key_sel = ", ".join(f"{name}.{k} as __k__{k}" for k in keys)
+        new_sel = ", ".join(
+            f"cast(({assignments[c]}) as "
+            f"{next(f_.dataType for f_ in tdef.schema.fields if f_.name == c).simpleString()})"
+            f" as __new__{c}"
+            for c in assignments
+        )
+        matches = self._sql(
+            f"select {key_sel}, {new_sel} from {name}, {from_sql} "
+            f"where coalesce(({pred}), false)",
+            args,
+        ).dropDuplicates([f"__k__{k}" for k in keys]).withColumn("__m__", F.lit(True))
+        if self.store.track_changes:
+            self.store.record_change(matches.count())
+        existing = self.store.tables[name]
+        cond = None
+        for k in keys:
+            c = existing[k].eqNullSafe(matches[f"__k__{k}"])
+            cond = c if cond is None else (cond & c)
+        joined = existing.join(matches, cond, "left")
+        out_cols = []
+        for f_ in tdef.schema.fields:
+            c = f_.name
+            if c in assignments:
+                out_cols.append(
+                    F.when(F.col("__m__"), F.col(f"__new__{c}"))
+                    .otherwise(existing[c])
+                    .alias(c)
+                )
+            else:
+                out_cols.append(existing[c].alias(c))
+        affected = joined.where(F.col("__m__")).select(*out_cols)
+        paired = None
+        if self._has_triggers(name, "update"):
+            paired = joined.where(F.col("__m__")).select(
+                *[existing[f_.name] for f_ in tdef.schema.fields],
+                *[
+                    (
+                        F.col(f"__new__{f_.name}")
+                        if f_.name in assignments
+                        else existing[f_.name]
+                    ).alias(f"__new__{f_.name}")
+                    for f_ in tdef.schema.fields
+                ],
+            )
+        self._fire_triggers("before", "update", name, None, None, args, paired)
+        self.store.mutated(name, joined.select(*out_cols))
         self._fire_triggers("after", "update", name, None, None, args, paired)
         return affected
 

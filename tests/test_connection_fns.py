@@ -201,3 +201,45 @@ class TestSqliteErrorSemantics:
         ex = _ex(store)
         row = ex.execute("select cast('nope' as integer) as x").first()
         assert row["x"] is None
+
+
+class TestUpdateFrom:
+    @pytest.fixture()
+    def stores(self, spark):
+        st = TableStore(spark, "t_updfrom_")
+        ex = DmlExecutor(st)
+        ex.execute("create table acct (id integer primary key, bal integer)")
+        ex.execute("create table adj (id integer primary key, delta integer)")
+        ex.execute("insert into acct values (1, 100), (2, 200), (3, 300)")
+        ex.execute("insert into adj values (1, 10), (3, -30)")
+        return st
+
+    def _rows(self, st, t="acct"):
+        return sorted(
+            ((r["id"], r["bal"]) for r in st.tables[t].collect())
+        )
+
+    def test_join_update(self, stores):
+        ex = _ex(stores)
+        ex.execute(
+            "update acct set bal = bal + adj.delta from adj where acct.id = adj.id"
+        )
+        assert self._rows(stores) == [(1, 110), (2, 200), (3, 270)]
+
+    def test_from_subquery(self, stores):
+        ex = _ex(stores)
+        ex.execute(
+            "update acct set bal = s.m from "
+            "(select max(delta) as m from adj) as s where acct.id = 2"
+        )
+        assert self._rows(stores) == [(1, 100), (2, 10), (3, 300)]
+
+    def test_returning_and_changes(self, stores):
+        ex = _ex(stores)
+        stores.track_changes = True
+        rows = ex.execute(
+            "update acct set bal = 0 from adj where acct.id = adj.id "
+            "returning acct.id"
+        ).collect()
+        assert sorted(r["id"] for r in rows) == [1, 3]
+        assert ex.execute("select changes() as n").first()["n"] == 2
