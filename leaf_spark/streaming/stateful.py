@@ -159,3 +159,29 @@ def drain(
         .start()
     )
     q.awaitTermination(timeout_s)
+
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    time_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: emit only the first occurrence of each
+    normalized-content hash, with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keys the state store on the content
+    hash (uniform by construction — same shape as the batch ``exact_dedup``
+    shuffle) and evicts entries older than the watermark, so state size is
+    bounded by the duplicate-arrival horizon rather than the corpus: the
+    property that keeps this runnable forever on a 1000-executor ingest
+    pipeline. Exact-forever dedup at rest stays the batch operator's job;
+    this dedups the firehose before it lands.
+    """
+    hashed = docs.withColumn(
+        "content_hash",
+        F.sha2(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), 256),
+    )
+    return hashed.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )

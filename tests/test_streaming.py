@@ -204,3 +204,26 @@ class TestIngestReplayIdempotence:
         assert s.state.latest_idx == 6
         contents = [r["content"] for r in s.query(None, LeafQuery("messages"))]
         assert contents == [f"m{i}" for i in range(6)]
+
+
+def test_streaming_exact_dedup_bounded_state(spark, events_src_dir, tmp_path):
+    """Streaming dedup emits exactly one row per distinct content hash
+    (which copy survives depends on arrival order; the set is what's
+    deterministic)."""
+    from leaf_spark.streaming.stateful import drain, events_stream, streaming_exact_dedup
+
+    src = events_stream(spark, events_src_dir)
+    drain(
+        streaming_exact_dedup(src, text_col="event_type", watermark="2 hours"),
+        str(tmp_path / "ckd"),
+        "dedup_out",
+        output_mode="append",
+    )
+    got = spark.table("dedup_out").collect()
+    exp_types = {
+        r["event_type"] for r in _batch_events(spark, events_src_dir).collect()
+    }
+    assert len(got) == len(exp_types)
+    assert {r["event_type"] for r in got} == exp_types
+    # one state row per hash, evictable by watermark: hash column present
+    assert all(len(r["content_hash"]) == 64 for r in got)
