@@ -64,6 +64,8 @@ class TableDef:
     schema: T.StructType
     primary_key: tuple[str, ...] = ()
     is_state: bool = False
+    # column → SQL default expression (SQLite DEFAULT clause)
+    defaults: dict[str, str] = field(default_factory=dict)
 
 
 @dataclass
@@ -477,6 +479,8 @@ class DmlExecutor:
             tdef.schema = T.StructType(
                 [*tdef.schema.fields, T.StructField(col, dtype, True)]
             )
+            if default_sql != "null":
+                tdef.defaults[col] = default_sql
             df = self.store.tables[name].withColumn(
                 col, F.expr(default_sql).cast(dtype)
             )
@@ -635,6 +639,7 @@ class DmlExecutor:
         args, _close = _find_args(toks, open_idx)
         fields: list[T.StructField] = []
         pk: list[str] = []
+        defaults: dict[str, str] = {}
         for col_toks in args:
             cl = [t.lower() if _is_word(t) else t for t in col_toks]
             if not col_toks:
@@ -654,8 +659,17 @@ class DmlExecutor:
             if "primary" in cl and "key" in cl:
                 pk.append(col)
                 nullable = False
+            if "default" in cl:
+                d = cl.index("default")
+                if d + 1 < len(col_toks) and col_toks[d + 1] == "(":
+                    dargs, dclose = _find_args(col_toks, d + 1)
+                    defaults[col] = _j(dargs[0]) if dargs else "null"
+                elif d + 2 < len(col_toks) and col_toks[d + 1] in ("+", "-"):
+                    defaults[col] = col_toks[d + 1] + col_toks[d + 2]
+                elif d + 1 < len(col_toks):
+                    defaults[col] = col_toks[d + 1]
             fields.append(T.StructField(col, dtype, nullable))
-        tdef = TableDef(name, T.StructType(fields), tuple(pk), is_state)
+        tdef = TableDef(name, T.StructType(fields), tuple(pk), is_state, defaults)
         self.store.create(tdef, if_not_exists)
 
     def _create_view(self, sql: str) -> None:
@@ -928,13 +942,23 @@ class DmlExecutor:
                     conflict = tokenize("on conflict do nothing")
 
         src_sql = _j(body[j:])
+        any_null_pk = False
+        auto_pk = self._int_pk(tdef)
         if src_sql.lower().startswith("values"):
             vtoks = tokenize(src_sql)
             k = 1
             selects = []
+            pk_pos = (
+                target_cols.index(auto_pk)
+                if auto_pk and auto_pk in target_cols
+                else None
+            )
             while k < len(vtoks):
                 if vtoks[k] == "(":
                     vargs, close = _find_args(vtoks, k)
+                    if pk_pos is not None and pk_pos < len(vargs):
+                        if _j(vargs[pk_pos]).strip().lower() == "null":
+                            any_null_pk = True
                     exprs = [f"{_j(a)} as {c}" for a, c in zip(vargs, target_cols)]
                     # tuple position as __ord__: multi-tuple upserts keep
                     # SQLite's last-tuple-wins conflict order
@@ -959,12 +983,53 @@ class DmlExecutor:
         aligned = src.select(
             *[
                 (
-                    F.col(f.name) if f.name in src.columns else F.lit(None)
+                    F.col(f.name)
+                    if f.name in src.columns
+                    # SQLite: omitted columns take their declared DEFAULT
+                    else F.expr(tdef.defaults.get(f.name, "null"))
                 ).cast(f.dataType).alias(f.name)
                 for f in tdef.schema.fields
             ],
             *([F.col("__ord__")] if "__ord__" in src.columns else []),
         )
+
+        # INTEGER PRIMARY KEY auto-assignment (the SQLite rowid alias):
+        # omitted or literal-NULL ids become max(existing)+1, +2, … .
+        # The row_number window is single-partition — sequential-id
+        # assignment is inherently serial; event-batch-sized inserts only
+        # (bulk loads at scale should carry their own ids).
+        if auto_pk and (auto_pk not in target_cols or any_null_pk):
+            from pyspark.sql import Window
+
+            # base above BOTH the existing max and any explicit incoming id
+            # (set-wise assignment can't interleave with explicit ids the
+            # way SQLite's sequential fold does; starting past the batch
+            # max guarantees no collision — documented divergence)
+            base = (
+                self.store.tables[name]
+                .agg(F.coalesce(F.max(auto_pk), F.lit(0)).alias("m"))
+                .first()["m"]
+            ) or 0
+            inc_max = aligned.agg(F.max(auto_pk).alias("m")).first()["m"]
+            base = max(base, inc_max or 0)
+            order_col = (
+                F.col("__ord__")
+                if "__ord__" in aligned.columns
+                else F.monotonically_increasing_id()
+            )
+            w = Window.orderBy(order_col).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            inc = F.sum(
+                F.when(F.col(auto_pk).isNull(), 1).otherwise(0)
+            ).over(w)
+            ftype = next(
+                f.dataType for f in tdef.schema.fields if f.name == auto_pk
+            )
+            aligned = aligned.withColumn(
+                auto_pk,
+                F.coalesce(F.col(auto_pk), (F.lit(base) + inc).cast(ftype)),
+            )
 
         if conflict is None:
             inserted = aligned.drop(

@@ -243,3 +243,54 @@ class TestUpdateFrom:
         ).collect()
         assert sorted(r["id"] for r in rows) == [1, 3]
         assert ex.execute("select changes() as n").first()["n"] == 2
+
+
+class TestDefaultsAndAutoPk:
+    @pytest.fixture()
+    def dstore(self, spark):
+        st = TableStore(spark, "t_defpk_")
+        ex = DmlExecutor(st)
+        ex.execute(
+            "create table t (id integer primary key, n integer default 7, "
+            "s text, flag integer default (1 + 1))"
+        )
+        return st
+
+    def _rows(self, st):
+        return sorted(
+            (r.asDict() for r in st.tables["t"].collect()),
+            key=lambda r: r["id"],
+        )
+
+    def test_omitted_columns_take_defaults(self, dstore):
+        ex = _ex(dstore)
+        ex.execute("insert into t (id, s) values (1, 'a')")
+        assert self._rows(dstore) == [{"id": 1, "n": 7, "s": "a", "flag": 2}]
+
+    def test_auto_pk_when_omitted(self, dstore):
+        ex = _ex(dstore)
+        ex.execute("insert into t (s) values ('a'), ('b')")
+        ex.execute("insert into t (s) values ('c')")
+        assert [r["id"] for r in self._rows(dstore)] == [1, 2, 3]
+
+    def test_auto_pk_on_literal_null(self, dstore):
+        ex = _ex(dstore)
+        ex.execute("insert into t values (null, 1, 'a', 0), (9, 2, 'b', 0), (null, 3, 'c', 0)")
+        # auto ids start past the batch's explicit max (collision-free
+        # set-wise assignment; SQLite's sequential interleave would give
+        # 1, 9, 10 — divergence documented in dml.py)
+        assert [r["id"] for r in self._rows(dstore)] == [9, 10, 11]
+        assert [r["n"] for r in self._rows(dstore)] == [2, 1, 3]
+
+    def test_auto_pk_continues_from_max(self, dstore):
+        ex = _ex(dstore)
+        ex.execute("insert into t (id, s) values (41, 'a')")
+        ex.execute("insert into t (s) values ('b')")
+        assert [r["id"] for r in self._rows(dstore)] == [41, 42]
+
+    def test_alter_add_column_default_recorded(self, dstore):
+        ex = _ex(dstore)
+        ex.execute("insert into t (id, s) values (1, 'a')")
+        ex.execute("alter table t add column lvl integer default 5")
+        ex.execute("insert into t (id, s) values (2, 'b')")
+        assert all(r["lvl"] == 5 for r in self._rows(dstore))
