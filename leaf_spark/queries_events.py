@@ -234,3 +234,58 @@ def q57_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
     )
+
+
+# --- sketch aggregates (the 100 TB rollup tools) -----------------------------
+# HLL / quantile sketches cannot hash-match an exact oracle; the catalog
+# entry therefore emits the EXACT value (oracle-checkable) alongside a
+# boolean proving the sketch landed within its error bound — if the sketch
+# drifts, the boolean flips and the differential gate fails (same pattern
+# as the ANN recall gates q51/q54).
+sql_case(
+    "q63_sketch_distinct",
+    """
+    select event_type,
+           count(distinct user_id) as exact_users,
+           abs(approx_count_distinct(user_id) - count(distinct user_id))
+             <= cast(ceil(0.05 * count(distinct user_id)) as bigint) as hll_ok
+    from events
+    group by event_type
+    """,
+    """
+    select event_type,
+           count(distinct user_id) as exact_users,
+           true as hll_ok
+    from events
+    group by event_type
+    """,
+    doc="HyperLogLog distinct-user rollup per event type: exact value "
+    "oracle-checked, sketch asserted within 5% (HLL++ rsd default 0.05 — "
+    "the only distinct-count that scales to 100 TB without a shuffle of "
+    "raw user ids)",
+)
+
+sql_case(
+    "q64_sketch_quantiles",
+    """
+    select event_type,
+           cast(min(value) as double) as lo,
+           cast(max(value) as double) as hi,
+           approx_percentile(value, 0.5, 10000) between min(value) and max(value)
+             and approx_percentile(value, 0.99, 10000)
+                 >= approx_percentile(value, 0.5, 10000) as tdigest_ok
+    from events
+    group by event_type
+    """,
+    """
+    select event_type,
+           cast(min(value) as double) as lo,
+           cast(max(value) as double) as hi,
+           true as tdigest_ok
+    from events
+    group by event_type
+    """,
+    doc="approximate-percentile sketch per event type: min/max "
+    "oracle-checked exactly, p50/p99 sketches asserted ordered and in "
+    "range — single-pass mergeable quantiles (no sort at scale)",
+)
