@@ -1031,6 +1031,29 @@ class DmlExecutor:
                 F.coalesce(F.col(auto_pk), (F.lit(base) + inc).cast(ftype)),
             )
 
+        # NOT NULL enforcement (SQLite aborts the statement, which aborts
+        # the event batch — rollback restores the pre-batch snapshot). One
+        # early-exit scan of the insert delta, O(delta) like SQLite's own
+        # constraint check; skipped entirely for all-nullable tables.
+        # pk columns excluded: SQLite's legacy quirk allows NULL in
+        # non-INTEGER PRIMARY KEY columns (NULLs distinct in unique
+        # constraints — see the null-key upsert path), and INTEGER pks
+        # auto-assign above
+        nn_cols = [
+            f.name
+            for f in tdef.schema.fields
+            if not f.nullable and f.name not in tdef.primary_key
+        ]
+        if nn_cols:
+            viol = aligned.where(
+                " or ".join(f"{c} is null" for c in nn_cols)
+            ).take(1)
+            if viol:
+                bad = next(c for c in nn_cols if viol[0][c] is None)
+                raise SqlTranslationError(
+                    f"NOT NULL constraint failed: {name}.{bad}"
+                )
+
         if conflict is None:
             inserted = aligned.drop(
                 *(["__ord__"] if "__ord__" in aligned.columns else [])

@@ -294,3 +294,50 @@ class TestDefaultsAndAutoPk:
         ex.execute("alter table t add column lvl integer default 5")
         ex.execute("insert into t (id, s) values (2, 'b')")
         assert all(r["lvl"] == 5 for r in self._rows(dstore))
+
+
+class TestNotNullEnforcement:
+    @pytest.fixture()
+    def nstore(self, spark):
+        st = TableStore(spark, "t_nn_")
+        ex = DmlExecutor(st)
+        ex.execute("create table t (id integer primary key, s text not null)")
+        return st
+
+    def test_null_insert_raises(self, nstore):
+        from leaf_spark.sqlcompat import SqlTranslationError
+
+        ex = _ex(nstore)
+        with pytest.raises(SqlTranslationError, match="NOT NULL constraint failed: t.s"):
+            ex.execute("insert into t values (1, null)")
+        assert nstore.tables["t"].count() == 0
+
+    def test_valid_insert_passes(self, nstore):
+        ex = _ex(nstore)
+        ex.execute("insert into t values (1, 'ok')")
+        assert nstore.tables["t"].count() == 1
+
+    def test_violating_event_batch_rolls_back(self, spark, tmp_path):
+        from leaf_spark import drisl
+        from leaf_spark.module import BasicModuleDef, QueryDef
+        from leaf_spark.stream import Stream, StreamError
+        from leaf_spark.types import IncomingEvent, LeafQuery
+
+        mod = BasicModuleDef(
+            init_sql=(
+                "create table if not exists m "
+                "(idx integer primary key, body text not null)"
+            ),
+            materializer=(
+                "insert into m select idx, drisl_extract(payload, '.body') from event;"
+            ),
+            queries=(QueryDef("n", "select count(*) as n from m"),),
+        )
+        s = Stream(spark, str(tmp_path), "did:plc:nn")
+        s.provide_module(mod)
+        s.add_events([IncomingEvent("did:plc:u", drisl.encode({"body": "ok"}))])
+        with pytest.raises(Exception):
+            s.add_events(
+                [IncomingEvent("did:plc:u", drisl.encode({"nobody": 1}))]
+            )
+        assert s.query(None, LeafQuery("n"))[0]["n"] == 1
