@@ -62,15 +62,33 @@ def duck_rows(con, sql: str) -> list[dict]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filter = sys.argv[2:]
+    argv = [a for a in sys.argv[1:] if a != "--bare"]
+    bare = "--bare" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    name_filter = argv[1:]
 
     import duckdb
 
     import __spark_entry__ as e
-    from leaf_spark.session import get_spark
 
-    spark = get_spark("leaf-check")
+    if bare:
+        # replicate the driver harness: a vanilla session with none of our
+        # builder confs — load_tables must self-configure at runtime
+        import os
+
+        from pyspark.sql import SparkSession
+
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        spark = (
+            SparkSession.builder.master(f"local[{cpus}]")
+            .config("spark.sql.shuffle.partitions", cpus)
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from leaf_spark.session import get_spark
+
+        spark = get_spark("leaf-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
