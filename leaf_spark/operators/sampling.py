@@ -1,0 +1,190 @@
+"""Deterministic sampling, splitting, mixing, and sequence packing — the
+corpus-assembly stage of a training-data pipeline.
+
+Everything here is keyed on **content-derived md5 prefixes**, never
+``rand()``: a row's fate is a pure function of its id, so (a) task retries
+and speculative execution reproduce identical samples, (b) re-running the
+pipeline on a grown corpus keeps every previously-selected row stable, and
+(c) a DuckDB oracle can recompute the exact same selection (md5 hex is
+engine-portable; hash()/xxhash64 are not). Comparisons happen on
+fixed-width lowercase hex prefixes, where lexicographic order equals
+numeric order — no hex→int conversion needed on either engine.
+
+Shuffle inventory at 100 TB:
+- ``hash_split`` / ``weighted_mix``  narrow projections + filter — ZERO
+  shuffles, embarrassingly parallel, fate decided per-row.
+- ``stratified_sample``  two-level rank: level 1 shuffles on
+  (stratum, 256-way hash sub-key) — uniform by construction, so a hot
+  stratum spreads over 256 reducers — and level 2 ranks the ≤ 256·n
+  survivors per stratum (a near-empty shuffle).
+- ``pack_sequences``  distributed prefix-sum: per-range partial sums
+  (one narrow pass), a driver-side running offset over ~#ranges rows
+  (broadcast back), then a per-range window — the global-order window
+  that would serialize on a single reducer never happens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _hex_prefix(key, salt: str, width: int = 4):
+    """First ``width`` chars of md5(salt || key) — uniform in [0,16^width)."""
+    return F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, width)
+
+
+def hex_threshold(fraction: float, width: int = 4) -> str:
+    """Hex string h such that P[hex_prefix < h] == round(fraction * 16^width)
+    / 16^width — the portable comparison constant for a keep-fraction.
+
+    fraction ≥ 1 returns "g": one char, ASCII-after 'f', so every
+    fixed-width hex prefix sorts below it (the natural '10000' encoding is
+    lexicographically SMALLER than most 4-char prefixes and would silently
+    drop ~94% of a full-weight group)."""
+    n = 16**width
+    k = round(fraction * n)
+    if k >= n:
+        return "g"
+    return format(max(0, k), f"0{width}x")
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    fractions: dict[str, float],
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split (train/val/test…) by hashed key.
+
+    ``fractions`` maps label → fraction; they must sum to ≤ 1 and the
+    remainder falls to the LAST label listed (so pass the catch-all split
+    last with its nominal fraction). Assignment is stable under corpus
+    growth: a doc's split never changes when other docs appear.
+    """
+    labels = list(fractions)
+    h = _hex_prefix(F.col(key), salt)
+    expr = None
+    cum = 0.0
+    for label in labels[:-1]:
+        cum += fractions[label]
+        cond = h < F.lit(hex_threshold(cum))
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    expr = F.lit(labels[-1]) if expr is None else expr.otherwise(labels[-1])
+    return df.withColumn(out_col, expr)
+
+
+def weighted_mix(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Down-sample each group (source/domain/lang) to its mixing weight.
+
+    ``weights`` maps ``weight_col`` values → keep-fraction in [0,1]. The
+    per-row decision broadcasts the (tiny) weight table as a literal CASE —
+    no join, no shuffle: a 100 TB corpus streams through a single filter.
+    """
+    w = None
+    for val, frac in weights.items():
+        cond = F.col(weight_col) == val
+        thr = F.lit(hex_threshold(frac))
+        w = F.when(cond, thr) if w is None else w.when(cond, thr)
+    w = F.lit(hex_threshold(default_weight)) if w is None else w.otherwise(
+        hex_threshold(default_weight)
+    )
+    return df.where(_hex_prefix(F.col(key), salt) < w)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: list[str],
+    n_per_stratum: int,
+    key: str,
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic n-per-stratum sample: the n rows with the smallest
+    md5(salt||key) in each stratum (a uniform random draw, frozen by seed).
+
+    Skew-proof two-level rank (same pattern as ``skew.salted_agg``): a hot
+    stratum ('en' at 60% of a web corpus) must never sort on one reducer.
+    Level 1 ranks within (strata, bucket) where bucket = the rank hash's
+    own first 2 hex chars — 256 uniform sub-keys per stratum — and keeps
+    each sub-key's top-n. Level 2 ranks the ≤ 256·n survivors per stratum
+    globally. Both shuffles have uniformly distributed keys; the second
+    carries almost nothing. Every level-1 group's top-n is a superset of
+    the stratum top-n members hashing into it, so the result is exact.
+    """
+    h = F.md5(F.concat(F.lit(salt), F.col(key).cast("string")))
+    rank_key = [h, F.col(key)]
+    lvl1 = Window.partitionBy(*strata, F.substring(h, 1, 2)).orderBy(*rank_key)
+    lvl2 = Window.partitionBy(*strata).orderBy(*rank_key)
+    return (
+        df.withColumn("__lr__", F.row_number().over(lvl1))
+        .where(F.col("__lr__") <= n_per_stratum)
+        .withColumn("__gr__", F.row_number().over(lvl2))
+        .where(F.col("__gr__") <= n_per_stratum)
+        .drop("__lr__", "__gr__")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    order_col: str,
+    token_col: str,
+    budget: int,
+    range_width: int,
+    bin_col: str = "bin_id",
+    offset_col: str = "start_offset",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid end-to-end in
+    ``order_col`` order and cut into fixed ``budget``-token context bins;
+    each doc gets its bin id and its token offset within the global stream
+    (the standard pre-tokenization layout for LLM training shards).
+
+    Distributed prefix-sum, not a global-order window: rows bucket into
+    ranges of ``range_width`` order values (no shuffle if the source is
+    already range-partitioned; one bounded shuffle otherwise), per-range
+    sums reduce to the driver (~|range| rows), the exclusive running
+    offsets broadcast back as a join on the range id, and the final
+    intra-range window sorts only ``range_width`` rows per partition.
+    ``order_col`` must be unique per row (doc id).
+    """
+    rid = (F.col(order_col) / range_width).cast("long")
+    tagged = df.withColumn("__rid__", rid)
+
+    # per-range totals → driver (one row per range: ~corpus/range_width)
+    totals = (
+        tagged.groupBy("__rid__")
+        .agg(F.sum(token_col).alias("__rt__"))
+        .orderBy("__rid__")
+        .collect()
+    )
+    running = 0
+    offsets = []
+    for row in totals:
+        offsets.append((row["__rid__"], running))
+        running += row["__rt__"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "__rid__ bigint, __roff__ bigint")
+
+    w = (
+        Window.partitionBy("__rid__")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        tagged.join(F.broadcast(off_df), "__rid__")
+        .withColumn(
+            offset_col,
+            (F.col("__roff__") + F.coalesce(F.sum(token_col).over(w), F.lit(0))).cast(
+                "long"
+            ),
+        )
+        .withColumn(bin_col, (F.col(offset_col) / budget).cast("long"))
+        .drop("__rid__", "__roff__")
+    )
