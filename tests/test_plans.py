@@ -198,3 +198,50 @@ def test_line_dedup_winner_election_partial_agg(spark, cases):
     assert "CartesianProduct" not in plan
     assert re.search(r"partial_min", plan)
     assert "EvalPython" not in plan
+
+
+def test_asof_join_single_shuffle_no_join_node(spark, cases):
+    """asof_join is union-and-carry: ONE hash exchange on the key, a single
+    window, and NO join operator — the right side is never re-scanned per
+    left row (SCALE.md temporal-join design)."""
+    df = cases["q65_asof_attribution"].spark_fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert shuffle_count(plan) == 1
+    assert not re.search(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|NestedLoop|CartesianProduct)", plan)
+    fmt = plan_of(df, "formatted")
+    # event_type filters reach both parquet scans
+    for scan in _scan_blocks(fmt):
+        assert "EqualTo(event_type" in scan
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, cases):
+    """range_join must compile to a hash-partitionable equi-join on
+    (key, bucket) — a BETWEEN-style nested loop here is a scale bug."""
+    plan = plan_of(cases["q66_error_window_rollup"].spark_fn(spark, SF_DIR))
+    assert not re.search(r"(NestedLoop|CartesianProduct)", plan)
+    assert re.search(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan)
+
+
+def test_split_and_mix_shuffle_free_until_agg(spark, cases):
+    """hash_split / weighted_mix decide each row's fate with a pure
+    projection/filter: the only exchange is the reporting aggregation's."""
+    for name in ("q67_train_split", "q68_source_mix"):
+        plan = plan_of(cases[name].spark_fn(spark, SF_DIR))
+        assert shuffle_count(plan) == 1, name
+        assert "Join" not in plan, name
+
+
+def test_stratified_sample_two_bounded_shuffles(spark, cases):
+    """Two-level rank: level-1 shuffle keys carry the 256-way sub-bucket
+    (hot-stratum-proof), level 2 ranks the survivors — exactly 2 exchanges."""
+    plan = plan_of(cases["q69_stratified_sample"].spark_fn(spark, SF_DIR))
+    assert shuffle_count(plan) == 2
+
+
+def test_pack_sequences_broadcasts_offsets(spark, cases):
+    """Distributed prefix-sum: range offsets broadcast back (never a shuffled
+    join), and no global-order single-partition window exists."""
+    plan = plan_of(cases["q70_pack_sequences"].spark_fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert shuffle_count(plan) == 2  # per-range window + final agg
+    assert "Exchange SinglePartition" not in plan
