@@ -97,7 +97,11 @@ def repetition_metrics(
 
 
 def crossdoc_ngram_overlap(
-    df: DataFrame, n: int = 8, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_grams: bool = True,
 ) -> DataFrame:
     """Per document: how many of its distinct n-grams appear in ANY other
     document, and the overlap fraction.
@@ -106,21 +110,29 @@ def crossdoc_ngram_overlap(
     hash) to count distinct source docs, then groupBy back on the doc id.
     No self-join of documents; the gram table is the join surrogate, which
     is the shape that survives 100 TB.
+
+    With ``hash_grams`` (default) each gram travels as its xxhash64 — the
+    gram-count shuffle and the count-join key are 8-byte longs instead of
+    ~8-word strings (~6× fewer shuffle bytes). A 64-bit collision would
+    merge two distinct grams; expected collisions stay ≪1 until ~10^9
+    distinct grams, and the per-doc outputs are hash-invariant otherwise.
+    Pass ``hash_grams=False`` for exact gram identity.
     """
-    grams = (
-        spread(df)
-        .select(
-            F.col(id_col),
-            F.explode(F.array_distinct(word_ngrams(words_of(F.col(text_col)), n))).alias(
-                "gram"
-            ),
-        )
-    )
-    counts = grams.groupBy("gram").agg(
-        F.countDistinct(id_col).alias("n_docs_with_gram")
-    )
+    gram_expr = F.explode(
+        F.array_distinct(word_ngrams(words_of(F.col(text_col)), n))
+    ).alias("gram")
+    grams = spread(df).select(F.col(id_col), gram_expr)
+    if hash_grams:
+        grams = grams.select(id_col, F.xxhash64("gram").alias("gram"))
+    # Grams are distinct per doc, so count(*) over the gram partition IS the
+    # number of docs containing the gram. A window count beats the
+    # groupBy-then-join-back shape: one gram extraction (the join shape
+    # recomputes the explode on both join inputs), two shuffles, no join.
+    from pyspark.sql.window import Window
+
+    per_gram = F.count(F.lit(1)).over(Window.partitionBy("gram"))
     return (
-        grams.join(counts, "gram")
+        grams.withColumn("n_docs_with_gram", per_gram)
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -143,6 +155,7 @@ def decontaminate(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_grams: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: per training doc, the number of distinct
     n-grams that also occur in the holdout set, plus a contaminated flag.
@@ -150,14 +163,23 @@ def decontaminate(
     The holdout gram set is broadcast (benchmarks are small relative to the
     corpus), so the corpus is scanned exactly once with no shuffle of the
     training side; the final per-doc rollup groups on the doc id.
+
+    With ``hash_grams`` (default) the broadcast set and the probe key are
+    xxhash64 longs, not gram strings — the broadcast table shrinks ~6× and
+    the hash-join probe compares 8 bytes instead of ~8 words. Collision
+    risk as in :func:`crossdoc_ngram_overlap`; ``hash_grams=False`` keeps
+    exact string identity.
     """
     def grams(d: DataFrame) -> DataFrame:
-        return d.select(
+        g = d.select(
             F.col(id_col),
             F.explode(
                 F.array_distinct(word_ngrams(words_of(F.col(text_col)), n))
             ).alias("gram"),
         )
+        if hash_grams:
+            g = g.select(id_col, F.xxhash64("gram").alias("gram"))
+        return g
 
     hold_grams = grams(holdout).select("gram").distinct()
     return (
@@ -221,8 +243,9 @@ def line_dedup(
     reassembly of the surviving lines.
 
     One shuffle on the line hash (uniform) to elect the winner, one back on
-    the doc id to reassemble. Lines travel as hashes + positions; the text
-    itself is re-emitted from the winning row only.
+    the doc id to reassemble. The winner-election aggregate and its join key
+    are xxhash64 longs — line text never enters that shuffle; the string
+    rides only on the reassembly side, where it is needed anyway.
     """
     lines = (
         spread(df)
@@ -232,11 +255,12 @@ def line_dedup(
         )
         .withColumn("line", F.trim(F.col("line")))
         .where(F.length("line") > 0)
+        .withColumn("line_h", F.xxhash64("line"))
     )
-    w = lines.groupBy("line").agg(
+    w = lines.select("line_h", id_col, "pos").groupBy("line_h").agg(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first_at")
     )
-    kept = lines.join(w, "line").where(
+    kept = lines.join(w, "line_h").where(
         (F.col(id_col) == F.col("first_at")[id_col])
         & (F.col("pos") == F.col("first_at")["pos"])
     )

@@ -30,9 +30,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# events.parquet carries TIMESTAMP(NANOS); under the session's
-# nanosAsLong flag the streaming file source must read it as a long
-# (see session.load_tables for the batch-side equivalent).
+# Older driver testdata carried TIMESTAMP(NANOS) (readable only as a long
+# under the legacy nanosAsLong flag); current testdata is TIMESTAMP(MICROS)
+# (reads as a native timestamp). The streaming file source needs an explicit
+# schema, so probe the directory with a batch read and adapt — hardcoding
+# either precision silently corrupts event time for the other (a ÷1000 on
+# micros compresses the whole timeline 1000×, and every gap/window semantic
+# with it).
 EVENTS_NANOS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -45,15 +49,34 @@ EVENTS_NANOS_SCHEMA = T.StructType(
 )
 
 
+def events_batch(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Batch read of an events directory with ``ts`` normalized to a real
+    timestamp regardless of the parquet's on-disk precision."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(events_dir)
+    if dict(df.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) under the flag
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Watermarks reject TIMESTAMP_NTZ; under the UTC session timezone the
+    # cast to TIMESTAMP is value-preserving.
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def events_stream(spark: SparkSession, events_dir: str, max_files: int = 16) -> DataFrame:
     """The driver's events table shape as a streaming source with a real
-    event-time ``ts`` (timestamp) column."""
+    event-time ``ts`` (timestamp) column, adapting to the on-disk timestamp
+    precision (see ``events_batch``)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = spark.read.parquet(events_dir)
+    nanos = dict(probe.dtypes)["ts"] == "bigint"
+    schema = EVENTS_NANOS_SCHEMA if nanos else probe.schema
     raw = (
-        spark.readStream.schema(EVENTS_NANOS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", str(max_files))
         .parquet(events_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_counts(

@@ -49,12 +49,9 @@ def events_src_dir(tmp_path_factory):
 
 
 def _batch_events(spark, events_src_dir):
-    from pyspark.sql import functions as F
+    from leaf_spark.streaming.stateful import events_batch
 
-    from leaf_spark.streaming.stateful import EVENTS_NANOS_SCHEMA
-
-    raw = spark.read.schema(EVENTS_NANOS_SCHEMA).parquet(events_src_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return events_batch(spark, events_src_dir)
 
 
 def test_windowed_counts_match_batch(spark, events_src_dir, tmp_path):
