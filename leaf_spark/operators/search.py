@@ -1,0 +1,119 @@
+"""Full-text relevance search over the documents table.
+
+The reference's query surface is SQL-only (no FTS module is wired into
+leaf-stream; SURVEY §2.C), so BM25 here is a pipeline extension in the same
+family as the dedup/similarity operators: the retrieval primitive a
+training-data pipeline uses for targeted corpus mining ("find docs about X")
+and for decontamination triage.
+
+Scale shape (the part that matters at 100 TB):
+
+- the corpus scan filters to QUERY TERMS at the tokenizer (an
+  ``array_contains``-style filter right after the split) — only postings for
+  the handful of query terms ever leave the scan, so shuffle volume is
+  O(matching postings), not O(corpus tokens);
+- document frequencies and corpus stats (N, avgdl) are single-row /
+  per-term aggregates, broadcast back — no second corpus pass joins
+  anything big;
+- the final per-doc score sum routes through decimal(38,6) so partition
+  order cannot perturb the double sum (same convention as the catalog's
+  aggregate queries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import normalized
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k retrieval for a bag-of-words query.
+
+    Uses the Lucene/ATIRE idf variant ``ln(1 + (N - df + 0.5)/(df + 0.5))``
+    (always positive). Per-term partial scores are rounded to 6 decimals and
+    summed as decimal(38,6) so the result is independent of partition order;
+    the final score is rounded to 4.
+    """
+    words = docs.select(
+        F.col(id_col), F.split(normalized(F.col(text_col)), " ").alias("w")
+    )
+    # corpus stats: one row, broadcast into the per-term scoring join
+    stats = words.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("w")).alias("total_len"),
+    )
+    postings = (
+        words.select(F.col(id_col), F.size("w").alias("dl"), F.explode("w").alias("term"))
+        .where(F.col("term").isin([t.lower() for t in query_terms]))
+    )
+    tf = postings.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = F.col("n_docs").cast("double")
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    idf = F.log(F.lit(1.0) + (n - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_d = F.col("tf").cast("double")
+    term_score = idf * (
+        tf_d * (k1 + 1.0)
+        / (tf_d + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.round(term_score, 6).cast("decimal(38,6)").alias("term_score"),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("term_score").cast("double"), 4).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def unigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mean per-token unigram negative log-probability (a perplexity proxy —
+    the classic cheap LM-quality signal for corpus filtering).
+
+    Two shuffles: one groupBy on the token (uniform) to build the corpus
+    unigram table, one back on the doc id for the per-doc mean. The token
+    count join keys on the token string; at corpus scale the unigram table
+    is Zipf-bounded (vocab ≪ corpus) and AQE picks broadcast vs shuffle
+    join on actual size. Per-doc sums go through decimal(38,6).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(normalized(F.col(text_col)), " ")).alias("tok")
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    neglogp = -F.log(
+        F.col("n_tok").cast("double") / F.col("n_total").cast("double")
+    )
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.round(neglogp, 6).cast("decimal(38,6)").alias("nlp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            # cast the exact decimal sum to double BEFORE dividing: decimal
+            # division can land exactly on a rounding half-boundary that the
+            # oracle's double division sits just below — double-ops-only is
+            # bitwise reproducible across engines
+            F.round(
+                F.sum("nlp").cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_neglogprob"),
+        )
+    )

@@ -306,3 +306,62 @@ def ann_ivf_topk(
         .where(F.col("rk") <= k)
         .drop("rk")
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    num_seeds: int = 8,
+    threshold: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023): partition
+    the embedding space into clusters, then compare pairs only WITHIN each
+    cluster — the pruning that turns O(n²) global comparison into
+    sum-over-clusters O(|c|²).
+
+    Cluster assignment here is deterministic-by-construction: the seeds are
+    the first ``num_seeds`` vectors by id (broadcast), each vector joins its
+    argmax-cosine seed (cosine rounded to 5 decimals; ties → lowest seed id,
+    so the assignment is reproducible across engines and retries). Real
+    deployments swap the seed table for trained k-means centroids (see
+    ``ivf_topk``'s trainer) — the dataflow is identical.
+
+    Output: (cluster, id_a, id_b, cosine) for within-cluster pairs with
+    rounded cosine ≥ threshold, id_a < id_b.
+
+    Scale: the seed join is a broadcast (num_seeds rows); the within-cluster
+    self-join shuffles on the cluster id. Cluster-size skew is the known
+    failure mode at 100 TB — production raises num_seeds so |c| stays
+    bounded and salts the self-join (operators/skew.py) for hot clusters.
+    """
+    v = df.select(F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v"))
+    seeds = (
+        v.orderBy("id")
+        .limit(num_seeds)
+        .select(F.col("id").alias("sid"), F.col("v").alias("sv"))
+    )
+    sims = v.join(F.broadcast(seeds)).select(
+        "id", "v", "sid", F.round(cosine_expr(F.col("v"), F.col("sv")), 5).alias("sim")
+    )
+    best = sims.groupBy("id").agg(
+        F.max(F.struct(F.col("sim"), (-F.col("sid")).alias("neg_sid"))).alias("b")
+    )
+    assigned = (
+        sims.join(best, "id")
+        .where((F.col("sim") == F.col("b.sim")) & (F.col("sid") == -F.col("b.neg_sid")))
+        .select(F.col("sid").alias("cluster"), "id", "v")
+    )
+    a = assigned.select("cluster", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = assigned.select("cluster", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cluster",
+            "id_a",
+            "id_b",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 5).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -129,3 +129,61 @@ def document_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         fingerprint(t).alias("fp"),
     ]
     return df.select(*cols)
+
+
+# Gopher-rule thresholds (Rae et al. 2021, table A1 — simplified to the
+# signals computable from the driver's documents table).
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style hard quality gates: per doc, each rule's pass/fail plus
+    the final keep flag (AND of all rules).
+
+    Rules (ratios are exact integer divisions → bit-deterministic):
+      r_len         50 ≤ n_tokens ≤ 100000
+      r_avg_len     3 ≤ mean alpha chars per token ≤ 10
+      r_symbol      (# + …) / n_chars ≤ 0.1
+      r_bullet      ≤ 90% of lines start with a bullet
+      r_alpha_word  ≥ 80% of tokens contain at least one alphabetic char
+      r_stopword    contains ≥ 2 of the 8 Gopher stopwords
+
+    One narrow projection — embarrassingly parallel, no shuffle; the filter
+    composes with any downstream operator before data ever moves.
+    """
+    t = F.col(text_col)
+    w = words_expr(t)
+    n_tokens = token_count(t)
+    n_chars = F.length(t)
+    alpha = F.length(F.regexp_replace(t, r"[^\p{L}]", ""))
+    symbol = F.length(F.regexp_replace(t, r"[^#…]", ""))
+    lines = F.split(t, "\n")
+    bullet_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]"))
+    )
+    alpha_words = F.size(F.filter(w, lambda x: x.rlike(r"\p{L}")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(w), F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
+        )
+    )
+    rules = {
+        "r_len": (n_tokens >= 50) & (n_tokens <= 100000),
+        "r_avg_len": (alpha / F.greatest(n_tokens, F.lit(1)) >= 3.0)
+        & (alpha / F.greatest(n_tokens, F.lit(1)) <= 10.0),
+        "r_symbol": symbol / F.greatest(n_chars, F.lit(1)) <= 0.1,
+        "r_bullet": bullet_lines / F.greatest(F.size(lines), F.lit(1)) <= 0.9,
+        "r_alpha_word": alpha_words / F.greatest(n_tokens, F.lit(1)) >= 0.8,
+        "r_stopword": stop_hits >= 2,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    return df.select(
+        F.col(id_col),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        *[c.alias(k) for k, c in rules.items()],
+        keep.alias("keep"),
+    )

@@ -1,0 +1,246 @@
+"""Catalog entries q71-q75: retrieval, quality gating, LM scoring, semantic
+dedup, and corpus rollup stats — the round-3 training-pipeline additions.
+
+Float-determinism conventions (same as the rest of the catalog): cosine and
+per-term partial scores round to 5-6 decimals before any reordering
+aggregate; order-sensitive double sums route through decimal(38,6); final
+scores round to 4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .queries import register
+from .session import load_tables
+
+_BM25_TERMS = ["spark", "join", "vector"]
+
+
+@register(
+    "q71_bm25_topk",
+    """
+    with w as (
+      select doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') as words
+      from documents
+    ),
+    stats as (select count(*) as n_docs, sum(len(words)) as total_len from w),
+    posting as (select doc_id, len(words) as dl, unnest(words) as term from w),
+    tf as (
+      select doc_id, dl, term, count(*) as tf
+      from posting where term in ('spark', 'join', 'vector')
+      group by 1, 2, 3
+    ),
+    dfreq as (select term, count(*) as df from tf group by term)
+    select doc_id,
+           round(cast(sum(cast(round(
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf * (1.2 + 1.0))
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl
+                            / (cast(total_len as double) / n_docs))),
+             6) as decimal(38,6))) as double), 4) as score
+    from tf join dfreq using (term) cross join stats
+    group by doc_id
+    order by score desc, doc_id
+    limit 10
+    """,
+    doc="BM25 top-10 for a 3-term query — postings filtered to query terms "
+    "at the scan (shuffle is O(matching postings), not O(corpus)); df/stats "
+    "broadcast; decimal-summed term scores (operators/search.py)",
+)
+def q71_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.search import bm25_topk
+
+    t = load_tables(spark, sf_dir)
+    return bm25_topk(t["documents"], _BM25_TERMS, k=10)
+
+
+@register(
+    "q72_gopher_filter",
+    """
+    with base as (
+      select doc_id,
+             text,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) as nt
+      from documents
+    ),
+    feat as (
+      select doc_id,
+             string_split(nt, ' ') as w,
+             case when length(nt) = 0 then 0 else len(string_split(nt, ' ')) end as n_tokens,
+             length(text) as n_chars,
+             length(regexp_replace(text, '[^\\p{L}]', '', 'g')) as alpha,
+             length(regexp_replace(text, '[^#…]', '', 'g')) as symbol,
+             string_split(text, chr(10)) as lines
+      from base
+    ),
+    rules as (
+      select doc_id,
+             cast(n_tokens as bigint) as n_tokens,
+             n_tokens >= 50 and n_tokens <= 100000 as r_len,
+             cast(alpha as double) / greatest(n_tokens, 1) >= 3.0
+               and cast(alpha as double) / greatest(n_tokens, 1) <= 10.0 as r_avg_len,
+             cast(symbol as double) / greatest(n_chars, 1) <= 0.1 as r_symbol,
+             cast(len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*•]')))
+                  as double) / greatest(len(lines), 1) <= 0.9 as r_bullet,
+             cast(len(list_filter(w, x -> regexp_matches(x, '\\p{L}')))
+                  as double) / greatest(n_tokens, 1) >= 0.8 as r_alpha_word,
+             len(list_intersect(list_distinct(w),
+                 ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) >= 2
+               as r_stopword
+      from feat
+    )
+    select doc_id, n_tokens, r_len, r_avg_len, r_symbol, r_bullet,
+           r_alpha_word, r_stopword,
+           r_len and r_avg_len and r_symbol and r_bullet and r_alpha_word
+             and r_stopword as keep
+    from rules
+    """,
+    doc="Gopher-rule hard quality gates (Rae et al. 2021): per-rule verdicts "
+    "+ final keep flag; single shuffle-free projection "
+    "(operators/text.py gopher_filter)",
+)
+def q72_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import gopher_filter
+
+    t = load_tables(spark, sf_dir)
+    return gopher_filter(t["documents"])
+
+
+@register(
+    "q73_semantic_dedup",
+    """
+    with seeds as (
+      select vec_id as sid, embedding as sv from embeddings order by vec_id limit 8
+    ),
+    sims as (
+      select e.vec_id as id, s.sid,
+             round(
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 i -> cast(e.embedding[i] as double) * cast(s.sv[i] as double)))
+               / (sqrt(list_sum(list_transform(e.embedding,
+                       x -> cast(x as double) * cast(x as double))))
+                  * sqrt(list_sum(list_transform(s.sv,
+                       x -> cast(x as double) * cast(x as double))))),
+               5) as sim
+      from embeddings e cross join seeds s
+    ),
+    assigned as (
+      select id, sid as cluster from (
+        select id, sid,
+               row_number() over (partition by id order by sim desc, sid) as rn
+        from sims
+      ) where rn = 1
+    )
+    select a1.cluster, a1.id as id_a, a2.id as id_b,
+           round(
+             list_sum(list_transform(range(1, len(x.embedding) + 1),
+               i -> cast(x.embedding[i] as double) * cast(y.embedding[i] as double)))
+             / (sqrt(list_sum(list_transform(x.embedding,
+                     x1 -> cast(x1 as double) * cast(x1 as double))))
+                * sqrt(list_sum(list_transform(y.embedding,
+                     y1 -> cast(y1 as double) * cast(y1 as double))))),
+             5) as cosine
+    from assigned a1
+    join assigned a2 on a1.cluster = a2.cluster and a1.id < a2.id
+    join embeddings x on x.vec_id = a1.id
+    join embeddings y on y.vec_id = a2.id
+    where round(
+             list_sum(list_transform(range(1, len(x.embedding) + 1),
+               i -> cast(x.embedding[i] as double) * cast(y.embedding[i] as double)))
+             / (sqrt(list_sum(list_transform(x.embedding,
+                     x1 -> cast(x1 as double) * cast(x1 as double))))
+                * sqrt(list_sum(list_transform(y.embedding,
+                     y1 -> cast(y1 as double) * cast(y1 as double))))),
+             5) >= 0.3
+    """,
+    doc="SemDeDup-style semantic near-dup pairs: deterministic seed-argmax "
+    "clustering (broadcast seeds), within-cluster-only cosine pairs — the "
+    "O(n²)→O(Σ|c|²) pruning (operators/similarity.py semantic_dedup_pairs)",
+)
+def q73_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import semantic_dedup_pairs
+
+    t = load_tables(spark, sf_dir)
+    return semantic_dedup_pairs(t["embeddings"], num_seeds=8, threshold=0.3)
+
+
+@register(
+    "q74_corpus_stats",
+    """
+    with w as (
+      select source, lang,
+             case when length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) = 0
+                  then 0
+                  else len(string_split(
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+             end as n_tokens,
+             n_chars
+      from documents
+    )
+    select source, lang,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(n_tokens) as bigint) as total_tokens,
+           round(cast(cast(sum(n_tokens) as decimal(38,6)) / count(*) as double), 4)
+             as avg_tokens,
+           cast(min(n_tokens) as bigint) as min_tokens,
+           cast(max(n_tokens) as bigint) as max_tokens,
+           cast(sum(n_chars) as bigint) as total_chars
+    from w
+    group by source, lang
+    """,
+    doc="per-(source, lang) corpus rollup: doc/token/char totals + exact "
+    "decimal-safe averages — the dataset-card stats pass, one shuffle on a "
+    "low-cardinality key",
+)
+def q74_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import token_count
+
+    t = load_tables(spark, sf_dir)
+    w = t["documents"].select(
+        "source", "lang", token_count(F.col("text")).alias("n_tokens"), "n_chars"
+    )
+    return w.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            (F.sum("n_tokens").cast("decimal(38,6)") / F.count(F.lit(1))).cast(
+                "double"
+            ),
+            4,
+        ).alias("avg_tokens"),
+        F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@register(
+    "q75_unigram_logprob",
+    """
+    with toks as (
+      select doc_id,
+             unnest(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) as tok
+      from documents
+    ),
+    total as (select count(*) as n_total from toks),
+    vocab as (select tok, count(*) as n_tok from toks group by tok)
+    select doc_id,
+           cast(count(*) as bigint) as n_tokens,
+           round(cast(sum(cast(round(
+                   -ln(cast(n_tok as double) / n_total), 6) as decimal(38,6)))
+                 as double) / count(*), 4) as mean_neglogprob
+    from toks join vocab using (tok) cross join total
+    group by doc_id
+    """,
+    doc="mean per-token unigram -log p — the cheap LM-quality / perplexity "
+    "proxy; Zipf-bounded vocab table, AQE-chosen join, decimal-safe sums "
+    "(operators/search.py unigram_logprob)",
+)
+def q75_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.search import unigram_logprob
+
+    t = load_tables(spark, sf_dir)
+    return unigram_logprob(t["documents"])

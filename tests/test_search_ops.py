@@ -1,0 +1,153 @@
+"""Tests for the round-3 retrieval / quality-gate / semantic-dedup operators
+(operators/search.py, text.gopher_filter, similarity.semantic_dedup_pairs)
+— functional checks against independently computed expectations plus the
+plan-shape assertions that encode the 100 TB contract."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "simple") -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog with spark and join"),
+            (2, "spark spark spark join vector table scan"),
+            (3, "completely unrelated words here about nothing in particular at all"),
+            (4, "vector"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_bm25_ranks_term_frequency(spark, docs):
+    from leaf_spark.operators.search import bm25_topk
+
+    out = bm25_topk(docs, ["spark", "join", "vector"], k=4).collect()
+    ids = [r["doc_id"] for r in out]
+    # doc 2 mentions every query term, repeatedly, in a short doc → top rank;
+    # doc 3 has no query term → absent
+    assert ids[0] == 2
+    assert 3 not in ids
+    assert all(out[i]["score"] >= out[i + 1]["score"] for i in range(len(out) - 1))
+
+
+def test_bm25_score_matches_reference_formula(spark, docs):
+    from leaf_spark.operators.search import bm25_topk
+
+    out = {r["doc_id"]: r["score"] for r in bm25_topk(docs, ["vector"], k=4).collect()}
+    # hand-computed: N=4 docs, df(vector)=2, avgdl=(13+7+10+1)/4
+    n, df_t, avgdl = 4, 2, (13 + 7 + 10 + 1) / 4
+    idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+
+    def s(tf, dl):
+        raw = idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        return round(round(raw, 6), 4)
+
+    assert out[4] == pytest.approx(s(1, 1), abs=1e-4)
+    assert out[2] == pytest.approx(s(1, 7), abs=1e-4)
+
+
+def test_bm25_plan_broadcasts_stats_no_corpus_shuffle_of_text(spark):
+    from leaf_spark.operators.search import bm25_topk
+    from leaf_spark.session import load_tables
+
+    t = load_tables(spark, SF_DIR)
+    df = bm25_topk(t["documents"], ["spark", "join"], k=10)
+    plan = plan_of(df)
+    assert "BroadcastExchange" in plan  # dfreq + stats never shuffle-join
+    assert "BatchEvalPython" not in plan  # all-JVM
+    fmt = plan_of(df, "formatted")
+    # the isin(query terms) filter exists pre-aggregation: postings pruned
+    assert "spark" in fmt and "join" in fmt
+
+
+def test_gopher_filter_rules(spark):
+    from leaf_spark.operators.text import gopher_filter
+
+    # 100 tokens, has stopwords, mean alpha/token = (3+2+2+5+5)/5 = 3.4
+    long_good = " ".join(["the", "be", "to", "wordy", "extra"] * 20)
+    short = "too short"
+    bullets = "\n".join(["- item " + "x" * 5] * 10)
+    rows = (
+        gopher_filter(
+            spark.createDataFrame(
+                [(1, long_good), (2, short), (3, bullets)], ["doc_id", "text"]
+            )
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[1]["r_len"] and by_id[1]["r_stopword"] and by_id[1]["keep"]
+    assert not by_id[2]["r_len"] and not by_id[2]["keep"]
+    assert not by_id[3]["r_bullet"]  # 100% bullet lines > 90%
+    assert not by_id[3]["keep"]
+
+
+def test_gopher_filter_is_shuffle_free(spark):
+    from leaf_spark.operators.text import gopher_filter
+    from leaf_spark.session import load_tables
+
+    t = load_tables(spark, SF_DIR)
+    plan = plan_of(gopher_filter(t["documents"]))
+    assert not re.findall(r"Exchange (?:hash|range|Single)", plan)
+    assert "BatchEvalPython" not in plan
+
+
+def test_semantic_dedup_within_cluster_only(spark):
+    from leaf_spark.operators.similarity import semantic_dedup_pairs
+
+    # two orthogonal directions → two clusters; near-dups only inside each
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (10, [0.9, 0.1, 0.0, 0.0]),
+        (11, [0.1, 0.9, 0.0, 0.0]),
+        (12, [1.0, 0.05, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], ["vec_id", "embedding"]
+    )
+    out = semantic_dedup_pairs(df, num_seeds=2, threshold=0.9).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["cluster"] for r in out}
+    assert (0, 10) in pairs and pairs[(0, 10)] == 0
+    assert (0, 12) in pairs and (10, 12) in pairs
+    assert (1, 11) in pairs and pairs[(1, 11)] == 1
+    # cross-cluster near-orthogonal pairs never compared
+    assert all(not (a in (1, 11) and b in (0, 10, 12)) for a, b in pairs)
+
+
+def test_semantic_dedup_plan_broadcasts_seeds(spark):
+    from leaf_spark.operators.similarity import semantic_dedup_pairs
+    from leaf_spark.session import load_tables
+
+    t = load_tables(spark, SF_DIR)
+    plan = plan_of(semantic_dedup_pairs(t["embeddings"], num_seeds=4))
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan
+    # no full cartesian of the embedding table with itself
+    assert "CartesianProduct" not in plan
+
+
+def test_unigram_logprob_uniform_vocab(spark):
+    from leaf_spark.operators.search import unigram_logprob
+
+    # 4 tokens total, each unique → p = 1/4 each, mean -log p = ln 4
+    df = spark.createDataFrame([(1, "a b"), (2, "c d")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert out[1]["n_tokens"] == 2
+    assert out[1]["mean_neglogprob"] == pytest.approx(math.log(4), abs=1e-3)
+    assert out[2]["mean_neglogprob"] == pytest.approx(math.log(4), abs=1e-3)
