@@ -367,3 +367,29 @@ def dedup_keepers(
     cc = connected_components(pairs, vertices, id_a, id_b)
     keep = cc.where(F.col("id") == F.col("cluster")).select(F.col("id").alias(id_col))
     return df.join(keep, id_col, "semi")
+
+
+def incremental_dedup(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingest-time dedup: keep only the rows of ``new_batch`` whose
+    normalized content appears neither in the existing ``corpus`` nor
+    earlier in the batch itself (first occurrence by id wins).
+
+    The daily-crawl shape: the corpus index crossing the join is just the
+    content hash column (8-byte-key anti join, never the text); the batch —
+    typically orders of magnitude smaller than the corpus — is the build
+    side. Intra-batch dedup is the same winner-election aggregate as
+    ``exact_dedup``, run only on corpus-survivors. At 100 TB the corpus
+    hash index is a bucketed table (operators/bucketing.py) so repeated
+    daily runs skip even the index's shuffle.
+    """
+    h = F.xxhash64(normalized(F.col(text_col)))
+    corpus_idx = corpus.select(h.alias("h")).distinct()
+    batch = new_batch.withColumn("h", h)
+    fresh = batch.join(corpus_idx, "h", "left_anti")
+    w = fresh.groupBy("h").agg(F.min(id_col).alias(id_col))
+    return fresh.join(w, ["h", id_col]).drop("h")

@@ -244,3 +244,151 @@ def q75_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return unigram_logprob(t["documents"])
+
+
+@register(
+    "q76_clean_pipeline",
+    """
+    with base as (
+      select doc_id, source, text,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) as nt
+      from documents
+    ),
+    feat as (
+      select doc_id, source, text, nt,
+             string_split(nt, ' ') as w,
+             case when length(nt) = 0 then 0 else len(string_split(nt, ' ')) end as n_tokens,
+             length(text) as n_chars,
+             length(regexp_replace(text, '[^\\p{L}]', '', 'g')) as alpha,
+             length(regexp_replace(text, '[^#…]', '', 'g')) as symbol,
+             string_split(text, chr(10)) as lines
+      from base
+    ),
+    gated as (
+      select doc_id, source, nt, n_tokens
+      from feat
+      where (n_tokens >= 50 and n_tokens <= 100000)
+        and cast(alpha as double) / greatest(n_tokens, 1) >= 3.0
+        and cast(alpha as double) / greatest(n_tokens, 1) <= 10.0
+        and cast(symbol as double) / greatest(n_chars, 1) <= 0.1
+        and cast(len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*•]')))
+                 as double) / greatest(len(lines), 1) <= 0.9
+        and cast(len(list_filter(w, x -> regexp_matches(x, '\\p{L}')))
+                 as double) / greatest(n_tokens, 1) >= 0.8
+        and len(list_intersect(list_distinct(w),
+                ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) >= 2
+    ),
+    deduped as (
+      select doc_id, source, n_tokens from (
+        select doc_id, source, n_tokens,
+               row_number() over (partition by nt order by doc_id) as rn
+        from gated
+      ) where rn = 1
+    ),
+    input_counts as (select source, count(*) as n_input from base group by source)
+    select i.source,
+           cast(i.n_input as bigint) as n_input,
+           cast(coalesce(g.n_gated, 0) as bigint) as n_gated,
+           cast(coalesce(d.n_unique, 0) as bigint) as n_unique,
+           cast(coalesce(d.total_tokens, 0) as bigint) as total_tokens
+    from input_counts i
+    left join (select source, count(*) as n_gated from gated group by source) g
+      using (source)
+    left join (select source, count(*) as n_unique, sum(n_tokens) as total_tokens
+               from deduped group by source) d
+      using (source)
+    """,
+    doc="end-to-end cleaning pipeline: Gopher gate → corpus-level exact "
+    "dedup (first doc_id per normalized text wins) → per-source funnel "
+    "stats; the gate (shuffle-free) runs BEFORE any data moves, dedup is "
+    "one winner-election shuffle on the normalized-content key",
+)
+def q76_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import normalized
+    from .operators.text import gopher_filter, token_count
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    gate = gopher_filter(docs).where("keep").select("doc_id")
+    gated = docs.join(gate, "doc_id").select(
+        "doc_id",
+        "source",
+        normalized(F.col("text")).alias("nt"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    from pyspark.sql.window import Window
+
+    deduped = (
+        gated.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("nt").orderBy("doc_id")),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn", "nt")
+    )
+    inputs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_input"))
+    g = gated.groupBy("source").agg(F.count(F.lit(1)).alias("n_gated"))
+    d = deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    return (
+        inputs.join(g, "source", "left")
+        .join(d, "source", "left")
+        .select(
+            "source",
+            F.col("n_input").cast("bigint").alias("n_input"),
+            F.coalesce("n_gated", F.lit(0)).cast("bigint").alias("n_gated"),
+            F.coalesce("n_unique", F.lit(0)).cast("bigint").alias("n_unique"),
+            F.coalesce("total_tokens", F.lit(0)).cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+@register(
+    "q77_incremental_dedup",
+    """
+    with n as (
+      select doc_id, source,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) as nt
+      from documents
+    ),
+    corpus as (select * from n where doc_id % 10 < 8),
+    batch as (select * from n where doc_id % 10 >= 8),
+    fresh as (
+      select b.* from batch b
+      where not exists (select 1 from corpus c where c.nt = b.nt)
+    ),
+    kept as (
+      select doc_id, source from (
+        select doc_id, source,
+               row_number() over (partition by nt order by doc_id) as rn
+        from fresh
+      ) where rn = 1
+    )
+    select source,
+           cast(count(*) as bigint) as n_new_docs,
+           cast(min(doc_id) as bigint) as first_id,
+           cast(max(doc_id) as bigint) as last_id
+    from kept
+    group by source
+    """,
+    doc="ingest-time incremental dedup: new-batch docs (doc_id%10>=8) "
+    "anti-joined on the content hash against the existing corpus "
+    "(doc_id%10<8), then first-occurrence-wins within the batch — per-source "
+    "admission stats (operators/dedup.py incremental_dedup)",
+)
+def q77_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import incremental_dedup
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    out = incremental_dedup(
+        docs.where(F.col("doc_id") % 10 >= 8),
+        docs.where(F.col("doc_id") % 10 < 8),
+    )
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_new_docs"),
+        F.min("doc_id").cast("bigint").alias("first_id"),
+        F.max("doc_id").cast("bigint").alias("last_id"),
+    )

@@ -151,3 +151,52 @@ def test_unigram_logprob_uniform_vocab(spark):
     assert out[1]["n_tokens"] == 2
     assert out[1]["mean_neglogprob"] == pytest.approx(math.log(4), abs=1e-3)
     assert out[2]["mean_neglogprob"] == pytest.approx(math.log(4), abs=1e-3)
+
+
+def test_incremental_dedup_first_occurrence_wins(spark):
+    from leaf_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "existing doc one"), (2, "existing doc two")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "existing doc one"),      # dup of corpus → dropped
+            (11, "brand new content"),     # fresh → kept
+            (12, "brand new content"),     # intra-batch dup → dropped
+            (13, "Existing   DOC two"),    # normalized dup of corpus → dropped
+            (14, "another fresh one"),     # fresh → kept
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r["doc_id"] for r in incremental_dedup(batch, corpus).collect()
+    )
+    assert kept == [11, 14]
+
+
+def test_incremental_dedup_corpus_side_is_hash_only(spark):
+    from leaf_spark.operators.dedup import incremental_dedup
+    from leaf_spark.session import load_tables
+
+    t = load_tables(spark, SF_DIR)
+    docs = t["documents"]
+    df = incremental_dedup(
+        docs.where("doc_id % 10 >= 8"), docs.where("doc_id % 10 < 8")
+    )
+    fmt = plan_of(df, "formatted")
+    # the corpus side that feeds the anti join reads only what the hash and
+    # the split filter need (doc_id + text), never lang/source/n_chars —
+    # column pruning must hold
+    import re as _re
+
+    scans = [
+        b for b in _re.split(r"\n\(\d+\) ", fmt) if b.startswith("Scan parquet")
+    ]
+    corpus_scans = [
+        s
+        for s in scans
+        if "ReadSchema: struct<doc_id:bigint,text:string>" in s
+    ]
+    assert corpus_scans, "corpus scan should prune to doc_id+text only"
+    assert "BatchEvalPython" not in fmt
