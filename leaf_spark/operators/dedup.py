@@ -204,7 +204,14 @@ def minhash_lsh_pairs(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(b, F.to_json(F.slice("minhash_sig", b * r + 1, r))),
+                # bucket = chained integer hash over the band's signature
+                # slice — no string serialization (a to_json here allocates
+                # b strings per doc for nothing)
+                lambda b: F.aggregate(
+                    F.slice("minhash_sig", b * r + 1, r),
+                    F.xxhash64(b),
+                    lambda acc, x: F.xxhash64(acc, x),
+                ),
             )
         ).alias("band_id", "bucket"),
     )

@@ -114,6 +114,14 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     Returns a dict name → DataFrame. Filters/projections on these views push
     down to the parquet scan (verify with ``df.explain('formatted')`` —
     ``PushedFilters`` / ``ReadSchema``).
+
+    Loaded tables are cached on the session object: a ``spark.read.parquet``
+    per table costs ~100 ms of driver round-trips (footer read + analysis +
+    view registration), which at one ``load_tables`` per catalog query would
+    dominate sub-second queries. The cache is per (session, sf_dir); when
+    the requested sf_dir differs from the one whose views are currently
+    registered, views are re-pointed from the cached DataFrames without
+    re-reading.
     """
     names = names or (
         "region",
@@ -127,6 +135,15 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         "documents",
         "embeddings",
     )
+    cache: dict = getattr(spark, "_leaf_table_cache", None) or {}
+    spark._leaf_table_cache = cache
+    entry = cache.get(sf_dir)
+    if entry is not None and all(n in entry for n in names):
+        if getattr(spark, "_leaf_views_dir", None) != sf_dir:
+            for n, df in entry.items():
+                df.createOrReplaceTempView(n)
+            spark._leaf_views_dir = sf_dir
+        return {n: entry[n] for n in names}
     out = {}
     missing = [n for n in names if not os.path.exists(os.path.join(sf_dir, f"{n}.parquet"))]
     if missing:
@@ -156,4 +173,6 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
                 )
         df.createOrReplaceTempView(n)
         out[n] = df
+    cache.setdefault(sf_dir, {}).update(out)
+    spark._leaf_views_dir = sf_dir
     return out
