@@ -200,3 +200,40 @@ def test_incremental_dedup_corpus_side_is_hash_only(spark):
     ]
     assert corpus_scans, "corpus scan should prune to doc_id+text only"
     assert "BatchEvalPython" not in fmt
+
+
+def test_training_shard_sink_roundtrip(spark, tmp_path):
+    import json
+    import os
+
+    from leaf_spark.operators.sink import write_training_shards
+    from leaf_spark.session import load_tables
+
+    t = load_tables(spark, SF_DIR)
+    docs = t["documents"].withColumn(
+        "split", F.when(F.col("doc_id") % 10 < 8, "train").otherwise("val")
+    )
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(
+        docs, path, partition_by=["split"], shard_max_records=100,
+        order_by=["doc_id"],
+    )
+    assert manifest["total_rows"] == docs.count()
+    # directory partitioning exists
+    assert os.path.isdir(os.path.join(path, "split=train"))
+    assert os.path.isdir(os.path.join(path, "split=val"))
+    # manifest written and consistent
+    with open(os.path.join(path, "_manifest.json")) as fh:
+        on_disk = json.load(fh)
+    assert on_disk["total_rows"] == manifest["total_rows"]
+    by_split = {p["split"]: p["rows"] for p in on_disk["partitions"]}
+    assert by_split["train"] + by_split["val"] == manifest["total_rows"]
+    # shard size bound respected
+    back = spark.read.parquet(path)
+    assert back.count() == manifest["total_rows"]
+    import pyarrow.parquet as pq
+
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                assert pq.read_metadata(os.path.join(root, f)).num_rows <= 100
