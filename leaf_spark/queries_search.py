@@ -392,3 +392,118 @@ def q77_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("first_id"),
         F.max("doc_id").cast("bigint").alias("last_id"),
     )
+
+
+@register(
+    "q78_window_breadth",
+    """
+    select o_custkey,
+           o_orderkey,
+           ntile(4) over w as quartile,
+           round(percent_rank() over w, 6) as pct_rank,
+           round(cume_dist() over w, 6) as cdist,
+           lag(o_orderkey) over w as prev_order,
+           lead(o_orderkey) over w as next_order,
+           first_value(o_orderkey) over w as first_order
+    from orders
+    where o_custkey < 200
+    window w as (partition by o_custkey order by o_orderkey)
+    """,
+    doc="window-function breadth: ntile / percent_rank / cume_dist / "
+    "lag / lead / first_value over one named window — one shuffle on the "
+    "partition key, single sort serves all six functions",
+)
+def q78_window_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        select o_custkey,
+               o_orderkey,
+               ntile(4) over w as quartile,
+               round(percent_rank() over w, 6) as pct_rank,
+               round(cume_dist() over w, 6) as cdist,
+               lag(o_orderkey) over w as prev_order,
+               lead(o_orderkey) over w as next_order,
+               first_value(o_orderkey) over w as first_order
+        from orders
+        where o_custkey < 200
+        window w as (partition by o_custkey order by o_orderkey)
+        """
+    )
+
+
+@register(
+    "q79_rollup_stats",
+    """
+    select coalesce(source, '<all>') as source,
+           coalesce(lang, '<all>') as lang,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(n_chars) as bigint) as total_chars,
+           cast(grouping(source) as bigint) as g_source,
+           cast(grouping(lang) as bigint) as g_lang
+    from documents
+    group by rollup (source, lang)
+    """,
+    doc="ROLLUP dataset-card stats: per-(source,lang), per-source subtotal, "
+    "and grand total in one aggregate pass (partial aggregation covers all "
+    "grouping sets before the single shuffle)",
+)
+def q79_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        select coalesce(source, '<all>') as source,
+               coalesce(lang, '<all>') as lang,
+               cast(count(*) as bigint) as n_docs,
+               cast(sum(n_chars) as bigint) as total_chars,
+               cast(grouping(source) as bigint) as g_source,
+               cast(grouping(lang) as bigint) as g_lang
+        from documents
+        group by rollup (source, lang)
+        """
+    )
+
+
+@register(
+    "q80_editdist_blocked",
+    """
+    with n as (
+      select doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) as nt
+      from documents
+    ),
+    blocked as (
+      select doc_id, nt, substr(nt, 1, 12) as blk from n where length(nt) >= 12
+    )
+    select a.doc_id as id_a, b.doc_id as id_b,
+           cast(levenshtein(substr(a.nt, 1, 60), substr(b.nt, 1, 60)) as bigint)
+             as edit_dist
+    from blocked a
+    join blocked b on a.blk = b.blk and a.doc_id < b.doc_id
+    where levenshtein(substr(a.nt, 1, 60), substr(b.nt, 1, 60)) <= 20
+    """,
+    doc="entity-resolution-style near-dup: block on the first 12 normalized "
+    "chars (uniform prefix buckets — never an all-pairs join), verify with "
+    "bounded-prefix Levenshtein ≤ 20; the blocking-join shape survives "
+    "corpus scale because candidate pairs are O(Σ|block|²), not O(n²)",
+)
+def q80_editdist_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        with n as (
+          select doc_id,
+                 trim(regexp_replace(lower(text), '\\\\s+', ' ')) as nt
+          from documents
+        ),
+        blocked as (
+          select doc_id, nt, substr(nt, 1, 12) as blk from n where length(nt) >= 12
+        )
+        select a.doc_id as id_a, b.doc_id as id_b,
+               cast(levenshtein(substr(a.nt, 1, 60), substr(b.nt, 1, 60)) as bigint)
+                 as edit_dist
+        from blocked a
+        join blocked b on a.blk = b.blk and a.doc_id < b.doc_id
+        where levenshtein(substr(a.nt, 1, 60), substr(b.nt, 1, 60)) <= 20
+        """
+    )
