@@ -1,0 +1,99 @@
+"""Stream-engine throughput microbench (the stream-processor axis of
+BASELINE.json, complementing bench.py's query-catalog numbers).
+
+Measures, with the chat fixture module (FIXTURES.md F2 — authorizer +
+batch-safe INSERT…SELECT materializer):
+
+- ingest:   events/sec through add_events (authorize → materialize →
+            atomic log append), across several batch sizes;
+- replay:   events/sec to rebuild materialized state from the log
+            (fresh Stream on the same root, snapshot disabled by removal);
+- reopen:   seconds to reopen with the persisted state snapshot (the
+            O(tail) path that replaces O(log) replay);
+- query:    named-query round-trips/sec over the materialized state.
+
+Usage: python tools/bench_stream.py [n_events] [batch_size]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from leaf_spark.session import get_spark
+from leaf_spark.stream import Stream
+from leaf_spark.types import IncomingEvent, LeafQuery, SqlValue
+
+from tests.fixtures import CHAT, msg  # chat module + event factory
+
+
+def main() -> None:
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000
+    spark = get_spark("leaf-stream-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    root = tempfile.mkdtemp(prefix="stream_bench_")
+    out: dict = {"n_events": n_events, "batch_size": batch}
+    try:
+        s = Stream(spark, root, "did:plc:bench")
+        s.provide_module(CHAT)
+
+        # ingest
+        t0 = time.time()
+        i = 0
+        while i < n_events:
+            events = [msg("did:plc:u", f"m{j}", j) for j in range(i, min(i + batch, n_events))]
+            s.add_events(events)
+            i += len(events)
+        ingest_s = time.time() - t0
+        out["ingest_events_per_sec"] = round(n_events / ingest_s, 1)
+
+        # query round-trips over materialized state
+        t0 = time.time()
+        n_q = 20
+        for k in range(n_q):
+            rows = s.query(
+                "did:plc:u",
+                LeafQuery("messages", start=k * 50 + 1, limit=50),
+            )
+            assert rows
+        out["query_roundtrips_per_sec"] = round(n_q / (time.time() - t0), 2)
+
+        # reopen with snapshot (fast path)
+        del s
+        t0 = time.time()
+        s2 = Stream(spark, root, "did:plc:bench")
+        s2.provide_module(CHAT)
+        out["reopen_with_snapshot_sec"] = round(time.time() - t0, 3)
+
+        # full replay (remove snapshots → rebuild from the log)
+        import os
+
+        snap = os.path.join(root, "streams")
+        snap = next(
+            os.path.join(r, "snapshot")
+            for r, d, f in os.walk(snap)
+            if "snapshot" in d
+        )
+        shutil.rmtree(snap, ignore_errors=True)
+        t0 = time.time()
+        s3 = Stream(spark, root, "did:plc:bench")
+        s3.provide_module(CHAT)
+        replay_s = time.time() - t0
+        out["replay_events_per_sec"] = round(n_events / replay_s, 1)
+        n = s3.query("did:plc:u", LeafQuery("message_stats", limit=10))
+        out["replayed_rows"] = n[0]["n"] if n else None
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
