@@ -507,3 +507,48 @@ def q80_editdist_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         where levenshtein(substr(a.nt, 1, 60), substr(b.nt, 1, 60)) <= 20
         """
     )
+
+
+@register(
+    "q81_temperature_mix",
+    """
+    with s as (
+      select source, count(*) as n_docs from documents group by source
+    ),
+    p as (
+      select source, n_docs,
+             round(pow(cast(n_docs as double), 0.7), 6) as w
+      from s
+    ),
+    z as (select cast(sum(cast(w as decimal(38,6))) as double) as z from p)
+    select source,
+           cast(n_docs as bigint) as n_docs,
+           round(w / z, 6) as p_sample,
+           cast(round(100000 * w / z, 0) as bigint) as docs_per_100k
+    from p cross join z
+    """,
+    doc="temperature-based source mixing (p ∝ n^0.7, the multilingual "
+    "pretraining-sampling recipe): per-source sampling probability and "
+    "docs-per-100k budget — one tiny aggregate + broadcast normalizer; "
+    "composes with assembly.source_mix for the actual draw",
+)
+def q81_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        with s as (
+          select source, count(*) as n_docs from documents group by source
+        ),
+        p as (
+          select source, n_docs,
+                 round(pow(cast(n_docs as double), 0.7d), 6) as w
+          from s
+        ),
+        z as (select cast(sum(cast(w as decimal(38,6))) as double) as z from p)
+        select source,
+               cast(n_docs as bigint) as n_docs,
+               round(w / z, 6) as p_sample,
+               cast(round(100000 * w / z, 0) as bigint) as docs_per_100k
+        from p cross join z
+        """
+    )
