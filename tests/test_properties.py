@@ -107,3 +107,76 @@ def paged_stream(spark, tmp_path_factory):
     n = 12
     s.add_events([msg("did:plc:u", f"m{i}", 100 + i) for i in range(n)])
     return s, n
+
+
+# --- round-3 operator properties --------------------------------------------
+
+_texts = st.lists(
+    st.text(
+        alphabet="ab c",  # tiny alphabet → frequent duplicates after normalize
+        min_size=0,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus_texts=_texts, batch_texts=_texts)
+def test_incremental_dedup_invariants(spark, corpus_texts, batch_texts):
+    """Output never collides with the corpus (normalized), is internally
+    duplicate-free, and keeps the smallest id per surviving content."""
+    import re
+
+    from leaf_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_texts)], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(batch_texts)], ["doc_id", "text"]
+    )
+    out = incremental_dedup(batch, corpus).collect()
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.lower()).strip()
+
+    corpus_norms = {norm(t) for t in corpus_texts}
+    out_norms = [norm(r["text"]) for r in out]
+    assert not (set(out_norms) & corpus_norms)          # nothing already known
+    assert len(out_norms) == len(set(out_norms))        # no intra-batch dups
+    # first-occurrence-wins: each surviving norm carries the smallest doc_id
+    firsts = {}
+    for i, t in enumerate(batch_texts):
+        firsts.setdefault(norm(t), 100 + i)
+    for r in out:
+        assert r["doc_id"] == firsts[norm(r["text"])]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_texts)
+def test_gopher_filter_total_and_deterministic(spark, texts):
+    """The gate is total (one verdict per input row, no drops/dups) and
+    keep == AND of the individual rules."""
+    from leaf_spark.operators.text import gopher_filter
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    rows = gopher_filter(df).collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(len(texts)))
+    for r in rows:
+        rules = [
+            r["r_len"], r["r_avg_len"], r["r_symbol"],
+            r["r_bullet"], r["r_alpha_word"], r["r_stopword"],
+        ]
+        assert r["keep"] == all(rules)

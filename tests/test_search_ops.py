@@ -237,3 +237,31 @@ def test_training_shard_sink_roundtrip(spark, tmp_path):
         for f in files:
             if f.endswith(".parquet"):
                 assert pq.read_metadata(os.path.join(root, f)).num_rows <= 100
+
+
+def test_compression_ratio_separates_boilerplate(spark):
+    from leaf_spark.operators.text import compression_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam " * 500),                      # highly repetitive
+            (2, "the quick brown fox " * 2),         # short, mixed
+            (3, "".join(chr(97 + (i * 7 + i // 26) % 26) for i in range(2000))),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["compression_ratio"] for r in compression_ratio(df).collect()}
+    assert out[1] < 0.05          # template spam collapses
+    assert out[1] < out[3]        # repetitive ≪ high-entropy
+    assert 0 < out[3] <= 1.2
+
+
+def test_compression_ratio_is_arrow_batched(spark):
+    from leaf_spark.operators.text import compression_ratio
+    from leaf_spark.session import load_tables
+
+    t = load_tables(spark, SF_DIR)
+    plan = plan_of(compression_ratio(t["documents"]))
+    # Arrow-batched eval, never row-at-a-time Python
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
