@@ -161,16 +161,23 @@ class Stream:
         stream_did: str,
         authorizer: Authorizer | None = None,
         snapshot_every: int = 256,
+        snapshot_frac: float = 0.25,
     ):
         self.spark = spark
         self.stream_did = stream_did
         self.dir = os.path.join(root_dir, "streams", _safe_dirname(stream_did))
         self.events_dir = os.path.join(self.dir, "events")
         # parquet state snapshots (≈ the reference's module_<cid>.db +
-        # state.db files, streams.rs:101-150): auto-written every
-        # `snapshot_every` folded events; reopen loads the snapshot and
-        # replays only the tail beyond its cursor.
+        # state.db files, streams.rs:101-150): reopen loads the snapshot and
+        # replays only the tail beyond its cursor. Cadence: snapshot once the
+        # un-snapshotted tail reaches max(snapshot_every,
+        # snapshot_frac·snapshot_cursor). The proportional term is the scale
+        # guard — a snapshot rewrites the FULL state (O(state) parquet), so a
+        # fixed cadence costs O(state²/snapshot_every) cumulative over a long
+        # log; the doubling-style cadence keeps it amortized O(1) per event
+        # while bounding recovery replay to snapshot_frac of the log.
         self.snapshot_every = snapshot_every
+        self.snapshot_frac = snapshot_frac
         self._snap_cursor = 0
         self._lock = threading.RLock()
         self.sql_authorizer = authorizer or Authorizer()
@@ -368,7 +375,9 @@ class Stream:
         return True
 
     def _maybe_persist(self) -> None:
-        if self.state.module_event_cursor - self._snap_cursor >= self.snapshot_every:
+        since = self.state.module_event_cursor - self._snap_cursor
+        threshold = max(self.snapshot_every, int(self.snapshot_frac * self._snap_cursor))
+        if since >= threshold:
             self.persist_state()
 
     # -- A14 module provide/swap --------------------------------------------
