@@ -265,3 +265,33 @@ def test_compression_ratio_is_arrow_batched(spark):
     # Arrow-batched eval, never row-at-a-time Python
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_new_catalog_plans_hold_scale_shapes(spark):
+    """Plan contracts for q76-q81: no cartesian products anywhere, ROLLUP
+    runs as one Expand+aggregate (not a union of scans), and the blocked
+    edit-distance join is a real equi-join on the block key."""
+    from leaf_spark.queries import all_cases
+
+    cases = all_cases()
+    for name in (
+        "q76_clean_pipeline",
+        "q77_incremental_dedup",
+        "q79_rollup_stats",
+        "q80_editdist_blocked",
+        "q81_temperature_mix",
+    ):
+        plan = plan_of(cases[name].spark_fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+    rollup = plan_of(cases["q79_rollup_stats"].spark_fn(spark, SF_DIR))
+    assert "Expand" in rollup  # grouping sets in one pass
+    assert rollup.count("Scan parquet") == 1
+    blocked = plan_of(cases["q80_editdist_blocked"].spark_fn(spark, SF_DIR))
+    # a real equi-join on the block key: broadcast at toy scale, SMJ/SHJ at
+    # corpus scale (AQE decides) — never a nested-loop over all pairs
+    assert any(
+        j in blocked
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert "BroadcastNestedLoopJoin" not in blocked
