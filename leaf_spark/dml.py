@@ -102,6 +102,9 @@ class TableStore:
     views: dict[str, str] = field(default_factory=dict)  # name → select SQL
     triggers: dict[str, TriggerDef] = field(default_factory=dict)
     _mutations: int = 0
+    # tables mutated since the last checkpoint_all — checkpointing is
+    # O(table), so only dirty tables get re-materialized per batch
+    _dirty: set = field(default_factory=set)
     # SQLite connection-state functions (last_insert_rowid / changes /
     # total_changes). Tracking costs one count job per DML statement, so it
     # is enabled only when module SQL actually references the functions
@@ -144,14 +147,20 @@ class TableStore:
 
     def mutated(self, name: str, df: DataFrame) -> None:
         self.register(name, df)
+        self._dirty.add(name)
         self._mutations += 1
         # bound lineage growth inside long per-event folds
         if self._mutations % 32 == 0:
             self.tables[name].localCheckpoint(eager=False)
 
     def checkpoint_all(self) -> None:
-        for name, df in list(self.tables.items()):
-            self.register(name, df.localCheckpoint(eager=True))
+        """Materialize (and lineage-truncate) every table mutated since the
+        last call. Untouched tables are already evaluated — re-checkpointing
+        them would cost O(table) per batch for nothing."""
+        for name in sorted(self._dirty):
+            if name in self.tables:
+                self.register(name, self.tables[name].localCheckpoint(eager=True))
+        self._dirty.clear()
 
     def state_tables(self) -> list[str]:
         return [n for n, d in self.defs.items() if d.is_state]
@@ -173,6 +182,9 @@ class TableStore:
         DataFrame versions."""
         defs, tables, views, triggers, counters = snap
         self.last_rowid, self.changes, self.total_changes = counters
+        # conservatively treat every restored table as dirty: the reinstated
+        # DataFrames may carry pre-fold lineage
+        self._dirty = set(tables)
         self.triggers = dict(triggers)
         for gone in set(self.tables) - set(tables):
             self.tables.pop(gone, None)
@@ -465,6 +477,7 @@ class DmlExecutor:
                 new_c if k == old_c else k for k in tdef.primary_key
             )
             self.store.register(name, self.store.tables[name].withColumnRenamed(old_c, new_c))
+            self.store._dirty.add(name)
             return
         if op == "add":
             if lows[i] == "column":
@@ -485,6 +498,7 @@ class DmlExecutor:
                 col, F.expr(default_sql).cast(dtype)
             )
             self.store.register(name, df)
+            self.store._dirty.add(name)
             return
         if op == "drop":
             if lows[i] == "column":
@@ -496,6 +510,7 @@ class DmlExecutor:
                 [f for f in tdef.schema.fields if f.name != col]
             )
             self.store.register(name, self.store.tables[name].drop(col))
+            self.store._dirty.add(name)
             return
         raise SqlTranslationError(f"unsupported ALTER TABLE operation {op!r}")
 
@@ -511,6 +526,9 @@ class DmlExecutor:
             pass
         self.store.defs[new] = tdef
         self.store.register(new, df)
+        if old in self.store._dirty:
+            self.store._dirty.discard(old)
+            self.store._dirty.add(new)
         for tg in self.store.triggers.values():
             if tg.table == old:
                 tg.table = new
