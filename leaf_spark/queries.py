@@ -65,36 +65,40 @@ def sql_case(name: str, spark_sql: str, oracle: str, doc: str = "") -> None:
 # pytest-covered regardless of position; rotation only changes which subset
 # gets a fresh official row this round.  See README "Correctness coverage".
 #
-# Round-3 window: the 20 cases that were beyond position 50 in round 2
-# (q47-q55, q58-q62, q65-q70 — the similarity/cleaning/temporal flagships)
-# come first, then the strongest 30 of the round-2-green set.  The 20 pushed
-# out (q04-q09, q16, q20-q23, q25, q27-q29, q31, q35-q37, q39) are all green
-# in CORRECTNESS_r02.json.
-_ROUND3_FRONT = [
-    # never scored before round 3
-    "q47_cosine_topk", "q48_embedding_neardup", "q49_minhash_lsh",
-    "q50_simhash", "q51_ann_lsh", "q54_ann_ivf", "q55_dedup_clusters",
-    "q52_document_profile", "q53_multimodal_meta",
-    "q58_repetition_metrics", "q59_crossdoc_ngram_overlap", "q60_pii_scrub",
-    "q61_decontaminate", "q62_line_dedup",
-    "q65_asof_attribution", "q66_error_window_rollup", "q67_train_split",
-    "q68_source_mix", "q69_stratified_sample", "q70_pack_sequences",
-    # representative re-confirmations (green in r02)
-    "q01_pricing_summary", "q02_filter_project", "q03_revenue_by_nation",
-    "q10_having", "q11_window_topk", "q12_window_running", "q13_cte",
-    "q14_scalar_subquery", "q15_correlated_subquery", "q17_recursive_cte",
-    "q18_ineq_join", "q19_agg_of_agg", "q24_group_concat",
-    "q26_json_extract", "q30_events_page", "q32_events_type_stats",
-    "q33_events_time_buckets", "q34_events_sessionize", "q38_json_set_patch",
-    "q40_dedup_exact", "q41_dedup_normalized", "q42_text_quality",
-    "q43_lang_stats", "q44_token_totals", "q45_fingerprint",
-    "q46_word_jaccard_pairs", "q56_salted_agg", "q57_salted_join",
-    "q63_sketch_distinct", "q64_sketch_quantiles",
+# Round-4 window: the 11 cases never scored officially (q71-q81, all local
+# driver-replica green), then the 3 round-3 hash-reds whose oracles were
+# retyped this round (q67/q68/q70 — cast(sum(int) as bigint), see
+# VERDICT r3 "What's wrong #1"), then the 20 cases whose only official green
+# row is CORRECTNESS_r02.json (oldest evidence first), then 16 round-3-green
+# flagships spanning relational / window / dedup / ANN / cleaning / temporal.
+# Everything rotated out is green in CORRECTNESS_r02/r03; every case stays
+# registered and pytest-covered regardless of position.
+_ROUND4_FRONT = [
+    # never officially scored (implemented + locally green since round 3)
+    "q71_bm25_topk", "q72_gopher_filter", "q73_semantic_dedup",
+    "q74_corpus_stats", "q75_unigram_logprob", "q76_clean_pipeline",
+    "q77_incremental_dedup", "q78_window_breadth", "q79_rollup_stats",
+    "q80_editdist_blocked", "q81_temperature_mix",
+    # round-3 hash-reds, oracle typing fixed this round
+    "q67_train_split", "q68_source_mix", "q70_pack_sequences",
+    # only-r02 official greens (refresh the oldest evidence)
+    "q04_left_join", "q05_semi_join", "q06_anti_join", "q07_distinct",
+    "q08_set_ops", "q09_order_limit_offset", "q16_cross_join",
+    "q20_conditional", "q21_string_fns", "q22_math", "q23_datetime",
+    "q25_total", "q27_json_object", "q28_json_group_array", "q29_like_glob",
+    "q31_events_range_scan", "q35_events_topk_users", "q36_events_two_pages",
+    "q37_typeof", "q39_json_each",
+    # round-3-green flagship re-confirmations
+    "q01_pricing_summary", "q03_revenue_by_nation", "q11_window_topk",
+    "q13_cte", "q15_correlated_subquery", "q17_recursive_cte",
+    "q18_ineq_join", "q33_events_time_buckets", "q40_dedup_exact",
+    "q42_text_quality", "q49_minhash_lsh", "q51_ann_lsh", "q54_ann_ivf",
+    "q59_crossdoc_ngram_overlap", "q62_line_dedup", "q65_asof_attribution",
 ]
 
 
 def _ordered(reg: dict[str, QueryCase]) -> dict[str, QueryCase]:
-    front = [n for n in _ROUND3_FRONT if n in reg]
+    front = [n for n in _ROUND4_FRONT if n in reg]
     rest = [n for n in reg if n not in set(front)]
     return {n: reg[n] for n in [*front, *rest]}
 

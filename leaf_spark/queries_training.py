@@ -127,7 +127,7 @@ _T1 = hex_threshold(0.05)  # val
 _T2 = hex_threshold(0.10)  # val + test
 
 _Q67_ORACLE = f"""
-select split, lang, count(*) as n_docs, sum(n_chars) as chars_total
+select split, lang, count(*) as n_docs, cast(sum(n_chars) as bigint) as chars_total
 from (
   select lang, n_chars,
          case when substr(md5('split' || cast(doc_id as varchar)), 1, 4) < '{_T1}' then 'val'
@@ -166,7 +166,7 @@ _MIX_CASE = "case " + " ".join(
 ) + f" else '{hex_threshold(1.0)}' end"
 
 _Q68_ORACLE = f"""
-select source, count(*) as n_kept, sum(n_chars) as chars_kept
+select source, count(*) as n_kept, cast(sum(n_chars) as bigint) as chars_kept
 from documents
 where substr(md5('mix' || cast(doc_id as varchar)), 1, 4) < {_MIX_CASE}
 group by source
@@ -219,7 +219,7 @@ def q69_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q70_ORACLE = """
 select bin_id,
        count(*) as n_docs,
-       sum(tok) as tokens_total,
+       cast(sum(tok) as bigint) as tokens_total,
        min(doc_id) as first_doc
 from (
   select doc_id, tok,

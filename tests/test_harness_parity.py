@@ -37,6 +37,58 @@ print("PARITY_PASS", flush=True)
 """
 
 
+def test_checker_surfaces_hugeint_typing():
+    """Regression for the round-3 q67/q68/q70 reds: a bare ``sum(INTEGER)``
+    in a DuckDB oracle is HUGEINT, which the driver (and now tools/check.py)
+    materializes via Arrow as Decimal — it must hash differently from the
+    Python int a Spark BIGINT collects to, and the cast-to-bigint form must
+    hash identically."""
+    import duckdb
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from check import duck_rows, value_hash
+
+    con = duckdb.connect()
+    con.execute("create table t as select * from (values (1), (2), (41)) v(x)")
+
+    bare = duck_rows(con, "select sum(x) as s from t")
+    import decimal
+
+    assert isinstance(bare[0]["s"], decimal.Decimal)
+    spark_like = [{"s": 44}]  # what Spark's BIGINT sum collects to
+    assert value_hash(bare) != value_hash(spark_like)
+
+    cast = duck_rows(con, "select cast(sum(x) as bigint) as s from t")
+    assert isinstance(cast[0]["s"], int)
+    assert value_hash(cast) == value_hash(spark_like)
+
+
+def test_training_oracles_cast_integer_sums():
+    """The q67/q68/q70 oracles must keep their integer sums wrapped in
+    cast(... as bigint) — Arrow-fetching them must yield ints, not Decimals."""
+    import decimal
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from check import duck_rows
+
+    import __spark_entry__ as e
+
+    oracles = e.oracle_sql()
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.execute(
+            f"create or replace view {t} as select * from '{SF_DIR}/{t}.parquet'"
+        )
+    for name in ["q67_train_split", "q68_source_mix", "q70_pack_sequences"]:
+        rows = duck_rows(con, oracles[name])
+        assert rows, name
+        for r in rows:
+            for k, v in r.items():
+                assert not isinstance(v, decimal.Decimal), (name, k, type(v))
+
+
 @pytest.mark.slow
 def test_bare_session_from_foreign_cwd(tmp_path):
     script = _DRIVER_SCRIPT.format(repo=REPO, sf_dir=SF_DIR)

@@ -9,6 +9,7 @@ Usage:  python tools/check.py [sf_dir] [name_filter ...]
 
 from __future__ import annotations
 
+import decimal
 import hashlib
 import math
 import sys
@@ -27,6 +28,11 @@ def _norm_cell(v):
         return "∅"
     if isinstance(v, bool):
         return f"b:{int(v)}"
+    if isinstance(v, decimal.Decimal):
+        # deliberately distinct from the int/float buckets: a DuckDB
+        # HUGEINT/DECIMAL arriving where Spark returns BIGINT must FAIL here,
+        # exactly as it does in the driver's Arrow-based hash
+        return f"d:{v}"
     if isinstance(v, float):
         if math.isnan(v):
             return "f:nan"
@@ -56,9 +62,12 @@ def spark_rows(df) -> list[dict]:
 
 
 def duck_rows(con, sql: str) -> list[dict]:
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    return [dict(zip(cols, row)) for row in cur.fetchall()]
+    # Fetch through Arrow, not fetchall(): the driver's hash materializes the
+    # oracle via Arrow, where DuckDB's HUGEINT (bare sum(INTEGER)) arrives as
+    # decimal128 → Python Decimal.  fetchall() would coerce it to int and hide
+    # the typing divergence that broke q67/q68/q70 in round 3.
+    tbl = con.execute(sql).fetch_arrow_table()
+    return tbl.to_pylist()
 
 
 def main() -> int:
