@@ -17,10 +17,11 @@ Shuffle inventory at 100 TB:
   (stratum, 256-way hash sub-key) — uniform by construction, so a hot
   stratum spreads over 256 reducers — and level 2 ranks the ≤ 256·n
   survivors per stratum (a near-empty shuffle).
-- ``pack_sequences``  distributed prefix-sum: per-range partial sums
-  (one narrow pass), a driver-side running offset over ~#ranges rows
-  (broadcast back), then a per-range window — the global-order window
-  that would serialize on a single reducer never happens.
+- ``pack_sequences``  two-level distributed prefix-sum: per-range partial
+  sums (one narrow pass), per-super-range sums whose ~#ranges/range_width
+  rows take the only single-reducer ordered window, offsets rejoined on
+  uniform keys — no driver materialization, and the global-order window
+  over the DATA never happens.
 """
 
 from __future__ import annotations
@@ -146,31 +147,57 @@ def pack_sequences(
     each doc gets its bin id and its token offset within the global stream
     (the standard pre-tokenization layout for LLM training shards).
 
-    Distributed prefix-sum, not a global-order window: rows bucket into
-    ranges of ``range_width`` order values (no shuffle if the source is
-    already range-partitioned; one bounded shuffle otherwise), per-range
-    sums reduce to the driver (~|range| rows), the exclusive running
-    offsets broadcast back as a join on the range id, and the final
-    intra-range window sorts only ``range_width`` rows per partition.
-    ``order_col`` must be unique per row (doc id).
+    Fully distributed two-level prefix-sum, not a global-order window and
+    not a driver loop: rows bucket into ranges of ``range_width`` order
+    values; per-range totals aggregate down to ~N/range_width rows; those
+    totals bucket again into SUPER-ranges of ``range_width`` ranges, whose
+    ~N/range_width² totals take the only globally-ordered window (a
+    single-partition sort of the doubly-reduced row count — 10 M rows for a
+    100 B-doc corpus at width 100, vs the 1 B-row driver ``collect()`` this
+    replaced). Exclusive offsets then flow back down: totals join the
+    super-range offsets on ``__srid__`` + an intra-super-range window, and
+    the data joins the per-range offsets on ``__rid__`` + an intra-range
+    window. Both joins are plain equi-joins on uniform keys — AQE
+    broadcasts them while the offset side is small and falls back to a
+    shuffle join when it is not, so nothing here caps the corpus size.
+    ``order_col`` must be unique per row (doc id). Construction is fully
+    lazy: no Spark job runs until the result is acted on.
     """
     rid = (F.col(order_col) / range_width).cast("long")
     tagged = df.withColumn("__rid__", rid)
 
-    # per-range totals → driver (one row per range: ~corpus/range_width)
-    totals = (
-        tagged.groupBy("__rid__")
-        .agg(F.sum(token_col).alias("__rt__"))
-        .orderBy("__rid__")
-        .collect()
+    # level 1: per-range totals (one narrow shuffle, ~N/range_width rows)
+    totals = tagged.groupBy("__rid__").agg(F.sum(token_col).alias("__rt__"))
+
+    # level 2: per-super-range totals and their exclusive global prefix —
+    # the single-partition window sorts only ~N/range_width² rows
+    stotals = (
+        totals.withColumn("__srid__", (F.col("__rid__") / range_width).cast("long"))
+        .groupBy("__srid__")
+        .agg(F.sum("__rt__").alias("__st__"))
     )
-    running = 0
-    offsets = []
-    for row in totals:
-        offsets.append((row["__rid__"], running))
-        running += row["__rt__"]
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets, "__rid__ bigint, __roff__ bigint")
+    sw = Window.orderBy("__srid__").rowsBetween(Window.unboundedPreceding, -1)
+    soff = stotals.withColumn(
+        "__soff__", F.coalesce(F.sum("__st__").over(sw), F.lit(0)).cast("long")
+    ).select("__srid__", "__soff__")
+
+    # exclusive per-range offsets = super-range offset + intra-super prefix
+    rw = (
+        Window.partitionBy("__srid__")
+        .orderBy("__rid__")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off_df = (
+        totals.withColumn("__srid__", (F.col("__rid__") / range_width).cast("long"))
+        .join(soff, "__srid__")
+        .withColumn(
+            "__roff__",
+            (F.col("__soff__") + F.coalesce(F.sum("__rt__").over(rw), F.lit(0))).cast(
+                "long"
+            ),
+        )
+        .select("__rid__", "__roff__")
+    )
 
     w = (
         Window.partitionBy("__rid__")
@@ -178,7 +205,7 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
-        tagged.join(F.broadcast(off_df), "__rid__")
+        tagged.join(off_df, "__rid__")
         .withColumn(
             offset_col,
             (F.col("__roff__") + F.coalesce(F.sum(token_col).over(w), F.lit(0))).cast(

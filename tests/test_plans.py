@@ -238,10 +238,42 @@ def test_stratified_sample_two_bounded_shuffles(spark, cases):
     assert shuffle_count(plan) == 2
 
 
-def test_pack_sequences_broadcasts_offsets(spark, cases):
-    """Distributed prefix-sum: range offsets broadcast back (never a shuffled
-    join), and no global-order single-partition window exists."""
-    plan = plan_of(cases["q70_pack_sequences"].spark_fn(spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan
-    assert shuffle_count(plan) == 2  # per-range window + final agg
-    assert "Exchange SinglePartition" not in plan
+def test_pack_sequences_lazy_two_level_prefix(spark):
+    """Two-level distributed prefix-sum contract:
+
+    - construction runs NO Spark job (the round-3 version collect()ed all
+      per-range totals to the driver at build time — a 1 B-row driver
+      materialization at 100 B docs);
+    - exactly ONE single-partition exchange exists, and it sits over the
+      doubly-reduced super-range totals (~N/range_width² rows), never over
+      the data;
+    - no cartesian anywhere; and the result equals the naive global-order
+      window on a small corpus."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from leaf_spark.operators.sampling import pack_sequences
+
+    data = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("tok")
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("pack-build", "pack_sequences construction must be lazy")
+    packed = pack_sequences(data, "doc_id", "tok", budget=50, range_width=10)
+    sc.setJobGroup("pack-after", "")
+    assert list(sc.statusTracker().getJobIdsForGroup("pack-build")) == []
+
+    plan = plan_of(packed)
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "CartesianProduct" not in plan
+
+    gw = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    ref = (
+        data.withColumn(
+            "start_offset", F.coalesce(F.sum("tok").over(gw), F.lit(0)).cast("long")
+        )
+        .withColumn("bin_id", (F.col("start_offset") / 50).cast("long"))
+    )
+    got = {tuple(r) for r in packed.select("doc_id", "start_offset", "bin_id").collect()}
+    want = {tuple(r) for r in ref.select("doc_id", "start_offset", "bin_id").collect()}
+    assert got == want
