@@ -10,10 +10,13 @@ can shuffle-partition them like any other join:
   ``last(..., ignorenulls=True)`` over an unbounded-preceding window. Cost
   is ONE shuffle on the join key (the window's partitionBy) — no join at
   all, no per-key nested loop, and the right side is never re-scanned per
-  left row. At 100 TB this is the same shape as a sort-merge join: skewed
-  keys are the only hazard (one user with 100M events lands in one
-  partition's sort), the standard mitigation being time-range
-  pre-bucketing of the key — noted, not needed at any tested SF.
+  left row. Skewed keys (one user holding 100 M events) would serialize one
+  partition's sort, so ``time_bucket=<width>`` switches to the
+  skew-mitigated form: the window partitions by (key, time-bucket) — a hot
+  key spreads over its time range — and the latest right-side value crosses
+  bucket boundaries through a per-(key, bucket) tail aggregate plus a tiny
+  window over the one-row-per-bucket tail table (rows there = #buckets per
+  key, not #events). Exact same semantics, two extra bounded shuffles.
 - ``range_join``  interval bucketing: each interval registers on every
   fixed-width time bucket it overlaps (≤ 2 when ``bucket_width`` ≥ max
   interval length — enforced), each point registers on its one bucket, and
@@ -49,6 +52,7 @@ def asof_join(
     right_time: str,
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    time_bucket: float | None = None,
 ) -> DataFrame:
     """Backward as-of LEFT join: for every left row, attach the right row
     with the greatest ``right_time`` ≤ ``left_time`` within the same ``on``
@@ -58,6 +62,10 @@ def asof_join(
     within a key are broken by the carried column order (last wins after a
     deterministic sort on all carried columns), so retries reproduce the
     same answer.
+
+    ``time_bucket`` (numeric: whole seconds for timestamp columns, plain
+    units for numerics) opts into the skew-mitigated plan for hot keys —
+    see the module docstring. Result is identical for any width > 0.
     """
     right_cols = right_cols or [
         c for c in right.columns if c not in on and c != right_time
@@ -90,19 +98,67 @@ def asof_join(
     # Right rows sort before left rows at equal time (side 0 < 1) so an
     # exact-time right row is visible to the left row; _CARRY is the final
     # sort key so equal-(time,side) right duplicates resolve deterministically.
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(_TIME, _SIDE, _CARRY)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     carried_out = [
         F.col("__m__")[c].alias(f"{c}{suffix}" if c in left.columns else c)
         for c in carried
     ]
+    out_cols = [*[F.col("__lrow__")[c].alias(c) for c in left.columns], *carried_out]
+
+    if time_bucket is None:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(_TIME, _SIDE, _CARRY)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            unioned.withColumn("__m__", F.last(_CARRY, ignorenulls=True).over(w))
+            .where(F.col(_SIDE) == 1)
+            .select(*out_cols)
+        )
+
+    # Skew-mitigated plan: partition the carry window by (key, time-bucket)
+    # so a hot key spreads across its time range, then stitch buckets with a
+    # cross-bucket carry computed on the tiny per-(key, bucket) tail table.
+    tnum = F.col(_TIME)
+    if unioned.schema[_TIME].dataType.typeName().startswith("timestamp"):
+        tnum = F.unix_timestamp(tnum).cast("double")
+    else:
+        tnum = tnum.cast("double")
+    tagged = unioned.withColumn(
+        _BUCKET, F.floor(tnum / F.lit(float(time_bucket))).cast("long")
+    )
+
+    # within-bucket carry: identical order, partition narrowed by bucket
+    wb = (
+        Window.partitionBy(*on, _BUCKET)
+        .orderBy(_TIME, _SIDE, _CARRY)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = tagged.withColumn("__m__", F.last(_CARRY, ignorenulls=True).over(wb))
+
+    # per-(key, bucket) tail = the max-(time, carry) right row of the bucket
+    # (same total order the window uses: _SIDE is constant 0 on right rows),
+    # NULL for buckets containing only left rows.  One row per (key, bucket).
+    tails = tagged.groupBy(*on, _BUCKET).agg(
+        F.max(
+            F.when(F.col(_SIDE) == 0, F.struct(F.col(_TIME), F.col(_CARRY)))
+        ).alias("__tail__")
+    )
+    # exclusive running carry over buckets: rows here = #buckets per key —
+    # bounded by time-range/width, never by event count, so the hot key's
+    # serial work is O(#buckets), not O(#events)
+    wprev = Window.partitionBy(*on).orderBy(_BUCKET).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prev = tails.withColumn(
+        "__prev__", F.last("__tail__", ignorenulls=True).over(wprev)
+    ).select(*on, _BUCKET, F.col("__prev__")[_CARRY].alias("__pc__"))
+
     return (
-        unioned.withColumn("__m__", F.last(_CARRY, ignorenulls=True).over(w))
+        local.join(prev, [*on, _BUCKET], "left")
+        .withColumn("__m__", F.coalesce("__m__", "__pc__"))
         .where(F.col(_SIDE) == 1)
-        .select(*[F.col("__lrow__")[c].alias(c) for c in left.columns], *carried_out)
+        .select(*out_cols)
     )
 
 

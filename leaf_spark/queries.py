@@ -65,8 +65,8 @@ def sql_case(name: str, spark_sql: str, oracle: str, doc: str = "") -> None:
 # pytest-covered regardless of position; rotation only changes which subset
 # gets a fresh official row this round.  See README "Correctness coverage".
 #
-# Round-4 window: the 11 cases never scored officially (q71-q81, all local
-# driver-replica green), then the 3 round-3 hash-reds whose oracles were
+# Round-4 window: the 12 cases with no official row yet (q71-q81, all local
+# driver-replica green, plus the new q82), then the 3 round-3 hash-reds whose oracles were
 # retyped this round (q67/q68/q70 — cast(sum(int) as bigint), see
 # VERDICT r3 "What's wrong #1"), then the 20 cases whose only official green
 # row is CORRECTNESS_r02.json (oldest evidence first), then 16 round-3-green
@@ -78,7 +78,7 @@ _ROUND4_FRONT = [
     "q71_bm25_topk", "q72_gopher_filter", "q73_semantic_dedup",
     "q74_corpus_stats", "q75_unigram_logprob", "q76_clean_pipeline",
     "q77_incremental_dedup", "q78_window_breadth", "q79_rollup_stats",
-    "q80_editdist_blocked", "q81_temperature_mix",
+    "q80_editdist_blocked", "q81_temperature_mix", "q82_asof_bucketed",
     # round-3 hash-reds, oracle typing fixed this round
     "q67_train_split", "q68_source_mix", "q70_pack_sequences",
     # only-r02 official greens (refresh the oldest evidence)
@@ -91,7 +91,7 @@ _ROUND4_FRONT = [
     # round-3-green flagship re-confirmations
     "q01_pricing_summary", "q03_revenue_by_nation", "q11_window_topk",
     "q13_cte", "q15_correlated_subquery", "q17_recursive_cte",
-    "q18_ineq_join", "q33_events_time_buckets", "q40_dedup_exact",
+    "q18_ineq_join", "q33_events_time_buckets",
     "q42_text_quality", "q49_minhash_lsh", "q51_ann_lsh", "q54_ann_ivf",
     "q59_crossdoc_ngram_overlap", "q62_line_dedup", "q65_asof_attribution",
 ]

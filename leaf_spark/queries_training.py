@@ -74,6 +74,61 @@ def q65_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q82 — skew-mitigated as-of join (time-bucketed window + cross-bucket carry)
+# ---------------------------------------------------------------------------
+
+_Q82_ORACLE = """
+select p.event_id,
+       p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') as purchase_ts,
+       c.event_id as click_event_id,
+       cast(case when c.event_id is null then null
+                 else epoch(date_trunc('second', p.ts))
+                    - epoch(date_trunc('second', c.ts)) end as bigint) as gap_s
+from (select * from events where event_type = 'purchase') p
+asof left join (select * from events where event_type = 'click') c
+  on p.user_id = c.user_id and p.ts >= c.ts
+"""
+
+
+@register(
+    "q82_asof_bucketed",
+    _Q82_ORACLE,
+    doc="skew-mitigated as-of join: (key, 30-min-bucket) windows + "
+    "cross-bucket tail carry — a hot key's serial sort is O(#buckets), "
+    "not O(#events); exact vs DuckDB ASOF JOIN",
+)
+def q82_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select("user_id", "ts", F.col("event_id").alias("click_event_id"))
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        right_cols=["click_event_id"],
+        time_bucket=1800.0,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "click_event_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts_right")).cast("bigint").alias(
+            "gap_s"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q66 — range join: activity rollup in the 10 minutes after each error
 # ---------------------------------------------------------------------------
 

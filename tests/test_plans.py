@@ -214,6 +214,17 @@ def test_asof_join_single_shuffle_no_join_node(spark, cases):
         assert "EqualTo(event_type" in scan
 
 
+def test_asof_time_bucket_window_partitions_by_bucket(spark, cases):
+    """Skew-mitigated as-of join: the carry window over the DATA must
+    partition by (key, time-bucket) — a hot key spreads across its time
+    range instead of serializing one partition's sort — and the bucket
+    stitch is an equi-join, never a cartesian."""
+    plan = plan_of(cases["q82_asof_bucketed"].spark_fn(spark, SF_DIR))
+    assert re.search(r"windowspecdefinition\(user_id#\d+L?, __bucket__", plan), plan
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+
+
 def test_range_join_is_equi_join_not_nested_loop(spark, cases):
     """range_join must compile to a hash-partitionable equi-join on
     (key, bucket) — a BETWEEN-style nested loop here is a scale bug."""

@@ -47,6 +47,37 @@ class TestAsofJoin:
         left, right = self._frames(spark)
         assert asof_join(left, right, on=["k"], left_time="t", right_time="t").count() == left.count()
 
+    def test_time_bucket_matches_default_on_skewed_keys(self, spark):
+        """Property: the skew-mitigated plan (time_bucket set) returns byte-
+        identical results to the single-window plan for ANY bucket width —
+        exercised with one key holding half of all rows and widths spanning
+        many-buckets-per-key through everything-in-one-bucket."""
+        import random
+
+        rng = random.Random(42)
+        left_rows = [
+            (i, "hot" if i % 2 else f"k{i % 5}", rng.randrange(0, 1000))
+            for i in range(400)
+        ]
+        right_rows = [
+            (f"k{i % 7}" if i % 3 else "hot", rng.randrange(0, 1000), f"v{i}")
+            for i in range(300)
+        ]
+        left = spark.createDataFrame(left_rows, "id bigint, k string, t bigint")
+        right = spark.createDataFrame(right_rows, "k string, t bigint, v string")
+        base = asof_join(left, right, on=["k"], left_time="t", right_time="t")
+        want = {(r["id"], r["v"], r["t_right"]) for r in base.collect()}
+        for width in (7.0, 100.0, 5000.0):
+            got = asof_join(
+                left,
+                right,
+                on=["k"],
+                left_time="t",
+                right_time="t",
+                time_bucket=width,
+            )
+            assert {(r["id"], r["v"], r["t_right"]) for r in got.collect()} == want, width
+
     def test_right_time_tie_is_deterministic(self, spark):
         left = spark.createDataFrame([(1, "a", 10)], "id bigint, k string, t bigint")
         right = spark.createDataFrame(
