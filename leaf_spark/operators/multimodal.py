@@ -1,11 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque BINARY columns
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode kernels are STUBBED
-(deterministic fakes clearly marked below); everything Spark-side — schema,
-batch iteration, partitioning, UDF signatures — is real and tested, and a
-deployment swaps `_decode_image_stub` for PIL/ffmpeg without touching the
-plumbing.
+Decode resolution order (per payload, executor-side):
+
+1. **PIL**, when importable (optional dependency, same try-import pattern
+   as the ECDSA signer in stream.py) — full pixel decode;
+2. **pure-Python header parse** for PNG / JPEG / GIF — real
+   width/height/channels from the container format, zero dependencies;
+3. **deterministic fake** derived from the content sha-256 — clearly
+   marked, reproducible, and recomputable by the q53 DuckDB oracle (text
+   payloads on testdata never parse as images, so the differential test
+   pins exactly this branch regardless of what is installed).
+
+Audio/video frame decode (ffmpeg/av) stays stubbed behind the same shape.
+Everything Spark-side — schema, batch iteration, partitioning, UDF
+signatures — is real and tested.
 
 Asset schema (the pattern for 100 TB multimodal corpora: content in large
 binary columns, metadata columns first so column pruning can skip the bytes):
@@ -16,6 +25,7 @@ binary columns, metadata columns first so column pruning can skip the bytes):
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -29,20 +39,69 @@ IMAGE_META_SCHEMA = (
 
 FRAME_SCHEMA = "asset_id bigint, frame_no int, frame_sha string"
 
-REAL_DECODERS_AVAILABLE = False  # flipped when PIL/av are importable
+try:  # optional dependency — never required
+    from PIL import Image as _PILImage
+
+    REAL_DECODERS_AVAILABLE = True
+except ImportError:  # pragma: no cover - environment-dependent
+    _PILImage = None
+    REAL_DECODERS_AVAILABLE = False
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type → sample channels
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# JPEG start-of-frame markers (all SOFn except DHT/JPG/DAC)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
 
 
-def _decode_image_stub(content: bytes) -> tuple[int, int, int]:
-    """STUB: deterministic fake decoder (no image libs in this container).
+def parse_image_header(content: bytes) -> tuple[int, int, int] | None:
+    """(width, height, channels) from PNG/JPEG/GIF container headers, pure
+    Python — None when the payload is not one of those formats. Header-only:
+    reads a few dozen bytes, never decompresses pixel data."""
+    if len(content) >= 33 and content[:8] == _PNG_SIG and content[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", content[16:24])
+        color_type = content[25]
+        return w, h, _PNG_CHANNELS.get(color_type, 3)
+    if len(content) >= 10 and content[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", content[6:10])
+        return w, h, 3
+    if len(content) >= 4 and content[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(content):
+            if content[i] != 0xFF:
+                return None
+            marker = content[i + 1]
+            if marker in _JPEG_SOF:
+                h, w = struct.unpack(">HH", content[i + 5 : i + 9])
+                ncomp = content[i + 9]
+                return w, h, ncomp
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            (seg_len,) = struct.unpack(">H", content[i + 2 : i + 4])
+            i += 2 + seg_len
+    return None
 
-    Derives plausible (width, height, channels) from the content hash so
-    tests are reproducible. A real deployment raises NotImplementedError
-    here and wires PIL instead — the mapInPandas plumbing is unchanged.
-    """
-    if REAL_DECODERS_AVAILABLE:  # pragma: no cover
-        raise NotImplementedError("wire a real decoder (PIL.Image.open) here")
+
+def _decode_image(content: bytes) -> tuple[int, int, int, bool]:
+    """(width, height, channels, real_decode) — PIL → header parse →
+    deterministic sha-derived fake (the documented stub branch)."""
+    if _PILImage is not None and content:
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(content)) as im:
+                w, h = im.size
+                return w, h, len(im.getbands()), True
+        except Exception:
+            pass
+    hdr = parse_image_header(content)
+    if hdr is not None:
+        return (*hdr, True)
+    # FAKE branch: deterministic dims from the content hash (reproducible,
+    # oracle-recomputable); marks the payload as not actually decoded
     h = hashlib.sha256(content).digest()
-    return 64 + h[0] % 192, 64 + h[1] % 192, 1 + h[2] % 3
+    return 64 + h[0] % 192, 64 + h[1] % 192, 1 + h[2] % 3, False
 
 
 def extract_image_metadata(assets: DataFrame) -> DataFrame:
@@ -59,12 +118,7 @@ def extract_image_metadata(assets: DataFrame) -> DataFrame:
             rows = []
             for asset_id, kind, content in zip(pdf["asset_id"], pdf["kind"], pdf["content"]):
                 b = bytes(content) if content is not None else b""
-                try:
-                    w, h, c = _decode_image_stub(b)
-                    ok = True
-                except Exception:
-                    w = h = c = 0
-                    ok = False
+                w, h, c, ok = _decode_image(b)
                 rows.append(
                     (
                         int(asset_id),

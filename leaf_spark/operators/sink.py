@@ -20,7 +20,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 
 
 def write_training_shards(
@@ -41,7 +41,13 @@ def write_training_shards(
       (shuffling) sort.
 
     Returns the manifest dict: total rows, per-partition-key rows, and the
-    shard file count, computed with one aggregate job + one listing.
+    shard file count. All counts come from the written files' parquet
+    FOOTERS (pyarrow metadata reads, a few KB per shard) — the input is
+    scanned exactly once, by the write job itself; the old per-key
+    ``groupBy().collect()`` / ``df.count()`` second scan is gone. Footer
+    reads are a driver loop over shard files (bounded by shard count, not
+    data size); a fleet-scale export with millions of shards would
+    parallelize the same footer reads over executors.
     """
     partition_by = partition_by or []
     out = df
@@ -56,22 +62,27 @@ def write_training_shards(
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
 
-    if partition_by:
-        per_key_rows = [
-            {**{k: r[k] for k in partition_by}, "rows": r["rows"]}
-            for r in df.groupBy(*partition_by)
-            .agg(F.count(F.lit(1)).alias("rows"))
-            .collect()
-        ]
-    else:
-        per_key_rows = []
-    total = sum(p["rows"] for p in per_key_rows) if per_key_rows else df.count()
+    import pyarrow.parquet as pq
 
+    per_key: dict[tuple, int] = {}
     n_files = 0
+    total = 0
     for root, _dirs, files in os.walk(path):
-        n_files += sum(
-            1 for f in files if f.endswith(".parquet") and not f.startswith("_")
-        )
+        kv = _partition_values(os.path.relpath(root, path))
+        for f in files:
+            if not f.endswith(".parquet") or f.startswith(("_", ".")):
+                continue
+            n_files += 1
+            nr = pq.read_metadata(os.path.join(root, f)).num_rows
+            total += nr
+            if partition_by:
+                key = tuple(kv.get(k) for k in partition_by)
+                per_key[key] = per_key.get(key, 0) + nr
+
+    per_key_rows = [
+        {**dict(zip(partition_by, key)), "rows": rows}
+        for key, rows in per_key.items()
+    ]
     manifest = {
         "total_rows": total,
         "partition_by": partition_by,
@@ -84,3 +95,20 @@ def write_training_shards(
     with open(os.path.join(path, "_manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=2, sort_keys=True)
     return manifest
+
+
+def _partition_values(rel_dir: str) -> dict[str, str | None]:
+    """Decode Hive-style ``key=value`` path segments (the writer URL-escapes
+    special characters; ``__HIVE_DEFAULT_PARTITION__`` encodes NULL)."""
+    from urllib.parse import unquote
+
+    kv: dict[str, str | None] = {}
+    if rel_dir in (".", ""):
+        return kv
+    for seg in rel_dir.split(os.sep):
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            kv[unquote(k)] = (
+                None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+            )
+    return kv

@@ -640,13 +640,15 @@ def q52_document_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            64 + (('0x' || substr(sha256(text), 1, 2))::int % 192) as width,
            64 + (('0x' || substr(sha256(text), 3, 2))::int % 192) as height,
            1 + (('0x' || substr(sha256(text), 5, 2))::int % 3) as channels,
-           true as decode_ok
+           false as decode_ok
     from documents
     """,
     doc="binary-asset metadata extraction via Arrow-batched mapInPandas; "
-    "the deterministic stub decoder derives dimensions from the content "
-    "sha-256, so the DuckDB oracle recomputes every output column "
-    "independently — a true differential test of the multimodal plumbing",
+    "text payloads are valid UTF-8 (no 0xFF / PNG / GIF magic), so they "
+    "deterministically take the sha-derived fallback branch with "
+    "decode_ok=false regardless of installed codecs, and the DuckDB "
+    "oracle recomputes every output column independently — a true "
+    "differential test of the multimodal plumbing",
 )
 def q53_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import extract_image_metadata, synthesize_assets

@@ -124,7 +124,9 @@ def test_multimodal_metadata_and_frames(spark, docs):
         b = src[r["asset_id"]].encode()
         assert r["n_bytes"] == len(b)
         assert r["sha256"] == hashlib.sha256(b).hexdigest()
-        assert r["decode_ok"] and 64 <= r["width"] <= 255 and 1 <= r["channels"] <= 3
+        # UTF-8 text payloads are never a real image: fallback branch, flagged
+        assert not r["decode_ok"]
+        assert 64 <= r["width"] <= 255 and 1 <= r["channels"] <= 3
 
     frames = sample_frames(assets, every_n_bytes=64, max_frames=4)
     per_asset = {
@@ -133,6 +135,82 @@ def test_multimodal_metadata_and_frames(spark, docs):
     }
     assert set(per_asset) == set(src)
     assert all(1 <= n <= 4 for n in per_asset.values())
+
+
+def _png_bytes(w: int, h: int, color_type: int = 6) -> bytes:
+    """Minimal valid PNG, pure python (zlib + struct)."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(w * channels) for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_image_header_parser_and_real_decode(spark):
+    """PNG/JPEG/GIF container headers parse to true dimensions with zero
+    dependencies; non-images return None; and a real PNG flows through the
+    mapInPandas plumbing with decode_ok=true and exact dims."""
+    import struct
+
+    from leaf_spark.operators.multimodal import (
+        extract_image_metadata,
+        parse_image_header,
+    )
+
+    png = _png_bytes(20, 10, color_type=6)
+    assert parse_image_header(png) == (20, 10, 4)
+
+    gif = b"GIF89a" + struct.pack("<HH", 7, 9) + b"\x00" * 6
+    assert parse_image_header(gif) == (7, 9, 3)
+
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 33, 44) + b"\x03" + bytes(9)
+    )
+    assert parse_image_header(jpeg) == (44, 33, 3)
+
+    assert parse_image_header(b"plain text payload") is None
+    assert parse_image_header(b"") is None
+
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(png)), (2, "image", bytearray(b"not an image"))],
+        "asset_id bigint, kind string, content binary",
+    )
+    rows = {r["asset_id"]: r for r in extract_image_metadata(assets).collect()}
+    assert rows[1]["decode_ok"]
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (20, 10, 4)
+    assert not rows[2]["decode_ok"]
+
+
+def test_pil_decode_path():
+    """Runs only when PIL is installed (optional dependency): the first
+    decode branch must agree with the header parser on a real PNG."""
+    from leaf_spark.operators.multimodal import (
+        REAL_DECODERS_AVAILABLE,
+        _decode_image,
+    )
+
+    if not REAL_DECODERS_AVAILABLE:
+        pytest.skip("PIL not installed — optional decode path")
+    w, h, c, ok = _decode_image(_png_bytes(20, 10, color_type=6))
+    assert (w, h, c, ok) == (20, 10, 4, True)
 
 
 # --- skew mitigation ---------------------------------------------------------

@@ -239,6 +239,37 @@ def test_training_shard_sink_roundtrip(spark, tmp_path):
                 assert pq.read_metadata(os.path.join(root, f)).num_rows <= 100
 
 
+def test_training_shard_sink_scans_input_once(spark, tmp_path):
+    """The manifest must come from the written files' parquet footers, not a
+    second aggregate over the input: the sink may run no more Spark jobs
+    than the identical bare write does."""
+    from leaf_spark.operators.sink import write_training_shards
+
+    df = spark.range(0, 1000).withColumn("split", (F.col("id") % 2).cast("string"))
+    sc = spark.sparkContext
+
+    sc.setJobGroup("sink-baseline", "bare write, same shape")
+    (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", "100")
+        .partitionBy("split")
+        .parquet(str(tmp_path / "base"))
+    )
+    sc.setJobGroup("sink-under-test", "write_training_shards")
+    manifest = write_training_shards(
+        df, str(tmp_path / "shards"), partition_by=["split"], shard_max_records=100
+    )
+    sc.setJobGroup("sink-done", "")
+
+    tracker = sc.statusTracker()
+    baseline = len(tracker.getJobIdsForGroup("sink-baseline"))
+    actual = len(tracker.getJobIdsForGroup("sink-under-test"))
+    assert actual <= baseline, (actual, baseline)
+    assert manifest["total_rows"] == 1000
+    by_split = {p["split"]: p["rows"] for p in manifest["partitions"]}
+    assert by_split == {"0": 500, "1": 500}
+
+
 def test_compression_ratio_separates_boilerplate(spark):
     from leaf_spark.operators.text import compression_ratio
 
