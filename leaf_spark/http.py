@@ -13,11 +13,16 @@ documented divergences are confined here:
   ``LeafServer.handle``). socket.io's push channel maps to long-poll:
   ``POST /stream/poll_subscription`` drains a subscription's queued
   responses (the reference pushes the same payloads via emit).
-- **Auth**: ``Authorization: Bearer <token>`` resolved through a token
-  registry injected by the host (``tokens: token → Connection``). The
-  reference validates ATProto JWTs to a DID; a deployment plugs that
-  resolver in here. An ``unsafe_auth_token`` equivalent is a registry entry
-  with ``trusted=True`` (http.rs:190-204).
+- **Auth**: ``Authorization: Bearer <token>``, two modes mirroring
+  http.rs:141-242. (1) Opaque tokens resolve through an injected registry
+  (``tokens: token → Connection``); an ``unsafe_auth_token`` equivalent is
+  a registry entry with ``trusted=True`` (http.rs:166-180). (2) ATProto
+  JWTs verify for real — ES256/ES256K signature over the JOSE signing
+  input, audience/lxm/exp claim checks, issuer DID required — against a
+  host-supplied DID → public-key map (``did_keys``), which stands in for
+  the reference's live ``plc.directory`` DID-document resolution
+  (http.rs:221-233; no network in this environment). A syntactic JWT that
+  fails verification is a 401, never an anonymous downgrade.
 - **Upload cap**: requests larger than ``LeafServer.MODULE_MAX_BYTES`` are
   refused before the body is decoded (connection.rs:55-57) — oversized
   bodies are drained and answered with the same Err ack.
@@ -25,11 +30,99 @@ documented divergences are confined here:
 
 from __future__ import annotations
 
+import base64
+import binascii
+import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from . import drisl
 from .server import Connection, LeafServer
+
+# the only lxm the reference accepts for socket auth (http.rs:206-210)
+AUTH_LXM = "town.muni.leaf.authenticate"
+
+
+class AuthError(ValueError):
+    """JWT present but invalid — maps to HTTP 401 (never anonymous)."""
+
+
+def _b64url(seg: str) -> bytes:
+    try:
+        return base64.urlsafe_b64decode(seg + "=" * (-len(seg) % 4))
+    except (binascii.Error, ValueError) as ex:
+        raise AuthError(f"Invalid base64url in JWT: {ex}") from ex
+
+
+def verify_atproto_jwt(
+    token: str,
+    did_keys: dict[str, bytes],
+    audience: str | None = None,
+    now: float | None = None,
+) -> str:
+    """Verify an ATProto-style JWT and return the issuer DID.
+
+    Claim checks mirror verify_auth_token (http.rs:182-218): audience must
+    equal ``audience`` when both are present, an ``lxm`` claim must be the
+    authenticate lexicon method, the issuer DID is required, and ``exp``
+    (when present) must be in the future. The signature (ES256 on P-256 or
+    ES256K on secp256k1, raw r||s per RFC 7518) verifies against
+    ``did_keys[iss]`` — a PEM public key supplied by the host instead of a
+    live DID-document fetch. Raises :class:`AuthError` on any failure.
+    """
+    from cryptography.exceptions import InvalidSignature
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import ec
+    from cryptography.hazmat.primitives.asymmetric.utils import (
+        encode_dss_signature,
+    )
+
+    parts = token.split(".")
+    if len(parts) != 3:
+        raise AuthError("Invalid format for JWT auth token")
+    try:
+        header = json.loads(_b64url(parts[0]))
+        claims = json.loads(_b64url(parts[1]))
+    except json.JSONDecodeError as ex:
+        raise AuthError(f"Invalid JSON in JWT: {ex}") from ex
+
+    alg = header.get("alg")
+    if alg not in ("ES256", "ES256K"):
+        raise AuthError(f"Unsupported JWT alg: {alg}")
+
+    aud = claims.get("aud")
+    if aud is not None and audience is not None and aud != audience:
+        raise AuthError(
+            f"Invalid JWT audience: expected {audience} but got {aud}"
+        )
+    lxm = claims.get("lxm")
+    if lxm is not None and lxm != AUTH_LXM:
+        raise AuthError(f"Invalid lxm in JWT: `{lxm}` expected `{AUTH_LXM}`")
+    did = claims.get("iss")
+    if not did:
+        raise AuthError("JWT token issuer is missing")
+    exp = claims.get("exp")
+    if exp is not None and float(exp) <= (now if now is not None else time.time()):
+        raise AuthError("JWT token is expired")
+
+    key_pem = did_keys.get(did)
+    if key_pem is None:
+        raise AuthError(f"Could not find signing key for DID: {did}")
+    pub = serialization.load_pem_public_key(key_pem)
+
+    sig = _b64url(parts[2])
+    if len(sig) != 64:
+        raise AuthError("Invalid JWT signature length (want raw r||s)")
+    der = encode_dss_signature(
+        int.from_bytes(sig[:32], "big"), int.from_bytes(sig[32:], "big")
+    )
+    signing_input = f"{parts[0]}.{parts[1]}".encode()
+    try:
+        pub.verify(der, signing_input, ec.ECDSA(hashes.SHA256()))
+    except InvalidSignature as ex:
+        raise AuthError("JWT signature verification failed") from ex
+    return did
 
 
 class LeafHttpServer:
@@ -41,9 +134,13 @@ class LeafHttpServer:
         host: str = "127.0.0.1",
         port: int = 0,
         tokens: dict[str, Connection] | None = None,
+        did_keys: dict[str, bytes] | None = None,
+        audience: str | None = None,
     ):
         self.server = server
         self.tokens = tokens or {}
+        self.did_keys = did_keys
+        self.audience = audience
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -65,7 +162,11 @@ class LeafHttpServer:
                     self._reply(413, body)
                     return
                 args = self.rfile.read(n) if n else b""
-                conn = outer._connection(self.headers.get("Authorization"))
+                try:
+                    conn = outer._connection(self.headers.get("Authorization"))
+                except AuthError as ex:
+                    self._reply(401, drisl.encode({"Err": f"AuthError: {ex}"}))
+                    return
                 ack = outer.server.handle(conn, endpoint, args)
                 self._reply(200, ack)
 
@@ -86,6 +187,14 @@ class LeafHttpServer:
             conn = self.tokens.get(token)
             if conn is not None:
                 return conn
+            if self.did_keys is not None and token.count(".") == 2:
+                # syntactic JWT: verify for real — failure is a 401, never
+                # an anonymous downgrade (verify_auth_token rejects the
+                # whole connection on any JWT error, http.rs:141-242)
+                did = verify_atproto_jwt(
+                    token, self.did_keys, audience=self.audience
+                )
+                return Connection(user=did)
         return Connection()  # anonymous: may query/subscribe, not write
 
     def start(self) -> "LeafHttpServer":

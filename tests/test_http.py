@@ -42,6 +42,171 @@ def _setup_stream(srv) -> str:
     return "did:plc:httpchat"
 
 
+def _es256_keypair():
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.asymmetric import ec
+
+    key = ec.generate_private_key(ec.SECP256R1())
+    pem = key.public_key().public_bytes(
+        serialization.Encoding.PEM, serialization.PublicFormat.SubjectPublicKeyInfo
+    )
+    return key, pem
+
+
+def _mint_jwt(private_key, claims: dict, alg: str = "ES256") -> str:
+    import base64
+    import json
+
+    from cryptography.hazmat.primitives import hashes
+    from cryptography.hazmat.primitives.asymmetric import ec
+    from cryptography.hazmat.primitives.asymmetric.utils import (
+        decode_dss_signature,
+    )
+
+    def b64(b: bytes) -> str:
+        return base64.urlsafe_b64encode(b).rstrip(b"=").decode()
+
+    header = b64(json.dumps({"alg": alg, "typ": "JWT"}).encode())
+    payload = b64(json.dumps(claims).encode())
+    der = private_key.sign(f"{header}.{payload}".encode(), ec.ECDSA(hashes.SHA256()))
+    r, s = decode_dss_signature(der)
+    sig = b64(r.to_bytes(32, "big") + s.to_bytes(32, "big"))
+    return f"{header}.{payload}.{sig}"
+
+
+class TestJwtAuth:
+    """A23 auth parity: ES256 ATProto-style JWTs verified against a
+    host-supplied DID → key map (stand-in for plc.directory resolution)."""
+
+    SERVER_DID = "did:plc:leafserver"
+
+    @pytest.fixture()
+    def jwt_env(self, spark, tmp_root):
+        key, pem = _es256_keypair()
+        catalog = StreamCatalog(spark, tmp_root)
+        srv = LeafHttpServer(
+            LeafServer(catalog),
+            did_keys={"did:plc:alice": pem},
+            audience=self.SERVER_DID,
+        ).start()
+        yield srv, key
+        srv.close()
+
+    def _claims(self, **over):
+        import time
+
+        base = {
+            "iss": "did:plc:alice",
+            "aud": self.SERVER_DID,
+            "lxm": "town.muni.leaf.authenticate",
+            "exp": time.time() + 600,
+        }
+        base.update(over)
+        return base
+
+    def test_signed_jwt_authenticates_and_writes(self, jwt_env):
+        srv, key = jwt_env
+        token = _mint_jwt(key, self._claims())
+        up = http_call(
+            srv.host, srv.port, "module/upload", {"module": CHAT.to_codec()}, token
+        )
+        cid = up["Ok"]["cid"]
+        out = http_call(
+            srv.host,
+            srv.port,
+            "stream/create",
+            {"streamDid": "did:plc:jwtchat", "moduleCid": cid},
+            token,
+        )
+        assert "Ok" in out, out
+        out = http_call(
+            srv.host,
+            srv.port,
+            "stream/event_batch",
+            {
+                "streamDid": "did:plc:jwtchat",
+                "payloads": [drisl.encode({"content": "signed", "sentAt": 1})],
+            },
+            token,
+        )
+        assert out == {"Ok": {"latestEvent": 1}}
+        # the event is attributed to the JWT issuer DID, not a header field
+        q = http_call(
+            srv.host,
+            srv.port,
+            "stream/query",
+            {"streamDid": "did:plc:jwtchat", "query": {"name": "messages"}},
+        )
+        assert q["Ok"]["rows"][0]["sender"]["value"] == "did:plc:alice"
+
+    def _status(self, srv, token):
+        import http.client
+
+        conn = http.client.HTTPConnection(srv.host, srv.port, timeout=30)
+        conn.request(
+            "POST", "/admin/list_streams", b"", {"Authorization": f"Bearer {token}"}
+        )
+        resp = conn.getresponse()
+        out = drisl.decode(resp.read())
+        conn.close()
+        return resp.status, out
+
+    def test_tampered_jwt_rejected_with_401(self, jwt_env):
+        srv, key = jwt_env
+        token = _mint_jwt(key, self._claims())
+        head, payload, sig = token.split(".")
+        import base64
+        import json
+
+        forged = json.loads(base64.urlsafe_b64decode(payload + "=="))
+        forged["iss"] = "did:plc:alice"
+        forged["scope"] = "everything"
+        tampered = (
+            head
+            + "."
+            + base64.urlsafe_b64encode(json.dumps(forged).encode())
+            .rstrip(b"=")
+            .decode()
+            + "."
+            + sig
+        )
+        status, out = self._status(srv, tampered)
+        assert status == 401
+        assert "signature" in out["Err"].lower()
+
+    def test_wrong_signer_rejected(self, jwt_env):
+        srv, _key = jwt_env
+        other_key, _pem = _es256_keypair()  # key NOT in did_keys for alice
+        status, out = self._status(srv, _mint_jwt(other_key, self._claims()))
+        assert status == 401
+
+    def test_expired_jwt_rejected(self, jwt_env):
+        srv, key = jwt_env
+        status, out = self._status(srv, _mint_jwt(key, self._claims(exp=1.0)))
+        assert status == 401 and "expired" in out["Err"].lower()
+
+    def test_wrong_audience_rejected(self, jwt_env):
+        srv, key = jwt_env
+        status, out = self._status(
+            srv, _mint_jwt(key, self._claims(aud="did:plc:otherserver"))
+        )
+        assert status == 401 and "audience" in out["Err"].lower()
+
+    def test_wrong_lxm_rejected(self, jwt_env):
+        srv, key = jwt_env
+        status, out = self._status(
+            srv, _mint_jwt(key, self._claims(lxm="com.example.other"))
+        )
+        assert status == 401 and "lxm" in out["Err"].lower()
+
+    def test_unknown_issuer_rejected(self, jwt_env):
+        srv, key = jwt_env
+        status, out = self._status(
+            srv, _mint_jwt(key, self._claims(iss="did:plc:mallory"))
+        )
+        assert status == 401 and "signing key" in out["Err"].lower()
+
+
 class TestHttpTransport:
     def test_full_round_trip_over_socket(self, http_server):
         did = _setup_stream(http_server)
