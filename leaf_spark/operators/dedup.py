@@ -393,10 +393,22 @@ def incremental_dedup(
     ``exact_dedup``, run only on corpus-survivors. At 100 TB the corpus
     hash index is a bucketed table (operators/bucketing.py) so repeated
     daily runs skip even the index's shuffle.
+
+    NULL text keeps SQL-equality semantics, not hash semantics: rows with
+    NULL content pass through untouched on both sides (``NULL = NULL`` is
+    never true, so a NULL row neither suppresses nor is suppressed —
+    matching the exact-string oracle). Tradeoff vs that oracle: equality
+    here is the 64-bit ``xxhash64`` of the normalized text, so one
+    colliding pair in ~2³² random docs (birthday bound) would drop a
+    distinct row; acceptable for corpus dedup, where a false-positive drop
+    costs one document and a false negative costs nothing.
     """
+    keep_nulls = new_batch.where(F.col(text_col).isNull())
     h = F.xxhash64(normalized(F.col(text_col)))
-    corpus_idx = corpus.select(h.alias("h")).distinct()
-    batch = new_batch.withColumn("h", h)
+    corpus_idx = (
+        corpus.where(F.col(text_col).isNotNull()).select(h.alias("h")).distinct()
+    )
+    batch = new_batch.where(F.col(text_col).isNotNull()).withColumn("h", h)
     fresh = batch.join(corpus_idx, "h", "left_anti")
     w = fresh.groupBy("h").agg(F.min(id_col).alias(id_col))
-    return fresh.join(w, ["h", id_col]).drop("h")
+    return fresh.join(w, ["h", id_col]).drop("h").unionByName(keep_nulls)

@@ -11,8 +11,6 @@ Columns (JVM, codegen) unless noted.
 
 from __future__ import annotations
 
-import pandas as pd  # noqa: F401 — resolves pandas-UDF type hints at def time
-
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .dedup import normalized
@@ -203,6 +201,10 @@ def compression_ratio(
     would be 10-100× slower than the columnar batch path. Shuffle-free —
     composes with gopher_filter before any data movement.
     """
+    # pandas is only needed here (UDF type hints resolve at def time), so
+    # the import stays local: the module — and the catalog import chain
+    # through queries.py — works on pandas-free driver environments.
+    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")

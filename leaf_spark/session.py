@@ -118,10 +118,13 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     Loaded tables are cached on the session object: a ``spark.read.parquet``
     per table costs ~100 ms of driver round-trips (footer read + analysis +
     view registration), which at one ``load_tables`` per catalog query would
-    dominate sub-second queries. The cache is per (session, sf_dir); when
-    the requested sf_dir differs from the one whose views are currently
-    registered, views are re-pointed from the cached DataFrames without
-    re-reading.
+    dominate sub-second queries. The cache key is (sf_dir, file
+    fingerprint): a cheap os.stat over the parquet paths (mtime + size, or
+    the directory listing for multi-file tables), so regenerated or
+    rewritten testdata invalidates the entry instead of serving a stale
+    file listing. Temp views are re-registered on every call — another
+    ``createOrReplaceTempView`` with the same name elsewhere can't leave a
+    catalog query reading the wrong table.
     """
     names = names or (
         "region",
@@ -137,13 +140,17 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     )
     cache: dict = getattr(spark, "_leaf_table_cache", None) or {}
     spark._leaf_table_cache = cache
+    fp = _dir_fingerprint(sf_dir, names)
     entry = cache.get(sf_dir)
-    if entry is not None and all(n in entry for n in names):
-        if getattr(spark, "_leaf_views_dir", None) != sf_dir:
-            for n, df in entry.items():
-                df.createOrReplaceTempView(n)
-            spark._leaf_views_dir = sf_dir
-        return {n: entry[n] for n in names}
+    if (
+        entry is not None
+        and entry["fp"] == fp
+        and all(n in entry["tables"] for n in names)
+    ):
+        for n in names:
+            entry["tables"][n].createOrReplaceTempView(n)
+        spark._leaf_views_dir = sf_dir
+        return {n: entry["tables"][n] for n in names}
     out = {}
     missing = [n for n in names if not os.path.exists(os.path.join(sf_dir, f"{n}.parquet"))]
     if missing:
@@ -173,6 +180,37 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
                 )
         df.createOrReplaceTempView(n)
         out[n] = df
-    cache.setdefault(sf_dir, {}).update(out)
+    prev = cache.get(sf_dir)
+    tables = dict(prev["tables"]) if prev is not None and prev["fp"] == fp else {}
+    tables.update(out)
+    cache[sf_dir] = {"fp": fp, "tables": tables}
     spark._leaf_views_dir = sf_dir
     return out
+
+
+def _dir_fingerprint(sf_dir: str, names: tuple[str, ...]) -> tuple:
+    """Cheap change-detector for the cache key: (mtime_ns, size) per table
+    path; multi-file parquet directories fingerprint their entry listing."""
+    parts = []
+    for n in names:
+        p = os.path.join(sf_dir, f"{n}.parquet")
+        try:
+            st = os.stat(p)
+        except OSError:
+            parts.append((n, None))
+            continue
+        if os.path.isdir(p):
+            inner = []
+            try:
+                for fn in sorted(os.listdir(p)):
+                    try:
+                        fst = os.stat(os.path.join(p, fn))
+                        inner.append((fn, fst.st_mtime_ns, fst.st_size))
+                    except OSError:
+                        inner.append((fn, None, None))
+            except OSError:
+                pass
+            parts.append((n, tuple(inner)))
+        else:
+            parts.append((n, (st.st_mtime_ns, st.st_size)))
+    return tuple(parts)

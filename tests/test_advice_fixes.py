@@ -324,3 +324,59 @@ class TestAlterTable:
         ]
         # queries resolve the new name
         assert ex.execute("select count(*) as n from t2").collect()[0]["n"] == 2
+
+
+class TestRound3Advice:
+    """Round-3 advisor findings: table-cache staleness, view clobbering, and
+    NULL-text semantics in incremental dedup."""
+
+    def _write_docs(self, spark, path, texts):
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    def test_table_cache_invalidates_on_rewrite(self, spark, tmp_path):
+        from leaf_spark.session import load_tables
+
+        sf_dir = str(tmp_path / "sf")
+        self._write_docs(spark, f"{sf_dir}/documents.parquet", ["old-a", "old-b"])
+        t1 = load_tables(spark, sf_dir, names=("documents",))
+        assert {r["text"] for r in t1["documents"].collect()} == {"old-a", "old-b"}
+
+        self._write_docs(
+            spark, f"{sf_dir}/documents.parquet", ["new-a", "new-b", "new-c"]
+        )
+        t2 = load_tables(spark, sf_dir, names=("documents",))
+        assert {r["text"] for r in t2["documents"].collect()} == {
+            "new-a",
+            "new-b",
+            "new-c",
+        }
+
+    def test_views_rebound_after_clobber(self, spark, tmp_path):
+        from leaf_spark.session import load_tables
+
+        sf_dir = str(tmp_path / "sf")
+        self._write_docs(spark, f"{sf_dir}/documents.parquet", ["mine"])
+        load_tables(spark, sf_dir, names=("documents",))
+        # something else steals the view name
+        spark.range(3).createOrReplaceTempView("documents")
+        load_tables(spark, sf_dir, names=("documents",))
+        assert [r["text"] for r in spark.table("documents").collect()] == ["mine"]
+
+    def test_incremental_dedup_null_text_passthrough(self, spark):
+        from leaf_spark.operators.dedup import incremental_dedup
+
+        corpus = spark.createDataFrame(
+            [(1, "seen"), (2, None)], "doc_id bigint, text string"
+        )
+        batch = spark.createDataFrame(
+            [(10, "seen"), (11, None), (12, None), (13, "fresh")],
+            "doc_id bigint, text string",
+        )
+        kept = sorted(
+            r["doc_id"] for r in incremental_dedup(batch, corpus).collect()
+        )
+        # NULL = NULL is never true: corpus NULL suppresses nothing and the
+        # two batch NULLs don't suppress each other; "seen" is suppressed
+        assert kept == [11, 12, 13]
