@@ -224,3 +224,77 @@ def test_streaming_exact_dedup_bounded_state(spark, events_src_dir, tmp_path):
     assert {r["event_type"] for r in got} == exp_types
     # one state row per hash, evictable by watermark: hash column present
     assert all(len(r["content_hash"]) == 64 for r in got)
+
+
+@pytest.mark.slow
+def test_subscription_pagination_complete_under_concurrent_appends(
+    spark, tmp_path_factory
+):
+    """SURVEY §5 subscription-at-scale property: with a paged backfill
+    subscription (LIMIT windowing) racing live appends, the concatenation of
+    every has_more page must equal the final range query — every idx in
+    1..head exactly once, in order, across 10⁵ events.
+
+    Exercises the reference's self-scheduling drain loop (lib.rs:926-983)
+    under genuine concurrency: a consumer thread drains the bounded result
+    channel while the main thread keeps appending 10k-event batches."""
+    import queue
+    import threading
+    import time
+
+    from leaf_spark.streaming.subscribe import SubscriptionWorker
+    from leaf_spark.types import LeafQuery
+
+    root = str(tmp_path_factory.mktemp("pagesub"))
+    s = Stream(spark, root, "did:plc:pagesub")
+    s.provide_module(CHAT)
+
+    BATCH, N_BATCHES, PAGE = 10_000, 10, 2_499
+    total = BATCH * N_BATCHES
+
+    # first batch lands before the subscription exists → backfill paging
+    s.add_events([msg("did:plc:u", f"m{i}", i) for i in range(BATCH)])
+
+    w = SubscriptionWorker(s)
+    got: list[int] = []
+    errors: list[str] = []
+    done = threading.Event()
+
+    try:
+        sub = w.subscribe_events(None, LeafQuery("messages", start=1, limit=PAGE))
+
+        def drain():
+            while not done.is_set() or not sub.channel.empty():
+                try:
+                    resp = sub.channel.get(timeout=0.5)
+                except queue.Empty:
+                    continue
+                if resp.error is not None:
+                    errors.append(resp.error)
+                    continue
+                got.extend(r["idx"] for r in resp.rows)
+
+        consumer = threading.Thread(target=drain)
+        consumer.start()
+
+        for b in range(1, N_BATCHES):
+            s.add_events(
+                [msg("did:plc:u", f"m{b}-{i}", i) for i in range(BATCH)]
+            )
+
+        deadline = time.time() + 420
+        while len(got) < total and time.time() < deadline:
+            time.sleep(0.5)
+        done.set()
+        consumer.join(timeout=30)
+
+        assert not errors, errors[:3]
+        # completeness, order, and no duplicates in one shot
+        assert len(got) == total, (len(got), total)
+        assert got == list(range(1, total + 1))
+        # and the pages agree with a direct range query over the final state
+        direct = s.query(None, LeafQuery("messages", start=1, limit=total))
+        assert [r["idx"] for r in direct] == got
+    finally:
+        done.set()
+        w.close()
