@@ -149,6 +149,51 @@ def crossdoc_ngram_overlap(
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Per document: how many of its distinct n-grams occur for the FIRST
+    time in the corpus at this doc (first = min doc id among docs containing
+    the gram), and the novelty fraction — the marginal-novelty signal a
+    crawl-triage / curriculum pipeline ranks sources by.
+
+    Same two-shuffle shape as :func:`crossdoc_ngram_overlap` (this is the
+    dual question — "is the gram mine first?" instead of "is it shared?"):
+    a window min over the gram partition (uniform hash key), then the
+    per-doc rollup. No doc self-join, gram strings travel as xxhash64 longs
+    (same collision tradeoff, documented there).
+    """
+    gram_expr = F.explode(
+        F.array_distinct(word_ngrams(words_of(F.col(text_col)), n))
+    ).alias("gram")
+    grams = spread(df).select(F.col(id_col), gram_expr)
+    if hash_grams:
+        grams = grams.select(id_col, F.xxhash64("gram").alias("gram"))
+    from pyspark.sql.window import Window
+
+    first_doc = F.min(id_col).over(Window.partitionBy("gram"))
+    return (
+        grams.withColumn("first_doc", first_doc)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col(id_col), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("n_novel").cast("bigint").alias("n_novel"),
+            (F.col("n_novel") / F.col("n_grams")).alias("novel_frac"),
+        )
+    )
+
+
 def decontaminate(
     train: DataFrame,
     holdout: DataFrame,

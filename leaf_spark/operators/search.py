@@ -78,6 +78,56 @@ def bm25_topk(
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
+def tfidf_top_terms(
+    docs: DataFrame,
+    group_col: str = "source",
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per group by tf-idf — the "what is this
+    source about" profile a mixing pipeline reads before weighting sources.
+
+    tf = term occurrences within the group; idf = ln(#groups / #groups
+    containing the term), so terms present in every group score 0. Shape:
+    one token shuffle into (group, term) counts (uniform keys, map-side
+    combine), then group-count and group-total are small aggregates joined
+    back (AQE broadcasts them), then a per-group top-k window over ≤ vocab
+    rows. Scores round to 6 before ranking so both engines rank
+    identically; ties break on the term string.
+    """
+    toks = docs.select(
+        F.col(group_col), F.explode(F.split(normalized(F.col(text_col)), " ")).alias("term")
+    )
+    tf = toks.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_groups = docs.select(group_col).distinct().agg(
+        F.count(F.lit(1)).alias("n_groups")
+    )
+    gdf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("gdf"))
+    score = F.round(
+        F.col("tf").cast("double")
+        * F.log(F.col("n_groups").cast("double") / F.col("gdf").cast("double")),
+        6,
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        tf.join(F.broadcast(gdf), "term")
+        .crossJoin(F.broadcast(n_groups))
+        .select(F.col(group_col), "term", "tf", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            group_col,
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            "score",
+        )
+    )
+
+
 def unigram_logprob(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

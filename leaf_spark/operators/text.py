@@ -11,6 +11,15 @@ Columns (JVM, codegen) unless noted.
 
 from __future__ import annotations
 
+try:
+    # optional: only compression_ratio's pandas-UDF needs it, but its
+    # ``pd.Series`` type hints resolve through MODULE globals (PEP 563
+    # strings), so the name must exist here — guarded, never required, the
+    # rest of the module (and the catalog import chain) works without it
+    import pandas as pd
+except ImportError:  # pragma: no cover - environment-dependent
+    pd = None
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .dedup import normalized
@@ -189,6 +198,48 @@ def gopher_filter(
     )
 
 
+def chunk_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Fixed-size overlapping character chunks — the RAG/pretraining chunk
+    prep stage: every document explodes into windows of ``size`` chars
+    starting every ``size - overlap`` chars (last chunk may be short; an
+    empty doc yields one empty chunk).
+
+    Shuffle-free: chunk starts come from a per-row ``sequence`` + explode,
+    a pure narrow projection that scales linearly — the 100 TB shape, no
+    data movement until a downstream stage asks for one. Chunk count per
+    doc is ``ceil(max(len - overlap, 1) / stride)``, so output size is
+    bounded by corpus chars / stride.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap({overlap}) < size({size})")
+    stride = size - overlap
+    n = F.length(F.col(text_col))
+    n_chunks = (
+        F.ceil(F.greatest(n - F.lit(overlap), F.lit(1)) / F.lit(stride))
+    ).cast("int")
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.expr(f"substring({text_col}, chunk_id * {stride} + 1, {size})").alias(
+                "chunk"
+            ),
+        )
+        .withColumn("chunk_len", F.length("chunk").cast("int"))
+    )
+
+
 def compression_ratio(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -201,10 +252,8 @@ def compression_ratio(
     would be 10-100× slower than the columnar batch path. Shuffle-free —
     composes with gopher_filter before any data movement.
     """
-    # pandas is only needed here (UDF type hints resolve at def time), so
-    # the import stays local: the module — and the catalog import chain
-    # through queries.py — works on pandas-free driver environments.
-    import pandas as pd
+    if pd is None:  # pragma: no cover - environment-dependent
+        raise ImportError("compression_ratio requires pandas")
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")

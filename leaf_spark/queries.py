@@ -79,6 +79,7 @@ _ROUND4_FRONT = [
     "q74_corpus_stats", "q75_unigram_logprob", "q76_clean_pipeline",
     "q77_incremental_dedup", "q78_window_breadth", "q79_rollup_stats",
     "q80_editdist_blocked", "q81_temperature_mix", "q82_asof_bucketed",
+    "q83_chunk_windows", "q84_ngram_novelty", "q85_tfidf_top_terms",
     # round-3 hash-reds, oracle typing fixed this round
     "q67_train_split", "q68_source_mix", "q70_pack_sequences",
     # only-r02 official greens (refresh the oldest evidence)
@@ -90,9 +91,9 @@ _ROUND4_FRONT = [
     "q37_typeof", "q39_json_each",
     # round-3-green flagship re-confirmations
     "q01_pricing_summary", "q03_revenue_by_nation", "q11_window_topk",
-    "q13_cte", "q15_correlated_subquery", "q17_recursive_cte",
-    "q18_ineq_join", "q33_events_time_buckets",
-    "q42_text_quality", "q49_minhash_lsh", "q51_ann_lsh", "q54_ann_ivf",
+    "q15_correlated_subquery", "q17_recursive_cte",
+    "q18_ineq_join",
+    "q49_minhash_lsh", "q51_ann_lsh", "q54_ann_ivf",
     "q59_crossdoc_ngram_overlap", "q62_line_dedup", "q65_asof_attribution",
 ]
 

@@ -552,3 +552,105 @@ def q81_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         from p cross join z
         """
     )
+
+
+@register(
+    "q83_chunk_windows",
+    """
+    with c as (
+      select doc_id, text,
+             unnest(range(0, cast(ceil(greatest(length(text) - 64, 1) / 448.0)
+                                  as bigint))) as chunk_id
+      from documents
+    )
+    select doc_id,
+           cast(chunk_id as int) as chunk_id,
+           substr(text, cast(chunk_id as int) * 448 + 1, 512) as chunk,
+           cast(length(substr(text, cast(chunk_id as int) * 448 + 1, 512)) as int)
+             as chunk_len
+    from c
+    """,
+    doc="RAG/pretraining chunk prep: 512-char windows every 448 chars "
+    "(64 overlap) via per-row sequence+explode — a shuffle-free narrow "
+    "projection (operators/text.py chunk_text); oracle recomputes every "
+    "window with generate_series + substr",
+)
+def q83_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import chunk_text
+
+    t = load_tables(spark, sf_dir)
+    return chunk_text(t["documents"], size=512, overlap=64)
+
+
+@register(
+    "q84_ngram_novelty",
+    """
+    with w as (
+      select doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') as words
+      from documents
+    ),
+    grams as (
+      select doc_id, unnest(list_distinct(
+               case when len(words) >= 8
+                    then list_transform(range(1, len(words) - 6),
+                                        i -> array_to_string(words[i:i+7], ' '))
+                    else [] end)) as gram
+      from w
+    ),
+    firsts as (select gram, min(doc_id) as first_doc from grams group by gram)
+    select g.doc_id,
+           cast(count(*) as bigint) as n_grams,
+           cast(sum(case when f.first_doc = g.doc_id then 1 else 0 end) as bigint)
+             as n_novel,
+           cast(sum(case when f.first_doc = g.doc_id then 1 else 0 end) as double)
+             / count(*) as novel_frac
+    from grams g join firsts f using (gram)
+    group by g.doc_id
+    """,
+    doc="per-doc marginal novelty: fraction of its distinct 8-grams whose "
+    "first corpus occurrence (min doc id) is this doc — the crawl-triage / "
+    "curriculum signal; window-min over the gram-hash partition, the dual "
+    "of q59's shared-gram count (operators/cleaning.py ngram_novelty)",
+)
+def q84_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cleaning import ngram_novelty
+
+    t = load_tables(spark, sf_dir)
+    return ngram_novelty(t["documents"])
+
+
+@register(
+    "q85_tfidf_top_terms",
+    """
+    with toks as (
+      select source,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) as term
+      from documents
+    ),
+    tf as (select source, term, count(*) as tf from toks group by 1, 2),
+    gdf as (select term, count(*) as gdf from tf group by term),
+    ng as (select count(distinct source) as n_groups from documents)
+    select source, cast(rank as int) as rank, term, cast(tf as bigint) as tf, score
+    from (
+      select t.source, t.term, t.tf,
+             round(t.tf * ln(n.n_groups / g.gdf), 6) as score,
+             row_number() over (
+               partition by t.source
+               order by round(t.tf * ln(n.n_groups / g.gdf), 6) desc, t.term
+             ) as rank
+      from tf t join gdf g using (term) cross join ng n
+    ) ranked
+    where rank <= 5
+    """,
+    doc="per-source top-5 characteristic terms by tf-idf (idf over "
+    "groups): what a mixing pipeline reads before weighting sources — one "
+    "uniform token shuffle with map-side combine, small aggregates "
+    "broadcast back, per-group top-k window (operators/search.py "
+    "tfidf_top_terms)",
+)
+def q85_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.search import tfidf_top_terms
+
+    t = load_tables(spark, sf_dir)
+    return tfidf_top_terms(t["documents"], group_col="source", k=5)

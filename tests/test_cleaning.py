@@ -148,3 +148,74 @@ class TestLineDedup:
         df = spark.createDataFrame([(1, "x"), (2, "x")], ["doc_id", "text"])
         out = _by_id(line_dedup(df).collect())
         assert out[2]["n_kept"] == 0 and out[2]["clean_text"] == ""
+
+
+class TestNgramNovelty:
+    def test_first_occurrence_attribution(self, spark):
+        from leaf_spark.operators.cleaning import ngram_novelty
+
+        base = "a b c d e f g h"           # exactly one 8-gram
+        longer = base + " i"               # two 8-grams, one new
+        docs = spark.createDataFrame(
+            [(1, base), (2, base), (3, longer), (4, "too short")],
+            "doc_id bigint, text string",
+        )
+        out = {r["doc_id"]: r for r in ngram_novelty(docs).collect()}
+        assert out[1]["n_grams"] == 1 and out[1]["n_novel"] == 1
+        assert out[2]["n_grams"] == 1 and out[2]["n_novel"] == 0
+        assert out[3]["n_grams"] == 2 and out[3]["n_novel"] == 1
+        assert out[3]["novel_frac"] == 0.5
+        assert 4 not in out  # fewer than n words → no gram rows
+
+    def test_hash_and_exact_agree(self, spark):
+        from leaf_spark.operators.cleaning import ngram_novelty
+
+        docs = spark.createDataFrame(
+            [(i, f"w{i % 3} " * 10 + "x y z q r s t u v") for i in range(20)],
+            "doc_id bigint, text string",
+        )
+        a = {tuple(r) for r in ngram_novelty(docs, hash_grams=True).collect()}
+        b = {tuple(r) for r in ngram_novelty(docs, hash_grams=False).collect()}
+        assert a == b
+
+
+class TestChunkText:
+    def test_windows_cover_and_overlap(self, spark):
+        from leaf_spark.operators.text import chunk_text
+
+        text = "".join(chr(97 + i % 26) for i in range(100))
+        docs = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+        rows = sorted(
+            chunk_text(docs, size=10, overlap=3).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        stride = 7
+        import math
+
+        assert len(rows) == math.ceil((100 - 3) / stride)
+        for r in rows:
+            start = r["chunk_id"] * stride
+            assert r["chunk"] == text[start : start + 10]
+            assert r["chunk_len"] == len(r["chunk"])
+        # every char position is covered by at least one chunk
+        covered = set()
+        for r in rows:
+            covered.update(range(r["chunk_id"] * stride, r["chunk_id"] * stride + r["chunk_len"]))
+        assert covered == set(range(100))
+
+    def test_empty_doc_yields_one_empty_chunk(self, spark):
+        from leaf_spark.operators.text import chunk_text
+
+        docs = spark.createDataFrame([(1, "")], "doc_id bigint, text string")
+        rows = chunk_text(docs, size=10, overlap=3).collect()
+        assert len(rows) == 1
+        assert rows[0]["chunk"] == "" and rows[0]["chunk_len"] == 0
+
+    def test_rejects_bad_overlap(self, spark):
+        from leaf_spark.operators.text import chunk_text
+
+        docs = spark.createDataFrame([(1, "abc")], "doc_id bigint, text string")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            chunk_text(docs, size=10, overlap=10)

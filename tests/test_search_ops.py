@@ -326,3 +326,25 @@ def test_new_catalog_plans_hold_scale_shapes(spark):
         for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
     assert "BroadcastNestedLoopJoin" not in blocked
+
+
+def test_tfidf_top_terms_separates_group_vocab(spark):
+    from leaf_spark.operators.search import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "spark spark spark shared"),
+            (2, "a", "spark shared"),
+            (3, "b", "duck duck shared"),
+            (4, "b", "duck shared shared"),
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    out = tfidf_top_terms(docs, group_col="source", k=2).collect()
+    top = {(r["source"], r["rank"]): (r["term"], r["score"]) for r in out}
+    # group-exclusive terms rank first with positive scores
+    assert top[("a", 1)][0] == "spark" and top[("a", 1)][1] > 0
+    assert top[("b", 1)][0] == "duck" and top[("b", 1)][1] > 0
+    # the everywhere-term scores ln(2/2) = 0
+    assert top[("a", 2)] == ("shared", 0.0)
+    assert top[("b", 2)] == ("shared", 0.0)
