@@ -4,19 +4,24 @@ S3 backup loop (leaf-server/src/storage.rs:635-825 backup, 827-1056 restore).
 Reference behavior reproduced:
 
 - **Incremental event-range archives**: events are exported in contiguous
-  idx ranges as ``{start}-{end}.events.parquet`` (the reference writes
-  ``{start}-{end}.events.drisl.zstd``; we keep the range-file naming and the
-  zstd compression but use parquet as the archive container — columnar,
-  splittable, and directly scannable by Spark on restore, storage.rs:700-741).
+  idx ranges as ``{start}-{end}.events.drisl.zstd`` — a zstd frame around the
+  DRISL encoding of ``{"events": [{idx, user, payload, signature}, …]}``,
+  byte-layout-identical to the reference's ``EventArchive``
+  (leaf-server/src/storage.rs:46,757-764,1070-1073).  Archives written by
+  earlier rounds as ``{start}-{end}.events.parquet`` remain restorable.
 - **Module blob**: the content-addressed module codec, DRISL-encoded then
-  gzip-compressed as ``module_{cid}.drisl.gz`` (reference: zstd DRISL,
-  storage.rs:660-680; gzip is the stdlib-available equivalent).
+  zstd-compressed as ``{cid}.module.drisl.zstd`` (reference
+  MODULE_ARCHIVE_EXT, storage.rs:45,660-680); legacy ``module_{cid}.drisl.gz``
+  blobs from earlier rounds still restore.
 - **State snapshot**: the ephemeral state tables, which are NOT recoverable
   by replay (state events never hit the log), snapshotted per table
   (reference snapshots the whole state DB via ``VACUUM INTO``,
   storage.rs:743-771).
-- **Metadata doc** recording stream identity, latest idx, module cid and the
-  exported ranges (storage.rs:773-800).
+- **Metadata doc**: a DRISL ``metadata.drisl`` with the reference's
+  StreamMetadata fields ``{did, did_key, owners, module_cid}``
+  (storage.rs:48,708-719,1075-1081), plus a local ``metadata.json`` playing
+  the role of the server DB's backup-cursor columns
+  (``backup_latest_event`` / exported ranges, storage.rs:680-699).
 - **Restore validates contiguous ranges** starting at 1 and covering
   metadata's latest idx, then raw-imports and replays (storage.rs:827-1056).
 
@@ -35,16 +40,17 @@ import json
 import os
 import re
 
-import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import SparkSession
 
-from . import drisl
+from . import drisl, zstd_compat
 from .module import BasicModuleDef
-from .stream import _ARROW_SCHEMA, Stream, StreamError
+from .stream import Stream, StreamError
 from .types import Event
 
-_RANGE_RE = re.compile(r"^(\d+)-(\d+)\.events\.parquet$")
+# {start}-{end}.events.drisl.zstd (reference EVENTS_ARCHIVE_EXT,
+# storage.rs:46) or the legacy parquet container from earlier rounds.
+_RANGE_RE = re.compile(r"^(\d+)-(\d+)\.events\.(drisl\.zstd|parquet)$")
 
 
 def _meta_path(backup_dir: str) -> str:
@@ -88,13 +94,29 @@ def backup_stream(stream: Stream, backup_dir: str) -> dict:
 
         if stream.module is not None and meta["module_cid"] != stream.state.module_cid:
             cid = stream.module.cid()
-            blob = gzip.compress(drisl.encode(stream.module.to_codec()))
-            with open(os.path.join(backup_dir, f"module_{cid}.drisl.gz"), "wb") as f:
+            blob = zstd_compat.compress(drisl.encode(stream.module.to_codec()))
+            with open(
+                os.path.join(backup_dir, f"{cid}.module.drisl.zstd"), "wb"
+            ) as f:
                 f.write(blob)
             meta["module_cid"] = cid
 
         _snapshot_state(stream, backup_dir)
 
+    # reference StreamMetadata doc (storage.rs:708-719): stream identity for
+    # any restorer; the json below is our backup-cursor record (DB columns in
+    # the reference, storage.rs:680-699).
+    with open(os.path.join(backup_dir, "metadata.drisl"), "wb") as f:
+        f.write(
+            drisl.encode(
+                {
+                    "did": meta["stream_did"],
+                    "did_key": None,
+                    "owners": [],
+                    "module_cid": meta["module_cid"],
+                }
+            )
+        )
     tmp = _meta_path(backup_dir) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)
@@ -103,19 +125,56 @@ def backup_stream(stream: Stream, backup_dir: str) -> dict:
 
 
 def _write_range(backup_dir: str, events: list[Event]) -> None:
-    t = pa.Table.from_pydict(
-        {
-            "idx": [e.idx for e in events],
-            "user": [e.user for e in events],
-            "payload": [e.payload for e in events],
-            "signature": [e.signature for e in events],
-        },
-        schema=_ARROW_SCHEMA,
-    )
+    """Reference EventArchive layout (storage.rs:757-764): zstd frame around
+    DRISL of ``{"events": [...]}``, named ``{start}-{end}.events.drisl.zstd``
+    with unpadded idx bounds exactly like the reference filenames."""
+    archive = {
+        "events": [
+            {
+                "idx": e.idx,
+                "user": e.user,
+                "payload": e.payload,
+                "signature": e.signature or b"",
+            }
+            for e in events
+        ]
+    }
     path = os.path.join(
-        backup_dir, "events", f"{events[0].idx:012d}-{events[-1].idx:012d}.events.parquet"
+        backup_dir,
+        "events",
+        f"{events[0].idx}-{events[-1].idx}.events.drisl.zstd",
     )
-    pq.write_table(t, path, compression="zstd")
+    with open(path, "wb") as f:
+        f.write(zstd_compat.compress(drisl.encode(archive)))
+
+
+def _read_range(path: str) -> list[Event]:
+    if path.endswith(".events.drisl.zstd"):
+        archive = drisl.decode(zstd_compat.decompress(_read_file(path)))
+        return [
+            Event(
+                int(e["idx"]),
+                str(e["user"]),
+                bytes(e["payload"]),
+                bytes(e["signature"] or b""),
+            )
+            for e in archive["events"]
+        ]
+    t = pq.read_table(path)  # legacy parquet archives from earlier rounds
+    return [
+        Event(
+            int(r["idx"]),
+            str(r["user"]),
+            bytes(r["payload"]),
+            bytes(r["signature"] or b""),
+        )
+        for r in t.to_pylist()
+    ]
+
+
+def _read_file(path: str) -> bytes:
+    with open(path, "rb") as f:
+        return f.read()
 
 
 def _snapshot_state(stream: Stream, backup_dir: str) -> None:
@@ -166,10 +225,22 @@ def validate_backup(backup_dir: str) -> dict:
             f"backup covers 1-{expect - 1} but metadata.latest_idx={meta['latest_idx']}"
         )
     if meta["latest_idx"] > 0 and meta["module_cid"]:
-        blob = os.path.join(backup_dir, f"module_{meta['module_cid']}.drisl.gz")
-        if not os.path.exists(blob):
-            raise StreamError(f"module blob missing: {blob}")
+        cid = meta["module_cid"]
+        if not any(
+            os.path.exists(os.path.join(backup_dir, fn))
+            for fn in (f"{cid}.module.drisl.zstd", f"module_{cid}.drisl.gz")
+        ):
+            raise StreamError(f"module blob missing for cid {cid}")
     return meta
+
+
+def _load_module_blob(backup_dir: str, cid: str) -> bytes:
+    """Decompressed module codec bytes — reference zstd layout first, then
+    the legacy gzip name from earlier rounds."""
+    p = os.path.join(backup_dir, f"{cid}.module.drisl.zstd")
+    if os.path.exists(p):
+        return zstd_compat.decompress(_read_file(p))
+    return gzip.decompress(_read_file(os.path.join(backup_dir, f"module_{cid}.drisl.gz")))
 
 
 def restore_stream(
@@ -187,26 +258,16 @@ def restore_stream(
 
     ev_dir = os.path.join(backup_dir, "events")
     if os.path.isdir(ev_dir):
-        for fn in sorted(os.listdir(ev_dir)):
-            if not _RANGE_RE.match(fn):
-                continue
-            t = pq.read_table(os.path.join(ev_dir, fn))
-            stream.raw_import_events(
-                [
-                    Event(
-                        int(r["idx"]),
-                        str(r["user"]),
-                        bytes(r["payload"]),
-                        bytes(r["signature"] or b""),
-                    )
-                    for r in t.to_pylist()
-                ]
-            )
+        ranged = []
+        for fn in os.listdir(ev_dir):
+            m = _RANGE_RE.match(fn)
+            if m:
+                ranged.append((int(m.group(1)), fn))
+        for _, fn in sorted(ranged):  # numeric order, not lexicographic
+            stream.raw_import_events(_read_range(os.path.join(ev_dir, fn)))
 
     if meta["module_cid"]:
-        blob_path = os.path.join(backup_dir, f"module_{meta['module_cid']}.drisl.gz")
-        with open(blob_path, "rb") as f:
-            codec = drisl.decode(gzip.decompress(f.read()))
+        codec = drisl.decode(_load_module_blob(backup_dir, meta["module_cid"]))
         module = BasicModuleDef.from_codec(codec)
         if module.cid() != meta["module_cid"]:
             raise StreamError(
