@@ -167,3 +167,115 @@ def unigram_logprob(
             ).alias("mean_neglogprob"),
         )
     )
+
+
+def bigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mean per-bigram add-one-smoothed negative log-probability
+    p(w2|w1) = (c(w1 w2)+1) / (c(w1)+V) — the step past unigram_logprob
+    that actually penalizes scrambled or template text (unigram stats can't
+    see word order; KenLM-style filters are bigram+).
+
+    Bigrams are built array-side (slice+zip on the already-split words), so
+    no self-join and no window over exploded tokens. Three aggregates:
+    corpus bigram counts, context (w1) counts, vocab size — Zipf-bounded
+    tables joined back to the per-doc bigram stream (AQE broadcasts when
+    they fit). Per-doc sums route through decimal(38,6), as everywhere.
+    """
+    ws = F.split(normalized(F.col(text_col)), " ")
+    pairs = F.zip_with(
+        F.expr("slice(__ws__, 1, greatest(size(__ws__) - 1, 0))"),
+        F.expr("slice(__ws__, 2, greatest(size(__ws__) - 1, 0))"),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    base = docs.select(F.col(id_col), ws.alias("__ws__"))
+    doc_bigrams = base.select(
+        F.col(id_col),
+        F.explode(pairs).alias("bigram"),
+    ).withColumn("w1", F.split(F.col("bigram"), " ")[0])
+
+    bg_counts = doc_bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx_counts = doc_bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    vocab_size = base.select(F.explode("__ws__").alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+
+    nlp = -F.log(
+        (F.col("c_bg").cast("double") + 1.0)
+        / (F.col("c_w1").cast("double") + F.col("v").cast("double"))
+    )
+    return (
+        doc_bigrams.join(bg_counts, "bigram")
+        .join(ctx_counts, "w1")
+        .crossJoin(F.broadcast(vocab_size))
+        .select(F.col(id_col), F.round(nlp, 6).cast("decimal(38,6)").alias("nlp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("nlp").cast("double") / F.count(F.lit(1)), 4).alias(
+                "mean_neglogprob"
+            ),
+        )
+    )
+
+
+def dsir_logratio(
+    docs: DataFrame,
+    target_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weight (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per document, the summed
+    log-likelihood ratio of its tokens under a smoothed unigram model of a
+    TARGET slice vs the whole corpus. Positive ⇒ the doc looks more like the
+    target distribution; resampling by these weights tilts a raw corpus
+    toward a quality/domain target.
+
+    ``target_pred`` is a Column predicate selecting the target slice (e.g.
+    ``F.col("lang") == "en"``).
+
+    Shape: token explode (narrow) → two Zipf-bounded count aggregates
+    (target and corpus share one shuffle pass via conditional sums) → join
+    the vocab table back to the token stream → per-doc decimal sum. The
+    published method hashes tokens into a fixed bucket count to bound the
+    model size; the vocab table here is exact, and the hashed variant is the
+    same plan with ``hash(tok) % B`` as the join key.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        target_pred.alias("is_target"),
+        F.explode(F.split(normalized(F.col(text_col)), " ")).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c_s"),
+        F.sum(F.col("is_target").cast("bigint")).alias("c_t"),
+    )
+    totals = vocab.agg(
+        F.sum("c_s").alias("n_s"),
+        F.sum("c_t").alias("n_t"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    term = F.log(
+        (F.col("c_t").cast("double") + 1.0)
+        / (F.col("n_t").cast("double") + F.col("v").cast("double"))
+    ) - F.log(
+        (F.col("c_s").cast("double") + 1.0)
+        / (F.col("n_s").cast("double") + F.col("v").cast("double"))
+    )
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(totals))
+        .select(F.col(id_col), F.round(term, 6).cast("decimal(38,6)").alias("lr"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            # no final rounding: the decimal sum is exact, and casting the
+            # same exact decimal to double is bit-identical cross-engine —
+            # a round(,4) here would sit on half-boundaries 1-in-100 rows
+            # (6-decimal terms sum to exact 6-decimal values)
+            F.sum("lr").cast("double").alias("importance_logratio"),
+        )
+        .withColumn("selected", F.col("importance_logratio") > 0.0)
+    )

@@ -269,3 +269,62 @@ def compression_ratio(
         return s.map(one)
 
     return df.select(F.col(id_col), _ratio(F.col(text_col)).alias("compression_ratio"))
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_nibbles: int = 1,
+) -> DataFrame:
+    """Content-defined chunking (Rabin/gear-style, word granularity): a chunk
+    boundary opens wherever the word's content hash lands in a 1-in-16**n
+    bucket, so chunk edges survive insertions/deletions — the property that
+    makes CDC the storage-dedup primitive (fixed windows reshuffle every
+    boundary after an edit; cf. chunk_text above for the fixed-window op).
+
+    Boundary rule is engine-portable by construction: ``md5(word)`` leading
+    hex nibble(s) == '0', P(boundary) = 16**-boundary_nibbles — any SQL
+    engine reproduces it bit-exactly (no engine-specific hash).
+
+    Returns (id, chunk_id, chunk_text, n_words, chunk_hash).
+
+    Scale: posexplode is a narrow projection; the only shuffle partitions by
+    document id for the running boundary count + reassembly — one shuffle of
+    (id, pos, word) rows, partial-aggregated where possible, keyed on the
+    document id so chunk assembly never crosses executors per doc. Chunk
+    rows out ≈ corpus words / 16**n.
+    """
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(words_expr(F.col(text_col))).alias("pos", "word"),
+    )
+    is_boundary = (F.col("pos") == 0) | (
+        F.substring(F.md5(F.col("word")), 1, boundary_nibbles)
+        == "0" * boundary_nibbles
+    )
+    w = Window.partitionBy("id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    chunked = words.withColumn(
+        "chunk_id", (F.sum(is_boundary.cast("int")).over(w) - 1).cast("int")
+    )
+    chunks = chunked.groupBy("id", "chunk_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda p: p["word"],
+            ),
+            " ",
+        ).alias("chunk_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+    )
+    return chunks.select(
+        F.col("id").alias(id_col),
+        "chunk_id",
+        "chunk_text",
+        "n_words",
+        F.md5("chunk_text").alias("chunk_hash"),
+    )

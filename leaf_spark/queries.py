@@ -112,6 +112,7 @@ def all_cases() -> dict[str, QueryCase]:
     from . import queries_pipeline  # noqa: F401
     from . import queries_training  # noqa: F401
     from . import queries_search  # noqa: F401
+    from . import queries_mining  # noqa: F401
 
     return _ordered(dict(_REGISTRY))
 

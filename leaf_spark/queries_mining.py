@@ -1,0 +1,273 @@
+"""Catalog entries q86-q89: corpus-mining additions for round 4 —
+distributed k-means clustering, content-defined chunking, bigram-LM
+scoring, and DSIR importance reweighting.
+
+Determinism conventions (as in queries_search.py): all float log/ratio
+terms round to 6 decimals and sum through decimal(38,6); k-means runs in
+quantized integer arithmetic so assignments are bit-exact cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .queries import register
+from .session import load_tables
+
+# Unrolled exact-integer Lloyd iterations. Everything is bigint arithmetic
+# (embeddings quantized via round(x*1000)), init = the 4 lowest vec_ids, so
+# the oracle reproduces the Spark operator's assignments bit-for-bit —
+# no float summation-order hazard anywhere.
+_KMEANS_ORACLE = """
+    with q as (
+      select vec_id as id,
+             list_transform(embedding,
+                            x -> cast(round(cast(x as double)*1000) as bigint)) as qv
+      from embeddings
+    ),
+    c0 as (
+      select row_number() over (order by id) - 1 as cid, qv as cvec
+      from q order by id limit 4
+    ),
+    s1 as (
+      select q.id, q.qv, c0.cid,
+             list_sum(list_transform(range(1, len(q.qv)+1),
+                i -> (q.qv[i]-c0.cvec[i])*(q.qv[i]-c0.cvec[i]))) as d2
+      from q cross join c0
+    ),
+    a1 as (
+      select id, qv, cid from (
+        select *, row_number() over (partition by id order by d2, cid) rk from s1
+      ) where rk = 1
+    ),
+    u1 as (
+      select cid, d, cast(floor(sum(v) / count(*)) as bigint) as cv
+      from (select cid, unnest(qv) as v, unnest(range(1, len(qv)+1)) as d from a1)
+      group by cid, d
+    ),
+    c1 as (
+      select c0.cid, coalesce(uu.cvec, c0.cvec) as cvec
+      from c0 left join
+        (select cid, list(cv order by d) as cvec from u1 group by cid) uu
+      on c0.cid = uu.cid
+    ),
+    s2 as (
+      select q.id, q.qv, c1.cid,
+             list_sum(list_transform(range(1, len(q.qv)+1),
+                i -> (q.qv[i]-c1.cvec[i])*(q.qv[i]-c1.cvec[i]))) as d2
+      from q cross join c1
+    ),
+    a2 as (
+      select id, qv, cid from (
+        select *, row_number() over (partition by id order by d2, cid) rk from s2
+      ) where rk = 1
+    ),
+    u2 as (
+      select cid, d, cast(floor(sum(v) / count(*)) as bigint) as cv
+      from (select cid, unnest(qv) as v, unnest(range(1, len(qv)+1)) as d from a2)
+      group by cid, d
+    ),
+    c2 as (
+      select c1.cid, coalesce(uu.cvec, c1.cvec) as cvec
+      from c1 left join
+        (select cid, list(cv order by d) as cvec from u2 group by cid) uu
+      on c1.cid = uu.cid
+    ),
+    final as (
+      select id, cid from (
+        select q.id, c2.cid,
+               row_number() over (partition by q.id order by
+                 list_sum(list_transform(range(1, len(q.qv)+1),
+                    i -> (q.qv[i]-c2.cvec[i])*(q.qv[i]-c2.cvec[i]))), c2.cid) rk
+        from q cross join c2
+      ) where rk = 1
+    )
+    select id as vec_id,
+           cast(cid as int) as cluster_id,
+           cast(count(*) over (partition by cid) as bigint) as cluster_n
+    from final
+"""
+
+
+@register(
+    "q86_kmeans_clusters",
+    _KMEANS_ORACLE,
+    doc="distributed Lloyd's k-means over embeddings (k=4, 2 iterations, "
+    "quantized integer arithmetic → bit-exact oracle): per-vector cluster "
+    "assignment + cluster size. Spark: broadcast-assign + kxd-bounded "
+    "centroid shuffle per iteration (operators/clustering.py)",
+)
+def q86_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.clustering import kmeans_quantized
+
+    t = load_tables(spark, sf_dir)
+    assigned = kmeans_quantized(t["embeddings"], k=4, iters=2, scale=1000)
+    return assigned.select(
+        F.col("id").alias("vec_id"),
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster_id"))
+        .cast("bigint")
+        .alias("cluster_n"),
+    )
+
+
+@register(
+    "q87_cdc_chunks",
+    """
+    with w as (
+      select doc_id, source,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               as ws
+      from documents
+    ),
+    pos as (
+      select doc_id, source, unnest(ws) as word,
+             unnest(range(1, len(ws)+1)) as p
+      from w
+    ),
+    flagged as (
+      select doc_id, source, word, p,
+             case when p = 1 or substr(md5(word), 1, 1) = '0' then 1 else 0 end
+               as is_b
+      from pos
+    ),
+    chunked as (
+      select doc_id, source, word, p,
+             sum(is_b) over (partition by doc_id order by p
+                             rows unbounded preceding) - 1 as chunk_id
+      from flagged
+    ),
+    chunks as (
+      select doc_id, source, chunk_id,
+             md5(string_agg(word, ' ' order by p)) as chunk_hash
+      from chunked group by doc_id, source, chunk_id
+    )
+    select source,
+           cast(count(*) as bigint) as n_chunks,
+           cast(count(distinct chunk_hash) as bigint) as n_uniq_chunks,
+           round(1.0 - cast(count(distinct chunk_hash) as double)
+                       / count(*), 6) as dup_ratio
+    from chunks group by source
+    """,
+    doc="content-defined chunking (word-level gear hash, P(boundary)=1/16 "
+    "via md5 nibble) + chunk-level dedup ratio per source — the storage-"
+    "dedup primitive whose boundaries survive edits. One doc-keyed shuffle "
+    "(operators/text.py cdc_chunks)",
+)
+def q87_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import cdc_chunks
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    chunks = cdc_chunks(docs)
+    return (
+        chunks.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.countDistinct("chunk_hash").cast("bigint").alias("n_uniq_chunks"),
+            F.round(
+                1.0
+                - F.countDistinct("chunk_hash").cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+@register(
+    "q88_bigram_logprob",
+    """
+    with w as (
+      select doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               as ws
+      from documents
+    ),
+    bg as (
+      select doc_id,
+             unnest(list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i+1])) as bigram
+      from w
+    ),
+    bgc as (select bigram, count(*) as c_bg from bg group by bigram),
+    ctx as (
+      select string_split(bigram, ' ')[1] as w1, count(*) as c_w1
+      from bg group by 1
+    ),
+    voc as (
+      select count(distinct tok) as v from (select unnest(ws) as tok from w)
+    ),
+    scored as (
+      select bg.doc_id,
+             cast(round(-ln((c_bg + 1.0) / (c_w1 + cast(v as double))), 6)
+                  as decimal(38,6)) as nlp
+      from bg
+      join bgc using (bigram)
+      join ctx on ctx.w1 = string_split(bg.bigram, ' ')[1]
+      cross join voc
+    )
+    select doc_id,
+           cast(count(*) as bigint) as n_bigrams,
+           round(cast(sum(nlp) as double) / count(*), 4) as mean_neglogprob
+    from scored group by doc_id
+    """,
+    doc="add-one-smoothed bigram LM perplexity proxy (penalizes scrambled/"
+    "template text that unigram stats can't see): array-side bigram build, "
+    "Zipf-bounded count tables joined back, decimal-routed sums "
+    "(operators/search.py bigram_logprob)",
+)
+def q88_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.search import bigram_logprob
+
+    t = load_tables(spark, sf_dir)
+    return bigram_logprob(t["documents"])
+
+
+@register(
+    "q89_dsir_importance",
+    """
+    with t as (
+      select doc_id, (lang = 'en') as is_target,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                 ' ')) as tok
+      from documents
+    ),
+    vocab as (
+      select tok, count(*) as c_s,
+             sum(case when is_target then 1 else 0 end) as c_t
+      from t group by tok
+    ),
+    tot as (
+      select cast(sum(c_s) as bigint) as n_s, cast(sum(c_t) as bigint) as n_t,
+             count(*) as v
+      from vocab
+    ),
+    terms as (
+      select doc_id,
+             cast(round(
+               ln((c_t + 1.0) / (cast(n_t as double) + cast(v as double)))
+               - ln((c_s + 1.0) / (cast(n_s as double) + cast(v as double))), 6)
+               as decimal(38,6)) as lr
+      from t join vocab using (tok) cross join tot
+    )
+    select doc_id,
+           cast(count(*) as bigint) as n_tokens,
+           cast(sum(lr) as double) as importance_logratio,
+           cast(sum(lr) as double) > 0.0 as selected
+    from terms group by doc_id
+    """,
+    doc="DSIR importance reweighting (Xie et al. 2023): per-doc summed "
+    "log-likelihood ratio of tokens under target (lang='en') vs corpus "
+    "unigram models, add-one smoothing — the resampling signal for tilting "
+    "a raw corpus toward a target domain (operators/search.py dsir_logratio)",
+)
+def q89_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.search import dsir_logratio
+
+    t = load_tables(spark, sf_dir)
+    return dsir_logratio(t["documents"], F.col("lang") == "en")

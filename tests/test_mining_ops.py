@@ -1,0 +1,195 @@
+"""Round-4 corpus-mining operators: distributed k-means, content-defined
+chunking, bigram LM scoring, DSIR importance weights — functional checks
+against hand-computed expectations plus plan-shape (100 TB contract)
+assertions."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df, mode: str = "simple") -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+# ---------------------------------------------------------------------------
+# k-means
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    # two tight groups far apart → any sane k-means separates them
+    rows = [
+        (1, [0.0, 0.0]), (2, [0.1, 0.0]), (3, [0.0, 0.1]),
+        (4, [10.0, 10.0]), (5, [10.1, 10.0]), (6, [10.0, 10.1]),
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_kmeans_quantized_separates_obvious_clusters(spark, vecs):
+    from leaf_spark.operators.clustering import kmeans_quantized
+
+    out = {r["id"]: r["cluster_id"] for r in kmeans_quantized(vecs, k=2, iters=2).collect()}
+    assert out[1] == out[2] == out[3]
+    assert out[4] == out[5] == out[6]
+    assert out[1] != out[4]
+
+
+def test_kmeans_float_agrees_on_obvious_clusters(spark, vecs):
+    from leaf_spark.operators.clustering import kmeans
+
+    out = {r["id"]: r["cluster_id"] for r in kmeans(vecs, k=2, iters=2).collect()}
+    assert out[1] == out[2] == out[3]
+    assert out[4] == out[5] == out[6]
+    assert out[1] != out[4]
+
+
+def test_kmeans_assign_plan_broadcasts_centroids_no_python(spark, vecs):
+    from leaf_spark.operators.clustering import kmeans_quantized
+
+    df = kmeans_quantized(vecs, k=2, iters=1)
+    plan = plan_of(df, "formatted")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    from leaf_spark.operators.clustering import kmeans_quantized
+
+    # k=3 over 3 identical + far pair: some centroid will own nothing after
+    # iteration 1; the operator must not crash and must keep k clusters ids valid
+    rows = [(i, [0.0, 0.0]) for i in range(3)] + [(10, [5.0, 5.0]), (11, [5.0, 5.1])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = kmeans_quantized(df, k=3, iters=2).collect()
+    assert len(out) == 5
+    assert all(0 <= r["cluster_id"] < 3 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking
+# ---------------------------------------------------------------------------
+
+
+def _boundary(word: str) -> bool:
+    return hashlib.md5(word.encode()).hexdigest()[0] == "0"
+
+
+def test_cdc_chunks_match_reference_boundaries(spark):
+    from leaf_spark.operators.text import cdc_chunks
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    words = text.split()
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    out = sorted(
+        cdc_chunks(df).collect(), key=lambda r: r["chunk_id"]
+    )
+    # reference chunking in plain python
+    chunks, cur = [], []
+    for i, w in enumerate(words):
+        if (i == 0 or _boundary(w)) and cur:
+            chunks.append(cur)
+            cur = []
+        cur.append(w)
+    if cur:
+        chunks.append(cur)
+    assert [r["chunk_text"] for r in out] == [" ".join(c) for c in chunks]
+    assert [r["n_words"] for r in out] == [len(c) for c in chunks]
+    assert out[0]["chunk_hash"] == hashlib.md5(" ".join(chunks[0]).encode()).hexdigest()
+
+
+def test_cdc_chunks_boundaries_survive_prefix_insertion(spark):
+    """The CDC property: prepending words only perturbs the first chunk(s);
+    later chunk hashes are unchanged (fixed windows would reshuffle all)."""
+    from leaf_spark.operators.text import cdc_chunks
+
+    base = "one two three four five six seven eight nine ten " * 10
+    edited = "inserted words here " + base
+    df = spark.createDataFrame([(1, base), (2, edited)], ["doc_id", "text"])
+    rows = cdc_chunks(df).collect()
+    h1 = {r["chunk_hash"] for r in rows if r["doc_id"] == 1}
+    h2 = {r["chunk_hash"] for r in rows if r["doc_id"] == 2}
+    # all original chunks except possibly the first still appear
+    assert len(h1 & h2) >= len(h1) - 1
+
+
+def test_cdc_plan_single_doc_shuffle_no_python(spark):
+    from leaf_spark.operators.text import cdc_chunks
+
+    df = cdc_chunks(
+        spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    )
+    plan = plan_of(df, "formatted")
+    assert "BatchEvalPython" not in plan
+    # one exchange keyed on the doc id feeds both the window and the group
+    assert plan.count("Exchange") <= 2
+
+
+# ---------------------------------------------------------------------------
+# bigram LM
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_logprob_formula(spark):
+    from leaf_spark.operators.search import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    # corpus bigrams: doc1: "a b","b a","a b"; doc2: "a b","b c"
+    # c("a b")=3, c("b a")=1, c("b c")=1 ; ctx c(a)=3? -> w1 counts from bigrams:
+    # w1=a: "a b"x3 -> 3 ; w1=b: "b a","b c" -> 2 ; V=3 (a,b,c)
+    def nlp(c_bg, c_w1):
+        return round(-math.log((c_bg + 1.0) / (c_w1 + 3.0)), 6)
+
+    d1 = (nlp(3, 3) + nlp(1, 2) + nlp(3, 3)) / 3
+    d2 = (nlp(3, 3) + nlp(1, 2)) / 2
+    assert out[1]["n_bigrams"] == 3 and out[2]["n_bigrams"] == 2
+    assert abs(float(out[1]["mean_neglogprob"]) - round(d1, 4)) < 1e-9
+    assert abs(float(out[2]["mean_neglogprob"]) - round(d2, 4)) < 1e-9
+
+
+def test_bigram_short_docs_drop_out(spark):
+    from leaf_spark.operators.search import bigram_logprob
+
+    df = spark.createDataFrame([(1, "single"), (2, ""), (3, "a b")], ["doc_id", "text"])
+    out = bigram_logprob(df).collect()
+    assert [r["doc_id"] for r in out] == [3]
+
+
+# ---------------------------------------------------------------------------
+# DSIR
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    from leaf_spark.operators.search import dsir_logratio
+
+    rows = [
+        (1, "en", "the cat sat on the mat"),
+        (2, "en", "the dog ran in the park"),
+        (3, "xx", "zorb blick flum zorb blick"),
+        (4, "xx", "the cat ran in the park"),  # target-like text, non-target slice
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = {r["doc_id"]: r for r in dsir_logratio(df, F.col("lang") == "en").collect()}
+    # target-vocabulary docs score above the alien-vocabulary doc
+    assert out[1]["importance_logratio"] > out[3]["importance_logratio"]
+    assert out[4]["importance_logratio"] > out[3]["importance_logratio"]
+    assert not out[3]["selected"]
+
+
+def test_dsir_no_python_in_plan(spark):
+    from leaf_spark.operators.search import dsir_logratio
+
+    df = dsir_logratio(
+        spark.createDataFrame([(1, "en", "a b")], ["doc_id", "lang", "text"]),
+        F.col("lang") == "en",
+    )
+    assert "BatchEvalPython" not in plan_of(df, "formatted")
