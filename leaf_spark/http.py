@@ -1,11 +1,12 @@
 """HTTP transport for the Leaf server API (A23 network layer).
 
 The reference speaks DRISL over socket.io with ATProto JWT auth
-(leaf-server/src/http.rs:141-242, connection.rs:35-624). Neither a
-socket.io stack nor ATProto network access exists in this environment, so
-this transport keeps the same message shape over plain HTTP — a real
-listening socket, concurrent connections, bearer-token auth — and the
-documented divergences are confined here:
+(leaf-server/src/http.rs:141-242, connection.rs:35-624); that full stack —
+msgpack socket.io packets over engine.io/websocket — lives in
+``leaf_spark.socketio``. This module is the simpler request/response
+fallback: the same message shapes over plain HTTP — a real listening
+socket, concurrent connections, bearer-token auth — with the documented
+divergences confined here:
 
 - **Framing**: one request per call — ``POST /<endpoint>`` with the
   DRISL-encoded args map as the body; the response body is the

@@ -88,6 +88,8 @@ class LeafServer:
 
     def dispatch(self, conn: Connection, endpoint: str, args: dict):
         if endpoint == "module/upload":
+            # "Only authenticated users can upload module" (connection.rs:50-54)
+            self._require_auth(conn)
             blob = drisl.encode(args["module"])
             if len(blob) > self.MODULE_MAX_BYTES:
                 # enforced here too so direct dispatch() callers (no

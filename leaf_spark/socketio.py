@@ -1,0 +1,426 @@
+"""socket.io wire transport for the Leaf server API — the reference's actual
+protocol stack (leaf-server/src/http.rs:29-140, connection.rs:35-624):
+
+    websocket (RFC 6455)
+      └─ engine.io v4 (open/ping/pong/message packets)
+           └─ socket.io v5 packets, msgpack-encoded
+                (ParserConfig::msgpack(), http.rs:33 — every packet is one
+                 msgpack map {type, nsp, data, id?} in a binary frame)
+                  └─ DRISL request/ack payloads (unchanged from LeafServer)
+
+Connection lifecycle mirrors socket_io_connection (http.rs:80-140):
+
+- the CONNECT packet's auth payload carries ``{token}`` (get_token,
+  http.rs:142-151); an invalid token emits an ``error`` event and
+  disconnects — never an anonymous downgrade; a missing token connects
+  anonymously (may query/subscribe, not write);
+- on success the server emits ``authenticated {did}`` (http.rs:114-121);
+- each endpoint is a socket.io EVENT named exactly like the reference's
+  (``stream/query``…) whose single argument is the DRISL-encoded args map,
+  acked with the DRISL ``{"Ok": …}|{"Err": …}`` bytes (connection.rs
+  ``response()``);
+- live subscriptions push ``stream/subscription_response`` EVENTs whose
+  payload is the DRISL notification ``{subscriptionId, response}``
+  (StreamSubscribeNotification, connection.rs:434-447), with the
+  exponential-backoff retry shape of connection.rs:448-474 on send
+  failures.
+
+Engine.io details: the server is the pinger (v4 semantics) on
+``PING_INTERVAL``; pongs are consumed, client pings (v3 clients) answered.
+Only the websocket transport is served — the reference advertises
+``upgrades: []`` behavior for our purposes since polling adds nothing in a
+single-host deployment (documented divergence: no HTTP long-polling
+bootstrap; the long-poll fallback lives in http.py instead).
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import socket
+import threading
+import time
+import uuid
+from urllib.parse import parse_qs, urlparse
+
+from . import drisl, msgpack_codec, websocket as ws
+from .http import AuthError, verify_atproto_jwt
+from .server import Connection, LeafServer
+
+# socket.io packet types (v5)
+CONNECT, DISCONNECT, EVENT, ACK, CONNECT_ERROR = 0, 1, 2, 3, 4
+
+PING_INTERVAL = 25.0
+PING_TIMEOUT = 20.0
+MAX_PAYLOAD = 1_000_000
+
+
+class _Conn:
+    """One accepted frame socket: send lock + subscription push threads."""
+
+    def __init__(self, fs: ws.FrameSocket):
+        self.fs = fs
+        self.send_lock = threading.Lock()
+        self.connected = False
+        self.auth: Connection = Connection()
+        self.stop = threading.Event()
+
+    def send_packet(self, pkt: dict) -> None:
+        with self.send_lock:
+            self.fs.write_frame(ws.OP_BINARY, msgpack_codec.pack(pkt))
+
+    def send_text(self, payload: str) -> None:
+        with self.send_lock:
+            self.fs.write_frame(ws.OP_TEXT, payload.encode())
+
+
+class LeafSocketIOServer:
+    """Threaded socket.io front end for a LeafServer. ``port=0`` auto-assigns."""
+
+    def __init__(
+        self,
+        server: LeafServer,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        tokens: dict[str, Connection] | None = None,
+        did_keys: dict[str, bytes] | None = None,
+        audience: str | None = None,
+    ):
+        self.server = server
+        self.tokens = tokens or {}
+        self.did_keys = did_keys
+        self.audience = audience
+        self._listener = socket.create_server((host, port))
+        self.host, self.port = self._listener.getsockname()[:2]
+        self._stop = threading.Event()
+        self._threads: list[threading.Thread] = []
+
+    def start(self) -> "LeafSocketIOServer":
+        t = threading.Thread(target=self._accept_loop, daemon=True)
+        t.start()
+        self._threads.append(t)
+        return self
+
+    def close(self) -> None:
+        self._stop.set()
+        try:
+            self._listener.close()
+        except OSError:
+            pass
+
+    # -- connection handling -------------------------------------------------
+
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                sock, _ = self._listener.accept()
+            except OSError:
+                return
+            t = threading.Thread(target=self._serve_conn, args=(sock,), daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def _serve_conn(self, sock: socket.socket) -> None:
+        conn = None
+        try:
+            target, _headers, fs = ws.server_handshake(sock)
+            conn = _Conn(fs)
+            q = parse_qs(urlparse(target).query)
+            if urlparse(target).path.rstrip("/") != "/socket.io" or q.get(
+                "transport", [""]
+            )[0] != "websocket":
+                return
+            sid = uuid.uuid4().hex
+            conn.send_text(
+                "0"
+                + json.dumps(
+                    {
+                        "sid": sid,
+                        "upgrades": [],
+                        "pingInterval": int(PING_INTERVAL * 1000),
+                        "pingTimeout": int(PING_TIMEOUT * 1000),
+                        "maxPayload": MAX_PAYLOAD,
+                    }
+                )
+            )
+            pinger = threading.Thread(
+                target=self._ping_loop, args=(conn,), daemon=True
+            )
+            pinger.start()
+            while not self._stop.is_set() and not conn.stop.is_set():
+                opcode, payload = fs.read_frame()
+                if opcode == ws.OP_CLOSE:
+                    with conn.send_lock:
+                        fs.write_frame(ws.OP_CLOSE)
+                    return
+                if opcode == ws.OP_PING:
+                    with conn.send_lock:
+                        fs.write_frame(ws.OP_PONG, payload)
+                    continue
+                if opcode == ws.OP_TEXT:
+                    if payload[:1] == b"2":  # engine.io ping (v3 client)
+                        conn.send_text("3" + payload[1:].decode())
+                    continue  # pongs/noop
+                if opcode != ws.OP_BINARY:
+                    continue
+                pkt = msgpack_codec.unpack(payload)
+                self._on_packet(conn, pkt, sid)
+        except (ConnectionError, OSError, ValueError):
+            pass
+        finally:
+            if conn is not None:
+                conn.stop.set()
+            try:
+                sock.close()
+            except OSError:
+                pass
+
+    def _ping_loop(self, conn: _Conn) -> None:
+        while not conn.stop.is_set() and not self._stop.is_set():
+            if conn.stop.wait(PING_INTERVAL):
+                return
+            try:
+                conn.send_text("2")
+            except OSError:
+                return
+
+    # -- socket.io packets ---------------------------------------------------
+
+    def _emit(self, conn: _Conn, event: str, *args) -> None:
+        """EVENT emit with the reference's backpressure retry shape
+        (connection.rs:448-474): exponential delay from 10 ms to 1 s on a
+        transient send failure, abort once the peer is gone."""
+        delay, max_delay = 0.01, 1.0
+        while not conn.stop.is_set():
+            try:
+                conn.send_packet({"type": EVENT, "nsp": "/", "data": [event, *args]})
+                return
+            except BlockingIOError:
+                time.sleep(delay)
+                delay = min(delay * 2, max_delay)
+            except OSError:
+                conn.stop.set()
+                return
+
+    def _on_packet(self, conn: _Conn, pkt: dict, sid: str) -> None:
+        ptype = pkt.get("type")
+        if ptype == CONNECT:
+            data = pkt.get("data") or {}
+            token = data.get("token") if isinstance(data, dict) else None
+            try:
+                conn.auth = self._authenticate(token)
+            except AuthError as ex:
+                # http.rs:90-101: emit the error, then disconnect
+                self._emit(conn, "error", f"Error validating auth token: {ex}")
+                conn.send_packet({"type": DISCONNECT, "nsp": "/"})
+                conn.stop.set()
+                return
+            conn.connected = True
+            conn.send_packet(
+                {"type": CONNECT, "nsp": "/", "data": {"sid": uuid.uuid4().hex}}
+            )
+            self._emit(conn, "authenticated", {"did": conn.auth.user})
+            return
+        if ptype == DISCONNECT:
+            conn.stop.set()
+            return
+        if ptype != EVENT or not conn.connected:
+            return
+        data = pkt.get("data") or []
+        if not data:
+            return
+        name, args = data[0], (data[1] if len(data) > 1 else b"")
+        if name not in LeafServer.ENDPOINTS:
+            ack_body = drisl.encode({"Err": f"ValueError: unknown endpoint {name!r}"})
+        else:
+            ack_body = self.server.handle(
+                conn.auth, name, bytes(args) if args else b""
+            )
+        if pkt.get("id") is not None:
+            conn.send_packet(
+                {"type": ACK, "nsp": "/", "id": pkt["id"], "data": [ack_body]}
+            )
+        if name == "stream/subscribe_events":
+            ack = drisl.decode(ack_body)
+            if "Ok" in ack:
+                stream_did = drisl.decode(bytes(args))["streamDid"]
+                t = threading.Thread(
+                    target=self._push_loop,
+                    args=(conn, stream_did, ack["Ok"]["subscriptionId"]),
+                    daemon=True,
+                )
+                t.start()
+
+    def _authenticate(self, token: str | None) -> Connection:
+        if not token:
+            return Connection()  # anonymous
+        conn = self.tokens.get(token)
+        if conn is not None:
+            return conn
+        if self.did_keys is not None and token.count(".") == 2:
+            did = verify_atproto_jwt(token, self.did_keys, audience=self.audience)
+            return Connection(user=did)
+        raise AuthError("unknown token")
+
+    # -- live subscription push ---------------------------------------------
+
+    def _push_loop(self, conn: _Conn, stream_did: str, sub_id: str) -> None:
+        """Drain the subscription channel, emitting each response as a
+        ``stream/subscription_response`` EVENT whose payload is the DRISL
+        StreamSubscribeNotification (connection.rs:434-447)."""
+        worker = self.server.catalog.worker(stream_did)
+        stream = self.server.catalog.open(stream_did)
+        sub = worker.subs.get(sub_id)
+        if sub is None:
+            return
+        while not conn.stop.is_set():
+            try:
+                r = sub.channel.get(timeout=0.25)
+            except queue.Empty:
+                if sub_id not in worker.subs:
+                    return  # unsubscribed
+                continue
+            payload = drisl.encode(
+                {
+                    "subscriptionId": sub_id,
+                    "response": {
+                        "Ok": {
+                            "rows": stream.rows_to_wire(r.rows),
+                            "hasMore": r.has_more,
+                        }
+                    }
+                    if r.error is None
+                    else {"Err": r.error},
+                }
+            )
+            self._emit(conn, "stream/subscription_response", payload)
+
+
+# ---------------------------------------------------------------------------
+# client
+# ---------------------------------------------------------------------------
+
+
+class LeafSocketIOClient:
+    """Test/client counterpart: websocket + engine.io + msgpack socket.io,
+    mirroring clients/typescript/src/index.ts (socket.io-client +
+    socket.io-msgpack-parser)."""
+
+    def __init__(self, host: str, port: int, token: str | None = None, timeout: float = 10.0):
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self.fs = ws.client_handshake(
+            self.sock, f"{host}:{port}", "/socket.io/?EIO=4&transport=websocket"
+        )
+        # handshake done: switch to blocking reads — the reader thread must
+        # survive idle stretches (server ops can outlast any socket timeout);
+        # close() unblocks it
+        self.sock.settimeout(None)
+        self._acks: dict[int, queue.Queue] = {}
+        self._next_id = 0
+        self.events: queue.Queue = queue.Queue()
+        self._send_lock = threading.Lock()
+        self._closed = threading.Event()
+
+        # engine.io open
+        opcode, payload = self.fs.read_frame()
+        if opcode != ws.OP_TEXT or payload[:1] != b"0":
+            raise ConnectionError(f"expected engine.io open, got {payload[:20]!r}")
+        self.engine_info = json.loads(payload[1:])
+
+        # socket.io connect (auth payload carries the token, http.rs:142-151)
+        data = {"token": token} if token else {}
+        self._send({"type": CONNECT, "nsp": "/", "data": data})
+        self._reader = threading.Thread(target=self._read_loop, daemon=True)
+        self._reader.start()
+        # wait for CONNECT ack or error event
+        evt = self._connect_result = self._wait_connected(timeout)
+
+    def _wait_connected(self, timeout: float):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            try:
+                kind, payload = self.events.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if kind == "__connected__":
+                return payload
+            if kind == "error":
+                raise AuthError(str(payload))
+            if kind == "__disconnect__":
+                raise ConnectionError("server disconnected during connect")
+            # keep non-handshake events for the caller
+            self.events.put((kind, payload))
+        raise TimeoutError("socket.io connect timed out")
+
+    def _send(self, pkt: dict) -> None:
+        with self._send_lock:
+            self.fs.write_frame(ws.OP_BINARY, msgpack_codec.pack(pkt), mask=True)
+
+    def _read_loop(self) -> None:
+        try:
+            while not self._closed.is_set():
+                opcode, payload = self.fs.read_frame()
+                if opcode == ws.OP_CLOSE:
+                    break
+                if opcode == ws.OP_TEXT:
+                    if payload[:1] == b"2":  # engine.io ping → pong
+                        with self._send_lock:
+                            self.fs.write_frame(
+                                ws.OP_TEXT, b"3" + payload[1:], mask=True
+                            )
+                    continue
+                if opcode != ws.OP_BINARY:
+                    continue
+                pkt = msgpack_codec.unpack(payload)
+                ptype = pkt.get("type")
+                if ptype == CONNECT:
+                    self.events.put(("__connected__", pkt.get("data")))
+                elif ptype == DISCONNECT:
+                    self.events.put(("__disconnect__", None))
+                elif ptype == ACK:
+                    q = self._acks.pop(pkt.get("id"), None)
+                    if q is not None:
+                        q.put(pkt.get("data") or [])
+                elif ptype == EVENT:
+                    data = pkt.get("data") or []
+                    if data:
+                        self.events.put((data[0], data[1] if len(data) > 1 else None))
+        except (ConnectionError, OSError, ValueError):
+            pass
+        finally:
+            self._closed.set()
+
+    def call(self, endpoint: str, args: dict, timeout: float = 30.0) -> dict:
+        """EVENT + ack round trip; returns the decoded DRISL Result map."""
+        self._next_id += 1
+        pkt_id = self._next_id
+        q: queue.Queue = queue.Queue()
+        self._acks[pkt_id] = q
+        self._send(
+            {
+                "type": EVENT,
+                "nsp": "/",
+                "id": pkt_id,
+                "data": [endpoint, drisl.encode(args)],
+            }
+        )
+        data = q.get(timeout=timeout)
+        return drisl.decode(bytes(data[0]))
+
+    def next_event(self, timeout: float = 10.0) -> tuple[str, object]:
+        """(event_name, payload); subscription payloads are decoded DRISL."""
+        kind, payload = self.events.get(timeout=timeout)
+        if kind == "stream/subscription_response" and payload is not None:
+            return kind, drisl.decode(bytes(payload))
+        return kind, payload
+
+    def close(self) -> None:
+        self._closed.set()
+        try:
+            self._send({"type": DISCONNECT, "nsp": "/"})
+        except OSError:
+            pass
+        try:
+            self.sock.close()
+        except OSError:
+            pass
