@@ -82,6 +82,9 @@ _ROUND4_FRONT = [
     "q83_chunk_windows", "q84_ngram_novelty", "q85_tfidf_top_terms",
     # round-3 hash-reds, oracle typing fixed this round
     "q67_train_split", "q68_source_mix", "q70_pack_sequences",
+    # new this round (never scored)
+    "q86_kmeans_clusters", "q87_cdc_chunks", "q88_bigram_logprob",
+    "q89_dsir_importance",
     # only-r02 official greens (refresh the oldest evidence)
     "q04_left_join", "q05_semi_join", "q06_anti_join", "q07_distinct",
     "q08_set_ops", "q09_order_limit_offset", "q16_cross_join",
@@ -89,10 +92,9 @@ _ROUND4_FRONT = [
     "q25_total", "q27_json_object", "q28_json_group_array", "q29_like_glob",
     "q31_events_range_scan", "q35_events_topk_users", "q36_events_two_pages",
     "q37_typeof", "q39_json_each",
-    # round-3-green flagship re-confirmations
-    "q01_pricing_summary", "q03_revenue_by_nation", "q11_window_topk",
-    "q15_correlated_subquery", "q17_recursive_cte",
-    "q18_ineq_join",
+    # round-3-green flagship re-confirmations (8 slots; q11/q15/q17/q18
+    # rotated out — each already has a PASS row in CORRECTNESS_r03)
+    "q01_pricing_summary", "q03_revenue_by_nation",
     "q49_minhash_lsh", "q51_ann_lsh", "q54_ann_ivf",
     "q59_crossdoc_ngram_overlap", "q62_line_dedup", "q65_asof_attribution",
 ]
