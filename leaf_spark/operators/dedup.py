@@ -412,3 +412,62 @@ def incremental_dedup(
     fresh = batch.join(corpus_idx, "h", "left_anti")
     w = fresh.groupBy("h").agg(F.min(id_col).alias(id_col))
     return fresh.join(w, ["h", id_col]).drop("h").unionByName(keep_nulls)
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+    containment_threshold: float = 0.8,
+    bucket_cap: int = 1000,
+) -> DataFrame:
+    """Sub-document duplication via shingle CONTAINMENT
+    c(A→B) = |A∩B| / min(|A|,|B|): a short document embedded verbatim inside
+    a long one scores c ≈ 1 while its Jaccard stays low (|A∪B| is dominated
+    by the long side) — the case quote-heavy crawl data hits constantly and
+    ``minhash_lsh_pairs`` is blind to by design (MinHash bands collide with
+    probability driven by Jaccard, so asymmetric overlap slips through).
+
+    Candidates come from an inverted shingle index, NOT from LSH: any pair
+    with containment > 0 shares at least one shingle hash, so a self-join
+    on the exploded shingle hash has recall 1 by construction. The
+    quadratic guard is the same ``bucket_cap`` chain-pairing as the LSH
+    path — a shingle occurring in more than ``bucket_cap`` docs (boiler-
+    plate) contributes a connectivity chain instead of all pairs (the one
+    documented way a true pair can be missed, and only for mass-duplicated
+    shingles). Verification is the exact intersect over hashed shingle
+    sets; candidate pairs carry ids only through every shuffle.
+
+    Output: (id_small, id_big, containment), smaller set first, ≥ threshold.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(
+                _word_shingles(F.col(text_col), shingle_words),
+                lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)),
+            )
+        ).alias("hs"),
+    ).localCheckpoint()
+    hsets = sh
+    exploded = sh.select("id", F.explode("hs").alias("h"))
+    cand = _bucketed_pairs(exploded, ["h"], bucket_cap)
+
+    paired = (
+        cand.join(
+            hsets.select(F.col("id").alias("id_a"), F.col("hs").alias("sh_a")), "id_a"
+        ).join(
+            hsets.select(F.col("id").alias("id_b"), F.col("hs").alias("sh_b")), "id_b"
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    small_first = F.size("sh_a") <= F.size("sh_b")
+    return (
+        paired.select(
+            F.when(small_first, F.col("id_a")).otherwise(F.col("id_b")).alias("id_small"),
+            F.when(small_first, F.col("id_b")).otherwise(F.col("id_a")).alias("id_big"),
+            (inter / F.least(F.size("sh_a"), F.size("sh_b"))).alias("containment"),
+        )
+        .where(F.col("containment") >= containment_threshold)
+    )

@@ -279,3 +279,44 @@ def dsir_logratio(
         )
         .withColumn("selected", F.col("importance_logratio") > 0.0)
     )
+
+
+def build_postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_freq: int = 1,
+    first_n: int = 5,
+) -> DataFrame:
+    """Inverted-index build: per-term postings statistics — doc frequency,
+    total term frequency, and the first ``first_n`` posting doc ids. The
+    materialization step a retrieval/mining pipeline runs once and then
+    keeps bucketed by term (operators/bucketing.py) so query-time lookups
+    never reshuffle.
+
+    One shuffle: tokens reduce on (term, doc) with map-side partial counts,
+    then on term. Both keys are uniform-ish (Zipf head terms are exactly
+    what ``min_doc_freq`` is for — at corpus scale stopword postings are
+    capped or dropped by the caller's frequency bounds before they hit
+    storage).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(normalized(F.col(text_col)), " ")).alias("term"),
+    )
+    tf = toks.groupBy("term", "doc").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("doc_freq"),
+            F.sum("tf").cast("bigint").alias("total_tf"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.array_sort(F.collect_list("doc")), 1, first_n),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("first_docs"),
+        )
+        .where(F.col("doc_freq") >= min_doc_freq)
+    )

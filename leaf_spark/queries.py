@@ -65,14 +65,15 @@ def sql_case(name: str, spark_sql: str, oracle: str, doc: str = "") -> None:
 # pytest-covered regardless of position; rotation only changes which subset
 # gets a fresh official row this round.  See README "Correctness coverage".
 #
-# Round-4 window: the 12 cases with no official row yet (q71-q81, all local
-# driver-replica green, plus the new q82), then the 3 round-3 hash-reds whose oracles were
-# retyped this round (q67/q68/q70 — cast(sum(int) as bigint), see
-# VERDICT r3 "What's wrong #1"), then the 20 cases whose only official green
-# row is CORRECTNESS_r02.json (oldest evidence first), then 16 round-3-green
-# flagships spanning relational / window / dedup / ANN / cleaning / temporal.
-# Everything rotated out is green in CORRECTNESS_r02/r03; every case stays
-# registered and pytest-covered regardless of position.
+# Round-4 window (50 = 15 + 3 + 6 + 20 + 6): the 15 cases with no official
+# row yet (q71-q85, all local driver-replica green), the 3 round-3
+# hash-reds whose oracles were retyped this round (q67/q68/q70 —
+# cast(sum(int) as bigint), VERDICT r3 "What's wrong #1"), the 6 new
+# round-4 entries (q86-q91), the 20 cases whose only official green row is
+# CORRECTNESS_r02.json (oldest evidence first), and 6 round-3-green
+# flagship re-confirmations. Everything rotated out is green in
+# CORRECTNESS_r02/r03; every case stays registered and pytest-covered
+# regardless of position.
 _ROUND4_FRONT = [
     # never officially scored (implemented + locally green since round 3)
     "q71_bm25_topk", "q72_gopher_filter", "q73_semantic_dedup",
@@ -84,7 +85,7 @@ _ROUND4_FRONT = [
     "q67_train_split", "q68_source_mix", "q70_pack_sequences",
     # new this round (never scored)
     "q86_kmeans_clusters", "q87_cdc_chunks", "q88_bigram_logprob",
-    "q89_dsir_importance",
+    "q89_dsir_importance", "q90_containment_dedup", "q91_build_postings",
     # only-r02 official greens (refresh the oldest evidence)
     "q04_left_join", "q05_semi_join", "q06_anti_join", "q07_distinct",
     "q08_set_ops", "q09_order_limit_offset", "q16_cross_join",
@@ -92,10 +93,10 @@ _ROUND4_FRONT = [
     "q25_total", "q27_json_object", "q28_json_group_array", "q29_like_glob",
     "q31_events_range_scan", "q35_events_topk_users", "q36_events_two_pages",
     "q37_typeof", "q39_json_each",
-    # round-3-green flagship re-confirmations (8 slots; q11/q15/q17/q18
-    # rotated out — each already has a PASS row in CORRECTNESS_r03)
+    # round-3-green flagship re-confirmations (6 slots; q11/q15/q17/q18/
+    # q51/q54 rotated out — each already has a PASS row in CORRECTNESS_r03)
     "q01_pricing_summary", "q03_revenue_by_nation",
-    "q49_minhash_lsh", "q51_ann_lsh", "q54_ann_ivf",
+    "q49_minhash_lsh",
     "q59_crossdoc_ngram_overlap", "q62_line_dedup", "q65_asof_attribution",
 ]
 

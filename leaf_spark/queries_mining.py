@@ -1,6 +1,7 @@
-"""Catalog entries q86-q89: corpus-mining additions for round 4 —
+"""Catalog entries q86-q91: corpus-mining additions for round 4 —
 distributed k-means clustering, content-defined chunking, bigram-LM
-scoring, and DSIR importance reweighting.
+scoring, DSIR importance reweighting, containment dedup, and the
+inverted-index build.
 
 Determinism conventions (as in queries_search.py): all float log/ratio
 terms round to 6 decimals and sum through decimal(38,6); k-means runs in
@@ -271,3 +272,90 @@ def q89_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return dsir_logratio(t["documents"], F.col("lang") == "en")
+
+
+@register(
+    "q90_containment_dedup",
+    """
+    with w as (
+      select doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               as ws
+      from documents
+    ),
+    sh as (
+      select doc_id,
+             case when len(ws) >= 3
+                  then list_distinct(list_transform(range(1, len(ws) - 1),
+                       i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))
+                  else [array_to_string(ws, ' ')] end as shingles
+      from w
+    ),
+    ex as (select doc_id, unnest(shingles) as s from sh),
+    sizes as (select doc_id, count(*) as sz from ex group by doc_id),
+    inter as (
+      select a.doc_id as da, b.doc_id as db, count(*) as n
+      from ex a join ex b on a.s = b.s and a.doc_id < b.doc_id
+      group by 1, 2
+    ),
+    scored as (
+      select case when sa.sz <= sb.sz then da else db end as id_small,
+             case when sa.sz <= sb.sz then db else da end as id_big,
+             cast(n as double) / least(sa.sz, sb.sz) as containment
+      from inter
+      join sizes sa on sa.doc_id = da
+      join sizes sb on sb.doc_id = db
+    )
+    select id_small, id_big, round(containment, 6) as containment
+    from scored where containment >= 0.8
+    """,
+    doc="sub-document duplication: shingle containment |A∩B|/min(|A|,|B|) "
+    "≥ 0.8 — catches short-doc-inside-long-doc cases Jaccard misses. "
+    "Candidates from an inverted shingle index (recall 1; bucket_cap "
+    "chain-pairs boilerplate shingles); oracle brute-forces the same "
+    "score (operators/dedup.py containment_pairs)",
+)
+def q90_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import containment_pairs
+
+    t = load_tables(spark, sf_dir)
+    return (
+        containment_pairs(t["documents"], containment_threshold=0.8)
+        .select("id_small", "id_big", F.round("containment", 6).alias("containment"))
+        .orderBy("id_small", "id_big")
+    )
+
+
+@register(
+    "q91_build_postings",
+    """
+    with w as (
+      select doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               as ws
+      from documents
+    ),
+    toks as (select doc_id, unnest(ws) as term from w),
+    tf as (select term, doc_id, count(*) as tf from toks group by term, doc_id),
+    agg as (
+      select term,
+             cast(count(*) as bigint) as doc_freq,
+             cast(sum(tf) as bigint) as total_tf,
+             list_sort(list(doc_id))[1:5] as top_docs
+      from tf group by term
+    )
+    select term, doc_freq, total_tf,
+           array_to_string(list_transform(top_docs, d -> cast(d as varchar)), ',')
+             as first_docs
+    from agg where doc_freq >= 40
+    """,
+    doc="retrieval-index build: per-term postings stats (doc_freq, total "
+    "term frequency, first posting doc ids) over the corpus — one uniform "
+    "token shuffle with map-side partial counts; the materialized form a "
+    "search/mining pipeline keeps bucketed by term",
+)
+def q91_build_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.search import build_postings
+
+    t = load_tables(spark, sf_dir)
+    return build_postings(t["documents"], min_doc_freq=40)

@@ -193,3 +193,71 @@ def test_dsir_no_python_in_plan(spark):
         F.col("lang") == "en",
     )
     assert "BatchEvalPython" not in plan_of(df, "formatted")
+
+
+# ---------------------------------------------------------------------------
+# containment dedup
+# ---------------------------------------------------------------------------
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    from leaf_spark.operators.dedup import containment_pairs, minhash_lsh_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_doc = (
+        "one two three four five six seven eight nine ten "
+        "eleven twelve thirteen fourteen fifteen sixteen " + short
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, "totally unrelated content words here")],
+        ["doc_id", "text"],
+    )
+    out = containment_pairs(df, containment_threshold=0.8).collect()
+    assert [(r["id_small"], r["id_big"]) for r in out] == [(1, 2)]
+    assert out[0]["containment"] == 1.0
+    # the same pair is invisible to Jaccard at any sane threshold
+    jac = minhash_lsh_pairs(df, jaccard_threshold=0.5).collect()
+    assert (1, 2) not in [(r["id_a"], r["id_b"]) for r in jac]
+
+
+def test_containment_orders_smaller_set_first(spark):
+    from leaf_spark.operators.dedup import containment_pairs
+
+    # doc 5 (bigger id) is the SHORT one — id_small must still be 5
+    df = spark.createDataFrame(
+        [
+            (4, "pre amble words here alpha beta gamma delta epsilon zeta trailing tail"),
+            (5, "alpha beta gamma delta epsilon zeta"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = containment_pairs(df, containment_threshold=0.8).collect()
+    assert [(r["id_small"], r["id_big"]) for r in out] == [(5, 4)]
+
+
+def test_containment_no_python_in_plan(spark):
+    from leaf_spark.operators.dedup import containment_pairs
+
+    df = containment_pairs(
+        spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    )
+    assert "BatchEvalPython" not in plan_of(df, "formatted")
+
+
+# ---------------------------------------------------------------------------
+# postings build
+# ---------------------------------------------------------------------------
+
+
+def test_build_postings_counts(spark):
+    from leaf_spark.operators.search import build_postings
+
+    df = spark.createDataFrame(
+        [(7, "a b a"), (3, "a c"), (9, "b b b a")], ["doc_id", "text"]
+    )
+    out = {r["term"]: r for r in build_postings(df).collect()}
+    assert out["a"]["doc_freq"] == 3 and out["a"]["total_tf"] == 4
+    assert out["a"]["first_docs"] == "3,7,9"  # sorted postings
+    assert out["b"]["doc_freq"] == 2 and out["b"]["total_tf"] == 4
+    assert out["c"]["doc_freq"] == 1
+    assert not build_postings(df, min_doc_freq=3).where("term != 'a'").collect()
