@@ -25,16 +25,21 @@ Connection lifecycle mirrors socket_io_connection (http.rs:80-140):
   exponential-backoff retry shape of connection.rs:448-474 on send
   failures.
 
-Engine.io details: the server is the pinger (v4 semantics) on
-``PING_INTERVAL``; pongs are consumed, client pings (v3 clients) answered.
-Only the websocket transport is served — the reference advertises
-``upgrades: []`` behavior for our purposes since polling adds nothing in a
-single-host deployment (documented divergence: no HTTP long-polling
-bootstrap; the long-poll fallback lives in http.py instead).
+Engine.io details: both v4 transports are served on one port — websocket
+(Upgrade requests → frame loop; server is the pinger, pongs consumed,
+client pings answered) and HTTP long-polling (GET handshake → sid session,
+POST delivers ``\\x1e``-separated packets with ``b``+base64 binary
+encoding, GET drains the outbound queue, holding up to ``POLL_WAIT`` then
+answering with a ping). Sessions advertise ``upgrades: []`` so a client
+stays on whichever transport it opened with — the in-flight-across-
+transports upgrade dance (2probe/3probe) is the one engine.io feature not
+implemented (documented divergence; stock clients honor the advertised
+empty upgrade list).
 """
 
 from __future__ import annotations
 
+import base64
 import json
 import queue
 import socket
@@ -74,6 +79,25 @@ class _Conn:
             self.fs.write_frame(ws.OP_TEXT, payload.encode())
 
 
+class _PollConn:
+    """An engine.io HTTP-polling session: outbound packets queue until the
+    next GET drains them. Same send interface as _Conn so the socket.io
+    packet layer (_on_packet/_emit/_push_loop) is transport-blind."""
+
+    def __init__(self):
+        self.outbox: "queue.Queue[tuple[str, object]]" = queue.Queue()
+        self.connected = False
+        self.auth: Connection = Connection()
+        self.stop = threading.Event()
+        self.last_seen = time.time()
+
+    def send_packet(self, pkt: dict) -> None:
+        self.outbox.put(("bin", msgpack_codec.pack(pkt)))
+
+    def send_text(self, payload: str) -> None:
+        self.outbox.put(("txt", payload))
+
+
 class LeafSocketIOServer:
     """Threaded socket.io front end for a LeafServer. ``port=0`` auto-assigns."""
 
@@ -94,6 +118,7 @@ class LeafSocketIOServer:
         self.host, self.port = self._listener.getsockname()[:2]
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
+        self._sessions: dict[str, _PollConn] = {}
 
     def start(self) -> "LeafSocketIOServer":
         t = threading.Thread(target=self._accept_loop, daemon=True)
@@ -121,28 +146,41 @@ class LeafSocketIOServer:
             self._threads.append(t)
 
     def _serve_conn(self, sock: socket.socket) -> None:
-        conn = None
+        """Route one accepted socket: websocket Upgrade → frame loop;
+        plain HTTP → one engine.io polling request (connection-per-request,
+        which engine.io clients handle fine)."""
         try:
-            target, _headers, fs = ws.server_handshake(sock)
-            conn = _Conn(fs)
+            head, leftover = ws._read_http_head(sock)
+            method, target, headers = ws.parse_http_head(head)
+            if "websocket" in headers.get("upgrade", "").lower():
+                fs = ws.accept_upgrade(sock, headers, leftover)
+                self._serve_ws(sock, fs, target)
+                return
+            n = int(headers.get("content-length") or 0)
+            while len(leftover) < n:
+                chunk = sock.recv(65536)
+                if not chunk:
+                    raise ConnectionError("peer closed mid-body")
+                leftover += chunk
+            self._handle_poll_http(sock, method, target, leftover[:n])
+        except (ConnectionError, OSError, ValueError):
+            pass
+        finally:
+            try:
+                sock.close()
+            except OSError:
+                pass
+
+    def _serve_ws(self, sock: socket.socket, fs: ws.FrameSocket, target: str) -> None:
+        conn = _Conn(fs)
+        try:
             q = parse_qs(urlparse(target).query)
             if urlparse(target).path.rstrip("/") != "/socket.io" or q.get(
                 "transport", [""]
             )[0] != "websocket":
                 return
             sid = uuid.uuid4().hex
-            conn.send_text(
-                "0"
-                + json.dumps(
-                    {
-                        "sid": sid,
-                        "upgrades": [],
-                        "pingInterval": int(PING_INTERVAL * 1000),
-                        "pingTimeout": int(PING_TIMEOUT * 1000),
-                        "maxPayload": MAX_PAYLOAD,
-                    }
-                )
-            )
+            conn.send_text("0" + json.dumps(self._open_info(sid)))
             pinger = threading.Thread(
                 target=self._ping_loop, args=(conn,), daemon=True
             )
@@ -165,15 +203,119 @@ class LeafSocketIOServer:
                     continue
                 pkt = msgpack_codec.unpack(payload)
                 self._on_packet(conn, pkt, sid)
-        except (ConnectionError, OSError, ValueError):
-            pass
         finally:
-            if conn is not None:
-                conn.stop.set()
+            conn.stop.set()
+
+    @staticmethod
+    def _open_info(sid: str) -> dict:
+        return {
+            "sid": sid,
+            "upgrades": [],
+            "pingInterval": int(PING_INTERVAL * 1000),
+            "pingTimeout": int(PING_TIMEOUT * 1000),
+            "maxPayload": MAX_PAYLOAD,
+        }
+
+    # -- engine.io HTTP polling ----------------------------------------------
+
+    POLL_WAIT = 20.0  # long-poll hold before answering with a ping
+    SESSION_TTL = 120.0
+
+    def _handle_poll_http(
+        self, sock: socket.socket, method: str, target: str, body: bytes
+    ) -> None:
+        parsed = urlparse(target)
+        q = parse_qs(parsed.query)
+        if parsed.path.rstrip("/") != "/socket.io":
+            self._http_reply(sock, 404, b"not found")
+            return
+        if q.get("transport", [""])[0] != "polling":
+            self._http_reply(sock, 400, b"unsupported transport")
+            return
+        sid = q.get("sid", [None])[0]
+        self._prune_sessions()
+
+        if method == "GET" and sid is None:
+            new_sid = uuid.uuid4().hex
+            self._sessions[new_sid] = _PollConn()
+            self._http_reply(
+                sock, 200, ("0" + json.dumps(self._open_info(new_sid))).encode()
+            )
+            return
+
+        pc = self._sessions.get(sid or "")
+        if pc is None:
+            self._http_reply(sock, 400, b"unknown sid")
+            return
+        pc.last_seen = time.time()
+
+        if method == "POST":
+            for raw in body.split(b"\x1e"):
+                if not raw:
+                    continue
+                if raw[:1] == b"b":
+                    pkt = msgpack_codec.unpack(base64.b64decode(raw[1:]))
+                    self._on_packet(pc, pkt, sid)
+                elif raw[:1] == b"1":  # engine.io close
+                    pc.stop.set()
+                # "3" pongs / "4" text messages: msgpack parser sends none
+            self._http_reply(sock, 200, b"ok")
+            return
+
+        # GET with sid: long-poll drain. Queued packets (e.g. the error
+        # event preceding a disconnect) flush BEFORE the close packet.
+        items: list[tuple[str, object]] = []
+        if pc.stop.is_set():
+            while True:
+                try:
+                    items.append(pc.outbox.get_nowait())
+                except queue.Empty:
+                    break
+            if not items:
+                self._http_reply(sock, 200, b"1")  # engine.io close packet
+                self._sessions.pop(sid, None)
+                return
+        else:
             try:
-                sock.close()
-            except OSError:
+                items.append(pc.outbox.get(timeout=self.POLL_WAIT))
+            except queue.Empty:
                 pass
+        while True:
+            try:
+                items.append(pc.outbox.get_nowait())
+            except queue.Empty:
+                break
+        if not items:
+            payload = b"2"  # server ping keeps the session alive
+        else:
+            parts = []
+            for kind, data in items:
+                if kind == "txt":
+                    parts.append(str(data).encode())
+                else:
+                    parts.append(b"b" + base64.b64encode(bytes(data)))
+            payload = b"\x1e".join(parts)
+        self._http_reply(sock, 200, payload)
+
+    def _prune_sessions(self) -> None:
+        now = time.time()
+        for k in [
+            k
+            for k, v in list(self._sessions.items())
+            if now - v.last_seen > self.SESSION_TTL
+        ]:
+            self._sessions.pop(k, None)
+
+    @staticmethod
+    def _http_reply(sock: socket.socket, status: int, body: bytes) -> None:
+        phrase = {200: "OK", 400: "Bad Request", 404: "Not Found"}.get(status, "OK")
+        head = (
+            f"HTTP/1.1 {status} {phrase}\r\n"
+            "Content-Type: text/plain; charset=UTF-8\r\n"
+            f"Content-Length: {len(body)}\r\n"
+            "Connection: close\r\n\r\n"
+        )
+        sock.sendall(head.encode("latin-1") + body)
 
     def _ping_loop(self, conn: _Conn) -> None:
         while not conn.stop.is_set() and not self._stop.is_set():
@@ -390,7 +532,7 @@ class LeafSocketIOClient:
         finally:
             self._closed.set()
 
-    def call(self, endpoint: str, args: dict, timeout: float = 30.0) -> dict:
+    def call(self, endpoint: str, args: dict, timeout: float = 120.0) -> dict:
         """EVENT + ack round trip; returns the decoded DRISL Result map."""
         self._next_id += 1
         pkt_id = self._next_id
@@ -423,4 +565,118 @@ class LeafSocketIOClient:
         try:
             self.sock.close()
         except OSError:
+            pass
+
+
+class LeafSocketIOPollingClient:
+    """Polling-transport counterpart of LeafSocketIOClient: HTTP GET/POST
+    engine.io sessions with ``\\x1e``-separated packets, the bootstrap stock
+    socket.io clients use when websockets are unavailable."""
+
+    def __init__(self, host: str, port: int, token: str | None = None, timeout: float = 10.0):
+        import http.client
+
+        self.host, self.port = host, port
+        self._timeout = timeout
+        self._acks: dict[int, queue.Queue] = {}
+        self._next_id = 0
+        self.events: queue.Queue = queue.Queue()
+        self._closed = threading.Event()
+
+        body = self._request("GET", "/socket.io/?EIO=4&transport=polling")
+        if body[:1] != b"0":
+            raise ConnectionError(f"expected engine.io open, got {body[:20]!r}")
+        self.engine_info = json.loads(body[1:])
+        self.sid = self.engine_info["sid"]
+
+        data = {"token": token} if token else {}
+        self._post_packet({"type": CONNECT, "nsp": "/", "data": data})
+        self._reader = threading.Thread(target=self._poll_loop, daemon=True)
+        self._reader.start()
+        self._connect_result = LeafSocketIOClient._wait_connected(self, timeout)
+
+    # -- transport -----------------------------------------------------------
+
+    def _request(self, method: str, path: str, body: bytes = b"") -> bytes:
+        import http.client
+
+        conn = http.client.HTTPConnection(self.host, self.port, timeout=max(
+            self._timeout, LeafSocketIOServer.POLL_WAIT + 10
+        ))
+        try:
+            conn.request(
+                method, path, body,
+                {"Content-Type": "text/plain; charset=UTF-8"} if body else {},
+            )
+            resp = conn.getresponse()
+            out = resp.read()
+            if resp.status != 200:
+                raise ConnectionError(f"engine.io polling {resp.status}: {out[:80]!r}")
+            return out
+        finally:
+            conn.close()
+
+    def _post_packet(self, pkt: dict) -> None:
+        payload = b"b" + base64.b64encode(msgpack_codec.pack(pkt))
+        self._request(
+            "POST", f"/socket.io/?EIO=4&transport=polling&sid={self.sid}", payload
+        )
+
+    def _poll_loop(self) -> None:
+        try:
+            while not self._closed.is_set():
+                body = self._request(
+                    "GET", f"/socket.io/?EIO=4&transport=polling&sid={self.sid}"
+                )
+                for raw in body.split(b"\x1e"):
+                    if not raw or raw[:1] in (b"2", b"3"):  # ping/pong
+                        continue
+                    if raw[:1] == b"1":  # engine.io close
+                        self.events.put(("__disconnect__", None))
+                        return
+                    if raw[:1] != b"b":
+                        continue
+                    pkt = msgpack_codec.unpack(base64.b64decode(raw[1:]))
+                    self._dispatch(pkt)
+        except (ConnectionError, OSError, ValueError):
+            pass
+        finally:
+            self._closed.set()
+
+    def _dispatch(self, pkt: dict) -> None:
+        ptype = pkt.get("type")
+        if ptype == CONNECT:
+            self.events.put(("__connected__", pkt.get("data")))
+        elif ptype == DISCONNECT:
+            self.events.put(("__disconnect__", None))
+        elif ptype == ACK:
+            q = self._acks.pop(pkt.get("id"), None)
+            if q is not None:
+                q.put(pkt.get("data") or [])
+        elif ptype == EVENT:
+            data = pkt.get("data") or []
+            if data:
+                self.events.put((data[0], data[1] if len(data) > 1 else None))
+
+    # -- API (same surface as the websocket client) --------------------------
+
+    def call(self, endpoint: str, args: dict, timeout: float = 120.0) -> dict:
+        self._next_id += 1
+        pkt_id = self._next_id
+        q: queue.Queue = queue.Queue()
+        self._acks[pkt_id] = q
+        self._post_packet(
+            {"type": EVENT, "nsp": "/", "id": pkt_id,
+             "data": [endpoint, drisl.encode(args)]}
+        )
+        data = q.get(timeout=timeout)
+        return drisl.decode(bytes(data[0]))
+
+    next_event = LeafSocketIOClient.next_event
+
+    def close(self) -> None:
+        self._closed.set()
+        try:
+            self._post_packet({"type": DISCONNECT, "nsp": "/"})
+        except (ConnectionError, OSError):
             pass

@@ -109,6 +109,37 @@ def _read_http_head(sock: socket.socket) -> tuple[str, bytes]:
     return head.decode("latin-1"), leftover
 
 
+def parse_http_head(head: str) -> tuple[str, str, dict[str, str]]:
+    """HTTP request head → (method, target, lowercase headers)."""
+    lines = head.split("\r\n")
+    first = lines[0].split(" ")
+    method, target = first[0], first[1]
+    headers = {}
+    for line in lines[1:]:
+        if ":" in line:
+            k, v = line.split(":", 1)
+            headers[k.strip().lower()] = v.strip()
+    return method, target, headers
+
+
+def accept_upgrade(
+    sock: socket.socket, headers: dict[str, str], leftover: bytes
+) -> "FrameSocket":
+    """Complete a server-side upgrade whose HTTP head was already read."""
+    key = headers.get("sec-websocket-key")
+    if not key or "upgrade" not in headers.get("connection", "").lower():
+        sock.sendall(b"HTTP/1.1 400 Bad Request\r\nContent-Length: 0\r\n\r\n")
+        raise ConnectionError("not a websocket upgrade request")
+    resp = (
+        "HTTP/1.1 101 Switching Protocols\r\n"
+        "Upgrade: websocket\r\n"
+        "Connection: Upgrade\r\n"
+        f"Sec-WebSocket-Accept: {accept_key(key)}\r\n\r\n"
+    )
+    sock.sendall(resp.encode("latin-1"))
+    return FrameSocket(sock, leftover)
+
+
 def server_handshake(sock: socket.socket) -> tuple[str, dict[str, str], "FrameSocket"]:
     """Read the client's HTTP Upgrade request, send 101. Returns
     (request_target, headers, frame_socket)."""

@@ -289,3 +289,86 @@ def test_engine_io_server_ping_answered(sio_server):
         assert out["Ok"] == {"exists": False}
     finally:
         cli.close()
+
+
+# ---------------------------------------------------------------------------
+# engine.io HTTP long-polling transport
+# ---------------------------------------------------------------------------
+
+
+def _poll_client(srv, token=None):
+    from leaf_spark.socketio import LeafSocketIOPollingClient
+
+    return LeafSocketIOPollingClient(srv.host, srv.port, token=token)
+
+
+def test_polling_connect_call_and_ack(sio_server):
+    cli = _poll_client(sio_server, token="alice-token")
+    try:
+        kind, payload = cli.next_event()
+        assert kind == "authenticated" and payload == {"did": "did:plc:alice"}
+        cid = cli.call("module/upload", {"module": CHAT.to_codec()})["Ok"]["cid"]
+        out = cli.call(
+            "stream/create", {"streamDid": "did:plc:pollchat", "moduleCid": cid}
+        )
+        assert "Ok" in out
+        out = cli.call(
+            "stream/event_batch",
+            {
+                "streamDid": "did:plc:pollchat",
+                "payloads": [drisl.encode({"content": "via polling", "sentAt": 3})],
+            },
+        )
+        assert out["Ok"]["latestEvent"] == 1
+        rows = cli.call(
+            "stream/query",
+            {"streamDid": "did:plc:pollchat", "query": {"name": "messages"}},
+        )["Ok"]["rows"]
+        assert [r["content"]["value"] for r in rows] == ["via polling"]
+    finally:
+        cli.close()
+
+
+def test_polling_subscription_push(sio_server):
+    cli = _poll_client(sio_server, token="alice-token")
+    try:
+        did = "did:plc:pollsub"
+        cid = cli.call("module/upload", {"module": CHAT.to_codec()})["Ok"]["cid"]
+        cli.call("stream/create", {"streamDid": did, "moduleCid": cid})
+        sub = cli.call(
+            "stream/subscribe_events",
+            {"streamDid": did, "query": {"name": "messages"}},
+        )["Ok"]
+        cli.call(
+            "stream/event_batch",
+            {
+                "streamDid": did,
+                "payloads": [drisl.encode({"content": "poll push", "sentAt": 1})],
+            },
+        )
+        for _ in range(10):
+            kind, payload = cli.next_event(timeout=30)
+            if kind == "stream/subscription_response":
+                break
+        else:
+            pytest.fail("no subscription push over polling")
+        assert payload["subscriptionId"] == sub["subscriptionId"]
+        rows = payload["response"]["Ok"]["rows"]
+        assert [r["content"]["value"] for r in rows] == ["poll push"]
+    finally:
+        cli.close()
+
+
+def test_polling_invalid_token_rejected(sio_server):
+    with pytest.raises(AuthError, match="validating auth token"):
+        _poll_client(sio_server, token="bogus")
+
+
+def test_polling_unknown_sid_is_400(sio_server):
+    import http.client
+
+    conn = http.client.HTTPConnection(sio_server.host, sio_server.port, timeout=10)
+    conn.request("GET", "/socket.io/?EIO=4&transport=polling&sid=nope")
+    resp = conn.getresponse()
+    assert resp.status == 400
+    conn.close()
