@@ -30,11 +30,12 @@ Engine.io details: both v4 transports are served on one port — websocket
 client pings answered) and HTTP long-polling (GET handshake → sid session,
 POST delivers ``\\x1e``-separated packets with ``b``+base64 binary
 encoding, GET drains the outbound queue, holding up to ``POLL_WAIT`` then
-answering with a ping). Sessions advertise ``upgrades: []`` so a client
-stays on whichever transport it opened with — the in-flight-across-
-transports upgrade dance (2probe/3probe) is the one engine.io feature not
-implemented (documented divergence; stock clients honor the advertised
-empty upgrade list).
+answering with a ping). Polling sessions advertise ``upgrades:
+["websocket"]`` and support the full upgrade dance: a websocket opened
+with the session's sid answers ``2probe`` with ``3probe``; on the ``5``
+upgrade packet the socket.io state (auth, connectedness, live
+subscriptions) carries over, queued polling packets flush onto the
+websocket, and the retired poll GET is unblocked with a ``6`` noop.
 """
 
 from __future__ import annotations
@@ -69,6 +70,7 @@ class _Conn:
         self.connected = False
         self.auth: Connection = Connection()
         self.stop = threading.Event()
+        self.sub_ids: list[tuple[str, str]] = []  # live (stream_did, sub_id)
 
     def send_packet(self, pkt: dict) -> None:
         with self.send_lock:
@@ -90,6 +92,7 @@ class _PollConn:
         self.auth: Connection = Connection()
         self.stop = threading.Event()
         self.last_seen = time.time()
+        self.sub_ids: list[tuple[str, str]] = []  # live (stream_did, sub_id)
 
     def send_packet(self, pkt: dict) -> None:
         self.outbox.put(("bin", msgpack_codec.pack(pkt)))
@@ -174,13 +177,29 @@ class LeafSocketIOServer:
     def _serve_ws(self, sock: socket.socket, fs: ws.FrameSocket, target: str) -> None:
         conn = _Conn(fs)
         try:
-            q = parse_qs(urlparse(target).query)
-            if urlparse(target).path.rstrip("/") != "/socket.io" or q.get(
+            parsed = urlparse(target)
+            q = parse_qs(parsed.query)
+            if parsed.path.rstrip("/") != "/socket.io" or q.get(
                 "transport", [""]
             )[0] != "websocket":
                 return
-            sid = uuid.uuid4().hex
-            conn.send_text("0" + json.dumps(self._open_info(sid)))
+            up_sid = q.get("sid", [None])[0]
+            if up_sid is not None:
+                # engine.io transport upgrade: a live polling session moves
+                # onto this websocket. Probe dance first (2probe → 3probe),
+                # the socket.io state carries over on the "5" upgrade packet.
+                pc = self._sessions.get(up_sid)
+                if pc is None:
+                    with conn.send_lock:
+                        fs.write_frame(ws.OP_CLOSE)
+                    return
+                sid = up_sid
+                conn.auth, conn.connected = pc.auth, pc.connected
+                upgraded = False
+            else:
+                pc, upgraded = None, True
+                sid = uuid.uuid4().hex
+                conn.send_text("0" + json.dumps(self._open_info(sid)))
             pinger = threading.Thread(
                 target=self._ping_loop, args=(conn,), daemon=True
             )
@@ -196,8 +215,38 @@ class LeafSocketIOServer:
                         fs.write_frame(ws.OP_PONG, payload)
                     continue
                 if opcode == ws.OP_TEXT:
-                    if payload[:1] == b"2":  # engine.io ping (v3 client)
+                    if payload == b"2probe":  # upgrade probe
+                        conn.send_text("3probe")
+                    elif payload[:1] == b"2":  # engine.io ping (v3 client)
                         conn.send_text("3" + payload[1:].decode())
+                    elif payload[:1] == b"5" and pc is not None and not upgraded:
+                        # upgrade packet: polling retires; flush anything
+                        # still queued there onto the websocket, then wake
+                        # the pending long-poll with a noop
+                        upgraded = True
+                        conn.auth, conn.connected = pc.auth, pc.connected
+                        while True:
+                            try:
+                                kind, data = pc.outbox.get_nowait()
+                            except queue.Empty:
+                                break
+                            if kind == "txt":
+                                conn.send_text(str(data))
+                            else:
+                                with conn.send_lock:
+                                    fs.write_frame(ws.OP_BINARY, bytes(data))
+                        pc.stop.set()
+                        pc.outbox.put(("txt", "6"))  # noop unblocks the GET
+                        self._sessions.pop(sid, None)
+                        # live subscriptions follow the session, not the
+                        # transport: restart their push loops on this conn
+                        for s_did, s_id in pc.sub_ids:
+                            conn.sub_ids.append((s_did, s_id))
+                            threading.Thread(
+                                target=self._push_loop,
+                                args=(conn, s_did, s_id),
+                                daemon=True,
+                            ).start()
                     continue  # pongs/noop
                 if opcode != ws.OP_BINARY:
                     continue
@@ -207,10 +256,10 @@ class LeafSocketIOServer:
             conn.stop.set()
 
     @staticmethod
-    def _open_info(sid: str) -> dict:
+    def _open_info(sid: str, upgrades: tuple[str, ...] = ()) -> dict:
         return {
             "sid": sid,
-            "upgrades": [],
+            "upgrades": list(upgrades),
             "pingInterval": int(PING_INTERVAL * 1000),
             "pingTimeout": int(PING_TIMEOUT * 1000),
             "maxPayload": MAX_PAYLOAD,
@@ -239,7 +288,11 @@ class LeafSocketIOServer:
             new_sid = uuid.uuid4().hex
             self._sessions[new_sid] = _PollConn()
             self._http_reply(
-                sock, 200, ("0" + json.dumps(self._open_info(new_sid))).encode()
+                sock,
+                200,
+                (
+                    "0" + json.dumps(self._open_info(new_sid, ("websocket",)))
+                ).encode(),
             )
             return
 
@@ -386,6 +439,7 @@ class LeafSocketIOServer:
             ack = drisl.decode(ack_body)
             if "Ok" in ack:
                 stream_did = drisl.decode(bytes(args))["streamDid"]
+                conn.sub_ids.append((stream_did, ack["Ok"]["subscriptionId"]))
                 t = threading.Thread(
                     target=self._push_loop,
                     args=(conn, stream_did, ack["Ok"]["subscriptionId"]),

@@ -372,3 +372,90 @@ def test_polling_unknown_sid_is_400(sio_server):
     resp = conn.getresponse()
     assert resp.status == 400
     conn.close()
+
+
+def test_transport_upgrade_dance(sio_server):
+    """Bootstrap over polling, then upgrade the live session to websocket:
+    probe ping/pong, '5' upgrade, state + subscriptions carry over, and the
+    retired poll unblocks with a noop."""
+    import json as _json
+    import socket as _socket
+
+    from leaf_spark import msgpack_codec as mp, websocket as _ws
+    from leaf_spark.socketio import ACK, CONNECT, DISCONNECT, EVENT
+
+    cli = _poll_client(sio_server, token="alice-token")
+    try:
+        did = "did:plc:upgraded"
+        cid = cli.call("module/upload", {"module": CHAT.to_codec()})["Ok"]["cid"]
+        cli.call("stream/create", {"streamDid": did, "moduleCid": cid})
+        sub = cli.call(
+            "stream/subscribe_events",
+            {"streamDid": did, "query": {"name": "messages"}},
+        )["Ok"]
+
+        # open a websocket bound to the SAME engine.io session
+        s = _socket.create_connection((sio_server.host, sio_server.port), timeout=30)
+        fs = _ws.client_handshake(
+            s,
+            f"{sio_server.host}:{sio_server.port}",
+            f"/socket.io/?EIO=4&transport=websocket&sid={cli.sid}",
+        )
+        s.settimeout(60)
+        fs.write_frame(_ws.OP_TEXT, b"2probe", mask=True)
+        opcode, payload = fs.read_frame()
+        assert (opcode, payload) == (_ws.OP_TEXT, b"3probe")
+        fs.write_frame(_ws.OP_TEXT, b"5", mask=True)  # commit the upgrade
+
+        # stop the polling reader — transport has moved on
+        cli._closed.set()
+
+        # the session's auth survives: an authed-only call acks over ws
+        fs.write_frame(
+            _ws.OP_BINARY,
+            mp.pack(
+                {
+                    "type": EVENT,
+                    "nsp": "/",
+                    "id": 99,
+                    "data": [
+                        "stream/event_batch",
+                        drisl.encode(
+                            {
+                                "streamDid": did,
+                                "payloads": [
+                                    drisl.encode(
+                                        {"content": "post-upgrade", "sentAt": 4}
+                                    )
+                                ],
+                            }
+                        ),
+                    ],
+                }
+            ),
+            mask=True,
+        )
+        got_ack, got_push = False, False
+        for _ in range(20):
+            opcode, payload = fs.read_frame()
+            if opcode != _ws.OP_BINARY:
+                continue
+            pkt = mp.unpack(payload)
+            if pkt.get("type") == ACK and pkt.get("id") == 99:
+                ack = drisl.decode(bytes(pkt["data"][0]))
+                assert ack["Ok"]["latestEvent"] == 1
+                got_ack = True
+            if pkt.get("type") == EVENT and pkt.get("data", [None])[0] == (
+                "stream/subscription_response"
+            ):
+                note = drisl.decode(bytes(pkt["data"][1]))
+                assert note["subscriptionId"] == sub["subscriptionId"]
+                rows = note["response"]["Ok"]["rows"]
+                assert [r["content"]["value"] for r in rows] == ["post-upgrade"]
+                got_push = True
+            if got_ack and got_push:
+                break
+        assert got_ack and got_push
+        s.close()
+    finally:
+        cli.close()
