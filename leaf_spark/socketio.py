@@ -112,8 +112,10 @@ class LeafSocketIOServer:
         tokens: dict[str, Connection] | None = None,
         did_keys: dict[str, bytes] | None = None,
         audience: str | None = None,
+        server_did: str = "did:web:localhost",
     ):
         self.server = server
+        self.server_did = server_did
         self.tokens = tokens or {}
         self.did_keys = did_keys
         self.audience = audience
@@ -275,6 +277,27 @@ class LeafSocketIOServer:
     ) -> None:
         parsed = urlparse(target)
         q = parse_qs(parsed.query)
+        if parsed.path == "/.well-known/did.json":
+            # identity doc (http.rs:245-261)
+            doc = {
+                "@context": ["https://www.w3.org/ns/did/v1"],
+                "id": self.server_did,
+                "service": [
+                    {
+                        "id": "#leaf_server",
+                        "type": "LeafServer",
+                        "serviceEndpoint": f"http://{self.host}:{self.port}/",
+                    }
+                ],
+            }
+            self._http_reply(sock, 200, json.dumps(doc).encode())
+            return
+        if parsed.path == "/xrpc/space.roomy.token.v0":
+            self._http_reply(sock, 200, b"token")  # http.rs:72-75
+            return
+        if parsed.path == "/":
+            self._http_reply(sock, 200, b"Leaf Server API")  # http.rs:66-69
+            return
         if parsed.path.rstrip("/") != "/socket.io":
             self._http_reply(sock, 404, b"not found")
             return

@@ -459,3 +459,22 @@ def test_transport_upgrade_dance(sio_server):
         s.close()
     finally:
         cli.close()
+
+
+def test_well_known_endpoints(sio_server):
+    import http.client
+    import json as _json
+
+    conn = http.client.HTTPConnection(sio_server.host, sio_server.port, timeout=10)
+    conn.request("GET", "/.well-known/did.json")
+    resp = conn.getresponse()
+    doc = _json.loads(resp.read())
+    assert resp.status == 200
+    assert doc["service"][0]["type"] == "LeafServer"
+    conn.close()
+
+    conn = http.client.HTTPConnection(sio_server.host, sio_server.port, timeout=10)
+    conn.request("GET", "/")
+    resp = conn.getresponse()
+    assert resp.read() == b"Leaf Server API"
+    conn.close()
