@@ -360,3 +360,30 @@ def register_udfs(spark) -> None:
 
     for name, udf in make_udfs().items():
         spark.udf.register(name, udf)
+
+
+# ---------------------------------------------------------------------------
+# DASL CID strings
+# ---------------------------------------------------------------------------
+
+_B32_ALPHABET = "abcdefghijklmnopqrstuvwxyz234567"
+
+
+def _base32_lower(data: bytes) -> str:
+    """RFC 4648 base32, lowercase, unpadded (the multibase 'b' encoding)."""
+    import base64
+
+    return base64.b32encode(data).decode().lower().rstrip("=")
+
+
+def cid_of(data: bytes) -> str:
+    """DASL CID string for a DRISL document: CIDv1, codec 0x71 (dag-cbor /
+    drisl), sha2-256 multihash, multibase base32-lower — the exact format
+    ``Cid::digest_sha2(Drisl, &data)`` produces
+    (leaf-server/src/storage.rs:460), so content-identical modules get
+    byte-identical ids across both implementations."""
+    import hashlib
+
+    digest = hashlib.sha256(data).digest()
+    raw = bytes([0x01, 0x71, 0x12, 0x20]) + digest
+    return "b" + _base32_lower(raw)

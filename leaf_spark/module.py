@@ -172,5 +172,9 @@ class BasicModuleDef:
         )
 
     def cid(self) -> str:
-        """Content id: sha256 hex of the deterministic DRISL encoding."""
-        return hashlib.sha256(drisl.encode(self.to_codec())).hexdigest()
+        """Content id in the reference's DASL CID format: CIDv1 / drisl
+        codec / sha2-256, base32-lower ("bafyrei…") — byte-identical ids
+        for byte-identical module codecs across both implementations
+        (ModuleCodec::encode → Cid::digest_sha2(Drisl, …),
+        leaf-server/src/storage.rs:460)."""
+        return drisl.cid_of(drisl.encode(self.to_codec()))
