@@ -215,3 +215,66 @@ def pack_sequences(
         .withColumn(bin_col, (F.col(offset_col) / budget).cast("long"))
         .drop("__rid__", "__roff__")
     )
+
+
+def budget_allocation(
+    per_group: DataFrame,
+    budget: int,
+    temperature: float = 0.7,
+    group_col: str = "source",
+    size_col: str = "n_tokens",
+) -> DataFrame:
+    """Capped temperature-weighted token-budget allocation (water-filling,
+    one redistribution round): share_g ∝ size_g^T, alloc_g = min(size_g,
+    floor(budget·share_g)); sources that hit their cap free budget that is
+    re-shared among the uncapped ones in proportion to the same weights.
+    The one-round version is the standard practical compromise (exact
+    water-filling iterates to a fixpoint; one round captures ~all of it
+    when only head sources cap).
+
+    Input is already one row per group (a tiny aggregate of the corpus), so
+    every step here is arithmetic over ≤ #groups rows — the corpus-sized
+    work happened upstream. ``floor`` (never round-half) keeps the integer
+    outputs insensitive to last-ulp pow/divide differences across engines.
+    """
+    w = F.round(F.pow(F.col(size_col).cast("double"), F.lit(float(temperature))), 6)
+    g = per_group.select(
+        F.col(group_col), F.col(size_col).cast("bigint").alias("sz"), w.alias("w")
+    )
+    tot = g.agg(F.sum(F.col("w").cast("decimal(38,6)")).cast("double").alias("tw"))
+    r1 = (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "want", F.floor(F.lit(float(budget)) * F.col("w") / F.col("tw")).cast("bigint")
+        )
+        .withColumn("alloc1", F.least(F.col("sz"), F.col("want")))
+        .withColumn("capped", F.col("alloc1") < F.col("want"))
+    )
+    left = r1.agg(
+        (F.lit(budget) - F.sum("alloc1")).alias("leftover"),
+        F.sum(F.when(~F.col("capped"), F.col("w").cast("decimal(38,6)")).otherwise(F.lit(0).cast("decimal(38,6)"))).cast("double").alias("wu"),
+    )
+    return (
+        r1.crossJoin(F.broadcast(left))
+        .withColumn(
+            "alloc",
+            F.when(
+                F.col("capped") | (F.col("wu") <= 0.0), F.col("alloc1")
+            ).otherwise(
+                F.least(
+                    F.col("sz"),
+                    F.col("alloc1")
+                    + F.floor(
+                        F.col("leftover").cast("double") * F.col("w") / F.col("wu")
+                    ).cast("bigint"),
+                )
+            ),
+        )
+        .select(
+            group_col,
+            F.col("sz").alias(size_col),
+            "w",
+            F.col("alloc").cast("bigint").alias("alloc_tokens"),
+            F.col("capped").alias("was_capped"),
+        )
+    )

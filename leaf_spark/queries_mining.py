@@ -359,3 +359,236 @@ def q91_build_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return build_postings(t["documents"], min_doc_freq=40)
+
+
+# ---------------------------------------------------------------------------
+# q92 — quality-decile bucketing (curriculum / quality-mix staple)
+# ---------------------------------------------------------------------------
+
+from .queries import sql_case  # noqa: E402
+
+_Q92_SPARK_FEATS = """
+  select doc_id,
+         size(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')) as tok,
+         round(
+           0.4 * (cast(length(regexp_replace(text, '[^a-zA-Z]', '')) as double)
+                  / greatest(length(text), 1))
+         + 0.3 * (1.0 - least(cast(length(regexp_replace(text, '[^0-9]', ''))
+                                   as double)
+                              / greatest(length(text), 1) * 5.0, 1.0))
+         + 0.3 * (cast(size(array_distinct(
+                     split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')))
+                   as double)
+                  / greatest(size(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')),
+                                        ' ')), 1)), 6) as score
+  from documents
+"""
+
+_Q92_DUCK_FEATS = """
+  select doc_id,
+         len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+           as tok,
+         round(
+           0.4 * (cast(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) as double)
+                  / greatest(length(text), 1))
+         + 0.3 * (1.0 - least(cast(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                                   as double)
+                              / greatest(length(text), 1) * 5.0, 1.0))
+         + 0.3 * (cast(len(list_distinct(
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                  ' ')))
+                   as double)
+                  / greatest(len(string_split(
+                        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')),
+                      1)), 6) as score
+  from documents
+"""
+
+sql_case(
+    "q92_quality_deciles",
+    f"""
+    with f as ({_Q92_SPARK_FEATS}),
+    d as (
+      select doc_id, tok, score,
+             ntile(10) over (order by score desc, doc_id) as decile
+      from f
+    )
+    select cast(decile as int) as decile,
+           count(*) as n_docs,
+           cast(sum(tok) as bigint) as tok_total,
+           cast(sum(cast(score as decimal(38,6))) as double) as score_sum,
+           min(score) as min_score,
+           max(score) as max_score
+    from d group by decile
+    """,
+    f"""
+    with f as ({_Q92_DUCK_FEATS}),
+    d as (
+      select doc_id, tok, score,
+             ntile(10) over (order by score desc, doc_id) as decile
+      from f
+    )
+    select cast(decile as int) as decile,
+           count(*) as n_docs,
+           cast(sum(tok) as bigint) as tok_total,
+           cast(sum(cast(score as decimal(38,6))) as double) as score_sum,
+           min(score) as min_score,
+           max(score) as max_score
+    from d group by decile
+    """,
+    doc="quality-decile bucketing: composite quality score (alpha/digit/"
+    "vocab-diversity), ntile(10) over a total order, per-decile token "
+    "budgets — the curriculum/quality-mix report. One sort (the global "
+    "ntile is the documented serial step; per-source ntile removes it at "
+    "scale), decimal-routed score sums",
+)
+
+
+# ---------------------------------------------------------------------------
+# q93 — capped temperature budget allocation (water-filling)
+# ---------------------------------------------------------------------------
+
+_Q93_BUDGET = 200_000
+
+_Q93_ORACLE = f"""
+    with g as (
+      select source,
+             cast(sum(len(string_split_regex(trim(text), '\\s+'))) as bigint) as sz
+      from documents group by source
+    ),
+    w as (
+      select source, sz, round(pow(cast(sz as double), 0.7), 6) as w from g
+    ),
+    tot as (
+      select cast(sum(cast(w as decimal(38,6))) as double) as tw from w
+    ),
+    r1 as (
+      select source, sz, w,
+             cast(floor({_Q93_BUDGET}.0 * w / tw) as bigint) as want
+      from w cross join tot
+    ),
+    r1b as (
+      select *, least(sz, want) as alloc1,
+             (least(sz, want) < want) as capped
+      from r1
+    ),
+    lo as (
+      select {_Q93_BUDGET} - sum(alloc1) as leftover,
+             cast(sum(case when not capped then cast(w as decimal(38,6))
+                           else 0 end) as double) as wu
+      from r1b
+    )
+    select source,
+           sz as n_tokens,
+           w,
+           case when capped or wu <= 0 then alloc1
+                else least(sz, alloc1 + cast(floor(cast(leftover as double) * w / wu)
+                                             as bigint))
+           end as alloc_tokens,
+           capped as was_capped
+    from r1b cross join lo
+"""
+
+
+@register(
+    "q93_budget_allocation",
+    _Q93_ORACLE,
+    doc="capped temperature-weighted token-budget allocation (p ∝ n^0.7, "
+    "water-filling with one redistribution round): per-source grants under "
+    "a global budget, caps respected, freed budget re-shared. All floors, "
+    "no round-half anywhere (operators/sampling.py budget_allocation)",
+)
+def q93_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import budget_allocation
+
+    t = load_tables(spark, sf_dir)
+    per_source = (
+        t["documents"]
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+            .cast("bigint")
+            .alias("n_tokens")
+        )
+    )
+    return budget_allocation(per_source, _Q93_BUDGET, temperature=0.7)
+
+
+# ---------------------------------------------------------------------------
+# q94 — time-decay weights + effective sample size over events
+# ---------------------------------------------------------------------------
+
+sql_case(
+    "q94_decay_ess",
+    """
+    with m as (select max(ts) as mx from events),
+    w as (
+      select event_type,
+             round(exp(-(cast(timestampdiff(MICROSECOND, ts, mx) as double)
+                         / 3.6e9) / 72.0), 6) as wd
+      from events cross join m
+    )
+    select event_type,
+           count(*) as n_events,
+           cast(sum(cast(wd as decimal(38,6))) as double) as w_sum,
+           round(cast(sum(cast(wd as decimal(38,6))) as double)
+                 * cast(sum(cast(wd as decimal(38,6))) as double)
+                 / cast(sum(cast(round(wd * wd, 12) as decimal(38,12))) as double),
+                 4) as ess
+    from w group by event_type
+    """,
+    """
+    with m as (select max(ts) as mx from events),
+    w as (
+      select event_type,
+             round(exp(-(cast(date_diff('microseconds', ts, mx) as double)
+                         / 3.6e9) / 72.0), 6) as wd
+      from events cross join m
+    )
+    select event_type,
+           count(*) as n_events,
+           cast(sum(cast(wd as decimal(38,6))) as double) as w_sum,
+           round(cast(sum(cast(wd as decimal(38,6))) as double)
+                 * cast(sum(cast(wd as decimal(38,6))) as double)
+                 / cast(sum(cast(round(wd * wd, 12) as decimal(38,12))) as double),
+                 4) as ess
+    from w group by event_type
+    """,
+    doc="recency-weighted sampling: exponential time-decay weights "
+    "(tau=72h from the corpus head) + effective sample size "
+    "(sum w)^2 / sum w^2 per event type — the freshness-weighting recipe "
+    "for continually-updated corpora; decimal-routed weight sums",
+)
+
+
+# ---------------------------------------------------------------------------
+# q95 — label-balanced resampling weights
+# ---------------------------------------------------------------------------
+
+sql_case(
+    "q95_label_balance",
+    """
+    with t as (select count(*) as total, count(distinct label) as k from embeddings)
+    select label,
+           count(*) as n,
+           cast(total as double) / (k * count(*)) as weight,
+           cast(count(*) as double) * (cast(total as double) / (k * count(*)))
+             / total as resampled_share
+    from embeddings cross join t
+    group by label, total, k
+    """,
+    """
+    with t as (select count(*) as total, count(distinct label) as k from embeddings)
+    select label,
+           count(*) as n,
+           cast(total as double) / (k * count(*)) as weight,
+           cast(count(*) as double) * (cast(total as double) / (k * count(*)))
+             / total as resampled_share
+    from embeddings cross join t
+    group by label, total, k
+    """,
+    doc="class-balanced resampling: inverse-frequency weights "
+    "total/(k*n_label) per label and the implied uniform resampled share — "
+    "the classifier-training rebalance step; pure exact-integer-ratio "
+    "arithmetic (no rounding anywhere, bit-identical cross-engine)",
+)

@@ -261,3 +261,37 @@ def test_build_postings_counts(spark):
     assert out["b"]["doc_freq"] == 2 and out["b"]["total_tf"] == 4
     assert out["c"]["doc_freq"] == 1
     assert not build_postings(df, min_doc_freq=3).where("term != 'a'").collect()
+
+
+# ---------------------------------------------------------------------------
+# budget allocation (water-filling)
+# ---------------------------------------------------------------------------
+
+
+def test_budget_allocation_caps_and_redistributes(spark):
+    from leaf_spark.operators.sampling import budget_allocation
+
+    # one tiny source that caps, two large ones that absorb the leftover
+    df = spark.createDataFrame(
+        [("tiny", 10), ("mid", 50_000), ("big", 200_000)],
+        ["source", "n_tokens"],
+    )
+    out = {r["source"]: r for r in budget_allocation(df, 100_000).collect()}
+    assert out["tiny"]["alloc_tokens"] == 10 and out["tiny"]["was_capped"]
+    assert not out["mid"]["was_capped"] and not out["big"]["was_capped"]
+    # nothing over-allocated; leftover was re-shared (total close to budget)
+    total = sum(r["alloc_tokens"] for r in out.values())
+    assert total <= 100_000
+    assert total >= 100_000 - 5  # floors lose at most #groups tokens
+    # temperature flattens: big gets less than proportional share
+    assert out["big"]["alloc_tokens"] / out["mid"]["alloc_tokens"] < 200_000 / 50_000
+
+
+def test_budget_allocation_under_subscription_gives_everyone_their_size(spark):
+    from leaf_spark.operators.sampling import budget_allocation
+
+    df = spark.createDataFrame(
+        [("a", 100), ("b", 200)], ["source", "n_tokens"]
+    )
+    out = {r["source"]: r["alloc_tokens"] for r in budget_allocation(df, 10_000).collect()}
+    assert out == {"a": 100, "b": 200}  # budget ≫ corpus: everyone capped at size
