@@ -90,6 +90,53 @@ def main() -> None:
         out["replay_events_per_sec"] = round(n_events / replay_s, 1)
         n = s3.query("did:plc:u", LeafQuery("message_stats", limit=10))
         out["replayed_rows"] = n[0]["n"] if n else None
+
+        # wire overhead: the same query round-trips through the full
+        # socket.io stack (msgpack packets over websocket) — the wire layer
+        # should add ≪ 10 ms/call on top of the in-process number above
+        from leaf_spark import drisl
+        from leaf_spark.catalog import StreamCatalog
+        from leaf_spark.server import Connection, LeafServer
+        from leaf_spark.socketio import LeafSocketIOClient, LeafSocketIOServer
+
+        wroot = tempfile.mkdtemp(prefix="stream_bench_wire_")
+        try:
+            catalog = StreamCatalog(spark, wroot)
+            srv = LeafSocketIOServer(
+                LeafServer(catalog),
+                tokens={"t": Connection(user="did:plc:u")},
+            ).start()
+            cli = LeafSocketIOClient(srv.host, srv.port, token="t")
+            cid = cli.call("module/upload", {"module": CHAT.to_codec()})["Ok"]["cid"]
+            cli.call("stream/create", {"streamDid": "did:plc:wire", "moduleCid": cid})
+            cli.call(
+                "stream/event_batch",
+                {
+                    "streamDid": "did:plc:wire",
+                    "payloads": [
+                        drisl.encode({"content": f"m{j}", "sentAt": j})
+                        for j in range(1000)
+                    ],
+                },
+            )
+            t0 = time.time()
+            n_q = 20
+            for k in range(n_q):
+                ack = cli.call(
+                    "stream/query",
+                    {
+                        "streamDid": "did:plc:wire",
+                        "query": {"name": "messages", "start": k * 50 + 1, "limit": 50},
+                    },
+                )
+                assert ack["Ok"]["rows"]
+            out["socketio_query_roundtrips_per_sec"] = round(
+                n_q / (time.time() - t0), 2
+            )
+            cli.close()
+            srv.close()
+        finally:
+            shutil.rmtree(wroot, ignore_errors=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     print(json.dumps(out))
