@@ -295,3 +295,36 @@ def test_budget_allocation_under_subscription_gives_everyone_their_size(spark):
     )
     out = {r["source"]: r["alloc_tokens"] for r in budget_allocation(df, 10_000).collect()}
     assert out == {"a": 100, "b": 200}  # budget ≫ corpus: everyone capped at size
+
+
+# ---------------------------------------------------------------------------
+# LSH bucket_cap guard (the quadratic-blowup bound at scale)
+# ---------------------------------------------------------------------------
+
+
+def test_bucket_cap_chains_oversized_buckets(spark):
+    """A mass-duplicate bucket larger than bucket_cap must emit the n-1
+    consecutive chain (connectivity preserved), never the n(n-1)/2 clique."""
+    from leaf_spark.operators.dedup import connected_components, minhash_lsh_pairs
+
+    n = 12
+    docs = spark.createDataFrame(
+        [(i, "identical mass duplicated boilerplate text content here") for i in range(n)],
+        ["doc_id", "text"],
+    )
+    capped = minhash_lsh_pairs(docs, jaccard_threshold=0.9, bucket_cap=5).collect()
+    uncapped = minhash_lsh_pairs(docs, jaccard_threshold=0.9, bucket_cap=None).collect()
+    # identical docs share every band → uncapped emits the full clique
+    assert len(uncapped) == n * (n - 1) // 2
+    # capped: consecutive chain only
+    assert sorted((r["id_a"], r["id_b"]) for r in capped) == [
+        (i, i + 1) for i in range(n - 1)
+    ]
+    # connectivity survives for clustering
+    pairs = spark.createDataFrame(
+        [(r["id_a"], r["id_b"]) for r in capped], ["id_a", "id_b"]
+    )
+    cc = connected_components(
+        pairs, docs.selectExpr("doc_id as id")
+    ).collect()
+    assert len({r["cluster"] for r in cc}) == 1
