@@ -1,0 +1,81 @@
+"""Iterative graph scoring over document-similarity graphs.
+
+Connected components (operators/dedup.py) answers "which docs form a
+duplicate cluster"; PageRank here answers "which doc is the cluster's
+authority" — the canonical-document election and quality-propagation step
+a curation pipeline runs over near-dup / citation / link graphs.
+
+``pagerank_quantized`` runs Lloyd-style fixed iterations in INTEGER
+micro-units (score × 10⁶), the same exact-arithmetic discipline as
+``clustering.kmeans_quantized``: every contribution is ``pr // deg`` and
+every damping step is ``(85 · Σ) // 100`` — floor-only bigint ops, so any
+ANSI-SQL oracle reproduces the result bit-for-bit with no float-summation
+hazard.
+
+Scale shape per iteration: one join of the (narrow) rank table against the
+edge list keyed on the source vertex, one groupBy on the destination —
+both shuffles carry (vertex, bigint) rows with map-side partial sums.
+The rank table never leaves executors; the driver loop only counts
+iterations. Dangling vertices (out-degree 0) keep the base term only —
+the documented simplification (their mass is dropped, not redistributed,
+so scores are relative not a strict probability distribution).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SCALE = 1_000_000  # score micro-units
+
+
+def pagerank_quantized(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "id",
+) -> DataFrame:
+    """(id, rank) after ``iters`` damped power iterations in integer
+    micro-units. ``edges`` is directed (symmetrize upstream for similarity
+    graphs); ``nodes`` fixes the vertex set so isolated docs keep a score.
+
+    rank₀ = SCALE // n;
+    rankᵢ₊₁ = ((100-d)·SCALE//100) // n + (d · Σ_{u→v} rankᵢ(u)//deg(u)) // 100
+    """
+    n = nodes.count()
+    base = ((100 - damping_pct) * SCALE // 100) // n
+
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.select(
+        F.col(id_col).alias("id"), F.lit(SCALE // n).cast("bigint").alias("rank")
+    )
+
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                F.floor(F.col("rank") / F.col("deg")).cast("bigint").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            ranks.select("id")
+            .join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.floor(
+                        F.lit(damping_pct) * F.coalesce(F.col("s"), F.lit(0)) / 100
+                    ).cast("bigint")
+                ).alias("rank"),
+            )
+        )
+
+    return ranks

@@ -87,7 +87,7 @@ _ROUND4_FRONT = [
     "q86_kmeans_clusters", "q87_cdc_chunks", "q88_bigram_logprob",
     "q89_dsir_importance", "q90_containment_dedup", "q91_build_postings",
     "q92_quality_deciles", "q93_budget_allocation", "q94_decay_ess",
-    "q95_label_balance",
+    "q95_label_balance", "q96_pagerank",
     # only-r02 official greens (refresh the oldest evidence)
     "q04_left_join", "q05_semi_join", "q06_anti_join", "q07_distinct",
     "q08_set_ops", "q09_order_limit_offset", "q16_cross_join",
@@ -95,9 +95,9 @@ _ROUND4_FRONT = [
     "q25_total", "q27_json_object", "q28_json_group_array", "q29_like_glob",
     "q31_events_range_scan", "q35_events_topk_users", "q36_events_two_pages",
     "q37_typeof", "q39_json_each",
-    # round-3-green flagship re-confirmations (2 slots; everything else
-    # rotated out has a PASS row in CORRECTNESS_r02/r03 already)
-    "q49_minhash_lsh", "q65_asof_attribution",
+    # round-3-green flagship re-confirmation (everything else rotated out
+    # has a PASS row in CORRECTNESS_r02/r03 already)
+    "q49_minhash_lsh",
 ]
 
 

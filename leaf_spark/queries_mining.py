@@ -592,3 +592,116 @@ sql_case(
     "the classifier-training rebalance step; pure exact-integer-ratio "
     "arithmetic (no rounding anywhere, bit-identical cross-engine)",
 )
+
+
+# ---------------------------------------------------------------------------
+# q96 — quantized PageRank over the near-dup similarity graph
+# ---------------------------------------------------------------------------
+
+_Q96_ORACLE = """
+    with words as (
+      select doc_id,
+             unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
+               as word
+      from documents where doc_id < 120
+    ),
+    sizes as (select doc_id, count(*) as sz from words group by doc_id),
+    inter as (
+      select a.doc_id as da, b.doc_id as db, count(*) as n_common
+      from words a join words b on a.word = b.word and a.doc_id < b.doc_id
+      group by 1, 2
+    ),
+    pairs as (
+      select da, db from inter
+      join sizes sa on sa.doc_id = da
+      join sizes sb on sb.doc_id = db
+      where cast(n_common as double) / (sa.sz + sb.sz - n_common) >= 0.5
+    ),
+    edges as (
+      select da as src, db as dst from pairs
+      union all select db, da from pairs
+    ),
+    nodes as (select doc_id as id from documents where doc_id < 120),
+    deg as (select src, count(*) as deg from edges group by src),
+    p as (
+      select count(*) as n,
+             cast(floor(1000000.0 / count(*)) as bigint) as r0,
+             cast(floor(150000.0 / count(*)) as bigint) as base
+      from nodes
+    ),
+    i1 as (
+      select e.dst as id,
+             sum(cast(floor(cast(p.r0 as double) / deg.deg) as bigint)) as s
+      from edges e join deg on deg.src = e.src cross join p
+      group by e.dst
+    ),
+    r1 as (
+      select nodes.id,
+             p.base + cast(floor(85.0 * coalesce(i1.s, 0) / 100) as bigint) as rank
+      from nodes cross join p left join i1 on i1.id = nodes.id
+    ),
+    i2 as (
+      select e.dst as id,
+             sum(cast(floor(cast(r1.rank as double) / deg.deg) as bigint)) as s
+      from edges e join r1 on r1.id = e.src join deg on deg.src = e.src
+      group by e.dst
+    ),
+    r2 as (
+      select nodes.id,
+             p.base + cast(floor(85.0 * coalesce(i2.s, 0) / 100) as bigint) as rank
+      from nodes cross join p left join i2 on i2.id = nodes.id
+    ),
+    i3 as (
+      select e.dst as id,
+             sum(cast(floor(cast(r2.rank as double) / deg.deg) as bigint)) as s
+      from edges e join r2 on r2.id = e.src join deg on deg.src = e.src
+      group by e.dst
+    ),
+    r3 as (
+      select nodes.id,
+             p.base + cast(floor(85.0 * coalesce(i3.s, 0) / 100) as bigint) as rank
+      from nodes cross join p left join i3 on i3.id = nodes.id
+    )
+    select id as doc_id, rank from r3
+"""
+
+
+@register(
+    "q96_pagerank",
+    _Q96_ORACLE,
+    doc="quantized PageRank (3 damped power iterations, integer micro-units "
+    "— floor-only bigint math, bit-exact oracle) over the symmetrized "
+    "word-jaccard near-dup graph: the canonical-document / authority "
+    "election step after clustering (operators/graph.py pagerank_quantized)",
+)
+def q96_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import pagerank_quantized
+
+    load_tables(spark, sf_dir)
+    pairs = spark.sql(
+        """
+        with words as (
+          select doc_id, explode(array_distinct(split(trim(lower(text)), '\\\\s+')))
+            as word
+          from documents where doc_id < 120
+        ),
+        sizes as (select doc_id, count(*) as sz from words group by doc_id),
+        inter as (
+          select a.doc_id as da, b.doc_id as db, count(*) as n_common
+          from words a join words b on a.word = b.word and a.doc_id < b.doc_id
+          group by 1, 2
+        )
+        select da, db from inter
+        join sizes sa on sa.doc_id = da
+        join sizes sb on sb.doc_id = db
+        where cast(n_common as double) / (sa.sz + sb.sz - n_common) >= 0.5
+        """
+    )
+    edges = pairs.selectExpr("da as src", "db as dst").unionAll(
+        pairs.selectExpr("db as src", "da as dst")
+    )
+    nodes = spark.table("documents").where(F.col("doc_id") < 120).select(
+        F.col("doc_id").alias("id")
+    )
+    pr = pagerank_quantized(edges, nodes, iters=3, damping_pct=85)
+    return pr.select(F.col("id").alias("doc_id"), "rank").orderBy("doc_id")

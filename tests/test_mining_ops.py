@@ -328,3 +328,47 @@ def test_bucket_cap_chains_oversized_buckets(spark):
         pairs, docs.selectExpr("doc_id as id")
     ).collect()
     assert len({r["cluster"] for r in cc}) == 1
+
+
+# ---------------------------------------------------------------------------
+# quantized PageRank
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    from leaf_spark.operators.graph import pagerank_quantized
+
+    # star: 1..4 all point at 0 (and back) → 0 is the authority
+    pairs = [(i, 0) for i in range(1, 5)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], ["src", "dst"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(6)], ["id"])
+    out = {r["id"]: r["rank"] for r in pagerank_quantized(edges, nodes).collect()}
+    assert out[0] > out[1] == out[2] == out[3] == out[4]
+    # node 5 is isolated → base term only, below every connected node
+    assert out[5] < out[1]
+
+
+def test_pagerank_matches_reference_integer_recurrence(spark):
+    from leaf_spark.operators.graph import pagerank_quantized
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 0)], ["src", "dst"]
+    )
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], ["id"])
+    out = {r["id"]: r["rank"] for r in pagerank_quantized(edges, nodes, iters=2).collect()}
+
+    # plain-python replica of the integer recurrence
+    n, scale, d = 3, 1_000_000, 85
+    base = ((100 - d) * scale // 100) // n
+    deg = {0: 1, 1: 2, 2: 1}
+    adj = {0: [1], 1: [0, 2], 2: [0]}
+    rank = {v: scale // n for v in range(3)}
+    for _ in range(2):
+        s = {v: 0 for v in range(3)}
+        for u, vs in adj.items():
+            for v in vs:
+                s[v] += rank[u] // deg[u]
+        rank = {v: base + (d * s[v]) // 100 for v in range(3)}
+    assert out == rank
