@@ -65,13 +65,13 @@ def sql_case(name: str, spark_sql: str, oracle: str, doc: str = "") -> None:
 # pytest-covered regardless of position; rotation only changes which subset
 # gets a fresh official row this round.  See README "Correctness coverage".
 #
-# Round-4 window (50 = 15 + 3 + 6 + 20 + 6): the 15 cases with no official
-# row yet (q71-q85, all local driver-replica green), the 3 round-3
-# hash-reds whose oracles were retyped this round (q67/q68/q70 —
-# cast(sum(int) as bigint), VERDICT r3 "What's wrong #1"), the 6 new
-# round-4 entries (q86-q91), the 20 cases whose only official green row is
-# CORRECTNESS_r02.json (oldest evidence first), and 6 round-3-green
-# flagship re-confirmations. Everything rotated out is green in
+# Round-4 window (50 = 15 + 3 + 11 + 20 + 1): the 15 cases with no
+# official row yet (q71-q85, all local driver-replica green), the 3
+# round-3 hash-reds whose oracles were retyped this round (q67/q68/q70 —
+# cast(sum(int) as bigint), VERDICT r3 "What's wrong #1"), the 11 new
+# round-4 entries (q86-q96), the 20 cases whose only official green row is
+# CORRECTNESS_r02.json (oldest evidence first), and 1 round-3-green
+# flagship re-confirmation (q49). Everything rotated out is green in
 # CORRECTNESS_r02/r03; every case stays registered and pytest-covered
 # regardless of position.
 _ROUND4_FRONT = [
