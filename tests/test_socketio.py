@@ -478,3 +478,124 @@ def test_well_known_endpoints(sio_server):
     resp = conn.getresponse()
     assert resp.read() == b"Leaf Server API"
     conn.close()
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _VALUES = st.recursive(
+        st.none()
+        | st.booleans()
+        | st.integers(min_value=-(2**63), max_value=2**64 - 1)
+        | st.floats(allow_nan=False, allow_infinity=False)
+        | st.text(max_size=40)
+        | st.binary(max_size=40),
+        lambda children: st.lists(children, max_size=6)
+        | st.dictionaries(st.text(max_size=10), children, max_size=6),
+        max_leaves=25,
+    )
+
+    @given(_VALUES)
+    @settings(max_examples=200, deadline=None)
+    def test_msgpack_roundtrip_property(value):
+        assert msgpack_codec.unpack(msgpack_codec.pack(value)) == value
+
+except ImportError:  # pragma: no cover
+    pass
+
+
+# ---------------------------------------------------------------------------
+# full endpoint surface over the wire
+# ---------------------------------------------------------------------------
+
+
+def test_every_endpoint_over_socketio(sio_server):
+    """One session exercises the complete reference endpoint surface
+    (connection.rs:35-624) through the msgpack/websocket stack."""
+    admin = _client(sio_server, token="admin-token")
+    cli = _client(sio_server, token="alice-token")
+    try:
+        did = "did:plc:fullsurface"
+        cid = cli.call("module/upload", {"module": CHAT.to_codec()})["Ok"]["cid"]
+        assert cli.call("module/exists", {"cid": cid})["Ok"]["exists"]
+        assert not cli.call("module/exists", {"cid": "bafynope"})["Ok"]["exists"]
+        assert (
+            cli.call("stream/create", {"streamDid": did, "moduleCid": cid})["Ok"][
+                "streamDid"
+            ]
+            == did
+        )
+        info = cli.call("stream/info", {"streamDid": did})["Ok"]
+        assert info["moduleCid"] == cid and info["latestEvent"] == 0
+
+        out = cli.call(
+            "stream/event_batch",
+            {
+                "streamDid": did,
+                "payloads": [drisl.encode({"content": "m1", "sentAt": 1})],
+            },
+        )
+        assert out["Ok"]["latestEvent"] == 1
+
+        # state events + read-marker query + clear_state
+        assert "Ok" in cli.call(
+            "stream/state_event_batch",
+            {"streamDid": did, "payloads": [drisl.encode({"lastRead": 1})]},
+        )
+        unread = cli.call(
+            "stream/query", {"streamDid": did, "query": {"name": "my_unread"}}
+        )["Ok"]["rows"]
+        assert unread[0]["unread"]["value"] == 0
+        assert "Ok" in cli.call("stream/clear_state", {"streamDid": did})
+        unread = cli.call(
+            "stream/query", {"streamDid": did, "query": {"name": "my_unread"}}
+        )["Ok"]["rows"]
+        assert unread[0]["unread"]["value"] == 1  # marker gone
+
+        # update_module (same cid → no-op path), set_handle, admin list
+        assert "Ok" in cli.call(
+            "stream/update_module", {"streamDid": did, "moduleCid": cid}
+        )
+        assert "Ok" in cli.call(
+            "stream/set_handle", {"streamDid": did, "handle": "full.example"}
+        )
+        assert "Err" in cli.call("admin/list_streams", {})  # not trusted
+        streams = admin.call("admin/list_streams", {})["Ok"]["streams"]
+        mine = [s for s in streams if s["streamDid"] == did]
+        assert mine and mine[0]["handle"] == "full.example"
+
+        # user_override: trusted connections only (connection.rs:240-252)
+        out = admin.call(
+            "stream/event_batch",
+            {
+                "streamDid": did,
+                "userOverride": "did:plc:impersonated",
+                "payloads": [drisl.encode({"content": "as someone else", "sentAt": 2})],
+            },
+        )
+        assert "Ok" in out
+        assert "Err" in cli.call(
+            "stream/event_batch",
+            {
+                "streamDid": did,
+                "userOverride": "did:plc:impersonated",
+                "payloads": [drisl.encode({"content": "nope", "sentAt": 3})],
+            },
+        )
+
+        # subscribe → push → unsubscribe
+        sub = cli.call(
+            "stream/subscribe_events",
+            {"streamDid": did, "query": {"name": "messages"}},
+        )["Ok"]
+        assert "Ok" in cli.call(
+            "stream/unsubscribe",
+            {"streamDid": did, "subscriptionId": sub["subscriptionId"]},
+        )
+    finally:
+        cli.close()
+        admin.close()
