@@ -19,12 +19,13 @@ plus the events-stream semantics of §2.A and the LLM-pipeline extensions
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .session import load_tables
+from .session import TESTDATA_TABLES, load_tables
 
 
 @dataclass(frozen=True)
@@ -48,10 +49,18 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 def sql_case(name: str, spark_sql: str, oracle: str, doc: str = "") -> None:
     """Register a case whose Spark side is a plain Spark-SQL string (Catalyst
-    plans it; these are fully declarative — pushdown/pruning for free)."""
+    plans it; these are fully declarative — pushdown/pruning for free).
 
-    def fn(spark: SparkSession, sf_dir: str, _sql=spark_sql) -> DataFrame:
-        load_tables(spark, sf_dir)
+    The testdata views the SQL references are inferred from its text, so
+    each run registers (≈8 ms of driver round-trip apiece) only the views
+    it actually reads — a false positive from a name inside a string
+    literal merely over-registers, which is harmless."""
+    used = tuple(t for t in TESTDATA_TABLES if re.search(rf"\b{t}\b", spark_sql))
+
+    def fn(
+        spark: SparkSession, sf_dir: str, _sql=spark_sql, _names=used or None
+    ) -> DataFrame:
+        load_tables(spark, sf_dir, names=_names)
         return spark.sql(_sql)
 
     _REGISTRY[name] = QueryCase(name, fn, oracle, doc)
@@ -65,15 +74,16 @@ def sql_case(name: str, spark_sql: str, oracle: str, doc: str = "") -> None:
 # pytest-covered regardless of position; rotation only changes which subset
 # gets a fresh official row this round.  See README "Correctness coverage".
 #
-# Round-4 window (50 = 15 + 3 + 11 + 20 + 1): the 15 cases with no
+# Round-4 window (50 = 15 + 3 + 11 + 6 + 14 + 1): the 15 cases with no
 # official row yet (q71-q85, all local driver-replica green), the 3
 # round-3 hash-reds whose oracles were retyped this round (q67/q68/q70 —
-# cast(sum(int) as bigint), VERDICT r3 "What's wrong #1"), the 11 new
-# round-4 entries (q86-q96), the 20 cases whose only official green row is
-# CORRECTNESS_r02.json (oldest evidence first), and 1 round-3-green
-# flagship re-confirmation (q49). Everything rotated out is green in
-# CORRECTNESS_r02/r03; every case stays registered and pytest-covered
-# regardless of position.
+# cast(sum(int) as bigint), VERDICT r3 "What's wrong #1"), the 17 new
+# round-4 entries (q86-q102), the 14 cases whose only official green row
+# is CORRECTNESS_r02.json (oldest evidence first), and 1 round-3-green
+# flagship re-confirmation (q49). Everything rotated out — including the
+# six r02-green entries displaced by q97-q102 (q29/q31/q35/q36/q37/q39) —
+# is green in CORRECTNESS_r02/r03; every case stays registered and
+# pytest-covered regardless of position.
 _ROUND4_FRONT = [
     # never officially scored (implemented + locally green since round 3)
     "q71_bm25_topk", "q72_gopher_filter", "q73_semantic_dedup",
@@ -88,13 +98,13 @@ _ROUND4_FRONT = [
     "q89_dsir_importance", "q90_containment_dedup", "q91_build_postings",
     "q92_quality_deciles", "q93_budget_allocation", "q94_decay_ess",
     "q95_label_balance", "q96_pagerank",
+    "q97_triplet_mining", "q98_int8_quant_stats", "q99_conversation_examples",
+    "q100_cluster_histogram", "q101_zscore_outliers", "q102_doc_contamination",
     # only-r02 official greens (refresh the oldest evidence)
     "q04_left_join", "q05_semi_join", "q06_anti_join", "q07_distinct",
     "q08_set_ops", "q09_order_limit_offset", "q16_cross_join",
     "q20_conditional", "q21_string_fns", "q22_math", "q23_datetime",
-    "q25_total", "q27_json_object", "q28_json_group_array", "q29_like_glob",
-    "q31_events_range_scan", "q35_events_topk_users", "q36_events_two_pages",
-    "q37_typeof", "q39_json_each",
+    "q25_total", "q27_json_object", "q28_json_group_array",
     # round-3-green flagship re-confirmation (everything else rotated out
     # has a PASS row in CORRECTNESS_r02/r03 already)
     "q49_minhash_lsh",
@@ -116,6 +126,7 @@ def all_cases() -> dict[str, QueryCase]:
     from . import queries_training  # noqa: F401
     from . import queries_search  # noqa: F401
     from . import queries_mining  # noqa: F401
+    from . import queries_curation  # noqa: F401
 
     return _ordered(dict(_REGISTRY))
 

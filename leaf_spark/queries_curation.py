@@ -1,0 +1,389 @@
+"""Catalog entries q97-q102: training-data curation additions for round 4 —
+contrastive triplet mining, int8 quantization audit, conversation-example
+assembly, dedup-audit cluster histogram, per-source z-score outliers, and
+cross-corpus doc-level contamination.
+
+Determinism conventions (as everywhere in the catalog): floats are rounded
+before any argmax/comparison, argmax ties break toward the lowest id via
+max-of-struct with a negated id, integer-derived statistics stay in exact
+bigint/decimal arithmetic, and quantizers use floor (never round-half).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .queries import register, sql_case
+from .session import load_tables
+
+# ---------------------------------------------------------------------------
+# q97 — hardest-positive / hardest-negative triplet mining over embeddings
+# ---------------------------------------------------------------------------
+
+_Q97_ORACLE = """
+    with v as (
+      select vec_id as id, label,
+             list_transform(embedding, x -> cast(x as double)) as v
+      from embeddings
+    ),
+    a as (select id as aid, label as albl, v as av from v where id < 20),
+    s as (
+      select a.aid, a.albl, v.id, v.label,
+             round(
+               list_sum(list_transform(range(1, len(v.v)+1), i -> v.v[i]*a.av[i]))
+               / (sqrt(list_sum(list_transform(v.v, x -> x*x)))
+                  * sqrt(list_sum(list_transform(a.av, x -> x*x)))),
+               5) as sim
+      from v cross join a
+      where v.id <> a.aid
+    ),
+    p as (
+      select aid, id, sim,
+             row_number() over (partition by aid order by sim desc, id) as rk
+      from s where label = albl
+    ),
+    n as (
+      select aid, id, sim,
+             row_number() over (partition by aid order by sim desc, id) as rk
+      from s where label <> albl
+    )
+    select a.aid as anchor_id, a.albl as anchor_label,
+           p.id as pos_id, p.sim as pos_cos,
+           n.id as neg_id, n.sim as neg_cos
+    from a
+    join p on p.aid = a.aid and p.rk = 1
+    join n on n.aid = a.aid and n.rk = 1
+"""
+
+
+@register(
+    "q97_triplet_mining",
+    _Q97_ORACLE,
+    doc="contrastive triplet mining (FaceNet-style batch-hard): per anchor, "
+    "the hardest positive (max cosine, same label) and hardest negative "
+    "(max cosine, other label) in one broadcast scan + one conditional-"
+    "argmax groupBy — rounded cosines, lowest-id ties "
+    "(operators/curation.py triplet_mining)",
+)
+def q97_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import triplet_mining
+
+    t = load_tables(spark, sf_dir, names=("embeddings",))
+    return triplet_mining(t["embeddings"], F.col("vec_id") < 20).orderBy("anchor_id")
+
+
+# ---------------------------------------------------------------------------
+# q98 — per-dimension int8 quantization audit
+# ---------------------------------------------------------------------------
+
+_Q98_ORACLE = """
+    with dims as (
+      select unnest(range(0, len(embedding))) as dim,
+             unnest(list_transform(embedding, x -> cast(x as double))) as x
+      from embeddings
+    ),
+    am as (
+      select dim, greatest(max(abs(x)), 1e-12) as amax from dims group by dim
+    ),
+    q as (
+      select dims.dim, x, amax,
+             floor(x / amax * 127.0) as qv
+      from dims join am using (dim)
+    )
+    select dim,
+           round(any_value(amax), 6) as amax,
+           cast(count(*) as bigint) as n,
+           cast(sum(case when abs(qv) >= 127 then 1 else 0 end) as bigint)
+             as n_saturated,
+           round(cast(sum(cast(round(abs(x - qv * amax / 127.0), 9)
+                               as decimal(38,12))) as double) / count(*), 8)
+             as mean_abs_err
+    from q group by dim
+"""
+
+
+@register(
+    "q98_int8_quant_stats",
+    _Q98_ORACLE,
+    doc="symmetric int8 quantization audit (absmax scale, floor quantizer — "
+    "no round-half anywhere): per-dim saturation count + mean "
+    "reconstruction error, the go/no-go report before storing embeddings "
+    "4x smaller (operators/curation.py int8_quant_stats)",
+)
+def q98_int8_quant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import int8_quant_stats
+
+    t = load_tables(spark, sf_dir, names=("events", "documents", "embeddings"))
+    return int8_quant_stats(t["embeddings"]).orderBy("dim")
+
+
+# ---------------------------------------------------------------------------
+# q99 — conversation-example assembly from the event stream
+# ---------------------------------------------------------------------------
+# Sessionize (q34's 30-minute inactivity gap), then assemble each session's
+# event types — in (ts, event_id) order — into one training-example string.
+# The multi-turn SFT-example assembly step for chat-log corpora.
+
+sql_case(
+    "q99_conversation_examples",
+    """
+    with marked as (
+      select user_id, ts, event_id, event_type,
+             case when lag(ts) over w is null
+                    or (unix_timestamp(ts) - unix_timestamp(lag(ts) over w)) > 1800
+                  then 1 else 0 end as is_new
+      from events
+      window w as (partition by user_id order by ts, event_id)
+    ),
+    sess as (
+      select user_id, ts, event_id, event_type,
+             sum(is_new) over (partition by user_id order by ts, event_id
+                               rows unbounded preceding) as session_id
+      from marked
+    )
+    select user_id,
+           cast(session_id as bigint) as session_id,
+           cast(count(*) as bigint) as n_turns,
+           date_format(min(ts), 'yyyy-MM-dd HH:mm:ss') as started,
+           array_join(
+             transform(array_sort(collect_list(struct(ts, event_id, event_type))),
+                       s -> s.event_type),
+             ' ') as convo
+    from sess
+    group by user_id, session_id
+    having count(*) >= 3
+    """,
+    """
+    with marked as (
+      select user_id, ts, event_id, event_type,
+             case when lag(ts) over w is null
+                    or (epoch(ts) - epoch(lag(ts) over w)) > 1800
+                  then 1 else 0 end as is_new
+      from events
+      window w as (partition by user_id order by ts, event_id)
+    ),
+    sess as (
+      select user_id, ts, event_id, event_type,
+             sum(is_new) over (partition by user_id order by ts, event_id
+                               rows unbounded preceding) as session_id
+      from marked
+    )
+    select user_id,
+           cast(session_id as bigint) as session_id,
+           cast(count(*) as bigint) as n_turns,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') as started,
+           string_agg(event_type, ' ' order by ts, event_id) as convo
+    from sess
+    group by user_id, session_id
+    having count(*) >= 3
+    """,
+    doc="multi-turn training-example assembly: 30-min-gap sessionization "
+    "(q34) + per-session ordered concatenation of the event sequence into "
+    "one example string, sub-3-turn sessions dropped — the chat-log→SFT-corpus "
+    "step. One shuffle on user_id serves the session window AND the "
+    "per-session aggregation (same key); the in-aggregate sort is bounded "
+    "by session length, never by user history",
+)
+
+
+# ---------------------------------------------------------------------------
+# q100 — dedup-audit cluster-size histogram
+# ---------------------------------------------------------------------------
+
+_Q100_ORACLE = """
+    with recursive pairs as (
+      with words as (
+        select doc_id,
+               unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
+                 as word
+        from documents where doc_id < 120
+      ),
+      sizes as (select doc_id, count(*) as sz from words group by doc_id),
+      inter as (
+        select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_common
+        from words a join words b on a.word = b.word and a.doc_id < b.doc_id
+        group by a.doc_id, b.doc_id
+      )
+      select doc_a, doc_b from inter
+      join sizes sa on sa.doc_id = doc_a
+      join sizes sb on sb.doc_id = doc_b
+      where cast(n_common as double) / (sa.sz + sb.sz - n_common) >= 0.5
+    ),
+    edges as (
+      select doc_a as s, doc_b as d from pairs
+      union select doc_b, doc_a from pairs
+    ),
+    reach(s, d) as (
+      select doc_id, doc_id from documents where doc_id < 120
+      union
+      select r.s, e.d from reach r join edges e on r.d = e.s
+    ),
+    clusters as (select s as doc_id, min(d) as cluster_id from reach group by s),
+    csize as (select cluster_id, count(*) as sz from clusters group by cluster_id)
+    select cast(sz as bigint) as cluster_size,
+           cast(count(*) as bigint) as n_clusters,
+           cast(sz * count(*) as bigint) as n_docs
+    from csize group by sz
+"""
+
+
+@register(
+    "q100_cluster_histogram",
+    _Q100_ORACLE,
+    doc="dedup audit report: cluster-size histogram over the near-dup "
+    "connected components (q55) — how much of the corpus sits in "
+    "duplicate mass, the number dedup dashboards track. Adds two tiny "
+    "aggregations after label propagation; oracle re-derives the closure "
+    "recursively",
+)
+def q100_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import connected_components
+
+    load_tables(spark, sf_dir, names=("documents",))
+    pairs = spark.sql(
+        """
+        with words as (
+          select doc_id,
+                 explode(array_distinct(split(trim(lower(text)), '\\\\s+'))) as word
+          from documents where doc_id < 120
+        ),
+        sizes as (select doc_id, count(*) as sz from words group by doc_id),
+        inter as (
+          select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_common
+          from words a join words b on a.word = b.word and a.doc_id < b.doc_id
+          group by a.doc_id, b.doc_id
+        )
+        select doc_a as id_a, doc_b as id_b from inter
+        join sizes sa on sa.doc_id = doc_a
+        join sizes sb on sb.doc_id = doc_b
+        where cast(n_common as double) / (sa.sz + sb.sz - n_common) >= 0.5
+        """
+    )
+    docs = spark.table("documents").where(F.col("doc_id") < 120)
+    cc = connected_components(pairs, docs.select(F.col("doc_id").alias("id")))
+    csize = cc.groupBy("cluster").agg(F.count(F.lit(1)).alias("sz"))
+    return csize.groupBy("sz").agg(
+        F.col("sz").cast("bigint").alias("cluster_size"),
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.col("sz") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+    ).drop("sz")
+
+
+# ---------------------------------------------------------------------------
+# q101 — per-source z-score length outliers
+# ---------------------------------------------------------------------------
+# mean/variance derive from exact integer sums (sum, sum-of-squares in
+# bigint), so both engines evaluate the identical double expression tree —
+# bit-for-bit equal without any decimal routing.
+
+sql_case(
+    "q101_zscore_outliers",
+    """
+    with s as (
+      select source,
+             count(*) as n,
+             cast(sum(n_chars) as bigint) as sm,
+             cast(sum(cast(n_chars as bigint) * n_chars) as bigint) as s2
+      from documents group by source
+    ),
+    z as (
+      select doc_id, d.source, n_chars,
+             round(
+               (n_chars - cast(sm as double) / n)
+               / sqrt(greatest(cast(s2 as double) / n
+                      - (cast(sm as double) / n) * (cast(sm as double) / n),
+                      1e-12)),
+               4) as z
+      from documents d join s on d.source = s.source
+    )
+    select doc_id, source, n_chars, z
+    from z where abs(z) >= 1.5
+    """,
+    """
+    with s as (
+      select source,
+             count(*) as n,
+             cast(sum(n_chars) as bigint) as sm,
+             cast(sum(cast(n_chars as bigint) * n_chars) as bigint) as s2
+      from documents group by source
+    ),
+    z as (
+      select doc_id, d.source, n_chars,
+             round(
+               (n_chars - cast(sm as double) / n)
+               / sqrt(greatest(cast(s2 as double) / n
+                      - (cast(sm as double) / n) * (cast(sm as double) / n),
+                      1e-12)),
+               4) as z
+      from documents d join s on d.source = s.source
+    )
+    select doc_id, source, n_chars, z
+    from z where abs(z) >= 1.5
+    """,
+    doc="per-source length z-score outlier flagging (truncation/concat "
+    "artifacts show up as length outliers within a source): mean/std from "
+    "exact bigint sum + sum-of-squares, one tiny per-source aggregate "
+    "broadcast back over the corpus — shuffle-free on the doc side",
+)
+
+
+# ---------------------------------------------------------------------------
+# q102 — cross-corpus doc-level contamination (word-set Jaccard vs holdout)
+# ---------------------------------------------------------------------------
+
+_Q102_ORACLE = """
+    with wt as (
+      select doc_id as id,
+             unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
+               as word
+      from documents where source <> 'src0'
+    ),
+    wh as (
+      select doc_id as hid,
+             unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
+               as word
+      from documents where source = 'src0'
+    ),
+    st as (select id, count(*) as sz_t from wt group by id),
+    sh as (select hid, count(*) as sz_h from wh group by hid),
+    inter as (
+      select id, hid, count(*) as n_common
+      from wt join wh using (word)
+      group by id, hid
+    ),
+    scored as (
+      select id, hid,
+             round(cast(n_common as double) / (sz_t + sz_h - n_common), 6)
+               as jaccard
+      from inter join st using (id) join sh using (hid)
+    ),
+    best as (
+      select id, hid, jaccard,
+             row_number() over (partition by id order by jaccard desc, hid) as rk
+      from scored
+    )
+    select id as doc_id, hid as holdout_id, jaccard
+    from best where rk = 1 and jaccard >= 0.8
+"""
+
+
+@register(
+    "q102_doc_contamination",
+    _Q102_ORACLE,
+    doc="doc-level benchmark contamination: per training doc (source <> "
+    "'src0'), max word-set Jaccard against the holdout corpus (source = "
+    "'src0') via an inverted word index — catches paraphrase-level leaks "
+    "the 13-gram decontaminator (q61) misses. Holdout index broadcasts at "
+    "scale; rounded-jaccard argmax, lowest-holdout-id ties "
+    "(operators/curation.py doc_contamination)",
+)
+def q102_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import doc_contamination
+
+    t = load_tables(spark, sf_dir, names=("documents",))
+    docs = t["documents"]
+    return doc_contamination(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        threshold=0.8,
+    ).orderBy("doc_id")

@@ -189,7 +189,7 @@ from .session import load_tables  # noqa: E402
 def q56_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.skew import salted_agg
 
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("customer", "events"))
     ev = t["events"].withColumn("value_dec", F.col("value").cast("decimal(38,6)"))
     out = salted_agg(
         ev,
@@ -226,7 +226,7 @@ def q56_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q57_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.skew import salted_join
 
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("customer", "events"))
     fact = t["events"].select(F.col("user_id").alias("c_custkey"), "value")
     dim = t["customer"].select("c_custkey", "c_mktsegment")
     joined = salted_join(fact, dim, on=["c_custkey"], num_salts=8)

@@ -288,7 +288,7 @@ def q38_json_set_patch(spark, sf_dir):
     from .session import load_tables
     from .sqlcompat import register_json_udfs
 
-    load_tables(spark, sf_dir)
+    load_tables(spark, sf_dir, names=("events",))
     register_json_udfs(spark)
     return spark.sql(
         """

@@ -103,7 +103,7 @@ def q86_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators.clustering import kmeans_quantized
 
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("documents", "embeddings"))
     assigned = kmeans_quantized(t["embeddings"], k=4, iters=2, scale=1000)
     return assigned.select(
         F.col("id").alias("vec_id"),
@@ -161,7 +161,7 @@ def q86_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q87_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import cdc_chunks
 
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("documents",))
     docs = t["documents"]
     chunks = cdc_chunks(docs)
     return (
@@ -225,7 +225,7 @@ def q87_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q88_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.search import bigram_logprob
 
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("documents",))
     return bigram_logprob(t["documents"])
 
 
@@ -270,7 +270,7 @@ def q88_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q89_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.search import dsir_logratio
 
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("documents",))
     return dsir_logratio(t["documents"], F.col("lang") == "en")
 
 
@@ -318,7 +318,7 @@ def q89_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q90_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import containment_pairs
 
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("documents",))
     return (
         containment_pairs(t["documents"], containment_threshold=0.8)
         .select("id_small", "id_big", F.round("containment", 6).alias("containment"))
@@ -357,7 +357,7 @@ def q90_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q91_build_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.search import build_postings
 
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("documents",))
     return build_postings(t["documents"], min_doc_freq=40)
 
 
@@ -501,7 +501,7 @@ _Q93_ORACLE = f"""
 def q93_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sampling import budget_allocation
 
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("events", "documents", "embeddings"))
     per_source = (
         t["documents"]
         .groupBy("source")
@@ -677,7 +677,7 @@ _Q96_ORACLE = """
 def q96_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import pagerank_quantized
 
-    load_tables(spark, sf_dir)
+    load_tables(spark, sf_dir, names=("documents",))
     pairs = spark.sql(
         """
         with words as (

@@ -312,7 +312,7 @@ sql_case(
 def q49_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import minhash_lsh_pairs
 
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("documents",))
     # bands=32 (r=2): detection prob at j=0.7 is 1-(1-0.49)^32 ≈ 1-5e-10 —
     # the LSH+verify output provably equals the exact pair set
     return (
@@ -354,7 +354,7 @@ def q49_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q50_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import normalized, simhash_neardup_pairs
 
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("documents", "embeddings"))
     docs = t["documents"]
     pairs = simhash_neardup_pairs(docs, max_hamming=12).select("id_a", "id_b")
 
@@ -422,7 +422,7 @@ def _ann_recall_case(spark: SparkSession, sf_dir: str, ann_fn) -> DataFrame:
     regression flips recall_ok → hash mismatch → red correctness row."""
     from .operators.similarity import batch_cosine_topk
 
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("embeddings",))
     corpus = t["embeddings"]
     queries = corpus.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -524,7 +524,7 @@ def q54_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q55_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import connected_components
 
-    load_tables(spark, sf_dir)
+    load_tables(spark, sf_dir, names=("documents",))
     pairs = spark.sql(
         """
         with words as (
@@ -620,7 +620,7 @@ _PROFILE_ORACLE = """
 def q52_document_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import document_profile
 
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("documents",))
     return (
         document_profile(t["documents"].where(F.col("doc_id") < 200))
         .withColumn("quality", F.round("quality", 6))
@@ -653,7 +653,7 @@ def q52_document_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q53_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import extract_image_metadata, synthesize_assets
 
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("documents",))
     return extract_image_metadata(synthesize_assets(t["documents"])).orderBy("asset_id")
 
 
@@ -700,7 +700,7 @@ def q53_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q58_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.cleaning import repetition_metrics
 
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("documents",))
     return repetition_metrics(t["documents"])
 
 
@@ -739,7 +739,7 @@ def q58_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q59_crossdoc_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.cleaning import crossdoc_ngram_overlap
 
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("documents",))
     return crossdoc_ngram_overlap(t["documents"], n=8)
 
 
@@ -780,7 +780,7 @@ def q59_crossdoc_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q60_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.cleaning import pii_scrub
 
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("documents",))
     aug = t["documents"].select(
         "doc_id",
         F.concat(
@@ -832,7 +832,7 @@ def q60_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q61_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.cleaning import decontaminate
 
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("documents",))
     docs = t["documents"]
     return decontaminate(
         docs.where(F.col("doc_id") % 97 != 0),
@@ -875,7 +875,7 @@ def q61_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q62_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.cleaning import line_dedup
 
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("documents",))
     pages = (
         t["documents"]
         .groupBy((F.col("doc_id") % 40).alias("page_id"))

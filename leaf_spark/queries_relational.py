@@ -69,7 +69,7 @@ sql_case("q02_filter_project", _Q02, _Q02, doc="filter incl. LIKE/IN/BETWEEN; pr
     doc="3-way join + agg; dims broadcast (SURVEY 2.B joins row)",
 )
 def q03_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("region", "nation", "customer", "part", "orders", "lineitem"))
     # Explicit broadcast hints: nation/region/customer are dimension-sized;
     # at 100 TB the only shuffle here should be the orders-side aggregation.
     return (
@@ -253,7 +253,7 @@ _Q17 = """
 def q17_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dml import run_sql
 
-    load_tables(spark, sf_dir)
+    load_tables(spark, sf_dir, names=("supplier", "part", "orders"))
     return run_sql(spark, _Q17, {"orders": "orders"})
 
 

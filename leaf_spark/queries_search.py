@@ -52,7 +52,7 @@ _BM25_TERMS = ["spark", "join", "vector"]
 def q71_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.search import bm25_topk
 
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("documents",))
     return bm25_topk(t["documents"], _BM25_TERMS, k=10)
 
 
@@ -104,7 +104,7 @@ def q71_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q72_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import gopher_filter
 
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("documents", "embeddings"))
     return gopher_filter(t["documents"])
 
 
@@ -162,7 +162,7 @@ def q72_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q73_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import semantic_dedup_pairs
 
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("documents", "embeddings"))
     return semantic_dedup_pairs(t["embeddings"], num_seeds=8, threshold=0.3)
 
 
@@ -197,7 +197,7 @@ def q73_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q74_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import token_count
 
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("documents",))
     w = t["documents"].select(
         "source", "lang", token_count(F.col("text")).alias("n_tokens"), "n_chars"
     )
@@ -242,7 +242,7 @@ def q74_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q75_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.search import unigram_logprob
 
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("documents",))
     return unigram_logprob(t["documents"])
 
 
@@ -307,7 +307,7 @@ def q76_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import normalized
     from .operators.text import gopher_filter, token_count
 
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("documents",))
     docs = t["documents"]
     gate = gopher_filter(docs).where("keep").select("doc_id")
     gated = docs.join(gate, "doc_id").select(
@@ -381,7 +381,7 @@ def q76_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q77_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import incremental_dedup
 
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("orders", "documents"))
     docs = t["documents"]
     out = incremental_dedup(
         docs.where(F.col("doc_id") % 10 >= 8),
@@ -414,7 +414,7 @@ def q77_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partition key, single sort serves all six functions",
 )
 def q78_window_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_tables(spark, sf_dir)
+    load_tables(spark, sf_dir, names=("orders", "documents"))
     return spark.sql(
         """
         select o_custkey,
@@ -449,7 +449,7 @@ def q78_window_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouping sets before the single shuffle)",
 )
 def q79_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_tables(spark, sf_dir)
+    load_tables(spark, sf_dir, names=("documents",))
     return spark.sql(
         """
         select coalesce(source, '<all>') as source,
@@ -488,7 +488,7 @@ def q79_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus scale because candidate pairs are O(Σ|block|²), not O(n²)",
 )
 def q80_editdist_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_tables(spark, sf_dir)
+    load_tables(spark, sf_dir, names=("documents",))
     return spark.sql(
         """
         with n as (
@@ -533,7 +533,7 @@ def q80_editdist_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     "composes with assembly.source_mix for the actual draw",
 )
 def q81_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_tables(spark, sf_dir)
+    load_tables(spark, sf_dir, names=("documents",))
     return spark.sql(
         """
         with s as (
@@ -578,7 +578,7 @@ def q81_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q83_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import chunk_text
 
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("documents",))
     return chunk_text(t["documents"], size=512, overlap=64)
 
 
@@ -616,7 +616,7 @@ def q83_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q84_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.cleaning import ngram_novelty
 
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("documents",))
     return ngram_novelty(t["documents"])
 
 
@@ -652,5 +652,5 @@ def q84_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q85_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.search import tfidf_top_terms
 
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("documents",))
     return tfidf_top_terms(t["documents"], group_col="source", k=5)

@@ -47,7 +47,7 @@ asof left join (select * from events where event_type = 'view') v
     doc="backward as-of join (union-and-carry, one shuffle) vs DuckDB ASOF JOIN",
 )
 def q65_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("events",))
     ev = t["events"]
     clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
     views = (
@@ -99,7 +99,7 @@ asof left join (select * from events where event_type = 'click') c
     "not O(#events); exact vs DuckDB ASOF JOIN",
 )
 def q82_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("events",))
     ev = t["events"]
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
@@ -149,7 +149,7 @@ group by w.event_id
     doc="interval range join (bucketed equi-join, no nested loop) vs DuckDB inequality join",
 )
 def q66_error_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("events", "documents"))
     ev = t["events"]
     windows = ev.where(F.col("event_type") == "error").select(
         F.col("event_id").alias("err_id"),
@@ -200,7 +200,7 @@ group by split, lang
     doc="shuffle-free deterministic split by md5 prefix; stable under corpus growth",
 )
 def q67_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("documents",))
     docs = hash_split(t["documents"], "doc_id", _SPLIT_FRACS)
     return docs.groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -234,7 +234,7 @@ group by source
     doc="per-source keep-fraction as a broadcast-free literal CASE filter (zero shuffles)",
 )
 def q68_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("documents",))
     kept = weighted_mix(t["documents"], "doc_id", "source", _MIX_WEIGHTS)
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -262,7 +262,7 @@ qualify row_number() over (
     doc="exact n-per-stratum via skew-proof two-level rank vs DuckDB QUALIFY",
 )
 def q69_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("documents",))
     sampled = stratified_sample(t["documents"], ["lang"], 20, "doc_id")
     return sampled.select("doc_id", "lang")
 
@@ -293,7 +293,7 @@ group by bin_id
     doc="concat-and-chunk packing via distributed prefix sum (no global-order window)",
 )
 def q70_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("documents",))
     docs = t["documents"].select(
         "doc_id", F.greatest(F.lit(1), (F.col("n_chars") / 4).cast("long")).alias("tok")
     )

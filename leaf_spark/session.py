@@ -108,6 +108,20 @@ def ensure_worker_imports(spark: SparkSession) -> None:
     setattr(sc, marker, True)
 
 
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
     """Register the driver testdata parquet tables as temp views.
 
@@ -122,22 +136,15 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     fingerprint): a cheap os.stat over the parquet paths (mtime + size, or
     the directory listing for multi-file tables), so regenerated or
     rewritten testdata invalidates the entry instead of serving a stale
-    file listing. Temp views are re-registered on every call — another
-    ``createOrReplaceTempView`` with the same name elsewhere can't leave a
-    catalog query reading the wrong table.
+    file listing. The REQUESTED views are re-registered on every call, so
+    a ``createOrReplaceTempView`` elsewhere that steals one of these names
+    can't leave a catalog query reading the wrong table — but each
+    registration is ~8 ms of driver round-trip, so callers that know their
+    query's table set should pass ``names`` (``sql_case`` infers it from
+    the SQL text): re-registering all ten on every cache hit costs ~74 ms,
+    more than the whole driver-overhead budget of a sub-second query.
     """
-    names = names or (
-        "region",
-        "nation",
-        "customer",
-        "supplier",
-        "part",
-        "orders",
-        "lineitem",
-        "events",
-        "documents",
-        "embeddings",
-    )
+    names = names or TESTDATA_TABLES
     cache: dict = getattr(spark, "_leaf_table_cache", None) or {}
     spark._leaf_table_cache = cache
     fp = _dir_fingerprint(sf_dir, names)

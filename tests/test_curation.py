@@ -1,0 +1,170 @@
+"""Round-4 curation operators: triplet mining, int8 quantization audit,
+doc-level contamination — functional checks against hand-computed
+expectations plus plan-shape (100 TB contract) assertions."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df, mode: str = "simple") -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+# ---------------------------------------------------------------------------
+# triplet mining
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def labeled_vecs(spark):
+    # label 0 along +x with slight spreads, label 1 along +y.
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),   # closest same-label to 0
+        (2, [0.7, 0.3], 0),
+        (3, [0.0, 1.0], 1),
+        (4, [0.3, 0.7], 1),   # closest other-label to 0
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+
+
+def test_triplet_mining_picks_hardest_pos_and_neg(spark, labeled_vecs):
+    from leaf_spark.operators.curation import triplet_mining
+
+    out = {
+        r["anchor_id"]: r
+        for r in triplet_mining(labeled_vecs, F.col("vec_id") == 0).collect()
+    }
+    assert set(out) == {0}
+    r = out[0]
+    assert r["anchor_label"] == 0
+    assert r["pos_id"] == 1        # cos(0,1) > cos(0,2)
+    assert r["neg_id"] == 4        # cos(0,4) > cos(0,3)
+    assert r["pos_cos"] > r["neg_cos"] > 0.0
+
+
+def test_triplet_mining_tiebreaks_to_lowest_id(spark):
+    from leaf_spark.operators.curation import triplet_mining
+
+    # ids 2 and 3 are identical vectors — both tie as hardest positive;
+    # the lower id must win deterministically.
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),
+        (3, [1.0, 0.0], 0),
+        (9, [0.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    r = triplet_mining(df, F.col("vec_id") == 1).collect()[0]
+    assert r["pos_id"] == 2
+    assert r["neg_id"] == 9
+
+
+def test_triplet_mining_plan_broadcasts_anchors(spark, labeled_vecs):
+    from leaf_spark.operators.curation import triplet_mining
+
+    plan = plan_of(triplet_mining(labeled_vecs, F.col("vec_id") < 2))
+    # dense-scoring pass: anchors broadcast, corpus never shuffles pre-agg
+    assert "BroadcastNestedLoopJoin" in plan
+    # one aggregation keyed on the anchor — no window, no second scan join
+    assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization audit
+# ---------------------------------------------------------------------------
+
+
+def test_int8_quant_stats_hand_computed(spark):
+    from leaf_spark.operators.curation import int8_quant_stats
+
+    # dim 0: values ±2.0 → amax 2.0; x=2.0 quantizes to floor(127.0)=127
+    # (saturated); x=-2.0 → floor(-127.0)=-127 (saturated).
+    # dim 1: 0.5 & 1.0 → amax 1.0; 0.5 → floor(63.5)=63.
+    rows = [(1, [2.0, 0.5]), (2, [-2.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r["dim"]: r for r in int8_quant_stats(df).collect()}
+
+    assert out[0]["amax"] == 2.0
+    assert out[0]["n_saturated"] == 2
+    assert out[0]["mean_abs_err"] == 0.0
+
+    assert out[1]["amax"] == 1.0
+    assert out[1]["n_saturated"] == 1   # x=1.0 → qv=127
+    # x=0.5: dequant = 63*1/127 ≈ 0.496063 → err ≈ 0.003937; mean over 2 rows
+    expected = round(round(abs(0.5 - 63.0 / 127.0), 9) / 2, 8)
+    assert math.isclose(out[1]["mean_abs_err"], expected, abs_tol=1e-9)
+
+
+def test_int8_quant_error_bounded_by_one_step(spark):
+    from leaf_spark.operators.curation import int8_quant_stats
+
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(4)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    for r in int8_quant_stats(df).collect():
+        # floor quantizer error < 1 LSB = amax/127
+        assert r["mean_abs_err"] <= r["amax"] / 127.0 + 1e-9
+        assert r["n"] == 50
+
+
+# ---------------------------------------------------------------------------
+# doc contamination
+# ---------------------------------------------------------------------------
+
+
+def test_doc_contamination_flags_paraphrase_level_overlap(spark):
+    from leaf_spark.operators.curation import doc_contamination
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words entirely here now"),
+        ],
+        "doc_id bigint, text string",
+    )
+    holdout = spark.createDataFrame(
+        [
+            (100, "quick brown fox jumps over lazy dog"),      # ⊂ doc 1 vocab
+            (101, "unrelated benchmark prompt material"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in doc_contamination(train, holdout, 0.5).collect()}
+    assert set(out) == {1}
+    assert out[1]["holdout_id"] == 100
+    # train doc 1 has 8 distinct words, holdout 100 has 7, all shared → 7/8
+    assert out[1]["jaccard"] == 0.875
+
+
+def test_doc_contamination_no_false_hits_below_threshold(spark):
+    from leaf_spark.operators.curation import doc_contamination
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id bigint, text string"
+    )
+    holdout = spark.createDataFrame(
+        [(9, "alpha epsilon zeta eta")], "doc_id bigint, text string"
+    )
+    # jaccard = 1/7 < 0.5
+    assert doc_contamination(train, holdout, 0.5).count() == 0
+
+
+def test_doc_contamination_plan_broadcasts_holdout_index(spark):
+    from leaf_spark.operators.curation import doc_contamination
+
+    train = spark.createDataFrame(
+        [(1, "a b c"), (2, "c d e")], "doc_id bigint, text string"
+    )
+    holdout = spark.createDataFrame([(9, "a b d")], "doc_id bigint, text string")
+    plan = plan_of(doc_contamination(train, holdout, 0.1))
+    # the holdout word index joins in as a broadcast: the training corpus is
+    # scanned once without shuffling for candidate generation
+    assert "BroadcastHashJoin" in plan
