@@ -278,3 +278,107 @@ def budget_allocation(
             F.col("capped").alias("was_capped"),
         )
     )
+
+
+def _md5_u32(*cols) -> F.Column:
+    """First 8 hex chars of md5(concat_ws(':', cols)) as a bigint in
+    [0, 2^32) — the engine-portable uniform hash (Spark conv ≡ DuckDB
+    '0x'-cast; xxhash64 exists only on the Spark side)."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", *[c.cast("string") for c in cols])), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def rendezvous_shard(
+    df: DataFrame,
+    num_shards: int,
+    id_col: str = "doc_id",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment.
+
+    shard(doc) = argmax over s < num_shards of hash(doc_id, s) — the
+    consistent-placement scheme: when the shard count changes, ONLY rows
+    whose argmax involves the added/removed shard move (1/k of the corpus),
+    versus rehash-everything for ``pmod(hash, k)``. That is what a 100 TB
+    pipeline wants for incremental shard rebalancing and cache affinity.
+
+    A pure per-row projection — zero shuffles; the argmax folds over a
+    k-element array inside whole-stage codegen. Ties (2⁻³² per pair) break
+    toward the lowest shard id, deterministically on both engines.
+    """
+    arr = F.transform(
+        F.sequence(F.lit(0), F.lit(num_shards - 1)),
+        lambda s: F.struct(
+            _md5_u32(F.col(id_col), s).alias("w"), (-s).alias("ns")
+        ),
+    )
+    return df.withColumn(out_col, (-F.array_max(arr)["ns"]).cast("int"))
+
+
+def systematic_sample(
+    df: DataFrame,
+    target: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Systematic (fixed-interval) sampling by cumulative weight: walk the
+    id-ordered corpus and pick a row whenever the running weight total
+    crosses one of ``target`` evenly-spaced thresholds — every selection
+    window contributes proportionally (stratified-in-weight, zero variance
+    across contiguous regions), unlike an iid sample at the same rate.
+
+    All-integer math: a row is selected iff
+    ``(cum*target) div total > ((cum-w)*target) div total`` — bigint
+    division floors on both engines, so the pick set is engine-exact.
+
+    The id-ordered running sum is a single-partition window here (the
+    oracle-checkable form); the scale path swaps it for the q70 two-level
+    distributed prefix-sum (per-range totals → super-range totals → rejoin
+    on uniform range ids) with the same downstream predicate.
+    """
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = df.select(
+        F.col(id_col), F.col(weight_col).cast("bigint").alias("w")
+    ).withColumn("cum", F.sum("w").over(w))
+    tot = cum.agg(F.sum("w").cast("bigint").alias("total"))
+    c = cum.crossJoin(F.broadcast(tot))
+    bucket = F.expr(f"(cum * {target}) div total")
+    prev_bucket = F.expr(f"((cum - w) * {target}) div total")
+    return (
+        c.where(bucket > prev_bucket)
+        .select(id_col, "w", "cum", bucket.cast("bigint").alias("bucket"))
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "ws",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis 2006):
+    each row draws u ~ U(0,1] from its content hash and gets priority
+    -ln(u)/w; the k smallest priorities ARE a weighted sample without
+    replacement. One projection + a top-k (TakeOrderedAndProject — a
+    per-partition heap then a k-row merge, never a global sort): the
+    distributed-sampling staple that replaces sequential reservoirs.
+
+    u derives from the md5 of (salt, id) — deterministic across engines,
+    retries, and partitionings; priorities round to 6 decimals with an id
+    tiebreak so the boundary of the selected set is engine-stable.
+    """
+    u = (_md5_u32(F.lit(salt), F.col(id_col)) + F.lit(1.0)) / F.lit(4294967297.0)
+    pri = F.round(-F.log(u) / F.col(weight_col).cast("double"), 6)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(weight_col).cast("bigint").alias("w"),
+            pri.alias("priority"),
+        )
+        .orderBy("priority", id_col)
+        .limit(k)
+    )

@@ -387,3 +387,144 @@ def q102_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("source") == "src0"),
         threshold=0.8,
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q103 — rendezvous (highest-random-weight) shard assignment
+# ---------------------------------------------------------------------------
+
+_Q103_ORACLE = """
+    with t as (
+      select doc_id,
+             len(string_split_regex(trim(text), '\\s+')) as tok
+      from documents
+    ),
+    r as (
+      select doc_id, tok, s,
+             ('0x' || substr(md5(doc_id || ':' || s), 1, 8))::bigint as w
+      from t cross join (select unnest(range(0, 16)) as s) shards
+    ),
+    pick as (
+      select doc_id, tok, s,
+             row_number() over (partition by doc_id order by w desc, s) as rk
+      from r
+    )
+    select cast(s as int) as shard,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(tok) as bigint) as tok_total
+    from pick where rk = 1 group by s
+"""
+
+
+@register(
+    "q103_rendezvous_shards",
+    _Q103_ORACLE,
+    doc="rendezvous (highest-random-weight) sharding, k=16: consistent "
+    "placement where a shard-count change moves only 1/k of the corpus "
+    "(vs rehash-everything for pmod) — per-shard doc/token balance report. "
+    "Pure projection, zero shuffles before the 16-group rollup "
+    "(operators/sampling.py rendezvous_shard)",
+)
+def q103_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import rendezvous_shard
+
+    t = load_tables(spark, sf_dir, names=("documents",))
+    docs = t["documents"].select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    return (
+        rendezvous_shard(docs, num_shards=16)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("tok_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q104 — systematic (fixed-interval) sampling by token budget
+# ---------------------------------------------------------------------------
+
+_Q104_ORACLE = """
+    with t as (
+      select doc_id,
+             cast(len(string_split_regex(trim(text), '\\s+')) as bigint) as w
+      from documents
+    ),
+    c as (
+      select doc_id, w,
+             cast(sum(w) over (order by doc_id rows unbounded preceding)
+                  as bigint) as cum
+      from t
+    ),
+    tot as (select cast(sum(w) as bigint) as total from t)
+    select doc_id, w, cum,
+           cast((cum * 50) // total as bigint) as bucket
+    from c cross join tot
+    where (cum * 50) // total > ((cum - w) * 50) // total
+"""
+
+
+@register(
+    "q104_systematic_sample",
+    _Q104_ORACLE,
+    doc="systematic sampling by cumulative token weight (50 evenly-spaced "
+    "thresholds over the id-ordered corpus): proportional coverage of "
+    "every contiguous region, zero sampling variance within strata — "
+    "all-bigint division, engine-exact. The running sum is the q70 "
+    "two-level prefix-sum shape at scale "
+    "(operators/sampling.py systematic_sample)",
+)
+def q104_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import systematic_sample
+
+    t = load_tables(spark, sf_dir, names=("documents",))
+    docs = t["documents"].select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    return systematic_sample(docs, target=50, weight_col="tok").select(
+        "doc_id", "w", "cum", "bucket"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q105 — weighted sampling without replacement (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+_Q105_ORACLE = """
+    with t as (
+      select doc_id,
+             cast(len(string_split_regex(trim(text), '\\s+')) as bigint) as w
+      from documents
+    ),
+    pri as (
+      select doc_id, w,
+             round(-ln((('0x' || substr(md5('ws:' || doc_id), 1, 8))::bigint
+                        + 1.0) / 4294967297.0) / w, 6) as priority
+      from t
+    )
+    select doc_id, w, priority
+    from pri
+    order by priority, doc_id
+    limit 100
+"""
+
+
+@register(
+    "q105_weighted_sample",
+    _Q105_ORACLE,
+    doc="weighted sampling without replacement (Efraimidis-Spirakis "
+    "exponential-jumps keys): priority = -ln(u)/w from a content-hash u, "
+    "k smallest priorities = the weighted sample — one projection + "
+    "TakeOrderedAndProject top-k, no global sort, no sequential reservoir "
+    "(operators/sampling.py weighted_sample)",
+)
+def q105_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import weighted_sample
+
+    t = load_tables(spark, sf_dir, names=("documents",))
+    docs = t["documents"].select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    return weighted_sample(docs, k=100, weight_col="tok")

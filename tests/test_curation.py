@@ -168,3 +168,79 @@ def test_doc_contamination_plan_broadcasts_holdout_index(spark):
     # the holdout word index joins in as a broadcast: the training corpus is
     # scanned once without shuffling for candidate generation
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# sampling additions: rendezvous shards / systematic / weighted
+# ---------------------------------------------------------------------------
+
+
+def test_rendezvous_minimal_movement_on_shard_add(spark):
+    from leaf_spark.operators.sampling import rendezvous_shard
+
+    docs = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["shard"] for r in rendezvous_shard(docs, 16).collect()}
+    b = {r["doc_id"]: r["shard"] for r in rendezvous_shard(docs, 17).collect()}
+    moved = [d for d in a if a[d] != b[d]]
+    # the rendezvous property: ONLY rows whose new-shard weight wins move,
+    # E[moved] = n/17 ≈ 23.5 — and every moved row moves TO the new shard
+    assert len(moved) < 400 * 2 / 17
+    assert all(b[d] == 16 for d in moved)
+
+
+def test_rendezvous_balance(spark):
+    from leaf_spark.operators.sampling import rendezvous_shard
+
+    docs = spark.range(0, 1600).withColumnRenamed("id", "doc_id")
+    sizes = [
+        r["n"]
+        for r in rendezvous_shard(docs, 16)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert len(sizes) == 16
+    # uniform hashing: every shard within ±60% of the mean (loose, det. seed)
+    assert min(sizes) > 100 * 0.4 and max(sizes) < 100 * 1.6
+
+
+def test_systematic_sample_count_and_coverage(spark):
+    from leaf_spark.operators.sampling import systematic_sample
+
+    docs = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("tok")
+    )
+    out = systematic_sample(docs, target=25, weight_col="tok").collect()
+    # one pick per crossed threshold: exactly `target` picks when every
+    # weight < step (no double-crossings), distinct buckets
+    assert len(out) == 25
+    assert len({r["bucket"] for r in out}) == 25
+    # proportional coverage: picks spread over the whole id range
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids[0] < 50 and ids[-1] > 450
+
+
+def test_weighted_sample_favors_heavy_rows_and_is_deterministic(spark):
+    from leaf_spark.operators.sampling import weighted_sample
+
+    # 100 heavy rows (w=1000) + 400 light rows (w=1)
+    docs = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, 1000).otherwise(1).alias("tok"),
+    )
+    s1 = [r["doc_id"] for r in weighted_sample(docs, 50, "tok").collect()]
+    s2 = [r["doc_id"] for r in weighted_sample(docs, 50, "tok").collect()]
+    assert s1 == s2  # content-hash priorities: identical across runs
+    heavy = sum(1 for d in s1 if d < 100)
+    # heavy rows hold ~99.6% of total weight → expect nearly all picks
+    assert heavy >= 45
+
+
+def test_weighted_sample_plan_is_topk_not_global_sort(spark):
+    from leaf_spark.operators.sampling import weighted_sample
+
+    docs = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), F.lit(5).alias("tok")
+    )
+    plan = plan_of(weighted_sample(docs, 10, "tok"))
+    assert "TakeOrderedAndProject" in plan
