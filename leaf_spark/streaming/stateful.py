@@ -208,3 +208,54 @@ def streaming_exact_dedup(
     return hashed.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )
+
+
+def stream_stream_attribution(
+    actions: DataFrame,
+    exposures: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "2 hours",
+    action_type: str = "purchase",
+    exposure_type: str = "click",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: attribute each action event
+    to the same user's exposure events in the preceding ``horizon`` — the
+    streaming analog of the batch as-of/interval joins (q65/q66/q82).
+
+    Both sides carry a watermark and the join predicate bounds exposure
+    time to [action - horizon, action], so Spark can evict exposure state
+    once the watermark passes the horizon: state is O(events within the
+    horizon), not O(stream history) — the property that makes a
+    click-to-conversion join runnable forever on a 1000-executor ingest
+    path. The state store shards on user_id, the equi-key the shuffle
+    already hashes on.
+
+    Output (append mode, emitted once both watermarks clear the pair):
+    one row per (action, matching exposure).
+    """
+    a = (
+        actions.where(F.col("event_type") == action_type)
+        .select(
+            F.col("event_id").alias("action_id"),
+            F.col("user_id"),
+            F.col("ts").alias("action_ts"),
+            F.col("value").alias("action_value"),
+        )
+        .withWatermark("action_ts", watermark)
+    )
+    e = (
+        exposures.where(F.col("event_type") == exposure_type)
+        .select(
+            F.col("event_id").alias("exposure_id"),
+            F.col("user_id").alias("e_user_id"),
+            F.col("ts").alias("exposure_ts"),
+        )
+        .withWatermark("exposure_ts", watermark)
+    )
+    return a.join(
+        e,
+        (F.col("user_id") == F.col("e_user_id"))
+        & (F.col("exposure_ts") <= F.col("action_ts"))
+        & (F.col("exposure_ts") >= F.col("action_ts") - F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select("action_id", "user_id", "action_ts", "action_value", "exposure_id", "exposure_ts")

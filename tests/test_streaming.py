@@ -298,3 +298,53 @@ def test_subscription_pagination_complete_under_concurrent_appends(
     finally:
         done.set()
         w.close()
+
+
+def test_stream_stream_attribution_matches_batch_join(spark, events_src_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from leaf_spark.streaming.stateful import (
+        drain,
+        events_stream,
+        stream_stream_attribution,
+    )
+
+    # pick the two most frequent event types in the fixture so the join is
+    # non-trivially populated
+    b = _batch_events(spark, events_src_dir)
+    types = [r["event_type"] for r in
+             b.groupBy("event_type").count().orderBy(F.desc("count")).limit(2).collect()]
+    exposure_t, action_t = types[0], types[1]
+
+    src = events_stream(spark, events_src_dir)
+    joined = stream_stream_attribution(
+        src, src, horizon="30 minutes",
+        action_type=action_t, exposure_type=exposure_t,
+    )
+    drain(joined, str(tmp_path / "ck_ssj"), "ss_attr", output_mode="append")
+    got = {
+        (r["action_id"], r["exposure_id"])
+        for r in spark.table("ss_attr").collect()
+    }
+    assert got, "join produced no pairs — fixture types too sparse"
+
+    a = b.where(F.col("event_type") == action_t).select(
+        F.col("event_id").alias("action_id"), "user_id", F.col("ts").alias("ats")
+    )
+    e = b.where(F.col("event_type") == exposure_t).select(
+        F.col("event_id").alias("exposure_id"),
+        F.col("user_id").alias("eu"),
+        F.col("ts").alias("ets"),
+    )
+    exp = {
+        (r["action_id"], r["exposure_id"])
+        for r in a.join(
+            e,
+            (F.col("user_id") == F.col("eu"))
+            & (F.col("ets") <= F.col("ats"))
+            & (F.col("ets") >= F.col("ats") - F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    }
+    # AvailableNow drains the whole bounded input, so the streaming result
+    # must equal the batch interval join exactly
+    assert got == exp
