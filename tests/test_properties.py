@@ -180,3 +180,135 @@ def test_gopher_filter_total_and_deterministic(spark, texts):
             r["r_bullet"], r["r_alpha_word"], r["r_stopword"],
         ]
         assert r["keep"] == all(rules)
+
+
+# ---------------------------------------------------------------------------
+# round-4 curation/sampling operators: the md5-derived math is engine-
+# portable by design, so a pure-Python oracle can recompute every result
+# EXACTLY (no tolerance) — the strongest determinism property available.
+# ---------------------------------------------------------------------------
+
+import hashlib
+import math
+
+
+def _md5_u32_py(*parts) -> int:
+    return int(hashlib.md5(":".join(str(p) for p in parts).encode()).hexdigest()[:8], 16)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.integers(min_value=5, max_value=60),
+    k=st.integers(min_value=2, max_value=9),
+)
+def test_rendezvous_shard_matches_python_recompute(spark, n, k):
+    from pyspark.sql import functions as F
+
+    from leaf_spark.operators.sampling import rendezvous_shard
+
+    docs = spark.range(0, n).withColumnRenamed("id", "doc_id")
+    got = {r["doc_id"]: r["shard"] for r in rendezvous_shard(docs, k).collect()}
+    for d in range(n):
+        # argmax weight, ties to the lowest shard id
+        exp = max(range(k), key=lambda s: (_md5_u32_py(d, s), -s))
+        assert got[d] == exp
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    weights=st.lists(st.integers(min_value=1, max_value=500), min_size=4, max_size=40),
+    kk=st.integers(min_value=1, max_value=10),
+)
+def test_weighted_sample_matches_python_recompute(spark, weights, kk):
+    from pyspark.sql import functions as F
+
+    from leaf_spark.operators.sampling import weighted_sample
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id bigint, tok bigint")
+    k = min(kk, len(rows))
+    got = [(r["doc_id"], r["priority"]) for r in weighted_sample(df, k, "tok").collect()]
+
+    pri = []
+    for i, w in rows:
+        u = (_md5_u32_py("ws", i) + 1.0) / 4294967297.0
+        pri.append((round(-math.log(u) / float(w), 6), i, w))
+    exp = [(i, p) for p, i, _ in sorted(pri)[:k]]
+    assert got == exp
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    weights=st.lists(st.integers(min_value=1, max_value=200), min_size=3, max_size=40),
+    target=st.integers(min_value=1, max_value=30),
+)
+def test_systematic_sample_matches_python_recompute(spark, weights, target):
+    from leaf_spark.operators.sampling import systematic_sample
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id bigint, tok bigint")
+    got = {(r["doc_id"], r["cum"], r["bucket"])
+           for r in systematic_sample(df, target, "tok").collect()}
+
+    total, cum, exp = sum(weights), 0, set()
+    for i, w in rows:
+        prev = cum
+        cum += w
+        if (cum * target) // total > (prev * target) // total:
+            exp.add((i, cum, (cum * target) // total))
+    assert got == exp
+    # ≤ target picks always; exactly target when no weight spans 2 buckets
+    assert len(got) <= target
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    tr=st.lists(st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=6),
+                min_size=1, max_size=8),
+    ho=st.lists(st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=6),
+                min_size=1, max_size=4),
+)
+def test_doc_contamination_matches_bruteforce(spark, tr, ho):
+    from leaf_spark.operators.curation import doc_contamination
+
+    train = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(tr)], "doc_id bigint, text string"
+    )
+    hold = spark.createDataFrame(
+        [(100 + i, " ".join(ws)) for i, ws in enumerate(ho)], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: (r["holdout_id"], r["jaccard"])
+           for r in doc_contamination(train, hold, threshold=0.0).collect()}
+
+    exp = {}
+    for i, ws in enumerate(tr):
+        a = set(ws)
+        best = None
+        for j, hs in enumerate(ho):
+            b = set(hs)
+            inter = len(a & b)
+            if inter == 0:
+                continue  # the inverted index only surfaces word-sharing pairs
+            jac = round(inter / len(a | b), 6)
+            cand = (jac, -(100 + j))
+            if best is None or cand > best:
+                best = cand
+        if best is not None:
+            exp[i] = (-best[1], best[0])
+    assert got == exp
