@@ -528,3 +528,180 @@ def q105_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("tok")
     )
     return weighted_sample(docs, k=100, weight_col="tok")
+
+
+# ---------------------------------------------------------------------------
+# q106 — feature-hashing (hashing-trick) document vectors
+# ---------------------------------------------------------------------------
+# The driver compares scalars, so the vector is proved bit-exact through an
+# md5 digest of its comma-joined form plus L1/nnz summaries.
+
+_Q106_ORACLE = """
+    with w as (
+      select doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               as ws
+      from documents
+    ),
+    tk as (select doc_id, unnest(ws) as t from w),
+    hb as (
+      select doc_id,
+             ('0x' || substr(md5(t), 1, 8))::bigint % 64 as b,
+             case when ('0x' || substr(md5(t), 9, 1))::bigint % 2 = 0
+                  then 1 else -1 end as s
+      from tk
+    ),
+    agg as (select doc_id, b, cast(sum(s) as bigint) as v from hb group by doc_id, b),
+    grid as (
+      select doc_id, d
+      from (select distinct doc_id from w)
+      cross join (select unnest(range(0, 64)) as d)
+    ),
+    vecs as (
+      select g.doc_id, g.d, coalesce(a.v, 0) as v
+      from grid g left join agg a on a.doc_id = g.doc_id and a.b = g.d
+    ),
+    vl as (select doc_id, list(v order by d) as vec from vecs group by doc_id)
+    select w.doc_id,
+           cast(len(ws) as bigint) as n_tokens,
+           md5(array_to_string(vec, ',')) as vec_md5,
+           cast(list_sum(list_transform(vec, x -> abs(x))) as bigint) as l1,
+           cast(len(list_filter(vec, x -> x <> 0)) as bigint) as nnz
+    from vl join w using (doc_id)
+"""
+
+
+@register(
+    "q106_feature_hash",
+    _Q106_ORACLE,
+    doc="feature-hashing (hashing-trick, Weinberger 2009) 64-dim signed "
+    "document vectors: no vocabulary table, no fitting, no driver state — "
+    "the corpus-scale featurizer. Array-side integer fold, zero shuffles; "
+    "vector proved bit-exact via an md5 digest + L1/nnz "
+    "(operators/curation.py feature_hash_vectors)",
+)
+def q106_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import feature_hash_vectors
+
+    t = load_tables(spark, sf_dir, names=("documents",))
+    v = feature_hash_vectors(t["documents"], dims=64)
+    return v.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        F.md5(F.array_join(F.transform("vector", lambda x: x.cast("string")), ","))
+        .alias("vec_md5"),
+        F.aggregate(
+            "vector", F.lit(0).cast("bigint"), lambda acc, x: acc + F.abs(x)
+        ).alias("l1"),
+        F.size(F.filter("vector", lambda x: x != 0)).cast("bigint").alias("nnz"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q107 — cross-source corpus-overlap matrix (dataset-card diagnostics)
+# ---------------------------------------------------------------------------
+
+_Q107_SPARK = """
+    with w as (
+      select distinct source, word
+      from (select source,
+                   explode(array_distinct(split(trim(lower(text)), '\\\\s+'))) as word
+            from documents)
+    ),
+    sz as (select source, count(*) as sz from w group by source),
+    inter as (
+      select a.source as src_a, b.source as src_b, count(*) as n_common
+      from w a join w b on a.word = b.word and a.source < b.source
+      group by a.source, b.source
+    )
+    select src_a, src_b,
+           cast(n_common as bigint) as n_common,
+           round(cast(n_common as double) / (sa.sz + sb.sz - n_common), 6)
+             as jaccard,
+           round(cast(n_common as double) /
+                 (case when sa.sz <= sb.sz then sa.sz else sb.sz end), 6)
+             as containment
+    from inter
+    join sz sa on sa.source = src_a
+    join sz sb on sb.source = src_b
+"""
+
+_Q107_DUCK = """
+    with w as (
+      select distinct source, word
+      from (select source,
+                   unnest(list_distinct(
+                     string_split_regex(trim(lower(text)), '\\s+'))) as word
+            from documents)
+    ),
+    sz as (select source, count(*) as sz from w group by source),
+    inter as (
+      select a.source as src_a, b.source as src_b, count(*) as n_common
+      from w a join w b on a.word = b.word and a.source < b.source
+      group by a.source, b.source
+    )
+    select src_a, src_b,
+           cast(n_common as bigint) as n_common,
+           round(cast(n_common as double) / (sa.sz + sb.sz - n_common), 6)
+             as jaccard,
+           round(cast(n_common as double) /
+                 (case when sa.sz <= sb.sz then sa.sz else sb.sz end), 6)
+             as containment
+    from inter
+    join sz sa on sa.source = src_a
+    join sz sb on sb.source = src_b
+"""
+
+sql_case(
+    "q107_source_overlap",
+    _Q107_SPARK,
+    _Q107_DUCK,
+    doc="cross-source vocabulary-overlap matrix (jaccard + containment per "
+    "source pair): the dataset-card diagnostic for redundant/derived "
+    "sources before mixing. Inverted word index join — never a doc or "
+    "source cross product; at 100 TB the distinct (source, word) projection "
+    "is Zipf-bounded and the pair aggregation keys on (src_a, src_b)",
+)
+
+
+# ---------------------------------------------------------------------------
+# q108 — sequence-packing efficiency report (padding waste per source)
+# ---------------------------------------------------------------------------
+
+_Q108_BODY = """
+    with t as (
+      select source,
+             cast(len(string_split_regex(trim(text), '\\s+')) as bigint) as tok
+      from documents
+    ),
+    per as (
+      select source, tok,
+             cast(ceil(tok / 512.0) as bigint) as n_seq
+      from t
+    )
+    select source,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(tok) as bigint) as tok_total,
+           cast(sum(n_seq) as bigint) as seqs_unpacked,
+           cast(sum(n_seq) * 512 - sum(tok) as bigint) as pad_unpacked,
+           cast(ceil(sum(tok) / 512.0) as bigint) as seqs_packed_lb,
+           round(cast(sum(tok) as double) / (sum(n_seq) * 512), 6)
+             as fill_unpacked,
+           round(cast(sum(tok) as double)
+                 / (cast(ceil(sum(tok) / 512.0) as bigint) * 512), 6)
+             as fill_packed_lb
+    from per group by source
+"""
+
+sql_case(
+    "q108_packing_efficiency",
+    _Q108_BODY.replace(
+        "len(string_split_regex(trim(text), '\\s+'))",
+        "size(split(trim(text), '\\\\s+'))",
+    ),
+    _Q108_BODY,
+    doc="sequence-packing efficiency report at max_len=512: per-source "
+    "padding waste of one-doc-per-sequence vs the packed lower bound "
+    "ceil(total/512) — the fill-rate numbers that justify running the q70 "
+    "packer. All-bigint arithmetic on exact token counts",
+)

@@ -244,3 +244,37 @@ def test_weighted_sample_plan_is_topk_not_global_sort(spark):
     )
     plan = plan_of(weighted_sample(docs, 10, "tok"))
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# feature hashing
+# ---------------------------------------------------------------------------
+
+
+def test_feature_hash_matches_python_recompute(spark):
+    import hashlib
+
+    from leaf_spark.operators.curation import feature_hash_vectors
+
+    texts = [(0, "alpha beta alpha gamma"), (1, "beta beta delta"), (2, "zz")]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    got = {r["id"]: (list(r["vector"]), r["n_tokens"])
+           for r in feature_hash_vectors(df, dims=8).collect()}
+
+    for i, text in texts:
+        vec = [0] * 8
+        toks = text.split(" ")
+        for t in toks:
+            h = hashlib.md5(t.encode()).hexdigest()
+            b = int(h[:8], 16) % 8
+            s = 1 if int(h[8], 16) % 2 == 0 else -1
+            vec[b] += s
+        assert got[i] == (vec, len(toks)), f"doc {i}"
+
+
+def test_feature_hash_plan_has_no_shuffle(spark):
+    from leaf_spark.operators.curation import feature_hash_vectors
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id bigint, text string")
+    plan = plan_of(feature_hash_vectors(df, dims=8))
+    assert "Exchange" not in plan  # pure projection — the 100 TB contract
