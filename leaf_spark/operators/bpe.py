@@ -1,0 +1,158 @@
+"""Distributed BPE merge learning (Sennrich et al. 2016) — tokenizer
+training as a Spark dataflow.
+
+BPE never touches the corpus after one pass: merges are learned over the
+**word-frequency table** (Zipf-bounded — a 100 TB corpus still has a vocab
+that fits comfortably in executor memory), which is why it scales: the
+corpus contributes ONE token-count shuffle, then every merge iteration is
+(a) a pair-count aggregation over the vocab rows weighted by word
+frequency (map-side combined, k×|pairs| bounded) and (b) an array-side
+merge application — a pure projection over the vocab table, no shuffle.
+The driver loop holds only the learned merge list; the vocab DataFrame is
+localCheckpoint'd per iteration to keep lineage flat (the same pattern as
+clustering.kmeans / graph.pagerank_quantized).
+
+Determinism: the winning pair maximizes (count, then lexicographically
+smallest left, then right) — engine-stable. Merge application is greedy
+left-to-right, which for a != b equals "merge every match simultaneously"
+(matches cannot overlap), and for a == b equals "every other match within
+each run of equal symbols" — both expressible as pure list expressions, so
+a DuckDB oracle replays the exact same merges (queries_curation.py q109).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def word_vocab(
+    df: DataFrame, text_col: str = "text", min_freq: int = 1
+) -> DataFrame:
+    """(word, freq) over the whitespace-tokenized lowercased corpus — the
+    single corpus-wide shuffle of BPE training."""
+    toks = F.explode(
+        F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    )
+    out = (
+        df.select(toks.alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    return out.where(F.col("freq") >= min_freq) if min_freq > 1 else out
+
+
+def chars_with_terminal(word: Column) -> Column:
+    """Symbol sequence: one symbol per character plus the '</w>' terminal
+    (portable: built by index, not by a ''-split whose edge behavior
+    differs across engines)."""
+    return F.concat(
+        F.transform(
+            F.sequence(F.lit(1), F.length(word)), lambda i: F.substring(word, i, 1)
+        ),
+        F.array(F.lit("</w>")),
+    )
+
+
+def apply_merge(syms: Column, left: Column, right: Column) -> Column:
+    """Greedy left-to-right application of one merge to a symbol array,
+    as a pure list expression (no fold, no UDF).
+
+    Matches at i (syms[i]=left, syms[i+1]=right) can only overlap when
+    left == right; greedy then merges every other match inside each run of
+    equal symbols (parity of i - run_start). For left != right all matches
+    merge. Rebuild keeps non-participating symbols, emits the merged token
+    at each selected i, and drops the absorbed i+1.
+    """
+    n = F.size(syms)
+    el = lambda i: F.element_at(syms, i)  # noqa: E731  1-based
+
+    def is_match(i: Column) -> Column:
+        return (el(i) == left) & (el(i + F.lit(1)) == right)
+
+    # run_start(i): smallest r with syms[r..i] all == left (only meaningful
+    # when left == right); max non-left position before i, +1
+    def run_start(i: Column) -> Column:
+        prior_break = F.array_max(
+            F.filter(
+                F.sequence(F.lit(1), i),
+                lambda j: (j < i) & (F.element_at(syms, j) != left),
+            )
+        )
+        return F.coalesce(prior_break + F.lit(1), F.lit(1))
+
+    def selected(i: Column) -> Column:
+        return is_match(i) & (
+            (left != right) | (F.pmod(i - run_start(i), F.lit(2)) == 0)
+        )
+
+    sel = F.filter(F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))), selected)
+    merged = F.concat(left, right)
+    rebuilt = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.when(F.array_contains(sel, i), merged)
+            .when(F.array_contains(sel, i - F.lit(1)), F.lit(None))
+            .otherwise(el(i)),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    return F.when(n >= 2, rebuilt).otherwise(syms)
+
+
+def bpe_merges(
+    docs: DataFrame,
+    num_merges: int = 3,
+    text_col: str = "text",
+    min_freq: int = 1,
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merges over the corpus.
+
+    Returns one row per merge: (rank, left, right, merged, pair_count,
+    corpus_syms_after) where corpus_syms_after = Σ freq·|symbols| after the
+    merge — the compression curve a tokenizer report plots.
+    """
+    spark = docs.sparkSession
+    vocab = (
+        word_vocab(docs, text_col, min_freq)
+        .select("freq", chars_with_terminal(F.col("word")).alias("syms"))
+        .localCheckpoint()
+    )
+    results = []
+    for rank in range(1, num_merges + 1):
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size("syms") - 1, F.lit(1))),
+                    lambda i: F.struct(
+                        F.element_at("syms", i).alias("l"),
+                        F.element_at("syms", i + F.lit(1)).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+        ).where(F.col("p.r").isNotNull())
+        best = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()[0]
+        )
+        vocab = vocab.select(
+            "freq",
+            apply_merge(F.col("syms"), F.lit(best["l"]), F.lit(best["r"])).alias(
+                "syms"
+            ),
+        ).localCheckpoint()
+        total_after = vocab.agg(
+            F.sum(F.col("freq") * F.size("syms")).cast("bigint")
+        ).collect()[0][0]
+        results.append(
+            (rank, best["l"], best["r"], best["l"] + best["r"], best["cnt"], total_after)
+        )
+    return spark.createDataFrame(
+        results,
+        "rank int, left string, right string, merged string, "
+        "pair_count bigint, corpus_syms_after bigint",
+    )

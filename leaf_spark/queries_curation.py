@@ -705,3 +705,105 @@ sql_case(
     "ceil(total/512) — the fill-rate numbers that justify running the q70 "
     "packer. All-bigint arithmetic on exact token counts",
 )
+
+
+# ---------------------------------------------------------------------------
+# q109 — distributed BPE merge learning (tokenizer training)
+# ---------------------------------------------------------------------------
+# The oracle unrolls 3 merge iterations. Merge application mirrors
+# operators/bpe.py apply_merge exactly: for left != right every match
+# merges simultaneously (matches cannot overlap); for left == right every
+# other match inside each equal-symbol run (parity of i - run_start).
+
+
+def _q109_duck_iteration(src: str, dst: str, merge: str) -> str:
+    """One BPE iteration: pick the argmax pair from ``src``, apply it,
+    yielding vocab ``dst`` and merge record ``merge``."""
+    return f"""
+    {merge}_p as (
+      select syms[i] as l, syms[i + 1] as r, sum(freq) as cnt
+      from (select freq, syms, unnest(range(1, len(syms))) as i from {src})
+      group by 1, 2
+    ),
+    {merge} as (
+      select l, r, cast(cnt as bigint) as cnt
+      from {merge}_p order by cnt desc, l, r limit 1
+    ),
+    {dst} as (
+      select freq,
+        list_filter(
+          list_transform(range(1, len(syms) + 1), i ->
+            case
+              when list_contains(sel, i) then m.l || m.r
+              when list_contains(sel, i - 1) then null
+              else syms[i]
+            end),
+          x -> x is not null) as syms
+      from (
+        select freq, syms,
+          list_filter(range(1, len(syms)), i ->
+            syms[i] = m.l and syms[i + 1] = m.r
+            and (m.l <> m.r
+                 or (i - (coalesce(list_max(list_filter(range(1, i),
+                            j -> syms[j] <> m.l)), 0) + 1)) % 2 = 0)
+          ) as sel
+        from {src} cross join {merge} m
+      ) cross join {merge} m
+    )"""
+
+
+_Q109_ORACLE = (
+    """
+    with v0 as (
+      select cast(count(*) as bigint) as freq,
+             list_transform(range(1, len(word) + 1), i -> word[i]) || ['</w>']
+               as syms
+      from (
+        select unnest(string_split_regex(trim(regexp_replace(lower(text),
+                 '\\s+', ' ', 'g')), ' ')) as word
+        from documents
+      )
+      where word <> ''
+      group by word
+    ),"""
+    + _q109_duck_iteration("v0", "v1", "m1")
+    + ","
+    + _q109_duck_iteration("v1", "v2", "m2")
+    + ","
+    + _q109_duck_iteration("v2", "v3", "m3")
+    + """
+    select * from (
+      select 1 as rank, m.l as left, m.r as right, m.l || m.r as merged,
+             m.cnt as pair_count,
+             (select cast(sum(freq * len(syms)) as bigint) from v1)
+               as corpus_syms_after
+      from m1 m
+      union all
+      select 2, m.l, m.r, m.l || m.r, m.cnt,
+             (select cast(sum(freq * len(syms)) as bigint) from v2)
+      from m2 m
+      union all
+      select 3, m.l, m.r, m.l || m.r, m.cnt,
+             (select cast(sum(freq * len(syms)) as bigint) from v3)
+      from m3 m
+    )
+"""
+)
+
+
+@register(
+    "q109_bpe_merges",
+    _Q109_ORACLE,
+    doc="distributed BPE merge learning (Sennrich 2016): 3 merges over the "
+    "Zipf-bounded word-frequency table — per iteration one bounded pair-"
+    "count aggregation + an array-side merge application (no corpus "
+    "re-scan, no shuffle beyond the initial word count). Deterministic "
+    "argmax (count desc, pair lexicographic); greedy merge semantics "
+    "proven list-parallel and replayed exactly by the oracle "
+    "(operators/bpe.py)",
+)
+def q109_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bpe import bpe_merges
+
+    t = load_tables(spark, sf_dir, names=("documents",))
+    return bpe_merges(t["documents"], num_merges=3)

@@ -278,3 +278,48 @@ def test_feature_hash_plan_has_no_shuffle(spark):
     df = spark.createDataFrame([(0, "a b c")], "doc_id bigint, text string")
     plan = plan_of(feature_hash_vectors(df, dims=8))
     assert "Exchange" not in plan  # pure projection — the 100 TB contract
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_apply_merge_simple_and_run_parity(spark):
+    from pyspark.sql import functions as F
+
+    from leaf_spark.operators.bpe import apply_merge
+
+    rows = [
+        (1, ["a", "b", "c", "a", "b"]),   # two non-overlapping (a,b) matches
+        (2, ["a", "a", "a"]),             # run of 3 'a': greedy → [aa, a]
+        (3, ["a", "a", "a", "a"]),        # run of 4: → [aa, aa]
+        (4, ["x", "y"]),                  # no match → unchanged
+    ]
+    df = spark.createDataFrame(rows, "id int, syms array<string>")
+    ab = {r["id"]: list(r["m"]) for r in df.select(
+        "id", apply_merge(F.col("syms"), F.lit("a"), F.lit("b")).alias("m")).collect()}
+    assert ab[1] == ["ab", "c", "ab"]
+    assert ab[4] == ["x", "y"]
+    aa = {r["id"]: list(r["m"]) for r in df.select(
+        "id", apply_merge(F.col("syms"), F.lit("a"), F.lit("a")).alias("m")).collect()}
+    assert aa[2] == ["aa", "a"]
+    assert aa[3] == ["aa", "aa"]
+    assert aa[1] == ["a", "b", "c", "a", "b"]  # no adjacent equal 'a's
+
+
+def test_bpe_merges_hand_computed(spark):
+    from leaf_spark.operators.bpe import bpe_merges
+
+    # corpus: "low low low lower" → vocab {low:3, lower:1}
+    # symbols: l,o,w,</w> ×3 and l,o,w,e,r,</w> ×1
+    # pair counts: (l,o)=4, (o,w)=4, (w,</w>)=3, (w,e)=1, (e,r)=1, (r,</w>)=1
+    # tie (l,o) vs (o,w) → lexicographic: 'l' < 'o' → merge 1 = (l,o)
+    # then (lo,w)=4 wins → merge 2 = (lo,w)
+    docs = spark.createDataFrame([(1, "low low low lower")], "id int, text string")
+    out = {r["rank"]: r for r in bpe_merges(docs, num_merges=2).collect()}
+    assert (out[1]["left"], out[1]["right"], out[1]["pair_count"]) == ("l", "o", 4)
+    assert (out[2]["left"], out[2]["right"], out[2]["pair_count"]) == ("lo", "w", 4)
+    # after merge 2: low→[low,</w>] (2 syms ×3 words? no: freq-weighted)
+    # vocab after m2: {low: [low,</w>] f3, lower: [low,e,r,</w>] f1}
+    assert out[2]["corpus_syms_after"] == 3 * 2 + 1 * 4
