@@ -100,22 +100,18 @@ def apply_merge(syms: Column, left: Column, right: Column) -> Column:
     return F.when(n >= 2, rebuilt).otherwise(syms)
 
 
-def bpe_merges(
+def _learn(
     docs: DataFrame,
-    num_merges: int = 3,
-    text_col: str = "text",
-    min_freq: int = 1,
-) -> DataFrame:
-    """Learn ``num_merges`` BPE merges over the corpus.
-
-    Returns one row per merge: (rank, left, right, merged, pair_count,
-    corpus_syms_after) where corpus_syms_after = Σ freq·|symbols| after the
-    merge — the compression curve a tokenizer report plots.
-    """
-    spark = docs.sparkSession
+    num_merges: int,
+    text_col: str,
+    min_freq: int,
+) -> tuple[DataFrame, list[tuple]]:
+    """Run the merge-learning loop. Returns (final vocab DataFrame with
+    (word, freq, syms), merge records). Driver state per iteration is one
+    collected row (the argmax pair) — the kmeans/pagerank pattern."""
     vocab = (
         word_vocab(docs, text_col, min_freq)
-        .select("freq", chars_with_terminal(F.col("word")).alias("syms"))
+        .select("word", "freq", chars_with_terminal(F.col("word")).alias("syms"))
         .localCheckpoint()
     )
     results = []
@@ -140,6 +136,7 @@ def bpe_merges(
             .collect()[0]
         )
         vocab = vocab.select(
+            "word",
             "freq",
             apply_merge(F.col("syms"), F.lit(best["l"]), F.lit(best["r"])).alias(
                 "syms"
@@ -151,8 +148,66 @@ def bpe_merges(
         results.append(
             (rank, best["l"], best["r"], best["l"] + best["r"], best["cnt"], total_after)
         )
-    return spark.createDataFrame(
+    return vocab, results
+
+
+def bpe_merges(
+    docs: DataFrame,
+    num_merges: int = 3,
+    text_col: str = "text",
+    min_freq: int = 1,
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merges over the corpus.
+
+    Returns one row per merge: (rank, left, right, merged, pair_count,
+    corpus_syms_after) where corpus_syms_after = Σ freq·|symbols| after the
+    merge — the compression curve a tokenizer report plots.
+    """
+    _, results = _learn(docs, num_merges, text_col, min_freq)
+    return docs.sparkSession.createDataFrame(
         results,
         "rank int, left string, right string, merged string, "
         "pair_count bigint, corpus_syms_after bigint",
+    )
+
+
+def bpe_encode_stats(
+    docs: DataFrame,
+    num_merges: int = 3,
+    text_col: str = "text",
+    group_col: str = "source",
+    min_freq: int = 1,
+) -> DataFrame:
+    """Apply the learned merges back to the corpus and report per-group
+    tokenization stats: word count, subword-token count, tokens-per-word.
+
+    The encode step never re-segments corpus text: each word joins the
+    (Zipf-bounded, broadcastable) encoded vocab — word → |symbols| — so
+    the corpus-side cost is one token projection + one broadcast join, the
+    same shape a production tokenizer-application job has.
+    """
+    vocab, _ = _learn(docs, num_merges, text_col, min_freq)
+    wmap = vocab.select("word", F.size("syms").alias("n_sub"))
+    words = (
+        docs.select(
+            F.col(group_col),
+            F.explode(
+                F.split(
+                    F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+                    " ",
+                )
+            ).alias("word"),
+        )
+        .where(F.col("word") != "")
+    )
+    return (
+        words.join(F.broadcast(wmap), "word")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("subword_tokens"),
+            F.round(
+                F.sum("n_sub").cast("double") / F.count(F.lit(1)), 6
+            ).alias("toks_per_word"),
+        )
     )

@@ -730,7 +730,7 @@ def _q109_duck_iteration(src: str, dst: str, merge: str) -> str:
       from {merge}_p order by cnt desc, l, r limit 1
     ),
     {dst} as (
-      select freq,
+      select word, freq,
         list_filter(
           list_transform(range(1, len(syms) + 1), i ->
             case
@@ -740,7 +740,7 @@ def _q109_duck_iteration(src: str, dst: str, merge: str) -> str:
             end),
           x -> x is not null) as syms
       from (
-        select freq, syms,
+        select word, freq, syms,
           list_filter(range(1, len(syms)), i ->
             syms[i] = m.l and syms[i + 1] = m.r
             and (m.l <> m.r
@@ -755,7 +755,7 @@ def _q109_duck_iteration(src: str, dst: str, merge: str) -> str:
 _Q109_ORACLE = (
     """
     with v0 as (
-      select cast(count(*) as bigint) as freq,
+      select word, cast(count(*) as bigint) as freq,
              list_transform(range(1, len(word) + 1), i -> word[i]) || ['</w>']
                as syms
       from (
@@ -807,3 +807,61 @@ def q109_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, names=("documents",))
     return bpe_merges(t["documents"], num_merges=3)
+
+
+# ---------------------------------------------------------------------------
+# q110 — BPE encoding: apply the learned merges, per-source compression
+# ---------------------------------------------------------------------------
+
+_Q110_ORACLE = (
+    """
+    with v0 as (
+      select word, cast(count(*) as bigint) as freq,
+             list_transform(range(1, len(word) + 1), i -> word[i]) || ['</w>']
+               as syms
+      from (
+        select unnest(string_split_regex(trim(regexp_replace(lower(text),
+                 '\\s+', ' ', 'g')), ' ')) as word
+        from documents
+      )
+      where word <> ''
+      group by word
+    ),"""
+    + _q109_duck_iteration("v0", "v1", "m1")
+    + ","
+    + _q109_duck_iteration("v1", "v2", "m2")
+    + ","
+    + _q109_duck_iteration("v2", "v3", "m3")
+    + """,
+    wm as (select word, len(syms) as n_sub from v3),
+    dw as (
+      select source,
+             unnest(string_split_regex(trim(regexp_replace(lower(text),
+               '\\s+', ' ', 'g')), ' ')) as word
+      from documents
+    )
+    select source,
+           cast(count(*) as bigint) as n_words,
+           cast(sum(n_sub) as bigint) as subword_tokens,
+           round(cast(sum(n_sub) as double) / count(*), 6) as toks_per_word
+    from dw join wm using (word)
+    where word <> ''
+    group by source
+"""
+)
+
+
+@register(
+    "q110_bpe_encode",
+    _Q110_ORACLE,
+    doc="BPE encoding (the apply side of q109): corpus words join the "
+    "Zipf-bounded encoded vocab (word → subword count) via broadcast — "
+    "one token projection + one broadcast join, no per-word re-segmentation "
+    "corpus-side. Per-source tokens-per-word compression report "
+    "(operators/bpe.py bpe_encode_stats)",
+)
+def q110_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bpe import bpe_encode_stats
+
+    t = load_tables(spark, sf_dir, names=("documents",))
+    return bpe_encode_stats(t["documents"], num_merges=3)

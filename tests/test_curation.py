@@ -323,3 +323,19 @@ def test_bpe_merges_hand_computed(spark):
     # after merge 2: low→[low,</w>] (2 syms ×3 words? no: freq-weighted)
     # vocab after m2: {low: [low,</w>] f3, lower: [low,e,r,</w>] f1}
     assert out[2]["corpus_syms_after"] == 3 * 2 + 1 * 4
+
+
+def test_bpe_encode_stats_hand_computed(spark):
+    from leaf_spark.operators.bpe import bpe_encode_stats
+
+    # sources: s1 = "low low", s2 = "lower"
+    # merges over joint corpus {low:2, lower:1}: (l,o)=3 then (lo,w)=3
+    # after 2 merges: low → [low, </w>] (2), lower → [low, e, r, </w>] (4)
+    docs = spark.createDataFrame(
+        [(1, "low low", "s1"), (2, "lower", "s2")], "id int, text string, source string"
+    )
+    out = {r["source"]: r for r in bpe_encode_stats(docs, num_merges=2).collect()}
+    assert (out["s1"]["n_words"], out["s1"]["subword_tokens"]) == (2, 4)
+    assert (out["s2"]["n_words"], out["s2"]["subword_tokens"]) == (1, 4)
+    assert out["s1"]["toks_per_word"] == 2.0
+    assert out["s2"]["toks_per_word"] == 4.0
