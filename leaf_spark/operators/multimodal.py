@@ -179,3 +179,115 @@ def synthesize_assets(docs: DataFrame, text_col: str = "text", id_col: str = "do
         .alias("kind"),
         F.encode(F.col(text_col), "UTF-8").alias("content"),
     )
+
+
+AUDIO_META_SCHEMA = (
+    "asset_id bigint, n_bytes bigint, sample_rate int, channels int, "
+    "bits_per_sample int, duration_ms bigint, decode_ok boolean"
+)
+
+THUMB_SCHEMA = "asset_id bigint, thumb binary, thumb_w int, thumb_h int, real_resize boolean"
+
+
+def parse_wav_header(content: bytes) -> tuple[int, int, int, int] | None:
+    """(sample_rate, channels, bits_per_sample, duration_ms) from a
+    RIFF/WAVE header, pure Python — None for non-WAV payloads. Header-only,
+    like parse_image_header: reads the fmt chunk, never the samples."""
+    if len(content) < 44 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    i = 12
+    fmt = None
+    data_len = None
+    while i + 8 <= len(content):
+        chunk_id = content[i : i + 4]
+        (chunk_len,) = struct.unpack("<I", content[i + 4 : i + 8])
+        if chunk_id == b"fmt " and i + 8 + 16 <= len(content):
+            channels, rate = struct.unpack("<HI", content[i + 10 : i + 16])
+            (bits,) = struct.unpack("<H", content[i + 22 : i + 24])
+            fmt = (rate, channels, bits)
+        elif chunk_id == b"data":
+            data_len = chunk_len
+        i += 8 + chunk_len + (chunk_len % 2)  # chunks are word-aligned
+    if fmt is None:
+        return None
+    rate, channels, bits = fmt
+    if not rate or not channels or not bits:
+        return None
+    n_frames = (data_len or 0) // max(1, channels * bits // 8)
+    return rate, channels, bits, n_frames * 1000 // rate
+
+
+def extract_audio_metadata(assets: DataFrame) -> DataFrame:
+    """BINARY audio content → typed metadata, Arrow-batched. Real RIFF/WAV
+    header parse when the payload is WAV; deterministic sha-derived fake
+    otherwise (the documented stub branch for compressed codecs — a real
+    deployment swaps in soundfile/ffprobe with the identical shape)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(content) if content is not None else b""
+                parsed = parse_wav_header(b)
+                if parsed is not None:
+                    rate, ch, bits, dur = parsed
+                    ok = True
+                else:
+                    h = hashlib.sha256(b).digest()
+                    rate = (8000, 16000, 22050, 44100)[h[0] % 4]
+                    ch = 1 + h[1] % 2
+                    bits = 16
+                    dur = 100 + struct.unpack(">H", h[2:4])[0] % 10_000
+                    ok = False
+                rows.append((int(asset_id), len(b), rate, ch, bits, dur, ok))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "n_bytes",
+                    "sample_rate",
+                    "channels",
+                    "bits_per_sample",
+                    "duration_ms",
+                    "decode_ok",
+                ],
+            )
+
+    return assets.select("asset_id", "content").mapInPandas(
+        batches, schema=AUDIO_META_SCHEMA
+    )
+
+
+def make_thumbnails(assets: DataFrame, max_side: int = 32) -> DataFrame:
+    """Image-resize kernel: PIL path does a real thumbnail (returned as PNG
+    bytes); payloads PIL can't open get a deterministic 1×1 fake. The
+    output carries the resized BINARY — unlike the metadata ops this one is
+    allowed to shuffle its (small) thumbnails; the source bytes still never
+    leave the scan partition."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in it:
+            rows = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(content) if content is not None else b""
+                out = None
+                if _PILImage is not None and b:
+                    try:
+                        with _PILImage.open(io.BytesIO(b)) as im:
+                            im.thumbnail((max_side, max_side))
+                            buf = io.BytesIO()
+                            im.save(buf, format="PNG")
+                            out = (buf.getvalue(), im.width, im.height, True)
+                    except Exception:
+                        out = None
+                if out is None:
+                    # deterministic fake: 1x1 'pixel' derived from the hash
+                    out = (hashlib.sha256(b).digest()[:4], 1, 1, False)
+                rows.append((int(asset_id), *out))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "thumb", "thumb_w", "thumb_h", "real_resize"]
+            )
+
+    return assets.select("asset_id", "content").mapInPandas(batches, schema=THUMB_SCHEMA)

@@ -213,6 +213,69 @@ def test_pil_decode_path():
     assert (w, h, c, ok) == (20, 10, 4, True)
 
 
+def _wav_bytes(rate=16000, channels=1, bits=16, n_frames=1600):
+    import struct as _s
+
+    data = b"\x00" * (n_frames * channels * bits // 8)
+    fmt = _s.pack("<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
+                  channels * bits // 8, bits)
+    body = b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt \
+           + b"data" + _s.pack("<I", len(data)) + data
+    return b"RIFF" + _s.pack("<I", len(body)) + body
+
+
+def test_wav_header_parser_and_audio_metadata(spark):
+    """RIFF/WAV headers parse to true (rate, channels, bits, duration) with
+    zero dependencies; non-WAV payloads take the deterministic fake branch
+    with decode_ok=false."""
+    from leaf_spark.operators.multimodal import (
+        extract_audio_metadata,
+        parse_wav_header,
+    )
+
+    wav = _wav_bytes(rate=16000, channels=2, bits=16, n_frames=8000)
+    assert parse_wav_header(wav) == (16000, 2, 16, 500)  # 8000 frames @ 16k
+    assert parse_wav_header(b"not audio") is None
+    assert parse_wav_header(b"") is None
+
+    assets = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"mp3-ish junk"))],
+        "asset_id bigint, content binary",
+    )
+    rows = {r["asset_id"]: r for r in extract_audio_metadata(assets).collect()}
+    assert rows[1]["decode_ok"]
+    assert (rows[1]["sample_rate"], rows[1]["channels"], rows[1]["duration_ms"]) == (
+        16000, 2, 500)
+    assert not rows[2]["decode_ok"]
+    assert rows[2]["sample_rate"] in (8000, 16000, 22050, 44100)  # det. fake
+
+
+def test_thumbnail_kernel(spark):
+    """PIL present → real resize with bounded dims; absent (or junk input)
+    → deterministic 1x1 fake. Either way the plumbing emits the narrow
+    thumbnail schema."""
+    from leaf_spark.operators.multimodal import (
+        REAL_DECODERS_AVAILABLE,
+        make_thumbnails,
+    )
+
+    png = _png_bytes(64, 32, color_type=6)
+    assets = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(b"junk"))],
+        "asset_id bigint, content binary",
+    )
+    rows = {r["asset_id"]: r for r in make_thumbnails(assets, max_side=16).collect()}
+    assert not rows[2]["real_resize"]
+    assert (rows[2]["thumb_w"], rows[2]["thumb_h"]) == (1, 1)
+    if REAL_DECODERS_AVAILABLE:
+        assert rows[1]["real_resize"]
+        assert max(rows[1]["thumb_w"], rows[1]["thumb_h"]) <= 16
+        assert bytes(rows[1]["thumb"])[:8] == b"\x89PNG\r\n\x1a\n"
+    # determinism: same input → same fake bytes
+    again = {r["asset_id"]: r for r in make_thumbnails(assets, max_side=16).collect()}
+    assert bytes(again[2]["thumb"]) == bytes(rows[2]["thumb"])
+
+
 # --- skew mitigation ---------------------------------------------------------
 
 
