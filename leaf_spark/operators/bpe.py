@@ -128,13 +128,16 @@ def _learn(
                 )
             ).alias("p"),
         ).where(F.col("p.r").isNotNull())
-        best = (
+        top = (
             pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("freq").cast("bigint").alias("cnt"))
             .orderBy(F.desc("cnt"), "l", "r")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not top:  # every word fully merged — nothing left to learn
+            break
+        best = top[0]
         vocab = vocab.select(
             "word",
             "freq",

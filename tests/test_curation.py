@@ -339,3 +339,14 @@ def test_bpe_encode_stats_hand_computed(spark):
     assert (out["s2"]["n_words"], out["s2"]["subword_tokens"]) == (1, 4)
     assert out["s1"]["toks_per_word"] == 2.0
     assert out["s2"]["toks_per_word"] == 4.0
+
+
+def test_bpe_stops_when_vocab_fully_merged(spark):
+    from leaf_spark.operators.bpe import bpe_merges
+
+    # one word "a" → [a, </w>]: merge 1 = (a, </w>); then no pairs remain.
+    docs = spark.createDataFrame([(1, "a a")], "id int, text string")
+    out = bpe_merges(docs, num_merges=5).collect()
+    assert len(out) == 1
+    assert (out[0]["left"], out[0]["right"]) == ("a", "</w>")
+    assert out[0]["corpus_syms_after"] == 2  # "a</w>" ×2 words → 1 sym ×2

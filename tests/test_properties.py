@@ -312,3 +312,70 @@ def test_doc_contamination_matches_bruteforce(spark, tr, ho):
         if best is not None:
             exp[i] = (-best[1], best[0])
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# BPE: the Spark dataflow must reproduce the canonical sequential algorithm
+# ---------------------------------------------------------------------------
+
+
+def _bpe_python(words: list[str], k: int):
+    """Reference implementation — straight from the Sennrich pseudocode:
+    sequential greedy merge application, argmax by (count, lexicographic)."""
+    from collections import Counter
+
+    vocab = {}
+    for w in words:
+        vocab[w] = vocab.get(w, 0) + 1
+    seqs = {w: [*w, "</w>"] for w in vocab}
+    merges = []
+    for _ in range(k):
+        counts = Counter()
+        for w, f in vocab.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += f
+        if not counts:
+            break
+        best = max(counts.items(), key=lambda kv: (kv[1], [-ord(c) for c in kv[0][0]], ))
+        # argmax: count desc, then lexicographically smallest (l, r)
+        top = max(counts.values())
+        cand = sorted([p for p, c in counts.items() if c == top])
+        l, r = cand[0]
+        merges.append((l, r, top))
+        for w in seqs:
+            s, out, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    total = sum(f * len(seqs[w]) for w, f in vocab.items())
+    return merges, total
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=5), min_size=2, max_size=25
+    ),
+    k=st.integers(min_value=1, max_value=3),
+)
+def test_bpe_matches_sequential_reference(spark, words, k):
+    from leaf_spark.operators.bpe import bpe_merges
+
+    docs = spark.createDataFrame([(1, " ".join(words))], "id int, text string")
+    got = bpe_merges(docs, num_merges=k).collect()
+    exp_merges, exp_total = _bpe_python(words, k)
+    assert [(r["left"], r["right"], r["pair_count"]) for r in got] == [
+        (l, r, c) for l, r, c in exp_merges
+    ]
+    if got:
+        assert got[-1]["corpus_syms_after"] == exp_total
