@@ -865,3 +865,99 @@ def q110_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, names=("documents",))
     return bpe_encode_stats(t["documents"], num_merges=3)
+
+
+# ---------------------------------------------------------------------------
+# q111 — similarity search over the feature-hashed vectors (q106 → ANN)
+# ---------------------------------------------------------------------------
+# Closes the text → vector → search loop with zero external models: doc 0's
+# hashed vector queries the corpus by cosine. Integer dot products are
+# exact; only the final normalized cosine is floating (rounded, id
+# tiebreak). Top-k excludes the query doc itself.
+
+_Q111_ORACLE = """
+    with w as (
+      select doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               as ws
+      from documents
+    ),
+    tk as (select doc_id, unnest(ws) as t from w),
+    hb as (
+      select doc_id,
+             ('0x' || substr(md5(t), 1, 8))::bigint % 64 as b,
+             case when ('0x' || substr(md5(t), 9, 1))::bigint % 2 = 0
+                  then 1 else -1 end as s
+      from tk
+    ),
+    agg as (select doc_id, b, cast(sum(s) as bigint) as v from hb group by doc_id, b),
+    grid as (
+      select doc_id, d
+      from (select distinct doc_id from w)
+      cross join (select unnest(range(0, 64)) as d)
+    ),
+    vl as (
+      select g.doc_id, list(coalesce(a.v, 0) order by g.d) as vec
+      from grid g left join agg a on a.doc_id = g.doc_id and a.b = g.d
+      group by g.doc_id
+    ),
+    q as (select vec as qv from vl where doc_id = 0),
+    scored as (
+      select doc_id,
+             round(
+               list_sum(list_transform(range(1, 65),
+                 i -> cast(vec[i] * qv[i] as double)))
+               / (sqrt(greatest(list_sum(list_transform(vec,
+                    x -> cast(x * x as double))), 1e-12))
+                  * sqrt(greatest(list_sum(list_transform(qv,
+                      x -> cast(x * x as double))), 1e-12))),
+               6) as cosine
+      from vl cross join q
+      where doc_id <> 0
+    )
+    select doc_id, cosine from scored
+    order by cosine desc, doc_id limit 10
+"""
+
+
+@register(
+    "q111_hash_vector_ann",
+    _Q111_ORACLE,
+    doc="similarity search over the hashing-trick vectors (q106 feeds the "
+    "q47-shape cosine top-k): nearest docs to doc 0 with no external "
+    "embedding model — exact integer dot products, rounded cosine, "
+    "TakeOrderedAndProject top-k. The full text→vector→search loop in "
+    "one engine (operators/curation.py feature_hash_vectors + "
+    "operators/similarity.py)",
+)
+def q111_hash_vector_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import feature_hash_vectors
+
+    t = load_tables(spark, sf_dir, names=("documents",))
+    vecs = feature_hash_vectors(t["documents"], dims=64).select("id", "vector")
+    q = vecs.where(F.col("id") == 0).select(F.col("vector").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with("vector", "qv", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    ).cast("double")
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.greatest(
+            F.aggregate(
+                c, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+            ).cast("double"),
+            F.lit(1e-12),
+        )
+    )
+    return (
+        vecs.crossJoin(F.broadcast(q))
+        .where(F.col("id") != 0)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.round(dot / (norm(F.col("vector")) * norm(F.col("qv"))), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), "doc_id")
+        .limit(10)
+    )
