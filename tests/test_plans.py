@@ -288,3 +288,36 @@ def test_pack_sequences_lazy_two_level_prefix(spark):
     got = {tuple(r) for r in packed.select("doc_id", "start_offset", "bin_id").collect()}
     want = {tuple(r) for r in ref.select("doc_id", "start_offset", "bin_id").collect()}
     assert got == want
+
+
+# --- round-4 curation family: plan contracts --------------------------------
+
+
+def test_q103_rendezvous_single_shuffle(spark, cases):
+    """Shard assignment is a pure projection; the ONLY data shuffle is the
+    16-group rollup. A second exchange would mean the argmax leaked into a
+    join or window."""
+    plan = plan_of(cases["q103_rendezvous_shards"].spark_fn(spark, SF_DIR))
+    assert shuffle_count(plan) == 1
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_q106_feature_hash_shuffle_free_vector_build(spark, cases):
+    """The hashing-trick vector must build inside the projection: the only
+    shuffle permitted in the catalog entry is none at all (its outputs are
+    per-row)."""
+    plan = plan_of(cases["q106_feature_hash"].spark_fn(spark, SF_DIR))
+    assert shuffle_count(plan) == 0
+    assert "Join" not in plan
+
+
+def test_q110_bpe_encode_broadcasts_vocab(spark, cases):
+    """Corpus words must join the encoded vocab as a broadcast — a shuffled
+    join here would move corpus-tokens-sized rows for a Zipf-bounded map."""
+    plan = plan_of(cases["q110_bpe_encode"].spark_fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q111_hash_ann_is_topk_not_global_sort(spark, cases):
+    plan = plan_of(cases["q111_hash_vector_ann"].spark_fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
