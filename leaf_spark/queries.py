@@ -74,15 +74,15 @@ def sql_case(name: str, spark_sql: str, oracle: str, doc: str = "") -> None:
 # pytest-covered regardless of position; rotation only changes which subset
 # gets a fresh official row this round.  See README "Correctness coverage".
 #
-# Round-4 window (50 = 15 + 3 + 26 + 5 + 1): the 15 cases with no
+# Round-4 window (50 = 15 + 3 + 29 + 2 + 1): the 15 cases with no
 # official row yet (q71-q85, all local driver-replica green), the 3
 # round-3 hash-reds whose oracles were retyped this round (q67/q68/q70 —
-# cast(sum(int) as bigint), VERDICT r3 "What's wrong #1"), the 26 new
-# round-4 entries (q86-q111), the 5 cases whose only official green row
+# cast(sum(int) as bigint), VERDICT r3 "What's wrong #1"), the 29 new
+# round-4 entries (q86-q114), the 2 cases whose only official green row
 # is CORRECTNESS_r02.json (oldest evidence first), and 1 round-3-green
 # flagship re-confirmation (q49). Everything rotated out — including the
-# fifteen r02-green entries displaced by q97-q111 (q04-q09, q16, q20,
-# q21, q29, q31, q35/q36/q37/q39) — is green in CORRECTNESS_r02/r03; every case
+# eighteen r02-green entries displaced by q97-q114 (q04-q09, q16,
+# q20-q25, q29, q31, q35/q36/q37/q39) — is green in CORRECTNESS_r02/r03; every case
 # stays registered and pytest-covered regardless of position, and the
 # full local gate (tools/check.py) covers all entries every run.
 _ROUND4_FRONT = [
@@ -104,9 +104,9 @@ _ROUND4_FRONT = [
     "q103_rendezvous_shards", "q104_systematic_sample", "q105_weighted_sample",
     "q106_feature_hash", "q107_source_overlap", "q108_packing_efficiency",
     "q109_bpe_merges", "q110_bpe_encode", "q111_hash_vector_ann",
+    "q112_psi_drift", "q113_label_noise", "q114_column_profile",
     # only-r02 official greens (refresh the oldest evidence)
-    "q22_math", "q23_datetime",
-    "q25_total", "q27_json_object", "q28_json_group_array",
+    "q27_json_object", "q28_json_group_array",
     # round-3-green flagship re-confirmation (everything else rotated out
     # has a PASS row in CORRECTNESS_r02/r03 already)
     "q49_minhash_lsh",
@@ -129,6 +129,7 @@ def all_cases() -> dict[str, QueryCase]:
     from . import queries_search  # noqa: F401
     from . import queries_mining  # noqa: F401
     from . import queries_curation  # noqa: F401
+    from . import queries_quality  # noqa: F401
 
     return _ordered(dict(_REGISTRY))
 

@@ -1,0 +1,88 @@
+"""Data-quality diagnostics (q112-q114): drift detection flags a real
+shift, label-noise voting flags a planted mislabel, profile counts are
+exact."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_psi_flags_planted_drift(spark):
+    """First half N(10), second half N(50)-ish via deterministic values —
+    PSI must exceed the 0.1 alarm for the shifted type and stay quiet for
+    the stable type."""
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2026, 1, 1)
+    for i in range(400):
+        ts = base + dt.timedelta(minutes=i)
+        shifted = 10.0 + (i % 97) / 10.0 if i < 200 else 60.0 + (i % 97) / 10.0
+        stable = 10.0 + (i % 97) / 10.0
+        rows.append((2 * i, ts, 1, "shifty", shifted, "{}"))
+        rows.append((2 * i + 1, ts, 1, "steady", stable, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    df.createOrReplaceTempView("events")
+    from leaf_spark.queries_quality import _SPARK_Q112
+
+    out = {r["event_type"]: r for r in spark.sql(_SPARK_Q112).collect()}
+    assert out["shifty"]["drift_flag"] is True
+    assert out["steady"]["drift_flag"] is False
+    assert out["shifty"]["psi"] > out["steady"]["psi"]
+
+
+def test_label_noise_votes_flag_planted_mislabel(spark):
+    """Two tight clusters; one vector carries the wrong label — all its
+    neighbors disagree, so it must be the (only) suspect."""
+    rows = []
+    for i in range(6):
+        rows.append((i, [1.0 + i * 0.01, 0.0], 0))
+    for i in range(6, 12):
+        rows.append((i, [0.0, 1.0 + i * 0.01], 1))
+    rows.append((12, [1.0, 0.002], 1))  # geometrically label-0, tagged 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    df.createOrReplaceTempView("embeddings")
+
+    from pyspark.sql import Window
+
+    from leaf_spark.operators.similarity import _to_double, cosine_expr
+
+    v = df.select(F.col("vec_id").alias("id"), "label",
+                  _to_double(F.col("embedding")).alias("v"))
+    b = v.select(F.col("id").alias("nid"), F.col("label").alias("nlabel"),
+                 F.col("v").alias("nv"))
+    scored = v.join(F.broadcast(b), F.col("id") != F.col("nid")).select(
+        "id", "label", "nid", "nlabel",
+        F.round(cosine_expr(F.col("v"), F.col("nv")), 5).alias("sim"))
+    w = Window.partitionBy("id").orderBy(F.desc("sim"), "nid")
+    top = scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 5)
+    votes = top.groupBy("id", "label").agg(
+        F.sum((F.col("nlabel") != F.col("label")).cast("int")).alias("dis"))
+    suspects = {r["id"] for r in votes.where(F.col("dis") >= 4).collect()}
+    assert suspects == {12}
+
+
+def test_column_profile_exact_counts(spark):
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2026, 1, 1), 5, "a", 1.5, "{}"),
+        (2, dt.datetime(2026, 1, 2), 5, None, 2.5, "{}"),
+        (3, dt.datetime(2026, 1, 3), 7, "b", None, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
+        "value double, props string",
+    ).createOrReplaceTempView("events")
+    from leaf_spark.queries_quality import _Q114_BODY
+
+    out = {r["column_name"]: r for r in spark.sql(_Q114_BODY).collect()}
+    assert out["value"]["n_null"] == 1 and out["value"]["n_distinct"] == 2
+    assert out["event_type"]["n_null"] == 1
+    assert out["event_type"]["min_s"] == "a" and out["event_type"]["max_s"] == "b"
+    assert out["user_id"]["n_distinct"] == 2 and out["user_id"]["max_d"] == 7.0
