@@ -220,3 +220,73 @@ sql_case(
     "run emits; one scan, three aggregates that AQE executes as one "
     "stage per branch with map-side partials",
 )
+
+
+# ---------------------------------------------------------------------------
+# q115 — MMR diversity-aware selection (greedy, 5 unrolled steps)
+# ---------------------------------------------------------------------------
+
+_COSR = (
+    "round(list_sum(list_transform(range(1, len({A})+1), i -> {A}[i]*{B}[i]))"
+    " / (sqrt(list_sum(list_transform({A}, x -> x*x)))"
+    "    * sqrt(list_sum(list_transform({B}, x -> x*x)))), 5)"
+)
+
+
+def _q115_oracle(k: int = 5, lam: float = 0.5, pool: int = 100) -> str:
+    cos_q = _COSR.format(A="c.v", B="q.qv")
+    ctes = [
+        f"""v as (
+      select vec_id as id, list_transform(embedding, x -> cast(x as double)) as v
+      from embeddings
+    ),
+    q as (select v as qv from v where id = 0),
+    cand as (
+      select c.id, c.v, {cos_q} as r
+      from v c cross join q where c.id between 1 and {pool}
+    )"""
+    ]
+    for t in range(1, k + 1):
+        joins = " ".join(f"cross join s{u}" for u in range(1, t))
+        excl = " and ".join(f"c.id <> s{u}.sid" for u in range(1, t)) or "true"
+        if t == 1:
+            pen = "0.0"
+        else:
+            sims = ", ".join(
+                _COSR.format(A="c.v", B=f"s{u}.sv") for u in range(1, t)
+            )
+            pen = f"greatest({sims})" if t > 2 else sims
+        ctes.append(
+            f"""p{t} as (
+      select c.id, c.v, c.r, {pen} as pen
+      from cand c {joins} where {excl}
+    ),
+    s{t} as (
+      select id as sid, v as sv, r, pen,
+             round(r - {lam} * pen, 6) as mmr
+      from p{t} order by r - {lam} * pen desc, id limit 1
+    )"""
+        )
+    finals = "\n    union all\n    ".join(
+        f"select {t} as rank, sid as id, r as relevance, pen as penalty, "
+        f"mmr as mmr_score from s{t}"
+        for t in range(1, k + 1)
+    )
+    return "with " + ",\n    ".join(ctes) + "\n    " + finals
+
+
+@register(
+    "q115_mmr_selection",
+    _q115_oracle(),
+    doc="greedy Maximal Marginal Relevance (Carbonell-Goldstein): 5 picks "
+    "from the 100-candidate pool maximizing cosine-relevance to vector 0 "
+    "minus 0.5x the max cosine to prior picks — the diversity re-rank "
+    "between retrieval and example assembly. Driver holds k vectors; each "
+    "step is one pool scan + top-1; rounded cosines, lowest-id ties "
+    "(operators/selection.py mmr_select)",
+)
+def q115_mmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.selection import mmr_select
+
+    t = load_tables(spark, sf_dir, names=("embeddings",))
+    return mmr_select(t["embeddings"], query_id=0, k=5, lam=0.5, pool=100)

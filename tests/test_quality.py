@@ -86,3 +86,37 @@ def test_column_profile_exact_counts(spark):
     assert out["event_type"]["n_null"] == 1
     assert out["event_type"]["min_s"] == "a" and out["event_type"]["max_s"] == "b"
     assert out["user_id"]["n_distinct"] == 2 and out["user_id"]["max_d"] == 7.0
+
+
+def test_mmr_selects_diverse_over_redundant(spark):
+    """Query along +x. Candidates: two near-duplicates of the best hit and
+    one orthogonal-ish item — MMR must pick the best hit first, then the
+    diverse item over the redundant twin."""
+    rows = [
+        (0, [1.0, 0.0]),        # query
+        (1, [0.99, 0.14]),      # best hit (~8 deg off the query)
+        (2, [0.99, 0.14]),      # exact duplicate of 1 (penalty = 1)
+        (3, [0.866, 0.5]),      # ~30 deg: diverse, decent relevance
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    from leaf_spark.operators.selection import mmr_select
+
+    # lam > 1 makes redundancy dominate: the exact twin (pen 1.0) must lose
+    # to the diverse item even though its relevance is higher
+    out = mmr_select(df, query_id=0, k=2, lam=2.0, pool=3).collect()
+    assert [r["id"] for r in out] == [1, 3]
+    assert out[0]["penalty"] == 0.0
+    assert out[1]["penalty"] < 0.95   # cos(22 deg) vs the twin's 1.0
+
+
+def test_mmr_is_deterministic_across_runs(spark):
+    import random
+
+    rnd = random.Random(3)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(0, 30)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    from leaf_spark.operators.selection import mmr_select
+
+    a = [tuple(r) for r in mmr_select(df, k=4, pool=29).collect()]
+    b = [tuple(r) for r in mmr_select(df, k=4, pool=29).collect()]
+    assert a == b
