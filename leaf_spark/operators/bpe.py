@@ -24,22 +24,21 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .text import words_expr
 
-def word_vocab(
-    df: DataFrame, text_col: str = "text", min_freq: int = 1
-) -> DataFrame:
+
+def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq) over the whitespace-tokenized lowercased corpus — the
-    single corpus-wide shuffle of BPE training."""
-    toks = F.explode(
-        F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
-    )
-    out = (
+    single corpus-wide shuffle of BPE training. Tokenization is the shared
+    ``text.words_expr`` form, so training, encoding, and every oracle
+    segment words identically."""
+    toks = F.explode(words_expr(F.col(text_col)))
+    return (
         df.select(toks.alias("word"))
         .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
-    return out.where(F.col("freq") >= min_freq) if min_freq > 1 else out
 
 
 def chars_with_terminal(word: Column) -> Column:
@@ -105,18 +104,29 @@ def _learn(
     num_merges: int,
     text_col: str,
     min_freq: int,
+    track_totals: bool = True,
 ) -> tuple[DataFrame, list[tuple]]:
     """Run the merge-learning loop. Returns (final vocab DataFrame with
     (word, freq, syms), merge records). Driver state per iteration is one
-    collected row (the argmax pair) — the kmeans/pagerank pattern."""
+    collected row (the argmax pair) — the kmeans/pagerank pattern.
+
+    ``min_freq`` follows standard BPE semantics: rare words are excluded
+    from the pair COUNTING (they shouldn't vote on merges) but stay in the
+    vocab and have every learned merge applied — encoding covers the whole
+    corpus. ``track_totals=False`` skips the per-iteration corpus-size
+    aggregate (one Spark job per merge) for callers that only need the
+    encoded vocab."""
     vocab = (
-        word_vocab(docs, text_col, min_freq)
+        word_vocab(docs, text_col)
         .select("word", "freq", chars_with_terminal(F.col("word")).alias("syms"))
         .localCheckpoint()
     )
     results = []
     for rank in range(1, num_merges + 1):
-        pairs = vocab.select(
+        counted = (
+            vocab.where(F.col("freq") >= min_freq) if min_freq > 1 else vocab
+        )
+        pairs = counted.select(
             "freq",
             F.explode(
                 F.transform(
@@ -145,9 +155,13 @@ def _learn(
                 "syms"
             ),
         ).localCheckpoint()
-        total_after = vocab.agg(
-            F.sum(F.col("freq") * F.size("syms")).cast("bigint")
-        ).collect()[0][0]
+        total_after = (
+            vocab.agg(
+                F.sum(F.col("freq") * F.size("syms")).cast("bigint")
+            ).collect()[0][0]
+            if track_totals
+            else None
+        )
         results.append(
             (rank, best["l"], best["r"], best["l"] + best["r"], best["cnt"], total_after)
         )
@@ -187,22 +201,16 @@ def bpe_encode_stats(
     The encode step never re-segments corpus text: each word joins the
     (Zipf-bounded, broadcastable) encoded vocab — word → |symbols| — so
     the corpus-side cost is one token projection + one broadcast join, the
-    same shape a production tokenizer-application job has.
+    same shape a production tokenizer-application job has. The vocab
+    covers EVERY corpus word (min_freq only mutes rare words' votes during
+    merge learning), so the join loses nothing; per-iteration corpus-size
+    tracking is skipped here (the encode path discards it).
     """
-    vocab, _ = _learn(docs, num_merges, text_col, min_freq)
+    vocab, _ = _learn(docs, num_merges, text_col, min_freq, track_totals=False)
     wmap = vocab.select("word", F.size("syms").alias("n_sub"))
-    words = (
-        docs.select(
-            F.col(group_col),
-            F.explode(
-                F.split(
-                    F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
-                    " ",
-                )
-            ).alias("word"),
-        )
-        .where(F.col("word") != "")
-    )
+    words = docs.select(
+        F.col(group_col), F.explode(words_expr(F.col(text_col))).alias("word")
+    ).where(F.col("word") != "")
     return (
         words.join(F.broadcast(wmap), "word")
         .groupBy(group_col)

@@ -231,17 +231,20 @@ def feature_hash_vectors(
     Output: (id, vector array<bigint>, n_tokens). Downstream: the cosine /
     ANN operators (operators/similarity.py) consume it unchanged.
     """
-    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
-    # one md5 per token: (bucket, sign) precomputed, so the fold below is
-    # pure integer compares — O(tokens × dims) int ops, not O(...) digests
+    from .text import words_expr
+
+    toks = words_expr(F.col(text_col))
+    # ONE md5 per token: digests materialize first, then (bucket, sign)
+    # derive from substrings of the same digest — higher-order-function
+    # lambdas get no common-subexpression elimination, so a single
+    # F.transform computing md5 twice would pay two digests per token
+    digests = F.transform(toks, lambda t: F.md5(t))
     hashed = F.transform(
-        toks,
-        lambda t: F.struct(
-            (F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint") % dims).alias(
-                "b"
-            ),
+        digests,
+        lambda d: F.struct(
+            (F.conv(F.substring(d, 1, 8), 16, 10).cast("bigint") % dims).alias("b"),
             F.when(
-                F.conv(F.substring(F.md5(t), 9, 1), 16, 10).cast("bigint") % 2 == 0,
+                F.conv(F.substring(d, 9, 1), 16, 10).cast("bigint") % 2 == 0,
                 F.lit(1).cast("bigint"),
             )
             .otherwise(F.lit(-1).cast("bigint"))

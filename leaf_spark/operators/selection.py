@@ -41,7 +41,9 @@ def mmr_select(
     v = df.select(F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v"))
     q = v.where(F.col("id") == query_id).select(F.col("v").alias("qv"))
     cand = (
-        v.where((F.col("id") >= 1) & (F.col("id") <= pool))
+        v.where(
+            (F.col("id") >= 1) & (F.col("id") <= pool) & (F.col("id") != query_id)
+        )
         .crossJoin(F.broadcast(q))
         .select(
             "id", "v", F.round(cosine_expr(F.col("v"), F.col("qv")), 5).alias("r")
@@ -68,12 +70,15 @@ def mmr_select(
         pool_df = cand
         for s in selected:
             pool_df = pool_df.where(F.col("id") != s["id"])
-        best = (
+        top = (
             pool_df.select("id", "v", "r", pen.alias("pen"))
             .orderBy((F.col("r") - F.lit(lam) * F.col("pen")).desc(), "id")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not top:  # pool exhausted before k picks — return what exists
+            break
+        best = top[0]
         selected.append(best)
         out_rows.append(
             (

@@ -69,6 +69,12 @@ _Q112_BODY = """
            cast(round(cast(sum(term) as double), 6) >= 0.1 as boolean)
              as drift_flag
     from terms group by event_type
+    union all
+    select event_type,
+           cast(null as double) as psi,
+           true as drift_flag
+    from (select distinct event_type from tagged) t
+    where event_type not in (select event_type from bounds)
 """
 
 _SPARK_Q112 = _Q112_BODY.replace(
@@ -100,7 +106,10 @@ sql_case(
     _SPARK_Q112,
     _DUCK_Q112,
     doc="population-stability-index drift per event type between timeline "
-    "halves: quartile boundaries frozen on the reference (early) half, "
+    "halves: quartile boundaries frozen on the reference (early) half; a "
+    "type with NO reference-half rows (born after the midpoint — the most "
+    "extreme shift) is emitted with psi NULL and drift_flag true instead "
+    "of silently vanishing from the report. "
     "Laplace-smoothed bucket shares, PSI >= 0.1 flags drift — the "
     "continuous-ingest distribution alarm. Exact interpolated quantiles "
     "(percentile ≡ quantile_cont), decimal-routed ln terms",

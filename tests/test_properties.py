@@ -337,7 +337,6 @@ def _bpe_python(words: list[str], k: int):
                 counts[(s[i], s[i + 1])] += f
         if not counts:
             break
-        best = max(counts.items(), key=lambda kv: (kv[1], [-ord(c) for c in kv[0][0]], ))
         # argmax: count desc, then lexicographically smallest (l, r)
         top = max(counts.values())
         cand = sorted([p for p, c in counts.items() if c == top])

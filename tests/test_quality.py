@@ -19,8 +19,10 @@ def test_psi_flags_planted_drift(spark):
         ts = base + dt.timedelta(minutes=i)
         shifted = 10.0 + (i % 97) / 10.0 if i < 200 else 60.0 + (i % 97) / 10.0
         stable = 10.0 + (i % 97) / 10.0
-        rows.append((2 * i, ts, 1, "shifty", shifted, "{}"))
-        rows.append((2 * i + 1, ts, 1, "steady", stable, "{}"))
+        rows.append((3 * i, ts, 1, "shifty", shifted, "{}"))
+        rows.append((3 * i + 1, ts, 1, "steady", stable, "{}"))
+        if i >= 300:  # a type that did not exist in the reference half
+            rows.append((3 * i + 2, ts, 1, "newborn", 5.0 + i, "{}"))
     df = spark.createDataFrame(
         rows,
         "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
@@ -33,6 +35,10 @@ def test_psi_flags_planted_drift(spark):
     assert out["shifty"]["drift_flag"] is True
     assert out["steady"]["drift_flag"] is False
     assert out["shifty"]["psi"] > out["steady"]["psi"]
+    # a type born after the midpoint is the most extreme shift: it must be
+    # flagged (psi undefined — no reference distribution), not dropped
+    assert out["newborn"]["drift_flag"] is True
+    assert out["newborn"]["psi"] is None
 
 
 def test_label_noise_votes_flag_planted_mislabel(spark):

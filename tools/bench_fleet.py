@@ -28,10 +28,14 @@ def main() -> None:
     n_streams = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     per_stream = int(sys.argv[2]) if len(sys.argv) > 2 else 4000
     batch = int(sys.argv[3]) if len(sys.argv) > 3 else 2000
-    spark = get_spark("leaf-fleet-bench")
+    # FAIR must be set at context creation — scheduler mode is immutable
+    # after the TaskScheduler initializes (a setLocalProperty would be a
+    # silent no-op; only spark.scheduler.pool is read per-thread)
+    spark = get_spark(
+        "leaf-fleet-bench", extra_conf={"spark.scheduler.mode": "FAIR"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
-    # Fair scheduling lets concurrent driver threads' jobs interleave
-    spark.sparkContext.setLocalProperty("spark.scheduler.mode", "FAIR")
+    assert spark.conf.get("spark.scheduler.mode") == "FAIR"
 
     root = tempfile.mkdtemp(prefix="fleet_bench_")
     streams = []
@@ -47,7 +51,14 @@ def main() -> None:
             s.add_events([msg("did:plc:u", f"m{i + j}", i + j) for j in range(n)])
             i += n
 
-    # single-stream reference on the same session
+    # Warm the session first (codegen/JIT/first-job setup would otherwise
+    # land entirely on the single-stream baseline and inflate the scaling
+    # factor): one throwaway batch through a scratch stream.
+    warm = Stream(spark, f"{root}/warm", "did:plc:fleetwarm")
+    warm.provide_module(CHAT)
+    warm.add_events([msg("did:plc:u", f"w{j}", j) for j in range(batch)])
+
+    # single-stream reference on the warmed session
     t0 = time.time()
     ingest(streams[0])
     single = per_stream / (time.time() - t0)
