@@ -74,15 +74,14 @@ def sql_case(name: str, spark_sql: str, oracle: str, doc: str = "") -> None:
 # pytest-covered regardless of position; rotation only changes which subset
 # gets a fresh official row this round.  See README "Correctness coverage".
 #
-# Round-4 window (50 = 15 + 3 + 30 + 1 + 1): the 15 cases with no
+# Round-4 window (50 = 15 + 3 + 31 + 1): the 15 cases with no
 # official row yet (q71-q85, all local driver-replica green), the 3
 # round-3 hash-reds whose oracles were retyped this round (q67/q68/q70 —
-# cast(sum(int) as bigint), VERDICT r3 "What's wrong #1"), the 30 new
-# round-4 entries (q86-q115), the 1 case whose only official green row
-# is CORRECTNESS_r02.json (oldest evidence first), and 1 round-3-green
-# flagship re-confirmation (q49). Everything rotated out — including the
-# nineteen r02-green entries displaced by q97-q115 (q04-q09, q16,
-# q20-q25, q27, q29, q31, q35/q36/q37/q39) — is green in CORRECTNESS_r02/r03; every case
+# cast(sum(int) as bigint), VERDICT r3 "What's wrong #1"), the 31 new
+# round-4 entries (q86-q116), and 1 round-3-green flagship
+# re-confirmation (q49). Everything rotated out — including the
+# twenty r02-green entries displaced by q97-q116 (q04-q09, q16,
+# q20-q28, q29, q31, q35/q36/q37/q39) — is green in CORRECTNESS_r02/r03; every case
 # stays registered and pytest-covered regardless of position, and the
 # full local gate (tools/check.py) covers all entries every run.
 _ROUND4_FRONT = [
@@ -105,9 +104,7 @@ _ROUND4_FRONT = [
     "q106_feature_hash", "q107_source_overlap", "q108_packing_efficiency",
     "q109_bpe_merges", "q110_bpe_encode", "q111_hash_vector_ann",
     "q112_psi_drift", "q113_label_noise", "q114_column_profile",
-    "q115_mmr_selection",
-    # only-r02 official greens (refresh the oldest evidence)
-    "q28_json_group_array",
+    "q115_mmr_selection", "q116_leakage_free_split",
     # round-3-green flagship re-confirmation (everything else rotated out
     # has a PASS row in CORRECTNESS_r02/r03 already)
     "q49_minhash_lsh",

@@ -299,3 +299,129 @@ def q115_mmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, names=("embeddings",))
     return mmr_select(t["embeddings"], query_id=0, k=5, lam=0.5, pool=100)
+
+
+# ---------------------------------------------------------------------------
+# q116 — leakage-free train/test split (split by near-dup cluster)
+# ---------------------------------------------------------------------------
+# Naive per-doc hash splits leak: two near-duplicates land in different
+# splits and the eval set contains paraphrases of training rows. Splitting
+# by the CLUSTER id (q55's connected components) guarantees every near-dup
+# group lands whole in one split. Output proves it: per (split, cluster)
+# rollup where every cluster appears under exactly one split.
+
+_Q116_ORACLE = """
+    with recursive pairs as (
+      with words as (
+        select doc_id,
+               unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
+                 as word
+        from documents where doc_id < 120
+      ),
+      sizes as (select doc_id, count(*) as sz from words group by doc_id),
+      inter as (
+        select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_common
+        from words a join words b on a.word = b.word and a.doc_id < b.doc_id
+        group by a.doc_id, b.doc_id
+      )
+      select doc_a, doc_b from inter
+      join sizes sa on sa.doc_id = doc_a
+      join sizes sb on sb.doc_id = doc_b
+      where cast(n_common as double) / (sa.sz + sb.sz - n_common) >= 0.5
+    ),
+    edges as (
+      select doc_a as s, doc_b as d from pairs
+      union select doc_b, doc_a from pairs
+    ),
+    reach(s, d) as (
+      select doc_id, doc_id from documents where doc_id < 120
+      union
+      select r.s, e.d from reach r join edges e on r.d = e.s
+    ),
+    clusters as (select s as doc_id, min(d) as cluster_id from reach group by s),
+    assigned as (
+      select doc_id, cluster_id,
+             case when substr(md5('lfs:' || cluster_id), 1, 4) < 'c000'
+                  then 'train' else 'test' end as split
+      from clusters
+    ),
+    leaky as (
+      select cast(count(*) as bigint) as n_leaky from (
+        select cluster_id from assigned
+        group by cluster_id having count(distinct split) > 1
+      )
+    )
+    select split,
+           cast(count(*) as bigint) as n_docs,
+           cast(count(distinct cluster_id) as bigint) as n_clusters,
+           (select n_leaky from leaky) as n_leaky_clusters
+    from assigned group by split
+"""
+
+
+@register(
+    "q116_leakage_free_split",
+    _Q116_ORACLE,
+    doc="leakage-free train/test split: docs split by the md5 of their "
+    "near-dup CLUSTER id (q55 components), so paraphrase groups land "
+    "whole on one side — the split naive per-doc hashing gets wrong. "
+    "~75/25 via the hex-prefix threshold; per-split doc/cluster rollup "
+    "plus a computed zero-leak assertion column "
+    "(operators/dedup.py connected_components + sampling.py hash_split "
+    "keyed on the cluster)",
+)
+def q116_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import connected_components
+
+    load_tables(spark, sf_dir, names=("documents",))
+    pairs = spark.sql(
+        """
+        with words as (
+          select doc_id,
+                 explode(array_distinct(split(trim(lower(text)), '\\\\s+'))) as word
+          from documents where doc_id < 120
+        ),
+        sizes as (select doc_id, count(*) as sz from words group by doc_id),
+        inter as (
+          select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_common
+          from words a join words b on a.word = b.word and a.doc_id < b.doc_id
+          group by a.doc_id, b.doc_id
+        )
+        select doc_a as id_a, doc_b as id_b from inter
+        join sizes sa on sa.doc_id = doc_a
+        join sizes sb on sb.doc_id = doc_b
+        where cast(n_common as double) / (sa.sz + sb.sz - n_common) >= 0.5
+        """
+    )
+    docs = spark.table("documents").where(F.col("doc_id") < 120)
+    cc = connected_components(pairs, docs.select(F.col("doc_id").alias("id")))
+    assigned = cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("cluster").alias("cluster_id"),
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.lit("lfs:"), F.col("cluster").cast("string"))), 1, 4
+            )
+            < "c000",
+            "train",
+        )
+        .otherwise("test")
+        .alias("split"),
+    )
+    # computed (not assumed): clusters whose members land in >1 split —
+    # zero by construction since the split is a pure function of the
+    # cluster id, and the column proves it from the data
+    leaky = (
+        assigned.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_leaky_clusters"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leaky))
+    )
