@@ -64,10 +64,14 @@ def verify_atproto_jwt(
 ) -> str:
     """Verify an ATProto-style JWT and return the issuer DID.
 
-    Claim checks mirror verify_auth_token (http.rs:182-218): audience must
-    equal ``audience`` when both are present, an ``lxm`` claim must be the
-    authenticate lexicon method, the issuer DID is required, and ``exp``
-    (when present) must be in the future. The signature (ES256 on P-256 or
+    Claim checks mirror verify_auth_token (http.rs:182-218), including
+    their CONDITIONALITY: the reference guards both checks with if-let, so
+    audience is checked only when the claim is present (and a configured
+    audience exists), and ``lxm`` only when present (must then equal the
+    authenticate lexicon method). A token minted without aud/lxm therefore
+    verifies on signature+issuer alone — reference-faithful, pinned by
+    tests. The issuer DID is required; ``exp`` (when present) must be in
+    the future. The signature (ES256 on P-256 or
     ES256K on secp256k1, raw r||s per RFC 7518) verifies against
     ``did_keys[iss]`` — a PEM public key supplied by the host instead of a
     live DID-document fetch. Raises :class:`AuthError` on any failure.
@@ -196,6 +200,13 @@ class LeafHttpServer:
                     token, self.did_keys, audience=self.audience
                 )
                 return Connection(user=did)
+            # A token WAS presented and nothing recognized it (unknown
+            # opaque token, or a JWT with no did_keys configured): the
+            # reference rejects the connection outright, and the socket.io
+            # transport raises AuthError for the identical credential —
+            # downgrading to anonymous here would let a client believe it
+            # authenticated while its writes silently run unauthorized.
+            raise AuthError("unknown token")
         return Connection()  # anonymous: may query/subscribe, not write
 
     def start(self) -> "LeafHttpServer":

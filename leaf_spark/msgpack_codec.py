@@ -98,7 +98,19 @@ def _pack_into(v: Any, out: bytearray) -> None:
         raise TypeError(f"cannot msgpack {type(v)}")
 
 
-def unpack(data: bytes) -> Any:
+def unpack(data: bytes):
+    """Decode one msgpack value. Truncated or malformed input raises
+    ValueError — the transport layer's catch clause handles ValueError/
+    ConnectionError/OSError, and a raw IndexError/struct.error from a
+    fuzzed frame would otherwise kill the connection thread with an
+    unhandled traceback."""
+    try:
+        return _unpack_checked(data)
+    except (IndexError, struct.error) as ex:
+        raise ValueError(f"malformed msgpack payload: {ex}") from ex
+
+
+def _unpack_checked(data: bytes) -> Any:
     v, pos = _unpack_at(data, 0)
     if pos != len(data):
         raise ValueError(f"trailing bytes after msgpack value at {pos}")

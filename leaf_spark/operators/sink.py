@@ -64,6 +64,27 @@ def write_training_shards(
 
     import pyarrow.parquet as pq
 
+    # Hive directory names are strings; restore each partition value to the
+    # COLUMN's type so manifest keys compare equal to DataFrame values (a
+    # bucket=3 INT partition must record 3, not "3" — the silent type flip
+    # breaks any consumer matching manifest rows against data rows).
+    casters = {}
+    for f_ in out.schema.fields:
+        if partition_by and f_.name in partition_by:
+            t = f_.dataType.simpleString()
+            if t in ("tinyint", "smallint", "int", "bigint"):
+                casters[f_.name] = int
+            elif t in ("float", "double"):
+                casters[f_.name] = float
+            elif t == "boolean":
+                casters[f_.name] = lambda v: v == "true"
+
+    def _typed(k: str, v: str | None):
+        if v is None:
+            return None
+        c = casters.get(k)
+        return c(v) if c is not None else v
+
     per_key: dict[tuple, int] = {}
     n_files = 0
     total = 0
@@ -76,7 +97,7 @@ def write_training_shards(
             nr = pq.read_metadata(os.path.join(root, f)).num_rows
             total += nr
             if partition_by:
-                key = tuple(kv.get(k) for k in partition_by)
+                key = tuple(_typed(k, kv.get(k)) for k in partition_by)
                 per_key[key] = per_key.get(key, 0) + nr
 
     per_key_rows = [

@@ -51,8 +51,8 @@ _Q97_ORACLE = """
            p.id as pos_id, p.sim as pos_cos,
            n.id as neg_id, n.sim as neg_cos
     from a
-    join p on p.aid = a.aid and p.rk = 1
-    join n on n.aid = a.aid and n.rk = 1
+    left join p on p.aid = a.aid and p.rk = 1
+    left join n on n.aid = a.aid and n.rk = 1
 """
 
 

@@ -147,12 +147,14 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     names = names or TESTDATA_TABLES
     cache: dict = getattr(spark, "_leaf_table_cache", None) or {}
     spark._leaf_table_cache = cache
-    fp = _dir_fingerprint(sf_dir, names)
+    # Per-NAME fingerprints: the cache must hit when the requested subset
+    # differs from the last call's (catalog queries each ask for their own
+    # table set — a whole-tuple fingerprint key would miss on every subset
+    # transition, re-reading parquet and evicting the other tables).
+    fps = dict(_dir_fingerprint(sf_dir, names))
     entry = cache.get(sf_dir)
-    if (
-        entry is not None
-        and entry["fp"] == fp
-        and all(n in entry["tables"] for n in names)
+    if entry is not None and all(
+        n in entry["tables"] and entry["fps"].get(n) == fps[n] for n in names
     ):
         for n in names:
             entry["tables"][n].createOrReplaceTempView(n)
@@ -188,9 +190,16 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         df.createOrReplaceTempView(n)
         out[n] = df
     prev = cache.get(sf_dir)
-    tables = dict(prev["tables"]) if prev is not None and prev["fp"] == fp else {}
+    tables = dict(prev["tables"]) if prev is not None else {}
+    prev_fps = dict(prev["fps"]) if prev is not None else {}
+    # drop any previously cached table whose files changed on disk
+    for n, f in list(prev_fps.items()):
+        if n in fps and fps[n] != f:
+            tables.pop(n, None)
+            prev_fps.pop(n, None)
     tables.update(out)
-    cache[sf_dir] = {"fp": fp, "tables": tables}
+    prev_fps.update({n: fps[n] for n in out})
+    cache[sf_dir] = {"fps": prev_fps, "tables": tables}
     spark._leaf_views_dir = sf_dir
     return out
 

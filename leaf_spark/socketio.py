@@ -93,6 +93,7 @@ class _PollConn:
         self.stop = threading.Event()
         self.last_seen = time.time()
         self.sub_ids: list[tuple[str, str]] = []  # live (stream_did, sub_id)
+        self.push_threads: list[threading.Thread] = []  # joined on upgrade
 
     def send_packet(self, pkt: dict) -> None:
         self.outbox.put(("bin", msgpack_codec.pack(pkt)))
@@ -148,6 +149,9 @@ class LeafSocketIOServer:
                 return
             t = threading.Thread(target=self._serve_conn, args=(sock,), daemon=True)
             t.start()
+            # polling opens one TCP connection per request, so an unpruned
+            # list grows one dead Thread per poll forever
+            self._threads = [x for x in self._threads if x.is_alive()]
             self._threads.append(t)
 
     def _serve_conn(self, sock: socket.socket) -> None:
@@ -222,11 +226,19 @@ class LeafSocketIOServer:
                     elif payload[:1] == b"2":  # engine.io ping (v3 client)
                         conn.send_text("3" + payload[1:].decode())
                     elif payload[:1] == b"5" and pc is not None and not upgraded:
-                        # upgrade packet: polling retires; flush anything
-                        # still queued there onto the websocket, then wake
-                        # the pending long-poll with a noop
+                        # upgrade packet: polling retires. Order matters —
+                        # a push loop blocked in channel.get() may still
+                        # consume a notification DURING the upgrade, and it
+                        # emits into pc.outbox; stopping and JOINING those
+                        # loops BEFORE the flush guarantees everything they
+                        # produced is in the outbox when we drain it (the
+                        # old flush-first order silently dropped any push
+                        # that raced the handover).
                         upgraded = True
                         conn.auth, conn.connected = pc.auth, pc.connected
+                        pc.stop.set()
+                        for pt in pc.push_threads:
+                            pt.join(timeout=1.0)
                         while True:
                             try:
                                 kind, data = pc.outbox.get_nowait()
@@ -237,7 +249,6 @@ class LeafSocketIOServer:
                             else:
                                 with conn.send_lock:
                                     fs.write_frame(ws.OP_BINARY, bytes(data))
-                        pc.stop.set()
                         pc.outbox.put(("txt", "6"))  # noop unblocks the GET
                         self._sessions.pop(sid, None)
                         # live subscriptions follow the session, not the
@@ -469,6 +480,8 @@ class LeafSocketIOServer:
                     daemon=True,
                 )
                 t.start()
+                if hasattr(conn, "push_threads"):
+                    conn.push_threads.append(t)
 
     def _authenticate(self, token: str | None) -> Connection:
         if not token:

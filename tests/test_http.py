@@ -199,6 +199,19 @@ class TestJwtAuth:
         )
         assert status == 401 and "lxm" in out["Err"].lower()
 
+    def test_missing_aud_and_lxm_accepted(self, jwt_env):
+        # the reference guards aud/lxm checks with if-let — a token minted
+        # without either claim verifies on signature+issuer alone. Pinned
+        # so a future "tighten the checks" change is a conscious divergence
+        srv, key = jwt_env
+        claims = self._claims()
+        del claims["aud"], claims["lxm"]
+        token = _mint_jwt(key, claims)
+        out = http_call(
+            srv.host, srv.port, "stream/info", {"streamDid": "did:plc:none"}, token
+        )
+        assert "AuthError" not in str(out.get("Err", ""))
+
     def test_unknown_issuer_rejected(self, jwt_env):
         srv, key = jwt_env
         status, out = self._status(
@@ -241,7 +254,11 @@ class TestHttpTransport:
         )
         assert "Err" in out and "authentication" in out["Err"].lower()
 
-    def test_bad_token_is_anonymous(self, http_server):
+    def test_unknown_token_is_401_not_anonymous(self, http_server):
+        # reference behavior (http.rs verify_auth_token): a presented
+        # credential that nothing recognizes rejects the connection — it
+        # must NOT silently downgrade to anonymous, which would let a
+        # client believe it authenticated
         out = http_call(
             http_server.host,
             http_server.port,
@@ -249,7 +266,19 @@ class TestHttpTransport:
             {},
             "wrong-token",
         )
-        assert "Err" in out and "trusted" in out["Err"]
+        assert "Err" in out and "AuthError" in out["Err"]
+
+    def test_jwt_without_did_keys_is_401(self, http_server):
+        # http_server is built with opaque tokens only (did_keys=None): a
+        # syntactic JWT cannot be verified, so it must 401 — not downgrade
+        out = http_call(
+            http_server.host,
+            http_server.port,
+            "stream/info",
+            {"streamDid": "did:plc:nobody"},
+            "eyJh.eyJp.c2ln",
+        )
+        assert "Err" in out and "AuthError" in out["Err"]
 
     def test_admin_requires_trusted(self, http_server):
         _setup_stream(http_server)

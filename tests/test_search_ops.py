@@ -348,3 +348,21 @@ def test_tfidf_top_terms_separates_group_vocab(spark):
     # the everywhere-term scores ln(2/2) = 0
     assert top[("a", 2)] == ("shared", 0.0)
     assert top[("b", 2)] == ("shared", 0.0)
+
+
+def test_shard_manifest_partition_values_keep_column_types(spark, tmp_path):
+    """Hive dir names are strings; the manifest must restore each partition
+    value to the column's type so manifest rows compare equal to data rows
+    (bucket=3 INT → 3, not "3")."""
+    import json
+
+    from leaf_spark.operators.sink import write_training_shards
+
+    df = spark.range(0, 60).selectExpr("id", "cast(id % 3 as int) as bucket")
+    out = str(tmp_path / "typed_shards")
+    write_training_shards(df, out, partition_by=["bucket"], shard_max_records=30)
+    m = json.load(open(out + "/_manifest.json"))
+    rows = {r["bucket"]: r["rows"] for r in m["partitions"]}
+    assert sorted(rows) == [0, 1, 2]
+    assert all(isinstance(k, int) for k in rows)
+    assert sum(rows.values()) == 60
