@@ -106,7 +106,11 @@ def unpack(data: bytes):
     unhandled traceback."""
     try:
         return _unpack_checked(data)
-    except (IndexError, struct.error) as ex:
+    except (IndexError, struct.error, TypeError, RecursionError) as ex:
+        # TypeError: map key decodes to an unhashable value (fuzzed frame);
+        # RecursionError: nesting bomb (b"\x91"*N) — both must surface as
+        # ValueError like every other malformed frame, or they escape the
+        # transport's catch clause and kill the connection thread
         raise ValueError(f"malformed msgpack payload: {ex}") from ex
 
 

@@ -81,7 +81,8 @@ def sql_case(name: str, spark_sql: str, oracle: str, doc: str = "") -> None:
 # round-4 entries (q86-q116), and 1 round-3-green flagship
 # re-confirmation (q49). Everything rotated out — including the
 # twenty r02-green entries displaced by q97-q116 (q04-q09, q16,
-# q20-q28, q29, q31, q35/q36/q37/q39) — is green in CORRECTNESS_r02/r03; every case
+# q20-q23, q25, q27, q28, q29, q31, q35/q36/q37/q39 — q24/q26 are
+# r03-green, never in the refresh set) — is green in CORRECTNESS_r02/r03; every case
 # stays registered and pytest-covered regardless of position, and the
 # full local gate (tools/check.py) covers all entries every run.
 _ROUND4_FRONT = [

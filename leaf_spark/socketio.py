@@ -415,12 +415,19 @@ class LeafSocketIOServer:
 
     # -- socket.io packets ---------------------------------------------------
 
-    def _emit(self, conn: _Conn, event: str, *args) -> None:
+    def _emit(self, conn: _Conn, event: str, *args, force: bool = False) -> None:
         """EVENT emit with the reference's backpressure retry shape
         (connection.rs:448-474): exponential delay from 10 ms to 1 s on a
-        transient send failure, abort once the peer is gone."""
+        transient send failure, abort once the peer is gone.
+
+        ``force=True`` emits even after conn.stop is set — a retiring
+        polling session's push loop uses it for a notification it has
+        ALREADY consumed from the subscription channel: dropping it there
+        would lose the message (the channel won't replay it), while the
+        upgrade handler flushes the outbox after joining the loop, so the
+        enqueued packet still reaches the peer on the new transport."""
         delay, max_delay = 0.01, 1.0
-        while not conn.stop.is_set():
+        while force or not conn.stop.is_set():
             try:
                 conn.send_packet({"type": EVENT, "nsp": "/", "data": [event, *args]})
                 return
@@ -525,7 +532,10 @@ class LeafSocketIOServer:
                     else {"Err": r.error},
                 }
             )
-            self._emit(conn, "stream/subscription_response", payload)
+            # force: this notification is already consumed from the channel;
+            # if the session is retiring (transport upgrade), the packet
+            # must land in the outbox for the post-join flush, not vanish
+            self._emit(conn, "stream/subscription_response", payload, force=True)
 
 
 # ---------------------------------------------------------------------------

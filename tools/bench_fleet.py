@@ -45,6 +45,11 @@ def main() -> None:
         streams.append(s)
 
     def ingest(s: Stream) -> None:
+        # FAIR mode schedules BETWEEN pools; jobs inside one pool are FIFO,
+        # so each ingest thread needs its own pool for fair interleaving
+        spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", f"ingest-{id(s)}"
+        )
         i = 0
         while i < per_stream:
             n = min(batch, per_stream - i)
