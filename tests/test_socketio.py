@@ -599,3 +599,32 @@ def test_every_endpoint_over_socketio(sio_server):
     finally:
         cli.close()
         admin.close()
+
+
+def test_emit_force_enqueues_past_stop_flag():
+    """A push loop that already consumed a notification emits it with
+    force=True: the packet must land in a RETIRING polling session's
+    outbox (flushed later by the upgrade handler) instead of being
+    dropped by _emit's stop guard — dropping would lose the message, the
+    channel never replays consumed items."""
+    from leaf_spark import msgpack_codec
+    from leaf_spark.socketio import _PollConn, LeafSocketIOServer
+
+    pc = _PollConn()
+    pc.stop.set()  # session is retiring mid-upgrade
+    LeafSocketIOServer._emit(
+        object.__new__(LeafSocketIOServer), pc, "stream/subscription_response",
+        b"payload", force=True,
+    )
+    kind, data = pc.outbox.get_nowait()
+    assert kind == "bin"
+    pkt = msgpack_codec.unpack(bytes(data))
+    assert pkt["data"][0] == "stream/subscription_response"
+
+    # without force the stop guard drops it (the pre-fix behavior — pinned
+    # so the difference stays intentional)
+    LeafSocketIOServer._emit(
+        object.__new__(LeafSocketIOServer), pc, "stream/subscription_response",
+        b"payload",
+    )
+    assert pc.outbox.empty()
