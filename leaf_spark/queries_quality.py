@@ -425,3 +425,101 @@ def q116_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(leaky))
     )
+
+
+# ---------------------------------------------------------------------------
+# q117 — per-source unigram entropy + KL divergence vs the corpus
+# ---------------------------------------------------------------------------
+# The information-theoretic dataset-card row: low entropy = templated/
+# repetitive source; high KL vs corpus = distribution outlier that will
+# dominate or starve a mixture. Probabilities derive from exact integer
+# counts; each ln term rounds to 6 and sums through decimal(38,6).
+
+_Q117_BODY = """
+    with t as ({TOKENS}),
+    sc as (select source, tok, count(*) as c from t group by source, tok),
+    st as (select source, cast(sum(c) as bigint) as n from sc group by source),
+    cc as (select tok, cast(sum(c) as bigint) as gc from sc group by tok),
+    ct as (select cast(sum(gc) as bigint) as gn from cc),
+    terms as (
+      select sc.source,
+             cast(round(
+               -(cast(c as double) / n) * ln(cast(c as double) / n), 6)
+               as decimal(38,6)) as h_term,
+             cast(round(
+               (cast(c as double) / n)
+               * ln((cast(c as double) / n)
+                    / (cast(gc as double) / gn)), 6)
+               as decimal(38,6)) as kl_term
+      from sc
+      join st on st.source = sc.source
+      join cc on cc.tok = sc.tok
+      cross join ct
+    )
+    select source,
+           cast(count(*) as bigint) as vocab_size,
+           cast(round(cast(sum(h_term) as double), 5) as double) as entropy,
+           cast(round(cast(sum(kl_term) as double), 5) as double)
+             as kl_vs_corpus
+    from terms group by source
+"""
+
+sql_case(
+    "q117_entropy_kl",
+    _Q117_BODY.replace(
+        "{TOKENS}",
+        "select source, explode(split(trim(regexp_replace(lower(text), "
+        "'\\\\s+', ' ')), ' ')) as tok from documents",
+    ),
+    _Q117_BODY.replace(
+        "{TOKENS}",
+        "select source, unnest(string_split(trim(regexp_replace(lower(text), "
+        "'\\s+', ' ', 'g')), ' ')) as tok from documents",
+    ),
+    doc="information-theoretic dataset-card row per source: unigram "
+    "entropy (low = templated text) and KL divergence vs the corpus "
+    "distribution (high = mixture outlier). Zipf-bounded (source, token) "
+    "aggregation + broadcast-sized totals; probabilities from exact "
+    "integer counts, ln terms decimal-routed",
+)
+
+
+# ---------------------------------------------------------------------------
+# q118 — user-activity Gini coefficient (the skew number behind the salting
+# playbook): G = (2*sum(i*x_i) / (n*sum(x)) - (n+1)/n) over counts sorted asc
+# ---------------------------------------------------------------------------
+
+_Q118_BODY = """
+    with u as (
+      select user_id, cast(count(*) as bigint) as c
+      from events group by user_id
+    ),
+    r as (
+      select c, row_number() over (order by c, user_id) as i from u
+    ),
+    s as (
+      select cast(count(*) as bigint) as n,
+             cast(sum(c) as bigint) as total,
+             cast(sum(i * c) as bigint) as weighted
+      from r
+    )
+    select n as n_users,
+           total as n_events,
+           cast(round(
+             2.0 * weighted / (cast(n as double) * total)
+             - (cast(n as double) + 1.0) / n, 6) as double) as gini,
+           cast(round(cast(total as double) / n, 4) as double)
+             as mean_events_per_user
+    from s
+"""
+
+sql_case(
+    "q118_activity_gini",
+    _Q118_BODY,
+    _Q118_BODY,
+    doc="user-activity concentration (Gini over per-user event counts) — "
+    "the skew severity number that decides whether the salting playbook "
+    "(q56/q57, operators/skew.py) is needed for user-keyed work. All "
+    "aggregates from exact integers; the rank window is over the tiny "
+    "per-user table, never the event log",
+)

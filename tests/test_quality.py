@@ -126,3 +126,57 @@ def test_mmr_is_deterministic_across_runs(spark):
     a = [tuple(r) for r in mmr_select(df, k=4, pool=29).collect()]
     b = [tuple(r) for r in mmr_select(df, k=4, pool=29).collect()]
     assert a == b
+
+
+def test_entropy_kl_hand_computed(spark):
+    """Uniform-vocab source has higher entropy than a single-word source;
+    the degenerate source's KL vs the corpus is strictly positive."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "varied"), (2, "x x x x", "flat")],
+        "doc_id bigint, text string, source string",
+    )
+    docs.createOrReplaceTempView("documents")
+    from leaf_spark.queries_quality import _Q117_BODY
+
+    body = _Q117_BODY.replace(
+        "{TOKENS}",
+        "select source, explode(split(trim(regexp_replace(lower(text), "
+        "'\\\\s+', ' ')), ' ')) as tok from documents",
+    )
+    out = {r["source"]: r for r in spark.sql(body).collect()}
+    assert out["varied"]["vocab_size"] == 4 and out["flat"]["vocab_size"] == 1
+    assert abs(out["varied"]["entropy"] - math.log(4)) < 1e-4
+    assert out["flat"]["entropy"] == 0.0
+    # flat: p(x)=1 in-source vs 4/8 corpus-wide → KL = ln(2)
+    assert abs(out["flat"]["kl_vs_corpus"] - math.log(2)) < 1e-4
+    assert out["varied"]["kl_vs_corpus"] > 0
+
+
+def test_gini_extremes(spark):
+    import datetime as dt
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp_ntz, user_id bigint, "
+            "event_type string, value double, props string",
+        )
+
+    base = dt.datetime(2026, 1, 1)
+    # perfectly equal: 4 users x 5 events → gini ≈ 0
+    eq = [(i, base, i % 4, "t", 1.0, "{}") for i in range(20)]
+    mk(eq).createOrReplaceTempView("events")
+    from leaf_spark.queries_quality import _Q118_BODY
+
+    g_eq = spark.sql(_Q118_BODY).collect()[0]
+    assert g_eq["n_users"] == 4 and abs(g_eq["gini"]) < 1e-6
+
+    # extreme skew: one user has 97 events, three have 1 each
+    sk = [(i, base, 0, "t", 1.0, "{}") for i in range(97)] + [
+        (100 + u, base, u, "t", 1.0, "{}") for u in (1, 2, 3)
+    ]
+    mk(sk).createOrReplaceTempView("events")
+    g_sk = spark.sql(_Q118_BODY).collect()[0]
+    assert g_sk["gini"] > 0.7
