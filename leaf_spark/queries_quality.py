@@ -523,3 +523,115 @@ sql_case(
     "aggregates from exact integers; the rank window is over the tiny "
     "per-user table, never the event log",
 )
+
+
+# ---------------------------------------------------------------------------
+# q119 — weekly cohort retention matrix over the event stream
+# ---------------------------------------------------------------------------
+# THE event-sourcing analytics staple: users grouped by first-seen week,
+# retention = fraction still active k weeks later. Weeks are exact integer
+# epoch-day arithmetic (epoch days div 7 — no calendar/timezone semantics
+# to diverge on); ratios are exact-int divisions rounded at 6.
+
+_Q119_BODY = """
+    with e as (
+      select user_id, {WEEK} as week
+      from events
+    ),
+    first_seen as (
+      select user_id, min(week) as cohort_week from e group by user_id
+    ),
+    cohort_size as (
+      select cohort_week, cast(count(*) as bigint) as n_users
+      from first_seen group by cohort_week
+    ),
+    active as (
+      select distinct f.cohort_week, e.user_id,
+             cast(e.week - f.cohort_week as bigint) as k
+      from e join first_seen f using (user_id)
+    ),
+    ret as (
+      select cohort_week, k, cast(count(*) as bigint) as n_active
+      from active group by cohort_week, k
+    )
+    select r.cohort_week, r.k, c.n_users, r.n_active,
+           round(cast(r.n_active as double) / c.n_users, 6) as retention
+    from ret r join cohort_size c using (cohort_week)
+"""
+
+sql_case(
+    "q119_cohort_retention",
+    _Q119_BODY.replace(
+        "{WEEK}",
+        "cast(datediff(cast(ts as date), date'1970-01-01') as bigint) div 7",
+    ),
+    _Q119_BODY.replace(
+        "{WEEK}",
+        "cast(date_diff('day', date '1970-01-01', cast(ts as date)) as bigint) // 7",
+    ),
+    doc="weekly cohort retention matrix (the event-sourcing analytics "
+    "staple): users bucketed by first-seen week, per-(cohort, offset) "
+    "active fraction. Weeks from exact epoch-day integer division — no "
+    "calendar semantics to diverge on; two user-keyed aggregations + one "
+    "broadcast-sized cohort join",
+)
+
+
+# ---------------------------------------------------------------------------
+# q120 — session conversion funnel (view → click → purchase, in order)
+# ---------------------------------------------------------------------------
+# Ordered-step funnel within the q34/q99 session definition: a step counts
+# only if its first occurrence follows the previous step's. min-timestamps
+# per (session, step) make it one aggregation — never a self-join chain.
+
+_Q120_BODY = """
+    with marked as (
+      select user_id, ts, event_id, event_type,
+             case when lag(ts) over w is null
+                    or ({EPOCH}(ts) - {EPOCH}(lag(ts) over w)) > 1800
+                  then 1 else 0 end as is_new
+      from events
+      window w as (partition by user_id order by ts, event_id)
+    ),
+    sess as (
+      select user_id, ts, event_type,
+             sum(is_new) over (partition by user_id order by ts, event_id
+                               rows unbounded preceding) as session_id
+      from marked
+    ),
+    steps as (
+      select user_id, session_id,
+             min(case when event_type = 'view' then ts end) as t_view,
+             min(case when event_type = 'click' then ts end) as t_click,
+             min(case when event_type = 'purchase' then ts end) as t_purchase
+      from sess group by user_id, session_id
+    ),
+    flags as (
+      select (t_view is not null) as s1,
+             (t_view is not null and t_click is not null
+              and t_click > t_view) as s2,
+             (t_view is not null and t_click is not null and t_click > t_view
+              and t_purchase is not null and t_purchase > t_click) as s3
+      from steps
+    )
+    select cast(count(*) as bigint) as n_sessions,
+           cast(sum(case when s1 then 1 else 0 end) as bigint) as viewed,
+           cast(sum(case when s2 then 1 else 0 end) as bigint) as clicked_after,
+           cast(sum(case when s3 then 1 else 0 end) as bigint)
+             as purchased_after,
+           round(cast(sum(case when s3 then 1 else 0 end) as double)
+                 / greatest(sum(case when s1 then 1 else 0 end), 1), 6)
+             as view_to_purchase
+    from flags
+"""
+
+sql_case(
+    "q120_session_funnel",
+    _Q120_BODY.replace("{EPOCH}", "unix_timestamp"),
+    _Q120_BODY.replace("{EPOCH}", "epoch"),
+    doc="ordered conversion funnel inside 30-min sessions: view → click → "
+    "purchase where each step's FIRST occurrence must follow the prior "
+    "step's — one conditional-min aggregation per session, never a "
+    "per-step self-join chain (the shape that explodes at scale). Exact "
+    "counts, one rounded ratio",
+)

@@ -180,3 +180,59 @@ def test_gini_extremes(spark):
     mk(sk).createOrReplaceTempView("events")
     g_sk = spark.sql(_Q118_BODY).collect()[0]
     assert g_sk["gini"] > 0.7
+
+
+def test_cohort_retention_hand_computed(spark):
+    import datetime as dt
+
+    # user 1: weeks 0 and 1; user 2: week 0 only; user 3: week 1 only
+    w0, w1 = dt.datetime(1970, 1, 1), dt.datetime(1970, 1, 8)
+    rows = [
+        (1, w0, 1, "t", 1.0, "{}"), (2, w1, 1, "t", 1.0, "{}"),
+        (3, w0, 2, "t", 1.0, "{}"),
+        (4, w1, 3, "t", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
+        "value double, props string",
+    ).createOrReplaceTempView("events")
+    from leaf_spark.queries_quality import _Q119_BODY
+
+    body = _Q119_BODY.replace(
+        "{WEEK}",
+        "cast(datediff(cast(ts as date), date'1970-01-01') as bigint) div 7",
+    )
+    out = {(r["cohort_week"], r["k"]): r for r in spark.sql(body).collect()}
+    assert out[(0, 0)]["n_users"] == 2 and out[(0, 0)]["retention"] == 1.0
+    assert out[(0, 1)]["n_active"] == 1 and out[(0, 1)]["retention"] == 0.5
+    assert out[(1, 0)]["n_users"] == 1
+
+
+def test_funnel_step_ordering_enforced(spark):
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2026, 1, 1, 10, m)  # noqa: E731
+    rows = [
+        # session A (user 1): view → click → purchase in order: full funnel
+        (1, t(0), 1, "view", 1.0, "{}"),
+        (2, t(1), 1, "click", 1.0, "{}"),
+        (3, t(2), 1, "purchase", 1.0, "{}"),
+        # session B (user 2): purchase BEFORE view — must not count as s3
+        (4, t(0), 2, "purchase", 1.0, "{}"),
+        (5, t(1), 2, "view", 1.0, "{}"),
+        (6, t(2), 2, "click", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
+        "value double, props string",
+    ).createOrReplaceTempView("events")
+    from leaf_spark.queries_quality import _Q120_BODY
+
+    r = spark.sql(_Q120_BODY.replace("{EPOCH}", "unix_timestamp")).collect()[0]
+    assert r["n_sessions"] == 2
+    assert r["viewed"] == 2
+    assert r["clicked_after"] == 2       # both sessions click after view
+    assert r["purchased_after"] == 1     # only session A purchases in order
+    assert r["view_to_purchase"] == 0.5
