@@ -124,23 +124,9 @@ def q98_int8_quant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # event types — in (ts, event_id) order — into one training-example string.
 # The multi-turn SFT-example assembly step for chat-log corpora.
 
-sql_case(
-    "q99_conversation_examples",
-    """
-    with marked as (
-      select user_id, ts, event_id, event_type,
-             case when lag(ts) over w is null
-                    or (unix_timestamp(ts) - unix_timestamp(lag(ts) over w)) > 1800
-                  then 1 else 0 end as is_new
-      from events
-      window w as (partition by user_id order by ts, event_id)
-    ),
-    sess as (
-      select user_id, ts, event_id, event_type,
-             sum(is_new) over (partition by user_id order by ts, event_id
-                               rows unbounded preceding) as session_id
-      from marked
-    )
+from .queries_events import sessionize_cte as _sessionize_cte  # noqa: E402
+
+_Q99_TAIL = """
     select user_id,
            cast(session_id as bigint) as session_id,
            cast(count(*) as bigint) as n_turns,
@@ -152,22 +138,12 @@ sql_case(
     from sess
     group by user_id, session_id
     having count(*) >= 3
-    """,
-    """
-    with marked as (
-      select user_id, ts, event_id, event_type,
-             case when lag(ts) over w is null
-                    or (epoch(ts) - epoch(lag(ts) over w)) > 1800
-                  then 1 else 0 end as is_new
-      from events
-      window w as (partition by user_id order by ts, event_id)
-    ),
-    sess as (
-      select user_id, ts, event_id, event_type,
-             sum(is_new) over (partition by user_id order by ts, event_id
-                               rows unbounded preceding) as session_id
-      from marked
-    )
+"""
+
+sql_case(
+    "q99_conversation_examples",
+    "with " + _sessionize_cte("spark") + _Q99_TAIL,
+    "with " + _sessionize_cte("duck") + """
     select user_id,
            cast(session_id as bigint) as session_id,
            cast(count(*) as bigint) as n_turns,

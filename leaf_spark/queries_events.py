@@ -94,25 +94,48 @@ sql_case(
 )
 
 # --- sessionization (30-minute inactivity gap) -------------------------------
+# ONE shared definition for every sessionizing query (q34/q99/q120): the
+# gap compares MICROSECOND epochs on both engines. Truncated-second epochs
+# (Spark unix_timestamp vs DuckDB epoch) disagree on a gap that straddles
+# exactly 1800 s depending on the sub-second fractions — a data-dependent
+# oracle divergence waiting for a regenerated dataset.
+SESSIONIZE_CTE = """
+    marked as (
+      select user_id, ts, event_id, event_type, value,
+             case when lag(ts) over w is null
+                    or ({EPOCHUS} - lag({EPOCHUS}) over w) > 1800000000
+                  then 1 else 0 end as is_new
+      from events
+      window w as (partition by user_id order by ts, event_id)
+    ),
+    sess as (
+      select user_id, ts, event_id, event_type, value,
+             sum(is_new) over (partition by user_id order by ts, event_id
+                               rows unbounded preceding) as session_id
+      from marked
+    )"""
+
+SPARK_EPOCH_US = "unix_micros(cast(ts as timestamp))"
+DUCK_EPOCH_US = "epoch_us(ts)"
+
+
+def sessionize_cte(engine: str) -> str:
+    return SESSIONIZE_CTE.replace(
+        "{EPOCHUS}", SPARK_EPOCH_US if engine == "spark" else DUCK_EPOCH_US
+    )
+
+
 _Q34_BODY = """
-select user_id, cast(sum(is_new) as bigint) as n_sessions
-from (
-  select user_id,
-         case when prev_ts is null
-                or ({EPOCH}(ts) - {EPOCH}(prev_ts)) > 1800 then 1 else 0 end as is_new
-  from (
-    select user_id, ts,
-           lag(ts) over (partition by user_id order by ts, event_id) as prev_ts
-    from events
-  ) w
-) s
-group by user_id
+with {SESS}
+select user_id, cast(max(session_id) as bigint) as n_sessions
+from sess group by user_id
 """
 sql_case(
     "q34_events_sessionize",
-    _Q34_BODY.replace("{EPOCH}", "unix_timestamp"),
-    _Q34_BODY.replace("{EPOCH}", "epoch"),
-    doc="lag-window sessionization; streaming analog = session window / state op",
+    _Q34_BODY.replace("{SESS}", sessionize_cte("spark")),
+    _Q34_BODY.replace("{SESS}", sessionize_cte("duck")),
+    doc="lag-window sessionization (shared SESSIONIZE_CTE, µs-exact gap); "
+    "streaming analog = session window / state op",
 )
 
 # --- top-k users -------------------------------------------------------------

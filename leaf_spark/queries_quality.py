@@ -458,8 +458,8 @@ _Q117_BODY = """
     )
     select source,
            cast(count(*) as bigint) as vocab_size,
-           cast(round(cast(sum(h_term) as double), 5) as double) as entropy,
-           cast(round(cast(sum(kl_term) as double), 5) as double)
+           cast(round(cast(sum(h_term) as double), 6) as double) as entropy,
+           cast(round(cast(sum(kl_term) as double), 6) as double)
              as kl_vs_corpus
     from terms group by source
 """
@@ -584,21 +584,10 @@ sql_case(
 # only if its first occurrence follows the previous step's. min-timestamps
 # per (session, step) make it one aggregation — never a self-join chain.
 
+from .queries_events import sessionize_cte as _sessionize_cte  # noqa: E402
+
 _Q120_BODY = """
-    with marked as (
-      select user_id, ts, event_id, event_type,
-             case when lag(ts) over w is null
-                    or ({EPOCH}(ts) - {EPOCH}(lag(ts) over w)) > 1800
-                  then 1 else 0 end as is_new
-      from events
-      window w as (partition by user_id order by ts, event_id)
-    ),
-    sess as (
-      select user_id, ts, event_type,
-             sum(is_new) over (partition by user_id order by ts, event_id
-                               rows unbounded preceding) as session_id
-      from marked
-    ),
+    with {SESS},
     steps as (
       select user_id, session_id,
              min(case when event_type = 'view' then ts end) as t_view,
@@ -627,8 +616,8 @@ _Q120_BODY = """
 
 sql_case(
     "q120_session_funnel",
-    _Q120_BODY.replace("{EPOCH}", "unix_timestamp"),
-    _Q120_BODY.replace("{EPOCH}", "epoch"),
+    _Q120_BODY.replace("{SESS}", _sessionize_cte("spark")),
+    _Q120_BODY.replace("{SESS}", _sessionize_cte("duck")),
     doc="ordered conversion funnel inside 30-min sessions: view → click → "
     "purchase where each step's FIRST occurrence must follow the prior "
     "step's — one conditional-min aggregation per session, never a "

@@ -230,7 +230,9 @@ def test_funnel_step_ordering_enforced(spark):
     ).createOrReplaceTempView("events")
     from leaf_spark.queries_quality import _Q120_BODY
 
-    r = spark.sql(_Q120_BODY.replace("{EPOCH}", "unix_timestamp")).collect()[0]
+    from leaf_spark.queries_events import sessionize_cte
+
+    r = spark.sql(_Q120_BODY.replace("{SESS}", sessionize_cte("spark"))).collect()[0]
     assert r["n_sessions"] == 2
     assert r["viewed"] == 2
     assert r["clicked_after"] == 2       # both sessions click after view
