@@ -122,30 +122,9 @@ def hyperplane_signature(vec: Column, num_planes: int = 16) -> Column:
     return F.concat_ws("", signature_bits(vec, num_planes))
 
 
-def ann_lsh_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    num_planes: int = 6,
-    num_tables: int = 8,
-    multiprobe_bits: int = 1,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    query_id_col: str = "query_id",
-    query_vec_col: str = "query_vec",
-) -> DataFrame:
-    """Approximate top-k via multi-table hyperplane LSH.
-
-    ``num_tables`` independent plane sets (textbook L-table LSH): a true
-    neighbor is missed only if it splits from the query in EVERY table, so
-    recall ≈ 1-(1-p^b)^L instead of p^b. Each query additionally probes
-    hamming<=multiprobe_bits neighbor buckets per table. Join key =
-    "table:signature" → uniform shuffle; candidate set ≈
-    L·(1+b·multiprobe)·corpus/2^b instead of the full corpus. The corpus
-    side explodes ×L — the standard LSH space/recall trade."""
-    from pyspark.sql import Window
-
-    c = corpus.select(F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v"))
+def _corpus_buckets(c: DataFrame, num_planes: int, num_tables: int) -> DataFrame:
+    """(id, v, bucket) — each vector exploded into its ``num_tables``
+    "table:signature" index buckets."""
     c_buckets = F.array(
         *[
             F.concat_ws(
@@ -156,8 +135,14 @@ def ann_lsh_topk(
             for t in range(num_tables)
         ]
     )
-    cb = c.select("id", "v", F.explode(c_buckets).alias("bucket"))
+    return c.select("id", "v", F.explode(c_buckets).alias("bucket"))
 
+
+def _query_probes(
+    q: DataFrame, num_planes: int, num_tables: int, multiprobe_bits: int
+) -> DataFrame:
+    """(qid, qv, bucket) — each query exploded into its own bucket plus the
+    hamming<=multiprobe_bits flips, per table."""
     flip = lambda b: F.when(b == "1", F.lit("0")).otherwise(F.lit("1"))  # noqa: E731
 
     def _table_probes(t: int) -> Column:
@@ -185,10 +170,76 @@ def ann_lsh_topk(
 
     probe_arrays = [_table_probes(t) for t in range(num_tables)]
     probes = F.array_distinct(F.concat(*probe_arrays))
+    return q.select("qid", "qv", F.explode(probes).alias("bucket"))
+
+
+def lsh_self_candidate_pairs(
+    df: DataFrame,
+    num_planes: int = 4,
+    num_tables: int = 12,
+    multiprobe_bits: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distinct (id, nid) self-kNN candidate pairs via multi-table
+    hyperplane LSH — the scale-safe replacement for an all-pairs self-join.
+
+    Pairs carry IDS ONLY (the dedup-family discipline): callers join the
+    vectors back on equi-keys for exact verification, so the candidate
+    shuffle payload is two bigints per pair no matter the embedding width.
+    The bucket join is a plain equi-join on "table:signature" (uniform
+    keys, AQE-splittable) — never a broadcast nested loop over the corpus;
+    candidate count ≈ L·(1+b)·n²/2^b instead of n². Recall of a true
+    neighbor at plane-collision prob p is 1-(1-(p^b + b·p^(b-1)(1-p)))^L —
+    at the defaults (b=4, L=12, hamming-1) that is >0.9999 for cosine≥0.5
+    neighbors, and every miss is verifiable because the pipeline is
+    deterministic end-to-end."""
+    c = df.select(F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v"))
+    cb = _corpus_buckets(c, num_planes, num_tables)
+    probes = _query_probes(
+        c.select(F.col("id").alias("qid"), F.col("v").alias("qv")),
+        num_planes,
+        num_tables,
+        multiprobe_bits,
+    )
+    return (
+        cb.join(probes.select("qid", "bucket"), "bucket")
+        .where(F.col("qid") != F.col("id"))
+        .select(F.col("qid").alias("id"), F.col("id").alias("nid"))
+        .dropDuplicates(["id", "nid"])
+    )
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 6,
+    num_tables: int = 8,
+    multiprobe_bits: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k via multi-table hyperplane LSH.
+
+    ``num_tables`` independent plane sets (textbook L-table LSH): a true
+    neighbor is missed only if it splits from the query in EVERY table, so
+    recall ≈ 1-(1-p^b)^L instead of p^b. Each query additionally probes
+    hamming<=multiprobe_bits neighbor buckets per table. Join key =
+    "table:signature" → uniform shuffle; candidate set ≈
+    L·(1+b·multiprobe)·corpus/2^b instead of the full corpus. The corpus
+    side explodes ×L — the standard LSH space/recall trade."""
+    from pyspark.sql import Window
+
+    c = corpus.select(F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v"))
+    cb = _corpus_buckets(c, num_planes, num_tables)
     q = queries.select(
         F.col(query_id_col).alias("qid"),
         _to_double(F.col(query_vec_col)).alias("qv"),
-    ).select("qid", "qv", F.explode(probes).alias("bucket"))
+    )
+    q = _query_probes(q, num_planes, num_tables, multiprobe_bits)
 
     scored = cb.join(q, "bucket").select(
         "qid", "id", cosine_expr(F.col("v"), F.col("qv")).alias("cosine")

@@ -74,46 +74,45 @@ def sql_case(name: str, spark_sql: str, oracle: str, doc: str = "") -> None:
 # pytest-covered regardless of position; rotation only changes which subset
 # gets a fresh official row this round.  See README "Correctness coverage".
 #
-# Round-4 window (50 = 15 + 3 + 31 + 1): the 15 cases with no
-# official row yet (q71-q85, all local driver-replica green), the 3
-# round-3 hash-reds whose oracles were retyped this round (q67/q68/q70 —
-# cast(sum(int) as bigint), VERDICT r3 "What's wrong #1"), the 31 new
-# round-4 entries (q86-q116), and 1 round-3-green flagship
-# re-confirmation (q49). Everything rotated out — including the
-# twenty r02-green entries displaced by q97-q116 (q04-q09, q16,
-# q20-q23, q25, q27, q28, q29, q31, q35/q36/q37/q39 — q24/q26 are
-# r03-green, never in the refresh set) — is green in CORRECTNESS_r02/r03; every case
-# stays registered and pytest-covered regardless of position, and the
-# full local gate (tools/check.py) covers all entries every run.
-_ROUND4_FRONT = [
-    # never officially scored (implemented + locally green since round 3)
-    "q71_bm25_topk", "q72_gopher_filter", "q73_semantic_dedup",
-    "q74_corpus_stats", "q75_unigram_logprob", "q76_clean_pipeline",
-    "q77_incremental_dedup", "q78_window_breadth", "q79_rollup_stats",
-    "q80_editdist_blocked", "q81_temperature_mix", "q82_asof_bucketed",
-    "q83_chunk_windows", "q84_ngram_novelty", "q85_tfidf_top_terms",
-    # round-3 hash-reds, oracle typing fixed this round
-    "q67_train_split", "q68_source_mix", "q70_pack_sequences",
-    # new this round (never scored)
-    "q86_kmeans_clusters", "q87_cdc_chunks", "q88_bigram_logprob",
-    "q89_dsir_importance", "q90_containment_dedup", "q91_build_postings",
-    "q92_quality_deciles", "q93_budget_allocation", "q94_decay_ess",
-    "q95_label_balance", "q96_pagerank",
-    "q97_triplet_mining", "q98_int8_quant_stats", "q99_conversation_examples",
-    "q100_cluster_histogram", "q101_zscore_outliers", "q102_doc_contamination",
-    "q103_rendezvous_shards", "q104_systematic_sample", "q105_weighted_sample",
-    "q106_feature_hash", "q107_source_overlap", "q108_packing_efficiency",
-    "q109_bpe_merges", "q110_bpe_encode", "q111_hash_vector_ann",
-    "q112_psi_drift", "q113_label_noise", "q114_column_profile",
-    "q115_mmr_selection", "q116_leakage_free_split",
-    # round-3-green flagship re-confirmation (everything else rotated out
-    # has a PASS row in CORRECTNESS_r02/r03 already)
-    "q49_minhash_lsh",
+# Round-5 window (VERDICT r4 "Next round #1"): the 24 entries with no
+# official r3/r4 row — q117-q120 (written after the r4 scoring cutoff)
+# and the 20 entries last scored in r02 (two rounds of code churn since,
+# so they deserve official re-confirmation) — plus every NEW round-5
+# entry (q121+, appended below as they land), plus re-confirmations of
+# the heaviest round-4 operators to fill the 50-slot window. Everything
+# rotated out holds an official green row in CORRECTNESS_r03/r04; every
+# case stays registered and pytest-covered regardless of position, and
+# the full local gate (tools/check.py) covers all entries every run.
+_ROUND5_FRONT = [
+    # never officially scored (added after the r4 cutoff; local-green)
+    "q117_entropy_kl", "q118_activity_gini", "q119_cohort_retention",
+    "q120_session_funnel",
+    # last scored in r02 — official re-confirmation after two rounds of churn
+    "q04_left_join", "q05_semi_join", "q06_anti_join",
+    "q07_distinct", "q08_set_ops", "q09_order_limit_offset",
+    "q16_cross_join", "q20_conditional", "q21_string_fns",
+    "q22_math", "q23_datetime", "q25_total",
+    "q27_json_object", "q28_json_group_array", "q29_like_glob",
+    "q31_events_range_scan", "q35_events_topk_users", "q36_events_two_pages",
+    "q37_typeof", "q39_json_each",
+    # new round-5 entries (never scored)
+    "q121_minhash_ann_label_noise", "q122_histogram_gini",
+    "q123_pagerank_checkpointed", "q124_png_decode_stats",
+    "q125_simpson_diversity", "q126_topic_balance",
+    "q127_dp_noise_count", "q128_bootstrap_ci", "q129_dataset_card",
+    "q130_streaming_freshness", "q131_quota_dedup_rank",
+    "q132_prefix_dedup", "q133_suffix_array_lcp", "q134_winsorized_stats",
+    "q135_token_budget_pack", "q136_stratified_eval_holdout",
+    "q137_ngram_coverage_curve", "q138_doc_graph_degree",
+    "q139_length_histogram", "q140_anchor_text_agg",
+    # heaviest round-4 operators: re-confirmation fills the window to 50
+    "q49_minhash_lsh", "q96_pagerank", "q109_bpe_merges",
+    "q110_bpe_encode", "q90_containment_dedup", "q113_label_noise",
 ]
 
 
 def _ordered(reg: dict[str, QueryCase]) -> dict[str, QueryCase]:
-    front = [n for n in _ROUND4_FRONT if n in reg]
+    front = [n for n in _ROUND5_FRONT if n in reg]
     rest = [n for n in reg if n not in set(front)]
     return {n: reg[n] for n in [*front, *rest]}
 

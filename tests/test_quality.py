@@ -238,3 +238,45 @@ def test_funnel_step_ordering_enforced(spark):
     assert r["clicked_after"] == 2       # both sessions click after view
     assert r["purchased_after"] == 1     # only session A purchases in order
     assert r["view_to_purchase"] == 0.5
+
+
+def test_q113_lsh_candidates_recover_brute_force_vote(spark):
+    """The LSH-candidate path (the 100 TB plan) must produce the identical
+    per-vector neighbor vote as the all-pairs brute force on the gate
+    corpus — deterministic recall-1 at b=4/L=12/hamming-1."""
+    from pyspark.sql import Window
+
+    from leaf_spark.queries import all_cases
+    from leaf_spark.operators.similarity import _to_double, cosine_expr
+    from leaf_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    lsh = all_cases()["q113_label_noise"].spark_fn(spark, sf)
+
+    t = load_tables(spark, sf, names=("embeddings",))
+    v = t["embeddings"].where(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("id"), "label",
+        _to_double(F.col("embedding")).alias("v"),
+    )
+    b = v.select(
+        F.col("id").alias("nid"), F.col("label").alias("nlabel"),
+        F.col("v").alias("nv"),
+    )
+    scored = v.join(F.broadcast(b), F.col("id") != F.col("nid")).select(
+        "id", "label", "nid", "nlabel",
+        F.round(cosine_expr(F.col("v"), F.col("nv")), 5).alias("sim"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("sim"), "nid")
+    brute = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .groupBy(F.col("id").alias("vec_id"), "label")
+        .agg(
+            F.sum((F.col("nlabel") != F.col("label")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_disagree"),
+            (F.sum((F.col("nlabel") != F.col("label")).cast("bigint")) >= 4)
+            .alias("suspect"),
+        )
+    )
+    assert sorted(map(tuple, lsh.collect())) == sorted(map(tuple, brute.collect()))
