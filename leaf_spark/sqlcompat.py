@@ -33,6 +33,8 @@ _TOKEN_RE = re.compile(
     r"""
       (?P<str>'(?:[^']|'')*')
     | (?P<qid>"(?:[^"]|"")*")
+    | (?P<bqid>`(?:[^`]|``)*`)
+    | (?P<brid>\[[^\]]*\])
     | (?P<num>\d+\.\d*|\.\d+|\d+)
     | (?P<arrow2>->>)
     | (?P<arrow>->)
@@ -506,11 +508,79 @@ class StatementInfo:
     reads_event: bool = False
 
 
+def _unquote_ident(tok: str) -> str | None:
+    """Identifier text of a (possibly quoted) token, lowercased — None for
+    non-identifiers. Covers "x", `x`, [x] (the SQLite quote styles): a
+    write guard that only sees bare identifiers is bypassable by quoting
+    the target name."""
+    if _is_word(tok):
+        return tok.lower()
+    if len(tok) >= 2:
+        if tok[0] == '"' and tok[-1] == '"':
+            return tok[1:-1].replace('""', '"').lower()
+        if tok[0] == "`" and tok[-1] == "`":
+            return tok[1:-1].replace("``", "`").lower()
+        if tok[0] == "[" and tok[-1] == "]":
+            return tok[1:-1].lower()
+    return None
+
+
+def split_statements(sql: str) -> list[str]:
+    """Split on top-level semicolons (never inside parens or strings —
+    strings are single tokens, so only paren depth matters). A compound
+    "select 1; drop table x" must authorize as TWO statements, not hide
+    the second behind the first's head keyword."""
+    toks = tokenize(sql)
+    stmts: list[list[str]] = [[]]
+    depth = 0
+    for t in toks:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth = max(0, depth - 1)
+        if t == ";" and depth == 0:
+            stmts.append([])
+        else:
+            stmts[-1].append(t)
+    return [" ".join(s) for s in stmts if s]
+
+
 def classify(sql: str) -> StatementInfo:
     toks = tokenize(sql)
     if not toks:
         return StatementInfo("other")
     lows = [t.lower() if _is_word(t) else t for t in toks]
+    # WITH-prefixed statements: the real verb is the first depth-0 verb
+    # after the CTE list (SQLite allows WITH ... INSERT/UPDATE/DELETE —
+    # head-keyword dispatch alone would classify those as harmless
+    # selects). CTE bodies sit inside parens, so depth-0 scanning skips
+    # them.
+    if lows[0] == "with":
+        verbs = {"select", "insert", "replace", "update", "delete",
+                 "create", "drop", "alter"}
+        depth = 0
+        for i in range(1, len(toks)):
+            if toks[i] == "(":
+                depth += 1
+            elif toks[i] == ")":
+                depth -= 1
+            elif depth == 0 and lows[i] in verbs:
+                if lows[i] == "select":
+                    break
+                inner = classify(" ".join(toks[i:]))
+                fns_all = tuple(sorted(set(inner.functions) | {
+                    lows[j]
+                    for j in range(len(toks) - 1)
+                    if _is_word(toks[j]) and toks[j + 1] == "("
+                    and lows[j] not in (
+                        "select", "where", "from", "and", "or", "not", "in",
+                        "exists", "on", "values", "as", "between",
+                    )
+                }))
+                return StatementInfo(
+                    inner.kind, inner.target, fns_all,
+                    inner.reads_event or "event" in lows,
+                )
     fns = tuple(
         sorted(
             {
@@ -534,11 +604,13 @@ def classify(sql: str) -> StatementInfo:
         j = k + 1
         while j < len(lows) and lows[j] in ("if", "not", "exists", "or", "replace", "temp", "temporary"):
             j += 1
-        if j < len(lows) and _is_word(toks[j]):
-            # db.tbl
+        if j < len(lows) and _unquote_ident(toks[j]) is not None:
+            # db.tbl — quoted or bare ("state".m must still read as state.m)
             if j + 2 < len(lows) and toks[j + 1] == ".":
-                return f"{lows[j]}.{lows[j+2]}"
-            return lows[j]
+                tail = _unquote_ident(toks[j + 2])
+                if tail is not None:
+                    return f"{_unquote_ident(toks[j])}.{tail}"
+            return _unquote_ident(toks[j])
         return None
 
     if head == "select" or head == "with":
@@ -585,6 +657,13 @@ class Authorizer:
 
     def check(self, sql: str, policy: str) -> None:
         if not self.enforce:
+            return
+        # compound input authorizes per statement — "select 1; drop table x"
+        # must not hide the drop behind the select's head keyword
+        stmts = split_statements(sql)
+        if len(stmts) > 1:
+            for s in stmts:
+                self.check(s, policy)
             return
         info = classify(sql)
         if policy in ("authorize", "query"):

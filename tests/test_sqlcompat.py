@@ -337,3 +337,79 @@ class TestTableNamedLikeBuiltin:
         assert "log10" not in translate("select * from log join date (x) on 1=1")
         # ...while real calls in expression position still rewrite
         assert "log10(x)" in translate("select log(x) from t")
+
+
+class TestAuthorizerRedTeam:
+    """Adversarial module SQL (VERDICT r4 'Next round #7'): every smuggle
+    path must be rejected in enforce mode, while permissive mode — the
+    reference's actual shipped behavior (leaf-stream/src/lib.rs:997,1046,
+    1095 short-circuit Allow) — lets each through untouched."""
+
+    CASES_QUERY = [
+        # writes smuggled behind a CTE prefix (head-keyword dispatch trap)
+        "with t as (select 1) insert into events select * from t",
+        "with t as (select 1) delete from events where id in (select * from t)",
+        "with t as (select 1) update events set value = 0",
+        # DDL behind a CTE
+        "with t as (select 1) drop table events",
+        # compound statement hides the second verb behind the first
+        "select 1; drop table events",
+        "select 1; insert into events values (1)",
+        # case smuggling
+        "INSERT INTO events VALUES (1)",
+        # non-allowlisted function, plain / inside a CTE body / uppercase
+        "select load_extension('evil')",
+        "with t as (select load_extension('evil') as x) select x from t",
+        "select LOAD_EXTENSION('evil')",
+    ]
+
+    def test_query_scope_rejects_each_smuggle(self):
+        from leaf_spark.sqlcompat import AuthorizationError, Authorizer
+
+        a = Authorizer(enforce=True)
+        for sql in self.CASES_QUERY:
+            with pytest.raises(AuthorizationError):
+                a.check(sql, "query")
+
+    def test_permissive_matches_reference_disabled_behavior(self):
+        from leaf_spark.sqlcompat import Authorizer
+
+        a = Authorizer(enforce=False)
+        for sql in self.CASES_QUERY:
+            a.check(sql, "query")  # reference ships authorization disabled
+
+    def test_materialize_state_guard_survives_quoting(self):
+        from leaf_spark.sqlcompat import AuthorizationError, Authorizer
+
+        a = Authorizer(enforce=True)
+        for sql in (
+            'insert into "state".m select 1',
+            "insert into `state`.m select 1",
+            "insert into [state].m select 1",
+            'delete from "state".m',
+            "with t as (select 1) insert into state.m select * from t",
+        ):
+            with pytest.raises(AuthorizationError):
+                a.check(sql, "materialize")
+        # plain main-namespace writes stay allowed
+        a.check('insert into "tbl" select 1', "materialize")
+        a.check("with t as (select 1) insert into tbl select * from t", "materialize")
+
+    def test_state_materialize_rejects_quoted_main_writes(self):
+        from leaf_spark.sqlcompat import AuthorizationError, Authorizer
+
+        a = Authorizer(enforce=True)
+        with pytest.raises(AuthorizationError):
+            a.check('insert into "main_t" select 1', "state_materialize")
+        a.check('insert into "state".m select 1', "state_materialize")
+
+    def test_split_statements_respects_paren_depth_and_strings(self):
+        from leaf_spark.sqlcompat import split_statements
+
+        assert split_statements("select 1; drop table x") == [
+            "select 1",
+            "drop table x",
+        ]
+        # semicolon inside a string literal is data, not a separator
+        assert len(split_statements("select 'a;b' from t")) == 1
+        assert len(split_statements("select (select 1) from t")) == 1
