@@ -51,11 +51,19 @@ def sql_case(name: str, spark_sql: str, oracle: str, doc: str = "") -> None:
     """Register a case whose Spark side is a plain Spark-SQL string (Catalyst
     plans it; these are fully declarative — pushdown/pruning for free).
 
-    The testdata views the SQL references are inferred from its text, so
-    each run registers (≈8 ms of driver round-trip apiece) only the views
-    it actually reads — a false positive from a name inside a string
-    literal merely over-registers, which is harmless."""
-    used = tuple(t for t in TESTDATA_TABLES if re.search(rf"\b{t}\b", spark_sql))
+    The testdata views the SQL references are inferred from its text
+    (case-insensitively — FROM EVENTS and from "events" both count, so a
+    future uppercase/quoted identifier can't skip registration and
+    silently read a view left behind by an earlier query, possibly from a
+    different sf_dir), so each run registers (≈8 ms of driver round-trip
+    apiece) only the views it actually reads — a false positive from a
+    name inside a string literal merely over-registers, which is
+    harmless."""
+    used = tuple(
+        t
+        for t in TESTDATA_TABLES
+        if re.search(rf"\b{t}\b", spark_sql, re.IGNORECASE)
+    )
 
     def fn(
         spark: SparkSession, sf_dir: str, _sql=spark_sql, _names=used or None

@@ -153,11 +153,14 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     # transition, re-reading parquet and evicting the other tables).
     fps = dict(_dir_fingerprint(sf_dir, names))
     entry = cache.get(sf_dir)
+    view_dirs: dict = getattr(spark, "_leaf_view_dirs", None) or {}
+    spark._leaf_view_dirs = view_dirs
     if entry is not None and all(
         n in entry["tables"] and entry["fps"].get(n) == fps[n] for n in names
     ):
         for n in names:
             entry["tables"][n].createOrReplaceTempView(n)
+            view_dirs[n] = sf_dir
         spark._leaf_views_dir = sf_dir
         return {n: entry["tables"][n] for n in names}
     out = {}
@@ -188,6 +191,7 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
                     ),
                 )
         df.createOrReplaceTempView(n)
+        view_dirs[n] = sf_dir
         out[n] = df
     prev = cache.get(sf_dir)
     tables = dict(prev["tables"]) if prev is not None else {}

@@ -239,18 +239,42 @@ class LeafSocketIOServer:
                         pc.stop.set()
                         for pt in pc.push_threads:
                             pt.join(timeout=1.0)
-                        while True:
-                            try:
-                                kind, data = pc.outbox.get_nowait()
-                            except queue.Empty:
-                                break
-                            if kind == "txt":
-                                conn.send_text(str(data))
-                            else:
-                                with conn.send_lock:
-                                    fs.write_frame(ws.OP_BINARY, bytes(data))
+
+                        def _drain() -> bool:
+                            saw_noop = False
+                            while True:
+                                try:
+                                    kind, data = pc.outbox.get_nowait()
+                                except queue.Empty:
+                                    return saw_noop
+                                if kind == "txt" and str(data) == "6":
+                                    saw_noop = True  # keep for the GET side
+                                elif kind == "txt":
+                                    conn.send_text(str(data))
+                                else:
+                                    with conn.send_lock:
+                                        fs.write_frame(
+                                            ws.OP_BINARY, bytes(data)
+                                        )
+
+                        _drain()
                         pc.outbox.put(("txt", "6"))  # noop unblocks the GET
                         self._sessions.pop(sid, None)
+                        # a push thread still encoding past the 1 s join
+                        # enqueues (force=True) AFTER the drain above and
+                        # the packet would die with the popped session —
+                        # keep joining + re-draining onto the websocket
+                        # until every retiring thread is dead, then sweep
+                        # once more (re-posting the noop whenever a drain
+                        # swallows it, so a blocked polling GET still
+                        # wakes)
+                        while any(pt.is_alive() for pt in pc.push_threads):
+                            for pt in pc.push_threads:
+                                pt.join(timeout=1.0)
+                            if _drain():
+                                pc.outbox.put(("txt", "6"))
+                        if _drain():
+                            pc.outbox.put(("txt", "6"))
                         # live subscriptions follow the session, not the
                         # transport: restart their push loops on this conn
                         for s_did, s_id in pc.sub_ids:

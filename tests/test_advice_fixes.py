@@ -380,3 +380,92 @@ class TestRound3Advice:
         # NULL = NULL is never true: corpus NULL suppresses nothing and the
         # two batch NULLs don't suppress each other; "seen" is suppressed
         assert kept == [11, 12, 13]
+
+
+class TestRound4Advice:
+    """Round-4 advisor findings: mtime-granularity boundary of the table
+    cache, case-insensitive view inference, and per-view dir recording."""
+
+    def _write_docs(self, spark, path, texts):
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    def test_same_size_rewrite_invalidates_via_mtime(self, spark, tmp_path):
+        """Content change with IDENTICAL byte size: the fingerprint's
+        mtime_ns component catches it (any real rewrite moves mtime)."""
+        from leaf_spark.session import load_tables
+
+        sf_dir = str(tmp_path / "sf")
+        self._write_docs(spark, f"{sf_dir}/documents.parquet", ["aaaa"])
+        t1 = load_tables(spark, sf_dir, names=("documents",))
+        assert [r["text"] for r in t1["documents"].collect()] == ["aaaa"]
+
+        self._write_docs(spark, f"{sf_dir}/documents.parquet", ["bbbb"])
+        t2 = load_tables(spark, sf_dir, names=("documents",))
+        assert [r["text"] for r in t2["documents"].collect()] == ["bbbb"]
+
+    def test_mtime_restoration_is_the_documented_blind_spot(
+        self, spark, tmp_path
+    ):
+        """DOCUMENTED boundary: if an adversary rewrites every file with
+        identical sizes AND restores every mtime_ns via utime, the stat
+        fingerprint cannot see the change — that is the accepted limit of
+        a stat-based (content-hash-free) cache key. This test pins the
+        behavior so a future fingerprint change that closes (or widens)
+        the boundary shows up explicitly."""
+        import os
+
+        from leaf_spark.session import load_tables
+
+        sf_dir = str(tmp_path / "sf")
+        p = f"{sf_dir}/documents.parquet"
+        self._write_docs(spark, p, ["aaaa"])
+        stats = {
+            fn: os.stat(os.path.join(p, fn)) for fn in os.listdir(p)
+        }
+        load_tables(spark, sf_dir, names=("documents",))
+
+        self._write_docs(spark, p, ["cccc"])
+        same_shape = True
+        for fn in os.listdir(p):
+            full = os.path.join(p, fn)
+            old = stats.get(fn)
+            if old is None or os.stat(full).st_size != old.st_size:
+                same_shape = False  # layout differs → fingerprint sees it
+            else:
+                os.utime(full, ns=(old.st_atime_ns, old.st_mtime_ns))
+        t = load_tables(spark, sf_dir, names=("documents",))
+        if same_shape:
+            # blind spot: stale content served (stat-identical rewrite)
+            assert [r["text"] for r in t["documents"].collect()] == ["aaaa"]
+
+    def test_sql_case_inference_is_case_insensitive(self, spark, tmp_path):
+        """FROM EVENTS (uppercase) must register the events view — a
+        lexical inference miss would silently reuse whatever 'events'
+        view an earlier query left behind, possibly at another sf_dir."""
+        from leaf_spark.queries import sql_case, _REGISTRY
+
+        sf001 = "/root/testdata/sf0.001"
+        try:
+            sql_case(
+                "zz_test_upper", "SELECT count(*) AS n FROM EVENTS", "unused"
+            )
+            spark.catalog.dropTempView("events")
+            n = _REGISTRY["zz_test_upper"].spark_fn(spark, sf001).collect()[0]["n"]
+            assert n > 0
+        finally:
+            _REGISTRY.pop("zz_test_upper", None)
+
+    def test_load_tables_records_per_view_dir(self, spark, tmp_path):
+        from leaf_spark.session import load_tables
+
+        a = str(tmp_path / "a")
+        b = str(tmp_path / "b")
+        self._write_docs(spark, f"{a}/documents.parquet", ["in-a"])
+        self._write_docs(spark, f"{b}/documents.parquet", ["in-b"])
+        load_tables(spark, a, names=("documents",))
+        assert spark._leaf_view_dirs["documents"] == a
+        load_tables(spark, b, names=("documents",))
+        assert spark._leaf_view_dirs["documents"] == b
+        assert [r["text"] for r in spark.table("documents").collect()] == ["in-b"]
