@@ -147,12 +147,18 @@ class SubscriptionWorker:
                 upd = StreamUpdate("new_events", arg)
                 for ch in chans:
                     self._emit(ch, upd)
+                # one update cycle services every subscription; identical
+                # (user, shifted-query) pairs share ONE engine execution —
+                # N clients watching the same feed (the common fan-out
+                # shape) cost one query per commit, not N, and the last
+                # subscriber's push latency stops growing with N
+                memo: dict = {}
                 for sid in sub_ids:
-                    self._service(sid)
+                    self._service(sid, memo)
             elif kind == "needs_update":
                 self._service(arg)
 
-    def _service(self, sub_id: str) -> None:
+    def _service(self, sub_id: str, memo: dict | None = None) -> None:
         with self._lock:
             sub = self.subs.get(sub_id)
         if sub is None:
@@ -162,7 +168,23 @@ class SubscriptionWorker:
             return
         q2 = sub.query.update_for_subscription(sub.latest_event + 1)
         try:
-            rows = self.stream.query(sub.user, q2)
+            key = (
+                sub.user,
+                q2.name,
+                q2.start,
+                q2.limit,
+                tuple(sorted(q2.params.items())),
+            )
+            hash(key)
+        except TypeError:  # unhashable param value → no sharing for this sub
+            key, memo = None, None
+        try:
+            if memo is not None and key in memo:
+                rows = memo[key]
+            else:
+                rows = self.stream.query(sub.user, q2)
+                if memo is not None:
+                    memo[key] = rows
         except Exception as ex:  # error forwarding, not teardown
             self._emit(sub.channel, SubscriptionResponse([], False, error=str(ex)[:500]))
             return

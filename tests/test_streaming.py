@@ -348,3 +348,46 @@ def test_stream_stream_attribution_matches_batch_join(spark, events_src_dir, tmp
     # AvailableNow drains the whole bounded input, so the streaming result
     # must equal the batch interval join exactly
     assert got == exp
+
+
+def test_identical_subscriptions_share_one_query_per_update(
+    spark, tmp_path_factory
+):
+    """Fan-out efficiency: N subscribers with the SAME (user, query) must
+    cost ONE engine execution per update cycle, not N — and every one of
+    them still receives the rows."""
+    import time
+
+    from leaf_spark.streaming.subscribe import SubscriptionWorker
+    from leaf_spark.types import LeafQuery
+
+    root = str(tmp_path_factory.mktemp("sharesub"))
+    s = Stream(spark, root, "did:plc:sharesub")
+    s.provide_module(CHAT)
+    s.add_events([msg("did:plc:u", "seed", 0)])
+
+    w = SubscriptionWorker(s)
+    calls = {"n": 0}
+    real_query = s.query
+
+    def counting_query(user, q):
+        calls["n"] += 1
+        return real_query(user, q)
+
+    s.query = counting_query
+    try:
+        subs = [
+            w.subscribe_events(None, LeafQuery("messages", limit=100))
+            for _ in range(6)
+        ]
+        time.sleep(1.0)  # initial needs_update services drain (no shared cycle)
+        calls["n"] = 0
+        s.add_events([msg("did:plc:u", "live", 1)])
+        rows_each = [sub.channel.get(timeout=30).rows for sub in subs]
+        for rows in rows_each:
+            assert any(r.get("content") == "live" for r in rows)
+        # one "updated" cycle serviced all 6 identical subs with 1 query
+        assert calls["n"] == 1, calls["n"]
+    finally:
+        s.query = real_query
+        w.close()

@@ -142,5 +142,120 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def latency_main() -> None:
+    """Commit→push latency distribution under concurrent fan-out
+    (VERDICT r4 'Next round #9'): N streams ingest concurrently, each with
+    M live subscribers; we measure, per (commit, subscriber), the time
+    from add_events RETURNING (event durable, update hook fired) until
+    that subscriber's channel holds the new row. Ingest throughput is
+    bench'd separately above — this isolates the pub/sub + re-query push
+    path, whose tail grows with M because a stream's worker services its
+    subscriptions sequentially (reference lib.rs:888-985 does the same).
+
+    Usage: python tools/bench_stream.py latency [n_streams] [n_subs]
+           [n_commits]  → one JSON line with p50/p95/max per-push latency.
+    """
+    import statistics
+    import threading
+
+    from leaf_spark.streaming.subscribe import SubscriptionWorker
+
+    n_streams = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    n_subs = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    n_commits = int(sys.argv[4]) if len(sys.argv) > 4 else 5
+    spark = get_spark("leaf-stream-latency")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    roots, streams, workers = [], [], []
+    crossings: dict[tuple[int, int], list[float]] = {}
+    cond = threading.Condition()
+
+    def consumer(si: int, sj: int, ch) -> None:
+        import queue as _q
+
+        seen = 0
+        while True:
+            try:
+                resp = ch.get(timeout=30)
+            except _q.Empty:
+                return
+            now = time.monotonic()
+            with cond:
+                rec = crossings[(si, sj)]
+                for _ in resp.rows:
+                    seen += 1
+                    rec.append(now)  # time cumulative count reached `seen`
+                cond.notify_all()
+
+    try:
+        for i in range(n_streams):
+            root = tempfile.mkdtemp(prefix=f"stream_lat_{i}_")
+            roots.append(root)
+            s = Stream(spark, root, f"did:plc:lat{i}")
+            s.provide_module(CHAT)
+            streams.append(s)
+            w = SubscriptionWorker(s)
+            workers.append(w)
+            for j in range(n_subs):
+                sub = w.subscribe_events(None, LeafQuery("messages", limit=100))
+                crossings[(i, j)] = []
+                threading.Thread(
+                    target=consumer, args=(i, j, sub.channel), daemon=True
+                ).start()
+
+        samples: list[float] = []
+        for k in range(n_commits):
+            done_at: dict[int, float] = {}
+
+            def commit(i: int, _k=k) -> None:
+                streams[i].add_events([msg(f"did:plc:u{i}", f"c{_k}", _k)])
+                done_at[i] = time.monotonic()
+
+            ths = [
+                threading.Thread(target=commit, args=(i,))
+                for i in range(n_streams)
+            ]
+            for t in ths:
+                t.start()
+            for t in ths:
+                t.join()
+            # wait until every subscriber crossed k+1 cumulative rows
+            deadline = time.monotonic() + 60
+            with cond:
+                while any(
+                    len(rec) < k + 1 for rec in crossings.values()
+                ) and time.monotonic() < deadline:
+                    cond.wait(timeout=1.0)
+            for (i, _j), rec in crossings.items():
+                if len(rec) > k:
+                    samples.append(rec[k] - done_at[i])
+
+        samples.sort()
+        q = lambda p: round(  # noqa: E731
+            samples[min(len(samples) - 1, int(p * len(samples)))] * 1000, 1
+        )
+        print(
+            json.dumps(
+                {
+                    "n_streams": n_streams,
+                    "n_subscribers_per_stream": n_subs,
+                    "n_commits": n_commits,
+                    "n_samples": len(samples),
+                    "push_latency_ms_p50": q(0.50),
+                    "push_latency_ms_p95": q(0.95),
+                    "push_latency_ms_max": round(samples[-1] * 1000, 1),
+                }
+            )
+        )
+    finally:
+        for w in workers:
+            w.close()
+        for root in roots:
+            shutil.rmtree(root, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "latency":
+        latency_main()
+    else:
+        main()
