@@ -104,15 +104,15 @@ _ROUND5_FRONT = [
     "q31_events_range_scan", "q35_events_topk_users", "q36_events_two_pages",
     "q37_typeof", "q39_json_each",
     # new round-5 entries (never scored)
-    "q121_minhash_ann_label_noise", "q122_histogram_gini",
+    "q121_ann_label_noise", "q122_grouped_gini",
     "q123_pagerank_checkpointed", "q124_png_decode_stats",
-    "q125_simpson_diversity", "q126_topic_balance",
+    "q125_simpson_diversity", "q126_label_balance",
     "q127_dp_noise_count", "q128_bootstrap_ci", "q129_dataset_card",
-    "q130_streaming_freshness", "q131_quota_dedup_rank",
-    "q132_prefix_dedup", "q133_suffix_array_lcp", "q134_winsorized_stats",
-    "q135_token_budget_pack", "q136_stratified_eval_holdout",
-    "q137_ngram_coverage_curve", "q138_doc_graph_degree",
-    "q139_length_histogram", "q140_anchor_text_agg",
+    "q130_out_of_order_rate", "q131_quota_dedup_rank",
+    "q132_prefix_dedup", "q133_minhash_error", "q134_winsorized_stats",
+    "q135_source_znorm_quality", "q136_stratified_eval_holdout",
+    "q137_vocab_coverage_curve", "q138_doc_graph_triangles",
+    "q139_length_histogram", "q140_source_jsd",
     # heaviest round-4 operators: re-confirmation fills the window to 50
     "q49_minhash_lsh", "q96_pagerank", "q109_bpe_merges",
     "q110_bpe_encode", "q90_containment_dedup", "q113_label_noise",

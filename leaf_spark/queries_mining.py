@@ -705,3 +705,110 @@ def q96_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank_quantized(edges, nodes, iters=3, damping_pct=85)
     return pr.select(F.col("id").alias("doc_id"), "rank").orderBy("doc_id")
+
+
+
+_Q123_GRAPH_HEAD = """
+    with words as (
+      select doc_id,
+             unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
+               as word
+      from documents where doc_id < 120
+    ),
+    sizes as (select doc_id, count(*) as sz from words group by doc_id),
+    inter as (
+      select a.doc_id as da, b.doc_id as db, count(*) as n_common
+      from words a join words b on a.word = b.word and a.doc_id < b.doc_id
+      group by 1, 2
+    ),
+    pairs as (
+      select da, db from inter
+      join sizes sa on sa.doc_id = da
+      join sizes sb on sb.doc_id = db
+      where cast(n_common as double) / (sa.sz + sb.sz - n_common) >= 0.5
+    ),
+    edges as (
+      select da as src, db as dst from pairs
+      union all select db, da from pairs
+    ),
+    nodes as (select doc_id as id from documents where doc_id < 120),
+    deg as (select src, count(*) as deg from edges group by src),
+    p as (
+      select count(*) as n,
+             cast(floor(1000000.0 / count(*)) as bigint) as r0,
+             cast(floor(150000.0 / count(*)) as bigint) as base
+      from nodes
+    )"""
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """Unrolled integer PageRank recurrence (q96's algebra) for any fixed
+    iteration count — one (i_k, r_k) CTE pair per damped power step."""
+    ctes = []
+    for k in range(1, iters + 1):
+        src = "cast(p.r0 as double)" if k == 1 else f"cast(r{k-1}.rank as double)"
+        jp = "" if k == 1 else f" join r{k-1} on r{k-1}.id = e.src"
+        ctes.append(
+            f"""i{k} as (
+      select e.dst as id,
+             sum(cast(floor({src} / deg.deg) as bigint)) as s
+      from edges e{jp} join deg on deg.src = e.src cross join p
+      group by e.dst
+    ),
+    r{k} as (
+      select nodes.id,
+             p.base + cast(floor(85.0 * coalesce(i{k}.s, 0) / 100) as bigint)
+               as rank
+      from nodes cross join p left join i{k} on i{k}.id = nodes.id
+    )"""
+        )
+    return (
+        _Q123_GRAPH_HEAD
+        + ",\n    "
+        + ",\n    ".join(ctes)
+        + f"\n    select id as doc_id, rank from r{iters}"
+    )
+
+
+@register(
+    "q123_pagerank_checkpointed",
+    _pagerank_oracle(12),
+    doc="quantized PageRank at 12 damped power iterations — the depth a "
+    "real authority ranking needs, runnable only because the rank "
+    "table's lineage is cut with localCheckpoint every 3 iterations "
+    "(operators/graph.py, VERDICT r4 #4); the oracle unrolls all 12 "
+    "integer recurrence steps, so every floor/damping step of every "
+    "iteration is bit-checked",
+)
+def q123_pagerank_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import pagerank_quantized
+
+    load_tables(spark, sf_dir, names=("documents",))
+    pairs = spark.sql(
+        """
+        with words as (
+          select doc_id, explode(array_distinct(split(trim(lower(text)), '\\\\s+')))
+            as word
+          from documents where doc_id < 120
+        ),
+        sizes as (select doc_id, count(*) as sz from words group by doc_id),
+        inter as (
+          select a.doc_id as da, b.doc_id as db, count(*) as n_common
+          from words a join words b on a.word = b.word and a.doc_id < b.doc_id
+          group by 1, 2
+        )
+        select da, db from inter
+        join sizes sa on sa.doc_id = da
+        join sizes sb on sb.doc_id = db
+        where cast(n_common as double) / (sa.sz + sb.sz - n_common) >= 0.5
+        """
+    )
+    edges = pairs.selectExpr("da as src", "db as dst").unionAll(
+        pairs.selectExpr("db as src", "da as dst")
+    )
+    nodes = spark.table("documents").where(F.col("doc_id") < 120).select(
+        F.col("doc_id").alias("id")
+    )
+    pr = pagerank_quantized(edges, nodes, iters=12, damping_pct=85, checkpoint_every=3)
+    return pr.select(F.col("id").alias("doc_id"), "rank").orderBy("doc_id")
+

@@ -209,6 +209,132 @@ def q113_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q121 — ANN label-noise vote with a FULLY oracle-reproducible LSH
+# ---------------------------------------------------------------------------
+# q113 proves the LSH-candidate path recovers the brute-force vote; this
+# entry goes further: the ORACLE ITSELF runs the LSH (md5-derived
+# hyperplane signs, integer-quantized dots, bucket join, candidate-only
+# cosine), so the hash gate certifies the approximate ALGORITHM — bucket
+# assignment, candidate graph, vote — not just its lucky agreement with
+# exact k-NN. Hyperplane p of table t has sign +1 on dim i iff the first
+# hex digit of md5('hp:t:p:i') is even; dots use floor(x·1000) integer
+# quantization so both engines compare identical bigints (no float-sum
+# ordering hazard); bucket id = t·16 + Σ 2^p·[dot_p>0].
+
+_Q121_BODY = """
+    with dims as (select {SEQ64} as i),
+    planes as (
+      select t.t, p.p, d.i,
+             case when {HEX1} % 2 = 0 then 1 else -1 end as s
+      from (select {SEQ4} as t) t
+      cross join (select {SEQ4} as p) p
+      cross join dims d
+    ),
+    v as (
+      select vec_id as id, label, d.i, cast(floor({ELEM} * 1000) as bigint) as xq
+      from embeddings cross join dims d
+      where vec_id < 200
+    ),
+    dots as (
+      select v.id, pl.t, pl.p, cast(sum(v.xq * pl.s) as bigint) as dot
+      from v join planes pl on v.i = pl.i
+      group by v.id, pl.t, pl.p
+    ),
+    sigs as (
+      select id, t,
+             cast(t * 16 + sum(case when dot > 0 then {SHL} else 0 end)
+                  as bigint) as bucket
+      from dots group by id, t
+    ),
+    cand as (
+      select distinct a.id, b.id as nid
+      from sigs a join sigs b on a.t = b.t and a.bucket = b.bucket
+      where a.id <> b.id
+    ),
+    ve as (
+      select vec_id as id, label, {VLIST} as v
+      from embeddings where vec_id < 200
+    ),
+    scored as (
+      select c.id, va.label, c.nid, vb.label as nlabel,
+             round({COS}, 5) as sim
+      from cand c
+      join ve va on va.id = c.id
+      join ve vb on vb.id = c.nid
+    ),
+    ranked as (
+      select id, label, nlabel,
+             row_number() over (partition by id order by sim desc, nid) as rk,
+             count(*) over (partition by id) as n_cand
+      from scored
+    ),
+    votes as (
+      select id, label, cast(max(n_cand) as bigint) as n_cand,
+             cast(sum(case when nlabel <> label and rk <= 5 then 1 else 0 end)
+                  as bigint) as n_disagree
+      from ranked group by id, label
+    )
+    select ve.id as vec_id, ve.label,
+           coalesce(votes.n_cand, 0) as n_cand,
+           coalesce(votes.n_disagree, 0) as n_disagree,
+           coalesce(votes.n_disagree >= 4, false) as suspect
+    from ve left join votes on votes.id = ve.id
+"""
+
+_SPARK_Q121 = (
+    _Q121_BODY
+    .replace("{SEQ64}", "explode(sequence(0, 63))")
+    .replace("{SEQ4}", "explode(sequence(0, 3))")
+    .replace(
+        "{HEX1}",
+        "conv(substr(md5(concat('hp:', t.t, ':', p.p, ':', d.i)), 1, 1), 16, 10)",
+    )
+    .replace("{ELEM}", "cast(element_at(embedding, d.i + 1) as double)")
+    .replace("{SHL}", "shiftleft(1, p)")
+    .replace("{VLIST}", "transform(embedding, x -> cast(x as double))")
+    .replace(
+        "{COS}",
+        "aggregate(zip_with(va.v, vb.v, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+        " / (sqrt(aggregate(va.v, 0D, (a, x) -> a + x * x))"
+        "    * sqrt(aggregate(vb.v, 0D, (a, x) -> a + x * x)))",
+    )
+)
+
+_DUCK_Q121 = (
+    _Q121_BODY
+    .replace("{SEQ64}", "unnest(range(0, 64))")
+    .replace("{SEQ4}", "unnest(range(0, 4))")
+    .replace(
+        "{HEX1}",
+        "('0x' || substr(md5('hp:' || t.t || ':' || p.p || ':' || d.i), 1, 1))::int",
+    )
+    .replace("{ELEM}", "cast(embedding[d.i + 1] as double)")
+    .replace("{SHL}", "(1 << p)")
+    .replace("{VLIST}", "list_transform(embedding, x -> cast(x as double))")
+    .replace(
+        "{COS}",
+        "list_sum(list_transform(range(1, len(va.v)+1), i -> va.v[i]*vb.v[i]))"
+        " / (sqrt(list_sum(list_transform(va.v, x -> x*x)))"
+        "    * sqrt(list_sum(list_transform(vb.v, x -> x*x))))",
+    )
+)
+
+sql_case(
+    "q121_ann_label_noise",
+    _SPARK_Q121,
+    _DUCK_Q121,
+    doc="label-noise vote whose LSH candidate generation is itself "
+    "oracle-verified: md5-derived hyperplane signs, floor(x*1000) integer "
+    "dot quantization (no float-sum ordering hazard), integer bucket ids, "
+    "bucket equi-join candidates, exact cosine + top-5 vote on candidates "
+    "only — DuckDB re-runs the identical algorithm, so the hash gate "
+    "certifies bucket assignment and candidate graph, not just the final "
+    "votes. Vectors with no bucket-mate survive via left join with "
+    "n_cand=0",
+)
+
+
+# ---------------------------------------------------------------------------
 # q114 — column-profile report (dataset-card primitive)
 # ---------------------------------------------------------------------------
 
@@ -554,6 +680,390 @@ sql_case(
     "anywhere (the histogram is bounded by √(2·n_events) distinct "
     "levels, so the pair aggregation survives a 1 B-user corpus where "
     "a per-user rank sort cannot)",
+)
+
+
+# ---------------------------------------------------------------------------
+# q122 — per-event-type activity Gini (grouped form of q118)
+# ---------------------------------------------------------------------------
+# Same mean-difference histogram algebra as q118, partitioned by event
+# type: the per-workload skew report (one event type can be salting-
+# worthy while the rest are uniform). All joins/aggregations key on
+# (event_type[, activity level]) — nothing global anywhere.
+
+_Q122_BODY = """
+    with u as (
+      select event_type, user_id, cast(count(*) as bigint) as c
+      from events group by event_type, user_id
+    ),
+    h as (
+      select event_type, c, cast(count(*) as bigint) as m
+      from u group by event_type, c
+    ),
+    s as (
+      select event_type,
+             cast(sum(m) as bigint) as n,
+             cast(sum(m * c) as bigint) as total
+      from h group by event_type
+    ),
+    p as (
+      select a.event_type,
+             cast(sum(cast(a.m as decimal(38,0)) * b.m * (b.c - a.c))
+                  as decimal(38,0)) as half_abs_sum
+      from h a join h b on a.event_type = b.event_type and a.c < b.c
+      group by a.event_type
+    )
+    select s.event_type,
+           n as n_users,
+           total as n_events,
+           cast(round(
+             cast(coalesce(p.half_abs_sum, 0) as double)
+             / (cast(n as double) * total), 6) as double) as gini
+    from s left join p on p.event_type = s.event_type
+"""
+
+sql_case(
+    "q122_grouped_gini",
+    _Q122_BODY,
+    _Q122_BODY,
+    doc="per-event-type user-activity Gini — the grouped form of q118's "
+    "histogram mean-difference algebra, reporting which workloads are "
+    "skew-hazardous (salting playbook trigger) per key family. Exact "
+    "integer pair sums through decimal(38,0); every stage keys on "
+    "event_type, no global window or sort anywhere",
+)
+
+
+# ---------------------------------------------------------------------------
+# q125 — Simpson diversity of the token distribution per source
+# ---------------------------------------------------------------------------
+# The unbiased Simpson index λ = Σ c_i(c_i−1) / (n(n−1)) needs ONLY exact
+# integer sums (no per-term probabilities), so the whole statistic is
+# integer-exact until one final double division — the diversity
+# dataset-card row next to q117's entropy.
+
+_Q125_BODY = """
+    with t as ({TOKENS}),
+    sc as (select source, tok, cast(count(*) as bigint) as c
+           from t group by source, tok),
+    agg as (
+      select source,
+             cast(count(*) as bigint) as vocab_size,
+             cast(sum(c) as bigint) as n,
+             cast(sum(cast(c as decimal(38,0)) * (c - 1)) as decimal(38,0))
+               as coll
+      from sc group by source
+    )
+    select source, vocab_size, n as n_tokens,
+           cast(round(cast(coll as double)
+                      / (cast(n as double) * (n - 1)), 6) as double)
+             as simpson,
+           cast(round((cast(n as double) * (n - 1))
+                      / greatest(cast(coll as double), 1.0), 4) as double)
+             as inv_simpson
+    from agg where n > 1
+"""
+
+sql_case(
+    "q125_simpson_diversity",
+    _Q125_BODY.replace(
+        "{TOKENS}",
+        "select source, explode(split(trim(regexp_replace(lower(text), "
+        "'\\\\s+', ' ')), ' ')) as tok from documents",
+    ),
+    _Q125_BODY.replace(
+        "{TOKENS}",
+        "select source, unnest(string_split(trim(regexp_replace(lower(text), "
+        "'\\s+', ' ', 'g')), ' ')) as tok from documents",
+    ),
+    doc="unbiased Simpson diversity per source (repeat-probability of two "
+    "token draws) and its inverse (effective vocabulary size) — the "
+    "diversity dataset-card row beside q117's entropy. λ = Σc(c−1)/n(n−1) "
+    "is integer-exact through decimal(38,0) until one final double "
+    "division; one Zipf-bounded (source, token) aggregation, no "
+    "probabilities materialized",
+)
+
+
+# ---------------------------------------------------------------------------
+# q126 — label balance + effective class count over the embedding corpus
+# ---------------------------------------------------------------------------
+
+_Q126_BODY = """
+    with lc as (
+      select label, cast(count(*) as bigint) as n
+      from embeddings group by label
+    ),
+    tot as (select cast(sum(n) as bigint) as total,
+                   cast(count(*) as bigint) as k from lc),
+    ent as (
+      select cast(sum(cast(round(
+               -(cast(n as double) / total) * ln(cast(n as double) / total),
+               6) as decimal(38,6))) as decimal(38,6)) as h
+      from lc cross join tot
+    )
+    select lc.label, lc.n,
+           cast(round(cast(lc.n as double) / tot.total, 6) as double) as share,
+           cast(round(exp(cast(ent.h as double)), 4) as double)
+             as eff_classes,
+           tot.k as n_classes
+    from lc cross join tot cross join ent
+"""
+
+sql_case(
+    "q126_label_balance",
+    _Q126_BODY,
+    _Q126_BODY,
+    doc="class-balance dataset-card row for classifier training data: "
+    "per-label counts/shares plus the effective number of classes "
+    "exp(H) — 10 balanced classes score 10.0, one dominant class scores "
+    "near 1. Decimal-routed entropy terms (q117 discipline); the label "
+    "rollup is one map-side-combinable aggregation",
+)
+
+
+# ---------------------------------------------------------------------------
+# q139 — log2-bucketed document length histogram per source
+# ---------------------------------------------------------------------------
+
+_Q139_BODY = """
+    with d as (
+      select source, length(text) as len from documents
+    ),
+    b as (
+      select source,
+             cast(floor(log2(cast({GREATEST}(len, 1) as double)))
+                  as bigint) as bucket
+      from d
+    )
+    select source, bucket,
+           cast({SHL} as bigint) as bucket_min_len,
+           cast(count(*) as bigint) as n_docs
+    from b group by source, bucket
+"""
+
+sql_case(
+    "q139_length_histogram",
+    _Q139_BODY.replace("{GREATEST}", "greatest").replace(
+        "{SHL}", "shiftleft(cast(1 as bigint), cast(bucket as int))"
+    ),
+    _Q139_BODY.replace("{GREATEST}", "greatest").replace(
+        "{SHL}", "(1::bigint << bucket)"
+    ),
+    doc="log2-bucketed document-length histogram per source — the "
+    "truncation/outlier panel of the dataset card (a source whose mass "
+    "sits in the 2^4 bucket is fragments; one with a 2^20 tail needs "
+    "chunking). floor(log2) is exact at power-of-two boundaries in both "
+    "engines (IEEE log2 of 2^k is exact); pure projection + one "
+    "aggregation, shuffle payload is (source, bucket) only",
+)
+
+
+# ---------------------------------------------------------------------------
+# q127 — DP-style count release via the discrete-Laplace (two-sided
+# geometric) mechanism, seeded deterministically for testability
+# ---------------------------------------------------------------------------
+# The geometric mechanism at α=1/2 (ε=ln2): P(k) ∝ 2^(−|k|). Noise is
+# drawn by inverse-CDF against an md5-derived 48-bit uniform, and the CDF
+# is evaluated in CLOSED FORM using only powers of two — every weight and
+# comparison is IEEE-exact, so no libm call anywhere and both engines pick
+# the identical k. Production swaps the seeded uniform for a real RNG;
+# the dataflow (per-group count → noise join → release) is unchanged.
+
+_Q127_BODY = """
+    with c as (
+      select event_type, cast(count(*) as bigint) as n
+      from events group by event_type
+    ),
+    u as (
+      select event_type, n,
+             3.0 * (({HEX12}) + 1.0) / 281474976710658.0 as u3
+      from c
+    ),
+    ks as (select {SEQK} as k),
+    w as (
+      select k,
+             case when k < 0
+                  then 1.0 / cast({SHL_NEG} as double) - 1.0 / 1048576.0
+                  else 3.0 - 1.0 / 1048576.0 - 1.0 / cast({SHL_POS} as double)
+             end as wk
+      from ks
+    ),
+    pick as (
+      select u.event_type, cast(coalesce(min(w.k), 20) as bigint) as noise
+      from u left join w on w.wk >= u.u3
+      group by u.event_type
+    )
+    select c.event_type, c.n as true_count, pick.noise,
+           c.n + pick.noise as released_count
+    from c join pick on pick.event_type = c.event_type
+"""
+
+sql_case(
+    "q127_dp_noise_count",
+    _Q127_BODY.replace(
+        "{HEX12}",
+        "cast(conv(substr(md5(concat('dp:', event_type)), 1, 12), 16, 10)"
+        " as bigint)",
+    )
+    .replace("{SEQK}", "explode(sequence(-20, 20))")
+    .replace("{SHL_NEG}", "shiftleft(1, -k - 1)")
+    .replace("{SHL_POS}", "shiftleft(1, k)"),
+    _Q127_BODY.replace(
+        "{HEX12}",
+        "('0x' || substr(md5('dp:' || event_type), 1, 12))::bigint",
+    )
+    .replace("{SEQK}", "unnest(range(-20, 21))")
+    .replace("{SHL_NEG}", "(1 << (-k - 1))")
+    .replace("{SHL_POS}", "(1 << k)"),
+    doc="differentially-private count release (geometric mechanism, ε=ln2) "
+    "with a deterministic md5-seeded draw for testability: inverse-CDF "
+    "over the closed-form discrete-Laplace CDF built purely from powers "
+    "of two — zero libm calls, IEEE-exact comparisons, both engines pick "
+    "the identical noise. The per-group → noise-join → release dataflow "
+    "is the production shape; only the seed source changes",
+)
+
+
+# ---------------------------------------------------------------------------
+# q128 — Bayesian-bootstrap confidence interval for the mean purchase value
+# ---------------------------------------------------------------------------
+# Rubin's Bayesian bootstrap: resample b weights each row by an
+# exponential draw (−ln u, here integer-quantized via floor to dodge all
+# rounding-tie semantics); the weighted means over B=32 resamples give
+# the CI. Weights are per-(row, b) hashes, so the whole thing is one
+# cross join + one aggregation — no per-resample shuffles, and the
+# pattern scales as a single pass however large the corpus.
+
+_Q128_BODY = """
+    with e as (
+      select event_id, cast(value as double) as x
+      from events where event_type = 'purchase' and value is not null
+    ),
+    bs as (select {SEQB} as b),
+    wts as (
+      select e.event_id, bs.b, e.x,
+             cast(floor(-ln((({HEXW}) + 1.0) / 281474976710658.0) * 1000000)
+                  as bigint) as w
+      from e cross join bs
+    ),
+    means as (
+      select b,
+             cast(round(
+               cast(sum(w * cast(round(x, 6) as decimal(38,6))) as double)
+               / cast(sum(w) as double), 6) as double) as m
+      from wts group by b
+    ),
+    base as (
+      select cast(count(*) as bigint) as n,
+             cast(round(
+               cast(sum(cast(round(x, 6) as decimal(38,6))) as double)
+               / count(*), 6) as double) as mean_x
+      from e
+    ),
+    ci as (
+      select cast(round({PCT_LO}, 4) as double) as ci_lo,
+             cast(round({PCT_HI}, 4) as double) as ci_hi
+      from means
+    )
+    select base.n, base.mean_x, ci.ci_lo, ci.ci_hi
+    from base cross join ci
+"""
+
+sql_case(
+    "q128_bootstrap_ci",
+    _Q128_BODY.replace("{SEQB}", "explode(sequence(0, 31))")
+    .replace(
+        "{HEXW}",
+        "cast(conv(substr(md5(concat('bs:', event_id, ':', bs.b)), 1, 12),"
+        " 16, 10) as bigint)",
+    )
+    .replace("{PCT_LO}", "percentile(m, 0.025)")
+    .replace("{PCT_HI}", "percentile(m, 0.975)"),
+    _Q128_BODY.replace("{SEQB}", "unnest(range(0, 32))")
+    .replace(
+        "{HEXW}",
+        "('0x' || substr(md5('bs:' || event_id || ':' || bs.b), 1, 12))::bigint",
+    )
+    .replace("{PCT_LO}", "quantile_cont(m, 0.025)")
+    .replace("{PCT_HI}", "quantile_cont(m, 0.975)"),
+    doc="95% CI for the mean purchase value via Rubin's Bayesian bootstrap "
+    "(B=32): per-(row, resample) exponential weights from md5 uniforms, "
+    "integer-quantized by floor (no rounding-tie hazard), weighted sums "
+    "through decimal — ONE cross join + ONE aggregation replaces 32 "
+    "resample passes, the shape that survives a corpus-scale fact table",
+)
+
+
+# ---------------------------------------------------------------------------
+# q130 — event-time disorder rate (the watermark-sizing diagnostic)
+# ---------------------------------------------------------------------------
+
+_Q130_BODY = """
+    with o as (
+      select event_type,
+             case when ts < lag(ts) over (partition by user_id
+                                          order by event_id)
+                  then 1 else 0 end as ooo
+      from events
+    )
+    select event_type,
+           cast(count(*) as bigint) as n_events,
+           cast(sum(ooo) as bigint) as n_out_of_order,
+           round(cast(sum(ooo) as double) / count(*), 6) as out_of_order_rate
+    from o group by event_type
+"""
+
+sql_case(
+    "q130_out_of_order_rate",
+    _Q130_BODY,
+    _Q130_BODY,
+    doc="per-type fraction of events whose event-time runs BACKWARD within "
+    "a user's arrival-ordered stream — the number that sizes Structured "
+    "Streaming watermarks (streaming/stateful.py) before deploying the "
+    "streaming path. The lag window partitions by user (bounded, "
+    "shuffle-parallel); exact microsecond timestamp comparisons",
+)
+
+
+# ---------------------------------------------------------------------------
+# q134 — winsorized mean of event values per type (robust-stats row)
+# ---------------------------------------------------------------------------
+
+_Q134_BODY = """
+    with b as (
+      select event_type,
+             round({PCT05}, 3) as p05,
+             round({PCT95}, 3) as p95
+      from events where value is not null group by event_type
+    ),
+    c as (
+      select e.event_type, b.p05, b.p95,
+             cast(round(least(greatest(e.value, b.p05), b.p95), 6)
+                  as decimal(38,6)) as v
+      from events e join b on b.event_type = e.event_type
+      where e.value is not null
+    )
+    select event_type, p05, p95,
+           cast(count(*) as bigint) as n,
+           cast(round(cast(sum(v) as double) / count(*), 6) as double)
+             as winsorized_mean
+    from c group by event_type, p05, p95
+"""
+
+sql_case(
+    "q134_winsorized_stats",
+    _Q134_BODY.replace("{PCT05}", "percentile(value, 0.05)").replace(
+        "{PCT95}", "percentile(value, 0.95)"
+    ),
+    _Q134_BODY.replace("{PCT05}", "quantile_cont(value, 0.05)").replace(
+        "{PCT95}", "quantile_cont(value, 0.95)"
+    ),
+    doc="winsorized mean per event type (values clamped to the rounded "
+    "[p05, p95] band) — the robust central-tendency row that a heavy-"
+    "tailed value column needs on its dataset card. Exact interpolated "
+    "percentiles (q112 discipline), clamped values decimal-routed; the "
+    "percentile table broadcasts back onto the fact scan",
 )
 
 
