@@ -937,3 +937,374 @@ def q111_hash_vector_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "doc_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# q131 — per-source quota selection (top-N by score within every source)
+# ---------------------------------------------------------------------------
+
+_Q131_BODY = """
+    with scored as (
+      select doc_id, source, cast(length(text) as bigint) as len
+      from documents
+    ),
+    r as (
+      select doc_id, source, len,
+             row_number() over (partition by source
+                                order by len desc, doc_id) as rk
+      from scored
+    )
+    select source, doc_id, cast(rk as bigint) as rank, len
+    from r where rk <= 5
+"""
+
+sql_case(
+    "q131_quota_dedup_rank",
+    _Q131_BODY,
+    _Q131_BODY,
+    doc="per-source quota enforcement: the 5 highest-scoring docs per "
+    "source (length proxy here; swap any q92-style quality column) — the "
+    "mixture-budget trim that caps a dominant source before corpus "
+    "assembly. The rank window partitions by source (shuffle-parallel); "
+    "a hot source at 100 TB takes the stratified_sample two-level rank "
+    "(operators/sampling.py) with identical output",
+)
+
+
+# ---------------------------------------------------------------------------
+# q132 — prefix dedup (identical leading tokens → near-identical heads)
+# ---------------------------------------------------------------------------
+# Boilerplate headers, templated intros, and mirror-site copies share an
+# exact 8-token prefix long before full-text similarity fires; grouping on
+# the prefix hash is the cheapest member of the dedup family (one narrow
+# shuffle on a 16-byte key).
+
+_Q132_BODY = """
+    with p as (
+      select doc_id, source, {PREFIX} as ph
+      from documents
+    ),
+    g as (
+      select source, ph, cast(count(*) as bigint) as n
+      from p group by source, ph
+    )
+    select source,
+           cast(sum(n) as bigint) as n_docs,
+           cast(count(*) as bigint) as n_prefix_groups,
+           cast(sum(n) - count(*) as bigint) as n_dup_docs,
+           round(1.0 - cast(count(*) as double) / sum(n), 6) as dup_ratio
+    from g group by source
+"""
+
+sql_case(
+    "q132_prefix_dedup",
+    _Q132_BODY.replace(
+        "{PREFIX}",
+        "md5(concat_ws(' ', slice(split(trim(regexp_replace(lower(text), "
+        "'\\\\s+', ' ')), ' '), 1, 8)))",
+    ),
+    _Q132_BODY.replace(
+        "{PREFIX}",
+        "md5(array_to_string(list_slice(string_split(trim(regexp_replace("
+        "lower(text), '\\s+', ' ', 'g')), ' '), 1, 8), ' '))",
+    ),
+    doc="prefix dedup: docs sharing their first 8 normalized tokens "
+    "(boilerplate headers, templated intros, mirror copies) grouped by "
+    "prefix md5 — the cheapest dedup-family member: a pure projection "
+    "plus one narrow shuffle on a 16-byte key, reporting per-source "
+    "duplication before the heavier MinHash/containment passes run",
+)
+
+
+# ---------------------------------------------------------------------------
+# q133 — MinHash estimator calibration against exact Jaccard
+# ---------------------------------------------------------------------------
+# The q49 family trusts MinHash agreement as a Jaccard estimate; this
+# entry MEASURES that trust: per candidate pair, the 32-hash md5 MinHash
+# estimate next to the exact word-set Jaccard and the absolute error —
+# the calibration table that picks the signature width for a target
+# error. md5-derived mins keep every value integer-exact in both engines.
+
+_Q133_BODY = """
+    with w as (
+      select distinct doc_id, tok as word
+      from (select doc_id, {TOKENS} as tok from documents where doc_id < 60)
+      where tok <> ''
+    ),
+    hs as (select {SEQH} as h),
+    mh as (
+      select w.doc_id, hs.h, min({HEX12}) as mn
+      from w cross join hs
+      group by w.doc_id, hs.h
+    ),
+    sizes as (select doc_id, cast(count(*) as bigint) as sz
+              from w group by doc_id),
+    inter as (
+      select a.doc_id as da, b.doc_id as db, cast(count(*) as bigint) as nc
+      from w a join w b on a.word = b.word and a.doc_id < b.doc_id
+      group by a.doc_id, b.doc_id
+    ),
+    exact as (
+      select da, db,
+             round(cast(nc as double) / (sa.sz + sb.sz - nc), 6) as exact_j
+      from inter
+      join sizes sa on sa.doc_id = da
+      join sizes sb on sb.doc_id = db
+    ),
+    est as (
+      select a.doc_id as da, b.doc_id as db,
+             round(cast(sum(case when a.mn = b.mn then 1 else 0 end)
+                        as double) / 32, 6) as est_j
+      from mh a join mh b on a.h = b.h and a.doc_id < b.doc_id
+      group by a.doc_id, b.doc_id
+    )
+    select x.da as doc_a, x.db as doc_b, x.exact_j, e.est_j,
+           round(abs(x.exact_j - e.est_j), 6) as abs_err
+    from exact x join est e on e.da = x.da and e.db = x.db
+    where x.exact_j >= 0.1
+"""
+
+sql_case(
+    "q133_minhash_error",
+    _Q133_BODY.replace(
+        "{TOKENS}",
+        "explode(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '))",
+    )
+    .replace("{SEQH}", "explode(sequence(0, 31))")
+    .replace(
+        "{HEX12}",
+        "cast(conv(substr(md5(concat('mh:', hs.h, ':', w.word)), 1, 12),"
+        " 16, 10) as bigint)",
+    ),
+    _Q133_BODY.replace(
+        "{TOKENS}",
+        "unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', "
+        "'g')), ' '))",
+    )
+    .replace("{SEQH}", "unnest(range(0, 32))")
+    .replace(
+        "{HEX12}",
+        "('0x' || substr(md5('mh:' || hs.h || ':' || w.word), 1, 12))::bigint",
+    ),
+    doc="MinHash calibration: 32-hash md5 signature agreement vs exact "
+    "word-set Jaccard per pair (doc_id < 60, exact_j >= 0.1) with the "
+    "absolute estimation error — the measurement that sizes q49's "
+    "signature width for a target error budget. Integer-exact mins, "
+    "exact set sizes; the estimate and truth come from independent "
+    "dataflows so neither can mask the other",
+)
+
+
+# ---------------------------------------------------------------------------
+# q135 — per-source z-normalized quality score
+# ---------------------------------------------------------------------------
+# Raw quality signals aren't comparable across sources (a code corpus's
+# unique-token ratio sits in a different band than a news corpus's);
+# normalizing within source makes one threshold work everywhere. Scores
+# are quantized to integer micro-units so mean/variance are exact-integer
+# algebra until the final sqrt.
+
+_Q135_BODY = """
+    with d as (
+      select doc_id, source, trim({NORM}) as norm from documents
+    ),
+    s as (
+      select doc_id, source,
+             cast(round(cast({ND} as double) / {NW} * 1000000) as bigint)
+               as ri
+      from d where {NW} > 0
+    ),
+    m as (
+      select source,
+             cast(count(*) as bigint) as n,
+             cast(sum(ri) as bigint) as s1,
+             cast(sum(cast(ri as decimal(38,0)) * ri) as decimal(38,0)) as s2
+      from s group by source
+    )
+    select s.doc_id, s.source,
+           cast(round(ri / 1000000.0, 6) as double) as raw_score,
+           case when m.n > 1
+                 and cast(m.n as decimal(38,0)) * m.s2
+                     > cast(m.s1 as decimal(38,0)) * m.s1
+                then cast(round(
+                  (ri - cast(m.s1 as double) / m.n)
+                  / sqrt((cast(m.n as double) * cast(m.s2 as double)
+                          - cast(m.s1 as double) * m.s1)
+                         / (cast(m.n as double) * m.n)), 4) as double)
+                else cast(null as double) end as z_score
+    from s join m on m.source = s.source
+"""
+
+sql_case(
+    "q135_source_znorm_quality",
+    _Q135_BODY.replace("{NORM}", "regexp_replace(lower(text), '\\\\s+', ' ')")
+    .replace("{ND}", "size(array_distinct(split(norm, ' ')))")
+    .replace("{NW}", "size(split(norm, ' '))"),
+    _Q135_BODY.replace("{NORM}", "regexp_replace(lower(text), '\\s+', ' ', 'g')")
+    .replace("{ND}", "len(list_distinct(string_split(norm, ' ')))")
+    .replace("{NW}", "len(string_split(norm, ' '))"),
+    doc="within-source z-normalization of a quality signal (unique-token "
+    "ratio), making one filter threshold portable across heterogeneous "
+    "sources. Scores quantize to integer micro-units; per-source "
+    "mean/variance are exact-integer algebra (decimal-routed squares) "
+    "until one final sqrt; the stats table broadcasts back onto the scan",
+)
+
+
+# ---------------------------------------------------------------------------
+# q136 — stratified evaluation holdout with per-stratum audit
+# ---------------------------------------------------------------------------
+
+_Q136_BODY = """
+    with a as (
+      select doc_id, source,
+             case when substr(md5({KEY}), 1, 4) < '199a'
+                  then 'holdout' else 'train' end as split
+      from documents
+    )
+    select source,
+           cast(sum(case when split = 'train' then 1 else 0 end) as bigint)
+             as n_train,
+           cast(sum(case when split = 'holdout' then 1 else 0 end) as bigint)
+             as n_holdout,
+           round(cast(sum(case when split = 'holdout' then 1 else 0 end)
+                      as double) / count(*), 6) as holdout_frac,
+           round(abs(cast(sum(case when split = 'holdout' then 1 else 0 end)
+                          as double) / count(*) - 0.1), 6) as abs_dev_from_target
+    from a group by source
+"""
+
+sql_case(
+    "q136_stratified_eval_holdout",
+    _Q136_BODY.replace("{KEY}", "concat('ho:', doc_id)"),
+    _Q136_BODY.replace("{KEY}", "'ho:' || doc_id"),
+    doc="10% evaluation holdout by md5 hex-prefix threshold (0x199a/0x10000 "
+    "= 10.000%), audited per source: realized holdout fraction and its "
+    "deviation from target — the check that catches a skewed split "
+    "before an eval is trusted. Pure projection + one rollup; the split "
+    "is a deterministic function of doc_id, reproducible anywhere",
+)
+
+
+# ---------------------------------------------------------------------------
+# q137 — vocabulary coverage curve (tokenizer-budget sizing)
+# ---------------------------------------------------------------------------
+
+_Q137_BODY = """
+    with t as (select {TOKENS} as tok from documents),
+    vc as (select tok, cast(count(*) as bigint) as c
+           from t where tok <> '' group by tok),
+    tot as (select cast(sum(c) as bigint) as n,
+                   cast(count(*) as bigint) as v from vc),
+    r as (select tok, c, row_number() over (order by c desc, tok) as rk
+          from vc),
+    ks as (select {SEQKS} as k),
+    cov as (
+      select ks.k,
+             cast(sum(case when r.rk <= ks.k then c else 0 end) as bigint)
+               as covered
+      from r cross join ks group by ks.k
+    )
+    select cov.k, tot.v as vocab_size, tot.n as total_tokens, cov.covered,
+           round(cast(covered as double) / n, 6) as coverage
+    from cov cross join tot
+"""
+
+sql_case(
+    "q137_vocab_coverage_curve",
+    _Q137_BODY.replace(
+        "{TOKENS}",
+        "explode(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '))",
+    ).replace("{SEQKS}", "explode(array(100, 1000, 10000))"),
+    _Q137_BODY.replace(
+        "{TOKENS}",
+        "unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', "
+        "'g')), ' '))",
+    ).replace("{SEQKS}", "unnest([100, 1000, 10000])"),
+    doc="token-occurrence coverage of the top-k vocabulary for k in "
+    "{100, 1k, 10k} — the curve that sizes a tokenizer/vocab budget "
+    "(where it flattens, bigger vocabularies stop paying). The only "
+    "ordered window runs over the VOCAB table (Zipf-bounded, orders of "
+    "magnitude below corpus rows — same discipline as the q85/q91 vocab "
+    "ops); token counting itself is one map-side-combinable aggregation",
+)
+
+
+# ---------------------------------------------------------------------------
+# q140 — pairwise Jensen-Shannon divergence between the largest sources
+# ---------------------------------------------------------------------------
+# The mixture-design distance matrix: JSD(P,Q) in nats between unigram
+# distributions, for the 6 largest sources (deterministic tiebreak).
+# Symmetric, bounded by ln 2, and defined even where supports differ —
+# exactly what entropy/KL rows (q117) cannot give you pairwise.
+
+_Q140_BODY = """
+    with t as (select source, {TOKENS} as tok from documents),
+    sc as (select source, tok, cast(count(*) as bigint) as c
+           from t where tok <> '' group by source, tok),
+    st as (select source, cast(sum(c) as bigint) as n
+           from sc group by source),
+    big as (
+      select source from st order by n desc, source limit 6
+    ),
+    sp as (
+      select a.source as sa, b.source as sb
+      from big a join big b on a.source < b.source
+    ),
+    e as (select sc.* from sc join big on big.source = sc.source),
+    paired0 as (
+      select sp.sa, sp.sb, e.tok, e.c as ca, cast(0 as bigint) as cb
+      from sp join e on e.source = sp.sa
+      union all
+      select sp.sa, sp.sb, e.tok, cast(0 as bigint), e.c
+      from sp join e on e.source = sp.sb
+    ),
+    paired as (
+      select sa, sb, tok,
+             cast(sum(ca) as bigint) as ca, cast(sum(cb) as bigint) as cb
+      from paired0 group by sa, sb, tok
+    ),
+    terms as (
+      select p.sa, p.sb,
+             cast(round(
+               case when p.ca > 0 then
+                 0.5 * (cast(p.ca as double) / na.n)
+                 * ln((cast(p.ca as double) / na.n)
+                      / ((cast(p.ca as double) / na.n
+                          + cast(p.cb as double) / nb.n) / 2))
+               else 0.0 end
+               +
+               case when p.cb > 0 then
+                 0.5 * (cast(p.cb as double) / nb.n)
+                 * ln((cast(p.cb as double) / nb.n)
+                      / ((cast(p.ca as double) / na.n
+                          + cast(p.cb as double) / nb.n) / 2))
+               else 0.0 end, 6) as decimal(38,6)) as term
+      from paired p
+      join st na on na.source = p.sa
+      join st nb on nb.source = p.sb
+    )
+    select sa as source_a, sb as source_b,
+           cast(round(cast(sum(term) as double), 6) as double) as jsd_nats,
+           cast(count(*) as bigint) as n_union_tokens
+    from terms group by sa, sb
+"""
+
+sql_case(
+    "q140_source_jsd",
+    _Q140_BODY.replace(
+        "{TOKENS}",
+        "explode(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '))",
+    ),
+    _Q140_BODY.replace(
+        "{TOKENS}",
+        "unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', "
+        "'g')), ' '))",
+    ),
+    doc="pairwise Jensen-Shannon divergence (nats, bounded by ln 2) "
+    "between the 6 largest sources' unigram distributions — the mixture-"
+    "design distance matrix q117's per-source KL cannot provide pairwise. "
+    "Support union built from two EQUI-joins + a rollup (never an OR/"
+    "theta join); probabilities from exact integer counts, ln terms "
+    "decimal-routed (q117 discipline)",
+)

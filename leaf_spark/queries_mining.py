@@ -812,3 +812,77 @@ def q123_pagerank_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = pagerank_quantized(edges, nodes, iters=12, damping_pct=85, checkpoint_every=3)
     return pr.select(F.col("id").alias("doc_id"), "rank").orderBy("doc_id")
 
+
+
+# ---------------------------------------------------------------------------
+# q138 — similarity-graph topology: degrees, triangles, clustering
+# ---------------------------------------------------------------------------
+# The graph-shape report for the q96/q100 near-dup graph: triangle count
+# via the standard two-path + closing-edge equi-join (each triangle a<b<c
+# counted exactly once), wedge count from degrees, global clustering
+# coefficient. The numbers that say whether near-dups form tight cliques
+# (mirror farms) or long chains (drifting revisions).
+
+_Q138_BODY = """
+    with words as (
+      select distinct doc_id, word from (
+        select doc_id, {TOK} as word from documents where doc_id < 120
+      ) t
+    ),
+    sizes as (select doc_id, cast(count(*) as bigint) as sz
+              from words group by doc_id),
+    inter as (
+      select a.doc_id as da, b.doc_id as db, cast(count(*) as bigint) as nc
+      from words a join words b on a.word = b.word and a.doc_id < b.doc_id
+      group by a.doc_id, b.doc_id
+    ),
+    pairs as (
+      select da, db from inter
+      join sizes sa on sa.doc_id = da
+      join sizes sb on sb.doc_id = db
+      where cast(nc as double) / (sa.sz + sb.sz - nc) >= 0.5
+    ),
+    deg as (
+      select v, cast(count(*) as bigint) as d
+      from (select da as v from pairs union all select db from pairs) t
+      group by v
+    ),
+    tri as (
+      select cast(count(*) as bigint) as n_tri
+      from pairs e1
+      join pairs e2 on e2.da = e1.db
+      join pairs e3 on e3.da = e1.da and e3.db = e2.db
+    ),
+    w as (
+      select cast(sum(d * (d - 1) {IDIV} 2) as bigint) as wedges,
+             cast(max(d) as bigint) as max_degree,
+             cast(count(*) as bigint) as n_connected
+      from deg
+    )
+    select cast((select count(*) from documents where doc_id < 120) as bigint)
+             as n_nodes,
+           cast((select count(*) from pairs) as bigint) as n_edges,
+           w.n_connected, w.max_degree, tri.n_tri as n_triangles,
+           case when w.wedges > 0
+                then round(3.0 * tri.n_tri / w.wedges, 6)
+                else cast(null as double) end as global_clustering
+    from w cross join tri
+"""
+
+sql_case(
+    "q138_doc_graph_triangles",
+    _Q138_BODY.replace(
+        "{TOK}", "explode(array_distinct(split(trim(lower(text)), '\\\\s+')))"
+    ).replace("{IDIV}", "div"),
+    _Q138_BODY.replace(
+        "{TOK}",
+        "unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))",
+    ).replace("{IDIV}", "//"),
+    doc="topology report of the word-jaccard near-dup graph (q96/q100's "
+    "edges): node/edge/degree stats, exact triangle count via the "
+    "canonical a<b<c two-path + closing-edge equi-join (each triangle "
+    "counted once, never a cartesian), and the global clustering "
+    "coefficient 3T/wedges — cliques mean mirror farms, chains mean "
+    "drifting revisions, and the dedup strategy differs. All-integer "
+    "until the final ratio",
+)

@@ -1068,6 +1068,60 @@ sql_case(
 
 
 # ---------------------------------------------------------------------------
+# q129 — one-page dataset card (the composed summary every release ships)
+# ---------------------------------------------------------------------------
+
+_Q129_BODY = """
+    with d as (
+      select doc_id, source,
+             trim({NORM}) as norm
+      from documents
+    ),
+    per_source as (
+      select source, cast(count(*) as bigint) as n
+      from d group by source
+    ),
+    tot as (
+      select cast(count(*) as bigint) as n_docs,
+             cast(count(distinct source) as bigint) as n_sources,
+             cast(count(distinct md5(norm)) as bigint) as n_uniq,
+             cast(sum(cast(length(norm) as decimal(38,0))) as decimal(38,0))
+               as chars
+      from d
+    )
+    select 'n_docs' as metric, cast(n_docs as double) as value from tot
+    union all
+    select 'n_sources', cast(n_sources as double) from tot
+    union all
+    select 'mean_doc_chars',
+           cast(round(cast(chars as double) / n_docs, 4) as double) from tot
+    union all
+    select 'exact_dup_ratio',
+           cast(round(1.0 - cast(n_uniq as double) / n_docs, 6) as double)
+    from tot
+    union all
+    select 'top_source_share',
+           cast(round(cast(max(n) as double) / sum(n), 6) as double)
+    from per_source
+"""
+
+sql_case(
+    "q129_dataset_card",
+    _Q129_BODY.replace(
+        "{NORM}", "regexp_replace(lower(text), '\\\\s+', ' ')"
+    ),
+    _Q129_BODY.replace(
+        "{NORM}", "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+    ),
+    doc="the one-page dataset card every corpus release ships: doc/source "
+    "counts, mean normalized length, exact-duplicate ratio (md5 of "
+    "normalized text), and top-source concentration — one scan + two "
+    "bounded aggregates, composed as labeled metric rows so downstream "
+    "tooling diffs cards across releases",
+)
+
+
+# ---------------------------------------------------------------------------
 # q119 — weekly cohort retention matrix over the event stream
 # ---------------------------------------------------------------------------
 # THE event-sourcing analytics staple: users grouped by first-seen week,
