@@ -1064,8 +1064,7 @@ _Q133_BODY = """
     where x.exact_j >= 0.1
 """
 
-sql_case(
-    "q133_minhash_error",
+_SPARK_Q133 = (
     _Q133_BODY.replace(
         "{TOKENS}",
         "explode(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '))",
@@ -1075,7 +1074,12 @@ sql_case(
         "{HEX12}",
         "cast(conv(substr(md5(concat('mh:', hs.h, ':', w.word)), 1, 12),"
         " 16, 10) as bigint)",
-    ),
+    )
+)
+
+sql_case(
+    "q133_minhash_error",
+    _SPARK_Q133,
     _Q133_BODY.replace(
         "{TOKENS}",
         "unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', "
@@ -1290,12 +1294,16 @@ _Q140_BODY = """
     from terms group by sa, sb
 """
 
-sql_case(
-    "q140_source_jsd",
+_SPARK_Q140 = (
     _Q140_BODY.replace(
         "{TOKENS}",
         "explode(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '))",
-    ),
+    )
+)
+
+sql_case(
+    "q140_source_jsd",
+    _SPARK_Q140,
     _Q140_BODY.replace(
         "{TOKENS}",
         "unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', "

@@ -869,11 +869,15 @@ _Q138_BODY = """
     from w cross join tri
 """
 
-sql_case(
-    "q138_doc_graph_triangles",
+_SPARK_Q138 = (
     _Q138_BODY.replace(
         "{TOK}", "explode(array_distinct(split(trim(lower(text)), '\\\\s+')))"
-    ).replace("{IDIV}", "div"),
+    ).replace("{IDIV}", "div")
+)
+
+sql_case(
+    "q138_doc_graph_triangles",
+    _SPARK_Q138,
     _Q138_BODY.replace(
         "{TOK}",
         "unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))",

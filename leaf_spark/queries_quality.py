@@ -899,8 +899,7 @@ _Q127_BODY = """
     from c join pick on pick.event_type = c.event_type
 """
 
-sql_case(
-    "q127_dp_noise_count",
+_SPARK_Q127 = (
     _Q127_BODY.replace(
         "{HEX12}",
         "cast(conv(substr(md5(concat('dp:', event_type)), 1, 12), 16, 10)"
@@ -908,7 +907,12 @@ sql_case(
     )
     .replace("{SEQK}", "explode(sequence(-20, 20))")
     .replace("{SHL_NEG}", "shiftleft(1, -k - 1)")
-    .replace("{SHL_POS}", "shiftleft(1, k)"),
+    .replace("{SHL_POS}", "shiftleft(1, k)")
+)
+
+sql_case(
+    "q127_dp_noise_count",
+    _SPARK_Q127,
     _Q127_BODY.replace(
         "{HEX12}",
         "('0x' || substr(md5('dp:' || event_type), 1, 12))::bigint",
@@ -970,8 +974,7 @@ _Q128_BODY = """
     from base cross join ci
 """
 
-sql_case(
-    "q128_bootstrap_ci",
+_SPARK_Q128 = (
     _Q128_BODY.replace("{SEQB}", "explode(sequence(0, 31))")
     .replace(
         "{HEXW}",
@@ -979,7 +982,12 @@ sql_case(
         " 16, 10) as bigint)",
     )
     .replace("{PCT_LO}", "percentile(m, 0.025)")
-    .replace("{PCT_HI}", "percentile(m, 0.975)"),
+    .replace("{PCT_HI}", "percentile(m, 0.975)")
+)
+
+sql_case(
+    "q128_bootstrap_ci",
+    _SPARK_Q128,
     _Q128_BODY.replace("{SEQB}", "unnest(range(0, 32))")
     .replace(
         "{HEXW}",

@@ -109,12 +109,13 @@ def test_hot_paths_have_no_rowwise_python(spark, cases):
     """No row-at-a-time Python evaluation anywhere in the catalog.
 
     Sanctioned Python entry points are Arrow-batched only: MapInPandas for
-    the multimodal decode plumbing (q53), ArrowEvalPython for the SQLite
-    json_set/json_patch compat shims (q38)."""
+    the multimodal decode plumbing (q53) and the PNG codec kernels (q124),
+    ArrowEvalPython for the SQLite json_set/json_patch compat shims
+    (q38)."""
     for name, case in cases.items():
         plan = plan_of(case.spark_fn(spark, SF_DIR))
         assert "BatchEvalPython" not in plan, name
-        if name not in ("q53_multimodal_meta",):
+        if name not in ("q53_multimodal_meta", "q124_png_decode_stats"):
             assert "MapInPandas" not in plan, name
         if name not in ("q38_json_set_patch",):
             assert "EvalPython" not in plan, name
@@ -333,3 +334,36 @@ def test_q113_label_noise_is_lsh_not_allpairs(spark, cases):
     assert "CartesianProduct" not in plan, plan
     # the candidate join keys on the table:signature bucket string
     assert re.search(r"Join.*bucket", plan), plan
+
+
+def test_q121_candidates_join_on_buckets_no_allpairs(spark, cases):
+    """The oracle-verified ANN entry must plan its candidate generation as
+    equi-joins on the integer bucket ids — an all-pairs vector join here
+    would defeat the algorithm the oracle certifies."""
+    plan = plan_of(cases["q121_ann_label_noise"].spark_fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q124_png_decode_is_arrow_batched(spark, cases):
+    """Both media kernels (synthesis + pixel decode) must run as Arrow
+    mapInPandas stages — never row-at-a-time Python."""
+    plan = plan_of(cases["q124_png_decode_stats"].spark_fn(spark, SF_DIR))
+    assert plan.count("MapInPandas") == 2, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q132_prefix_dedup_bounded_shuffles_no_join(spark, cases):
+    """Prefix dedup is a projection + two rollups: at most 2 data
+    shuffles (md5-key group, source rollup), zero joins."""
+    plan = plan_of(cases["q132_prefix_dedup"].spark_fn(spark, SF_DIR))
+    assert shuffle_count(plan) <= 2, plan
+    assert "Join" not in plan
+
+
+def test_q118_gini_has_no_global_window(spark, cases):
+    """VERDICT r4 'What's wrong #2' closed: the Gini plan must contain no
+    Window node at all — the histogram mean-difference form replaced the
+    single-partition global rank."""
+    plan = plan_of(cases["q118_activity_gini"].spark_fn(spark, SF_DIR))
+    assert "Window" not in plan, plan

@@ -1,0 +1,188 @@
+"""Planted-data semantics tests for the round-5 catalog entries.
+
+The differential gate proves Spark ≡ DuckDB on the driver testdata; these
+tests prove the STATISTICS themselves behave — extremes, bounds,
+symmetries, and degenerate cases a same-wrong-answer-on-both-engines bug
+would sail through.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+
+
+def _mk_docs(spark, rows):
+    """rows: (doc_id, source, text)"""
+    return spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+
+
+def test_grouped_gini_uniform_vs_skewed(spark):
+    from leaf_spark.queries_quality import _Q122_BODY
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    # type "flat": 4 users x 5 events each → gini 0
+    eid = 0
+    for u in range(4):
+        for _ in range(5):
+            rows.append((eid, base, u, "flat", 1.0, "{}"))
+            eid += 1
+    # type "skew": one user with 97, three with 1
+    for _ in range(97):
+        rows.append((eid, base, 100, "skew", 1.0, "{}"))
+        eid += 1
+    for u in (101, 102, 103):
+        rows.append((eid, base, u, "skew", 1.0, "{}"))
+        eid += 1
+    _mk_events(spark, rows).createOrReplaceTempView("events")
+    out = {r["event_type"]: r for r in spark.sql(_Q122_BODY).collect()}
+    assert abs(out["flat"]["gini"]) < 1e-9
+    assert out["skew"]["gini"] > 0.7
+    assert out["flat"]["n_users"] == 4 and out["skew"]["n_events"] == 100
+
+
+def test_dp_noise_bounded_zero_centered_geometric(spark):
+    """Across many group names the discrete-Laplace noise must stay in
+    [-20, 20], put ≈1/3 of its mass on 0 (α=1/2 → P(0)=1/3), and be
+    near-symmetric — the distributional sanity a seeded mechanism allows."""
+    from leaf_spark.queries_quality import _SPARK_Q127
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [(i, base, i, f"type_{i % 200}", 1.0, "{}") for i in range(1000)]
+    _mk_events(spark, rows).createOrReplaceTempView("events")
+    out = spark.sql(_SPARK_Q127).collect()
+    assert len(out) == 200
+    noises = [r["noise"] for r in out]
+    assert all(-20 <= n <= 20 for n in noises)
+    zero_frac = sum(1 for n in noises if n == 0) / len(noises)
+    assert 0.2 < zero_frac < 0.5  # expect ~1/3
+    assert abs(sum(noises)) < 150  # mean well inside the noise scale
+    for r in out:
+        assert r["released_count"] == r["true_count"] + r["noise"]
+
+
+def test_bootstrap_ci_degenerate_constant_values(spark):
+    """All purchase values identical → every resample mean equals the
+    value; the CI must collapse onto it exactly."""
+    from leaf_spark.queries_quality import _SPARK_Q128
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [(i, base, i, "purchase", 42.5, "{}") for i in range(50)]
+    _mk_events(spark, rows).createOrReplaceTempView("events")
+    r = spark.sql(_SPARK_Q128).collect()[0]
+    assert r["n"] == 50
+    assert r["mean_x"] == pytest.approx(42.5)
+    assert r["ci_lo"] == pytest.approx(42.5)
+    assert r["ci_hi"] == pytest.approx(42.5)
+
+
+def test_out_of_order_rate_planted_inversion(spark):
+    from leaf_spark.queries_quality import _Q130_BODY
+
+    t0 = dt.datetime(2026, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # user 1: strictly increasing → 0 inversions
+        (0, t0, 1, "a", 1.0, "{}"),
+        (1, t0 + s, 1, "a", 1.0, "{}"),
+        (2, t0 + 2 * s, 1, "a", 1.0, "{}"),
+        # user 2: one backward step at event 4
+        (3, t0 + 9 * s, 2, "b", 1.0, "{}"),
+        (4, t0 + 5 * s, 2, "b", 1.0, "{}"),
+        (5, t0 + 6 * s, 2, "b", 1.0, "{}"),
+    ]
+    _mk_events(spark, rows).createOrReplaceTempView("events")
+    out = {r["event_type"]: r for r in spark.sql(_Q130_BODY).collect()}
+    assert out["a"]["n_out_of_order"] == 0
+    assert out["b"]["n_out_of_order"] == 1
+    assert out["b"]["out_of_order_rate"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_minhash_error_zero_for_identical_docs(spark):
+    from leaf_spark.queries_curation import _SPARK_Q133
+
+    docs = [(0, "s", "alpha beta gamma delta"), (1, "s", "alpha beta gamma delta"),
+            (2, "s", "totally different words here")]
+    _mk_docs(spark, docs).createOrReplaceTempView("documents")
+    rows = {(r["doc_a"], r["doc_b"]): r for r in spark.sql(_SPARK_Q133).collect()}
+    ident = rows[(0, 1)]
+    assert ident["exact_j"] == pytest.approx(1.0)
+    assert ident["est_j"] == pytest.approx(1.0)
+    assert ident["abs_err"] == pytest.approx(0.0)
+    # disjoint-vocab pairs fall under the exact_j >= 0.1 emission floor
+    assert (0, 2) not in rows and (1, 2) not in rows
+
+
+def test_triangle_count_on_planted_clique(spark):
+    """Four identical docs form K4 (6 edges, 4 triangles, clustering 1);
+    unrelated docs stay outside the graph."""
+    from leaf_spark.queries_mining import _SPARK_Q138
+
+    docs = [(i, "s", "same words every time") for i in range(4)]
+    docs += [(10, "s", "unrelated content one"), (11, "s", "something else entirely")]
+    _mk_docs(spark, docs).createOrReplaceTempView("documents")
+    r = spark.sql(_SPARK_Q138).collect()[0]
+    assert r["n_edges"] == 6
+    assert r["n_triangles"] == 4
+    assert r["n_connected"] == 4
+    assert r["max_degree"] == 3
+    assert r["global_clustering"] == pytest.approx(1.0)
+
+
+def test_source_jsd_identical_zero_disjoint_ln2(spark):
+    from math import log
+
+    from leaf_spark.queries_curation import _SPARK_Q140
+
+    docs = [
+        (0, "a", "wolf bear lynx"), (1, "b", "wolf bear lynx"),
+        (2, "c", "quark gluon meson"),
+    ]
+    _mk_docs(spark, docs).createOrReplaceTempView("documents")
+    rows = {(r["source_a"], r["source_b"]): r["jsd_nats"]
+            for r in spark.sql(_SPARK_Q140).collect()}
+    assert rows[("a", "b")] == pytest.approx(0.0, abs=1e-9)
+    assert rows[("a", "c")] == pytest.approx(log(2), abs=1e-4)
+    assert rows[("b", "c")] == pytest.approx(log(2), abs=1e-4)
+
+
+def test_vocab_coverage_monotone_and_bounded(spark):
+    from leaf_spark.queries_curation import sql_case  # noqa: F401  (module import)
+    from leaf_spark.queries import all_cases
+
+    df = all_cases()["q137_vocab_coverage_curve"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = sorted((r["k"], r["coverage"]) for r in df.collect())
+    covs = [c for _, c in rows]
+    assert covs == sorted(covs)  # more vocab never covers less
+    assert all(0 < c <= 1.0 for c in covs)
+
+
+def test_png_synth_assets_decode_in_full(spark):
+    """Every synthesized PNG (all filter types in play) must decode with
+    the exact closed-form pixel sum."""
+    from leaf_spark.operators.multimodal import (
+        extract_pixel_stats,
+        synthesize_png_assets,
+    )
+
+    docs = _mk_docs(spark, [(d, "s", "x") for d in range(25)])
+    out = extract_pixel_stats(synthesize_png_assets(docs)).collect()
+    assert len(out) == 25
+    for r in out:
+        d = r["asset_id"]
+        w, h = 4 + d % 5, 3 + d % 4
+        assert r["decoded"]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["px_sum"] == sum((d * 7 + i * 13) % 256 for i in range(w * h))
