@@ -259,3 +259,60 @@ def stream_stream_attribution(
         & (F.col("exposure_ts") >= F.col("action_ts") - F.expr(f"INTERVAL {horizon}")),
         "inner",
     ).select("action_id", "user_id", "action_ts", "action_value", "exposure_id", "exposure_ts")
+
+
+# ---------------------------------------------------------------------------
+# Event-time disorder monitor (the streaming counterpart of batch q130)
+# ---------------------------------------------------------------------------
+
+_DIS_OUT_SCHEMA = (
+    "user_id long, n_events long, n_out_of_order long, max_backstep_ms long"
+)
+_DIS_STATE_SCHEMA = "prev_us long, n long, n_ooo long, max_back_us long"
+
+
+def _disorder_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    prev_us, n, n_ooo, max_back = (
+        state.get if state.exists else (-1, 0, 0, 0)
+    )
+    for pdf in pdfs:
+        # replay order within a batch = event_id order (the log's total
+        # order); across batches the file source delivers ids ascending
+        pdf = pdf.sort_values("event_id")
+        for ts in pdf["ts"]:
+            us = int(ts.value // 1_000)
+            if prev_us >= 0 and us < prev_us:
+                n_ooo += 1
+                max_back = max(max_back, prev_us - us)
+            prev_us = us  # q130 semantics: compare to the PREVIOUS event,
+            n += 1        # not the running max
+    state.update((prev_us, n, n_ooo, max_back))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "n_out_of_order": [n_ooo],
+            "max_backstep_ms": [max_back // 1_000],
+        }
+    )
+
+
+def disorder_monitor(events: DataFrame) -> DataFrame:
+    """Per-user event-time disorder tracking across micro-batches: how many
+    events arrived with a timestamp EARLIER than their predecessor's, and
+    the worst backstep — the live feed of the watermark-sizing number q130
+    computes at rest (an out-of-order rate trending up means the deployed
+    watermark is about to start dropping data).
+
+    Same state discipline as ``running_user_stats``: state shards on
+    user_id (the key the shuffle already hashes on), a few longs per user.
+    Output mode: update — one refreshed row per user per micro-batch."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _disorder_update,
+        outputStructType=_DIS_OUT_SCHEMA,
+        stateStructType=_DIS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -391,3 +391,44 @@ def test_identical_subscriptions_share_one_query_per_update(
     finally:
         s.query = real_query
         w.close()
+
+
+def test_disorder_monitor_matches_batch_q130(spark, events_src_dir, tmp_path):
+    """The streaming disorder monitor's final per-user totals must equal
+    the batch lag-window computation (q130's algebra) over the same log."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from leaf_spark.streaming.stateful import (
+        disorder_monitor,
+        drain,
+        events_stream,
+    )
+
+    src = events_stream(spark, events_src_dir)
+    drain(
+        disorder_monitor(src),
+        str(tmp_path / "ck_dis"),
+        "disorder",
+        output_mode="update",
+    )
+    last = {}
+    for r in spark.table("disorder").collect():
+        last[r["user_id"]] = (r["n_events"], r["n_out_of_order"])
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    batch = (
+        _batch_events(spark, events_src_dir)
+        .withColumn(
+            "ooo",
+            (F.col("ts") < F.lag("ts").over(w)).cast("int"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("ooo"), F.lit(0)).alias("n_ooo"),
+        )
+    )
+    exp = {r["user_id"]: (r["n"], r["n_ooo"]) for r in batch.collect()}
+    assert last == exp
+    assert sum(v[0] for v in last.values()) > 0
