@@ -378,3 +378,70 @@ def test_bpe_matches_sequential_reference(spark, words, k):
     ]
     if got:
         assert got[-1]["corpus_syms_after"] == exp_total
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=60)
+)
+@settings(max_examples=200, deadline=None)
+def test_gini_mean_difference_equals_rank_form(counts):
+    """The q118/q122 histogram mean-difference Gini is ALGEBRAICALLY the
+    classic rank form 2Σi·x_(i)/(nΣx) − (n+1)/n — checked exactly in
+    rationals (fractions), so the SQL rewrite can never drift."""
+    from fractions import Fraction
+
+    n = len(counts)
+    total = sum(counts)
+    xs = sorted(counts)
+    rank_form = (
+        Fraction(2 * sum((i + 1) * x for i, x in enumerate(xs)), n * total)
+        - Fraction(n + 1, n)
+    )
+    mean_diff = Fraction(
+        sum(abs(a - b) for a in counts for b in counts), 2 * n * total
+    )
+    assert rank_form == mean_diff
+
+
+@given(u=st.floats(min_value=1e-12, max_value=1.0, exclude_max=True))
+@settings(max_examples=300, deadline=None)
+def test_discrete_laplace_closed_form_cdf_matches_direct_sum(u):
+    """q127's closed-form CDF over powers of two must pick the same k as a
+    direct probability-mass summation of the α=1/2 two-sided geometric."""
+    # closed form (the SQL expression)
+    def W(k: int) -> float:
+        if k < 0:
+            return 1.0 / (1 << (-k - 1)) - 1.0 / 1048576.0
+        return 3.0 - 1.0 / 1048576.0 - 1.0 / (1 << k)
+
+    target = 3.0 * u
+    k_closed = next((k for k in range(-20, 21) if W(k) >= target), 20)
+
+    # direct sum of 3·P(j) = 2^{-|j|} truncated to [-20, 20]
+    acc = 0.0
+    k_direct = 20
+    for k in range(-20, 21):
+        acc += 2.0 ** (-abs(k))
+        if acc >= target:
+            k_direct = k
+            break
+    assert k_closed == k_direct
+
+
+@given(
+    xs=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=2, max_size=40
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_znorm_integer_algebra_matches_statistics(xs):
+    """q135's integer mean/variance algebra (n·Σx² − (Σx)²)/n² equals the
+    population variance — exact in rationals."""
+    from fractions import Fraction
+
+    n = len(xs)
+    s1, s2 = sum(xs), sum(x * x for x in xs)
+    algebra = Fraction(n * s2 - s1 * s1, n * n)
+    mean = Fraction(s1, n)
+    direct = sum((Fraction(x) - mean) ** 2 for x in xs) / n
+    assert algebra == direct
