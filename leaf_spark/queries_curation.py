@@ -1134,8 +1134,12 @@ _Q135_BODY = """
                   (ri - cast(m.s1 as double) / m.n)
                   / sqrt((cast(m.n as double) * cast(m.s2 as double)
                           - cast(m.s1 as double) * m.s1)
-                         / (cast(m.n as double) * m.n)), 4) as double)
+                         / (cast(m.n as double) * m.n)), 4) + 0.0 as double)
                 else cast(null as double) end as z_score
+    -- the + 0.0 canonicalizes the SIGN OF ZERO: a z of -1e-12 rounds to
+    -- -0.0, which Spark's BigDecimal round normalizes to +0.0 but DuckDB
+    -- keeps as -0.0 — the only 1-row hash mismatch at sf0.1; IEEE
+    -- (-0.0)+(+0.0) = +0.0 in both engines
     from s join m on m.source = s.source
 """
 

@@ -270,8 +270,8 @@ sql_case(
     """
     select event_type,
            count(distinct user_id) as exact_users,
-           abs(approx_count_distinct(user_id) - count(distinct user_id))
-             <= cast(ceil(0.05 * count(distinct user_id)) as bigint) as hll_ok
+           abs(approx_count_distinct(user_id, 0.02) - count(distinct user_id))
+             <= cast(ceil(0.06 * count(distinct user_id)) as bigint) as hll_ok
     from events
     group by event_type
     """,
@@ -283,9 +283,11 @@ sql_case(
     group by event_type
     """,
     doc="HyperLogLog distinct-user rollup per event type: exact value "
-    "oracle-checked, sketch asserted within 5% (HLL++ rsd default 0.05 — "
-    "the only distinct-count that scales to 100 TB without a shuffle of "
-    "raw user ids)",
+    "oracle-checked, sketch asserted within 6% = 3x its rsd=0.02 (a "
+    "1-sigma bound is EXPECTED to fail ~32% of the time — the default-rsd "
+    "estimate missed 5% at sf0.1 with a 6.7% error; 3 sigma holds at "
+    "every sf) — the only distinct-count that scales to 100 TB without a "
+    "shuffle of raw user ids",
 )
 
 sql_case(
