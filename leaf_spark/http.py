@@ -153,8 +153,29 @@ class LeafHttpServer:
             def log_message(self, fmt, *args):  # noqa: A002
                 pass
 
+            def do_GET(self):  # noqa: N802
+                # the human console (reference explorer/ parity): one
+                # static page, no build step — everything else it needs is
+                # the JSON bridge below
+                if self.path.split("?", 1)[0] in ("/explorer", "/explorer/"):
+                    from .explorer import EXPLORER_HTML
+
+                    body = EXPLORER_HTML.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                self.send_response(404)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
             def do_POST(self):  # noqa: N802
                 endpoint = self.path.lstrip("/")
+                if endpoint.startswith("api/"):
+                    self._json_bridge(endpoint[4:])
+                    return
                 n = int(self.headers.get("Content-Length") or 0)
                 if n > LeafServer.MODULE_MAX_BYTES:
                     # refuse before decoding (reference caps the raw payload)
@@ -174,6 +195,55 @@ class LeafHttpServer:
                     return
                 ack = outer.server.handle(conn, endpoint, args)
                 self._reply(200, ack)
+
+            def _json_bridge(self, endpoint: str) -> None:
+                """Browser-facing adapter: JSON request → dispatch() → JSON
+                Result ack. Same auth, same endpoints, same Ok/Err shape as
+                the DRISL transports — only the codec differs (event
+                payloads arrive as JSON values and are DRISL-encoded
+                server-side, exactly what the reference explorer does
+                client-side with CBOR)."""
+                import json
+
+                n = int(self.headers.get("Content-Length") or 0)
+                if n > LeafServer.MODULE_MAX_BYTES:
+                    self.rfile.read(n)
+                    self._reply_json(413, {"Err": "ValueError: request too large"})
+                    return
+                try:
+                    args = json.loads(self.rfile.read(n) or b"{}")
+                    if not isinstance(args, dict):
+                        raise ValueError("request body must be a JSON object")
+                    conn = outer._connection(self.headers.get("Authorization"))
+                    if endpoint in (
+                        "stream/event_batch",
+                        "stream/state_event_batch",
+                    ):
+                        args["payloads"] = [
+                            drisl.encode(p) for p in args.get("payloads", [])
+                        ]
+                    out = outer.server.dispatch(conn, endpoint, args)
+                    self._reply_json(200, {"Ok": out})
+                except AuthError as ex:
+                    self._reply_json(401, {"Err": f"AuthError: {ex}"})
+                except Exception as ex:
+                    self._reply_json(200, {"Err": f"{type(ex).__name__}: {ex}"})
+
+            def _reply_json(self, status: int, obj) -> None:
+                import base64
+                import json
+
+                def default(o):
+                    if isinstance(o, (bytes, bytearray)):
+                        return base64.b64encode(bytes(o)).decode()
+                    raise TypeError(f"not JSON-serializable: {type(o)}")
+
+                body = json.dumps(obj, default=default).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
 
             def _reply(self, status: int, body: bytes) -> None:
                 self.send_response(status)

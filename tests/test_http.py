@@ -337,3 +337,123 @@ class TestHttpTransport:
             r["content"]["value"] for resp in responses for r in resp["rows"]
         ]
         assert "polled" in texts
+
+
+class TestExplorer:
+    """The human console (reference explorer/ parity): a static page at
+    GET /explorer plus a JSON bridge at POST /api/* sharing auth and
+    endpoint surface with the DRISL transports."""
+
+    def _json_call(self, srv, endpoint, args, token=None):
+        import http.client
+        import json
+
+        conn = http.client.HTTPConnection(srv.host, srv.port, timeout=30)
+        headers = {"Content-Type": "application/json"}
+        if token:
+            headers["Authorization"] = f"Bearer {token}"
+        conn.request("POST", f"/api/{endpoint}", json.dumps(args), headers)
+        resp = conn.getresponse()
+        body = json.loads(resp.read())
+        conn.close()
+        return resp.status, body
+
+    def test_explorer_page_served(self, http_server):
+        import http.client
+
+        conn = http.client.HTTPConnection(
+            http_server.host, http_server.port, timeout=30
+        )
+        conn.request("GET", "/explorer")
+        resp = conn.getresponse()
+        page = resp.read().decode()
+        assert resp.status == 200
+        assert "text/html" in resp.getheader("Content-Type")
+        assert "leaf_spark explorer" in page
+        assert "/api/" in page  # wired to the JSON bridge
+        conn.request("GET", "/nonexistent")
+        assert conn.getresponse().status == 404
+        conn.close()
+
+    def test_json_bridge_full_console_flow(self, http_server):
+        """Everything the console does, over JSON: upload module → create
+        stream → send events → query rows → subscribe → poll → unsub."""
+        st, up = self._json_call(
+            http_server, "module/upload", {"module": CHAT.to_codec()},
+            "alice-token",
+        )
+        assert st == 200 and "Ok" in up, up
+        cid = up["Ok"]["cid"]
+
+        st, out = self._json_call(
+            http_server, "stream/create",
+            {"streamDid": "did:plc:jsonchat", "moduleCid": cid},
+            "alice-token",
+        )
+        assert "Ok" in out, out
+
+        st, out = self._json_call(
+            http_server, "stream/event_batch",
+            {
+                "streamDid": "did:plc:jsonchat",
+                "payloads": [
+                    {"content": "hello json", "sentAt": 1},
+                    {"content": "second", "sentAt": 2},
+                ],
+            },
+            "alice-token",
+        )
+        assert out["Ok"]["latestEvent"] == 2, out
+
+        st, out = self._json_call(
+            http_server, "stream/query",
+            {
+                "streamDid": "did:plc:jsonchat",
+                "query": {"name": "messages", "start": 1, "limit": 10},
+            },
+        )
+        rows = out["Ok"]["rows"]
+        assert len(rows) == 2
+        texts = {
+            (v["value"] if isinstance(v, dict) and "$type" in v else v)
+            for r in rows
+            for k, v in r.items()
+            if k == "content"
+        }
+        assert texts == {"hello json", "second"}
+
+        st, out = self._json_call(
+            http_server, "stream/subscribe_events",
+            {
+                "streamDid": "did:plc:jsonchat",
+                "query": {"name": "messages", "start": 1, "limit": 10},
+            },
+        )
+        sub = out["Ok"]["subscriptionId"]
+        st, out = self._json_call(
+            http_server, "stream/poll_subscription",
+            {
+                "streamDid": "did:plc:jsonchat",
+                "subscriptionId": sub,
+                "timeoutSec": 10,
+            },
+        )
+        assert out["Ok"]["responses"], out
+        st, out = self._json_call(
+            http_server, "stream/unsubscribe",
+            {"streamDid": "did:plc:jsonchat", "subscriptionId": sub},
+        )
+        assert "Ok" in out
+
+    def test_json_bridge_auth_parity(self, http_server):
+        # anonymous writes rejected exactly like the DRISL transports
+        st, out = self._json_call(
+            http_server, "module/upload", {"module": CHAT.to_codec()}
+        )
+        assert "Err" in out and "authentication required" in out["Err"]
+        # unknown token → 401, never anonymous downgrade
+        st, out = self._json_call(
+            http_server, "module/upload", {"module": CHAT.to_codec()},
+            "bogus-token",
+        )
+        assert st == 401 and "AuthError" in out["Err"]
