@@ -436,38 +436,104 @@ def containment_pairs(
     path — a shingle occurring in more than ``bucket_cap`` docs (boiler-
     plate) contributes a connectivity chain instead of all pairs (the one
     documented way a true pair can be missed, and only for mass-duplicated
-    shingles). Verification is the exact intersect over hashed shingle
-    sets; candidate pairs carry ids only through every shuffle.
+    shingles).
+
+    Verification is EXACT but never ships a shingle array: the candidate
+    self-join emits one row per SHARED shingle, so |A∩B| over the small
+    buckets is the same shuffle's ``count(*)`` — the work the old
+    dropDuplicates+array_intersect plan did twice. Shared shingles living
+    in capped (big) buckets are added back by a narrow correction join
+    over the big-bucket index only (empty when no bucket exceeds the cap),
+    and set sizes join from a 2-int-per-doc table: every shuffle carries
+    ids and counts, no arrays. Algebraically identical to the exact
+    intersect (each shared hash is in exactly one bucket class).
 
     Output: (id_small, id_big, containment), smaller set first, ≥ threshold.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(
-            F.transform(
-                _word_shingles(F.col(text_col), shingle_words),
-                lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)),
-            )
-        ).alias("hs"),
-    ).localCheckpoint()
-    hsets = sh
-    exploded = sh.select("id", F.explode("hs").alias("h"))
-    cand = _bucketed_pairs(exploded, ["h"], bucket_cap)
+    from pyspark.sql import Window
 
-    paired = (
-        cand.join(
-            hsets.select(F.col("id").alias("id_a"), F.col("hs").alias("sh_a")), "id_a"
-        ).join(
-            hsets.select(F.col("id").alias("id_b"), F.col("hs").alias("sh_b")), "id_b"
+    # materialize the INT index (id, h), never the arrays: the exploded
+    # form is what every downstream branch consumes, and checkpointing it
+    # instead of the per-doc shingle arrays removes the widest
+    # materialization in the operator
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    _word_shingles(F.col(text_col), shingle_words),
+                    lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)),
+                )
+            )
+        ).alias("h"),
+    ).localCheckpoint()
+    sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+
+    # bucket sizing via a groupBy on the 16-byte key + broadcast of the
+    # (rare) over-cap hashes — NOT a window over the full index: the
+    # big-hash table is boilerplate-sized (usually empty), so the split is
+    # two map-side joins instead of a whole-index shuffle
+    big_h = (
+        exploded.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__bsz__"))
+        .where(F.col("__bsz__") > bucket_cap)
+        .select("h")
+    )
+    small = exploded.join(F.broadcast(big_h), "h", "left_anti")
+    big = exploded.join(F.broadcast(big_h), "h")
+
+    # pairs + small-bucket intersection counts in ONE join + ONE aggregation
+    a, b = small.alias("a"), small.alias("b")
+    pair_counts = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__ns__"))
+    )
+    # connectivity chains through capped buckets (n-1 pairs per bucket);
+    # their small-bucket count is 0 until the union-aggregate below merges
+    # any row also found via a small bucket
+    w_ord = Window.partitionBy("h").orderBy("id")
+    chain = (
+        big.withColumn("__nid__", F.lead("id").over(w_ord))
+        .where(F.col("__nid__").isNotNull())
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("__nid__").alias("id_b"),
+            F.lit(0).alias("__ns__"),
         )
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    small_first = F.size("sh_a") <= F.size("sh_b")
+    cand = (
+        pair_counts.unionByName(chain)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("__ns__").alias("__ns__"))
+    )
+
+    # exact correction: shared shingles that live in capped buckets
+    big_a = big.select(F.col("id").alias("id_a"), "h")
+    big_b = big.select(F.col("id").alias("id_b"), "h")
+    corr = (
+        cand.select("id_a", "id_b")
+        .join(big_a, "id_a")
+        .join(big_b, ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__nb__"))
+    )
+
+    paired = (
+        cand.join(corr, ["id_a", "id_b"], "left")
+        .withColumn(
+            "__inter__",
+            (F.col("__ns__") + F.coalesce(F.col("__nb__"), F.lit(0))).cast("double"),
+        )
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+    )
+    small_first = F.col("sz_a") <= F.col("sz_b")
     return (
         paired.select(
             F.when(small_first, F.col("id_a")).otherwise(F.col("id_b")).alias("id_small"),
             F.when(small_first, F.col("id_b")).otherwise(F.col("id_a")).alias("id_big"),
-            (inter / F.least(F.size("sh_a"), F.size("sh_b"))).alias("containment"),
+            (F.col("__inter__") / F.least("sz_a", "sz_b")).alias("containment"),
         )
         .where(F.col("containment") >= containment_threshold)
     )
