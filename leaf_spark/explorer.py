@@ -190,16 +190,36 @@ async function sendEvents(endpoint) {
   } catch (e) { note(String(e), "err"); }
 }
 function renderRows(el, rows) {
-  if (!rows.length) { el.innerHTML = "<p class=dim>(no rows)</p>"; return; }
-  const cols = Object.keys(rows[0]);
-  let h = "<table><tr>" + cols.map((c) => "<th>" + c + "</th>").join("")
-    + "</tr>";
-  for (const r of rows) {
-    h += "<tr>" + cols.map(
-      (c) => "<td>" + String(r[c] === null ? "∅" : r[c]) + "</td>").join("")
-      + "</tr>";
+  // build with createElement/textContent ONLY: row values and column
+  // names are writer-controlled, and innerHTML here would be stored XSS
+  // running in the server's origin (with the bearer token one
+  // localStorage read away)
+  el.textContent = "";
+  if (!rows.length) {
+    const p = document.createElement("p");
+    p.textContent = "(no rows)";
+    el.appendChild(p);
+    return;
   }
-  el.innerHTML = h + "</table>";
+  const cols = Object.keys(rows[0]);
+  const table = document.createElement("table");
+  const head = document.createElement("tr");
+  for (const c of cols) {
+    const th = document.createElement("th");
+    th.textContent = c;
+    head.appendChild(th);
+  }
+  table.appendChild(head);
+  for (const r of rows) {
+    const tr = document.createElement("tr");
+    for (const c of cols) {
+      const td = document.createElement("td");
+      td.textContent = r[c] === null ? "∅" : String(r[c]);
+      tr.appendChild(td);
+    }
+    table.appendChild(tr);
+  }
+  el.appendChild(table);
 }
 function plainRows(wire) {
   // wire rows: [{col: {"$type": "...", value: v} | v}]

@@ -166,12 +166,20 @@ def encode_png(
     )
 
 
-def decode_png_pixels(content: bytes) -> tuple[int, int, int, bytes] | None:
+def decode_png_pixels(
+    content: bytes, max_pixel_bytes: int = 64 * 1024 * 1024
+) -> tuple[int, int, int, bytes] | None:
     """(width, height, channels, raw pixel bytes) — full stdlib decode of
     8-bit non-interlaced gray/gray+a/RGB/RGBA PNGs: chunk walk, zlib
     inflate, per-scanline unfilter (all 5 filter types). Returns None for
     anything else (palette, 16-bit, interlaced, truncated, non-PNG) so
-    callers fall through to the next decode tier."""
+    callers fall through to the next decode tier.
+
+    Decompression-bomb-safe for untrusted corpus bytes: the declared
+    dimensions are capped at ``max_pixel_bytes`` BEFORE inflating, and the
+    inflate itself is bounded to the declared size via ``decompressobj``
+    with ``max_length`` — a few-KB IDAT claiming a 10-gigapixel image can
+    never materialize more than the cap on an executor."""
     import zlib
 
     if len(content) < 8 or content[:8] != _PNG_SIG:
@@ -203,7 +211,13 @@ def decode_png_pixels(content: bytes) -> tuple[int, int, int, bytes] | None:
             i += 12 + chunk_len
         if width is None or not idat:
             return None
-        raw = zlib.decompress(bytes(idat))
+        expect = (width * channels + 1) * height
+        if expect > max_pixel_bytes:
+            return None  # refuse oversized claims before inflating
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expect + 1)
+        if len(raw) != expect or d.unconsumed_tail or d.decompress(b"", 1):
+            return None  # truncated or longer than declared
     except Exception:
         return None
     stride = width * channels
@@ -237,9 +251,15 @@ def decode_png_pixels(content: bytes) -> tuple[int, int, int, bytes] | None:
 
 
 def _decode_image(content: bytes) -> tuple[int, int, int, bool]:
-    """(width, height, channels, real_decode) — PIL → stdlib PNG pixel
-    decode → header parse → deterministic sha-derived fake (the documented
-    stub branch)."""
+    """(width, height, channels, real_decode) — PIL → header parse →
+    stdlib PNG pixel decode → deterministic sha-derived fake (the
+    documented stub branch). Header parse comes BEFORE the stdlib pixel
+    tier: this function feeds metadata-only extraction, where paying a
+    full inflate + per-byte unfilter to learn dimensions the 33-byte
+    header already states would be pure waste — the pixel tier exists for
+    the rare PNG whose header is mangled but whose stream still decodes
+    (extract_pixel_stats and the thumbnailer call decode_png_pixels
+    directly when they actually need pixels)."""
     if _PILImage is not None and content:
         import io
 
@@ -249,12 +269,12 @@ def _decode_image(content: bytes) -> tuple[int, int, int, bool]:
                 return w, h, len(im.getbands()), True
         except Exception:
             pass
-    png = decode_png_pixels(content)
-    if png is not None:
-        return png[0], png[1], png[2], True
     hdr = parse_image_header(content)
     if hdr is not None:
         return (*hdr, True)
+    png = decode_png_pixels(content)
+    if png is not None:
+        return png[0], png[1], png[2], True
     # FAKE branch: deterministic dims from the content hash (reproducible,
     # oracle-recomputable); marks the payload as not actually decoded
     h = hashlib.sha256(content).digest()

@@ -198,13 +198,24 @@ def q113_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("id").orderBy(F.desc("sim"), "nid")
     top = scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 5)
-    return top.groupBy(F.col("id").alias("vec_id"), "label").agg(
+    votes = top.groupBy(F.col("id").alias("vec_id"), "label").agg(
         F.sum((F.col("nlabel") != F.col("label")).cast("bigint"))
         .cast("bigint")
         .alias("n_disagree"),
         (
             F.sum((F.col("nlabel") != F.col("label")).cast("bigint")) >= 4
         ).alias("suspect"),
+    )
+    # completeness: a vector with ZERO bucket-mates must still emit a row
+    # (vote 0 / not suspect) rather than silently vanishing — the oracle's
+    # all-pairs form emits every vector, and a dropped row would turn a
+    # probabilistic recall miss into a row-count divergence
+    base = v.select(F.col("id").alias("vec_id"), "label")
+    return base.join(votes, ["vec_id", "label"], "left").select(
+        "vec_id",
+        "label",
+        F.coalesce(F.col("n_disagree"), F.lit(0).cast("bigint")).alias("n_disagree"),
+        F.coalesce(F.col("suspect"), F.lit(False)).alias("suspect"),
     )
 
 

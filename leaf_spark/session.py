@@ -153,6 +153,10 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     # transition, re-reading parquet and evicting the other tables).
     fps = dict(_dir_fingerprint(sf_dir, names))
     entry = cache.get(sf_dir)
+    # introspection surface (advisor r4): which sf_dir each testdata view
+    # was last registered from — read by tests and debugging sessions to
+    # diagnose multi-scale view mixups; the staleness/clobber DECISIONS
+    # ride the fingerprint cache + unconditional re-registration above
     view_dirs: dict = getattr(spark, "_leaf_view_dirs", None) or {}
     spark._leaf_view_dirs = view_dirs
     if entry is not None and all(

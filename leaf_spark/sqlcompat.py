@@ -506,6 +506,7 @@ class StatementInfo:
     target: str | None = None  # table the statement writes/creates
     functions: tuple[str, ...] = ()
     reads_event: bool = False
+    temp: bool = False  # CREATE TEMP/TEMPORARY — exempt from ns guards
 
 
 def _unquote_ident(tok: str) -> str | None:
@@ -622,14 +623,17 @@ def classify(sql: str) -> StatementInfo:
     if head == "delete":
         return StatementInfo("delete", _after("from"), fns, reads_event)
     if head == "create":
+        # TEMP/TEMPORARY before the object keyword: temp objects are
+        # policy-exempt (the reference allows temp writes in every scope)
+        tmp = len(lows) > 1 and lows[1] in ("temp", "temporary")
         if "table" in lows:
-            return StatementInfo("create_table", _after("table"), fns, reads_event)
+            return StatementInfo("create_table", _after("table"), fns, reads_event, tmp)
         if "index" in lows:
-            return StatementInfo("create_index", _after("on"), fns, reads_event)
+            return StatementInfo("create_index", _after("on"), fns, reads_event, tmp)
         if "view" in lows:
-            return StatementInfo("create_view", _after("view"), fns, reads_event)
+            return StatementInfo("create_view", _after("view"), fns, reads_event, tmp)
         if "trigger" in lows:
-            return StatementInfo("create_trigger", _after("on"), fns, reads_event)
+            return StatementInfo("create_trigger", _after("on"), fns, reads_event, tmp)
     if head == "drop":
         return StatementInfo("drop", _after("table") or _after("view") or _after("index") or _after("trigger"), fns, reads_event)
     if head == "alter":
@@ -673,13 +677,29 @@ class Authorizer:
             for fn in info.functions:
                 if fn not in allowed:
                     raise AuthorizationError(f"{policy}: function {fn!r} not in allowlist")
-        elif policy == "materialize":
-            if info.kind in ("insert", "update", "delete", "drop", "alter") and info.target:
-                if info.target.startswith("state.") or info.target.startswith("state_"):
+        elif policy in ("materialize", "state_materialize"):
+            # every statement kind that creates/writes a table counts —
+            # CREATE TABLE state.m is namespace squatting just as surely
+            # as INSERT INTO state.m
+            write_kinds = (
+                "insert", "update", "delete", "drop", "alter",
+                "create_table", "create_view", "create_index",
+                "create_trigger",
+            )
+            if info.kind in write_kinds and info.target and not info.temp:
+                # 'main.state_x' and 'state_x' are the SAME flattened
+                # table (dml.py strips the main. qualifier), so the guard
+                # must normalize before matching; temp-namespace objects
+                # are policy-exempt in every scope
+                target = info.target
+                if target.startswith("main."):
+                    target = target[len("main."):]
+                if target.startswith("temp."):
+                    return
+                in_state = target.startswith("state.") or target.startswith("state_")
+                if policy == "materialize" and in_state:
                     raise AuthorizationError("materialize: cannot write state namespace")
-        elif policy == "state_materialize":
-            if info.kind in ("insert", "update", "delete", "drop", "alter") and info.target:
-                if not (info.target.startswith("state.") or info.target.startswith("state_") or info.target == "event"):
+                if policy == "state_materialize" and not (in_state or target == "event"):
                     raise AuthorizationError(
                         f"state_materialize: may only write state namespace, got {info.target}"
                     )

@@ -277,17 +277,24 @@ def _disorder_update(
     prev_us, n, n_ooo, max_back = (
         state.get if state.exists else (-1, 0, 0, 0)
     )
-    for pdf in pdfs:
-        # replay order within a batch = event_id order (the log's total
-        # order); across batches the file source delivers ids ascending
-        pdf = pdf.sort_values("event_id")
-        for ts in pdf["ts"]:
-            us = int(ts.value // 1_000)
-            if prev_us >= 0 and us < prev_us:
-                n_ooo += 1
-                max_back = max(max_back, prev_us - us)
-            prev_us = us  # q130 semantics: compare to the PREVIOUS event,
-            n += 1        # not the running max
+    # a group can arrive as SEVERAL Arrow chunks within one micro-batch
+    # (maxRecordsPerBatch splits, multi-file batches) — concat and sort
+    # ONCE so the event_id order holds across chunk seams, not just
+    # inside each chunk; across micro-batches the file source delivers
+    # ids ascending (the log's append order)
+    chunks = list(pdfs)
+    whole = (
+        pd.concat(chunks, ignore_index=True).sort_values("event_id")
+        if chunks
+        else pd.DataFrame({"ts": []})
+    )
+    for ts in whole["ts"]:
+        us = int(ts.value // 1_000)
+        if prev_us >= 0 and us < prev_us:
+            n_ooo += 1
+            max_back = max(max_back, prev_us - us)
+        prev_us = us  # q130 semantics: compare to the PREVIOUS event,
+        n += 1        # not the running max
     state.update((prev_us, n, n_ooo, max_back))
     yield pd.DataFrame(
         {

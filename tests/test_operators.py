@@ -423,3 +423,42 @@ def test_salted_agg_rejects_non_algebraic(spark):
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     with pytest.raises(ValueError):
         salted_agg(ev, ["event_type"], {"bad": ("avg", "value")})
+
+
+def test_png_decompression_bomb_refused():
+    """A few-KB IDAT claiming a gigapixel image must be refused BEFORE
+    inflating (executor-OOM guard for untrusted corpus bytes), and a
+    stream longer than its declared dimensions must not decode."""
+    import struct as _s
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            _s.pack(">I", len(data)) + typ + data
+            + _s.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    from leaf_spark.operators.multimodal import decode_png_pixels, encode_png
+
+    # 100000 x 100000 gray: ~10 GB declared, a few KB compressed
+    ihdr = _s.pack(">IIBBBBB", 100_000, 100_000, 8, 0, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(10_000_000)))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png_pixels(bomb) is None
+
+    # stream longer than declared dims → refused, not truncated-and-used
+    good = encode_png(4, 4, bytes(range(16)), 1)
+    ihdr_small = _s.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    oversized = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr_small)
+        + chunk(b"IDAT", zlib.compress(b"\x00" + bytes(100)))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png_pixels(oversized) is None
+    # sanity: legitimate image still decodes after the hardening
+    assert decode_png_pixels(good) == (4, 4, 1, bytes(range(16)))

@@ -413,3 +413,48 @@ class TestAuthorizerRedTeam:
         # semicolon inside a string literal is data, not a separator
         assert len(split_statements("select 'a;b' from t")) == 1
         assert len(split_statements("select (select 1) from t")) == 1
+
+
+class TestAuthorizerNamespaceHardening:
+    """Second red-team pass (self-review findings): main.-qualified
+    targets reach the same flattened table, and CREATE is a write."""
+
+    def test_main_qualified_state_write_rejected(self):
+        from leaf_spark.sqlcompat import AuthorizationError, Authorizer
+
+        a = Authorizer(enforce=True)
+        for sql in (
+            "insert into main.state_x select 1",
+            'insert into "main".state_x select 1',
+            "delete from main.state_counts",
+        ):
+            with pytest.raises(AuthorizationError):
+                a.check(sql, "materialize")
+        a.check("insert into main.tbl select 1", "materialize")
+
+    def test_create_into_state_namespace_rejected(self):
+        from leaf_spark.sqlcompat import AuthorizationError, Authorizer
+
+        a = Authorizer(enforce=True)
+        for sql in (
+            "create table state.m (x int)",
+            "create table state_m (x int)",
+            "create view state.v as select 1",
+            "create trigger tg after insert on state.m begin select 1; end",
+        ):
+            with pytest.raises(AuthorizationError):
+                a.check(sql, "materialize")
+        # plain main-namespace DDL stays allowed in materialize scope
+        a.check("create table scratch (x int)", "materialize")
+        # and state_materialize may NOT create main-namespace tables
+        with pytest.raises(AuthorizationError):
+            a.check("create table scratch (x int)", "state_materialize")
+
+    def test_temp_objects_exempt_everywhere(self):
+        from leaf_spark.sqlcompat import Authorizer
+
+        a = Authorizer(enforce=True)
+        for policy in ("materialize", "state_materialize"):
+            a.check("create temp table tt (x int)", policy)
+            a.check("create temporary table tt (x int)", policy)
+            a.check("insert into temp.tt select 1", policy)

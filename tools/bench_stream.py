@@ -234,6 +234,9 @@ def latency_main() -> None:
         q = lambda p: round(  # noqa: E731
             samples[min(len(samples) - 1, int(p * len(samples)))] * 1000, 1
         )
+        # zero samples (every subscriber missed the deadline) is the most
+        # important result a latency bench can report — emit it as data,
+        # never die on an empty-list index
         print(
             json.dumps(
                 {
@@ -241,9 +244,11 @@ def latency_main() -> None:
                     "n_subscribers_per_stream": n_subs,
                     "n_commits": n_commits,
                     "n_samples": len(samples),
-                    "push_latency_ms_p50": q(0.50),
-                    "push_latency_ms_p95": q(0.95),
-                    "push_latency_ms_max": round(samples[-1] * 1000, 1),
+                    "push_latency_ms_p50": q(0.50) if samples else None,
+                    "push_latency_ms_p95": q(0.95) if samples else None,
+                    "push_latency_ms_max": (
+                        round(samples[-1] * 1000, 1) if samples else None
+                    ),
                 }
             )
         )
