@@ -100,3 +100,40 @@ def write_jsonl_corpus(df: DataFrame, path: str, compression: str | None = None)
     if compression:
         w = w.option("compression", compression)
     w.json(path)
+
+
+def read_orc_corpus(
+    spark: SparkSession, path: str, schema: T.StructType = DOCUMENTS_SCHEMA
+) -> DataFrame:
+    """ORC reader with the same schema-drift contract, adapted for a
+    self-describing columnar format: there is no per-line corrupt record
+    to quarantine (the stripe either decodes or the task fails), so the
+    drift guard moves to the FILE schema — every expected column must
+    exist with the expected type, and extra provider columns are dropped
+    loudly here rather than silently reshaping downstream tables.
+
+    Raises ``ValueError`` naming the missing/mistyped columns; ORC stripes
+    split, so unlike gzip JSONL the parallelism story needs no sharding
+    discipline from the producer."""
+    actual = {f.name: f.dataType for f in spark.read.orc(path).schema.fields}
+    problems = []
+    for f in schema.fields:
+        got = actual.get(f.name)
+        if got is None:
+            problems.append(f"missing column {f.name!r} ({f.dataType.simpleString()})")
+        elif got != f.dataType:
+            problems.append(
+                f"column {f.name!r}: expected {f.dataType.simpleString()}, "
+                f"file has {got.simpleString()}"
+            )
+    if problems:
+        raise ValueError(f"ORC schema drift at {path}: " + "; ".join(problems))
+    return spark.read.orc(path).select(*[f.name for f in schema.fields])
+
+
+def write_orc_corpus(
+    df: DataFrame, path: str, compression: str = "zstd"
+) -> None:
+    """Writer counterpart (zstd default — best ratio/speed for text; ORC
+    stripes stay splittable under every codec, unlike gzip JSONL)."""
+    df.write.mode("overwrite").option("compression", compression).orc(path)

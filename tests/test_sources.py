@@ -7,6 +7,7 @@ import gzip
 import json
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -81,3 +82,40 @@ def test_write_jsonl_roundtrip(spark, tmp_path):
     clean, bad = split_corrupt(read_jsonl_corpus(spark, out))
     assert bad.count() == 0
     assert {r["doc_id"] for r in clean.collect()} == {1, 2}
+
+
+def test_orc_corpus_roundtrip_and_drift_guard(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from leaf_spark.sources.corpus import (
+        DOCUMENTS_SCHEMA,
+        read_orc_corpus,
+        write_orc_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en", "web", 11), (2, "zwei", "de", "books", 4)],
+        DOCUMENTS_SCHEMA,
+    )
+    p = str(tmp_path / "docs_orc")
+    write_orc_corpus(docs, p)
+    back = read_orc_corpus(spark, p)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+
+    # extra provider column is dropped, not silently kept
+    extra = docs.withColumn("new_col", F.lit("x"))
+    p2 = str(tmp_path / "docs_extra")
+    write_orc_corpus(extra, p2)
+    assert read_orc_corpus(spark, p2).columns == [f.name for f in DOCUMENTS_SCHEMA]
+
+    # missing column → loud failure naming the column
+    p3 = str(tmp_path / "docs_missing")
+    write_orc_corpus(docs.drop("lang"), p3)
+    with pytest.raises(ValueError, match="lang"):
+        read_orc_corpus(spark, p3)
+
+    # type drift → loud failure naming expected vs actual
+    p4 = str(tmp_path / "docs_retyped")
+    write_orc_corpus(docs.withColumn("n_chars", F.col("n_chars").cast("string")), p4)
+    with pytest.raises(ValueError, match="n_chars"):
+        read_orc_corpus(spark, p4)
