@@ -244,6 +244,56 @@ def test_containment_no_python_in_plan(spark):
     assert "BatchEvalPython" not in plan_of(df, "formatted")
 
 
+def test_containment_big_bucket_correction_is_exact(spark):
+    """Exercises the capped-bucket path of the count-based verification:
+    with a tiny bucket_cap, boilerplate shingles land in BIG buckets and
+    contribute via the correction join — found pairs must still carry the
+    EXACT full-set containment (small count + big correction), matching a
+    Python brute-force over the same shingle sets."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from leaf_spark.operators.dedup import containment_pairs
+
+    boiler = "the quick brown fox jumps over lazy dogs"
+    docs = [
+        (1, boiler + " unique alpha beta gamma one two"),
+        (2, boiler + " unique alpha beta gamma three four"),
+        (3, boiler + " entirely different tail content here"),
+        (4, boiler + " another unrelated ending words set"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    def shingles(text):
+        ws = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    sets = {d: shingles(t) for d, t in docs}
+
+    def brute(a, b):
+        inter = len(sets[a] & sets[b])
+        return inter / min(len(sets[a]), len(sets[b]))
+
+    # cap=2 forces every boilerplate shingle (present in all 4 docs) into
+    # the big-bucket branch; threshold 0 keeps every found pair visible
+    out = containment_pairs(df, containment_threshold=0.0, bucket_cap=2)
+    got = {
+        tuple(sorted((r["id_small"], r["id_big"]))): r["containment"]
+        for r in out.collect()
+    }
+    assert got, "no pairs found"
+    for (a, b), c in got.items():
+        assert abs(c - brute(a, b)) < 1e-9, (a, b, c, brute(a, b))
+    # the 1-2 pair shares small-bucket shingles AND big-bucket boilerplate:
+    # both contributions must be present (value strictly above the
+    # boilerplate-only overlap of e.g. pair 3-4)
+    assert got[(1, 2)] > got[(3, 4)]
+    # chain connectivity through the capped buckets keeps consecutive-id
+    # pairs present even without any small-bucket overlap
+    assert (3, 4) in got
+
+
 # ---------------------------------------------------------------------------
 # postings build
 # ---------------------------------------------------------------------------
