@@ -233,6 +233,16 @@ class DmlExecutor:
         # SQLite-dialect error semantics (1/0 → NULL, invalid cast → NULL)
         # regardless of which session the caller built; runtime-settable
         self.store.spark.conf.set("spark.sql.ansi.enabled", "false")
+        # The full query-fn allowlist (leaf-stream/src/lib.rs:1104-1110) must
+        # EXECUTE through this path, not just authorize — json_set/json_patch
+        # and drisl_* are session UDFs, so register them here too, not only
+        # at stream open (registration is idempotent).
+        from .sqlcompat import register_json_udfs
+
+        register_json_udfs(self.store.spark)
+        from . import drisl as _drisl
+
+        _drisl.register_udfs(self.store.spark)
 
     # -- name mapping --------------------------------------------------------
 

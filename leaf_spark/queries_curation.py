@@ -1320,3 +1320,279 @@ sql_case(
     "theta join); probabilities from exact integer counts, ln terms "
     "decimal-routed (q117 discipline)",
 )
+
+
+# ===========================================================================
+# Round-5b additions — embedding statistics, JL projection, model-eval
+# calibration, KS distribution test, survivor-selection dedup (q141-q145)
+# ===========================================================================
+#
+# Cross-engine determinism discipline (see README "determinism recipes"):
+# every float leaves IEEE-land through floor(x * 2^k) quantization BEFORE
+# any aggregation, so all sums/products below are exact bigint arithmetic
+# that cannot depend on partition/accumulation order.
+
+import hashlib as _hashlib
+
+_COV_DIMS = 8  # leading dims profiled; 36 (i<=j) covariance terms
+
+
+def _cov_sql(el: str, engine: str = "spark") -> str:
+    """Covariance-term query over the first _COV_DIMS embedding dims.
+
+    ``el`` is the 1-based element accessor template for the engine.
+    Output: one row per (i<=j) pair with the EXACT integer numerator
+    n*sum(qi*qj) - sum(qi)*sum(qj)  of the scaled covariance (q = floor(
+    e*1024); *1024 is a power of two, so the quantization itself is exact
+    on both engines). Single aggregation pass: 1 + 8 + 36 map-side-
+    combinable sums, then a 1-row unpivot — the PCA-prep moment matrix at
+    100 TB is exactly this one scan (d^2/2 columns), never an n x n op.
+    At petabyte row counts route the sums through decimal(38,0); bigint
+    head-room here is ~2^63 / (1024^2 * n).
+
+    The unpivot is engine-specific ON PURPOSE: Catalyst inlines a WITH
+    CTE into every consumer, so a 36-branch UNION ALL over the aggregate
+    re-runs the corpus scan 36 times (observed before this was a stack()
+    — test_embedding_covariance_single_pass pins the one-scan shape).
+    Spark therefore unpivots the single aggregate row through the
+    ``stack`` generator; the DuckDB oracle keeps the UNION ALL, where
+    only sf0.01 correctness (not the plan) matters.
+    """
+    qs = ", ".join(
+        f"cast(floor(cast({el.format(k=k)} as double) * 1024) as bigint) as q{k}"
+        for k in range(1, _COV_DIMS + 1)
+    )
+    sums = ["cast(count(*) as bigint) as n"]
+    sums += [
+        f"cast(sum(q{i}) as bigint) as s{i}" for i in range(1, _COV_DIMS + 1)
+    ]
+    pairs = [
+        (i, j)
+        for i in range(1, _COV_DIMS + 1)
+        for j in range(i, _COV_DIMS + 1)
+    ]
+    sums += [f"cast(sum(q{i} * q{j}) as bigint) as p_{i}_{j}" for i, j in pairs]
+    head = f"with q as (select {qs} from embeddings), s as (select {', '.join(sums)} from q)"
+    if engine == "spark":
+        stack_args = ", ".join(
+            f"cast({i} as bigint), cast({j} as bigint), "
+            f"cast(n * p_{i}_{j} - s{i} * s{j} as bigint)"
+            for i, j in pairs
+        )
+        return (
+            f"{head} select i, j, n, cov_num from (select n, "
+            f"stack({len(pairs)}, {stack_args}) as (i, j, cov_num) from s)"
+        )
+    branches = " union all ".join(
+        f"select cast({i} as bigint) as i, cast({j} as bigint) as j, n, "
+        f"cast(n * p_{i}_{j} - s{i} * s{j} as bigint) as cov_num from s"
+        for i, j in pairs
+    )
+    return f"{head} {branches}"
+
+
+sql_case(
+    "q141_embedding_covariance",
+    _cov_sql("element_at(embedding, {k})", "spark"),
+    _cov_sql("embedding[{k}]", "duckdb"),
+    doc="distributed covariance/moment matrix over the leading 8 embedding "
+    "dims (PCA prep): quantize -> one aggregation pass with 45 map-side-"
+    "combinable exact-bigint sums -> 1-row unpivot. Emits the exact "
+    "integer covariance numerator n*Sxy - Sx*Sy per (i<=j) pair; the "
+    "driver-side eigensolve over a d x d matrix is O(d^3) regardless of "
+    "corpus size, so this single scan IS the whole distributed cost",
+)
+
+
+def _jl_signs(out_dims: int, in_dims: int) -> list[list[int]]:
+    """Deterministic Rademacher sign matrix: sign(i,j) = +-1 from the
+    parity of md5('jl:i:j')'s first hex nibble. Computed once at import
+    (stdlib hash of constant strings — no RNG, no seed state); both
+    engine dialects receive the SAME literal arrays, so cross-engine
+    equality is structural, not numerical."""
+    mat = []
+    for j in range(1, out_dims + 1):
+        row = []
+        for i in range(1, in_dims + 1):
+            nib = int(_hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()[0], 16)
+            row.append(1 if nib % 2 == 0 else -1)
+        mat.append(row)
+    return mat
+
+
+_JL_OUT, _JL_IN = 8, 64
+_JL_SIGNS = _jl_signs(_JL_OUT, _JL_IN)
+
+
+def _jl_sql(engine: str) -> str:
+    """Johnson-Lindenstrauss random projection 64 -> 8 dims, map-only.
+
+    Each output dim is an in-row fold over the quantized embedding against
+    a literal sign vector: zero joins, zero shuffles — the plan is a bare
+    projection, which is the point: at 100 TB this runs as a pure scan
+    stage in front of any ANN/cluster op, reducing 8x the bytes every
+    downstream shuffle has to move.
+    """
+    cols = ["vec_id", "label"]
+    for j in range(1, _JL_OUT + 1):
+        lits = ", ".join(str(s) for s in _JL_SIGNS[j - 1])
+        if engine == "spark":
+            expr = (
+                f"aggregate(transform(sequence(1, {_JL_IN}), i -> "
+                f"cast(floor(cast(element_at(embedding, i) as double) * 1024)"
+                f" * element_at(array({lits}), i) as bigint)), "
+                f"cast(0 as bigint), (a, x) -> a + x)"
+            )
+        else:
+            expr = (
+                f"list_sum(list_transform(generate_series(1, {_JL_IN}), i -> "
+                f"cast(floor(cast(embedding[i] as double) * 1024)"
+                f" * ([{lits}][i]) as bigint)))"
+            )
+        cols.append(f"cast({expr} as bigint) as p{j}")
+    return f"select {', '.join(cols)} from embeddings"
+
+
+sql_case(
+    "q142_random_projection",
+    _jl_sql("spark"),
+    _jl_sql("duckdb"),
+    doc="Johnson-Lindenstrauss sign projection (64 -> 8 dims) with an "
+    "import-time md5-derived Rademacher matrix embedded as literals in "
+    "both dialects: exact bigint folds over the quantized vector, "
+    "map-only / zero-shuffle — the dimensionality-reduction front end "
+    "that shrinks every downstream ANN shuffle 8x",
+)
+
+
+_Q143_BODY = """
+    with s as (
+      select least(greatest(cast(floor((cast({E1} as double) + 1.0) * 500)
+                            as bigint), 0), 999) as score_milli,
+             case when label >= 5 then 1 else 0 end as pos
+      from embeddings
+    )
+    select cast(floor(score_milli / 100.0) as bigint) as bin,
+           cast(count(*) as bigint) as n,
+           cast(sum(pos) as bigint) as positives,
+           cast(sum(score_milli) as bigint) as sum_score_milli,
+           round(cast(sum(pos) as double) / count(*), 6) as frac_pos,
+           round(cast(sum(score_milli) as double) / count(*) / 1000.0, 6)
+             as mean_score,
+           round(abs(cast(sum(pos) as double) / count(*)
+                 - cast(sum(score_milli) as double) / count(*) / 1000.0), 6)
+             as abs_gap
+    from s group by 1
+"""
+
+sql_case(
+    "q143_calibration_bins",
+    _Q143_BODY.replace("{E1}", "element_at(embedding, 1)"),
+    _Q143_BODY.replace("{E1}", "embedding[1]"),
+    doc="reliability-diagram binning (the per-bin components of expected "
+    "calibration error): clamp a quantized per-row score into 10 bins, "
+    "aggregate count/positives/score-mass per bin. ECE = sum over bins "
+    "of n/N * abs_gap. Score and masses are exact integers before any "
+    "division; one map-side-combinable aggregation, no shuffle beyond "
+    "the 10-group agg",
+)
+
+
+# q144 — two-sample Kolmogorov-Smirnov between the 2 largest sources'
+# doc-length distributions. Exact: D * n_a * n_b = max |cumA*n_b -
+# cumB*n_a| over the merged support, all bigint. The only ordered window
+# runs over DISTINCT length values — support is bounded by max doc length,
+# independent of corpus row count (q137/q139 bounded-support discipline).
+_Q144_BODY = """
+    with lens as (select source, cast(n_chars as bigint) as v from documents),
+    st as (select source, cast(count(*) as bigint) as n
+           from lens group by source),
+    big as (select source, n from st order by n desc, source limit 2),
+    pr as (select a.source as sa, a.n as na, b.source as sb, b.n as nb
+           from big a join big b on a.source < b.source),
+    cv as (select l.source, l.v, cast(count(*) as bigint) as c
+           from lens l join big on big.source = l.source
+           group by l.source, l.v),
+    merged as (
+      select v,
+             cast(sum(case when source = (select sa from pr) then c
+                           else 0 end) as bigint) as ca,
+             cast(sum(case when source = (select sb from pr) then c
+                           else 0 end) as bigint) as cb
+      from cv group by v
+    ),
+    cum as (
+      select v,
+             sum(ca) over (order by v
+               rows between unbounded preceding and current row) as cum_a,
+             sum(cb) over (order by v
+               rows between unbounded preceding and current row) as cum_b
+      from merged
+    ),
+    d as (
+      select cast(max(abs(cum_a * (select nb from pr)
+                          - cum_b * (select na from pr))) as bigint) as d_num
+      from cum
+    )
+    select pr.sa as source_a, pr.sb as source_b,
+           pr.na as n_a, pr.nb as n_b, d.d_num,
+           round(cast(d.d_num as double) / (pr.na * pr.nb), 6) as ks_stat
+    from pr cross join d
+"""
+
+sql_case(
+    "q144_ks_statistic",
+    _Q144_BODY,
+    _Q144_BODY,
+    doc="exact two-sample Kolmogorov-Smirnov D between the two largest "
+    "sources' doc-length distributions: D*na*nb = max|cumA*nb - cumB*na| "
+    "in pure bigint over the merged support (no float CDFs to diverge). "
+    "Complements q112 PSI / q140 JSD with the classic distribution-shift "
+    "test; cumulative window is over distinct LENGTH VALUES (bounded "
+    "support), never over corpus rows",
+)
+
+
+# q145 — survivor selection: q41 keeps min(doc_id) per duplicate group;
+# real pipelines keep the BEST copy. Group by a normalized 24-char text
+# PREFIX (near-dup families — full-content hashing yields zero groups in
+# this corpus below sf0.1, which would make the check vacuous), rank by
+# (longest text, then smallest id), and emit the survivor plus what the
+# policy discarded — partitioned window, shuffle keyed on the family
+# hash exactly like the dedup groupBy it replaces.
+_Q145_BODY = """
+    with g as (
+      select doc_id, n_chars,
+             md5(substr(trim(regexp_replace(lower(text), {WS}, ' '{G})),
+                        1, 24)) as content_hash
+      from documents
+    ),
+    r as (
+      select content_hash, doc_id, n_chars,
+             row_number() over (partition by content_hash
+                                order by n_chars desc, doc_id) as rk,
+             cast(count(*) over (partition by content_hash) as bigint)
+               as n_copies,
+             cast(sum(n_chars) over (partition by content_hash) as bigint)
+               as group_chars
+      from g
+    )
+    select content_hash, n_copies,
+           doc_id as survivor_id,
+           n_chars as survivor_chars,
+           cast(group_chars - n_chars as bigint) as discarded_chars
+    from r where rk = 1 and n_copies > 1
+"""
+
+sql_case(
+    "q145_survivor_selection",
+    _Q145_BODY.replace("{WS}", "'\\\\s+'").replace("{G}", ""),
+    _Q145_BODY.replace("{WS}", "'\\s+'").replace("{G}", ", 'g'"),
+    doc="best-copy survivor policy for near-dup families (normalized "
+    "24-char prefix key): rank inside each family by (n_chars desc, "
+    "doc_id) and keep rank 1, "
+    "reporting how many characters the policy discards — the 'keep best, "
+    "not first' semantics production dedup uses (vs q41's min-id keeper). "
+    "Window is partitioned BY the content hash: same single hash shuffle "
+    "as the dedup groupBy, no global ordering anywhere",
+)

@@ -141,11 +141,15 @@ def _convert_strftime_fmt(lit: str) -> str:
 
 
 _TYPEOF_CASE = (
-    "case typeof({x}) when 'bigint' then 'integer' when 'int' then 'integer' "
-    "when 'smallint' then 'integer' when 'tinyint' then 'integer' "
-    "when 'double' then 'real' when 'float' then 'real' "
-    "when 'string' then 'text' when 'binary' then 'blob' "
-    "when 'void' then 'null' else typeof({x}) end"
+    "case when typeof({x}) in ('bigint', 'int', 'smallint', 'tinyint') "
+    "then 'integer' "
+    # non-ANSI Spark parses the literal 1.5 as DECIMAL(2,1) — SQLite calls
+    # every non-integer numeric 'real', so decimals map there too
+    "when typeof({x}) in ('double', 'float') or typeof({x}) like 'decimal%' "
+    "then 'real' "
+    "when typeof({x}) = 'string' then 'text' "
+    "when typeof({x}) = 'binary' then 'blob' "
+    "when typeof({x}) = 'void' then 'null' else typeof({x}) end"
 )
 
 
@@ -333,18 +337,24 @@ def _rw_call(name: str, args: list[str]) -> str:
         if fmt.strip() == "'%s'":
             return f"cast(unix_timestamp({chain}) as string)"
         return f"date_format({chain}, {_convert_strftime_fmt(fmt)})"
+    # SQLite's date()/datetime() return TEXT, never a typed date — modules
+    # compare/concatenate the result as a string, so the shims must too
+    # (typeof(date(x)) is 'text' in the reference).
     if n == "date":
         if len(args) == 1:
             if args[0].strip("'").lower() == "now":
-                return "current_date()"
-            return f"to_date({args[0]})"
+                return "cast(current_date() as string)"
+            return f"cast(to_date({args[0]}) as string)"
         ts, mods = _time_base(args)
-        return f"to_date({_apply_time_modifiers(ts, mods)})"
+        return f"cast(to_date({_apply_time_modifiers(ts, mods)}) as string)"
     if n == "datetime":
         if args and args[0].strip("'").lower() == "now" and len(args) == 1:
-            return "current_timestamp()"
+            return "date_format(current_timestamp(), 'yyyy-MM-dd HH:mm:ss')"
         ts, mods = _time_base(args)
-        return f"cast({_apply_time_modifiers(ts, mods)} as timestamp)"
+        return (
+            f"date_format(cast({_apply_time_modifiers(ts, mods)} as timestamp), "
+            f"'yyyy-MM-dd HH:mm:ss')"
+        )
     if n == "time":
         ts, mods = _time_base(args)
         return f"date_format({_apply_time_modifiers(ts, mods)}, 'HH:mm:ss')"
@@ -385,10 +395,75 @@ def _rw_call(name: str, args: list[str]) -> str:
 # working for module authors.
 
 
+# json_each(X) as a TABLE source (SQLite json1 table-valued function):
+# rewritten to LATERAL VIEW inline() over a key/value struct array built
+# at runtime — arrays enumerate with stringified indexes as keys, objects
+# with their keys; values surface as text (nested JSON stays JSON text),
+# matching json_each's key/value columns for the flat case. Rewrite runs
+# AFTER token translation so the generated lambda arrows are never
+# mistaken for SQLite's JSON -> operator.
+_JE_ENTRIES = (
+    "case when substring(ltrim({x}), 1, 1) = '[' "
+    "then transform(from_json({x}, 'array<string>'), "
+    "(v, i) -> struct(cast(i as string) as key, v as value)) "
+    "else transform(map_entries(from_json({x}, 'map<string,string>')), "
+    "e -> struct(e.key as key, e.value as value)) end"
+)
+
+_JE_ALIAS_STOP = frozenset(
+    {"where", "group", "order", "limit", "on", "join", "left", "right",
+     "inner", "outer", "cross", "union", "intersect", "except", "having",
+     "lateral", "as"}
+)
+
+
+def _rewrite_json_each(sql: str) -> str:
+    while True:
+        m = re.search(
+            r"(\bfrom\b|,|\bjoin\b)(\s*)json_each\s*\(", sql, re.IGNORECASE
+        )
+        if not m:
+            return sql
+        i = sql.index("(", m.end() - 1)
+        depth, j, in_str = 0, i, False
+        while j < len(sql):
+            c = sql[j]
+            if in_str:
+                if c == "'":
+                    in_str = False
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        arg = sql[i + 1 : j].strip()
+        rest = sql[j + 1 :]
+        am = re.match(r"\s*(?:as\s+)?([A-Za-z_][A-Za-z_0-9]*)", rest)
+        alias = "json_each"  # SQLite's default table name for the call
+        if am and am.group(1).lower() not in _JE_ALIAS_STOP:
+            alias = am.group(1)
+            rest = rest[am.end() :]
+        entries = _JE_ENTRIES.format(x=arg)
+        if m.group(1).lower() == "from":
+            repl = (
+                "from (select 1 as __je_one__) __je_base__ lateral view outer "
+                f"inline({entries}) {alias} as key, value"
+            )
+        else:  # ',' or JOIN: correlated — lateral view over the left relation
+            repl = (
+                f" lateral view outer inline({entries}) {alias} as key, value"
+            )
+        sql = sql[: m.start()] + repl + rest
+
+
 def translate(sql: str) -> str:
     """Translate one SQLite-dialect statement/expression to Spark SQL."""
     tokens = tokenize(sql)
-    return _j(_translate_tokens(tokens))
+    return _rewrite_json_each(_j(_translate_tokens(tokens)))
 
 
 def _translate_tokens(tokens: list[str]) -> list[str]:

@@ -372,3 +372,33 @@ def test_q118_gini_has_no_global_window(spark, cases):
     single-partition global rank."""
     plan = plan_of(cases["q118_activity_gini"].spark_fn(spark, SF_DIR))
     assert "Window" not in plan, plan
+
+
+def test_random_projection_zero_shuffle_pure_scan(spark, cases):
+    """q142 JL projection is the dimensionality-reduction FRONT of the ANN
+    stack — it must stay a bare projection: zero exchanges, no Python."""
+    plan = plan_of(cases["q142_random_projection"].spark_fn(spark, SF_DIR))
+    assert shuffle_count(plan) == 0
+    assert "EvalPython" not in plan and "Join" not in plan
+
+
+def test_embedding_covariance_single_pass(spark, cases):
+    """q141: one scan, one (partial -> final) aggregation; the only
+    single-partition exchange carries ONE combined row per task, never
+    corpus rows."""
+    df = cases["q141_embedding_covariance"].spark_fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    # exactly one shuffle — the 1-row combine — fed by a map-side partial
+    assert shuffle_count(plan) == 1 and "Exchange SinglePartition" in plan
+    assert "partial_sum" in plan_of(df, "extended")
+
+
+def test_survivor_selection_window_is_hash_partitioned(spark, cases):
+    """q145's ranking window must be partitioned by the family hash —
+    a global (single-partition) window here would serialize the corpus."""
+    plan = plan_of(cases["q145_survivor_selection"].spark_fn(spark, SF_DIR))
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Exchange hashpartitioning" in plan

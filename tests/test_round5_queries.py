@@ -186,3 +186,140 @@ def test_png_synth_assets_decode_in_full(spark):
         assert r["decoded"]
         assert (r["width"], r["height"]) == (w, h)
         assert r["px_sum"] == sum((d * 7 + i * 13) % 256 for i in range(w * h))
+
+
+# ---------------------------------------------------------------------------
+# q141-q145 (round-5b) planted-data semantics
+# ---------------------------------------------------------------------------
+
+
+def _mk_embeddings(spark, rows):
+    """rows: (vec_id, [floats x 64], label)"""
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+
+
+def _mk_documents(spark, rows):
+    """rows: (doc_id, text, lang, source, n_chars) — full documents schema"""
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+
+
+def test_embedding_covariance_exact_numerators(spark):
+    """Plant dim1 == dim2 exactly: the (1,1), (1,2), (2,2) covariance
+    numerators must be IDENTICAL integers, and match a hand computation."""
+    from leaf_spark.queries_curation import _cov_sql
+
+    vals = [0.5, -0.25, 0.75, 0.0]
+    rows = []
+    for i, v in enumerate(vals):
+        vec = [0.0] * 64
+        vec[0] = v
+        vec[1] = v
+        rows.append((i, vec, 0))
+    _mk_embeddings(spark, rows).createOrReplaceTempView("embeddings")
+    out = {
+        (r["i"], r["j"]): r["cov_num"]
+        for r in spark.sql(_cov_sql("element_at(embedding, {k})")).collect()
+    }
+    q = [int(__import__("math").floor(v * 1024)) for v in vals]
+    n, s, p = len(q), sum(q), sum(x * x for x in q)
+    expected = n * p - s * s
+    assert out[(1, 1)] == out[(1, 2)] == out[(2, 2)] == expected
+    # untouched dims: zero variance, zero cross terms
+    assert out[(3, 3)] == 0 and out[(1, 3)] == 0
+    assert len(out) == 36  # 8 dims -> upper triangle
+
+
+def test_random_projection_is_the_sign_matrix_on_basis_vectors(spark):
+    """Projecting the i-th scaled basis vector must read back column i of
+    the Rademacher matrix times 1024 — linearity makes this a complete
+    characterization of the operator."""
+    from leaf_spark.queries_curation import _JL_SIGNS, _jl_sql
+
+    rows = []
+    for i in (1, 17, 64):
+        vec = [0.0] * 64
+        vec[i - 1] = 1.0
+        rows.append((i, vec, 0))
+    _mk_embeddings(spark, rows).createOrReplaceTempView("embeddings")
+    out = {r["vec_id"]: r for r in spark.sql(_jl_sql("spark")).collect()}
+    for i in (1, 17, 64):
+        for j in range(1, 9):
+            assert out[i][f"p{j}"] == _JL_SIGNS[j - 1][i - 1] * 1024
+
+
+def test_calibration_bins_perfect_and_inverted(spark):
+    """Scores planted at bin centers with labels matching the score give
+    abs_gap == |frac_pos - mean_score| per bin, and bins partition N."""
+    from leaf_spark.queries_curation import _Q143_BODY
+
+    rows = []
+    vid = 0
+    # 10 rows at score ~0.95 (e1 = 0.9), all positive (label 9)
+    for _ in range(10):
+        rows.append((vid, [0.9] + [0.0] * 63, 9)); vid += 1
+    # 10 rows at score ~0.05 (e1 = -0.9), all negative (label 0)
+    for _ in range(10):
+        rows.append((vid, [-0.9] + [0.0] * 63, 0)); vid += 1
+    _mk_embeddings(spark, rows).createOrReplaceTempView("embeddings")
+    sql = _Q143_BODY.replace("{E1}", "element_at(embedding, 1)")
+    out = {r["bin"]: r for r in spark.sql(sql).collect()}
+    assert sum(r["n"] for r in out.values()) == 20
+    hi, lo = out[9], out[0]
+    assert hi["frac_pos"] == 1.0 and lo["frac_pos"] == 0.0
+    # float32 0.9 widens to 0.899999..., so floor((e+1)*500) = 949
+    assert hi["sum_score_milli"] == 9490
+    assert abs(hi["abs_gap"] - abs(1.0 - hi["mean_score"])) < 1e-9
+    assert abs(lo["abs_gap"] - lo["mean_score"]) < 1e-9
+
+
+def test_ks_statistic_extremes(spark):
+    """Identical length distributions -> D = 0; disjoint supports -> the
+    max gap hits n_a * n_b exactly (KS = 1)."""
+    from leaf_spark.queries_curation import _Q144_BODY
+
+    # identical: both sources have lengths {10, 20, 30}
+    rows = []
+    did = 0
+    for src in ("a", "b"):
+        for n in (10, 20, 30):
+            rows.append((did, "x" * n, "en", src, n)); did += 1
+    _mk_documents(spark, rows).createOrReplaceTempView("documents")
+    r = spark.sql(_Q144_BODY).collect()[0]
+    assert r["d_num"] == 0 and r["ks_stat"] == 0.0
+
+    # disjoint: a in {1,2,3}, b in {100,200,300}
+    rows = []
+    did = 0
+    for n in (1, 2, 3):
+        rows.append((did, "x" * n, "en", "a", n)); did += 1
+    for n in (100, 200, 300):
+        rows.append((did, "x" * n, "en", "b", n)); did += 1
+    _mk_documents(spark, rows).createOrReplaceTempView("documents")
+    r = spark.sql(_Q144_BODY).collect()[0]
+    assert r["d_num"] == 9 and r["ks_stat"] == 1.0
+
+
+def test_survivor_selection_keeps_longest_then_smallest_id(spark):
+    from leaf_spark.queries_curation import _Q145_BODY
+
+    prefix = "the same first twenty-four chars "  # >24 chars, shared
+    rows = [
+        (1, prefix + "short", "en", "s", len(prefix + "short")),
+        (2, prefix + "much much longer tail text", "en", "s",
+         len(prefix) + 26),
+        (3, prefix + "equally long tail text....", "en", "s",
+         len(prefix) + 26),
+        (9, "completely unrelated singleton", "en", "s", 30),
+    ]
+    _mk_documents(spark, rows).createOrReplaceTempView("documents")
+    sql = _Q145_BODY.replace("{WS}", "'\\\\s+'").replace("{G}", "")
+    out = spark.sql(sql).collect()
+    assert len(out) == 1  # singleton family excluded
+    r = out[0]
+    # docs 2 and 3 tie on length -> smallest id (2) survives
+    assert r["survivor_id"] == 2 and r["n_copies"] == 3
+    assert r["discarded_chars"] == rows[0][4] + rows[2][4]
