@@ -448,14 +448,18 @@ def _rewrite_json_each(sql: str) -> str:
             alias = am.group(1)
             rest = rest[am.end() :]
         entries = _JE_ENTRIES.format(x=arg)
+        # NON-outer on purpose: SQLite's json_each emits ZERO rows for an
+        # empty document ('{}' / '[]'), so the source row must drop, not
+        # null-pad (malformed JSON likewise yields no rows — SQLite errors
+        # there; we document the drop as the compat divergence).
         if m.group(1).lower() == "from":
             repl = (
-                "from (select 1 as __je_one__) __je_base__ lateral view outer "
+                "from (select 1 as __je_one__) __je_base__ lateral view "
                 f"inline({entries}) {alias} as key, value"
             )
         else:  # ',' or JOIN: correlated — lateral view over the left relation
             repl = (
-                f" lateral view outer inline({entries}) {alias} as key, value"
+                f" lateral view inline({entries}) {alias} as key, value"
             )
         sql = sql[: m.start()] + repl + rest
 

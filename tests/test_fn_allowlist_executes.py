@@ -143,3 +143,22 @@ def test_every_allowlist_entry_has_an_execution_case():
         "throw", "unauthorized",  # abort fns, separate
     }
     assert _QUERY_FN_ALLOWLIST - covered == set()
+
+
+def test_json_each_correlated_lateral(ex):
+    """json_each(t.col) as a join source enumerates per-row — the
+    SQLite idiom `FROM t, json_each(t.col) j` (lateral correlation)."""
+    ex.execute("create table docs (id integer, props text)")
+    ex.execute(
+        """insert into docs values
+           (1, '{"a": 1, "b": 2}'), (2, '[7, 8, 9]'), (3, '{}')"""
+    )
+    rows = ex.execute(
+        "select d.id, j.key, j.value from docs d, json_each(d.props) j "
+        "order by d.id, j.key"
+    ).collect()
+    got = [(r["id"], r["key"], r["value"]) for r in rows]
+    assert got == [
+        (1, "a", "1"), (1, "b", "2"),
+        (2, "0", "7"), (2, "1", "8"), (2, "2", "9"),
+    ]

@@ -445,3 +445,169 @@ def test_znorm_integer_algebra_matches_statistics(xs):
     mean = Fraction(s1, n)
     direct = sum((Fraction(x) - mean) ** 2 for x in xs) / n
     assert algebra == direct
+
+
+# ---------------------------------------------------------------------------
+# SQLite-dialect shim properties: json_each rewrite, TEXT date()/datetime()
+# ---------------------------------------------------------------------------
+
+_json_scalars = st.one_of(
+    st.integers(min_value=-10**6, max_value=10**6),
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x7F
+        ),
+        max_size=8,
+    ),
+)
+_json_keys = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll",), max_codepoint=0x7F),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    doc=st.one_of(
+        st.lists(_json_scalars, min_size=1, max_size=6),
+        st.dictionaries(_json_keys, _json_scalars, min_size=1, max_size=6),
+    )
+)
+def test_json_each_enumerates_any_flat_document(spark, doc):
+    """For ANY flat JSON array/object, json_each must yield exactly the
+    Python-side items: arrays keyed by stringified index, objects by key,
+    values as text — the reference's (SQLite json1) flat contract."""
+    import json
+
+    from leaf_spark.sqlcompat import translate
+
+    payload = json.dumps(doc).replace("'", "''")
+    sql = translate(f"select key, value from json_each('{payload}')")
+    got = {(r["key"], r["value"]) for r in spark.sql(sql).collect()}
+    if isinstance(doc, list):
+        want = {(str(i), str(v)) for i, v in enumerate(doc)}
+    else:
+        want = {(k, str(v)) for k, v in doc.items()}
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    epoch=st.integers(min_value=0, max_value=2**31 - 1),
+    days=st.integers(min_value=-400, max_value=400),
+)
+def test_date_and_datetime_return_sqlite_text(spark, epoch, days):
+    """date()/datetime() must return TEXT in SQLite's exact rendering
+    ('YYYY-MM-DD' / 'YYYY-MM-DD HH:MM:SS') for any epoch base and day
+    modifier — checked against Python's datetime as the independent
+    reference implementation."""
+    import datetime as dt
+
+    from leaf_spark.sqlcompat import translate
+
+    sql = translate(
+        f"select datetime({epoch}, 'unixepoch', '{days:+d} days') as d8, "
+        f"date({epoch}, 'unixepoch', '{days:+d} days') as d"
+    )
+    r = spark.sql(sql).collect()[0]
+    base = dt.datetime(1970, 1, 1) + dt.timedelta(seconds=epoch, days=days)
+    assert isinstance(r["d8"], str) and isinstance(r["d"], str)
+    assert r["d8"] == base.strftime("%Y-%m-%d %H:%M:%S")
+    assert r["d"] == base.strftime("%Y-%m-%d")
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-4.0, max_value=4.0,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=8, max_size=8,
+        ),
+        min_size=2, max_size=12,
+    )
+)
+def test_embedding_covariance_matches_python_recompute(spark, vecs):
+    """q141's exact covariance numerators equal a pure-Python integer
+    recompute for ANY float32 input — the quantization boundary is the
+    only place float semantics could leak in."""
+    import math
+
+    from leaf_spark.queries_curation import _cov_sql
+
+    rows = [
+        (i, list(v) + [0.0] * 56, 0) for i, v in enumerate(vecs)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).createOrReplaceTempView("embeddings")
+    out = {
+        (r["i"], r["j"]): (r["n"], r["cov_num"])
+        for r in spark.sql(_cov_sql("element_at(embedding, {k})")).collect()
+    }
+    import struct
+
+    def f32(x):  # what the engine sees after the float32 column round-trip
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    q = [[math.floor(f32(v[k]) * 1024) for k in range(8)] for v in vecs]
+    n = len(vecs)
+    for i in range(8):
+        for j in range(i, 8):
+            si = sum(r[i] for r in q)
+            sj = sum(r[j] for r in q)
+            pij = sum(r[i] * r[j] for r in q)
+            assert out[(i + 1, j + 1)] == (n, n * pij - si * sj)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    la=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=15),
+    lb=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=15),
+)
+def test_ks_statistic_matches_python_recompute(spark, la, lb):
+    """q144's integer KS numerator equals the brute-force two-sample KS
+    over any pair of length multisets (source 'a' padded to stay the
+    largest so the top-2 selection is deterministic)."""
+    from leaf_spark.queries_curation import _Q144_BODY
+
+    # make sizes differ so (order by n desc, source) picks a then b
+    la = la + [1] * (len(lb) + 1)
+    rows, did = [], 0
+    for n in la:
+        rows.append((did, "x" * n, "en", "a", n)); did += 1
+    for n in lb:
+        rows.append((did, "x" * n, "en", "b", n)); did += 1
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).createOrReplaceTempView("documents")
+    r = spark.sql(_Q144_BODY).collect()[0]
+    na, nb = len(la), len(lb)
+    support = sorted(set(la) | set(lb))
+    d_num = max(
+        abs(sum(1 for v in la if v <= s) * nb - sum(1 for v in lb if v <= s) * na)
+        for s in support
+    )
+    assert (r["source_a"], r["source_b"]) == ("a", "b")
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert r["d_num"] == d_num
