@@ -355,11 +355,18 @@ def register_udfs(spark) -> None:
     All are pandas UDFs so the CBOR decode runs Arrow-batched per partition,
     not per-row through Py4J. (Bodies live in _drisl_udfs to keep real type
     hints for pandas_udf inference.)
+
+    Memoized per SparkSession — make_udfs() cloudpickles every pandas UDF
+    body, so re-running it per DmlExecutor construction (per statement /
+    trigger fire) is repeated serialization for an idempotent result.
     """
+    if getattr(spark, "_leaf_drisl_udfs_registered", False):
+        return
     from ._drisl_udfs import make_udfs
 
     for name, udf in make_udfs().items():
         spark.udf.register(name, udf)
+    spark._leaf_drisl_udfs_registered = True
 
 
 # ---------------------------------------------------------------------------

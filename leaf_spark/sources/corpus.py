@@ -115,7 +115,8 @@ def read_orc_corpus(
     Raises ``ValueError`` naming the missing/mistyped columns; ORC stripes
     split, so unlike gzip JSONL the parallelism story needs no sharding
     discipline from the producer."""
-    actual = {f.name: f.dataType for f in spark.read.orc(path).schema.fields}
+    df = spark.read.orc(path)  # one reader: schema check + select share it
+    actual = {f.name: f.dataType for f in df.schema.fields}
     problems = []
     for f in schema.fields:
         got = actual.get(f.name)
@@ -128,7 +129,7 @@ def read_orc_corpus(
             )
     if problems:
         raise ValueError(f"ORC schema drift at {path}: " + "; ".join(problems))
-    return spark.read.orc(path).select(*[f.name for f in schema.fields])
+    return df.select(*[f.name for f in schema.fields])
 
 
 def write_orc_corpus(

@@ -395,13 +395,22 @@ def _rw_call(name: str, args: list[str]) -> str:
 # working for module authors.
 
 
-# json_each(X) as a TABLE source (SQLite json1 table-valued function):
-# rewritten to LATERAL VIEW inline() over a key/value struct array built
-# at runtime — arrays enumerate with stringified indexes as keys, objects
-# with their keys; values surface as text (nested JSON stays JSON text),
-# matching json_each's key/value columns for the flat case. Rewrite runs
-# AFTER token translation so the generated lambda arrows are never
-# mistaken for SQLite's JSON -> operator.
+# json_each(X[, path]) as a TABLE source (SQLite json1 table-valued
+# function): rewritten to LATERAL VIEW inline() over a key/value struct
+# array built at runtime — arrays enumerate with stringified indexes as
+# keys, objects with their keys; values surface as text (nested JSON stays
+# JSON text), matching json_each's key/value columns for the flat case.
+# The argument is bound ONCE through explode(array(X)) so an expensive X
+# (a UDF call) is never evaluated per branch of the case expression. The
+# rewrite runs AFTER token translation so the generated lambda arrows are
+# never mistaken for SQLite's JSON -> operator, and the lateral view is
+# inserted at the END of the enclosing FROM clause so relations/joins
+# written after the json_each stay valid Spark grammar (lateral views must
+# follow all relations). NON-outer on purpose: SQLite's json_each emits
+# ZERO rows for an empty document ('{}' / '[]'), so the source row must
+# drop, not null-pad — except for the LEFT JOIN spelling, which maps to
+# lateral view OUTER (malformed JSON yields no rows / null-pad; SQLite
+# errors there — documented compat divergence).
 _JE_ENTRIES = (
     "case when substring(ltrim({x}), 1, 1) = '[' "
     "then transform(from_json({x}, 'array<string>'), "
@@ -416,52 +425,168 @@ _JE_ALIAS_STOP = frozenset(
      "lateral", "as"}
 )
 
+_JE_RE = re.compile(r"(\bfrom\b|,|\bjoin\b)(\s*)json_each\s*\(", re.IGNORECASE)
+
+# keywords that terminate a FROM clause (depth-0): the lateral view goes
+# right before the first of these
+_JE_FROM_END_KW = frozenset(
+    {"where", "group", "order", "having", "limit", "union", "intersect",
+     "except", "window", "qualify"}
+)
+
+
+def _string_spans(sql: str) -> list[tuple[int, int]]:
+    """[start, end] index spans of single-quoted literals ('' = escape)."""
+    spans, i = [], 0
+    while i < len(sql):
+        if sql[i] == "'":
+            j = i + 1
+            while j < len(sql):
+                if sql[j] == "'":
+                    if j + 1 < len(sql) and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            spans.append((i, j))
+            i = j + 1
+        else:
+            i += 1
+    return spans
+
+
+def _je_args(sql: str, open_idx: int) -> tuple[list[str], int]:
+    """Split the parenthesized argument list at top-level commas
+    (string-aware). Returns (args, index of the closing paren)."""
+    depth, i, args, cur_start = 0, open_idx, [], open_idx + 1
+    while i < len(sql):
+        c = sql[i]
+        if c == "'":
+            i += 1
+            while i < len(sql):
+                if sql[i] == "'":
+                    if i + 1 < len(sql) and sql[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                args.append(sql[cur_start:i].strip())
+                return args, i
+        elif c == "," and depth == 1:
+            args.append(sql[cur_start:i].strip())
+            cur_start = i + 1
+        i += 1
+    raise SqlTranslationError("unbalanced parens in json_each()")
+
+
+def _je_insert_point(s: str) -> int:
+    """Offset in ``s`` where the enclosing FROM clause ends: the first
+    depth-0 clause keyword, ';', an unmatched ')' (subquery close), or
+    end-of-string. JOIN/ON tokens are part of the FROM clause and are
+    skipped over."""
+    depth, i = 0, 0
+    while i < len(s):
+        c = s[i]
+        if c == "'":
+            i += 1
+            while i < len(s):
+                if s[i] == "'":
+                    if i + 1 < len(s) and s[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                return i
+            depth -= 1
+        elif c == ";" and depth == 0:
+            return i
+        elif depth == 0 and (c.isalpha() or c == "_"):
+            mm = re.match(r"[A-Za-z_][A-Za-z_0-9]*", s[i:])
+            if mm.group(0).lower() in _JE_FROM_END_KW:
+                return i
+            i += mm.end() - 1
+        i += 1
+    return len(s)
+
 
 def _rewrite_json_each(sql: str) -> str:
+    counter = 0
     while True:
-        m = re.search(
-            r"(\bfrom\b|,|\bjoin\b)(\s*)json_each\s*\(", sql, re.IGNORECASE
-        )
-        if not m:
+        spans = _string_spans(sql)
+        m = None
+        for cand in _JE_RE.finditer(sql):
+            # skip matches living inside a string literal
+            if any(a <= cand.end() - 1 <= b for a, b in spans):
+                continue
+            m = cand
+            break
+        if m is None:
             return sql
-        i = sql.index("(", m.end() - 1)
-        depth, j, in_str = 0, i, False
-        while j < len(sql):
-            c = sql[j]
-            if in_str:
-                if c == "'":
-                    in_str = False
-            elif c == "'":
-                in_str = True
-            elif c == "(":
-                depth += 1
-            elif c == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-            j += 1
-        arg = sql[i + 1 : j].strip()
-        rest = sql[j + 1 :]
-        am = re.match(r"\s*(?:as\s+)?([A-Za-z_][A-Za-z_0-9]*)", rest)
-        alias = "json_each"  # SQLite's default table name for the call
+        sep = m.group(1).lower()
+        open_idx = sql.index("(", m.end() - 1)
+        args, close_idx = _je_args(sql, open_idx)
+        if not 1 <= len(args) <= 2:
+            raise SqlTranslationError("json_each takes 1 or 2 arguments")
+        # json_each(X, '$.path') enumerates the value AT the path
+        doc = (
+            args[0]
+            if len(args) == 1
+            else f"get_json_object({args[0]}, {args[1]})"
+        )
+        # alias (optional AS, case-insensitive); default = SQLite's
+        alias, alias_end = "json_each", close_idx + 1
+        am = re.match(
+            r"\s*(?:as\s+)?([A-Za-z_][A-Za-z_0-9]*)",
+            sql[close_idx + 1 :],
+            re.IGNORECASE,
+        )
         if am and am.group(1).lower() not in _JE_ALIAS_STOP:
             alias = am.group(1)
-            rest = rest[am.end() :]
-        entries = _JE_ENTRIES.format(x=arg)
-        # NON-outer on purpose: SQLite's json_each emits ZERO rows for an
-        # empty document ('{}' / '[]'), so the source row must drop, not
-        # null-pad (malformed JSON likewise yields no rows — SQLite errors
-        # there; we document the drop as the compat divergence).
-        if m.group(1).lower() == "from":
-            repl = (
-                "from (select 1 as __je_one__) __je_base__ lateral view "
-                f"inline({entries}) {alias} as key, value"
+            alias_end = close_idx + 1 + am.end()
+        if re.match(r"\s*on\b", sql[alias_end:], re.IGNORECASE):
+            raise SqlTranslationError(
+                "json_each with an ON clause is not supported; "
+                "use the comma (lateral) form"
             )
-        else:  # ',' or JOIN: correlated — lateral view over the left relation
-            repl = (
-                f" lateral view inline({entries}) {alias} as key, value"
+        # JOIN spelling: absorb a preceding LEFT/INNER/CROSS; LEFT keeps
+        # rows with no json rows, i.e. lateral view OUTER
+        seg_start, outer = m.start(), False
+        if sep == "join":
+            pre = re.search(
+                r"(\bleft\b|\binner\b|\bcross\b)\s*$",
+                sql[: m.start()],
+                re.IGNORECASE,
             )
-        sql = sql[: m.start()] + repl + rest
+            if pre:
+                seg_start = pre.start()
+                outer = pre.group(1).lower() == "left"
+        counter += 1
+        bind = f"__je_doc{counter}__"
+        ov = "outer " if outer else ""
+        lv = (
+            f" lateral view {ov}explode(array({doc})) __je_b{counter}__ "
+            f"as {bind} lateral view {ov}inline("
+            f"{_JE_ENTRIES.format(x=bind)}) {alias} as key, value"
+        )
+        if sep == "from":
+            head = (
+                sql[: m.start()]
+                + f"from (select 1 as __je_one__) __je_base{counter}__"
+            )
+        else:  # ',' or JOIN: drop the separator, keep the left relations
+            head = sql[:seg_start]
+        tail = sql[alias_end:]
+        ins = _je_insert_point(tail)
+        sql = head + tail[:ins] + lv + " " + tail[ins:]
 
 
 def translate(sql: str) -> str:
@@ -980,7 +1105,14 @@ def register_json_udfs(spark) -> None:
     Arrow-optimized (``useArrow=True``): the per-row JSON logic stays
     Python, but row transfer is Arrow-batched (ArrowEvalPython, not
     row-at-a-time BatchEvalPython) — the difference between a usable and
-    an unusable operator on a wide scan at scale."""
+    an unusable operator on a wide scan at scale.
+
+    Memoized per SparkSession: DmlExecutor is constructed per statement /
+    trigger fire / recursive-CTE step, and re-wrapping + re-registering
+    nine UDFs on each construction is pure driver overhead on the fold
+    hot path."""
+    if getattr(spark, "_leaf_json_udfs_registered", False):
+        return
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType
 
@@ -995,3 +1127,4 @@ def register_json_udfs(spark) -> None:
     spark.udf.register("json_valid", F.udf(json_valid_py, IntegerType(), useArrow=True))
     spark.udf.register("json_quote", F.udf(json_quote_py, StringType(), useArrow=True))
     spark.udf.register("json", F.udf(json_norm_py, StringType(), useArrow=True))
+    spark._leaf_json_udfs_registered = True

@@ -162,3 +162,50 @@ def test_json_each_correlated_lateral(ex):
         (1, "a", "1"), (1, "b", "2"),
         (2, "0", "7"), (2, "1", "8"), (2, "2", "9"),
     ]
+
+
+def test_json_each_hardened_forms(ex):
+    """The review-found grammar gaps, executed end-to-end: uppercase AS
+    alias, LEFT JOIN (null-padding) spelling, a relation written AFTER the
+    json_each, the 2-argument path form, and string literals that merely
+    LOOK like a json_each source."""
+    ex.execute("create table jd (id integer, props text)")
+    ex.execute(
+        """insert into jd values
+           (1, '{"a": 1}'), (2, '{}'), (3, '{"nest": {"x": 5, "y": 6}}')"""
+    )
+    # uppercase AS alias
+    rows = ex.execute(
+        "select d.id, J.value from jd d, json_each(d.props) AS J"
+    ).collect()
+    assert {(r["id"], r["value"]) for r in rows} == {(1, "1"), (3, '{"x":5,"y":6}')}
+    # LEFT JOIN spelling null-pads the empty document instead of dropping
+    rows = ex.execute(
+        "select d.id, j.key from jd d left join json_each(d.props) j"
+    ).collect()
+    assert {(r["id"], r["key"]) for r in rows} == {
+        (1, "a"), (2, None), (3, "nest"),
+    }
+    # json_each first, another relation after the comma
+    rows = ex.execute(
+        "select j.value, d.id from json_each('[7]') j, jd d where d.id = 2"
+    ).collect()
+    assert [(r["value"], r["id"]) for r in rows] == [("7", 2)]
+    # 2-argument form enumerates the value AT the path
+    rows = ex.execute(
+        "select j.key, j.value from jd d, json_each(d.props, '$.nest') j "
+        "where d.id = 3"
+    ).collect()
+    assert {(r["key"], r["value"]) for r in rows} == {("x", "5"), ("y", "6")}
+    # a string literal containing 'from x, json_each(...)' is untouched
+    r = ex.execute("select 'from t, json_each(x) j' as v").first()
+    assert r["v"] == "from t, json_each(x) j"
+
+
+def test_json_each_on_clause_raises_cleanly(ex):
+    from leaf_spark.sqlcompat import SqlTranslationError
+
+    with pytest.raises(SqlTranslationError, match="ON clause"):
+        ex.execute(
+            "select d.id from jd d join json_each(d.props) j on j.key = 'a'"
+        )
