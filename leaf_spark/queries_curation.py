@@ -1596,3 +1596,142 @@ sql_case(
     "Window is partitioned BY the content hash: same single hash shuffle "
     "as the dedup groupBy, no global ordering anywhere",
 )
+
+
+# ===========================================================================
+# q146-q148 — model-eval plumbing (confusion matrix, Cohen's kappa) and a
+# language-ID agreement audit over the corpus metadata
+# ===========================================================================
+
+# Deterministic evaluation pair for q146/q147: predictions are the label
+# with an md5-parity corruption (first nibble of md5('cm:'||vec_id) < 3 →
+# ~18.75% of rows flip to the next class). Both dialects derive the SAME
+# nibble (conv vs '0x'-cast — the established md5 recipe), so the
+# confusion matrix is identical by construction and every downstream
+# number is exact integer arithmetic.
+_Q146_BODY = """
+    with p as (
+      select label,
+             case when {NIB} < 3 then (label + 1) % 10 else label end as pred
+      from embeddings
+    )
+    select cast(label as bigint) as label, cast(pred as bigint) as pred,
+           cast(count(*) as bigint) as n
+    from p group by label, pred
+"""
+
+_NIB_SPARK = (
+    "cast(conv(substring(md5(concat('cm:', cast(vec_id as string))), 1, 1), "
+    "16, 10) as int)"
+)
+_NIB_DUCK = "('0x' || substring(md5('cm:' || vec_id), 1, 1))::int"
+
+sql_case(
+    "q146_confusion_matrix",
+    _Q146_BODY.replace("{NIB}", _NIB_SPARK),
+    _Q146_BODY.replace("{NIB}", _NIB_DUCK),
+    doc="exact confusion matrix of a deterministic md5-corrupted predictor "
+    "vs the stored label: one (label, pred) groupBy — per-class precision/"
+    "recall/F1 all derive from these counts plus the marginals. The eval "
+    "plumbing every labeled-data pipeline needs, shuffling at most "
+    "classes^2 combined rows per task (map-side partials)",
+)
+
+
+_Q147_BODY = """
+    with p as (
+      select label,
+             case when {NIB} < 3 then (label + 1) % 10 else label end as pred
+      from embeddings
+    ),
+    cm as (select label, pred, cast(count(*) as bigint) as n
+           from p group by label, pred),
+    tot as (select cast(sum(n) as bigint) as nn from cm),
+    agr as (select cast(coalesce(sum(case when label = pred then n end), 0)
+                        as bigint) as a
+            from cm),
+    marg as (
+      select cast(coalesce(sum(r.rn * c.cn), 0) as bigint) as pe_num
+      from (select label as k, cast(sum(n) as bigint) as rn
+            from cm group by label) r
+      join (select pred as k, cast(sum(n) as bigint) as cn
+            from cm group by pred) c on r.k = c.k
+    )
+    select tot.nn as n, agr.a as n_agree, marg.pe_num,
+           cast(tot.nn * agr.a - marg.pe_num as bigint) as kappa_num,
+           cast(tot.nn * tot.nn - marg.pe_num as bigint) as kappa_den,
+           round(cast(tot.nn * agr.a - marg.pe_num as double)
+                 / (tot.nn * tot.nn - marg.pe_num), 6) as kappa
+    from tot cross join agr cross join marg
+"""
+
+sql_case(
+    "q147_cohens_kappa",
+    _Q147_BODY.replace("{NIB}", _NIB_SPARK),
+    _Q147_BODY.replace("{NIB}", _NIB_DUCK),
+    doc="Cohen's kappa (chance-corrected agreement) in exact rational form: "
+    "kappa = (N*agree - sum_k row_k*col_k) / (N^2 - sum_k row_k*col_k), "
+    "numerator and denominator emitted as exact bigints beside the "
+    "rounded quotient — annotation-QA over the q146 matrix; the marginal "
+    "join is classes x classes (tiny, broadcast)",
+)
+
+
+def _langid_sql(engine: str) -> str:
+    """Language-ID agreement audit: re-derive the heuristic language guess
+    (argmax of per-language stopword hits — the langid_expr profile from
+    operators/text.py, generated here for BOTH dialects from the same
+    _LANG_PROFILES constant) and audit it against the stored ``lang``
+    column per source. Zero-shuffle projection + one rollup; the >= case
+    chain reproduces langid_expr's tie-break (earlier profile wins)."""
+    from .operators.text import _LANG_PROFILES
+
+    langs = list(_LANG_PROFILES)
+    scores = []
+    for lang, stops in _LANG_PROFILES.items():
+        lits = ", ".join("'" + s.replace("'", "''") + "'" for s in stops)
+        if engine == "spark":
+            scores.append(f"size(array_intersect(ws, array({lits}))) as s_{lang}")
+        else:
+            scores.append(f"len(list_intersect(ws, [{lits}])) as s_{lang}")
+    all_zero = " and ".join(f"s_{lg} = 0" for lg in langs)
+    chain = [f"when {all_zero} then 'und'"]
+    for i, lg in enumerate(langs[:-1]):
+        rest = " and ".join(f"s_{lg} >= s_{other}" for other in langs[i + 1 :])
+        chain.append(f"when {rest} then '{lg}'")
+    chain.append(f"else '{langs[-1]}'")
+    if engine == "spark":
+        ws = (
+            "array_distinct(split(trim(regexp_replace(lower(coalesce(text, "
+            "'')), '\\\\s+', ' ')), ' '))"
+        )
+    else:
+        ws = (
+            "list_distinct(string_split(trim(regexp_replace(lower(coalesce("
+            "text, '')), '\\s+', ' ', 'g')), ' '))"
+        )
+    return f"""
+    with w as (select source, lang, {ws} as ws from documents),
+    s as (select source, lang, {', '.join(scores)} from w),
+    p as (select source, lang, case {' '.join(chain)} end as pred from s)
+    select source, cast(count(*) as bigint) as n,
+           cast(sum(case when pred = 'und' then 1 else 0 end) as bigint)
+             as n_und,
+           cast(sum(case when pred = lang then 1 else 0 end) as bigint)
+             as n_agree,
+           round(1.0 - cast(sum(case when pred = lang then 1 else 0 end)
+                 as double) / count(*), 6) as disagree_rate
+    from p group by source
+    """
+
+
+sql_case(
+    "q148_langid_agreement",
+    _langid_sql("spark"),
+    _langid_sql("duckdb"),
+    doc="metadata-trust audit: re-run the stopword-profile language guess "
+    "and measure disagreement with the stored lang column per source — "
+    "the check that catches a provider shipping mislabeled languages "
+    "before a lang-filtered training mix inherits the error. Projection "
+    "+ one rollup, no shuffle beyond the per-source agg",
+)

@@ -402,3 +402,12 @@ def test_survivor_selection_window_is_hash_partitioned(spark, cases):
     assert "Window" in plan
     assert "Exchange SinglePartition" not in plan
     assert "Exchange hashpartitioning" in plan
+
+
+def test_eval_plumbing_single_shuffle(spark, cases):
+    """q146 confusion matrix and q148 langid audit are projection + one
+    aggregation: exactly one data shuffle, no joins, no Python."""
+    for name in ("q146_confusion_matrix", "q148_langid_agreement"):
+        plan = plan_of(cases[name].spark_fn(spark, SF_DIR))
+        assert shuffle_count(plan) == 1, name
+        assert "Join" not in plan and "EvalPython" not in plan, name

@@ -323,3 +323,76 @@ def test_survivor_selection_keeps_longest_then_smallest_id(spark):
     # docs 2 and 3 tie on length -> smallest id (2) survives
     assert r["survivor_id"] == 2 and r["n_copies"] == 3
     assert r["discarded_chars"] == rows[0][4] + rows[2][4]
+
+
+def _cm_pred_py(vec_id, label):
+    import hashlib
+
+    nib = int(hashlib.md5(f"cm:{vec_id}".encode()).hexdigest()[0], 16)
+    return (label + 1) % 10 if nib < 3 else label
+
+
+def test_confusion_matrix_matches_md5_recompute(spark):
+    from leaf_spark.queries_curation import _NIB_SPARK, _Q146_BODY
+
+    rows = [(i, [0.0] * 64, i % 10) for i in range(60)]
+    _mk_embeddings(spark, rows).createOrReplaceTempView("embeddings")
+    got = {
+        (r["label"], r["pred"]): r["n"]
+        for r in spark.sql(_Q146_BODY.replace("{NIB}", _NIB_SPARK)).collect()
+    }
+    want = {}
+    for vid, _, lab in rows:
+        k = (lab, _cm_pred_py(vid, lab))
+        want[k] = want.get(k, 0) + 1
+    assert got == want
+
+
+def test_cohens_kappa_exact_rational(spark):
+    """kappa_num/kappa_den must equal the textbook computation from the
+    Python-recomputed matrix, and the perfect-agreement case gives
+    kappa == 1 exactly."""
+    from fractions import Fraction
+
+    from leaf_spark.queries_curation import _NIB_SPARK, _Q147_BODY
+
+    rows = [(i, [0.0] * 64, (i * 3) % 10) for i in range(80)]
+    _mk_embeddings(spark, rows).createOrReplaceTempView("embeddings")
+    r = spark.sql(_Q147_BODY.replace("{NIB}", _NIB_SPARK)).collect()[0]
+    preds = [(lab, _cm_pred_py(vid, lab)) for vid, _, lab in rows]
+    n = len(preds)
+    agree = sum(1 for a, b in preds if a == b)
+    pe = sum(
+        sum(1 for a, _ in preds if a == k) * sum(1 for _, b in preds if b == k)
+        for k in range(10)
+    )
+    assert (r["n"], r["n_agree"], r["pe_num"]) == (n, agree, pe)
+    assert Fraction(r["kappa_num"], r["kappa_den"]) == Fraction(
+        n * agree - pe, n * n - pe
+    )
+
+    # perfect agreement: pick vec_ids whose md5 nibble never flips
+    clean = [vid for vid in range(400) if _cm_pred_py(vid, 0) == 0][:40]
+    rows = [(vid, [0.0] * 64, vid % 10) for vid in clean]
+    _mk_embeddings(spark, rows).createOrReplaceTempView("embeddings")
+    r = spark.sql(_Q147_BODY.replace("{NIB}", _NIB_SPARK)).collect()[0]
+    assert r["n_agree"] == len(clean) and r["kappa"] == 1.0
+
+
+def test_langid_agreement_planted_profiles(spark):
+    """Stopword-laden texts must resolve to their language, empty text to
+    'und', and an en/de tie to 'en' (profile priority) — then the audit
+    aggregates agreement per source."""
+    from leaf_spark.queries_curation import _langid_sql
+
+    rows = [
+        (1, "the cat and the dog of it", "en", "s1", 25),   # en hits -> agree
+        (2, "der hund und die katze ist", "de", "s1", 26),  # de hits -> agree
+        (3, "", "en", "s1", 0),                             # no hits -> und
+        (4, "the und", "de", "s2", 7),                      # 1-1 tie -> en
+    ]
+    _mk_documents(spark, rows).createOrReplaceTempView("documents")
+    out = {r["source"]: r for r in spark.sql(_langid_sql("spark")).collect()}
+    s1, s2 = out["s1"], out["s2"]
+    assert (s1["n"], s1["n_agree"], s1["n_und"]) == (3, 2, 1)
+    assert (s2["n"], s2["n_agree"], s2["n_und"]) == (1, 0, 0)  # tie -> en != de
