@@ -1735,3 +1735,78 @@ sql_case(
     "before a lang-filtered training mix inherits the error. Projection "
     "+ one rollup, no shuffle beyond the per-source agg",
 )
+
+
+# ===========================================================================
+# q149/q150 — provenance and curation statistics
+# ===========================================================================
+
+# q149 — cross-source duplication matrix: which sources copy from each
+# other. Families are the q145 normalized-prefix key; the self-join runs
+# on the family hash with per-family fan-out bounded by #sources (≤ a few
+# dozen in any real mixture), so the pair explosion is structurally
+# capped — never a doc-level quadratic.
+_Q149_BODY = """
+    with g as (
+      select source,
+             md5(substr(trim(regexp_replace(lower(text), {WS}, ' '{G})),
+                        1, 24)) as h
+      from documents
+    ),
+    fs as (select h, source, cast(count(*) as bigint) as n_docs
+           from g group by h, source),
+    pairs as (
+      select a.source as source_a, b.source as source_b,
+             a.n_docs as na, b.n_docs as nb
+      from fs a join fs b on a.h = b.h and a.source < b.source
+    )
+    select source_a, source_b,
+           cast(count(*) as bigint) as n_shared_families,
+           cast(sum(na + nb) as bigint) as n_docs_involved
+    from pairs group by source_a, source_b
+"""
+
+sql_case(
+    "q149_cross_source_dups",
+    _Q149_BODY.replace("{WS}", "'\\\\s+'").replace("{G}", ""),
+    _Q149_BODY.replace("{WS}", "'\\s+'").replace("{G}", ", 'g'"),
+    doc="provenance matrix: per source pair, how many near-dup families "
+    "(q145's normalized-prefix key) span both sources and how many docs "
+    "they involve — the audit that shows which providers mirror each "
+    "other before a mixture double-counts their content. Equi-join on "
+    "the family hash; fan-out per family is bounded by #sources",
+)
+
+
+# q150 — empirical-Bayes shrinkage of per-source quality (proxied by doc
+# length): small sources are pulled toward the corpus mean by n/(n+k), so
+# a 10-doc source with a lucky average stops outranking a 10M-doc source.
+# shrunk = (sum_s + k*mean_g) / (n_s + k) = (N*sum_s + k*S) / (N*(n_s+k))
+# — exact bigint rational (k=10), emitted beside the rounded quotient.
+_Q150_BODY = """
+    with s as (
+      select source, cast(count(*) as bigint) as n,
+             cast(sum(n_chars) as bigint) as sm
+      from documents group by source
+    ),
+    g as (select cast(sum(n) as bigint) as nn, cast(sum(sm) as bigint) as ss
+          from s)
+    select s.source, s.n, s.sm,
+           round(cast(s.sm as double) / s.n, 6) as raw_mean,
+           cast(g.nn * s.sm + 10 * g.ss as bigint) as shrunk_num,
+           cast(g.nn * (s.n + 10) as bigint) as shrunk_den,
+           round(cast(g.nn * s.sm + 10 * g.ss as double)
+                 / (g.nn * (s.n + 10)), 6) as shrunk_mean
+    from s cross join g
+"""
+
+sql_case(
+    "q150_shrunk_quality",
+    _Q150_BODY,
+    _Q150_BODY,
+    doc="empirical-Bayes per-source quality means (James-Stein-style "
+    "shrinkage toward the corpus mean, prior strength k=10) in exact "
+    "bigint rational form beside the rounded quotient — the ranking that "
+    "stops a tiny source's lucky average from outranking a huge one. Two "
+    "tiny aggregations; the corpus scan is the whole cost",
+)

@@ -396,3 +396,51 @@ def test_langid_agreement_planted_profiles(spark):
     s1, s2 = out["s1"], out["s2"]
     assert (s1["n"], s1["n_agree"], s1["n_und"]) == (3, 2, 1)
     assert (s2["n"], s2["n_agree"], s2["n_und"]) == (1, 0, 0)  # tie -> en != de
+
+
+def test_cross_source_dups_planted_families(spark):
+    """One family spanning s1/s2 (with 2+1 docs), one family entirely
+    inside s1, and a singleton: only the spanning family pairs up, and
+    n_docs_involved counts both sides' members."""
+    from leaf_spark.queries_curation import _Q149_BODY
+
+    p1 = "shared family prefix shared family "  # >= 24 normalized chars
+    p2 = "intra source family prefix only here "
+    rows = [
+        (1, p1 + "alpha", "en", "s1", 30),
+        (2, p1 + "beta", "en", "s1", 30),
+        (3, p1 + "gamma", "en", "s2", 30),
+        (4, p2 + "one", "en", "s1", 30),
+        (5, p2 + "two", "en", "s1", 30),
+        (6, "unique document text entirely", "en", "s3", 29),
+    ]
+    _mk_documents(spark, rows).createOrReplaceTempView("documents")
+    sql = _Q149_BODY.replace("{WS}", "'\\\\s+'").replace("{G}", "")
+    out = spark.sql(sql).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["source_a"], r["source_b"]) == ("s1", "s2")
+    assert r["n_shared_families"] == 1 and r["n_docs_involved"] == 3
+
+
+def test_shrunk_quality_pulls_small_sources_to_global_mean(spark):
+    """A 1-doc source with an extreme mean lands near the global mean
+    (weight 1/11); a large source barely moves; the exact rational
+    matches a Fraction recompute."""
+    from fractions import Fraction
+
+    from leaf_spark.queries_curation import _Q150_BODY
+
+    rows = [(i, "x", "en", "big", 100) for i in range(50)]
+    rows.append((99, "x", "en", "tiny", 1000))
+    _mk_documents(spark, rows).createOrReplaceTempView("documents")
+    out = {r["source"]: r for r in spark.sql(_Q150_BODY).collect()}
+    nn, ss = 51, 50 * 100 + 1000
+    for src, n, sm in (("big", 50, 5000), ("tiny", 1, 1000)):
+        r = out[src]
+        assert Fraction(r["shrunk_num"], r["shrunk_den"]) == Fraction(
+            nn * sm + 10 * ss, nn * (n + 10)
+        )
+    g_mean = ss / nn
+    assert abs(out["tiny"]["shrunk_mean"] - g_mean) < abs(1000 - g_mean) * 0.2
+    assert abs(out["big"]["shrunk_mean"] - 100) < 5
