@@ -1,0 +1,97 @@
+"""Continuous corpus-curation path: quality-gate a document stream and
+route survivors/rejects to separate parquet sinks (the streaming mirror of
+the batch q72 Gopher gate + quarantine pattern).
+
+The gate itself (`operators.text.gopher_filter`) is a shuffle-free
+projection, so it runs inside a streaming micro-batch with zero state —
+the only stateful piece is the checkpointed source offset tracking.
+Routing uses foreachBatch with a per-batch-id overwrite so micro-batch
+REPLAYS after a crash are idempotent: each (epoch) writes to a
+``_batch_id=<n>`` partition with dynamic partition overwrite, making the
+sink exactly-once without a transactional format.
+
+At scale this is the canonical continuous-curation front end: files land
+from the crawler, each micro-batch is gated in parallel (narrow), and the
+quarantine side keeps the REJECTED rows with their per-rule verdicts so a
+threshold change can be audited (and replayed) later from real data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.text import gopher_filter
+
+
+def documents_stream(
+    spark: SparkSession, src_dir: str, max_files: int = 16
+) -> DataFrame:
+    """File-arrival stream over a documents parquet directory.
+
+    Streaming sources need an explicit schema; it is read ONCE from the
+    parquet footers already present rather than hardcoded, because the
+    driver testdata has changed integer/timestamp widths between rounds
+    (the same precision-adaptivity rule as ``load_tables``). Files that
+    arrive later must match the footprint of the first ones — a
+    schema-drifting producer fails the micro-batch loudly, which is the
+    correct behavior for a curation pipeline."""
+    schema = spark.read.parquet(src_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(src_dir)
+    )
+
+
+def _gate_sink(out_dir: str, quarantine_dir: str):
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # dynamic partition overwrite: a replayed batch id rewrites ONLY
+        # its own partition → idempotent under at-least-once foreachBatch
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        gated = gopher_filter(batch_df).withColumn(
+            "_batch_id", F.lit(int(batch_id))
+        )
+        # one pass computes the verdicts; persist so the two writes below
+        # don't re-run the gate per sink
+        gated.persist()
+        try:
+            (
+                gated.where(F.col("keep"))
+                .select("doc_id", "_batch_id")
+                .write.mode("overwrite")
+                .partitionBy("_batch_id")
+                .parquet(out_dir)
+            )
+            (
+                gated.where(~F.col("keep"))
+                .write.mode("overwrite")
+                .partitionBy("_batch_id")
+                .parquet(quarantine_dir)
+            )
+        finally:
+            gated.unpersist()
+
+    return sink
+
+
+def gated_corpus_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+    max_files: int = 16,
+):
+    """Start (availableNow) the gated ingest; returns the StreamingQuery.
+
+    Survivor sink carries ids only (the corpus itself stays in the source
+    files — no byte duplication); the quarantine sink carries the FULL
+    rows plus per-rule verdicts for audit/replay."""
+    src = documents_stream(spark, src_dir, max_files)
+    return (
+        src.writeStream.foreachBatch(_gate_sink(out_dir, quarantine_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
