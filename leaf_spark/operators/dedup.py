@@ -455,8 +455,10 @@ def containment_pairs(
     # materialize the INT index (id, h), never the arrays: the exploded
     # form is what every downstream branch consumes, and checkpointing it
     # instead of the per-doc shingle arrays removes the widest
-    # materialization in the operator
-    exploded = df.select(
+    # materialization in the operator. spread() first: the shingle hashing
+    # is the operator's dominant compute and a single-file input would
+    # otherwise run it on one core (measured 6.7 s -> sub-second at sf0.1).
+    exploded = spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.array_distinct(
