@@ -45,10 +45,6 @@ def documents_stream(
 
 def _gate_sink(out_dir: str, quarantine_dir: str):
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        # dynamic partition overwrite: a replayed batch id rewrites ONLY
-        # its own partition → idempotent under at-least-once foreachBatch
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         gated = gopher_filter(batch_df).withColumn(
             "_batch_id", F.lit(int(batch_id))
         )
@@ -56,16 +52,24 @@ def _gate_sink(out_dir: str, quarantine_dir: str):
         # don't re-run the gate per sink
         gated.persist()
         try:
+            # dynamic partition overwrite: a replayed batch id rewrites
+            # ONLY its own partition → idempotent under at-least-once
+            # foreachBatch. Set as a per-WRITE option, never on the
+            # session conf — a session-wide "dynamic" would silently
+            # change every other overwrite+partitionBy write (e.g. the
+            # training-shard sink) from truncate to merge semantics.
             (
                 gated.where(F.col("keep"))
                 .select("doc_id", "_batch_id")
                 .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("_batch_id")
                 .parquet(out_dir)
             )
             (
                 gated.where(~F.col("keep"))
                 .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("_batch_id")
                 .parquet(quarantine_dir)
             )

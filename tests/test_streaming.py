@@ -494,3 +494,10 @@ def test_gated_ingest_replay_is_idempotent(spark, tmp_path):
     gated_corpus_ingest(spark, src, out, quar, ckpt).awaitTermination(120)
     assert spark.read.parquet(out).count() == n_out
     assert spark.read.parquet(quar).count() == n_q
+    # the dynamic-overwrite mode is a per-write option, NOT leaked into
+    # the session conf (a session-wide change would flip other
+    # overwrite+partitionBy writes from truncate to merge semantics)
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower()
+        == "static"
+    )
