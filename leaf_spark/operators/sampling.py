@@ -133,41 +133,30 @@ def stratified_sample(
     )
 
 
-def pack_sequences(
+def distributed_prefix_sum(
     df: DataFrame,
     order_col: str,
-    token_col: str,
-    budget: int,
+    value_col: str,
     range_width: int,
-    bin_col: str = "bin_id",
-    offset_col: str = "start_offset",
+    out_col: str,
+    inclusive: bool = False,
 ) -> DataFrame:
-    """Concat-and-chunk sequence packing: documents are laid end-to-end in
-    ``order_col`` order and cut into fixed ``budget``-token context bins;
-    each doc gets its bin id and its token offset within the global stream
-    (the standard pre-tokenization layout for LLM training shards).
+    """Running sum of ``value_col`` in ``order_col`` order WITHOUT a
+    global-order window: the two-level shape shared by pack_sequences
+    (exclusive offsets) and systematic_sample (inclusive cumulative).
 
-    Fully distributed two-level prefix-sum, not a global-order window and
-    not a driver loop: rows bucket into ranges of ``range_width`` order
-    values; per-range totals aggregate down to ~N/range_width rows; those
-    totals bucket again into SUPER-ranges of ``range_width`` ranges, whose
-    ~N/range_width² totals take the only globally-ordered window (a
-    single-partition sort of the doubly-reduced row count — 10 M rows for a
-    100 B-doc corpus at width 100, vs the 1 B-row driver ``collect()`` this
-    replaced). Exclusive offsets then flow back down: totals join the
-    super-range offsets on ``__srid__`` + an intra-super-range window, and
-    the data joins the per-range offsets on ``__rid__`` + an intra-range
-    window. Both joins are plain equi-joins on uniform keys — AQE
-    broadcasts them while the offset side is small and falls back to a
-    shuffle join when it is not, so nothing here caps the corpus size.
-    ``order_col`` must be unique per row (doc id). Construction is fully
-    lazy: no Spark job runs until the result is acted on.
-    """
+    Rows bucket into ranges of ``range_width`` order values; per-range
+    totals aggregate to ~N/range_width rows; those bucket again into
+    SUPER-ranges whose ~N/range_width² totals take the only globally-
+    ordered window (a single-partition sort of the doubly-reduced count).
+    Offsets flow back down through two equi-joins on uniform range ids +
+    intra-range partitioned windows. ``order_col`` must be unique numeric.
+    Construction is fully lazy."""
     rid = (F.col(order_col) / range_width).cast("long")
     tagged = df.withColumn("__rid__", rid)
 
     # level 1: per-range totals (one narrow shuffle, ~N/range_width rows)
-    totals = tagged.groupBy("__rid__").agg(F.sum(token_col).alias("__rt__"))
+    totals = tagged.groupBy("__rid__").agg(F.sum(value_col).alias("__rt__"))
 
     # level 2: per-super-range totals and their exclusive global prefix —
     # the single-partition window sorts only ~N/range_width² rows
@@ -199,22 +188,60 @@ def pack_sequences(
         .select("__rid__", "__roff__")
     )
 
+    upper = 0 if inclusive else -1
     w = (
         Window.partitionBy("__rid__")
         .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .rowsBetween(Window.unboundedPreceding, upper)
     )
     return (
         tagged.join(off_df, "__rid__")
         .withColumn(
-            offset_col,
-            (F.col("__roff__") + F.coalesce(F.sum(token_col).over(w), F.lit(0))).cast(
-                "long"
-            ),
+            out_col,
+            (
+                F.col("__roff__")
+                + F.coalesce(F.sum(value_col).over(w), F.lit(0))
+            ).cast("long"),
         )
-        .withColumn(bin_col, (F.col(offset_col) / budget).cast("long"))
         .drop("__rid__", "__roff__")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    order_col: str,
+    token_col: str,
+    budget: int,
+    range_width: int,
+    bin_col: str = "bin_id",
+    offset_col: str = "start_offset",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid end-to-end in
+    ``order_col`` order and cut into fixed ``budget``-token context bins;
+    each doc gets its bin id and its token offset within the global stream
+    (the standard pre-tokenization layout for LLM training shards).
+
+    Fully distributed two-level prefix-sum, not a global-order window and
+    not a driver loop: rows bucket into ranges of ``range_width`` order
+    values; per-range totals aggregate down to ~N/range_width rows; those
+    totals bucket again into SUPER-ranges of ``range_width`` ranges, whose
+    ~N/range_width² totals take the only globally-ordered window (a
+    single-partition sort of the doubly-reduced row count — 10 M rows for a
+    100 B-doc corpus at width 100, vs the 1 B-row driver ``collect()`` this
+    replaced). Exclusive offsets then flow back down: totals join the
+    super-range offsets on ``__srid__`` + an intra-super-range window, and
+    the data joins the per-range offsets on ``__rid__`` + an intra-range
+    window. Both joins are plain equi-joins on uniform keys — AQE
+    broadcasts them while the offset side is small and falls back to a
+    shuffle join when it is not, so nothing here caps the corpus size.
+    ``order_col`` must be unique per row (doc id). Construction is fully
+    lazy: no Spark job runs until the result is acted on. The prefix-sum
+    machinery itself lives in ``distributed_prefix_sum`` (shared with
+    systematic_sample).
+    """
+    return distributed_prefix_sum(
+        df, order_col, token_col, range_width, offset_col, inclusive=False
+    ).withColumn(bin_col, (F.col(offset_col) / budget).cast("long"))
 
 
 def budget_allocation(
@@ -334,15 +361,19 @@ def systematic_sample(
     ``(cum*target) div total > ((cum-w)*target) div total`` — bigint
     division floors on both engines, so the pick set is engine-exact.
 
-    The id-ordered running sum is a single-partition window here (the
-    oracle-checkable form); the scale path swaps it for the q70 two-level
-    distributed prefix-sum (per-range totals → super-range totals → rejoin
-    on uniform range ids) with the same downstream predicate.
+    The id-ordered running sum IS the q70 two-level distributed
+    prefix-sum (``distributed_prefix_sum``, inclusive form): no
+    corpus-wide global window anywhere — the only single-partition sort
+    runs over the doubly-reduced super-range totals.
     """
-    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
-    cum = df.select(
-        F.col(id_col), F.col(weight_col).cast("bigint").alias("w")
-    ).withColumn("cum", F.sum("w").over(w))
+    cum = distributed_prefix_sum(
+        df.select(F.col(id_col), F.col(weight_col).cast("bigint").alias("w")),
+        id_col,
+        "w",
+        range_width=65536,
+        out_col="cum",
+        inclusive=True,
+    )
     tot = cum.agg(F.sum("w").cast("bigint").alias("total"))
     c = cum.crossJoin(F.broadcast(tot))
     bucket = F.expr(f"(cum * {target}) div total")

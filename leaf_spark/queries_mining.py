@@ -404,14 +404,44 @@ _Q92_DUCK_FEATS = """
   from documents
 """
 
-sql_case(
-    "q92_quality_deciles",
-    f"""
+# Spark side computes ntile(10) WITHOUT a corpus-wide global window —
+# the q118/q104 discipline. The global rank decomposes as
+#   rn = (#rows with a strictly better score) + (rank within the tie
+#        group by doc_id)
+# where the first term is an exclusive cumulative count over DISTINCT
+# score values (score is rounded to 6 decimals in [0,1] → bounded
+# support, same class as q137's vocab window) and the second is a
+# hash-partitioned row_number keyed on the score. The exact ntile bucket
+# then follows arithmetically: with q = N div 10, r = N mod 10 the first
+# r buckets hold q+1 rows — identical to the window function's split,
+# verified value-exact against DuckDB's real ntile at all three scales.
+_Q92_SPARK = f"""
     with f as ({_Q92_SPARK_FEATS}),
+    hist as (select score, cast(count(*) as bigint) as c from f
+             group by score),
+    off as (
+      select score,
+             cast(coalesce(sum(c) over (order by score desc
+               rows between unbounded preceding and 1 preceding), 0)
+               as bigint) as above
+      from hist
+    ),
+    tot as (select cast(count(*) as bigint) as n from f),
     d as (
+      select f.doc_id, f.tok, f.score,
+             off.above + row_number() over (partition by f.score
+                                            order by f.doc_id) as rn
+      from f join off on f.score = off.score
+    ),
+    b as (
       select doc_id, tok, score,
-             ntile(10) over (order by score desc, doc_id) as decile
-      from f
+             case when rn <= (n % 10) * (n div 10 + 1)
+                  then (rn - 1) div (n div 10 + 1) + 1
+                  else (n % 10)
+                       + (rn - (n % 10) * (n div 10 + 1) - 1) div (n div 10)
+                       + 1
+             end as decile
+      from d cross join tot
     )
     select cast(decile as int) as decile,
            count(*) as n_docs,
@@ -419,8 +449,12 @@ sql_case(
            cast(sum(cast(score as decimal(38,6))) as double) as score_sum,
            min(score) as min_score,
            max(score) as max_score
-    from d group by decile
-    """,
+    from b group by decile
+"""
+
+sql_case(
+    "q92_quality_deciles",
+    _Q92_SPARK,
     f"""
     with f as ({_Q92_DUCK_FEATS}),
     d as (
@@ -437,10 +471,11 @@ sql_case(
     from d group by decile
     """,
     doc="quality-decile bucketing: composite quality score (alpha/digit/"
-    "vocab-diversity), ntile(10) over a total order, per-decile token "
-    "budgets — the curriculum/quality-mix report. One sort (the global "
-    "ntile is the documented serial step; per-source ntile removes it at "
-    "scale), decimal-routed score sums",
+    "vocab-diversity), exact ntile(10) semantics, per-decile token "
+    "budgets — the curriculum/quality-mix report. Spark computes the "
+    "global rank via bounded-support histogram offsets + a score-keyed "
+    "partitioned row_number (no corpus-wide window); the DuckDB oracle "
+    "keeps the literal ntile, proving the decomposition value-exact",
 )
 
 

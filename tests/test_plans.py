@@ -411,3 +411,39 @@ def test_eval_plumbing_single_shuffle(spark, cases):
         plan = plan_of(cases[name].spark_fn(spark, SF_DIR))
         assert shuffle_count(plan) == 1, name
         assert "Join" not in plan and "EvalPython" not in plan, name
+
+
+def test_no_undocumented_global_windows_catalog_wide(spark, cases):
+    """A Window whose nearest downstream Exchange is SinglePartition
+    serializes that stage onto one task. Catalog-wide, every such window
+    must be over a BOUNDED row count, enumerated here with its bound:
+
+      q70/q104  — two-level prefix-sum: window over doubly-reduced
+                  super-range totals (~N/width^2 rows)
+      q137      — vocab coverage: window over the Zipf-bounded vocab
+      q144      — KS: window over distinct length values (support-bounded)
+      q92       — decile offsets: window over distinct rounded scores
+                  (<= 10^6 + 1 values)
+
+    Anything new that lands here is a scale regression (the q118 class)
+    unless it joins this list with a documented bound."""
+    allowed = {
+        "q70_pack_sequences",
+        "q104_systematic_sample",
+        "q137_vocab_coverage_curve",
+        "q144_ks_statistic",
+        "q92_quality_deciles",
+    }
+    offenders = []
+    for name, case in cases.items():
+        plan = plan_of(case.spark_fn(spark, SF_DIR))
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if re.search(r"\bWindow \[", ln):
+                nxt = next(
+                    (l for l in lines[i + 1 : i + 8] if "Exchange" in l), ""
+                )
+                if "SinglePartition" in nxt and name not in allowed:
+                    offenders.append(name)
+                    break
+    assert offenders == [], offenders

@@ -444,3 +444,42 @@ def test_shrunk_quality_pulls_small_sources_to_global_mean(spark):
     g_mean = ss / nn
     assert abs(out["tiny"]["shrunk_mean"] - g_mean) < abs(1000 - g_mean) * 0.2
     assert abs(out["big"]["shrunk_mean"] - 100) < 5
+
+
+def test_q92_ntile_decomposition_uneven_n_and_ties(spark):
+    """The histogram-offset + partitioned-rank decomposition must equal a
+    literal ntile(10) when N % 10 != 0 (first r buckets get one extra row)
+    AND when score ties span a bucket boundary."""
+    from leaf_spark.queries_mining import _Q92_SPARK
+
+    # 23 docs: 13 share one text (one tie group), 10 distinct lengths
+    rows = []
+    for i in range(13):
+        rows.append((i, "same tied text body here", "en", "s", 24))
+    for i in range(10):
+        rows.append((100 + i, "x " * (i + 2), "en", "s", 2 * (i + 2)))
+    _mk_documents(spark, rows).createOrReplaceTempView("documents")
+    got = {
+        r["decile"]: (r["n_docs"])
+        for r in spark.sql(_Q92_SPARK).collect()
+    }
+    # literal ntile over the same features, computed via Spark's own
+    # window function as the independent reference
+    ref = {
+        r["decile"]: r["n"]
+        for r in spark.sql(
+            """
+            with f as (select doc_id,
+                       round(0.5, 6) as _unused, text from documents)
+            select decile, count(*) as n from (
+              select ntile(10) over (order by score desc, doc_id) as decile
+              from (""" + _Q92_SPARK.split("with f as (")[1].split("),\n    hist")[0] + """)
+            ) group by decile
+            """
+        ).collect()
+    }
+    assert got.keys() == ref.keys()
+    for k in ref:
+        assert got[k] == ref[k], (k, got[k], ref[k])
+    # N=23 → buckets 1-3 hold 3 rows, buckets 4-10 hold 2
+    assert [got[k] for k in sorted(got)] == [3, 3, 3, 2, 2, 2, 2, 2, 2, 2]
