@@ -1560,11 +1560,17 @@ sql_case(
 # (longest text, then smallest id), and emit the survivor plus what the
 # policy discarded — partitioned window, shuffle keyed on the family
 # hash exactly like the dedup groupBy it replaces.
+# Normalized-prefix family key shared by q145 (survivor selection) and
+# q149 (cross-source dup matrix) — one definition so a prefix-length or
+# normalization tweak cannot silently decouple the two entries.
+_FAMILY_KEY = (
+    "md5(substr(trim(regexp_replace(lower(text), {WS}, ' '{G})), 1, 24))"
+)
+
 _Q145_BODY = """
     with g as (
       select doc_id, n_chars,
-             md5(substr(trim(regexp_replace(lower(text), {WS}, ' '{G})),
-                        1, 24)) as content_hash
+             """ + _FAMILY_KEY + """ as content_hash
       from documents
     ),
     r as (
@@ -1638,43 +1644,67 @@ sql_case(
 )
 
 
-_Q147_BODY = """
-    with p as (
-      select label,
-             case when {NIB} < 3 then (label + 1) % 10 else label end as pred
-      from embeddings
-    ),
-    cm as (select label, pred, cast(count(*) as bigint) as n
-           from p group by label, pred),
-    tot as (select cast(sum(n) as bigint) as nn from cm),
+# q147 Spark side: the confusion matrix is tiny (<= classes^2 rows) but
+# feeds FOUR consumers (total, agreement, both marginals) — Catalyst
+# re-inlines a CTE per consumer (the q141 gotcha), which would re-scan
+# embeddings and recompute the md5 predictor 4x. A localCheckpoint of the
+# matrix keeps it one scan. The N*agree and marginal products route
+# through decimal(38,0) so nothing wraps int64 silently at extreme row
+# counts (Spark non-ANSI wraps where DuckDB errors — the one divergence
+# an "exact" claim cannot afford); both engines emit the same
+# decimal(38,0) columns.
+_Q147_CM = """
+    select label,
+           case when {NIB} < 3 then (label + 1) % 10 else label end as pred,
+           cast(count(*) as bigint) as n
+    from embeddings group by 1, 2
+"""
+
+_Q147_FINAL_BODY = """
+    with cm as (select * from {CM}),
+    tot as (select cast(sum(n) as decimal(38,0)) as nn from cm),
     agr as (select cast(coalesce(sum(case when label = pred then n end), 0)
-                        as bigint) as a
+                        as decimal(38,0)) as a
             from cm),
     marg as (
-      select cast(coalesce(sum(r.rn * c.cn), 0) as bigint) as pe_num
+      select cast(coalesce(sum(cast(r.rn as decimal(38,0))
+                               * cast(c.cn as decimal(38,0))), 0)
+                  as decimal(38,0)) as pe_num
       from (select label as k, cast(sum(n) as bigint) as rn
             from cm group by label) r
       join (select pred as k, cast(sum(n) as bigint) as cn
             from cm group by pred) c on r.k = c.k
     )
-    select tot.nn as n, agr.a as n_agree, marg.pe_num,
-           cast(tot.nn * agr.a - marg.pe_num as bigint) as kappa_num,
-           cast(tot.nn * tot.nn - marg.pe_num as bigint) as kappa_den,
+    select cast(tot.nn as bigint) as n, cast(agr.a as bigint) as n_agree,
+           cast(marg.pe_num as decimal(38,0)) as pe_num,
+           cast(tot.nn * agr.a - marg.pe_num as decimal(38,0)) as kappa_num,
+           cast(tot.nn * tot.nn - marg.pe_num as decimal(38,0)) as kappa_den,
            round(cast(tot.nn * agr.a - marg.pe_num as double)
-                 / (tot.nn * tot.nn - marg.pe_num), 6) as kappa
+                 / cast(tot.nn * tot.nn - marg.pe_num as double), 6) as kappa
     from tot cross join agr cross join marg
 """
 
-sql_case(
+
+def _q147_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, names=("embeddings",))
+    cm = spark.sql(_Q147_CM.replace("{NIB}", _NIB_SPARK)).localCheckpoint()
+    cm.createOrReplaceTempView("__q147_cm__")
+    return spark.sql(_Q147_FINAL_BODY.replace("{CM}", "__q147_cm__"))
+
+
+register(
     "q147_cohens_kappa",
-    _Q147_BODY.replace("{NIB}", _NIB_SPARK),
-    _Q147_BODY.replace("{NIB}", _NIB_DUCK),
+    _Q147_FINAL_BODY.replace(
+        "{CM}", "(" + _Q147_CM.replace("{NIB}", _NIB_DUCK) + ")"
+    ),
     doc="Cohen's kappa (chance-corrected agreement) in exact rational form: "
     "kappa = (N*agree - sum_k row_k*col_k) / (N^2 - sum_k row_k*col_k), "
-    "numerator and denominator emitted as exact bigints beside the "
-    "rounded quotient — annotation-QA over the q146 matrix; the marginal "
-    "join is classes x classes (tiny, broadcast)",
-)
+    "numerator and denominator emitted as exact decimal(38,0) (products "
+    "decimal-routed so nothing wraps int64 at extreme row counts) beside "
+    "the rounded quotient — annotation-QA over the q146 matrix. The tiny "
+    "matrix is checkpointed so its four consumers cost one embeddings "
+    "scan, not four (the q141 CTE-inlining gotcha)",
+)(_q147_spark)
 
 
 def _langid_sql(engine: str) -> str:
@@ -1749,8 +1779,7 @@ sql_case(
 _Q149_BODY = """
     with g as (
       select source,
-             md5(substr(trim(regexp_replace(lower(text), {WS}, ' '{G})),
-                        1, 24)) as h
+             """ + _FAMILY_KEY + """ as h
       from documents
     ),
     fs as (select h, source, cast(count(*) as bigint) as n_docs
@@ -1783,20 +1812,25 @@ sql_case(
 # a 10-doc source with a lucky average stops outranking a 10M-doc source.
 # shrunk = (sum_s + k*mean_g) / (n_s + k) = (N*sum_s + k*S) / (N*(n_s+k))
 # — exact bigint rational (k=10), emitted beside the rounded quotient.
+# products decimal(38,0)-routed: N * per-source char-sums pass int64
+# around corpus row counts of ~1e9 x 1e10 chars — Spark non-ANSI would
+# wrap silently where DuckDB errors, so the "exact rational" claim needs
+# decimal intermediates AND decimal outputs on both engines.
 _Q150_BODY = """
     with s as (
       select source, cast(count(*) as bigint) as n,
              cast(sum(n_chars) as bigint) as sm
       from documents group by source
     ),
-    g as (select cast(sum(n) as bigint) as nn, cast(sum(sm) as bigint) as ss
+    g as (select cast(sum(n) as decimal(38,0)) as nn,
+                 cast(sum(sm) as decimal(38,0)) as ss
           from s)
     select s.source, s.n, s.sm,
            round(cast(s.sm as double) / s.n, 6) as raw_mean,
-           cast(g.nn * s.sm + 10 * g.ss as bigint) as shrunk_num,
-           cast(g.nn * (s.n + 10) as bigint) as shrunk_den,
+           cast(g.nn * s.sm + 10 * g.ss as decimal(38,0)) as shrunk_num,
+           cast(g.nn * (s.n + 10) as decimal(38,0)) as shrunk_den,
            round(cast(g.nn * s.sm + 10 * g.ss as double)
-                 / (g.nn * (s.n + 10)), 6) as shrunk_mean
+                 / cast(g.nn * (s.n + 10) as double), 6) as shrunk_mean
     from s cross join g
 """
 

@@ -415,10 +415,15 @@ _Q92_DUCK_FEATS = """
 # then follows arithmetically: with q = N div 10, r = N mod 10 the first
 # r buckets hold q+1 rows — identical to the window function's split,
 # verified value-exact against DuckDB's real ntile at all three scales.
-_Q92_SPARK = f"""
-    with f as ({_Q92_SPARK_FEATS}),
-    hist as (select score, cast(count(*) as bigint) as c from f
-             group by score),
+# The join is NULL-SAFE (<=>) and both engines order desc NULLS LAST, so
+# a NULL-score row (null text) lands in the last bucket on both sides
+# instead of silently dropping from the Spark one. The features run
+# ONCE: a localCheckpoint cuts the three decomposition consumers off
+# from Catalyst's per-consumer CTE re-inlining (the q141 gotcha) —
+# without it the heavy regex feature extraction scans documents 3x.
+_Q92_DECOMP = """
+    with hist as (select score, cast(count(*) as bigint) as c
+                  from __q92_f__ group by score),
     off as (
       select score,
              cast(coalesce(sum(c) over (order by score desc
@@ -426,12 +431,12 @@ _Q92_SPARK = f"""
                as bigint) as above
       from hist
     ),
-    tot as (select cast(count(*) as bigint) as n from f),
+    tot as (select cast(sum(c) as bigint) as n from hist),
     d as (
       select f.doc_id, f.tok, f.score,
              off.above + row_number() over (partition by f.score
                                             order by f.doc_id) as rn
-      from f join off on f.score = off.score
+      from __q92_f__ f join off on f.score <=> off.score
     ),
     b as (
       select doc_id, tok, score,
@@ -452,9 +457,16 @@ _Q92_SPARK = f"""
     from b group by decile
 """
 
-sql_case(
+
+def _q92_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, names=("documents",))
+    feats = spark.sql(f"select * from ({_Q92_SPARK_FEATS})").localCheckpoint()
+    feats.createOrReplaceTempView("__q92_f__")
+    return spark.sql(_Q92_DECOMP)
+
+
+register(
     "q92_quality_deciles",
-    _Q92_SPARK,
     f"""
     with f as ({_Q92_DUCK_FEATS}),
     d as (
@@ -474,9 +486,10 @@ sql_case(
     "vocab-diversity), exact ntile(10) semantics, per-decile token "
     "budgets — the curriculum/quality-mix report. Spark computes the "
     "global rank via bounded-support histogram offsets + a score-keyed "
-    "partitioned row_number (no corpus-wide window); the DuckDB oracle "
-    "keeps the literal ntile, proving the decomposition value-exact",
-)
+    "partitioned row_number over checkpointed single-scan features (no "
+    "corpus-wide window, no repeated scan); the DuckDB oracle keeps the "
+    "literal ntile, proving the decomposition value-exact",
+)(_q92_spark)
 
 
 # ---------------------------------------------------------------------------

@@ -415,8 +415,18 @@ _JE_ENTRIES = (
     "case when substring(ltrim({x}), 1, 1) = '[' "
     "then transform(from_json({x}, 'array<string>'), "
     "(v, i) -> struct(cast(i as string) as key, v as value)) "
-    "else transform(map_entries(from_json({x}, 'map<string,string>')), "
-    "e -> struct(e.key as key, e.value as value)) end"
+    "when substring(ltrim({x}), 1, 1) = '{{' "
+    "then transform(map_entries(from_json({x}, 'map<string,string>')), "
+    "e -> struct(e.key as key, e.value as value)) "
+    # scalar document (json_each('5'), or a 2-arg path landing on a
+    # scalar): SQLite emits ONE row with key NULL and the scalar as the
+    # value. get_json_object(x, '$') both validates and unquotes; invalid
+    # JSON yields NULL -> the row drops (the documented divergence —
+    # SQLite errors there).
+    "when get_json_object({x}, '$') is not null "
+    "then array(struct(cast(null as string) as key, "
+    "get_json_object({x}, '$') as value)) "
+    "else cast(null as array<struct<key:string,value:string>>) end"
 )
 
 _JE_ALIAS_STOP = frozenset(
@@ -562,13 +572,23 @@ def _rewrite_json_each(sql: str) -> str:
         seg_start, outer = m.start(), False
         if sep == "join":
             pre = re.search(
-                r"(\bleft\b|\binner\b|\bcross\b)\s*$",
+                r"(\bleft\s+outer\b|\bleft\b|\binner\b|\bcross\b"
+                r"|\bright(?:\s+outer)?\b|\bfull(?:\s+outer)?\b)\s*$",
                 sql[: m.start()],
                 re.IGNORECASE,
             )
             if pre:
+                kind = pre.group(1).split()[0].lower()
+                if kind in ("right", "full"):
+                    # json_each can't drive the preserved side of a
+                    # right/full join through a lateral view — fail loudly
+                    # rather than emit dangling tokens
+                    raise SqlTranslationError(
+                        f"{kind} join json_each(...) is not supported; "
+                        "use the comma (lateral) or LEFT JOIN form"
+                    )
                 seg_start = pre.start()
-                outer = pre.group(1).lower() == "left"
+                outer = kind == "left"
         counter += 1
         bind = f"__je_doc{counter}__"
         ov = "outer " if outer else ""

@@ -24,18 +24,33 @@ from ..operators.text import gopher_filter
 
 
 def documents_stream(
-    spark: SparkSession, src_dir: str, max_files: int = 16
+    spark: SparkSession,
+    src_dir: str,
+    max_files: int = 16,
+    schema=None,
 ) -> DataFrame:
     """File-arrival stream over a documents parquet directory.
 
-    Streaming sources need an explicit schema; it is read ONCE from the
-    parquet footers already present rather than hardcoded, because the
-    driver testdata has changed integer/timestamp widths between rounds
-    (the same precision-adaptivity rule as ``load_tables``). Files that
-    arrive later must match the footprint of the first ones — a
-    schema-drifting producer fails the micro-batch loudly, which is the
-    correct behavior for a curation pipeline."""
-    schema = spark.read.parquet(src_dir).schema
+    Streaming sources need an explicit schema. When ``schema`` is not
+    given it is read ONCE from the parquet footers already present rather
+    than hardcoded, because the driver testdata has changed
+    integer/timestamp widths between rounds (the same
+    precision-adaptivity rule as ``load_tables``). Files that arrive
+    later must match the footprint of the first ones — a schema-drifting
+    producer fails the micro-batch loudly, which is the correct behavior
+    for a curation pipeline. Starting the stream BEFORE any file exists
+    (the normal deploy order for a crawler front end) requires passing
+    ``schema`` explicitly — footer inference has nothing to read, and the
+    error below says exactly that instead of a bare AnalysisException."""
+    if schema is None:
+        try:
+            schema = spark.read.parquet(src_dir).schema
+        except Exception as e:
+            raise ValueError(
+                f"documents_stream({src_dir!r}): no parquet files to infer "
+                "a schema from yet — pass schema= explicitly to start the "
+                "stream before the first file lands"
+            ) from e
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files)
@@ -86,13 +101,15 @@ def gated_corpus_ingest(
     quarantine_dir: str,
     checkpoint_dir: str,
     max_files: int = 16,
+    schema=None,
 ):
     """Start (availableNow) the gated ingest; returns the StreamingQuery.
 
     Survivor sink carries ids only (the corpus itself stays in the source
     files — no byte duplication); the quarantine sink carries the FULL
-    rows plus per-rule verdicts for audit/replay."""
-    src = documents_stream(spark, src_dir, max_files)
+    rows plus per-rule verdicts for audit/replay. Pass ``schema`` to
+    start before the first source file lands."""
+    src = documents_stream(spark, src_dir, max_files, schema=schema)
     return (
         src.writeStream.foreachBatch(_gate_sink(out_dir, quarantine_dir))
         .option("checkpointLocation", checkpoint_dir)

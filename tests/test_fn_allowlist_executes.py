@@ -209,3 +209,38 @@ def test_json_each_on_clause_raises_cleanly(ex):
         ex.execute(
             "select d.id from jd d join json_each(d.props) j on j.key = 'a'"
         )
+
+
+def test_json_each_scalar_and_join_variants(ex):
+    """Review-found gaps, round 2: scalar documents emit ONE (NULL, value)
+    row like SQLite; a 2-arg path landing on a scalar does the same; LEFT
+    OUTER JOIN behaves as LEFT JOIN; RIGHT/FULL JOIN raise cleanly."""
+    from leaf_spark.sqlcompat import SqlTranslationError
+
+    # scalar document: one row, key NULL, unquoted value
+    rows = ex.execute("select key, value from json_each('5')").collect()
+    assert [(r["key"], r["value"]) for r in rows] == [(None, "5")]
+    rows = ex.execute("select value from json_each('\"abc\"')").collect()
+    assert [r["value"] for r in rows] == ["abc"]
+    # 2-arg path landing on a scalar
+    ex.execute("create table j2 (id integer, props text)")
+    ex.execute("""insert into j2 values (1, '{"a": 7, "b": [1, 2]}')""")
+    rows = ex.execute(
+        "select j.key, j.value from j2 d, json_each(d.props, '$.a') j"
+    ).collect()
+    assert [(r["key"], r["value"]) for r in rows] == [(None, "7")]
+    # ... and on an array: enumerates it
+    rows = ex.execute(
+        "select j.value from j2 d, json_each(d.props, '$.b') j"
+    ).collect()
+    assert sorted(r["value"] for r in rows) == ["1", "2"]
+    # LEFT OUTER JOIN = LEFT JOIN (null-pads an empty doc)
+    ex.execute("insert into j2 values (2, '{}')")
+    rows = ex.execute(
+        "select d.id, j.key from j2 d left outer join json_each(d.props) j"
+    ).collect()
+    assert {(r["id"], r["key"]) for r in rows} >= {(2, None)}
+    # RIGHT/FULL raise rather than emitting dangling tokens
+    for kind in ("right join", "full outer join"):
+        with pytest.raises(SqlTranslationError, match="not supported"):
+            ex.execute(f"select d.id from j2 d {kind} json_each(d.props) j")

@@ -434,16 +434,42 @@ def test_no_undocumented_global_windows_catalog_wide(spark, cases):
         "q144_ks_statistic",
         "q92_quality_deciles",
     }
+    def node_depth(line: str) -> int:
+        m = re.search(r"[+][-] |^(\s*)\S", line)
+        return line.index("+- ") if "+- " in line else len(line) - len(line.lstrip(" :"))
+
     offenders = []
     for name, case in cases.items():
         plan = plan_of(case.spark_fn(spark, SF_DIR))
         lines = plan.splitlines()
         for i, ln in enumerate(lines):
-            if re.search(r"\bWindow \[", ln):
-                nxt = next(
-                    (l for l in lines[i + 1 : i + 8] if "Exchange" in l), ""
-                )
-                if "SinglePartition" in nxt and name not in allowed:
-                    offenders.append(name)
+            if not re.search(r"\bWindow \[", ln):
+                continue
+            d = node_depth(ln)
+            # walk the Window's OWN subtree (strictly deeper lines until
+            # the tree pops back to this depth or shallower) and classify
+            # by the nearest Exchange inside it — a sibling branch's
+            # exchange can no longer be mis-attributed, and depth is not
+            # capped at an arbitrary line count
+            for nxt in lines[i + 1 :]:
+                nd = node_depth(nxt)
+                if nxt.strip() and nd <= d:
                     break
+                if "Exchange" in nxt:
+                    if "SinglePartition" in nxt and name not in allowed:
+                        offenders.append(name)
+                    break
+            if offenders and offenders[-1] == name:
+                break
     assert offenders == [], offenders
+
+
+def test_checkpointed_entries_do_not_rescan(spark, cases):
+    """q92 and q147 feed one computed table to several consumers;
+    localCheckpoint materializes it once, so the FINAL plan must contain
+    zero parquet scans (Catalyst would otherwise re-inline the CTE into
+    every consumer and re-scan per consumer — the q141 gotcha)."""
+    for name in ("q92_quality_deciles", "q147_cohens_kappa"):
+        plan = plan_of(cases[name].spark_fn(spark, SF_DIR))
+        assert "Scan parquet" not in plan, name
+        assert "ExistingRDD" in plan or "LocalTableScan" in plan, name

@@ -354,11 +354,16 @@ def test_cohens_kappa_exact_rational(spark):
     kappa == 1 exactly."""
     from fractions import Fraction
 
-    from leaf_spark.queries_curation import _NIB_SPARK, _Q147_BODY
+    def run(rows):
+        _mk_embeddings(spark, rows).createOrReplaceTempView("embeddings")
+        from leaf_spark.queries_curation import _NIB_SPARK, _Q147_CM, _Q147_FINAL_BODY
+
+        cm = spark.sql(_Q147_CM.replace("{NIB}", _NIB_SPARK)).localCheckpoint()
+        cm.createOrReplaceTempView("__q147_cm__")
+        return spark.sql(_Q147_FINAL_BODY.replace("{CM}", "__q147_cm__"))
 
     rows = [(i, [0.0] * 64, (i * 3) % 10) for i in range(80)]
-    _mk_embeddings(spark, rows).createOrReplaceTempView("embeddings")
-    r = spark.sql(_Q147_BODY.replace("{NIB}", _NIB_SPARK)).collect()[0]
+    r = run(rows).collect()[0]
     preds = [(lab, _cm_pred_py(vid, lab)) for vid, _, lab in rows]
     n = len(preds)
     agree = sum(1 for a, b in preds if a == b)
@@ -366,16 +371,16 @@ def test_cohens_kappa_exact_rational(spark):
         sum(1 for a, _ in preds if a == k) * sum(1 for _, b in preds if b == k)
         for k in range(10)
     )
-    assert (r["n"], r["n_agree"], r["pe_num"]) == (n, agree, pe)
-    assert Fraction(r["kappa_num"], r["kappa_den"]) == Fraction(
+    # decimal(38,0) outputs (overflow-safe at extreme N) convert exactly
+    assert (r["n"], r["n_agree"], int(r["pe_num"])) == (n, agree, pe)
+    assert Fraction(int(r["kappa_num"]), int(r["kappa_den"])) == Fraction(
         n * agree - pe, n * n - pe
     )
 
     # perfect agreement: pick vec_ids whose md5 nibble never flips
     clean = [vid for vid in range(400) if _cm_pred_py(vid, 0) == 0][:40]
     rows = [(vid, [0.0] * 64, vid % 10) for vid in clean]
-    _mk_embeddings(spark, rows).createOrReplaceTempView("embeddings")
-    r = spark.sql(_Q147_BODY.replace("{NIB}", _NIB_SPARK)).collect()[0]
+    r = run(rows).collect()[0]
     assert r["n_agree"] == len(clean) and r["kappa"] == 1.0
 
 
@@ -438,7 +443,7 @@ def test_shrunk_quality_pulls_small_sources_to_global_mean(spark):
     nn, ss = 51, 50 * 100 + 1000
     for src, n, sm in (("big", 50, 5000), ("tiny", 1, 1000)):
         r = out[src]
-        assert Fraction(r["shrunk_num"], r["shrunk_den"]) == Fraction(
+        assert Fraction(int(r["shrunk_num"]), int(r["shrunk_den"])) == Fraction(
             nn * sm + 10 * ss, nn * (n + 10)
         )
     g_mean = ss / nn
@@ -446,12 +451,18 @@ def test_shrunk_quality_pulls_small_sources_to_global_mean(spark):
     assert abs(out["big"]["shrunk_mean"] - 100) < 5
 
 
+def _run_q92(spark):
+    from leaf_spark.queries_mining import _Q92_DECOMP, _Q92_SPARK_FEATS
+
+    feats = spark.sql(f"select * from ({_Q92_SPARK_FEATS})").localCheckpoint()
+    feats.createOrReplaceTempView("__q92_f__")
+    return spark.sql(_Q92_DECOMP)
+
+
 def test_q92_ntile_decomposition_uneven_n_and_ties(spark):
     """The histogram-offset + partitioned-rank decomposition must equal a
     literal ntile(10) when N % 10 != 0 (first r buckets get one extra row)
     AND when score ties span a bucket boundary."""
-    from leaf_spark.queries_mining import _Q92_SPARK
-
     # 23 docs: 13 share one text (one tie group), 10 distinct lengths
     rows = []
     for i in range(13):
@@ -459,27 +470,32 @@ def test_q92_ntile_decomposition_uneven_n_and_ties(spark):
     for i in range(10):
         rows.append((100 + i, "x " * (i + 2), "en", "s", 2 * (i + 2)))
     _mk_documents(spark, rows).createOrReplaceTempView("documents")
-    got = {
-        r["decile"]: (r["n_docs"])
-        for r in spark.sql(_Q92_SPARK).collect()
-    }
-    # literal ntile over the same features, computed via Spark's own
-    # window function as the independent reference
+    got = {r["decile"]: r["n_docs"] for r in _run_q92(spark).collect()}
+    # literal ntile over the SAME checkpointed features as the reference
     ref = {
         r["decile"]: r["n"]
         for r in spark.sql(
-            """
-            with f as (select doc_id,
-                       round(0.5, 6) as _unused, text from documents)
-            select decile, count(*) as n from (
-              select ntile(10) over (order by score desc, doc_id) as decile
-              from (""" + _Q92_SPARK.split("with f as (")[1].split("),\n    hist")[0] + """)
-            ) group by decile
-            """
+            """select decile, count(*) as n from (
+                 select ntile(10) over (order by score desc, doc_id)
+                   as decile from __q92_f__
+               ) group by decile"""
         ).collect()
     }
-    assert got.keys() == ref.keys()
-    for k in ref:
-        assert got[k] == ref[k], (k, got[k], ref[k])
-    # N=23 → buckets 1-3 hold 3 rows, buckets 4-10 hold 2
+    assert got == ref
+    # N=23 -> buckets 1-3 hold 3 rows, buckets 4-10 hold 2
     assert [got[k] for k in sorted(got)] == [3, 3, 3, 2, 2, 2, 2, 2, 2, 2]
+
+
+def test_q92_null_text_lands_in_last_bucket_not_dropped(spark):
+    """A NULL-text row has a NULL score; the null-safe join + desc NULLS
+    LAST ordering must keep it (in the final bucket), exactly like the
+    oracle's literal ntile — not silently drop it."""
+    rows = [(i, "word " * (i + 2), "en", "s", 5 * (i + 2)) for i in range(20)]
+    rows.append((99, None, "en", "s", 0))
+    _mk_documents(spark, rows).createOrReplaceTempView("documents")
+    out = {r["decile"]: r["n_docs"] for r in _run_q92(spark).collect()}
+    assert sum(out.values()) == 21  # nothing dropped
+    # 21 rows -> bucket 1 has 3; NULL score sorts last -> bucket 10
+    assert out[1] == 3 and out[10] == 2
+
+
