@@ -117,8 +117,7 @@ def test_hot_paths_have_no_rowwise_python(spark, cases):
         assert "BatchEvalPython" not in plan, name
         # and no unbounded cartesian anywhere in the catalog — every
         # all-pairs-looking computation must be a broadcast of a provably
-        # tiny side or a keyed equi-join (audited catalog-wide this round:
-        # 140/140 clean)
+        # tiny side or a keyed equi-join (audited catalog-wide every round)
         assert "CartesianProduct" not in plan, name
         if name not in ("q53_multimodal_meta", "q124_png_decode_stats"):
             assert "MapInPandas" not in plan, name
