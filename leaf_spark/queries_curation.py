@@ -1844,3 +1844,218 @@ sql_case(
     "stops a tiny source's lucky average from outranking a huge one. Two "
     "tiny aggregations; the corpus scan is the whole cost",
 )
+
+
+# ===========================================================================
+# q151-q153 — corpus lexical statistics and cluster-quality diagnostics
+# ===========================================================================
+
+# q151 — PMI collocations: pointwise mutual information over adjacent word
+# pairs, the collocation ranking ("new york" >> "of the") a tokenizer or
+# phrase-mining pass starts from. All counts exact ints; the single ln is
+# rounded to 6 (q117 discipline). Min-count floor keeps the tail noise
+# out and bounds the output; Zipf-bounded pair/unigram tables dominated
+# by the one token shuffle.
+_Q151_BODY = """
+    with w as (select {WS} as ws from documents),
+    toks as (select cast(sum({LEN}) as bigint) as n_tok from w),
+    uni as (
+      select tok, cast(count(*) as bigint) as c
+      from (select {UNNEST} as tok from w) group by tok
+    ),
+    bg as (
+      select bigram, cast(count(*) as bigint) as cb
+      from (select {BIGRAMS} as bigram from w) group by bigram
+    ),
+    scored as (
+      select bg.bigram, bg.cb, u1.c as c1, u2.c as c2,
+             round(ln((cast(bg.cb as double) * toks.n_tok)
+                      / (cast(u1.c as double) * u2.c)), 6) as pmi
+      from bg
+      join uni u1 on u1.tok = {W1}
+      join uni u2 on u2.tok = {W2}
+      cross join toks
+      where bg.cb >= 5
+    )
+    select bigram, cb, c1, c2, pmi
+    from scored
+    order by pmi desc, bigram
+    limit 50
+"""
+
+
+def _q151_sql(engine: str) -> str:
+    if engine == "spark":
+        return (
+            _Q151_BODY.replace(
+                "{WS}",
+                "split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')",
+            )
+            .replace("{LEN}", "size(ws)")
+            .replace("{UNNEST}", "explode(ws)")
+            .replace(
+                "{BIGRAMS}",
+                "explode(transform(slice(ws, 1, greatest(size(ws) - 1, 0)), "
+                "(x, i) -> concat(x, ' ', element_at(ws, i + 2))))",
+            )
+            .replace("{W1}", "split(bg.bigram, ' ')[0]")
+            .replace("{W2}", "split(bg.bigram, ' ')[1]")
+        )
+    return (
+        _Q151_BODY.replace(
+            "{WS}",
+            "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', "
+            "'g')), ' ')",
+        )
+        .replace("{LEN}", "len(ws)")
+        .replace("{UNNEST}", "unnest(ws)")
+        .replace(
+            "{BIGRAMS}",
+            "unnest(list_transform(range(1, len(ws)), "
+            "i -> ws[i] || ' ' || ws[i+1]))",
+        )
+        .replace("{W1}", "string_split(bg.bigram, ' ')[1]")
+        .replace("{W2}", "string_split(bg.bigram, ' ')[2]")
+    )
+
+
+sql_case(
+    "q151_pmi_collocations",
+    _q151_sql("spark"),
+    _q151_sql("duckdb"),
+    doc="top-50 collocations by pointwise mutual information over adjacent "
+    "word pairs (min count 5): PMI = ln(c12*N / (c1*c2)) from exact "
+    "integer counts, single rounded ln — the phrase-mining ranking. One "
+    "token shuffle into Zipf-bounded unigram/bigram tables; the ORDER BY "
+    "+ LIMIT collapses to a top-k, never a global sort",
+)
+
+
+# q152 — term burstiness: variance-to-mean ratio of per-document counts
+# for the highest-frequency terms. VMR ~ 1 = Poisson (function words);
+# VMR >> 1 = bursty/topical terms — the lexical statistic that separates
+# stopword-like from content-like vocabulary without a stopword list.
+# Exact integer moments (the q141 discipline): VMR numerator/denominator
+# emitted as exact bigints beside the rounded quotient. D (doc count)
+# includes zero-count docs: E[x] and E[x^2] use sums over the per-doc
+# count table but divide by TOTAL docs.
+_Q152_BODY = """
+    with d as (select cast(count(*) as bigint) as n_docs from documents),
+    pc as (
+      select tok, doc_id, cast(count(*) as bigint) as c
+      from (select doc_id, {UNNEST} as tok from
+              (select doc_id, {WS} as ws from documents))
+      group by tok, doc_id
+    ),
+    m as (
+      select tok,
+             cast(sum(c) as bigint) as s1,
+             cast(sum(c * c) as bigint) as s2,
+             cast(count(*) as bigint) as df
+      from pc group by tok
+    ),
+    top as (
+      select m.*, d.n_docs from m cross join d
+      order by s1 desc, tok limit 20
+    )
+    select tok, s1 as total_count, df as doc_freq,
+           cast(n_docs * s2 - s1 * s1 as bigint) as vmr_num,
+           cast(n_docs * s1 as bigint) as vmr_den,
+           round(cast(n_docs * s2 - s1 * s1 as double)
+                 / (cast(n_docs as double) * s1), 6) as vmr
+    from top
+"""
+
+
+def _q152_sql(engine: str) -> str:
+    if engine == "spark":
+        return _Q152_BODY.replace(
+            "{WS}",
+            "split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')",
+        ).replace("{UNNEST}", "explode(ws)")
+    return _Q152_BODY.replace(
+        "{WS}",
+        "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')",
+    ).replace("{UNNEST}", "unnest(ws)")
+
+
+sql_case(
+    "q152_term_burstiness",
+    _q152_sql("spark"),
+    _q152_sql("duckdb"),
+    doc="variance-to-mean ratio of per-document counts for the 20 most "
+    "frequent terms: VMR ~ 1 marks Poisson-spread function words, "
+    "VMR >> 1 bursty topical terms — stopword-vs-content separation with "
+    "no stopword list. Exact integer moments (n*S2 - S1^2 over n*S1) "
+    "emitted beside the rounded quotient; one token shuffle into the "
+    "Zipf-bounded moment table, top-k never a global sort",
+)
+
+
+# q153 — conditional label entropy over JL sign buckets: H(label | bucket)
+# where the bucket is the 8-bit sign pattern of the q142 projection.
+# Low conditional entropy = the (cheap, deterministic) geometric hash
+# already separates the classes — the diagnostic run before spending on
+# a trained clustering. Exact counts; ln terms rounded + decimal-summed
+# (q117 discipline).
+def _q153_sql(engine: str) -> str:
+    if engine == "spark":
+        el = "element_at(embedding, {k})"
+        folds = []
+        for j in range(1, _JL_OUT + 1):
+            lits = ", ".join(str(s) for s in _JL_SIGNS[j - 1])
+            folds.append(
+                f"(case when aggregate(transform(sequence(1, {_JL_IN}), i -> "
+                f"cast(floor(cast(element_at(embedding, i) as double) * 1024)"
+                f" * element_at(array({lits}), i) as bigint)), "
+                f"cast(0 as bigint), (a, x) -> a + x) >= 0 "
+                f"then {1 << (j - 1)} else 0 end)"
+            )
+    else:
+        folds = []
+        for j in range(1, _JL_OUT + 1):
+            lits = ", ".join(str(s) for s in _JL_SIGNS[j - 1])
+            folds.append(
+                f"(case when list_sum(list_transform(generate_series(1, "
+                f"{_JL_IN}), i -> cast(floor(cast(embedding[i] as double) "
+                f"* 1024) * ([{lits}][i]) as bigint))) >= 0 "
+                f"then {1 << (j - 1)} else 0 end)"
+            )
+    bucket = " + ".join(folds)
+    return f"""
+    with a as (select cast({bucket} as bigint) as bucket, label
+               from embeddings),
+    bc as (select bucket, label, cast(count(*) as bigint) as c
+           from a group by bucket, label),
+    bt as (select bucket, cast(sum(c) as bigint) as nb from bc
+           group by bucket),
+    tot as (select cast(sum(nb) as bigint) as n from bt),
+    ent as (
+      select bc.bucket, bt.nb,
+             cast(sum(cast(round(-(cast(bc.c as double) / bt.nb)
+                   * ln(cast(bc.c as double) / bt.nb), 6)
+                   as decimal(38,6))) as decimal(38,6)) as h_b
+      from bc join bt on bc.bucket = bt.bucket
+      group by bc.bucket, bt.nb
+    )
+    select cast(count(*) as bigint) as n_buckets,
+           cast(min(nb) as bigint) as min_bucket_n,
+           cast(max(nb) as bigint) as max_bucket_n,
+           round(cast(sum(cast(nb as decimal(38,6)) * h_b) as double)
+                 / cast(tot.n as double), 6) as h_label_given_bucket
+    from ent cross join tot
+    group by tot.n
+    """
+
+
+sql_case(
+    "q153_conditional_entropy",
+    _q153_sql("spark"),
+    _q153_sql("duckdb"),
+    doc="H(label | JL-sign bucket): weighted conditional label entropy "
+    "over the 8-bit sign pattern of the q142 projection — the zero-"
+    "training diagnostic for whether cheap geometric hashing already "
+    "separates the classes, run before paying for k-means. Exact "
+    "counts, ln terms rounded + decimal-summed (q117 discipline); "
+    "bucket table is <= 256 x classes rows",
+)

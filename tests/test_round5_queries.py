@@ -499,3 +499,68 @@ def test_q92_null_text_lands_in_last_bucket_not_dropped(spark):
     assert out[1] == 3 and out[10] == 2
 
 
+
+
+def test_pmi_ranks_true_collocation_first(spark):
+    """A pair that ALWAYS co-occurs ("alpha beta") must out-rank a pair of
+    independently frequent words, and its PMI must equal the hand
+    computation ln(c12*N / (c1*c2))."""
+    import math
+
+    from leaf_spark.queries_curation import _q151_sql
+
+    # 6 docs "alpha beta", 6 docs "x y" with x,y also frequent elsewhere
+    rows = []
+    for i in range(6):
+        rows.append((i, "alpha beta", "en", "s", 10))
+    for i in range(6):
+        rows.append((10 + i, "x y", "en", "s", 3))
+    for i in range(12):
+        rows.append((20 + i, "x q", "en", "s", 3))
+        rows.append((40 + i, "p y", "en", "s", 3))
+    _mk_documents(spark, rows).createOrReplaceTempView("documents")
+    out = spark.sql(_q151_sql("spark")).collect()
+    assert out[0]["bigram"] == "alpha beta"
+    n_tok = 2 * 6 + 2 * 6 + 2 * 12 + 2 * 12
+    expect = round(math.log(6 * n_tok / (6 * 6)), 6)
+    assert abs(out[0]["pmi"] - expect) < 1e-9
+
+
+def test_burstiness_flat_vs_bursty(spark):
+    """One occurrence in every doc -> VMR 0 (sub-Poisson, no variance);
+    all occurrences in one doc -> VMR = (D*S2 - S1^2)/(D*S1) exactly."""
+    from leaf_spark.queries_curation import _q152_sql
+
+    rows = []
+    for i in range(10):
+        text = "flat " + ("burst " * 10 if i == 0 else "") + "flat2"
+        rows.append((i, text.strip(), "en", "s", len(text)))
+    _mk_documents(spark, rows).createOrReplaceTempView("documents")
+    out = {r["tok"]: r for r in spark.sql(_q152_sql("spark")).collect()}
+    assert out["flat"]["vmr_num"] == 0 and out["flat"]["vmr"] == 0.0
+    b = out["burst"]  # s1=10, s2=100, D=10
+    assert (b["vmr_num"], b["vmr_den"]) == (10 * 100 - 100, 10 * 10)
+    assert b["vmr"] == 9.0
+
+
+def test_conditional_entropy_separable_vs_mixed(spark):
+    """Labels perfectly determined by the bucket -> H = 0; two labels
+    uniformly mixed inside one bucket -> H = ln 2."""
+    import math
+
+    from leaf_spark.queries_curation import _q153_sql
+
+    v1 = [1.0] + [0.0] * 63   # bucket = sign pattern of JL column 1
+    v2 = [0.0] * 16 + [1.0] + [0.0] * 47  # a different sign pattern
+    # separable: vector determines label
+    rows = [(i, v1, 0) for i in range(8)] + [(100 + i, v2, 1) for i in range(8)]
+    _mk_embeddings(spark, rows).createOrReplaceTempView("embeddings")
+    r = spark.sql(_q153_sql("spark")).collect()[0]
+    assert r["n_buckets"] == 2 and r["h_label_given_bucket"] == 0.0
+    # mixed: same vector, two labels half/half
+    rows = [(i, v1, i % 2) for i in range(8)]
+    _mk_embeddings(spark, rows).createOrReplaceTempView("embeddings")
+    r = spark.sql(_q153_sql("spark")).collect()[0]
+    assert r["n_buckets"] == 1
+    # per-term rounding before the sum shifts the last digit
+    assert abs(r["h_label_given_bucket"] - math.log(2)) < 5e-6
