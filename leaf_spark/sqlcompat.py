@@ -31,7 +31,8 @@ from dataclasses import dataclass, field
 
 _TOKEN_RE = re.compile(
     r"""
-      (?P<str>'(?:[^']|'')*')
+      (?P<blob>[xX]'(?:[0-9A-Fa-f][0-9A-Fa-f])*')
+    | (?P<str>'(?:[^']|'')*')
     | (?P<qid>"(?:[^"]|"")*")
     | (?P<bqid>`(?:[^`]|``)*`)
     | (?P<brid>\[[^\]]*\])
@@ -42,7 +43,7 @@ _TOKEN_RE = re.compile(
     | (?P<param2>:[A-Za-z_][A-Za-z_0-9]*)
     | (?P<word>[A-Za-z_][A-Za-z_0-9]*)
     | (?P<dot>\.)
-    | (?P<op><=|>=|<>|!=|=|<|>|\|\||[(),;*+\-/%])
+    | (?P<op><=|>=|<>|!=|<<|>>|=|<|>|\|\||&|\||~|[(),;*+\-/%])
     | (?P<ws>\s+)
     """,
     re.VERBOSE,
@@ -141,7 +142,10 @@ def _convert_strftime_fmt(lit: str) -> str:
 
 
 _TYPEOF_CASE = (
-    "case when typeof({x}) in ('bigint', 'int', 'smallint', 'tinyint') "
+    # SQLite typeof is DYNAMIC: a NULL value reports 'null' whatever the
+    # column type — test the value before the static type
+    "case when {x} is null then 'null' "
+    "when typeof({x}) in ('bigint', 'int', 'smallint', 'tinyint') "
     "then 'integer' "
     # non-ANSI Spark parses the literal 1.5 as DECIMAL(2,1) — SQLite calls
     # every non-integer numeric 'real', so decimals map there too
@@ -249,6 +253,38 @@ def _apply_time_modifiers(ts: str, mods: list[str]) -> str:
 def _rw_call(name: str, args: list[str]) -> str:
     """Rewrite one function call (args already translated SQL strings)."""
     n = name.lower()
+    # SQLite's SCALAR max/min (>= 2 args) = greatest/least — but SQLite
+    # returns NULL if ANY argument is NULL, where Spark's greatest/least
+    # skip NULLs
+    if n in ("max", "min") and len(args) >= 2:
+        fn = "greatest" if n == "max" else "least"
+        any_null = " or ".join(f"({a}) is null" for a in args)
+        return (
+            f"(case when {any_null} then null "
+            f"else {fn}({', '.join(args)}) end)"
+        )
+    if n == "json_array":
+        # SQLite json_array is HETEROGENEOUS (json_array(1, 'a') ->
+        # [1,"a"]); Spark's array() unifies types, so render each element
+        # to its own JSON fragment: numbers verbatim, strings through
+        # to_json's escaper (named_struct keeps the per-field type, and
+        # the value part of '{"q":...}' starts at offset 6)
+        frags = []
+        for a in args:
+            frags.append(
+                f"case when ({a}) is null then 'null' "
+                f"when typeof({a}) in {_INT_TYPES_SQL} "
+                f"then cast(cast({a} as bigint) as string) "
+                f"when typeof({a}) in ('double', 'float') "
+                f"or typeof({a}) like 'decimal%' "
+                f"then cast(cast({a} as double) as string) "
+                f"else substring(to_json(named_struct('q', "
+                f"cast({a} as string))), 6, "
+                f"length(to_json(named_struct('q', cast({a} as string)))) "
+                f"- 6) end"
+            )
+        inner = ", ".join(frags)
+        return f"concat('[', concat_ws(',', {inner}), ']')"
     if n == "cast":
         # cast(x as TEXT) — SQLite type names → Spark type names
         m = re.search(r"\s+as\s+(\w+)\s*$", args[0], re.IGNORECASE)
@@ -370,8 +406,7 @@ def _rw_call(name: str, args: list[str]) -> str:
     if n == "json_group_array":
         # same determinism rationale as group_concat above
         return f"to_json(sort_array(collect_list({args[0]})))"
-    if n == "json_array":
-        return f"to_json(array({', '.join(args)}))"
+    # (json_array is handled above — heterogeneous per-element rendering)
     if n in ("json_set", "json_patch"):
         # registered as python UDFs (no Spark builtin)
         return f"{n}({', '.join(args)})"
@@ -609,10 +644,261 @@ def _rewrite_json_each(sql: str) -> str:
         sql = head + tail[:ins] + lv + " " + tail[ins:]
 
 
+def _sqldiv_tree(arg: str):
+    """Parse a (possibly nested / parenthesized) __sqldiv__ expression
+    into a binary tree: ('div', left, right) nodes, leaf strings."""
+    a = arg.strip()
+    while (
+        a.startswith("(")
+        and a.endswith(")")
+        # the unmatched ')' seen from a[1:] must be a's own last char
+        and _je_insert_point(a[1:]) == len(a) - 2
+    ):
+        a = a[1:-1].strip()
+    if a.startswith("__sqldiv__"):
+        open_idx = a.index("(")
+        args, close = _je_args(a, open_idx)
+        if close == len(a) - 1 and len(args) == 2:
+            return ("div", _sqldiv_tree(args[0]), _sqldiv_tree(args[1]))
+    return a
+
+
+def _sqldiv_leaves(node) -> list[str]:
+    if isinstance(node, str):
+        return [node]
+    return _sqldiv_leaves(node[1]) + _sqldiv_leaves(node[2])
+
+
+def _sqldiv_render(node, op: str, leaf_fmt: str) -> str:
+    if isinstance(node, str):
+        return leaf_fmt.format(x=node)
+    l = _sqldiv_render(node[1], op, leaf_fmt)
+    r = _sqldiv_render(node[2], op, leaf_fmt)
+    return f"({l} {op} {r})"
+
+
+def _expand_sqldiv(sql: str) -> str:
+    """Expand __sqldiv__ placeholders into SQLite division semantics.
+
+    SQLite '/' truncates toward zero when BOTH operands are integers.
+    A division TREE (chains, parenthesized sub-divisions) expands with
+    ONE typeof test over every leaf: all-integer trees run through
+    Spark's ``div`` applied in the ORIGINAL tree shape (truncates toward
+    zero, null on /0 — exact SQLite behavior for integer trees of any
+    nesting), anything else runs fully fractional. The case expression
+    unifies to DOUBLE, so 7/2 yields 3.0 where SQLite yields 3 (value
+    right, affinity documented); a MIXED tree like 7/2/2.0 runs fully
+    fractional where SQLite decides per step — the one documented
+    divergence.
+    """
+    while True:
+        pos = sql.find("__sqldiv__(")
+        if pos < 0:
+            return sql
+        open_idx = sql.index("(", pos)
+        _, close = _je_args(sql, open_idx)
+        tree = _sqldiv_tree(sql[pos : close + 1])
+        leaves = _sqldiv_leaves(tree)
+        all_int = " and ".join(
+            f"typeof({o}) in {_INT_TYPES_SQL}" for o in leaves
+        )
+        int_tree = _sqldiv_render(tree, "div", "cast({x} as bigint)")
+        frac_tree = _sqldiv_render(tree, "/", "cast({x} as double)")
+        repl = (
+            f"(case when {all_int} then cast({int_tree} as double) "
+            f"else {frac_tree} end)"
+        )
+        sql = sql[:pos] + repl + sql[close + 1 :]
+
+
 def translate(sql: str) -> str:
     """Translate one SQLite-dialect statement/expression to Spark SQL."""
     tokens = tokenize(sql)
-    return _rewrite_json_each(_j(_translate_tokens(tokens)))
+    return _rewrite_json_each(_expand_sqldiv(_j(_translate_tokens(tokens))))
+
+
+_INT_TYPES_SQL = "('bigint', 'int', 'smallint', 'tinyint')"
+
+# words that can precede a parenthesized group WITHOUT being a function
+# name — never absorb them into a popped operand
+_NOT_FN_WORDS = frozenset(
+    {"select", "where", "when", "then", "else", "and", "or", "not", "in",
+     "on", "from", "by", "as", "case", "end", "between", "exists",
+     "values", "having", "set", "distinct", "all", "union", "intersect",
+     "except", "like", "ilike", "glob", "is", "escape", "limit", "offset",
+     "group", "order", "join", "over"}
+)
+
+
+# words that terminate an expression sweep (clause structure, logical
+# and comparison keywords) — an operand never crosses these
+_EXPR_BOUNDARY_WORDS = frozenset(
+    {"select", "where", "when", "then", "else", "and", "or", "not", "in",
+     "on", "from", "by", "as", "case", "end", "between", "exists",
+     "values", "having", "set", "distinct", "all", "union", "intersect",
+     "except", "like", "ilike", "glob", "is", "escape", "limit", "offset",
+     "group", "order", "join", "over", "collate", "asc", "desc",
+     "returning", "cross", "inner", "outer", "left", "right", "window"}
+)
+
+_CMP_OPS = frozenset({"=", "<", ">", "<=", ">=", "<>", "!="})
+
+
+def _pop_tier_operand(out: list[str], boundary_ops: frozenset) -> list[str]:
+    """Pop the longest already-translated suffix of ``out`` that forms one
+    operand for an operator of a given precedence tier: sweep backwards
+    over balanced groups and tighter-tier operators, stopping at
+    ``boundary_ops``, comparison/clause keywords, an enclosing '(' or
+    ','/';'. Left-associativity falls out: everything tighter that was
+    already emitted belongs to the left operand."""
+    unit: list[str] = []
+    while out:
+        t = out[-1]
+        if t == ")":
+            depth = 0
+            while out:
+                u = out.pop()
+                unit.append(u)
+                if u == ")":
+                    depth += 1
+                elif u == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            if (
+                out
+                and _is_word(out[-1])
+                and out[-1].lower() not in _NOT_FN_WORDS
+            ):
+                unit.append(out.pop())
+            continue
+        if t in ("(", ",", ";") or t in boundary_ops or t in _CMP_OPS:
+            break
+        if _is_word(t) and t.lower() in _EXPR_BOUNDARY_WORDS:
+            break
+        unit.append(out.pop())
+    if not unit:
+        raise SqlTranslationError("missing left operand")
+    unit.reverse()
+    return unit
+
+
+def _take_tier_operand(
+    tokens: list[str], i: int, boundary_ops: frozenset
+) -> tuple[list[str], int]:
+    """Forward counterpart of _pop_tier_operand over RAW tokens: sweep the
+    right operand up to (excluding) the next same-or-looser-tier operator,
+    comparison, clause keyword, or depth-0 ')'/','/';'."""
+    unit: list[str] = []
+    n = len(tokens)
+    first = True
+    while i < n:
+        t = tokens[i]
+        if t == "(" or (
+            _is_word(t) and i + 1 < n and tokens[i + 1] == "("
+            and t.lower() not in _NOT_FN_WORDS
+        ):
+            start = i if t == "(" else i + 1
+            depth, j = 0, start
+            while j < n:
+                if tokens[j] == "(":
+                    depth += 1
+                elif tokens[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            unit.extend(tokens[i : j + 1])
+            i = j + 1
+            first = False
+            continue
+        if t in (")", ",", ";"):
+            break
+        if not first and (t in boundary_ops or t in _CMP_OPS):
+            break
+        if first and t in ("-", "+", "~"):
+            unit.append(t)
+            i += 1
+            continue
+        if t in boundary_ops or t in _CMP_OPS:
+            break
+        if _is_word(t) and t.lower() in _EXPR_BOUNDARY_WORDS:
+            break
+        unit.append(t)
+        i += 1
+        first = False
+    if not unit:
+        raise SqlTranslationError("missing right operand")
+    return unit, i
+
+
+# '/' tier: * % share it (stay in the operand); everything looser stops
+_DIV_BOUNDARY = frozenset({"+", "-", "&", "|", "<<", ">>", "||", "/"})
+# bitwise tier: looser than all arithmetic and concat — only comparisons,
+# logic and clause keywords bound the operands
+_BIT_BOUNDARY = frozenset({"&", "|", "<<", ">>"})
+
+
+def _pop_operand(out: list[str]) -> list[str]:
+    """Pop one complete already-translated primary operand off ``out``:
+    a ')'-balanced group (with its function name), a literal/identifier,
+    plus any dotted qualification. Used by binary-operator rewrites."""
+    if not out:
+        raise SqlTranslationError("missing left operand")
+    unit = [out.pop()]
+    if unit[0] == ")":
+        depth = 1
+        while out and depth:
+            u = out.pop()
+            unit.append(u)
+            if u == ")":
+                depth += 1
+            elif u == "(":
+                depth -= 1
+        if out and _is_word(out[-1]) and out[-1].lower() not in _NOT_FN_WORDS:
+            unit.append(out.pop())
+    while len(out) >= 2 and out[-1] == ".":
+        unit.append(out.pop())
+        unit.append(out.pop())
+    unit.reverse()
+    return unit
+
+
+def _take_operand(tokens: list[str], i: int) -> tuple[list[str], int]:
+    """(raw tokens of the primary operand starting at ``i``, next index):
+    optional unary sign, then literal/identifier/function-call/
+    parenthesized group, plus dotted chains."""
+    unit: list[str] = []
+    if i < len(tokens) and tokens[i] in ("-", "+", "~"):
+        unit.append(tokens[i])
+        i += 1
+    if i >= len(tokens):
+        raise SqlTranslationError("missing right operand")
+    t = tokens[i]
+    if _is_word(t) and i + 1 < len(tokens) and tokens[i + 1] == "(":
+        _, close = _find_args(tokens, i + 1)
+        unit.extend(tokens[i : close + 1])
+        i = close + 1
+    elif t == "(":
+        depth, j = 0, i
+        while j < len(tokens):
+            if tokens[j] == "(":
+                depth += 1
+            elif tokens[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        unit.extend(tokens[i : j + 1])
+        i = j + 1
+    else:
+        unit.append(t)
+        i += 1
+    while i + 1 < len(tokens) and tokens[i] == ".":
+        unit.append(".")
+        unit.append(tokens[i + 1])
+        i += 2
+    return unit, i
 
 
 def _translate_tokens(tokens: list[str]) -> list[str]:
@@ -686,6 +972,80 @@ def _translate_tokens(tokens: list[str]) -> list[str]:
                 path = f"concat('$.', {key})"
             out.extend(tokenize(f"get_json_object({operand}, {path})"))
             i += 2
+            continue
+        # SQLite '/' does INTEGER division (truncating toward zero) when
+        # both operands are integers; Spark '/' is always fractional. The
+        # rewrite dispatches on runtime typeof — Spark `div` truncates
+        # toward zero and nulls on /0 exactly like SQLite. The case
+        # expression unifies to DOUBLE, so int/int yields 3.0 where
+        # SQLite yields 3 — the VALUE is right, the affinity divergence
+        # is documented (same class as '7'+1 -> 8.0). Operands are pure
+        # expressions evaluated twice; SQLite's deterministic query fns
+        # make that safe. Integer '%' already matches Spark; float '%'
+        # (SQLite casts operands to int) is a documented divergence.
+        if t == "/" and out:
+            # left operand sweeps the already-emitted same-tier chain
+            # (a * b / c == (a*b)/c); right operand is one primary
+            # (a / b * c == (a/b)*c)
+            a = _j(_pop_tier_operand(out, _DIV_BOUNDARY))
+            b_toks, i2 = _take_operand(tokens, i + 1)
+            b = _j(_translate_tokens(b_toks))
+            # placeholder; division trees expand in _expand_sqldiv so the
+            # integer-ness decision covers the WHOLE tree
+            out.extend(tokenize(f"__sqldiv__({a}, {b})"))
+            i = i2
+            continue
+        # SQLite bitwise ops cast BOTH operands to INTEGER (so they work
+        # on reals and on our double-typed division results); Spark's
+        # operators are strict about operand types — cast explicitly.
+        # NULL propagates through the casts exactly like SQLite.
+        if t in ("&", "|", "<<", ">>") and out:
+            # SQLite bitwise binds LOOSER than all arithmetic: both
+            # operand sweeps cross +,-,*,/,% chains (2 + n & n ==
+            # (2+n) & n), stopping only at other bitwise/comparison/
+            # clause boundaries
+            a = _j(_pop_tier_operand(out, _BIT_BOUNDARY))
+            b_toks, i2 = _take_tier_operand(tokens, i + 1, _BIT_BOUNDARY)
+            b = _j(_translate_tokens(b_toks))
+            ca, cb = f"cast({a} as bigint)", f"cast({b} as bigint)"
+            if t in ("<<", ">>"):
+                # SQLite shift semantics: amounts >= 64 saturate (0 for
+                # the vacated direction, sign for arithmetic right);
+                # NEGATIVE amounts shift the OTHER way. Spark/Java shift
+                # modulo 64 — emulate exactly. NULLs fall through every
+                # branch to null.
+                left_first = t == "<<"
+                sat_right = f"(case when {ca} < 0 then -1 else 0 end)"
+                if left_first:
+                    expr = (
+                        f"(case when {cb} >= 64 then cast(0 as bigint) "
+                        f"when {cb} <= -64 then {sat_right} "
+                        f"when {cb} >= 0 then {ca} << {cb} "
+                        f"else {ca} >> (- {cb}) end)"
+                    )
+                else:
+                    expr = (
+                        f"(case when {cb} >= 64 then {sat_right} "
+                        f"when {cb} <= -64 then cast(0 as bigint) "
+                        f"when {cb} >= 0 then {ca} >> {cb} "
+                        f"else {ca} << (- {cb}) end)"
+                    )
+                out.extend(tokenize(expr))
+            else:
+                out.extend(tokenize(f"({ca} {t} {cb})"))
+            i = i2
+            continue
+        if t == "~":
+            b_toks, i2 = _take_operand(tokens, i + 1)
+            b = _j(_translate_tokens(b_toks))
+            out.extend(tokenize(f"(~ cast({b} as bigint))"))
+            i = i2
+            continue
+        # SQLite LIKE is case-insensitive (ASCII) by default — Spark's
+        # ILIKE is the faithful operator (ESCAPE clauses pass through)
+        if _is_word(t) and low == "like":
+            out.append("ilike")
+            i += 1
             continue
         # x GLOB 'pat'
         if _is_word(t) and low == "glob":
