@@ -228,6 +228,25 @@ def _apply_time_modifiers(ts: str, mods: list[str]) -> str:
                     f"({out} + make_interval(0, 0, 0, 0, 0, 0, "
                     f"{float(val) * _SECONDS_PER[unit]}))"
                 )
+            elif unit in ("year", "month"):
+                # SQLite does NOT clamp month arithmetic: Jan 31 + 1 month
+                # = "Feb 31" -> normalizes to Mar 2 (Spark's add_months /
+                # INTERVAL MONTH clamp to month-end). Reproduce the
+                # normalization: land on the FIRST of the target month,
+                # then add the original (day - 1) as DAYS (overflow rolls
+                # forward exactly like SQLite), then restore the
+                # time-of-day.
+                months = int(val) * (12 if unit == "year" else 1)
+                first = (
+                    f"cast(add_months(date_trunc('MM', {out}), {months}) "
+                    f"as timestamp)"
+                )
+                mid = f"timestampadd(DAY, day({out}) - 1, {first})"
+                secs = (
+                    f"cast(unix_timestamp({out}) "
+                    f"- unix_timestamp(date_trunc('DAY', {out})) as bigint)"
+                )
+                out = f"timestampadd(SECOND, {secs}, {mid})"
             else:
                 out = f"({out} + INTERVAL {val.lstrip('+')} {unit.upper()})"
         elif body in ("start of day", "start of month", "start of year"):

@@ -269,8 +269,11 @@ class TestTimeModifiers:
 
     def test_add_interval(self, spark):
         assert str(self._one(spark, "date('2024-01-30', '+3 days')")) == "2024-02-02"
-        assert str(self._one(spark, "date('2024-03-31', '-1 month')")) == "2024-02-29"
-        assert str(self._one(spark, "date('2024-02-29', '+1 year')")) == "2025-02-28"
+        # SQLite does NOT clamp month arithmetic: Mar 31 - 1 month =
+        # "Feb 31" -> Mar 2 (verified against sqlite3 — see
+        # test_sqlite_differential.py for the full matrix)
+        assert str(self._one(spark, "date('2024-03-31', '-1 month')")) == "2024-03-02"
+        assert str(self._one(spark, "date('2024-02-29', '+1 year')")) == "2025-03-01"
         assert (
             str(self._one(spark, "datetime('2024-01-01 10:00:00', '+90 minutes')"))
             == "2024-01-01 11:30:00"

@@ -187,3 +187,122 @@ def test_random_integer_arithmetic_matches_sqlite(engines):
             (_norm(r["v"]) for r in ex.execute(sql).collect()), key=repr
         )
         assert got == want, e
+
+
+# ---------------------------------------------------------------------------
+# json1 family — stdlib sqlite3 ships json1, so the compat UDFs and
+# rewrites get a real oracle instead of hand-written expectations
+# ---------------------------------------------------------------------------
+
+JSON_CASES = [
+    """select json_set('{"a":1}', '$.b', 9) as v""",
+    """select json_set('{}', '$.a', 'txt') as v""",
+    """select json_replace('{"a":1}', '$.a', 2) as v""",
+    """select json_replace('{"a":1}', '$.b', 2) as v""",  # no-op
+    """select json_insert('{"a":1}', '$.a', 2) as v""",   # no-op
+    """select json_insert('{"a":1}', '$.b', 2) as v""",
+    """select json_remove('{"a":1,"b":2}', '$.a') as v""",
+    """select json_patch('{"a":1,"b":2}', '{"b":null,"c":3}') as v""",
+    """select json_type('{"a":1}') as v""",
+    """select json_type('[1]') as v""",
+    """select json_type('5') as v""",
+    """select json_valid('{"a":1}') as v""",
+    """select json_valid('nope') as v""",
+    """select json_quote('it''s') as v""",
+    """select json('  {"a"  :  1}  ') as v""",
+    """select json_array_length('[1,2,3]') as v""",
+    """select json_extract('{"a":{"b":[10,20]}}', '$.a.b[1]') as v""",
+]
+
+
+@pytest.mark.parametrize("sql", JSON_CASES)
+def test_json1_family_matches_sqlite(engines, sql):
+    ex, con = engines
+    want = con.execute(sql).fetchone()[0]
+    got = ex.execute(sql).first()["v"]
+    # json_extract scalars surface as text (documented affinity note)
+    assert str(_norm(got)) == str(_norm(want)), sql
+
+
+# ---------------------------------------------------------------------------
+# date/time modifier matrix — every modifier chain against SQLite itself
+# ---------------------------------------------------------------------------
+
+DATE_CASES = [
+    "select date('2024-01-31', '+1 month') as v",
+    "select date('2024-02-29', '+1 year') as v",
+    "select date('2024-03-10', '-45 days') as v",
+    "select date('2024-03-10', 'start of month') as v",
+    "select date('2024-03-10', 'start of year') as v",
+    "select date('2024-03-10', 'start of month', '+1 month', '-1 day') as v",
+    "select date('2024-03-10', 'weekday 1') as v",
+    "select datetime('2024-03-10 05:06:07', '+90 minutes') as v",
+    "select datetime('2024-03-10 05:06:07', 'start of day') as v",
+    "select datetime(86400, 'unixepoch') as v",
+    "select datetime(86400, 'unixepoch', '+2 hours', '+30 seconds') as v",
+    "select time('2024-03-10 23:59:58') as v",
+    "select strftime('%Y|%m|%d|%H|%M|%S', '2024-03-10 05:06:07') as v",
+    "select strftime('%j', '2024-03-10') as v",
+    "select unixepoch('2024-03-10 00:00:00') as v",
+    "select julianday('2000-01-01 12:00:00') as v",
+]
+
+
+@pytest.mark.parametrize("sql", DATE_CASES)
+def test_datetime_matrix_matches_sqlite(engines, sql):
+    ex, con = engines
+    want = con.execute(sql).fetchone()[0]
+    got = ex.execute(sql).first()["v"]
+    if isinstance(want, float):
+        assert abs(float(got) - want) < 1e-6, sql
+    else:
+        assert _norm(got) == _norm(want), sql
+
+
+# ---------------------------------------------------------------------------
+# DML state parity — run the same statement sequence on both engines and
+# compare the FINAL TABLE STATE (covers defaults, ON CONFLICT upserts,
+# INSERT OR REPLACE/IGNORE, UPDATE ... FROM-less arithmetic, DELETE)
+# ---------------------------------------------------------------------------
+
+DML_SCRIPTS = [
+    # upsert via ON CONFLICT DO UPDATE
+    [
+        "create table u (k integer primary key, c integer default 0)",
+        "insert into u (k) values (1), (2)",
+        "insert into u (k, c) values (1, 5) on conflict(k) do update set c = c + 5",
+        "insert into u (k, c) values (3, 7) on conflict(k) do update set c = c + 7",
+    ],
+    # INSERT OR IGNORE / OR REPLACE
+    [
+        "create table u (k integer primary key, s text)",
+        "insert into u values (1, 'a'), (2, 'b')",
+        "insert or ignore into u values (1, 'X'), (3, 'c')",
+        "insert or replace into u values (2, 'Y')",
+    ],
+    # UPDATE with integer-division arithmetic + DELETE
+    [
+        "create table u (k integer primary key, n integer)",
+        "insert into u values (1, 7), (2, 10), (3, 3)",
+        "update u set n = n / 2 where n > 4",
+        "delete from u where n <= 1",
+    ],
+]
+
+
+@pytest.mark.parametrize("script", DML_SCRIPTS, ids=["upsert", "or_clauses", "update_div"])
+def test_dml_state_matches_sqlite(spark, script):
+    ex = DmlExecutor(TableStore(spark, f"t_dml_{abs(hash(tuple(script))) % 10**8}_"))
+    con = sqlite3.connect(":memory:")
+    for stmt in script:
+        ex.execute(stmt)
+        con.execute(stmt)
+    want = sorted(
+        (tuple(_norm(v) for v in r) for r in con.execute("select * from u")),
+        key=repr,
+    )
+    got = sorted(
+        (tuple(_norm(v) for v in r) for r in ex.execute("select * from u").collect()),
+        key=repr,
+    )
+    assert got == want
