@@ -306,3 +306,57 @@ def test_dml_state_matches_sqlite(spark, script):
         key=repr,
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# hypothesis-driven differential fuzz — random inputs, sqlite3 as oracle
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_jkeys = st.text(alphabet="abcd", min_size=1, max_size=3)
+_jvals = st.one_of(
+    st.integers(min_value=-99, max_value=99),
+    st.none(),
+    st.text(alphabet="xyz", max_size=3),
+)
+_jobjs = st.dictionaries(_jkeys, _jvals, max_size=4)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(target=_jobjs, patch=_jobjs)
+def test_json_patch_matches_sqlite_on_random_objects(engines, target, patch):
+    """RFC-7386 merge-patch semantics (null removes, nested replace) on
+    random flat objects — byte-identical JSON both engines."""
+    import json
+
+    ex, con = engines
+    t = json.dumps(target).replace("'", "''")
+    p = json.dumps(patch).replace("'", "''")
+    sql = f"select json_patch('{t}', '{p}') as v"
+    want = con.execute(sql).fetchone()[0]
+    got = ex.execute(sql).first()["v"]
+    assert json.loads(got) == json.loads(want)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pat=st.text(alphabet="aAbB%_", min_size=1, max_size=6),
+    val=st.text(alphabet="aAbB", min_size=0, max_size=6),
+)
+def test_like_matches_sqlite_on_random_patterns(engines, pat, val):
+    """SQLite LIKE: ASCII case-insensitive with %/_ wildcards — random
+    pattern/value pairs must classify identically."""
+    ex, con = engines
+    sql = f"select '{val}' like '{pat}' as v"
+    want = con.execute(sql).fetchone()[0]
+    got = ex.execute(sql).first()["v"]
+    assert int(got) == want, (pat, val)
