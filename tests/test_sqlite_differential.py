@@ -360,3 +360,91 @@ def test_like_matches_sqlite_on_random_patterns(engines, pat, val):
     want = con.execute(sql).fetchone()[0]
     got = ex.execute(sql).first()["v"]
     assert int(got) == want, (pat, val)
+
+
+# ---------------------------------------------------------------------------
+# trigger + recursive-CTE parity — sqlite3 executes both natively, so the
+# trigger folding and the fixpoint operator get a real oracle
+# ---------------------------------------------------------------------------
+
+TRIGGER_SCRIPTS = [
+    # AFTER INSERT audit trail with NEW references
+    [
+        "create table items (id integer, name text, qty integer)",
+        "create table u (op text, item_id integer, detail text)",
+        "create trigger tg after insert on items begin "
+        "insert into u values ('ins', new.id, new.name); end",
+        "insert into items values (1, 'a', 5), (2, 'b', 6)",
+    ],
+    # WHEN-filtered trigger with arithmetic on NEW
+    [
+        "create table items (id integer, qty integer)",
+        "create table u (item_id integer, half integer)",
+        "create trigger tg after insert on items when new.qty > 4 begin "
+        "insert into u values (new.id, new.qty / 2); end",
+        "insert into items values (1, 3), (2, 9), (3, 10)",
+    ],
+    # AFTER UPDATE trigger sees OLD and NEW
+    [
+        "create table items (id integer, qty integer)",
+        "create table u (item_id integer, old_q integer, new_q integer)",
+        "insert into items values (1, 5), (2, 7)",
+        "create trigger tg after update on items begin "
+        "insert into u values (new.id, old.qty, new.qty); end",
+        "update items set qty = qty + 10 where id = 2",
+    ],
+]
+
+
+@pytest.mark.parametrize(
+    "script", TRIGGER_SCRIPTS, ids=["after_insert", "when_filtered", "after_update"]
+)
+def test_trigger_state_matches_sqlite(spark, script):
+    ex = DmlExecutor(TableStore(spark, f"t_tg_{abs(hash(tuple(script))) % 10**8}_"))
+    con = sqlite3.connect(":memory:")
+    for stmt in script:
+        ex.execute(stmt)
+        con.execute(stmt)
+    want = sorted(
+        (tuple(_norm(v) for v in r) for r in con.execute("select * from u")),
+        key=repr,
+    )
+    got = sorted(
+        (tuple(_norm(v) for v in r) for r in ex.execute("select * from u").collect()),
+        key=repr,
+    )
+    assert got == want
+
+
+RECURSIVE_CASES = [
+    # counter
+    "with recursive c(x) as (select 1 union all select x + 1 from c "
+    "where x < 7) select x as v from c",
+    # accumulating arithmetic (integer division inside the step)
+    "with recursive c(x, y) as (select 16, 0 union all "
+    "select x / 2, y + 1 from c where x > 1) select x as v, y as w from c",
+    # graph reachability with cycle (UNION dedup terminates it)
+    "with recursive r(n) as (select 1 union select e.dst from edges e "
+    "join r on e.src = r.n) select n as v from r",
+]
+
+
+@pytest.mark.parametrize("sql", RECURSIVE_CASES, ids=["counter", "div_steps", "graph"])
+def test_recursive_cte_matches_sqlite(spark, sql):
+    ex = DmlExecutor(TableStore(spark, f"t_rc_{abs(hash(sql)) % 10**8}_"))
+    con = sqlite3.connect(":memory:")
+    ddl = "create table edges (src integer, dst integer)"
+    rows = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    ex.execute(ddl)
+    con.execute(ddl)
+    for s, d in rows:
+        ex.execute(f"insert into edges values ({s}, {d})")
+        con.execute(f"insert into edges values ({s}, {d})")
+    want = sorted(
+        (tuple(_norm(v) for v in r) for r in con.execute(sql)), key=repr
+    )
+    got = sorted(
+        (tuple(_norm(v) for v in r) for r in ex.execute(sql).collect()),
+        key=repr,
+    )
+    assert got == want
