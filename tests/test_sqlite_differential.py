@@ -448,3 +448,169 @@ def test_recursive_cte_matches_sqlite(spark, sql):
         key=repr,
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# FULL MODULE-FOLD PARITY — the reference folds events by executing the
+# module's materializer SQL on SQLite. Here sqlite3 does exactly that
+# (per event, with `event` as a one-row temp table, drisl_* registered
+# as Python functions, `state.` as an attached database) and the final
+# queryable state must match the real Stream's.
+# ---------------------------------------------------------------------------
+
+
+def _sqlite_module_engine():
+    from leaf_spark import drisl as dr
+
+    con = sqlite3.connect(":memory:")
+    con.execute("attach ':memory:' as state")
+    con.create_function(
+        "drisl_extract", 2, lambda p, q: dr.drisl_extract(p, q)
+    )
+    con.create_function(
+        "drisl_extract_int",
+        2,
+        lambda p, q: (
+            None
+            if dr.drisl_extract(p, q) is None
+            else int(dr.drisl_extract(p, q))
+        ),
+    )
+    con.create_function("drisl_exists", 2, lambda p, q: dr.drisl_exists(p, q))
+
+    def _unauthorized(msg):
+        raise ValueError(f"Unauthorized: {msg}")
+
+    def _throw(msg, *rest):
+        raise ValueError(str(msg))
+
+    con.create_function("unauthorized", 1, _unauthorized)
+    con.create_function("throw", -1, _throw)
+    return con
+
+
+def _sqlite_fold(con, sql_script, idx, ev):
+    con.execute("create temp table event (idx integer, user text, payload blob)")
+    con.execute("insert into event values (?, ?, ?)", (idx, ev.user, ev.payload))
+    try:
+        for stmt in sql_script.split(";"):
+            if stmt.strip():
+                con.execute(stmt)
+    finally:
+        con.execute("drop table event")
+
+
+def test_chat_module_fold_matches_sqlite(spark, tmp_path):
+    """CHAT: authorizer + batch-safe INSERT...SELECT materializer + state
+    upsert. Every named query must return identical rows on the real
+    Stream and on sqlite3 executing the same module SQL per event."""
+    from leaf_spark.stream import Stream
+    from leaf_spark.types import LeafQuery, SqlValue
+
+    from .fixtures import CHAT, marker, msg
+
+    events = [
+        msg("did:plc:u1", "hello", 100),
+        msg("did:plc:u2", "there", 105),
+        msg("did:plc:u1", "again", 110),
+        msg("did:plc:u2", "it's ok", 112),
+    ]
+    markers = [marker("did:plc:u1", 2)]
+
+    s = Stream(spark, str(tmp_path / "st"), "did:plc:diff")
+    s.provide_module(CHAT)
+    s.add_events(events)
+    s.add_state_events(markers)
+
+    con = _sqlite_module_engine()
+    for stmt in (CHAT.init_sql + ";" + CHAT.state_init_sql).split(";"):
+        if stmt.strip():
+            con.execute(stmt)
+    for i, ev in enumerate(events):
+        for stmt in CHAT.authorizer.split(";"):
+            if stmt.strip():
+                con.execute(
+                    "create temp table event (idx integer, user text, payload blob)"
+                )
+                con.execute(
+                    "insert into event values (?, ?, ?)", (i + 1, ev.user, ev.payload)
+                )
+                con.execute(stmt)
+                con.execute("drop table event")
+        _sqlite_fold(con, CHAT.materializer, i + 1, ev)
+    for j, ev in enumerate(markers):
+        _sqlite_fold(con, CHAT.state_materializer, 10_000 + j, ev)
+
+    for qname, params in [
+        ("messages", {"start": 1, "limit": 50}),
+        ("messages_by_sender", {"sender": "did:plc:u1", "start": 1, "limit": 50}),
+        ("message_stats", {}),
+        ("my_unread", {}),
+    ]:
+        lq = LeafQuery(
+            qname,
+            params={
+                k: SqlValue("text", v)
+                for k, v in params.items()
+                if k == "sender"
+            },
+            start=params.get("start"),
+            limit=params.get("limit", 100),
+        )
+        got = s.query("did:plc:u1", lq)
+        qdef = next(q for q in CHAT.queries if q.name == qname)
+        sql = qdef.sql
+        bind = dict(params)
+        bind["requesting_user"] = "did:plc:u1"
+        want = [
+            dict(zip([c[0] for c in cur.description], row))
+            for cur in [con.execute(
+                sql.replace("$start", ":start")
+                .replace("$limit", ":limit")
+                .replace("$sender", ":sender")
+                .replace("$requesting_user", ":requesting_user"),
+                bind,
+            )]
+            for row in cur.fetchall()
+        ]
+        if qname == "message_stats":
+            # n DESC ties are unordered between engines — both orders
+            # are valid answers to this query
+            got = sorted(got, key=repr)
+            want = sorted(want, key=repr)
+        assert got == want, qname
+
+
+def test_counter_module_fold_matches_sqlite(spark, tmp_path):
+    """COUNTER uses UPDATE in its materializer — the per-event fallback
+    path — and upserts with ON CONFLICT DO NOTHING. Interleaved
+    increments/decrements across names must fold identically."""
+    from leaf_spark.stream import Stream
+    from leaf_spark.types import LeafQuery
+
+    from .fixtures import COUNTER, bump
+
+    events = [
+        bump("did:plc:u", "a", 3),
+        bump("did:plc:u", "b", -2),
+        bump("did:plc:u", "a", 4),
+        bump("did:plc:u", "c", 0),
+        bump("did:plc:u", "b", 7),
+    ]
+    s = Stream(spark, str(tmp_path / "st"), "did:plc:diff")
+    s.provide_module(COUNTER)
+    s.add_events(events)
+
+    con = _sqlite_module_engine()
+    for stmt in COUNTER.init_sql.split(";"):
+        if stmt.strip():
+            con.execute(stmt)
+    for i, ev in enumerate(events):
+        _sqlite_fold(con, COUNTER.materializer, i + 1, ev)
+
+    got = s.query(None, LeafQuery("counters"))
+    want = [
+        {"name": n, "value": v}
+        for n, v in con.execute("select name, value from counters order by name")
+    ]
+    assert got == want
