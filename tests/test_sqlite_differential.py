@@ -614,3 +614,51 @@ def test_counter_module_fold_matches_sqlite(spark, tmp_path):
         for n, v in con.execute("select name, value from counters order by name")
     ]
     assert got == want
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    bumps=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=-9, max_value=9),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_counter_fold_matches_sqlite_on_random_sequences(
+    spark, tmp_path_factory, bumps
+):
+    """ANY bump sequence folds to the same counters on the real Stream
+    and on sqlite3 running the module SQL — the randomized closure of the
+    fixed-script parity above."""
+    from leaf_spark.stream import Stream
+    from leaf_spark.types import LeafQuery
+
+    from .fixtures import COUNTER, bump
+
+    events = [bump("did:plc:u", n, d) for n, d in bumps]
+    s = Stream(
+        spark, str(tmp_path_factory.mktemp("cfold")), "did:plc:diff"
+    )
+    s.provide_module(COUNTER)
+    s.add_events(events)
+
+    con = _sqlite_module_engine()
+    for stmt in COUNTER.init_sql.split(";"):
+        if stmt.strip():
+            con.execute(stmt)
+    for i, ev in enumerate(events):
+        _sqlite_fold(con, COUNTER.materializer, i + 1, ev)
+
+    got = s.query(None, LeafQuery("counters"))
+    want = [
+        {"name": n, "value": v}
+        for n, v in con.execute("select name, value from counters order by name")
+    ]
+    assert got == want
