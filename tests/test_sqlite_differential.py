@@ -662,3 +662,48 @@ def test_counter_fold_matches_sqlite_on_random_sequences(
         for n, v in con.execute("select name, value from counters order by name")
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# window functions — SQLite 3.25+ ships them; module queries may use them
+# ---------------------------------------------------------------------------
+
+WINDOW_CASES = [
+    "select id, row_number() over (order by n, id) as v from t "
+    "where n is not null order by id",
+    "select id, rank() over (order by n) as v from t "
+    "where n is not null order by id",
+    "select id, sum(n) over (order by id rows between unbounded preceding "
+    "and current row) as v from t where n is not null order by id",
+    "select id, lag(n) over (order by id) as v from t "
+    "where n is not null order by id",
+    "select id, n - avg(n) over () as v from t "
+    "where n is not null order by id",
+]
+
+
+@pytest.mark.parametrize("sql", WINDOW_CASES)
+def test_window_functions_match_sqlite(engines, sql):
+    ex, con = engines
+    want = [tuple(_norm(v) for v in r) for r in con.execute(sql).fetchall()]
+    got = [tuple(_norm(v) for v in r) for r in ex.execute(sql).collect()]
+    assert got == want, sql
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pat=st.text(alphabet="ab*?", min_size=1, max_size=5),
+    val=st.text(alphabet="ab", min_size=0, max_size=5),
+)
+def test_glob_matches_sqlite_on_random_patterns(engines, pat, val):
+    """GLOB (case-SENSITIVE, * and ? wildcards) → rlike rewrite must
+    classify identically to SQLite for random pattern/value pairs."""
+    ex, con = engines
+    sql = f"select '{val}' glob '{pat}' as v"
+    want = con.execute(sql).fetchone()[0]
+    got = ex.execute(sql).first()["v"]
+    assert int(got) == want, (pat, val)
