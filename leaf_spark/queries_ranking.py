@@ -1,0 +1,334 @@
+"""Catalog entries q154-q157: behavioral and preference-ranking analytics —
+Markov event transitions, Bradley-Terry source strength from pairwise
+bucket comparisons, instruction-template mining, and histogram-exact
+robust outlier detection (median/MAD).
+
+Determinism conventions (the q117/q141/q150 discipline): all counts exact
+bigints; products that could wrap int64 at corpus scale are
+decimal(38,0)-routed; derived floats appear only as final rounded
+quotients beside their exact numerator/denominator columns; float terms
+that must be summed are rounded to 6 then decimal(38,6)-summed so
+partition order can't change the total.
+
+Plan discipline (the q141/q147 CTE-inlining gotcha): each entry reduces
+the corpus to a small table (transition matrix, win matrix, template
+counts, value histogram) that feeds SEVERAL downstream consumers —
+Catalyst re-inlines a WITH CTE into every consumer, which would re-scan
+the corpus once per consumer (q155's naive form showed 64 parquet scans).
+So the Spark side computes the reduction once, localCheckpoints it, and
+runs the solve over the checkpointed view: exactly ONE corpus scan per
+entry, asserted by tests/test_plans.py::test_checkpointed_entries_do_not_rescan.
+The DuckDB oracle keeps the single inlined SQL body (DuckDB materializes
+CTEs, so the inlining hazard is Spark-only).
+
+Scale notes (SCALE.md §1): every entry is aggregation-shaped — the
+corpus-sized shuffles are a single groupBy apiece; iterative solves (BT)
+run over the #sources-bounded win matrix, and the exact medians (q157)
+come from count-of-counts histograms cumulated per key, never a
+row-number over raw events (the q118 class of hazard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .queries import register
+from .session import load_tables
+
+# ---------------------------------------------------------------------------
+# q154 — first-order Markov transition matrix over per-user event streams.
+# The product-analytics / sessionization primitive: P(next event | current
+# event) estimated from lead() over (user, time) ordered streams. The
+# window is partitioned by user_id (bounded per-user event counts; at
+# 100 TB the per-user partition is the natural unit of locality), the
+# transition matrix is #event_types^2 rows, and the probability is an
+# exact c/n rational beside the rounded quotient.
+# ---------------------------------------------------------------------------
+
+_Q154_COUNTS = """
+    select event_type as cur, nxt, cast(count(*) as bigint) as c
+    from (
+      select event_type,
+             lead(event_type) over (
+               partition by user_id order by ts, event_id) as nxt
+      from events
+    )
+    where nxt is not null
+    group by event_type, nxt
+"""
+
+_Q154_FINAL = """
+    with c as (select * from {C}),
+    r as (select cur, cast(sum(c) as bigint) as n from c group by cur)
+    select c.cur, c.nxt, c.c as n_transitions, r.n as n_from_cur,
+           round(cast(c.c as double) / r.n, 6) as p
+    from c join r on c.cur = r.cur
+    order by c.cur, c.nxt
+"""
+
+
+def _q154_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, names=("events",))
+    c = spark.sql(_Q154_COUNTS).localCheckpoint()
+    c.createOrReplaceTempView("__q154_c__")
+    return spark.sql(_Q154_FINAL.replace("{C}", "__q154_c__"))
+
+
+register(
+    "q154_markov_transitions",
+    _Q154_FINAL.replace("{C}", "(" + _Q154_COUNTS + ")"),
+    doc="first-order Markov transition matrix over per-user event "
+    "streams: lead() partitioned by user (never a global window), "
+    "exact transition counts, P(next|cur) as exact rational beside the "
+    "rounded quotient — the navigation-flow / funnel-discovery "
+    "primitive. One user-keyed window shuffle + one types^2-bounded "
+    "aggregation; the checkpointed matrix feeds both consumers from "
+    "one events scan",
+)(_q154_spark)
+
+
+# ---------------------------------------------------------------------------
+# q155 — Bradley-Terry strength ranking of sources from pairwise bucket
+# wins. The preference-data primitive (RLHF pairwise comparisons, data-
+# mixture quality ranking): buckets pair sources, a source "wins" a
+# bucket when its mean doc length beats the other's (compared by exact
+# cross-multiplication — no division), wins are Laplace-smoothed (+1) so
+# the MM iteration is total, and two Bradley-Terry minorize-maximize
+# updates run unrolled on the #sources-bounded win matrix:
+#   p_i <- W_i / sum_j n_ij / (p_i + p_j)
+# Per-term rounds + decimal(38,6) sums make each iteration bit-exact
+# cross-engine. The corpus-sized work is ONE groupBy to the
+# (bucket, source) table; everything after is k^2-bounded.
+# ---------------------------------------------------------------------------
+
+_Q155_WINS = """
+    with m as (
+      select doc_id % 50 as bucket, source,
+             cast(sum(n_chars) as bigint) as s,
+             cast(count(*) as bigint) as n
+      from documents
+      group by doc_id % 50, source
+    )
+    select sa, sb,
+           cast(sum(win_a) + 1 as bigint) as wa,
+           cast(sum(win_b) + 1 as bigint) as wb
+    from (
+      select a.source as sa, b.source as sb,
+             case when cast(a.s as decimal(19,0)) * cast(b.n as decimal(19,0))
+                     > cast(b.s as decimal(19,0)) * cast(a.n as decimal(19,0))
+                  then 1 else 0 end as win_a,
+             case when cast(b.s as decimal(19,0)) * cast(a.n as decimal(19,0))
+                     > cast(a.s as decimal(19,0)) * cast(b.n as decimal(19,0))
+                  then 1 else 0 end as win_b
+      from m a join m b on a.bucket = b.bucket and a.source < b.source
+    )
+    group by sa, sb
+"""
+
+_Q155_FINAL = """
+    with w as (select * from {W}),
+    e as (
+      select sa as i, sb as j, wa as wins, wa + wb as nij from w
+      union all
+      select sb as i, sa as j, wb as wins, wa + wb as nij from w
+    ),
+    wi as (select i, cast(sum(wins) as bigint) as w_total from e group by i),
+    p1 as (
+      select e.i, wi.w_total,
+             round(cast(wi.w_total as double) /
+               cast(sum(cast(round(cast(e.nij as double) / 2.0, 6)
+                             as decimal(38,6))) as double), 6) as p
+      from e join wi on wi.i = e.i
+      group by e.i, wi.w_total
+    ),
+    p2 as (
+      select e.i,
+             round(cast(wi.w_total as double) /
+               cast(sum(cast(round(cast(e.nij as double) / (pa.p + pb.p), 6)
+                             as decimal(38,6))) as double), 6) as p
+      from e
+      join wi on wi.i = e.i
+      join p1 pa on pa.i = e.i
+      join p1 pb on pb.i = e.j
+      group by e.i, wi.w_total
+    )
+    select p1.i as source, p1.w_total as n_wins,
+           p1.p as strength_it1, p2.p as strength_it2
+    from p1 join p2 on p2.i = p1.i
+    order by strength_it2 desc, source
+"""
+
+
+def _q155_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, names=("documents",))
+    w = spark.sql(_Q155_WINS).localCheckpoint()
+    w.createOrReplaceTempView("__q155_w__")
+    return spark.sql(_Q155_FINAL.replace("{W}", "__q155_w__"))
+
+
+register(
+    "q155_bradley_terry",
+    _Q155_FINAL.replace("{W}", "(" + _Q155_WINS + ")"),
+    doc="Bradley-Terry strength ranking of sources from Laplace-smoothed "
+    "pairwise bucket wins (mean-length comparisons by exact cross-"
+    "multiplication, decimal-routed so 100 TB char-sums can't wrap), "
+    "two MM updates unrolled over the sources^2-bounded win matrix "
+    "with per-term rounds + decimal sums — the preference-ranking "
+    "primitive for RLHF pairs and mixture quality ordering. One corpus "
+    "shuffle into the checkpointed win matrix (the naive CTE form "
+    "re-scanned the corpus 64x); the solve never touches corpus rows",
+)(_q155_spark)
+
+
+# ---------------------------------------------------------------------------
+# q156 — instruction-template mining: digit-folded, whitespace-collapsed
+# 5-token prefixes as template keys. The instruction-data curation
+# primitive: templated generations ("Write a story about X") collapse to
+# one key, so the top templates expose format monoculture before a
+# mixture overfits to it. Shuffle-free normalization, one hash
+# aggregation, top-30 never a global sort.
+# ---------------------------------------------------------------------------
+
+_Q156_GROUPS = """
+    select template,
+           cast(count(*) as bigint) as n_docs,
+           cast(count(distinct source) as bigint) as n_sources
+    from (select source, {TMPL} as template from documents)
+    group by template
+"""
+
+_Q156_FINAL = """
+    with g as (select * from {G}),
+    tot as (select cast(sum(n_docs) as bigint) as n from g)
+    select g.template, g.n_docs, g.n_sources, tot.n as n_total,
+           round(cast(g.n_docs as double) / tot.n, 6) as share
+    from g cross join tot
+    order by g.n_docs desc, g.template
+    limit 30
+"""
+
+_SPARK_TMPL = (
+    "array_join(slice(split(trim(regexp_replace(regexp_replace(lower(text),"
+    " '[0-9]', '0'), '\\\\s+', ' ')), ' '), 1, 5), ' ')"
+)
+_DUCK_TMPL = (
+    "array_to_string(string_split(trim(regexp_replace(regexp_replace("
+    "lower(text), '[0-9]', '0', 'g'), '\\s+', ' ', 'g')), ' ')[1:5], ' ')"
+)
+
+
+def _q156_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, names=("documents",))
+    g = spark.sql(_Q156_GROUPS.replace("{TMPL}", _SPARK_TMPL)).localCheckpoint()
+    g.createOrReplaceTempView("__q156_g__")
+    return spark.sql(_Q156_FINAL.replace("{G}", "__q156_g__"))
+
+
+register(
+    "q156_template_mining",
+    _Q156_FINAL.replace(
+        "{G}", "(" + _Q156_GROUPS.replace("{TMPL}", _DUCK_TMPL) + ")"
+    ),
+    doc="top-30 instruction templates by frequency: digit-folded, "
+    "whitespace-collapsed 5-token prefixes as template keys, with doc "
+    "count, distinct-source spread, and corpus share (exact rational "
+    "beside rounded quotient) — the format-monoculture audit for "
+    "instruction/synthetic data. Zero-shuffle normalization, one hash "
+    "aggregation into the checkpointed vocabulary-bounded template "
+    "table, top-k collapses the ORDER BY",
+)(_q156_spark)
+
+
+# ---------------------------------------------------------------------------
+# q157 — robust outlier detection per event type: exact (lower) median
+# and MAD from count-of-counts histograms, flagging |x - med| > 3*MAD.
+# The telemetry-cleaning primitive that survives the q118 review: both
+# medians come from cumulative sums over the (event_type, value)
+# HISTOGRAM — windows partition by event_type over distinct-value rows,
+# never a row_number over raw events, so a hot event type costs a sort
+# of its distinct values, not its row count. Values quantize via
+# floor(x*1e6) (floor, never round, on derived floats) so the medians
+# are exact bigint statements.
+# ---------------------------------------------------------------------------
+
+_Q157_HIST = """
+    select event_type, cast(floor(value * 1000000) as bigint) as qv,
+           cast(count(*) as bigint) as c
+    from events
+    group by event_type, cast(floor(value * 1000000) as bigint)
+"""
+
+_Q157_FINAL = """
+    with h as (select * from {H}),
+    cum as (
+      select event_type, qv, c,
+             sum(c) over (partition by event_type order by qv
+                          rows between unbounded preceding and current row
+                          ) as cum_c,
+             sum(c) over (partition by event_type) as n
+      from h
+    ),
+    med as (
+      select event_type, cast(min(qv) as bigint) as med_q,
+             cast(min(n) as bigint) as n
+      from cum where cum_c >= (n + 1) {IDIV} 2
+      group by event_type
+    ),
+    dh as (
+      select h.event_type, abs(h.qv - m.med_q) as dev,
+             cast(sum(h.c) as bigint) as c
+      from h join med m on m.event_type = h.event_type
+      group by h.event_type, abs(h.qv - m.med_q)
+    ),
+    dcum as (
+      select event_type, dev, c,
+             sum(c) over (partition by event_type order by dev
+                          rows between unbounded preceding and current row
+                          ) as cum_c,
+             sum(c) over (partition by event_type) as n
+      from dh
+    ),
+    mad as (
+      select event_type, cast(min(dev) as bigint) as mad_q
+      from dcum where cum_c >= (n + 1) {IDIV} 2
+      group by event_type
+    )
+    select m.event_type, m.n as n_events, m.med_q as median_q,
+           mad.mad_q,
+           cast(coalesce(sum(case when h.qv - m.med_q > 3 * mad.mad_q
+                                    or m.med_q - h.qv > 3 * mad.mad_q
+                                  then h.c else 0 end), 0) as bigint)
+             as n_outliers,
+           round(cast(coalesce(sum(case when h.qv - m.med_q > 3 * mad.mad_q
+                                          or m.med_q - h.qv > 3 * mad.mad_q
+                                        then h.c else 0 end), 0) as double)
+                 / m.n, 6) as outlier_rate
+    from med m
+    join mad on mad.event_type = m.event_type
+    join h on h.event_type = m.event_type
+    group by m.event_type, m.n, m.med_q, mad.mad_q
+    order by m.event_type
+"""
+
+
+def _q157_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, names=("events",))
+    h = spark.sql(_Q157_HIST).localCheckpoint()
+    h.createOrReplaceTempView("__q157_h__")
+    return spark.sql(
+        _Q157_FINAL.replace("{H}", "__q157_h__").replace("{IDIV}", "div")
+    )
+
+
+register(
+    "q157_mad_outliers",
+    _Q157_FINAL.replace("{H}", "(" + _Q157_HIST + ")").replace("{IDIV}", "//"),
+    doc="per-event-type robust outlier report: exact lower median and "
+    "MAD from count-of-counts histograms (cumulative sums partitioned "
+    "by type over DISTINCT quantized values — never a row_number over "
+    "raw events, the q118-class fix baked in), outliers = "
+    "|x - med| > 3*MAD with exact counts and a rounded rate. "
+    "floor(x*1e6) quantization keeps every statistic an exact bigint; "
+    "the checkpointed histogram feeds all five consumers from one "
+    "events scan",
+)(_q157_spark)

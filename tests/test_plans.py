@@ -468,7 +468,18 @@ def test_checkpointed_entries_do_not_rescan(spark, cases):
     localCheckpoint materializes it once, so the FINAL plan must contain
     zero parquet scans (Catalyst would otherwise re-inline the CTE into
     every consumer and re-scan per consumer — the q141 gotcha)."""
-    for name in ("q92_quality_deciles", "q147_cohens_kappa"):
+    for name in (
+        "q92_quality_deciles",
+        "q147_cohens_kappa",
+        # q154-q157 each reduce the corpus to a small checkpointed table
+        # (transition matrix / win matrix / template counts / value
+        # histogram) whose downstream solve has several consumers — the
+        # naive CTE form of q155 re-scanned documents 64 times
+        "q154_markov_transitions",
+        "q155_bradley_terry",
+        "q156_template_mining",
+        "q157_mad_outliers",
+    ):
         plan = plan_of(cases[name].spark_fn(spark, SF_DIR))
         assert "Scan parquet" not in plan, name
         assert "ExistingRDD" in plan or "LocalTableScan" in plan, name
