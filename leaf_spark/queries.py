@@ -113,9 +113,12 @@ _ROUND5_FRONT = [
     "q135_source_znorm_quality", "q136_stratified_eval_holdout",
     "q137_vocab_coverage_curve", "q138_doc_graph_triangles",
     "q139_length_histogram", "q140_source_jsd",
-    # heaviest round-4 operators: re-confirmation fills the window to 50
-    "q49_minhash_lsh", "q96_pagerank", "q109_bpe_merges",
-    "q110_bpe_encode", "q90_containment_dedup", "q113_label_noise",
+    # never-scored late-round-5 entries fill the window to 50 (the heavy
+    # round-4 operators q49/q90/q96/q109/q110/q113 they displace are all
+    # officially green in CORRECTNESS_r04 — a never-scored entry's first
+    # official row beats a re-confirmation, VERDICT r4 "Next round #1")
+    "q141_embedding_covariance", "q144_ks_statistic", "q147_cohens_kappa",
+    "q154_markov_transitions", "q155_bradley_terry", "q157_mad_outliers",
 ]
 
 
