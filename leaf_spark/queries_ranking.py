@@ -332,3 +332,191 @@ register(
     "the checkpointed histogram feeds all five consumers from one "
     "events scan",
 )(_q157_spark)
+
+
+# ---------------------------------------------------------------------------
+# q158 — time-decayed engagement with EXACT dyadic weights. Recency
+# weighting (half-life decay) is the freshness signal for mixture
+# sampling and trending detection; naive exp() weights are float-
+# summation-order hazards. Here the decay exponent quantizes to whole
+# half-lives k = floor(age / H) capped at 40, so every weight is the
+# dyadic rational 2^-k — scaled by 2^40 they are exact bigints, summed
+# through decimal(38,0) (value products decimal-routed), and the only
+# floats are final divisions by the exact-double constants 2^40 and 1e6.
+# Two events scans by construction (global max timestamp, then the
+# weighted aggregation) — the classic two-pass shape, each a single
+# map-side-combinable agg.
+# ---------------------------------------------------------------------------
+
+_Q158_BODY = """
+    with tm as (select max({EPOCHUS}) as tmax from events),
+    b as (
+      select event_type,
+             least(cast((tm.tmax - {EPOCHUS}) {IDIV} 86400000000 as int),
+                   40) as k,
+             cast(floor(value * 1000000) as bigint) as vq
+      from events cross join tm
+    ),
+    a as (
+      select event_type,
+             cast(count(*) as bigint) as n,
+             cast(sum({SHL}) as decimal(38,0)) as w_num,
+             cast(sum(cast(vq as decimal(19,0)) * cast({SHL} as decimal(19,0)))
+                  as decimal(38,0)) as wv_num
+      from b group by event_type
+    )
+    select event_type, n, w_num, wv_num,
+           round(cast(w_num as double) / 1099511627776.0, 6) as decayed_n,
+           round(cast(wv_num as double) / 1099511627776.0 / 1000000.0, 6)
+             as decayed_value_sum
+    from a order by event_type
+"""
+
+
+def _q158_sql(engine: str) -> str:
+    if engine == "spark":
+        return (
+            _Q158_BODY.replace("{EPOCHUS}", "unix_micros(cast(ts as timestamp))")
+            .replace("{SHL}", "shiftleft(cast(1 as bigint), 40 - k)")
+            .replace("{IDIV}", "div")
+        )
+    return (
+        _Q158_BODY.replace("{EPOCHUS}", "epoch_us(ts)")
+        .replace("{SHL}", "(cast(1 as bigint) << (40 - k))")
+        .replace("{IDIV}", "//")
+    )
+
+
+from .queries import sql_case  # noqa: E402
+
+sql_case(
+    "q158_decayed_engagement",
+    _q158_sql("spark"),
+    _q158_sql("duckdb"),
+    doc="half-life-decayed event counts and value mass per event type "
+    "with EXACT dyadic weights: decay exponent floor-quantized to whole "
+    "half-lives (cap 40), weights 2^-k scaled by 2^40 into exact "
+    "bigints, decimal(38,0)-summed — recency weighting with zero float-"
+    "summation-order hazard. Two map-side-combinable passes (global max "
+    "ts, then the weighted agg)",
+)
+
+
+# ---------------------------------------------------------------------------
+# q159 — inter-event gap quantiles per event type, histogram-exact. The
+# activity-cadence profile (bot detection, session tuning): gap to the
+# user's previous event via lag() partitioned by user, floored to whole
+# seconds, then p50/p90/p99 as exact lower quantiles from cumulative
+# sums over the (type, gap) count-of-counts histogram — the q157
+# discipline: windows only over distinct-value rows, one conditional-min
+# pass picks all three quantiles so the histogram has a single consumer
+# (no CTE re-scan).
+# ---------------------------------------------------------------------------
+
+_Q159_BODY = """
+    with g as (
+      select event_type,
+             ({EPOCHUS} - lag({EPOCHUS}) over (
+                partition by user_id order by ts, event_id)) {IDIV} 1000000
+               as gap_s
+      from events
+    ),
+    h as (
+      select event_type, gap_s, cast(count(*) as bigint) as c
+      from g where gap_s is not null group by event_type, gap_s
+    ),
+    cum as (
+      select event_type, gap_s, c,
+             sum(c) over (partition by event_type order by gap_s
+                          rows between unbounded preceding and current row
+                          ) as cum_c,
+             sum(c) over (partition by event_type) as n
+      from h
+    )
+    select event_type,
+           cast(min(n) as bigint) as n_gaps,
+           cast(min(case when cum_c >= (n + 1) {IDIV} 2
+                         then gap_s end) as bigint) as p50_s,
+           cast(min(case when cum_c >= (9 * n + 9) {IDIV} 10
+                         then gap_s end) as bigint) as p90_s,
+           cast(min(case when cum_c >= (99 * n + 99) {IDIV} 100
+                         then gap_s end) as bigint) as p99_s,
+           cast(max(gap_s) as bigint) as max_s
+    from cum group by event_type order by event_type
+"""
+
+
+def _q159_sql(engine: str) -> str:
+    if engine == "spark":
+        return _Q159_BODY.replace(
+            "{EPOCHUS}", "unix_micros(cast(ts as timestamp))"
+        ).replace("{IDIV}", "div")
+    return _Q159_BODY.replace("{EPOCHUS}", "epoch_us(ts)").replace(
+        "{IDIV}", "//"
+    )
+
+
+sql_case(
+    "q159_gap_quantiles",
+    _q159_sql("spark"),
+    _q159_sql("duckdb"),
+    doc="inter-event gap quantiles per event type (p50/p90/p99/max, whole "
+    "seconds): lag() partitioned by user, exact lower quantiles via "
+    "cumulative sums over the count-of-counts gap histogram, all three "
+    "quantiles picked in ONE conditional-min pass so the histogram has "
+    "a single consumer — the activity-cadence / bot-detection profile. "
+    "Windows only over distinct gap values, never raw events",
+)
+
+
+# ---------------------------------------------------------------------------
+# q160 — A/B two-proportion z-test per event type. The experimentation
+# primitive: deterministic md5 assignment of users to arms, conversion =
+# value >= 100, exact arm counts as the primary columns, and the pooled
+# two-proportion z-score as a final rounded scalar (IEEE sqrt and fixed-
+# order divisions are bit-identical cross-engine; nullif guards the
+# all-or-nothing pooled-rate edge; + 0.0 normalizes a -0.0 round, the
+# q135 gotcha). ONE scan, one #types-bounded conditional aggregation.
+# ---------------------------------------------------------------------------
+
+_Q160_BODY = """
+    with t as (
+      select event_type, {UHASH} % 2 as grp,
+             case when value >= 100.0 then 1 else 0 end as conv
+      from events
+    ),
+    a as (
+      select event_type,
+             cast(sum(case when grp = 0 then 1 else 0 end) as bigint) as na,
+             cast(sum(case when grp = 0 then conv else 0 end) as bigint) as xa,
+             cast(sum(case when grp = 1 then 1 else 0 end) as bigint) as nb,
+             cast(sum(case when grp = 1 then conv else 0 end) as bigint) as xb
+      from t group by event_type
+    )
+    select event_type, na, xa, nb, xb,
+           round(cast(xa as double) / na, 6) + 0.0 as rate_a,
+           round(cast(xb as double) / nb, 6) + 0.0 as rate_b,
+           round((cast(xa as double) / na - cast(xb as double) / nb)
+                 / nullif(sqrt((cast(xa + xb as double) / (na + nb))
+                               * (1.0 - cast(xa + xb as double) / (na + nb))
+                               * (1.0 / na + 1.0 / nb)), 0.0), 6) + 0.0 as z
+    from a order by event_type
+"""
+
+_UHASH_SPARK = (
+    "cast(conv(substring(md5(concat('ab:', cast(user_id as string))), 1, 15),"
+    " 16, 10) as bigint)"
+)
+_UHASH_DUCK = "('0x' || substring(md5('ab:' || user_id), 1, 15))::bigint"
+
+sql_case(
+    "q160_ab_ztest",
+    _Q160_BODY.replace("{UHASH}", _UHASH_SPARK),
+    _Q160_BODY.replace("{UHASH}", _UHASH_DUCK),
+    doc="two-proportion z-test per event type over a deterministic md5 "
+    "A/B assignment (conversion = value >= 100): exact arm counts as "
+    "primary columns, pooled z as a final rounded scalar (IEEE sqrt, "
+    "fixed-order divisions, nullif on the degenerate pooled rate, +0.0 "
+    "against -0.0 rounds) — the experimentation primitive. One scan, "
+    "one types-bounded conditional aggregation, no joins",
+)
