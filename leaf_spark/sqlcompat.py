@@ -308,7 +308,31 @@ def _rw_call(name: str, args: list[str]) -> str:
         # cast(x as TEXT) — SQLite type names → Spark type names
         m = re.search(r"\s+as\s+(\w+)\s*$", args[0], re.IGNORECASE)
         if m and m.group(1).lower() in _CAST_TYPE_MAP:
-            return f"cast({args[0][: m.start()]} as {_CAST_TYPE_MAP[m.group(1).lower()]})"
+            tgt = _CAST_TYPE_MAP[m.group(1).lower()]
+            e = args[0][: m.start()]
+            # SQLite TEXT→number cast takes the longest NUMERIC PREFIX and
+            # falls back to 0 ('12abc'→12, 'abc'→0, ''→0) where Spark
+            # yields NULL for any trailing junk. Dynamic dispatch on
+            # typeof keeps numeric operands on the plain (truncating)
+            # cast; verified against sqlite3 in test_sqlite_differential.
+            if tgt == "bigint":
+                return (
+                    f"(case when typeof({e}) = 'string' then "
+                    f"(case when ({e}) is null then cast(null as bigint) "
+                    f"else coalesce(cast(regexp_extract({e}, "
+                    f"'^\\\\s*([-+]?[0-9]+)', 1) as bigint), 0) end) "
+                    f"else cast({e} as bigint) end)"
+                )
+            if tgt == "double":
+                return (
+                    f"(case when typeof({e}) = 'string' then "
+                    f"(case when ({e}) is null then cast(null as double) "
+                    f"else coalesce(cast(regexp_extract({e}, "
+                    f"'^\\\\s*([-+]?([0-9]+\\\\.?[0-9]*|\\\\.[0-9]+)"
+                    f"([eE][-+]?[0-9]+)?)', 1) as double), 0.0) end) "
+                    f"else cast({e} as double) end)"
+                )
+            return f"cast({e} as {tgt})"
         return f"cast({args[0]})"
     if n == "iif":
         # SQLite truthiness: any nonzero numeric is true; Spark if() demands
@@ -375,7 +399,7 @@ def _rw_call(name: str, args: list[str]) -> str:
             f"array_join(sort_array(collect_list(cast({args[0]} as string))), {sep})"
         )
     if n in ("printf", "format"):
-        return f"format_string({', '.join(args)})"
+        return _rw_printf(args)
     if n == "unixepoch":
         if not args:
             return "unix_timestamp()"
@@ -415,7 +439,27 @@ def _rw_call(name: str, args: list[str]) -> str:
         return f"date_format({_apply_time_modifiers(ts, mods)}, 'HH:mm:ss')"
     if n == "typeof":
         return _TYPEOF_CASE.format(x=args[0])
-    if n == "substr":
+    if n in ("substr", "substring"):
+        if len(args) == 3:
+            # SQLite's phantom-position semantics: the string is indexed
+            # from 1, Y<=0 addresses positions BEFORE the start (they
+            # consume length without producing characters: substr(x,0,3)
+            # = first 2 chars), negative Y counts from the end, and
+            # negative Z takes the |Z| characters PRECEDING Y. Model the
+            # selection as the half-open position interval [LO, HI) and
+            # clamp to [1, len] — one expression covers every sign
+            # combination (verified against sqlite3).
+            x, y, z = args
+            pos = (
+                f"(case when ({y}) < 0 then length({x}) + ({y}) + 1 "
+                f"else ({y}) end)"
+            )
+            lo = f"(case when ({z}) >= 0 then {pos} else {pos} + ({z}) end)"
+            hi = f"(case when ({z}) >= 0 then {pos} + ({z}) else {pos} end)"
+            return (
+                f"substring({x}, greatest({lo}, 1), "
+                f"greatest({hi} - greatest({lo}, 1), 0))"
+            )
         return f"substring({', '.join(args)})"
     if n == "json_extract":
         return f"get_json_object({args[0]}, {args[1]})"
@@ -439,9 +483,75 @@ def _rw_call(name: str, args: list[str]) -> str:
         return f"ltrim({args[1]}, {args[0]})"  # SQLite(str, chars) → Spark(trimStr, str)… see note
     if n == "rtrim" and len(args) == 2:
         return f"rtrim({args[1]}, {args[0]})"
+    if n == "hex":
+        # SQLite hex() renders the argument's BLOB image: numbers hex their
+        # TEXT rendering (hex(255)='323535'), blobs hex their bytes, and
+        # NULL yields '' (not NULL). Spark's hex(255)='FF' — so route
+        # non-binary operands through a string cast.
+        a = args[0]
+        return (
+            f"coalesce(case when typeof({a}) = 'binary' then hex({a}) "
+            f"else hex(cast({a} as string)) end, '')"
+        )
+    if n in ("lower", "upper"):
+        # SQLite lower/upper fold ASCII ONLY (lower('ÄBC')='Äbc'); Spark's
+        # fold Unicode. translate() over the ASCII alphabet is the exact
+        # SQLite behavior and stays JVM-side.
+        lo, up = "abcdefghijklmnopqrstuvwxyz", "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        src, dst = (up, lo) if n == "lower" else (lo, up)
+        return f"translate({args[0]}, '{src}', '{dst}')"
     # pass-through (coalesce, ifnull, nullif, abs, round, min, max, sum, avg,
-    # count, length, trim, upper, lower, replace, instr, drisl_*, …)
+    # count, length, trim, replace, instr, drisl_*, …)
     return f"{name}({', '.join(args)})"
+
+
+_PRINTF_SPEC = re.compile(
+    r"%([-+ 0#]*)(\d+)?(\.\d+)?([diouxXeEfFgGsc%])"
+)
+
+
+def _rw_printf(args: list[str]) -> str:
+    """printf/format → format_string, with SQLite's NULL handling: NULL
+    arguments print as 0 for numeric conversions and '' for %s (C printf
+    via SQLite's own renderer), where Java's format_string throws or
+    prints 'null'. Also hard-casts each argument to the conversion's
+    type ('%d', 2.5 prints 2 in SQLite; Java throws
+    IllegalFormatConversionException). Only possible when the format is
+    a string literal; otherwise pass through unchanged (documented
+    fallback). SQLite's %q/%Q/%w and '*' widths stay unsupported."""
+    fmt = args[0].strip()
+    if not (fmt.startswith("'") and fmt.endswith("'")) or "*" in fmt:
+        return f"format_string({', '.join(args)})"
+    fmt = fmt.replace("%i", "%d")
+    pieces, last, wrapped, idx = [], 0, [], 1
+    for m in _PRINTF_SPEC.finditer(fmt):
+        conv = m.group(4)
+        if conv == "%":
+            continue
+        if idx >= len(args):  # too few args: SQLite prints 0/'' — supply
+            args = [*args, "null"]
+        a = args[idx]
+        if conv in "diouxX":
+            wrapped.append(f"cast(coalesce(cast({a} as double), 0) as bigint)")
+        elif conv in "gG" and not (m.group(1) or m.group(2) or m.group(3)):
+            # C's bare %g strips trailing zeros ('%g', 2.5 → '2.5', 3.0 →
+            # '3'); Java's always pads to the precision ('2.50000').
+            # Render the double's canonical string and strip the '.0'
+            # tail — exact for the plain-spec decimal range (scientific-
+            # notation values keep Java's E-form: documented divergence).
+            pieces.append(fmt[last : m.start()] + "%s")
+            last = m.end()
+            wrapped.append(
+                f"regexp_replace(cast(cast(coalesce({a}, 0) as double) "
+                f"as string), '\\\\.0$', '')"
+            )
+        elif conv in "eEfFgG":
+            wrapped.append(f"cast(coalesce({a}, 0) as double)")
+        else:  # s / c
+            wrapped.append(f"coalesce(cast({a} as string), '')")
+        idx += 1
+    pieces.append(fmt[last:])
+    return f"format_string({''.join(pieces)}, {', '.join(wrapped + args[idx:])})" if wrapped or args[idx:] else f"format_string({''.join(pieces)})"
 
 
 # note: Spark SQL two-arg ltrim is ltrim(trimStr, str); SQLite is

@@ -10,7 +10,12 @@ int results may surface as float with the same value — 7/2 -> 3.0 vs 3,
 
 Known, documented non-goals (excluded here): float '%' (SQLite casts
 operands to int), mixed int/float division CHAINS (SQLite decides per
-step), group_concat arrival order (we pin sorted), random()/blob fns.
+step), group_concat arrival order (we pin sorted), random()/blob fns,
+cross-affinity comparisons (TEXT column vs numeric literal — SQLite
+applies the column's affinity to the literal; our translator is
+schema-less), LIKE on non-ASCII case pairs (SQLite folds ASCII only;
+ilike folds Unicode), and %g on values needing scientific notation
+(Java's E-form differs from C's e-form).
 """
 
 from __future__ import annotations
@@ -136,6 +141,32 @@ CASES = [
     "select unixepoch('1970-01-02 00:00:00') as v",
     # blob literal
     "select length(x'00112233') as v",
+    # TEXT→number casts take the longest numeric prefix, fall back to 0
+    "select cast('12abc' as integer) as v",
+    "select cast('abc' as integer) as v",
+    "select cast('' as integer) as v",
+    "select cast('12.5abc' as real) as v",
+    "select cast('1e3x' as real) as v",
+    "select cast('.5' as real) as v",
+    "select cast(s as integer) as v from t",
+    # hex() renders the BLOB image: numbers hex their text, NULL → ''
+    "select hex(s) as v from t",
+    "select hex(n) as v from t",
+    "select hex(x'00ff') as v",
+    # substr phantom positions (Y<=0 consumes length) and negative Z
+    "select substr(s, 0, 3) as v from t",
+    "select substr(s, 3, -2) as v from t",
+    "select substr(s, -3, 2) as v from t",
+    "select substr('hello', -10, 5) as v",
+    # printf: NULL args print as 0/'', %d truncates reals, bare %g strips
+    "select printf('%5.2f', f) as v from t",
+    "select printf('%d', f) as v from t",
+    "select printf('%g', f) as v from t",
+    "select printf('%i!', id) as v from t",
+    "select printf('100%%') as v",
+    # lower/upper fold ASCII only
+    "select lower('ÄBC') as v",
+    "select upper('äbc') as v",
 ]
 
 
