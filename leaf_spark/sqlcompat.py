@@ -351,7 +351,8 @@ def _rw_call(name: str, args: list[str]) -> str:
     if n == "char":
         return "concat(" + ", ".join(f"chr({a})" for a in args) + ")"
     if n == "unicode":
-        return f"ascii({args[0]})"
+        # SQLite unicode('') is NULL; Spark ascii('') is 0
+        return f"(case when ({args[0]}) = '' then null else ascii({args[0]}) end)"
     if n == "quote":
         tc = _TYPEOF_CASE.format(x=args[0])
         q = "chr(39)"  # quote chars via chr() — keeps the rewrite re-tokenizable

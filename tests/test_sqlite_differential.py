@@ -14,8 +14,13 @@ step), group_concat arrival order (we pin sorted), random()/blob fns,
 cross-affinity comparisons (TEXT column vs numeric literal — SQLite
 applies the column's affinity to the literal; our translator is
 schema-less), LIKE on non-ASCII case pairs (SQLite folds ASCII only;
-ilike folds Unicode), and %g on values needing scientific notation
-(Java's E-form differs from C's e-form).
+ilike folds Unicode), %g on values needing scientific notation
+(Java's E-form differs from C's e-form), junk-prefix TEXT coerced by
+arithmetic or numeric functions ('12abc'+1 → 13, abs('-5x') → 5.0 —
+the same class as the documented '7'+1 → 8.0 affinity surfacing; CAST
+does implement the prefix rule), and coalesce/case branches of mixed
+types (SQLite keeps per-row storage classes; Spark unifies the column
+type).
 """
 
 from __future__ import annotations
@@ -167,6 +172,18 @@ CASES = [
     # lower/upper fold ASCII only
     "select lower('ÄBC') as v",
     "select upper('äbc') as v",
+    # numeric args flow through string functions as their text rendering
+    "select length(n) as v from t",
+    "select length(f) as v from t",
+    "select trim(n) as v from t",
+    "select upper(5) as v",
+    "select instr(n, 2) as v from t",
+    "select replace('a1b1', 1, 2) as v",
+    "select min(s, 'zz') as v from t",
+    # clean numeric text coerces in arithmetic ('7'+1 class)
+    "select '3' * '4' as v",
+    # unicode('') is NULL, not 0
+    "select unicode('') as v",
 ]
 
 
@@ -738,3 +755,46 @@ def test_glob_matches_sqlite_on_random_patterns(engines, pat, val):
     want = con.execute(sql).fetchone()[0]
     got = ex.execute(sql).first()["v"]
     assert int(got) == want, (pat, val)
+
+
+# ---------------------------------------------------------------------------
+# fuzz: TEXT→number cast prefix rule and substr phantom positions
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(txt=st.text(alphabet="0123456789.e+-x ", min_size=0, max_size=8))
+def test_text_cast_matches_sqlite_on_random_strings(engines, txt):
+    """cast(TEXT as integer/real) must take the same longest-numeric-
+    prefix (falling back to 0) as SQLite for arbitrary digit/sign/
+    exponent soup."""
+    ex, con = engines
+    lit = txt.replace("'", "")
+    for ty in ("integer", "real"):
+        sql = f"select cast('{lit}' as {ty}) as v"
+        want = _norm(con.execute(sql).fetchone()[0])
+        got = _norm(ex.execute(sql).first()["v"])
+        assert got == want, (sql, got, want)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    y=st.integers(min_value=-7, max_value=7),
+    z=st.integers(min_value=-7, max_value=7),
+)
+def test_substr_matches_sqlite_on_random_bounds(engines, y, z):
+    """Three-arg substr over every sign combination of start/length,
+    including the phantom positions before index 1."""
+    ex, con = engines
+    sql = f"select substr(s, {y}, {z}) as v from t where s is not null"
+    want = [r[0] for r in con.execute(sql).fetchall()]
+    got = [r["v"] for r in ex.execute(sql).collect()]
+    assert got == want, (sql, got, want)
