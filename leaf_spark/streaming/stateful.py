@@ -323,3 +323,61 @@ def disorder_monitor(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Live Markov transition matrix (the streaming counterpart of batch q154)
+# ---------------------------------------------------------------------------
+
+_TR_OUT_SCHEMA = "user_id long, cur string, nxt string, n long"
+_TR_STATE_SCHEMA = "last_type string, counts_json string"
+
+
+def _transition_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import json
+
+    last_type, cj = state.get if state.exists else (None, "{}")
+    counts: dict[str, int] = json.loads(cj)
+    chunks = list(pdfs)
+    if chunks:
+        # same chunk-seam discipline as _disorder_update: concat + sort
+        # once per micro-batch so event_id order holds across Arrow chunks
+        whole = pd.concat(chunks, ignore_index=True).sort_values("event_id")
+        for et in whole["event_type"]:
+            if last_type is not None:
+                k = f"{last_type}\x00{et}"
+                counts[k] = counts.get(k, 0) + 1
+            last_type = et
+    state.update((last_type, json.dumps(counts, sort_keys=True)))
+    if counts:
+        items = sorted(counts.items())
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(items),
+                "cur": [k.split("\x00")[0] for k, _ in items],
+                "nxt": [k.split("\x00")[1] for k, _ in items],
+                "n": [v for _, v in items],
+            }
+        )
+
+
+def transition_counts(events: DataFrame) -> DataFrame:
+    """Per-user first-order transition counts maintained live across
+    micro-batches — the streaming counterpart of the batch q154 Markov
+    matrix, in PROCESSING order (event_id, the log's append order; the
+    event-time-ordered matrix is the batch entry's job). State per user
+    is one string + a #event_types²-bounded JSON counter map, sharded on
+    the user_id key the shuffle already hashes on; a downstream stateless
+    ``groupBy(cur, nxt).sum(n)`` of the latest per-user rows yields the
+    corpus matrix.
+
+    Output mode: update — the user's refreshed transition rows per batch."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _transition_update,
+        outputStructType=_TR_OUT_SCHEMA,
+        stateStructType=_TR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

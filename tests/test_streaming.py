@@ -501,3 +501,45 @@ def test_gated_ingest_replay_is_idempotent(spark, tmp_path):
         spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower()
         == "static"
     )
+
+
+def test_transition_counts_match_batch_lead_window(spark, events_src_dir, tmp_path):
+    """The streaming per-user transition state, summed over users, must
+    equal the batch lead()-window transition matrix in the same
+    (event_id) order over the same log."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from leaf_spark.streaming.stateful import (
+        drain,
+        events_stream,
+        transition_counts,
+    )
+
+    src = events_stream(spark, events_src_dir)
+    drain(
+        transition_counts(src),
+        str(tmp_path / "ck_tr"),
+        "transitions",
+        output_mode="update",
+    )
+    # update mode re-emits a user's FULL counter map each batch: keep the
+    # final row per (user, cur, nxt), then sum across users
+    last: dict = {}
+    for r in spark.table("transitions").collect():
+        last[(r["user_id"], r["cur"], r["nxt"])] = r["n"]
+    got: dict = {}
+    for (_, cur, nxt), n in last.items():
+        got[(cur, nxt)] = got.get((cur, nxt), 0) + n
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    batch = (
+        _batch_events(spark, events_src_dir)
+        .withColumn("nxt", F.lead("event_type").over(w))
+        .where(F.col("nxt").isNotNull())
+        .groupBy("event_type", "nxt")
+        .count()
+    )
+    exp = {(r["event_type"], r["nxt"]): r["count"] for r in batch.collect()}
+    assert got == exp
+    assert sum(got.values()) > 0
