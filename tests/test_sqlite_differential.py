@@ -798,3 +798,48 @@ def test_substr_matches_sqlite_on_random_bounds(engines, y, z):
     want = [r[0] for r in con.execute(sql).fetchall()]
     got = [r["v"] for r in ex.execute(sql).collect()]
     assert got == want, (sql, got, want)
+
+
+# ---------------------------------------------------------------------------
+# fuzz: date/datetime modifier chains over random bases
+# ---------------------------------------------------------------------------
+
+_MODIFIERS = st.sampled_from(
+    [
+        "+{n} days", "-{n} days", "+{n} months", "-{n} months",
+        "+{n} years", "+{n} hours", "-{n} hours", "+{n} minutes",
+        "start of month", "start of year", "start of day",
+    ]
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    y=st.integers(min_value=1990, max_value=2037),
+    mo=st.integers(min_value=1, max_value=12),
+    d=st.integers(min_value=1, max_value=28),
+    h=st.integers(min_value=0, max_value=23),
+    mods=st.lists(
+        st.tuples(_MODIFIERS, st.integers(min_value=0, max_value=40)),
+        min_size=0,
+        max_size=3,
+    ),
+)
+def test_datetime_modifiers_match_sqlite_on_random_chains(
+    engines, y, mo, d, h, mods
+):
+    """datetime() over random bases and 0-3 chained modifiers (day/month/
+    year/hour/minute offsets and start-of truncations) must render the
+    same TEXT as SQLite — including the non-clamping month arithmetic
+    (Jan 31 + 1 month = Mar 2/3) the matrix tests pinned."""
+    ex, con = engines
+    base = f"'{y:04d}-{mo:02d}-{d:02d} {h:02d}:30:00'"
+    chain = "".join(f", '{m.format(n=n)}'" for m, n in mods)
+    sql = f"select datetime({base}{chain}) as v"
+    want = con.execute(sql).fetchone()[0]
+    got = ex.execute(sql).first()["v"]
+    assert got == want, sql
