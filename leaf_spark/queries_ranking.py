@@ -520,3 +520,216 @@ sql_case(
     "against -0.0 rounds) — the experimentation primitive. One scan, "
     "one types-bounded conditional aggregation, no joins",
 )
+
+
+# ---------------------------------------------------------------------------
+# q161 — dominant eigenvector of the embedding second-moment (Gram)
+# matrix by TWO unrolled power iterations in exact integer arithmetic.
+# The PCA-prep companion to q141: quantize dims via floor(x*1024) (power
+# of two — exact), ONE aggregation pass produces the 36 upper-triangle
+# moment sums, a stack() unpivot mirrors them into the 64-entry matrix
+# table (the q141 recipe — a UNION-ALL unpivot would re-scan the corpus
+# per branch), and the checkpointed matrix feeds the iteration:
+#   v1 = M·1,   v2 = M·v1
+# with decimal(38,0)-routed products, no normalization BETWEEN
+# iterations (so everything stays exact; two iterations keep the
+# magnitudes inside decimal(38) headroom even at large corpus scale —
+# the documented bound), and the final components emitted as the exact
+# rational v2_i / max|v2| beside the rounded quotient. The solve never
+# touches corpus rows: 64-entry joins.
+# ---------------------------------------------------------------------------
+
+_EIG_DIMS = 8
+_EIG_PAIRS = [
+    (i, j)
+    for i in range(1, _EIG_DIMS + 1)
+    for j in range(i, _EIG_DIMS + 1)
+]
+
+
+def _eig_matrix_sql(engine: str) -> str:
+    el = (
+        "element_at(embedding, {k})" if engine == "spark" else "embedding[{k}]"
+    )
+    qs = ", ".join(
+        f"cast(floor(cast({el.format(k=k)} as double) * 1024) as bigint) as q{k}"
+        for k in range(1, _EIG_DIMS + 1)
+    )
+    sums = ", ".join(
+        f"cast(sum(q{i} * q{j}) as bigint) as p_{i}_{j}"
+        for i, j in _EIG_PAIRS
+    )
+    head = (
+        f"with q as (select {qs} from embeddings), "
+        f"s as (select {sums} from q)"
+    )
+    cells = [
+        (i, j, f"p_{min(i, j)}_{max(i, j)}")
+        for i in range(1, _EIG_DIMS + 1)
+        for j in range(1, _EIG_DIMS + 1)
+    ]
+    if engine == "spark":
+        stack_args = ", ".join(
+            f"cast({i} as bigint), cast({j} as bigint), {p}"
+            for i, j, p in cells
+        )
+        return (
+            f"{head} select i, j, m from (select "
+            f"stack({len(cells)}, {stack_args}) as (i, j, m) from s)"
+        )
+    branches = " union all ".join(
+        f"select cast({i} as bigint) as i, cast({j} as bigint) as j, "
+        f"{p} as m from s"
+        for i, j, p in cells
+    )
+    return f"{head} {branches}"
+
+
+_EIG_ITER = """
+    with m as (select * from {M}),
+    v1 as (
+      select i, cast(sum(m) as decimal(38,0)) as v from m group by i
+    ),
+    v2 as (
+      select m.i,
+             cast(sum(cast(m.m as decimal(19,0)) * v1.v) as decimal(38,0))
+               as v
+      from m join v1 on v1.i = m.j
+      group by m.i
+    ),
+    mx as (select max(abs(v)) as mv from v2)
+    select v2.i, v2.v as eig_num, cast(mx.mv as decimal(38,0)) as eig_den,
+           round(cast(v2.v as double) / cast(mx.mv as double), 6)
+             as component
+    from v2 cross join mx
+    order by v2.i
+"""
+
+
+def _q161_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, names=("embeddings",))
+    m = spark.sql(_eig_matrix_sql("spark")).localCheckpoint()
+    m.createOrReplaceTempView("__q161_m__")
+    return spark.sql(_EIG_ITER.replace("{M}", "__q161_m__"))
+
+
+register(
+    "q161_top_eigenvector",
+    _EIG_ITER.replace("{M}", "(" + _eig_matrix_sql("duckdb") + ")"),
+    doc="dominant eigenvector of the 8-dim embedding Gram matrix via two "
+    "unrolled power iterations in EXACT integer/decimal arithmetic "
+    "(floor(x*1024) quantization, no between-iteration normalization, "
+    "decimal(38,0)-routed products): components as exact rationals "
+    "v2_i/max|v2| beside rounded quotients — PCA prep whose corpus cost "
+    "is q141's one scan; the iteration itself is 64-entry joins over "
+    "the checkpointed moment matrix",
+)(_q161_spark)
+
+
+# ---------------------------------------------------------------------------
+# q162 — degree assortativity of the q138 near-dup graph: the Pearson
+# correlation of endpoint degrees over edges. Positive r = hubs link to
+# hubs (mirror farms referencing each other), negative r = hub-and-spoke
+# (one canonical doc, many variants) — the topology statistic that picks
+# between dedup strategies. Same audit-scale cap as q138 (doc_id < 120,
+# the word-set self-join is quadratic by nature); the edge list is
+# checkpointed so degrees/moments/final all read the small pair table,
+# and every moment is an exact bigint with decimal-routed products — the
+# single sqrt rounds at the end.
+# ---------------------------------------------------------------------------
+
+_Q162_PAIRS = """
+    with words as (
+      select distinct doc_id, word from (
+        select doc_id, {TOK} as word from documents where doc_id < 120
+      ) t
+    ),
+    sizes as (select doc_id, cast(count(*) as bigint) as sz
+              from words group by doc_id),
+    inter as (
+      select a.doc_id as da, b.doc_id as db, cast(count(*) as bigint) as nc
+      from words a join words b on a.word = b.word and a.doc_id < b.doc_id
+      group by a.doc_id, b.doc_id
+    )
+    select da, db from inter
+    join sizes sa on sa.doc_id = da
+    join sizes sb on sb.doc_id = db
+    where cast(nc as double) / (sa.sz + sb.sz - nc) >= 0.5
+"""
+
+_Q162_FINAL = """
+    with pairs as (select * from {P}),
+    deg as (
+      select v, cast(count(*) as bigint) as d
+      from (select da as v from pairs union all select db from pairs) t
+      group by v
+    ),
+    ed as (
+      select d1.d as x, d2.d as y
+      from pairs p
+      join deg d1 on d1.v = p.da
+      join deg d2 on d2.v = p.db
+      union all
+      select d2.d as x, d1.d as y
+      from pairs p
+      join deg d1 on d1.v = p.da
+      join deg d2 on d2.v = p.db
+    ),
+    s as (
+      select cast(count(*) as bigint) as m,
+             cast(sum(x) as bigint) as sx,
+             cast(sum(y) as bigint) as sy,
+             cast(sum(x * y) as bigint) as sxy,
+             cast(sum(x * x) as bigint) as sxx,
+             cast(sum(y * y) as bigint) as syy
+      from ed
+    )
+    select m {IDIV} 2 as n_edges,
+           cast(cast(m as decimal(19,0)) * sxy
+                - cast(sx as decimal(19,0)) * sy as decimal(38,0)) as r_num,
+           cast(cast(m as decimal(19,0)) * sxx
+                - cast(sx as decimal(19,0)) * sx as decimal(38,0)) as r_den_x,
+           cast(cast(m as decimal(19,0)) * syy
+                - cast(sy as decimal(19,0)) * sy as decimal(38,0)) as r_den_y,
+           round(cast(cast(m as decimal(19,0)) * sxy
+                      - cast(sx as decimal(19,0)) * sy as double)
+                 / nullif(sqrt(cast(cast(m as decimal(19,0)) * sxx
+                                    - cast(sx as decimal(19,0)) * sx as double)
+                               * cast(cast(m as decimal(19,0)) * syy
+                                      - cast(sy as decimal(19,0)) * sy
+                                      as double)), 0.0), 6) + 0.0
+             as assortativity
+    from s
+"""
+
+
+def _q162_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, names=("documents",))
+    pairs_sql = _Q162_PAIRS.replace(
+        "{TOK}", "explode(split(trim(lower(text)), '\\\\s+'))"
+    )
+    p = spark.sql(pairs_sql).localCheckpoint()
+    p.createOrReplaceTempView("__q162_p__")
+    return spark.sql(
+        _Q162_FINAL.replace("{P}", "__q162_p__").replace("{IDIV}", "div")
+    )
+
+
+register(
+    "q162_degree_assortativity",
+    _Q162_FINAL.replace(
+        "{P}",
+        "("
+        + _Q162_PAIRS.replace(
+            "{TOK}", "unnest(string_split_regex(trim(lower(text)), '\\s+'))"
+        )
+        + ")",
+    ).replace("{IDIV}", "//"),
+    doc="degree assortativity (Pearson correlation of endpoint degrees, "
+    "both edge orientations) of the q138 word-jaccard near-dup graph: "
+    "hub-to-hub linking vs hub-and-spoke topology, the statistic that "
+    "picks a dedup strategy. Exact bigint moments with decimal-routed "
+    "products; one rounded quotient through one sqrt; edge list "
+    "checkpointed so degrees/moments read the small pair table, "
+    "audit-capped like q138",
+)(_q162_spark)

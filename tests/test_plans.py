@@ -479,6 +479,10 @@ def test_checkpointed_entries_do_not_rescan(spark, cases):
         "q155_bradley_terry",
         "q156_template_mining",
         "q157_mad_outliers",
+        # q161's 64-entry moment matrix feeds the iteration's three
+        # consumers; q162's edge list feeds degrees/moments/final
+        "q161_top_eigenvector",
+        "q162_degree_assortativity",
     ):
         plan = plan_of(cases[name].spark_fn(spark, SF_DIR))
         assert "Scan parquet" not in plan, name
