@@ -360,7 +360,8 @@ _Q158_BODY = """
     a as (
       select event_type,
              cast(count(*) as bigint) as n,
-             cast(sum({SHL}) as decimal(38,0)) as w_num,
+             cast(sum(cast({SHL} as decimal(19,0))) as decimal(38,0))
+               as w_num,
              cast(sum(cast(vq as decimal(19,0)) * cast({SHL} as decimal(19,0)))
                   as decimal(38,0)) as wv_num
       from b group by event_type

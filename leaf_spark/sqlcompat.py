@@ -36,7 +36,8 @@ _TOKEN_RE = re.compile(
     | (?P<qid>"(?:[^"]|"")*")
     | (?P<bqid>`(?:[^`]|``)*`)
     | (?P<brid>\[[^\]]*\])
-    | (?P<num>\d+\.\d*|\.\d+|\d+)
+    | (?P<hex>0[xX][0-9A-Fa-f]+)
+    | (?P<num>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
     | (?P<arrow2>->>)
     | (?P<arrow>->)
     | (?P<param>\$[A-Za-z_][A-Za-z_0-9]*)
@@ -57,6 +58,14 @@ def tokenize(sql: str) -> list[str]:
         if not m:
             raise ValueError(f"cannot tokenize SQL at {pos}: {sql[pos:pos+30]!r}")
         tok = m.group(0)
+        if m.group("hex"):
+            # SQLite hex literals are 64-bit two's-complement integers
+            # (0xFFFFFFFFFFFFFFFF == -1); Spark has no 0x syntax, so fold
+            # to the decimal value at tokenize time
+            v = int(tok, 16) & 0xFFFFFFFFFFFFFFFF
+            if v >= 1 << 63:
+                v -= 1 << 64
+            tok = str(v)
         if not m.group("ws"):
             out.append(tok)
         pos = m.end()
@@ -269,6 +278,25 @@ def _apply_time_modifiers(ts: str, mods: list[str]) -> str:
     return out
 
 
+def _sqlite_int_cast(e: str) -> str:
+    """SQLite CAST-to-INTEGER semantics as one Spark expression: TEXT
+    operands take the longest integer prefix, fall back to 0, and
+    SATURATE to ±int64 max when the prefix overflows (SQLite clamps
+    where Spark's cast nulls); numeric operands keep the plain
+    truncating cast. Dispatches on static typeof so numeric columns
+    never pay the regexp path."""
+    p = f"regexp_extract({e}, '^\\\\s*([-+]?[0-9]+)', 1)"
+    return (
+        f"(case when typeof({e}) = 'string' then "
+        f"(case when ({e}) is null then cast(null as bigint) "
+        f"when {p} = '' then cast(0 as bigint) "
+        f"else coalesce(cast({p} as bigint), "
+        f"if({p} like '-%', cast(-9223372036854775807 as bigint) - 1, "
+        f"cast(9223372036854775807 as bigint))) end) "
+        f"else cast({e} as bigint) end)"
+    )
+
+
 def _rw_call(name: str, args: list[str]) -> str:
     """Rewrite one function call (args already translated SQL strings)."""
     n = name.lower()
@@ -316,13 +344,7 @@ def _rw_call(name: str, args: list[str]) -> str:
             # typeof keeps numeric operands on the plain (truncating)
             # cast; verified against sqlite3 in test_sqlite_differential.
             if tgt == "bigint":
-                return (
-                    f"(case when typeof({e}) = 'string' then "
-                    f"(case when ({e}) is null then cast(null as bigint) "
-                    f"else coalesce(cast(regexp_extract({e}, "
-                    f"'^\\\\s*([-+]?[0-9]+)', 1) as bigint), 0) end) "
-                    f"else cast({e} as bigint) end)"
-                )
+                return _sqlite_int_cast(e)
             if tgt == "double":
                 return (
                     f"(case when typeof({e}) = 'string' then "
@@ -457,9 +479,13 @@ def _rw_call(name: str, args: list[str]) -> str:
             )
             lo = f"(case when ({z}) >= 0 then {pos} else {pos} + ({z}) end)"
             hi = f"(case when ({z}) >= 0 then {pos} + ({z}) else {pos} end)"
+            # NULL y/z must yield NULL (SQLite); without the guard Spark's
+            # greatest() SKIPS null arguments and produces a real substring
             return (
-                f"substring({x}, greatest({lo}, 1), "
-                f"greatest({hi} - greatest({lo}, 1), 0))"
+                f"(case when ({y}) is null or ({z}) is null "
+                f"then cast(null as string) "
+                f"else substring({x}, greatest({lo}, 1), "
+                f"greatest({hi} - greatest({lo}, 1), 0)) end)"
             )
         return f"substring({', '.join(args)})"
     if n == "json_extract":
@@ -511,48 +537,112 @@ _PRINTF_SPEC = re.compile(
 )
 
 
+def _strip0(e: str) -> str:
+    """Strip trailing zeros, then a trailing '.', from a decimal string."""
+    return (
+        f"regexp_replace(regexp_replace({e}, '0+$', ''), '\\\\.$', '')"
+    )
+
+
+def _c_bare_g(a: str) -> str:
+    """C's bare %g as one Spark expression: round to 6 significant digits
+    (via Java's %.5e, whose e+NN exponent form matches C), choose decimal
+    form for exponents in [-4, 5] and scientific outside, strip trailing
+    zeros. The decimal form is rebuilt from the 6 mantissa DIGITS with
+    per-exponent literal substrings — never a float re-multiplication
+    (power(10, e) products reintroduce representation error) and never a
+    dynamic round() scale (Spark requires a foldable scale). Verified
+    against sqlite3 by the printf fuzz cases."""
+    d = f"cast(coalesce({a}, 0) as double)"
+    sci = f"format_string('%.5e', {d})"
+    m = f"substring_index({sci}, 'e', 1)"
+    et = f"substring_index({sci}, 'e', -1)"
+    ex = f"cast({et} as int)"
+    digs = f"regexp_replace({m}, '[-.]', '')"
+    sgn = f"(case when substring({m}, 1, 1) = '-' then '-' else '' end)"
+    branches = []
+    for k in range(-4, 6):
+        if k >= 0:
+            ipart = f"substring({digs}, 1, {k + 1})"
+            frac = _strip0(f"substring({digs}, {k + 2})")
+            body = (
+                f"concat({ipart}, case when {frac} = '' then '' "
+                f"else concat('.', {frac}) end)"
+            )
+        else:
+            body = (
+                f"concat('0.', repeat('0', {-k - 1}), "
+                + _strip0(digs)
+                + ")"
+            )
+        branches.append(f"when {ex} = {k} then concat({sgn}, {body})")
+    sci_out = f"concat({_strip0(m)}, 'e', {et})"
+    return f"(case {' '.join(branches)} else {sci_out} end)"
+
+
 def _rw_printf(args: list[str]) -> str:
-    """printf/format → format_string, with SQLite's NULL handling: NULL
-    arguments print as 0 for numeric conversions and '' for %s (C printf
-    via SQLite's own renderer), where Java's format_string throws or
-    prints 'null'. Also hard-casts each argument to the conversion's
-    type ('%d', 2.5 prints 2 in SQLite; Java throws
-    IllegalFormatConversionException). Only possible when the format is
-    a string literal; otherwise pass through unchanged (documented
-    fallback). SQLite's %q/%Q/%w and '*' widths stay unsupported."""
+    """printf/format → format_string, with SQLite's semantics: NULL
+    arguments print as 0 for numeric conversions and '' for %s; %d/%o/
+    %x/%X route through the SQLite integer cast (exact bigints — never
+    a double round-trip — plus the text numeric-prefix rule); %i ≡ %d
+    (flags/width preserved, '%%i' literals untouched); %u renders the
+    two's-complement unsigned value via decimal(20,0); %c prints the
+    first character of the argument's text form (SQLite's behavior);
+    bare %g applies C's 6-significant-digit form choice. Only possible
+    when the format is a string literal; otherwise pass through
+    unchanged (documented fallback). SQLite's %q/%Q/%w and '*' widths
+    stay unsupported."""
     fmt = args[0].strip()
     if not (fmt.startswith("'") and fmt.endswith("'")) or "*" in fmt:
         return f"format_string({', '.join(args)})"
-    fmt = fmt.replace("%i", "%d")
     pieces, last, wrapped, idx = [], 0, [], 1
     for m in _PRINTF_SPEC.finditer(fmt):
-        conv = m.group(4)
+        flags, width, prec, conv = m.groups()
         if conv == "%":
             continue
         if idx >= len(args):  # too few args: SQLite prints 0/'' — supply
             args = [*args, "null"]
         a = args[idx]
-        if conv in "diouxX":
-            wrapped.append(f"cast(coalesce(cast({a} as double), 0) as bigint)")
-        elif conv in "gG" and not (m.group(1) or m.group(2) or m.group(3)):
-            # C's bare %g strips trailing zeros ('%g', 2.5 → '2.5', 3.0 →
-            # '3'); Java's always pads to the precision ('2.50000').
-            # Render the double's canonical string and strip the '.0'
-            # tail — exact for the plain-spec decimal range (scientific-
-            # notation values keep Java's E-form: documented divergence).
-            pieces.append(fmt[last : m.start()] + "%s")
+        spec_head = fmt[last : m.start(4)]  # includes '%', flags, width, prec
+        if conv == "i":  # %i ≡ %d in C; Java lacks it
+            pieces.append(spec_head + "d")
+            last = m.end()
+            wrapped.append(f"coalesce({_sqlite_int_cast(a)}, 0)")
+        elif conv in "doxX":
+            wrapped.append(f"coalesce({_sqlite_int_cast(a)}, 0)")
+        elif conv == "u":
+            # two's-complement unsigned rendering; Java has no %u
+            pieces.append(spec_head + "s")
+            last = m.end()
+            v = f"coalesce({_sqlite_int_cast(a)}, 0)"
+            wrapped.append(
+                f"cast((case when {v} < 0 then cast({v} as decimal(20,0)) "
+                f"+ 18446744073709551616 else cast({v} as decimal(20,0)) "
+                f"end) as string)"
+            )
+        elif conv == "c":
+            # SQLite %c prints the FIRST CHARACTER of the text rendering;
+            # a NULL argument renders as character code 0 (a NUL byte)
+            pieces.append(spec_head + "s")
             last = m.end()
             wrapped.append(
-                f"regexp_replace(cast(cast(coalesce({a}, 0) as double) "
-                f"as string), '\\\\.0$', '')"
+                f"(case when ({a}) is null then chr(0) "
+                f"else substring(cast({a} as string), 1, 1) end)"
             )
+        elif conv in "gG" and not (flags or width or prec):
+            pieces.append(fmt[last : m.start()] + "%s")
+            last = m.end()
+            wrapped.append(_c_bare_g(a))
         elif conv in "eEfFgG":
             wrapped.append(f"cast(coalesce({a}, 0) as double)")
-        else:  # s / c
+        else:  # s
             wrapped.append(f"coalesce(cast({a} as string), '')")
         idx += 1
     pieces.append(fmt[last:])
-    return f"format_string({''.join(pieces)}, {', '.join(wrapped + args[idx:])})" if wrapped or args[idx:] else f"format_string({''.join(pieces)})"
+    rest = wrapped + args[idx:]
+    if not rest:
+        return f"format_string({''.join(pieces)})"
+    return f"format_string({''.join(pieces)}, {', '.join(rest)})"
 
 
 # note: Spark SQL two-arg ltrim is ltrim(trimStr, str); SQLite is

@@ -49,7 +49,13 @@ class TestTranslate:
         assert translate("select unixepoch(d)") == "select unix_timestamp(d)"
 
     def test_printf(self):
-        assert translate("select printf('%s-%d', a, b)") == "select format_string('%s-%d', a, b)"
+        # args are wrapped with SQLite's NULL/coercion semantics (%s →
+        # '' on NULL, %d → the exact SQLite integer cast); the format
+        # literal itself passes through
+        out = translate("select printf('%s-%d', a, b)")
+        assert out.startswith("select format_string('%s-%d', ")
+        assert "coalesce(cast(a as string), '')" in out
+        assert "coalesce" in out and "bigint" in out
 
     def test_json_ops(self):
         assert translate("select j ->> 'k' from t") == (

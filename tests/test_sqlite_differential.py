@@ -14,8 +14,9 @@ step), group_concat arrival order (we pin sorted), random()/blob fns,
 cross-affinity comparisons (TEXT column vs numeric literal — SQLite
 applies the column's affinity to the literal; our translator is
 schema-less), LIKE on non-ASCII case pairs (SQLite folds ASCII only;
-ilike folds Unicode), %g on values needing scientific notation
-(Java's E-form differs from C's e-form), junk-prefix TEXT coerced by
+ilike folds Unicode), double→TEXT renderings outside Spark's plain
+range (hex(1e7) / printf('%s', 1e7) hex/print Spark's '1.0E7' where
+SQLite renders '10000000.0'), junk-prefix TEXT coerced by
 arithmetic or numeric functions ('12abc'+1 → 13, abs('-5x') → 5.0 —
 the same class as the documented '7'+1 → 8.0 affinity surfacing; CAST
 does implement the prefix rule), and coalesce/case branches of mixed
@@ -62,6 +63,8 @@ def _norm(v):
     booleans become ints, floats round to 9 places."""
     if isinstance(v, bool):
         return 1 if v else 0
+    if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+        return repr(v)  # cast('1e310' as real) → Inf on both engines
     if isinstance(v, float) and v == int(v) and abs(v) < 2**53:
         return int(v)
     if isinstance(v, float):
@@ -184,6 +187,40 @@ CASES = [
     "select '3' * '4' as v",
     # unicode('') is NULL, not 0
     "select unicode('') as v",
+    # printf conversions Java lacks: %c (first char of text form, NUL for
+    # NULL), %u (two's-complement unsigned), flagged %i; '%%i' is literal
+    "select printf('%c', 65) as v",
+    "select printf('%c', s) as v from t",
+    "select printf('%c', null) as v",
+    "select printf('%u', 5) as v",
+    "select printf('%u', -1) as v",
+    "select printf('%u', n) as v from t",
+    "select printf('%05i', 42) as v",
+    "select printf('100%%i') as v",
+    # %d is exact above 2^53 and applies the text numeric-prefix rule
+    "select printf('%d', 9007199254740993) as v",
+    "select printf('%d', '12abc') as v",
+    "select printf('%x', -1) as v",
+    "select printf('%o', 8) as v",
+    # bare %g: C's 6-significant-digit form choice, zeros stripped
+    "select printf('%g', 0.123456789) as v",
+    "select printf('%g', 1234567.0) as v",
+    "select printf('%g', 0.000012345678) as v",
+    "select printf('%g', 1e20) as v",
+    "select printf('%g', -1e-20) as v",
+    # substr with NULL bounds is NULL (greatest() would otherwise skip it)
+    "select substr('hello', 2, null) as v",
+    "select substr('hello', null, 3) as v",
+    # TEXT→INTEGER saturates on overflow like SQLite
+    "select cast('99999999999999999999' as integer) as v",
+    "select cast('-99999999999999999999' as integer) as v",
+    "select cast('9223372036854775807' as integer) as v",
+    # scientific and hex literals tokenize (1e20 REAL, 0x two's-complement)
+    "select 1e20 as v",
+    "select 1.5e-3 as v",
+    "select 0xFF as v",
+    "select 0xFFFFFFFFFFFFFFFF as v",
+    "select 1e2 + 1 as v",
 ]
 
 
@@ -840,6 +877,31 @@ def test_datetime_modifiers_match_sqlite_on_random_chains(
     base = f"'{y:04d}-{mo:02d}-{d:02d} {h:02d}:30:00'"
     chain = "".join(f", '{m.format(n=n)}'" for m, n in mods)
     sql = f"select datetime({base}{chain}) as v"
+    want = con.execute(sql).fetchone()[0]
+    got = ex.execute(sql).first()["v"]
+    assert got == want, sql
+
+
+# ---------------------------------------------------------------------------
+# fuzz: bare %g against C's renderer across the full double range
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    mant=st.integers(min_value=-999999, max_value=999999),
+    exp=st.integers(min_value=-30, max_value=30),
+)
+def test_printf_g_matches_sqlite_on_random_doubles(engines, mant, exp):
+    """printf('%g', x) must apply C's 6-significant-digit rounding, the
+    decimal-vs-scientific form switch, and zero stripping exactly like
+    SQLite for mantissa/exponent combinations spanning both forms."""
+    ex, con = engines
+    sql = f"select printf('%g', {mant}e{exp}) as v"
     want = con.execute(sql).fetchone()[0]
     got = ex.execute(sql).first()["v"]
     assert got == want, sql
