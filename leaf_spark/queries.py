@@ -140,6 +140,7 @@ def all_cases() -> dict[str, QueryCase]:
     from . import queries_curation  # noqa: F401
     from . import queries_quality  # noqa: F401
     from . import queries_ranking  # noqa: F401
+    from . import queries_retrieval  # noqa: F401
 
     return _ordered(dict(_REGISTRY))
 

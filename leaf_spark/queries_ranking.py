@@ -734,3 +734,152 @@ register(
     "checkpointed so degrees/moments read the small pair table, "
     "audit-capped like q138",
 )(_q162_spark)
+
+
+# ---------------------------------------------------------------------------
+# q166 — Theil-Sen robust trend of daily event volume: the lower-median
+# of pairwise slopes (c_j - c_i)/(day_j - day_i) over all day pairs.
+# The monitoring primitive least-squares can't give you (one bursty day
+# can flip an OLS slope; the median slope ignores it). The corpus
+# reduces to ONE per-day count aggregation, localCheckpointed; the
+# pairwise slopes, slope histogram, and median selection all run over
+# the calendar-bounded day table (pairs <= C(#days, 2)), so the single-
+# partition windows are bounded by the calendar, never the corpus —
+# same q157/q159 histogram-median discipline (round-9 slope grid, min
+# value with cum_count >= ceil(n/2)).
+# ---------------------------------------------------------------------------
+
+_Q166_DAYS = """
+    select {EPOCHDAY} as day, cast(count(*) as bigint) as c
+    from events
+    group by {EPOCHDAY}
+"""
+
+_Q166_FINAL = """
+    with p as (
+      select round(cast(b.c - a.c as double) / (b.day - a.day), 9) + 0.0
+               as slope
+      from {D} a join {D} b on b.day > a.day
+    ),
+    h as (select slope, cast(count(*) as bigint) as cnt from p group by slope),
+    cum as (
+      select slope, cnt,
+             sum(cnt) over (order by slope
+                            rows between unbounded preceding and current row
+                            ) as cum_c,
+             sum(cnt) over () as n
+      from h
+    )
+    select (select cast(count(*) as bigint) from {D}) as n_days,
+           cast(min(n) as bigint) as n_pairs,
+           min(case when cum_c >= (n + 1) {IDIV} 2 then slope end) + 0.0
+             as ts_slope
+    from cum
+"""
+
+
+def _q166_sql_final(engine: str) -> str:
+    if engine == "spark":
+        return _Q166_FINAL.replace("{IDIV}", "div")
+    return _Q166_FINAL.replace("{IDIV}", "//")
+
+
+_EPOCHDAY_SPARK = "unix_micros(cast(ts as timestamp)) div 86400000000"
+_EPOCHDAY_DUCK = "epoch_us(ts) // 86400000000"
+
+
+def _q166_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, names=("events",))
+    d = spark.sql(
+        _Q166_DAYS.replace("{EPOCHDAY}", _EPOCHDAY_SPARK)
+    ).localCheckpoint()
+    d.createOrReplaceTempView("__q166_d__")
+    return spark.sql(_q166_sql_final("spark").replace("{D}", "__q166_d__"))
+
+
+register(
+    "q166_theil_sen_trend",
+    _q166_sql_final("duckdb").replace(
+        "{D}", "(" + _Q166_DAYS.replace("{EPOCHDAY}", _EPOCHDAY_DUCK) + ")"
+    ),
+    doc="Theil-Sen robust trend of daily event volume: lower-median of "
+    "pairwise day-count slopes (round-9 grid, histogram-exact median "
+    "via cumulative sums) — the burst-immune ingest-drift monitor. One "
+    "corpus aggregation to the checkpointed day table; slopes/median "
+    "run over calendar-bounded pairs, windows only over distinct "
+    "slope values",
+)(_q166_spark)
+
+
+# ---------------------------------------------------------------------------
+# q167 — autocorrelation (ACF) of daily event volume at lags 1..7: the
+# weekly-seasonality / burst-persistence diagnostic.
+#   r_k = sum (c_t - mean)(c_{t+k} - mean) / sum (c_t - mean)^2
+# The mean is the exact bigint-sum / day-count quotient (both exact in
+# a double far beyond any real event count); deviation products round
+# to 6 then decimal-sum so partition order can't move the total; lag
+# pairing is an equi-join on day+lag over the checkpointed day table
+# (no windows at all). Corpus-sized work: one per-day aggregation.
+# ---------------------------------------------------------------------------
+
+_Q167_FINAL = """
+    with m as (
+      select cast(sum(c) as decimal(38,0)) as s,
+             cast(count(*) as bigint) as n
+      from {D}
+    ),
+    d as (
+      select day,
+             cast(c as double)
+               - cast((select s from m) as double) / (select n from m) as dev
+      from {D}
+    ),
+    den as (
+      select cast(sum(cast(round(dev * dev, 6) as decimal(38,6)))
+                  as decimal(38,6)) as den
+      from d
+    ),
+    lags as (select {LAGS} as lag),
+    num as (
+      select l.lag,
+             cast(count(*) as bigint) as n_pairs,
+             cast(sum(cast(round(a.dev * b.dev, 6) as decimal(38,6)))
+                  as decimal(38,6)) as num
+      from lags l
+      cross join d a
+      join d b on b.day = a.day + l.lag
+      group by l.lag
+    )
+    select cast(lag as bigint) as lag, n_pairs,
+           round(cast(num as double)
+                 / nullif(cast((select den from den) as double), 0.0), 6)
+             + 0.0 as acf
+    from num
+    order by lag
+"""
+
+
+def _q167_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, names=("events",))
+    d = spark.sql(
+        _Q166_DAYS.replace("{EPOCHDAY}", _EPOCHDAY_SPARK)
+    ).localCheckpoint()
+    d.createOrReplaceTempView("__q167_d__")
+    return spark.sql(
+        _Q167_FINAL.replace("{D}", "__q167_d__").replace(
+            "{LAGS}", "explode(array(1, 2, 3, 4, 5, 6, 7))"
+        )
+    )
+
+
+register(
+    "q167_volume_acf",
+    _Q167_FINAL.replace(
+        "{D}", "(" + _Q166_DAYS.replace("{EPOCHDAY}", _EPOCHDAY_DUCK) + ")"
+    ).replace("{LAGS}", "unnest([1, 2, 3, 4, 5, 6, 7])"),
+    doc="autocorrelation of daily event volume at lags 1..7 (weekly "
+    "seasonality / burst persistence): exact mean as bigint-sum over "
+    "day-count, round-6 deviation products decimal-summed, lag pairing "
+    "as an equi-join on day+lag over the checkpointed calendar-bounded "
+    "day table — no windows anywhere. One corpus aggregation",
+)(_q167_spark)

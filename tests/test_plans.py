@@ -423,6 +423,9 @@ def test_no_undocumented_global_windows_catalog_wide(spark, cases):
       q144      — KS: window over distinct length values (support-bounded)
       q92       — decile offsets: window over distinct rounded scores
                   (<= 10^6 + 1 values)
+      q166      — Theil-Sen median: windows over distinct pairwise
+                  slopes of the DAY table (<= C(#calendar-days, 2),
+                  calendar-bounded — never corpus rows)
 
     Anything new that lands here is a scale regression (the q118 class)
     unless it joins this list with a documented bound."""
@@ -432,6 +435,7 @@ def test_no_undocumented_global_windows_catalog_wide(spark, cases):
         "q137_vocab_coverage_curve",
         "q144_ks_statistic",
         "q92_quality_deciles",
+        "q166_theil_sen_trend",
     }
     def node_depth(line: str) -> int:
         m = re.search(r"[+][-] |^(\s*)\S", line)
@@ -483,6 +487,14 @@ def test_checkpointed_entries_do_not_rescan(spark, cases):
         # consumers; q162's edge list feeds degrees/moments/final
         "q161_top_eigenvector",
         "q162_degree_assortativity",
+        # q164's top-51 vocab rows feed rank + threshold + log-sum;
+        # q165's term-filtered candidate table feeds both rank orders
+        "q164_zipf_tail_index",
+        "q165_ndcg_eval",
+        # q166/q167 reduce events to a calendar-bounded day table that
+        # feeds pairwise slopes / lag joins plus scalar consumers
+        "q166_theil_sen_trend",
+        "q167_volume_acf",
     ):
         plan = plan_of(cases[name].spark_fn(spark, SF_DIR))
         assert "Scan parquet" not in plan, name
