@@ -167,19 +167,72 @@ _TYPEOF_CASE = (
 
 
 def _glob_to_regex(lit: str) -> str:
-    """SQLite GLOB pattern literal → anchored Java regex literal."""
-    body = lit[1:-1]
+    """SQLite GLOB pattern literal (transport-encoded) → anchored Java
+    regex as a Spark literal. The pattern's characters are decoded
+    first, the regex is built with REAL backslash escapes, and the
+    result is re-encoded for Spark's C-style literal parser (so a
+    regex ``\\.`` survives as backslash-dot instead of Spark's
+    unknown-escape rule silently eating the backslash). GLOB character
+    classes translate to regex classes: ``[seq]``, ``[^seq]``, ranges,
+    a literal ``]`` first in the class; an UNTERMINATED ``[`` makes the
+    whole pattern match nothing (SQLite: 'a[' does not even match
+    'a['), emitted as the never-matching ``(?!)``."""
+    body = _lit_content(lit)
     out = []
-    for ch in body:
+    i = 0
+    while i < len(body):
+        ch = body[i]
         if ch == "*":
             out.append(".*")
         elif ch == "?":
             out.append(".")
-        elif ch in ".^$+{}[]|()\\":
+        elif ch == "[":
+            j = i + 1
+            cls = []
+            if j < len(body) and body[j] == "^":
+                cls.append("^")
+                j += 1
+            if j < len(body) and body[j] == "]":
+                cls.append("\\]")
+                j += 1
+            while j < len(body) and body[j] != "]":
+                c = body[j]
+                cls.append("\\" + c if c in "\\^][&" else c)
+                j += 1
+            if j >= len(body):  # unterminated class: match NOTHING
+                return _lit_encode("(?!)")
+            out.append("[" + "".join(cls) + "]")
+            i = j + 1
+            continue
+        elif ch in ".^$+{}]|()\\":
             out.append("\\" + ch)
         else:
             out.append(ch)
-    return "'^" + "".join(out) + "$'"
+        i += 1
+    return _lit_encode("^" + "".join(out) + "$")
+
+
+def _normalize_like_pattern(pc: str, ec: str) -> str | None:
+    """Normalize a LIKE pattern (character content) carrying an explicit
+    1-char escape for Spark's stricter matcher: SQLite allows the escape
+    before ANY character (escape + ordinary char = that char), Spark
+    raises ESC_IN_THE_MIDDLE unless the escaped char is a wildcard or
+    the escape itself. Returns None for a DANGLING trailing escape,
+    which never matches in SQLite (Spark raises ESC_AT_THE_END)."""
+    out = []
+    j = 0
+    while j < len(pc):
+        c = pc[j]
+        if ec and c == ec:
+            if j + 1 >= len(pc):
+                return None
+            nxt = pc[j + 1]
+            out.append(ec + nxt if nxt in ("%", "_", ec) else nxt)
+            j += 2
+        else:
+            out.append(c)
+            j += 1
+    return "".join(out)
 
 
 class SqlTranslationError(ValueError):
@@ -297,6 +350,32 @@ def _sqlite_int_cast(e: str) -> str:
     )
 
 
+def _char_codepoint(a: str) -> str:
+    """One char() argument → the one-character string for its Unicode
+    CODEPOINT (SQLite semantics; Spark's chr() wraps at 256). The
+    argument coerces through the SQLite integer cast (text numeric
+    prefix, truncate-toward-zero, NULL → 0); codepoint 0 emits a NUL
+    byte, out-of-range and surrogate values emit U+FFFD. The character
+    is built as its UTF-8 byte image: format_string renders the 1-4
+    byte sequence in hex, unhex + decode turn it into the string —
+    whole-stage-codegen friendly, no Python."""
+    k = f"coalesce({_sqlite_int_cast(a)}, 0)"
+    return (
+        f"decode(unhex(case "
+        f"when {k} = 0 then '00' "
+        f"when {k} < 0 or {k} > 1114111 "
+        f"or ({k} >= 55296 and {k} <= 57343) then 'EFBFBD' "
+        f"when {k} < 128 then format_string('%02X', {k}) "
+        f"when {k} < 2048 then format_string('%02X%02X', "
+        f"192 + {k} div 64, 128 + {k} % 64) "
+        f"when {k} < 65536 then format_string('%02X%02X%02X', "
+        f"224 + {k} div 4096, 128 + ({k} div 64) % 64, 128 + {k} % 64) "
+        f"else format_string('%02X%02X%02X%02X', "
+        f"240 + {k} div 262144, 128 + ({k} div 4096) % 64, "
+        f"128 + ({k} div 64) % 64, 128 + {k} % 64) end), 'utf-8')"
+    )
+
+
 def _rw_call(name: str, args: list[str]) -> str:
     """Rewrite one function call (args already translated SQL strings)."""
     n = name.lower()
@@ -371,7 +450,15 @@ def _rw_call(name: str, args: list[str]) -> str:
         # numeric truncate-toward-zero; Spark's trunc() is date-only
         return f"cast(cast({args[0]} as bigint) as double)"
     if n == "char":
-        return "concat(" + ", ".join(f"chr({a})" for a in args) + ")"
+        # SQLite char() maps UNICODE CODEPOINTS (char(256) = 'Ā'), where
+        # Spark's chr() wraps at 256. Each argument coerces through the
+        # SQLite integer cast (char('73x') = 'I', char(66.9) = 'B',
+        # NULL → 0 → a NUL byte); 0 emits NUL, out-of-range values emit
+        # U+FFFD. The codepoint becomes its UTF-8 byte image
+        # (format_string hex → unhex → decode), all JVM-side. Documented
+        # divergence: SQLite renders surrogate codepoints as invalid
+        # UTF-8 bytes no UTF-8 string type can hold — we emit U+FFFD.
+        return "concat(" + ", ".join(_char_codepoint(a) for a in args) + ")"
     if n == "unicode":
         # SQLite unicode('') is NULL; Spark ascii('') is 0
         return f"(case when ({args[0]}) = '' then null else ascii({args[0]}) end)"
@@ -380,7 +467,15 @@ def _rw_call(name: str, args: list[str]) -> str:
         q = "chr(39)"  # quote chars via chr() — keeps the rewrite re-tokenizable
         return (
             f"case when ({args[0]}) is null then 'NULL' "
-            f"when {tc} in ('integer', 'real') then cast({args[0]} as string) "
+            f"when {tc} = 'integer' then cast({args[0]} as string) "
+            # the string compare normalizes -0.0 (SQLite quotes it
+            # '0.0') without arithmetic a binary-typed argument couldn't
+            # type-check against; e-notation renderings outside Spark's
+            # plain range stay the documented double→TEXT divergence
+            f"when {tc} = 'real' then "
+            f"(case when cast({args[0]} as string) = '-0.0' then '0.0' "
+            f"else cast({args[0]} as string) end) "
+            f"when {tc} = 'blob' then concat('X', {q}, hex({args[0]}), {q}) "
             f"else concat({q}, replace(cast({args[0]} as string), {q}, "
             f"concat({q}, {q})), {q}) end"
         )
@@ -510,6 +605,71 @@ def _rw_call(name: str, args: list[str]) -> str:
         return f"ltrim({args[1]}, {args[0]})"  # SQLite(str, chars) → Spark(trimStr, str)… see note
     if n == "rtrim" and len(args) == 2:
         return f"rtrim({args[1]}, {args[0]})"
+    if n == "trim" and len(args) == 2:
+        # Spark two-arg trim is trim(trimStr, str) — reversed, same as
+        # the ltrim/rtrim pair above; the BOTH…FROM form is unambiguous
+        return f"trim(both {args[1]} from {args[0]})"
+    if n == "like" and len(args) in (2, 3):
+        # SQLite's FUNCTION form is like(PATTERN, STRING[, ESCAPE]) —
+        # pattern first, the reverse of the operator — and folds case
+        # (ASCII) exactly like the operator, so route through ilike
+        p = args[0].strip()
+        if len(args) == 2:
+            # no ESCAPE: SQLite backslash is ordinary → escape it for
+            # Spark's matcher when the pattern is a literal
+            if p.startswith("'") and p.endswith("'"):
+                p = _lit_encode(_lit_content(p).replace("\\", "\\\\"))
+            return f"(({args[1]}) ilike ({p}))"
+        e = args[2].strip()
+        if not (e.startswith("'") and e.endswith("'")):
+            raise SqlTranslationError("like() escape must be a literal")
+        if p.startswith("'") and p.endswith("'"):
+            # normalize for Spark's stricter matcher (escape-before-
+            # ordinary is legal in SQLite); a DANGLING trailing escape
+            # never matches in SQLite where Spark raises ESC_AT_THE_END
+            norm = _normalize_like_pattern(_lit_content(p), _lit_content(e))
+            if norm is None:
+                return (
+                    f"(case when ({p}) is null or ({args[1]}) is null "
+                    f"then cast(null as boolean) else false end)"
+                )
+            p = _lit_encode(norm)
+        return f"(({args[1]}) ilike ({p}) escape {e})"
+    if n == "glob" and len(args) == 2:
+        # glob(PATTERN, STRING) — same literal-pattern restriction as
+        # the operator form
+        p = args[0].strip()
+        if not p.startswith("'"):
+            raise SqlTranslationError("glob() requires a literal pattern")
+        return f"(({args[1]}) rlike {_glob_to_regex(p)})"
+    if n == "mod" and len(args) == 2:
+        # SQLite mod() always returns REAL, coerces numeric-looking TEXT
+        # (non-numeric → NULL, which Spark's double cast matches), and
+        # yields NULL on a zero divisor (Spark's fractional % already
+        # does); nanvl catches the residual fmod NaN edges
+        return (
+            f"nanvl(cast(({args[0]}) as double) "
+            f"% cast(({args[1]}) as double), cast(null as double))"
+        )
+    if n in ("ceil", "ceiling", "floor") and len(args) == 1:
+        # SQLite returns the int unchanged for INTEGER input and REAL
+        # otherwise; Spark's ceil/floor return BIGINT. One Spark
+        # expression must pick one type: double (values agree; the
+        # INTEGER-input storage class is the documented per-row-affinity
+        # non-goal). TEXT coerces strictly (non-numeric → NULL), as the
+        # double cast gives for free.
+        f = "ceil" if n in ("ceil", "ceiling") else "floor"
+        return f"cast({f}(cast(({args[0]}) as double)) as double)"
+    if n == "sign" and len(args) == 1:
+        # INTEGER -1/0/1; non-numeric TEXT → NULL (strict coercion —
+        # sign('7x') is NULL in SQLite even though abs('7x') is 7.0)
+        return f"cast(signum(cast(({args[0]}) as double)) as bigint)"
+    if n in ("sqrt", "asin", "acos", "acosh", "atanh", "pow", "power"):
+        # SQLite math functions return NULL outside the domain where
+        # Java returns NaN (sqrt(-1), asin(2), pow(-8, 1.0/3), …)
+        return (
+            f"nanvl({n}({', '.join(args)}), cast(null as double))"
+        )
     if n == "hex":
         # SQLite hex() renders the argument's BLOB image: numbers hex their
         # TEXT rendering (hex(255)='323535'), blobs hex their bytes, and
@@ -931,9 +1091,29 @@ def _expand_sqldiv(sql: str) -> str:
         sql = sql[:pos] + repl + sql[close + 1 :]
 
 
+def _lit_content(tok: str) -> str:
+    """Decode a TRANSPORT-ENCODED string-literal token back to its
+    character content (undo the translate-entry backslash doubling and
+    the '' quote doubling) for rewrites that must inspect it."""
+    return tok[1:-1].replace("\\\\", "\\").replace("''", "'")
+
+
+def _lit_encode(content: str) -> str:
+    """Character content → Spark string-literal token (backslashes
+    doubled for Spark's C-style literal parser, quotes doubled)."""
+    return "'" + content.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
 def translate(sql: str) -> str:
     """Translate one SQLite-dialect statement/expression to Spark SQL."""
     tokens = tokenize(sql)
+    # SQLite string literals are VERBATIM (no escape sequences); Spark's
+    # parser processes C-style backslash escapes. Double every backslash
+    # at the transport layer so the value Spark sees is the value SQLite
+    # saw — rewrites that inspect literal CONTENT decode via _lit_content.
+    tokens = [
+        t.replace("\\", "\\\\") if t.startswith("'") else t for t in tokens
+    ]
     return _rewrite_json_each(_expand_sqldiv(_j(_translate_tokens(tokens))))
 
 
@@ -1262,9 +1442,37 @@ def _translate_tokens(tokens: list[str]) -> list[str]:
             i = i2
             continue
         # SQLite LIKE is case-insensitive (ASCII) by default — Spark's
-        # ILIKE is the faithful operator (ESCAPE clauses pass through)
+        # ILIKE is the faithful operator (ESCAPE clauses pass through).
+        # Without an ESCAPE clause SQLite treats backslash as an
+        # ORDINARY character while Spark's matcher treats it as the
+        # default escape — so a literal pattern's backslashes are
+        # escaped for the matcher (dynamic patterns keep the documented
+        # divergence).
         if _is_word(t) and low == "like":
             out.append("ilike")
+            nxt = tokens[i + 1] if i + 1 < len(tokens) else ""
+            has_escape = (
+                i + 2 < len(tokens) and tokens[i + 2].lower() == "escape"
+            )
+            if nxt.startswith("'") and not has_escape:
+                tokens[i + 1] = _lit_encode(
+                    _lit_content(nxt).replace("\\", "\\\\")
+                )
+            elif (
+                nxt.startswith("'")
+                and has_escape
+                and i + 3 < len(tokens)
+                and tokens[i + 3].startswith("'")
+            ):
+                # escape-before-ordinary is legal in SQLite; normalize
+                # for Spark's matcher (a dangling trailing escape stays
+                # as-is — pathological, Spark raises where SQLite
+                # returns 0; the function form handles it exactly)
+                norm = _normalize_like_pattern(
+                    _lit_content(nxt), _lit_content(tokens[i + 3])
+                )
+                if norm is not None:
+                    tokens[i + 1] = _lit_encode(norm)
             i += 1
             continue
         # x GLOB 'pat'

@@ -221,6 +221,73 @@ CASES = [
     "select 0xFF as v",
     "select 0xFFFFFFFFFFFFFFFF as v",
     "select 1e2 + 1 as v",
+    # ---- string literals are VERBATIM in SQLite (no escape processing);
+    # the transport layer doubles backslashes for Spark's C-style parser
+    r"select length('\n') as v",
+    r"select replace('a\b', '\', '/') as v",
+    r"select 'c:\dir\file' like 'c:\dir\%' as v",
+    r"select 'a\b' glob 'a\b' as v",
+    # ---- function-form like()/glob(): pattern FIRST (reverse of the
+    # operator), ASCII case folding, explicit escapes incl. SQLite-legal
+    # escape-before-ordinary and the dangling-escape never-match
+    "select like('A%', 'abc') as v",
+    "select like('%b_', 'abzc') as v",
+    "select like('a%', s) as v from t",
+    r"select like('10\%', '10%', '\') as v",
+    "select like('xa%b', 'a%b', 'x') as v",
+    "select like('xab', 'xab', 'x') as v",
+    "select like('10%x', '10%', 'x') as v",
+    "select like('a%', null) as v",
+    "select glob('a*', 'abc') as v",
+    "select glob('a*', null) as v",
+    # ---- GLOB character classes (and the unterminated-[ never-match)
+    "select glob('a[bc]c', 'abc') as v",
+    "select 'adc' glob 'a[^bc]c' as v",
+    "select 'acc' glob 'a[b-d]c' as v",
+    "select 'a]c' glob 'a[]b]c' as v",
+    "select 'a[' glob 'a[' as v",
+    "select '[x' glob '[[]x' as v",
+    "select 'a]b' glob 'a]b' as v",
+    "select 'a-c' glob 'a[-b]c' as v",
+    # ---- char() maps Unicode CODEPOINTS with SQLite integer coercion
+    "select char(72, 105, 256) as v",
+    "select char(n) as v from t",
+    "select char('73x', 66.9, -0.5) as v",
+    "select char(-3) as v",
+    "select char(963, 128169) as v",
+    "select char(1114112) as v",
+    # ---- quote(): blob image, -0.0 normalization, text escaping
+    "select quote(x'ab12') as v",
+    "select quote(-0.0) as v",
+    "select quote('it''s') as v",
+    "select quote(f) as v from t",
+    "select quote(n) as v from t",
+    "select quote(s) as v from t",
+    # ---- two-arg trim (Spark's arg order is reversed)
+    "select trim('xxabcx', 'x') as v",
+    "select trim(s, 'Aa') as v from t",
+    # ---- math-fn coercion: mod() is REAL with strict TEXT coercion and
+    # NULL on zero divisors; ceil/floor type-unify to REAL; sign() is
+    # INTEGER with strict coercion; domain errors are NULL, never NaN
+    "select mod(7, 3) as v",
+    "select mod(7.5, 2) as v",
+    "select mod(' 7 ', 3) as v",
+    "select mod('7x', 3) as v",
+    "select mod(7, 0) as v",
+    "select mod(n, 4) as v from t",
+    "select ceiling(4.2) as v",
+    "select ceil('4.2') as v",
+    "select ceil('abc') as v",
+    "select floor(f) as v from t",
+    "select sign(n) as v from t",
+    "select sign('0012abc') as v",
+    "select sign(2.5) as v",
+    "select sqrt(-1) as v",
+    "select asin(2) as v",
+    "select acos(-2) as v",
+    "select pow(-8, 0.333) as v",
+    "select pow(2, 10) as v",
+    "select atan2(1, 2) as v",
 ]
 
 
@@ -434,11 +501,12 @@ def test_json_patch_matches_sqlite_on_random_objects(engines, target, patch):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
-    pat=st.text(alphabet="aAbB%_", min_size=1, max_size=6),
-    val=st.text(alphabet="aAbB", min_size=0, max_size=6),
+    pat=st.text(alphabet="aAbB%_\\", min_size=1, max_size=6),
+    val=st.text(alphabet="aAbB\\", min_size=0, max_size=6),
 )
 def test_like_matches_sqlite_on_random_patterns(engines, pat, val):
-    """SQLite LIKE: ASCII case-insensitive with %/_ wildcards — random
+    """SQLite LIKE: ASCII case-insensitive with %/_ wildcards, and
+    backslash is an ORDINARY character (no default escape) — random
     pattern/value pairs must classify identically."""
     ex, con = engines
     sql = f"select '{val}' like '{pat}' as v"
@@ -781,11 +849,13 @@ def test_window_functions_match_sqlite(engines, sql):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
-    pat=st.text(alphabet="ab*?", min_size=1, max_size=5),
-    val=st.text(alphabet="ab", min_size=0, max_size=5),
+    pat=st.text(alphabet="ab*?[]^-.\\", min_size=1, max_size=5),
+    val=st.text(alphabet="ab-.[]\\", min_size=0, max_size=5),
 )
 def test_glob_matches_sqlite_on_random_patterns(engines, pat, val):
-    """GLOB (case-SENSITIVE, * and ? wildcards) → rlike rewrite must
+    """GLOB (case-SENSITIVE, * and ? wildcards, [seq]/[^seq]/[a-b]
+    classes, unterminated-[ matches nothing, backslash literal) →
+    rlike rewrite must
     classify identically to SQLite for random pattern/value pairs."""
     ex, con = engines
     sql = f"select '{val}' glob '{pat}' as v"
@@ -905,3 +975,64 @@ def test_printf_g_matches_sqlite_on_random_doubles(engines, mant, exp):
     want = con.execute(sql).fetchone()[0]
     got = ex.execute(sql).first()["v"]
     assert got == want, sql
+
+
+# ---------------------------------------------------------------------------
+# fuzz: random DML sequences against sqlite3 — the write-path oracle
+# ---------------------------------------------------------------------------
+
+
+_dml_k = st.integers(min_value=0, max_value=4)
+_dml_n = st.integers(min_value=-9, max_value=9)
+_dml_t = st.integers(min_value=-5, max_value=5)
+
+
+@st.composite
+def _dml_stmt(draw):
+    kind = draw(st.integers(min_value=0, max_value=5))
+    k, n, t = draw(_dml_k), draw(_dml_n), draw(_dml_t)
+    if kind == 0:
+        return f"insert or ignore into u (k, n) values ({k}, {n})"
+    if kind == 1:
+        return f"insert or replace into u (k, s) values ({k}, 'r{n}')"
+    if kind == 2:
+        return (
+            f"insert into u (k, n) values ({k}, {n}) "
+            f"on conflict(k) do update set n = n + excluded.n"
+        )
+    if kind == 3:
+        return f"update u set n = n * 2 + {t} where k % 2 = 0"
+    if kind == 4:
+        return f"update u set s = s || 'x' where n > {t}"
+    return f"delete from u where n < {t}"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(stmts=st.lists(_dml_stmt(), min_size=2, max_size=6), seq=st.integers())
+def test_dml_state_matches_sqlite_on_random_scripts(spark, stmts, seq):
+    """Random sequences of upserts (incl. excluded.-referencing ON
+    CONFLICT), OR IGNORE/REPLACE inserts, arithmetic/concat UPDATEs,
+    and DELETEs must leave the identical final table state on both
+    engines — defaults, conflict resolution, and SQLite arithmetic
+    (integer division, affinity) all in play at once."""
+    ex = DmlExecutor(TableStore(spark, f"t_dmlfuzz_{abs(seq) % 10**8}_"))
+    con = sqlite3.connect(":memory:")
+    ddl = "create table u (k integer primary key, n integer default 0, s text default 'd')"
+    ex.execute(ddl)
+    con.execute(ddl)
+    for stmt in stmts:
+        ex.execute(stmt)
+        con.execute(stmt)
+    want = sorted(
+        (tuple(_norm(v) for v in r) for r in con.execute("select * from u")),
+        key=repr,
+    )
+    got = sorted(
+        (tuple(_norm(v) for v in r) for r in ex.execute("select * from u").collect()),
+        key=repr,
+    )
+    assert got == want, stmts
