@@ -664,6 +664,15 @@ def _rw_call(name: str, args: list[str]) -> str:
         # INTEGER -1/0/1; non-numeric TEXT → NULL (strict coercion —
         # sign('7x') is NULL in SQLite even though abs('7x') is 7.0)
         return f"cast(signum(cast(({args[0]}) as double)) as bigint)"
+    if n == "unhex" and len(args) == 1:
+        # SQLite unhex() is strict: an ODD number of digits is NULL
+        # (Spark pads a leading zero); non-hex chars are NULL on both.
+        # The 2-arg ignore-chars form stays unsupported.
+        x = f"cast({args[0]} as string)"
+        return (
+            f"(case when length({x}) % 2 = 1 then cast(null as binary) "
+            f"else unhex({x}) end)"
+        )
     if n in ("sqrt", "asin", "acos", "acosh", "atanh", "pow", "power"):
         # SQLite math functions return NULL outside the domain where
         # Java returns NaN (sqrt(-1), asin(2), pow(-8, 1.0/3), …)

@@ -48,6 +48,22 @@ class TestTranslate:
         assert translate("select unixepoch() ") == "select unix_timestamp()"
         assert translate("select unixepoch(d)") == "select unix_timestamp(d)"
 
+    def test_unhex_strict(self):
+        # SQLite unhex: odd digit count → NULL (Spark pads a zero)
+        out = translate("select unhex(h)")
+        assert "length(cast(h as string)) % 2 = 1" in out
+        assert "cast(null as binary)" in out
+
+    def test_modern_passthroughs(self):
+        # concat_ws / octet_length have identical semantics in Spark
+        # (NULL separator → NULL, NULL args skipped, UTF-8 byte length)
+        assert translate("select concat_ws('-', a, b)") == (
+            "select concat_ws('-', a, b)"
+        )
+        assert translate("select octet_length(s)") == (
+            "select octet_length(s)"
+        )
+
     def test_printf(self):
         # args are wrapped with SQLite's NULL/coercion semantics (%s →
         # '' on NULL, %d → the exact SQLite integer cast); the format
