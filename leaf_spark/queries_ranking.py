@@ -883,3 +883,118 @@ register(
     "as an equi-join on day+lag over the checkpointed calendar-bounded "
     "day table — no windows anywhere. One corpus aggregation",
 )(_q167_spark)
+
+
+# ---------------------------------------------------------------------------
+# q168 — SCD-2 history build: collapse each user's event stream into
+# type-2 slowly-changing-dimension versions of their "current event
+# type" — a row per CHANGE with [valid_from, valid_to) microsecond
+# bounds (valid_to NULL = current version). The temporal-versioning
+# primitive every warehouse dimension needs; emitting epoch micros
+# (exact bigints) sidesteps timestamp-rendering divergence. Both
+# windows partition by user_id — per-user locality, never a global
+# sort; one scan, one user-keyed shuffle.
+# ---------------------------------------------------------------------------
+
+_Q168_BODY = """
+    with s as (
+      select user_id, event_type, {EPOCHUS} as ts_us,
+             lag(event_type) over (
+               partition by user_id order by ts, event_id) as prev
+      from events
+    ),
+    chg as (
+      select user_id, event_type, ts_us from s
+      where prev is null or prev <> event_type
+    )
+    select user_id, event_type as attr,
+           cast(ts_us as bigint) as valid_from_us,
+           cast(lead(ts_us) over (
+             partition by user_id order by ts_us) as bigint) as valid_to_us,
+           case when lead(ts_us) over (
+             partition by user_id order by ts_us) is null
+             then 1 else 0 end as is_current
+    from chg
+    order by user_id, valid_from_us
+"""
+
+_EPOCHUS_SPARK = "unix_micros(cast(ts as timestamp))"
+_EPOCHUS_DUCK = "epoch_us(ts)"
+
+sql_case(
+    "q168_scd2_history",
+    _Q168_BODY.replace("{EPOCHUS}", _EPOCHUS_SPARK),
+    _Q168_BODY.replace("{EPOCHUS}", _EPOCHUS_DUCK),
+    doc="type-2 slowly-changing-dimension build of each user's current "
+    "event type: change detection via lag(), [valid_from, valid_to) "
+    "version intervals via lead(), exact microsecond-epoch bounds, "
+    "is_current flag — the temporal-versioning primitive. Both windows "
+    "partition by user_id (per-user locality at any scale); one scan",
+)
+
+
+# ---------------------------------------------------------------------------
+# q169 — single change-point detection on daily event volume: the split
+# day maximizing |mean(before) - mean(after)|, the binary-segmentation
+# step of classic change-point analysis (locates WHERE ingest shifted;
+# q112's PSI says whether, q166's slope says how fast). Cumulative
+# before/after sums come from a bounded self-join on the checkpointed
+# day table (a.day <= b.day — no windows at all); means are exact
+# bigint-sum / count quotients; the argmax orders by the round-9 shift
+# with the day as tiebreak. Corpus-sized work: ONE per-day aggregation.
+# ---------------------------------------------------------------------------
+
+_Q169_FINAL = """
+    with tot as (
+      select cast(sum(c) as bigint) as st, cast(count(*) as bigint) as nt
+      from {D}
+    ),
+    cum as (
+      select b.day,
+             cast(sum(a.c) as bigint) as sb,
+             cast(count(*) as bigint) as nb
+      from {D} a join {D} b on a.day <= b.day
+      group by b.day
+    ),
+    cand as (
+      select cum.day as split_day,
+             nb as n_before, (select nt from tot) - nb as n_after,
+             sb as sum_before, (select st from tot) - sb as sum_after
+      from cum
+      where nb < (select nt from tot)
+    )
+    select split_day, n_before, n_after, sum_before, sum_after,
+           round(cast(sum_before as double) / n_before, 6) as mean_before,
+           round(cast(sum_after as double) / n_after, 6) as mean_after,
+           round(abs(cast(sum_before as double) / n_before
+                     - cast(sum_after as double) / n_after), 6)
+             as shift
+    from cand
+    order by round(abs(cast(sum_before as double) / n_before
+                       - cast(sum_after as double) / n_after), 9) desc,
+             split_day
+    limit 1
+"""
+
+
+def _q169_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, names=("events",))
+    d = spark.sql(
+        _Q166_DAYS.replace("{EPOCHDAY}", _EPOCHDAY_SPARK)
+    ).localCheckpoint()
+    d.createOrReplaceTempView("__q169_d__")
+    return spark.sql(_Q169_FINAL.replace("{D}", "__q169_d__"))
+
+
+register(
+    "q169_mean_shift_changepoint",
+    _Q169_FINAL.replace(
+        "{D}", "(" + _Q166_DAYS.replace("{EPOCHDAY}", _EPOCHDAY_DUCK) + ")"
+    ),
+    doc="binary-segmentation change-point on daily event volume: the "
+    "split day maximizing |mean(before) - mean(after)|, exact bigint "
+    "sums/counts as primary columns, means and shift as final rounded "
+    "quotients, argmax by round-9 shift with day tiebreak — locates "
+    "WHERE ingest shifted. Day table checkpointed; before/after sums "
+    "from a calendar-bounded self-join, no windows",
+)(_q169_spark)

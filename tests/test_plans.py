@@ -491,10 +491,12 @@ def test_checkpointed_entries_do_not_rescan(spark, cases):
         # q165's term-filtered candidate table feeds both rank orders
         "q164_zipf_tail_index",
         "q165_ndcg_eval",
-        # q166/q167 reduce events to a calendar-bounded day table that
-        # feeds pairwise slopes / lag joins plus scalar consumers
+        # q166/q167/q169 reduce events to a calendar-bounded day table
+        # that feeds pairwise slopes / lag joins / split-point scans
+        # plus scalar consumers
         "q166_theil_sen_trend",
         "q167_volume_acf",
+        "q169_mean_shift_changepoint",
     ):
         plan = plan_of(cases[name].spark_fn(spark, SF_DIR))
         assert "Scan parquet" not in plan, name
