@@ -1310,6 +1310,36 @@ def _take_operand(tokens: list[str], i: int) -> tuple[list[str], int]:
     return unit, i
 
 
+_COLLATE_FOLDS = {
+    "binary": lambda e: e,
+    # SQLite NOCASE folds ASCII only — same translate() as lower()
+    "nocase": lambda e: (
+        f"translate({e}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+        f"'abcdefghijklmnopqrstuvwxyz')"
+    ),
+    "rtrim": lambda e: f"rtrim({e})",
+}
+
+
+def _split_top_commas(toks: list[str]) -> list[list[str]]:
+    elems: list[list[str]] = []
+    cur: list[str] = []
+    d = 0
+    for tok in toks:
+        if tok == "(":
+            d += 1
+        elif tok == ")":
+            d -= 1
+        if tok == "," and d == 0:
+            elems.append(cur)
+            cur = []
+        else:
+            cur.append(tok)
+    if cur:
+        elems.append(cur)
+    return elems
+
+
 def _translate_tokens(tokens: list[str]) -> list[str]:
     out: list[str] = []
     i = 0
@@ -1321,6 +1351,91 @@ def _translate_tokens(tokens: list[str]) -> list[str]:
         if t.startswith("$"):
             out.append(":" + t[1:])
             i += 1
+            continue
+        # expr COLLATE name — Spark has no collations; apply the
+        # collation as a key FOLD (nocase → ASCII-lower, rtrim → rtrim)
+        # to every operand of the comparison/ordering the collation
+        # governs. SQLite derives a comparison's collation from either
+        # operand's subtree, so folding the WHOLE swept operand is the
+        # comparison semantics. In pure value position (select list,
+        # function args) the collate is dropped — the value is the
+        # original; ordering-by-that-alias keeps the documented
+        # limitation. DISTINCT folds (count(distinct s collate nocase)).
+        if (
+            _is_word(t)
+            and low == "collate"
+            and i + 1 < n
+            and _is_word(tokens[i + 1])
+        ):
+            cname = tokens[i + 1].lower()
+            fold = _COLLATE_FOLDS.get(cname)
+            if fold is None:
+                raise SqlTranslationError(f"unsupported collation {cname}")
+            lhs = _j(_pop_tier_operand(out, frozenset()))
+            i += 2
+            nxt = tokens[i] if i < n else ""
+            nxt_low = nxt.lower() if _is_word(nxt) else nxt
+            if out and out[-1] in _CMP_OPS:  # tagged RIGHT comparison side
+                op = out.pop()
+                left = _j(_pop_tier_operand(out, frozenset()))
+                out.extend(
+                    tokenize(f"{fold(f'({left})')} {op} {fold(f'({lhs})')}")
+                )
+                continue
+            if nxt in _CMP_OPS:  # tagged LEFT side: fold the right too
+                right_raw, i2 = _take_tier_operand(tokens, i + 1, frozenset())
+                right = _j(_translate_tokens(right_raw))
+                out.extend(
+                    tokenize(f"{fold(f'({lhs})')} {nxt} {fold(f'({right})')}")
+                )
+                i = i2
+                continue
+            if nxt_low == "between":
+                x_raw, i2 = _take_tier_operand(tokens, i + 1, frozenset())
+                if i2 >= n or tokens[i2].lower() != "and":
+                    raise SqlTranslationError("COLLATE BETWEEN missing AND")
+                y_raw, i3 = _take_tier_operand(tokens, i2 + 1, frozenset())
+                x = _j(_translate_tokens(x_raw))
+                y = _j(_translate_tokens(y_raw))
+                out.extend(
+                    tokenize(
+                        f"{fold(f'({lhs})')} between {fold(f'({x})')} "
+                        f"and {fold(f'({y})')}"
+                    )
+                )
+                i = i3
+                continue
+            if nxt_low == "in" and i + 1 < n and tokens[i + 1] == "(":
+                depth, j = 0, i + 1
+                while j < n:
+                    if tokens[j] == "(":
+                        depth += 1
+                    elif tokens[j] == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j += 1
+                folded = ", ".join(
+                    fold(f"({_j(_translate_tokens(e))})")
+                    for e in _split_top_commas(tokens[i + 2 : j])
+                )
+                out.extend(tokenize(f"{fold(f'({lhs})')} in ({folded})"))
+                i = j + 1
+                continue
+            # bare: fold in key/boolean positions, drop in value position
+            ctx = ""
+            for prev in reversed(out):
+                pl = prev.lower() if _is_word(prev) else prev
+                if pl in (
+                    "select", "by", "where", "on", "having", "when",
+                    "then", "set", "values", "distinct",
+                ):
+                    ctx = pl
+                    break
+            if ctx in ("by", "where", "on", "having", "when", "distinct"):
+                out.extend(tokenize(fold(f"({lhs})")))
+            else:
+                out.extend(tokenize(f"({lhs})"))
             continue
         # state.tbl / events.tbl namespace flattening (identifier '.' identifier)
         if (

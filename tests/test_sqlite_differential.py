@@ -19,9 +19,13 @@ range (hex(1e7) / printf('%s', 1e7) hex/print Spark's '1.0E7' where
 SQLite renders '10000000.0'), junk-prefix TEXT coerced by
 arithmetic or numeric functions ('12abc'+1 → 13, abs('-5x') → 5.0 —
 the same class as the documented '7'+1 → 8.0 affinity surfacing; CAST
-does implement the prefix rule), and coalesce/case branches of mixed
+does implement the prefix rule), coalesce/case branches of mixed
 types (SQLite keeps per-row storage classes; Spark unifies the column
-type).
+type), and COLLATE beyond comparison/ordering/IN/BETWEEN/DISTINCT
+positions (a collated select-list alias does not propagate its
+collation to ORDER BY on the alias; aggregate arguments and
+column-level DDL collations stay BINARY — propagating those needs the
+schema the translator deliberately does not have).
 """
 
 from __future__ import annotations
@@ -288,6 +292,21 @@ CASES = [
     "select pow(-8, 0.333) as v",
     "select pow(2, 10) as v",
     "select atan2(1, 2) as v",
+    # ---- COLLATE: applied as a comparison/ordering key fold (NOCASE =
+    # ASCII lower, RTRIM, BINARY no-op); value positions keep originals
+    "select s as v from t where s = 'alpha' collate nocase order by id",
+    "select s as v from t where s collate nocase = 'alpha' order by id",
+    "select s as v from t where 'ALPHA' collate nocase = s order by id",
+    "select s as v from t order by s collate nocase, id",
+    "select s as v from t order by s collate nocase desc, id",
+    "select count(distinct s collate nocase) as v from t",
+    "select s as v from t where s collate nocase between 'a' and 'b' order by id",
+    "select s as v from t where s collate nocase in ('alpha', 'BETA') order by id",
+    "select 'a' = 'A' collate nocase as v",
+    "select 'a  ' collate rtrim = 'a' as v",
+    "select s as v from t order by s collate binary, id",
+    "select s collate nocase as v from t order by id",
+    "select s as v from t where id < 3 and s collate nocase = 'alpha' order by id",
 ]
 
 
