@@ -381,3 +381,67 @@ def transition_counts(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming SCD-2: live type-2 version history (counterpart of batch q168)
+# ---------------------------------------------------------------------------
+
+_SCD_OUT_SCHEMA = (
+    "user_id long, attr string, valid_from_us long, valid_to_us long"
+)
+_SCD_STATE_SCHEMA = "attr string, from_us long"
+
+
+def _scd2_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    attr, from_us = state.get if state.exists else (None, None)
+    rows: dict[str, list] = {
+        "user_id": [], "attr": [], "valid_from_us": [], "valid_to_us": []
+    }
+    chunks = list(pdfs)
+    if chunks:
+        # chunk-seam discipline (see _disorder_update): concat + sort once
+        # per micro-batch so event_id order holds across Arrow chunks
+        whole = pd.concat(chunks, ignore_index=True).sort_values("event_id")
+        for et, us in zip(whole["event_type"], whole["ts_us"]):
+            us = int(us)
+            if attr is None:
+                attr, from_us = et, us
+            elif et != attr:
+                rows["user_id"].append(key[0])
+                rows["attr"].append(attr)
+                rows["valid_from_us"].append(from_us)
+                rows["valid_to_us"].append(us)
+                attr, from_us = et, us
+    state.update((attr, from_us))
+    if rows["user_id"]:
+        yield pd.DataFrame(rows)
+
+
+def scd2_versions(events: DataFrame) -> DataFrame:
+    """Live type-2 slowly-changing-dimension history of each user's
+    current event type — the streaming counterpart of the batch q168
+    build, in PROCESSING order (event_id, the log's append order; the
+    event-time-ordered history is the batch entry's job). A CLOSED
+    version [valid_from_us, valid_to_us) is emitted the moment the
+    user's type changes; the OPEN version lives only in state (one
+    string + one long per user, sharded on the user_id key the shuffle
+    already hashes on). Closed versions are immutable, so append mode
+    fits exactly — no retraction, every output row is final.
+
+    Output mode: append — closed versions only."""
+    ev = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _scd2_update,
+        outputStructType=_SCD_OUT_SCHEMA,
+        stateStructType=_SCD_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

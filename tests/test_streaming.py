@@ -543,3 +543,47 @@ def test_transition_counts_match_batch_lead_window(spark, events_src_dir, tmp_pa
     exp = {(r["event_type"], r["nxt"]): r["count"] for r in batch.collect()}
     assert got == exp
     assert sum(got.values()) > 0
+
+
+def test_scd2_versions_match_batch_windows(spark, events_src_dir, tmp_path):
+    """Streaming SCD-2 closed versions must equal the batch lag/lead
+    construction in the same (event_id) order over the same log — the
+    stream-scale path of the q168 temporal-versioning build."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from leaf_spark.streaming.stateful import (
+        drain,
+        events_stream,
+        scd2_versions,
+    )
+
+    src = events_stream(spark, events_src_dir)
+    drain(
+        scd2_versions(src),
+        str(tmp_path / "ck_scd"),
+        "scd_versions",
+        output_mode="append",
+    )
+    got = {
+        (r["user_id"], r["attr"], r["valid_from_us"], r["valid_to_us"])
+        for r in spark.table("scd_versions").collect()
+    }
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    ev = _batch_events(spark, events_src_dir).withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    chg = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    versions = chg.withColumn(
+        "valid_to_us", F.lead("ts_us").over(w)
+    ).where(F.col("valid_to_us").isNotNull())
+    exp = {
+        (r["user_id"], r["event_type"], r["ts_us"], r["valid_to_us"])
+        for r in versions.collect()
+    }
+    assert got == exp
+    assert len(got) > 0
