@@ -33,6 +33,12 @@ HEAVY = [
     "q96_pagerank",
     "q109_bpe_merges",
     "q90_containment_dedup",
+    # round-5 additions worth tracking: iterative solves and the
+    # retrieval/time-series families
+    "q155_bradley_terry",
+    "q161_top_eigenvector",
+    "q163_rrf_fusion",
+    "q168_scd2_history",
 ]
 
 HEADLINE = [
