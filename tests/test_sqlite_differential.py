@@ -1055,3 +1055,34 @@ def test_dml_state_matches_sqlite_on_random_scripts(spark, stmts, seq):
         key=repr,
     )
     assert got == want, stmts
+
+
+# ---------------------------------------------------------------------------
+# fuzz: COLLATE NOCASE comparisons and ordering against sqlite3
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    a=st.text(alphabet="aAbBzZÄä ", min_size=0, max_size=5),
+    b=st.text(alphabet="aAbBzZ ", min_size=0, max_size=5),
+    op=st.sampled_from(["=", "<", ">", "<=", ">=", "<>"]),
+    side=st.booleans(),
+)
+def test_collate_nocase_matches_sqlite_on_random_pairs(engines, a, b, op, side):
+    """Random string pairs under every comparison operator with COLLATE
+    NOCASE on either side must classify identically — including the
+    ASCII-only fold (Ä/ä do NOT fold, same as lower())."""
+    ex, con = engines
+    a, b = a.replace("'", ""), b.replace("'", "")
+    if side:
+        sql = f"select '{a}' collate nocase {op} '{b}' as v"
+    else:
+        sql = f"select '{a}' {op} '{b}' collate nocase as v"
+    want = con.execute(sql).fetchone()[0]
+    got = ex.execute(sql).first()["v"]
+    assert int(got) == want, sql
