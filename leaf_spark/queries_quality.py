@@ -1239,3 +1239,51 @@ sql_case(
     "per-step self-join chain (the shape that explodes at scale). Exact "
     "counts, one rounded ratio",
 )
+
+
+# ---------------------------------------------------------------------------
+# q170 — k-anonymity / l-diversity audit over quasi-identifiers. The
+# privacy-risk profile a dataset release needs: events grouped by the
+# QI tuple (event_type, calendar day, high-value flag) form equivalence
+# classes; k = class size, l = distinct users in the class. The output
+# is the count-of-counts histogram over k (classes and rows per k,
+# minimum l among them) — small singleton classes at the top are the
+# re-identification risk. Two chained exact aggregations, no joins, no
+# windows; the distinct-user count shuffles once on the QI key.
+# ---------------------------------------------------------------------------
+
+_Q170_BODY = """
+    with cls as (
+      select event_type,
+             {EPOCHDAY} as day,
+             case when value >= 100.0 then 1 else 0 end as high_value,
+             cast(count(*) as bigint) as k,
+             cast(count(distinct user_id) as bigint) as l
+      from events
+      group by event_type, {EPOCHDAY},
+               case when value >= 100.0 then 1 else 0 end
+    )
+    select k,
+           cast(count(*) as bigint) as n_classes,
+           cast(sum(k) as bigint) as n_rows,
+           cast(min(l) as bigint) as min_l,
+           cast(sum(case when l < 2 then 1 else 0 end) as bigint)
+             as classes_below_l2
+    from cls
+    group by k
+    order by k
+"""
+
+sql_case(
+    "q170_k_anonymity",
+    _Q170_BODY.replace(
+        "{EPOCHDAY}", "unix_micros(cast(ts as timestamp)) div 86400000000"
+    ),
+    _Q170_BODY.replace("{EPOCHDAY}", "epoch_us(ts) // 86400000000"),
+    doc="k-anonymity / l-diversity audit: equivalence classes over the "
+    "(event_type, day, high-value) quasi-identifier tuple, reported as "
+    "the exact count-of-counts histogram over class size k with the "
+    "minimum user-diversity l and the count of l<2 classes per k — "
+    "singleton classes at the top are the re-identification risk. Two "
+    "chained exact aggregations, no joins, no windows",
+)
