@@ -141,6 +141,7 @@ def all_cases() -> dict[str, QueryCase]:
     from . import queries_quality  # noqa: F401
     from . import queries_ranking  # noqa: F401
     from . import queries_retrieval  # noqa: F401
+    from . import queries_stats  # noqa: F401
 
     return _ordered(dict(_REGISTRY))
 

@@ -1,0 +1,620 @@
+"""Catalog entries q171-q178: classical-statistics auditing over the
+corpus — the rank tests, independence tests, regression diagnostics,
+association rules, and sketches a data-quality review runs before a
+training mix ships.
+
+Where q160 (Welch z) compares MEANS, q171 (Mann-Whitney) compares whole
+distributions rank-wise and q172 (Spearman) rank-correlates two columns;
+q177 (chi-squared) tests categorical independence where q153 measured
+conditional entropy; q175 fits the OLS line whose robust sibling is
+q166's Theil-Sen; q174 adds the count-min sketch beside q63's HLL;
+q176 (Benford) and q178 (permutation entropy) are anomaly screens for
+fabricated counts and structureless series.
+
+Determinism conventions (the q117/q144/q154 discipline):
+
+- counts, ranks, and U statistics are EXACT BIGINTS (rank sums carry
+  2x the average rank so ties stay integral; U carries 2U);
+- libm-transcendental terms (ln, log-ratio) round to 6-9 digits and
+  decimal(38,x)-sum so partition order can't change totals;
+- closed-form quotients (z, rho, slope, lift, chi-squared terms) are
+  fixed sequences of IEEE ops over exact integers — every cast,
+  multiply, divide, and sqrt is correctly rounded, so both engines
+  produce bit-identical doubles; explicit parentheses pin the order;
+- Benford expectations are 9-digit DECIMAL LITERALS, not engine log10;
+- every ORDER BY before a LIMIT carries a unique-key tiebreak.
+
+Scale notes (SCALE.md discipline):
+
+- q171/q172's only ordered windows run over DISTINCT-VALUE histograms
+  (support-bounded, the q144 class — allowlisted in tests/test_plans.py
+  with their bounds);
+- q173's self-join is within user_id after a distinct — per-user row
+  count is bounded by the event-type vocabulary, never corpus rows;
+- q174's sketch is a fixed d x w = 4 x 64 cell table (map-side
+  combinable agg), candidates come from TakeOrderedAndProject;
+- q175 aggregates to calendar days before the bounded solve;
+- q176/q177 reduce to digit/category contingency tables first.
+"""
+
+from __future__ import annotations
+
+from .queries import register, sql_case
+from .session import load_tables
+
+# shared tokenizer (q137/q163's form)
+_TOK_SPARK = (
+    "explode(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '))"
+)
+_TOK_DUCK = (
+    "unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', "
+    "'g')), ' '))"
+)
+
+_EPOCHDAY_SPARK = "unix_micros(cast(ts as timestamp)) div 86400000000"
+_EPOCHDAY_DUCK = "epoch_us(ts) // 86400000000"
+
+
+# ---------------------------------------------------------------------------
+# q171 — Mann-Whitney U between the two largest sources' doc-length
+# distributions: the rank-sum complement to q160's parametric z-test and
+# q144's KS (same two-source frame). 2U_a = sum over the merged support
+# of ca * (2*cumB(<v) + cb) — pure bigint; the normal-approximation z
+# carries the exact tie correction sum(t^3 - t). The cumulative window
+# runs over DISTINCT length values (support-bounded, q144's bound).
+# ---------------------------------------------------------------------------
+
+_Q171_BODY = """
+    with lens as (select source, cast(n_chars as bigint) as v
+                  from documents where n_chars is not null),
+    st as (select source, cast(count(*) as bigint) as n
+           from lens group by source),
+    big as (select source, n from st order by n desc, source limit 2),
+    pr as (select a.source as sa, a.n as na, b.source as sb, b.n as nb
+           from big a join big b on a.source < b.source),
+    cv as (select l.source, l.v, cast(count(*) as bigint) as c
+           from lens l join big on big.source = l.source
+           group by l.source, l.v),
+    merged as (
+      select v,
+             cast(sum(case when source = (select sa from pr) then c
+                           else 0 end) as bigint) as ca,
+             cast(sum(case when source = (select sb from pr) then c
+                           else 0 end) as bigint) as cb
+      from cv group by v
+    ),
+    cum as (
+      select v, ca, cb,
+             sum(cb) over (order by v
+               rows between unbounded preceding and current row) as cum_b
+      from merged
+    ),
+    u as (select cast(sum(ca * (2 * (cum_b - cb) + cb)) as bigint) as u2_a
+          from cum),
+    ties as (select cast(sum((ca + cb) * (ca + cb) * (ca + cb)
+                             - (ca + cb)) as bigint) as t3t
+             from merged)
+    select pr.sa as source_a, pr.sb as source_b,
+           pr.na as n_a, pr.nb as n_b,
+           u.u2_a,
+           cast(2 * pr.na * pr.nb - u.u2_a as bigint) as u2_b,
+           ties.t3t as tie_cubes,
+           round(cast(u.u2_a as double)
+                 / (2.0 * (cast(pr.na as double) * cast(pr.nb as double))),
+                 6) as auc,
+           round((cast(u.u2_a as double)
+                  - (cast(pr.na as double) * cast(pr.nb as double)))
+                 / (2.0 * sqrt(
+                     ((cast(pr.na as double) * cast(pr.nb as double))
+                      * ((cast(pr.na + pr.nb + 1 as double)
+                          * cast(pr.na + pr.nb as double)
+                          * cast(pr.na + pr.nb - 1 as double))
+                         - cast(ties.t3t as double)))
+                     / (12.0 * (cast(pr.na + pr.nb as double)
+                                * cast(pr.na + pr.nb - 1 as double))))),
+                 6) as z
+    from pr cross join u cross join ties
+"""
+
+sql_case(
+    "q171_mann_whitney_u",
+    _Q171_BODY,
+    _Q171_BODY,
+    doc="Mann-Whitney U rank test between the two largest sources' "
+    "doc-length distributions: 2U and the tie-cube sum are exact "
+    "bigints from the merged count-of-counts histogram; z applies the "
+    "exact tie-corrected normal approximation as a fixed IEEE op "
+    "sequence; auc = U/(na*nb) is the probability-of-superiority "
+    "effect size. The cumulative window is over distinct LENGTH "
+    "VALUES (bounded support, q144's class), never corpus rows",
+)
+
+
+# ---------------------------------------------------------------------------
+# q172 — Spearman rank correlation between doc length (n_chars) and
+# token count. Average ranks (ties) come from each variable's
+# count-of-counts histogram — r2 = 2*cum(<v) + c + 1 is TWICE the
+# average rank, kept integral — then Pearson on the integer 2r values
+# via decimal(38,0) sums. No global row_number: the only ordered
+# windows run over the two distinct-value histograms (the q118 lesson).
+# ---------------------------------------------------------------------------
+
+_Q172_BODY = """
+    with d as (select doc_id, cast(n_chars as bigint) as x,
+                      cast({NTOK} as bigint) as y
+               from documents
+               where n_chars is not null and text is not null),
+    hx as (select x, cast(count(*) as bigint) as c from d group by x),
+    cx as (select x,
+                  2 * (sum(c) over (order by x
+                    rows between unbounded preceding and current row) - c)
+                  + c + 1 as rx
+           from hx),
+    hy as (select y, cast(count(*) as bigint) as c from d group by y),
+    cy as (select y,
+                  2 * (sum(c) over (order by y
+                    rows between unbounded preceding and current row) - c)
+                  + c + 1 as ry
+           from hy),
+    r as (select cx.rx, cy.ry
+          from d join cx on d.x = cx.x join cy on d.y = cy.y),
+    s as (select cast(count(*) as bigint) as n,
+                 cast(sum(cast(rx as decimal(38,0))) as decimal(38,0)) as sx,
+                 cast(sum(cast(ry as decimal(38,0))) as decimal(38,0)) as sy,
+                 cast(sum(cast(rx * ry as decimal(38,0))) as decimal(38,0))
+                   as sxy,
+                 cast(sum(cast(rx * rx as decimal(38,0))) as decimal(38,0))
+                   as sxx,
+                 cast(sum(cast(ry * ry as decimal(38,0))) as decimal(38,0))
+                   as syy
+          from r)
+    select n,
+           round((cast(n as double) * cast(sxy as double)
+                  - cast(sx as double) * cast(sy as double))
+                 / (sqrt(cast(n as double) * cast(sxx as double)
+                         - cast(sx as double) * cast(sx as double))
+                    * sqrt(cast(n as double) * cast(syy as double)
+                           - cast(sy as double) * cast(sy as double))),
+                 6) as spearman_rho
+    from s
+"""
+
+sql_case(
+    "q172_spearman_rho",
+    _Q172_BODY.replace(
+        "{NTOK}",
+        "size(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '))",
+    ),
+    _Q172_BODY.replace(
+        "{NTOK}",
+        "len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', "
+        "'g')), ' '))",
+    ),
+    doc="Spearman rank correlation between doc length and token count: "
+    "tie-averaged ranks are kept integral as 2r from each variable's "
+    "count-of-counts histogram (cumulative windows over DISTINCT "
+    "values only — bounded support), Pearson moments decimal(38,0)-"
+    "summed, rho as one fixed IEEE quotient. The monotone complement "
+    "to q175's linear OLS fit",
+)
+
+
+# ---------------------------------------------------------------------------
+# q173 — association rules over per-user event-type baskets:
+# support / confidence / lift for every co-occurring type pair. The
+# market-basket primitive. Baskets are DISTINCT (user, type) rows, so
+# the within-user self-join fans out at most (types-per-user choose 2)
+# rows per user — bounded by the event-type vocabulary, never by the
+# user's raw event count. One hash shuffle on user_id; top pairs via
+# ORDER BY + LIMIT (TakeOrderedAndProject).
+# ---------------------------------------------------------------------------
+
+_Q173_BODY = """
+    with b as (select distinct user_id, event_type
+               from events
+               where user_id is not null and event_type is not null),
+    n as (select cast(count(distinct user_id) as bigint) as n_users from b),
+    it as (select event_type, cast(count(*) as bigint) as c
+           from b group by event_type),
+    pairs as (
+      select l.event_type as antecedent, r.event_type as consequent,
+             cast(count(*) as bigint) as pair_users
+      from b l join b r
+        on l.user_id = r.user_id and l.event_type < r.event_type
+      group by l.event_type, r.event_type
+    )
+    select p.antecedent, p.consequent, p.pair_users,
+           ia.c as ante_users, ic.c as cons_users, n.n_users,
+           round(cast(p.pair_users as double) / cast(n.n_users as double),
+                 6) as support,
+           round(cast(p.pair_users as double) / cast(ia.c as double),
+                 6) as conf_a_to_c,
+           round(cast(p.pair_users as double) / cast(ic.c as double),
+                 6) as conf_c_to_a,
+           round((cast(p.pair_users as double) * cast(n.n_users as double))
+                 / (cast(ia.c as double) * cast(ic.c as double)),
+                 6) as lift
+    from pairs p
+    join it ia on ia.event_type = p.antecedent
+    join it ic on ic.event_type = p.consequent
+    cross join n
+    order by lift desc, p.antecedent, p.consequent
+    limit 15
+"""
+
+sql_case(
+    "q173_assoc_rules",
+    _Q173_BODY,
+    _Q173_BODY,
+    doc="association rules over per-user event-type baskets: exact "
+    "pair/antecedent/consequent user counts, support, both "
+    "directional confidences, and lift as fixed IEEE quotients of "
+    "exact bigints. Distinct-first bounds the within-user self-join "
+    "fan-out by the type vocabulary; one user_id shuffle; top-15 by "
+    "lift via ORDER BY + LIMIT",
+)
+
+
+# ---------------------------------------------------------------------------
+# q174 — count-min sketch (d=4 rows x w=64 buckets) over the token
+# stream, audited against exact counts for the top-10 tokens. The
+# frequency-sketch sibling of q63's HLL: est(tok) = min over rows of
+# cell[r, h_r(tok)] >= true count, with overestimate = collision mass.
+# Hashes are md5-derived bigints (the q45 conv/0x recipe) so both
+# engines build the identical sketch. The sketch is a fixed 256-cell
+# aggregation (map-side combinable); candidates come from
+# TakeOrderedAndProject; at 100 TB the cells table broadcasts.
+# ---------------------------------------------------------------------------
+
+_Q174_BODY = """
+    with toks as (select {TOKENS} as tok from documents),
+    tc as (select tok, cast(count(*) as bigint) as c
+           from toks where tok <> '' group by tok),
+    rows4 as (select 0 as r union all select 1
+              union all select 2 union all select 3),
+    hashed as (
+      select rows4.r, tc.tok, tc.c,
+             {H} % 64 as bucket
+      from tc cross join rows4
+    ),
+    cells as (select r, bucket, cast(sum(c) as bigint) as cell
+              from hashed group by r, bucket),
+    top as (select tok, c from tc order by c desc, tok limit 10)
+    select t.tok, t.c as exact_count,
+           cast(min(cl.cell) as bigint) as cms_estimate,
+           cast(min(cl.cell) - t.c as bigint) as overestimate
+    from top t
+    join hashed h on h.tok = t.tok
+    join cells cl on cl.r = h.r and cl.bucket = h.bucket
+    group by t.tok, t.c
+    order by t.c desc, t.tok
+"""
+
+_H_SPARK = (
+    "cast(conv(substr(md5(cast(rows4.r as string) || ':' || tc.tok), 1, 12),"
+    " 16, 10) as bigint)"
+)
+_H_DUCK = (
+    "('0x' || substr(md5(cast(rows4.r as varchar) || ':' || tc.tok), 1, 12))"
+    "::bigint"
+)
+
+sql_case(
+    "q174_countmin_sketch",
+    _Q174_BODY.replace("{TOKENS}", _TOK_SPARK).replace("{H}", _H_SPARK),
+    _Q174_BODY.replace("{TOKENS}", _TOK_DUCK).replace("{H}", _H_DUCK),
+    doc="count-min sketch (4 x 64, md5-derived row hashes) over the "
+    "token stream, audited against exact counts for the top-10 "
+    "tokens: estimate = min over rows of the hit cell, always >= "
+    "exact, overestimate = collision mass. Fixed 256-cell map-side-"
+    "combinable aggregation; identical sketch on both engines via "
+    "the conv/0x bigint-from-md5 recipe",
+)
+
+
+# ---------------------------------------------------------------------------
+# q175 — OLS trend of daily event volume: slope/intercept/R^2 in closed
+# form from exact decimal sums over the DAY table (calendar-bounded, the
+# q166 frame — q166 fits the robust Theil-Sen median slope, this is the
+# classical least-squares line plus its fit quality). x is centered at
+# the first day so moments stay small and exact.
+# ---------------------------------------------------------------------------
+
+_Q175_BODY = """
+    with days as (select {EPOCHDAY} as day, cast(count(*) as bigint) as y
+                  from events group by {EPOCHDAY}),
+    base as (select min(day) as d0 from days),
+    xy as (select cast(day - (select d0 from base) as bigint) as x, y
+           from days),
+    s as (select cast(count(*) as bigint) as n,
+                 cast(sum(cast(x as decimal(38,0))) as decimal(38,0)) as sx,
+                 cast(sum(cast(y as decimal(38,0))) as decimal(38,0)) as sy,
+                 cast(sum(cast(x * y as decimal(38,0))) as decimal(38,0))
+                   as sxy,
+                 cast(sum(cast(x * x as decimal(38,0))) as decimal(38,0))
+                   as sxx,
+                 cast(sum(cast(y * y as decimal(38,0))) as decimal(38,0))
+                   as syy
+          from s0),
+    s0 as (select x, y from xy)
+    select n,
+           round((cast(n as double) * cast(sxy as double)
+                  - cast(sx as double) * cast(sy as double))
+                 / (cast(n as double) * cast(sxx as double)
+                    - cast(sx as double) * cast(sx as double)),
+                 6) as slope_per_day,
+           round((cast(sy as double)
+                  - ((cast(n as double) * cast(sxy as double)
+                      - cast(sx as double) * cast(sy as double))
+                     / (cast(n as double) * cast(sxx as double)
+                        - cast(sx as double) * cast(sx as double)))
+                    * cast(sx as double))
+                 / cast(n as double),
+                 6) as intercept,
+           round(((cast(n as double) * cast(sxy as double)
+                   - cast(sx as double) * cast(sy as double))
+                  * (cast(n as double) * cast(sxy as double)
+                     - cast(sx as double) * cast(sy as double)))
+                 / ((cast(n as double) * cast(sxx as double)
+                     - cast(sx as double) * cast(sx as double))
+                    * (cast(n as double) * cast(syy as double)
+                       - cast(sy as double) * cast(sy as double))),
+                 6) as r2
+    from s
+"""
+
+
+def _q175(body: str, epochday: str) -> str:
+    # s0 must precede s in DuckDB's stricter CTE ordering; rewrite here
+    out = body.replace("{EPOCHDAY}", epochday)
+    return out
+
+
+_Q175_FIXED = """
+    with days as (select {EPOCHDAY} as day, cast(count(*) as bigint) as y
+                  from events group by {EPOCHDAY}),
+    base as (select min(day) as d0 from days),
+    xy as (select cast(day - (select d0 from base) as bigint) as x, y
+           from days),
+    s as (select cast(count(*) as bigint) as n,
+                 cast(sum(cast(x as decimal(38,0))) as decimal(38,0)) as sx,
+                 cast(sum(cast(y as decimal(38,0))) as decimal(38,0)) as sy,
+                 cast(sum(cast(x * y as decimal(38,0))) as decimal(38,0))
+                   as sxy,
+                 cast(sum(cast(x * x as decimal(38,0))) as decimal(38,0))
+                   as sxx,
+                 cast(sum(cast(y * y as decimal(38,0))) as decimal(38,0))
+                   as syy
+          from xy)
+    select n,
+           round((cast(n as double) * cast(sxy as double)
+                  - cast(sx as double) * cast(sy as double))
+                 / (cast(n as double) * cast(sxx as double)
+                    - cast(sx as double) * cast(sx as double)),
+                 6) as slope_per_day,
+           round((cast(sy as double)
+                  - ((cast(n as double) * cast(sxy as double)
+                      - cast(sx as double) * cast(sy as double))
+                     / (cast(n as double) * cast(sxx as double)
+                        - cast(sx as double) * cast(sx as double)))
+                    * cast(sx as double))
+                 / cast(n as double),
+                 6) as intercept,
+           round(((cast(n as double) * cast(sxy as double)
+                   - cast(sx as double) * cast(sy as double))
+                  * (cast(n as double) * cast(sxy as double)
+                     - cast(sx as double) * cast(sy as double)))
+                 / ((cast(n as double) * cast(sxx as double)
+                     - cast(sx as double) * cast(sx as double))
+                    * (cast(n as double) * cast(syy as double)
+                       - cast(sy as double) * cast(sy as double))),
+                 6) as r2
+    from s
+"""
+
+sql_case(
+    "q175_ols_trend",
+    _Q175_FIXED.replace("{EPOCHDAY}", _EPOCHDAY_SPARK),
+    _Q175_FIXED.replace("{EPOCHDAY}", _EPOCHDAY_DUCK),
+    doc="ordinary-least-squares trend of daily event volume: slope, "
+    "intercept, and R^2 in closed form from decimal(38,0)-summed "
+    "moments over the calendar-day table (x centered at day 0 keeps "
+    "moments small and exact); every quotient one fixed IEEE "
+    "sequence. The classical companion to q166's Theil-Sen median "
+    "slope",
+)
+
+
+# ---------------------------------------------------------------------------
+# q176 — Benford leading-digit screen over doc lengths: observed digit
+# shares vs the Benford expectation with the chi-squared goodness-of-fit
+# statistic. The fabricated-counts anomaly screen. Digits come from the
+# bigint's string image (no float log10 near-boundary risk); Benford
+# expectations are 9-digit decimal LITERALS, so no engine transcendental
+# enters; per-digit terms round-9 then decimal-sum.
+# ---------------------------------------------------------------------------
+
+_Q176_BODY = """
+    with v as (select cast(n_chars as bigint) as v
+               from documents where n_chars is not null and n_chars >= 1),
+    n as (select cast(count(*) as bigint) as n from v),
+    o as (select cast(substr(cast(v as {STR}), 1, 1) as bigint) as digit,
+                 cast(count(*) as bigint) as obs
+          from v group by cast(substr(cast(v as {STR}), 1, 1) as bigint)),
+    benford as (
+      select 1 as digit, cast(0.301029996 as double) as p
+      union all select 2, cast(0.176091259 as double)
+      union all select 3, cast(0.124938737 as double)
+      union all select 4, cast(0.096910013 as double)
+      union all select 5, cast(0.079181246 as double)
+      union all select 6, cast(0.066946790 as double)
+      union all select 7, cast(0.057991947 as double)
+      union all select 8, cast(0.051152522 as double)
+      union all select 9, cast(0.045757491 as double)
+    ),
+    g as (
+      select b.digit, b.p, coalesce(o.obs, 0) as obs, n.n
+      from benford b left join o on o.digit = b.digit cross join n
+    ),
+    t as (
+      select digit, obs, n,
+             round(cast(n as double) * p, 6) as expected,
+             cast(round(
+               ((cast(obs as double) - cast(n as double) * p)
+                * (cast(obs as double) - cast(n as double) * p))
+               / (cast(n as double) * p), 9) as decimal(38,9)) as term
+      from g
+    ),
+    chi as (select round(cast(sum(term) as double), 6) as chi2 from t)
+    select t.digit, t.obs, t.expected,
+           round(cast(t.obs as double) / cast(t.n as double), 6)
+             as obs_share,
+           chi.chi2
+    from t cross join chi
+    order by t.digit
+"""
+
+sql_case(
+    "q176_benford_digits",
+    _Q176_BODY.replace("{STR}", "string"),
+    _Q176_BODY.replace("{STR}", "varchar"),
+    doc="Benford leading-digit screen over doc lengths: digit from the "
+    "bigint's string image (no float log10 boundary risk), expected "
+    "shares as 9-digit decimal literals (no engine transcendental), "
+    "chi-squared goodness-of-fit from round-9 decimal-summed terms, "
+    "repeated beside each digit row. The fabricated-counts anomaly "
+    "screen; reduces to a 9-row digit histogram before any float",
+)
+
+
+# ---------------------------------------------------------------------------
+# q177 — chi-squared test of independence between lang and source, with
+# Cramer's V. Where q153 measured H(lang | source) in bits, this is the
+# significance-test view of the same contingency table — including the
+# ZERO cells the raw group-by never emits (row x column grid, left join,
+# coalesce 0). All marginals exact bigints; per-cell terms round-9 and
+# decimal-sum; V = sqrt(chi2 / (N * min(r-1, c-1))).
+# ---------------------------------------------------------------------------
+
+_Q177_BODY = """
+    with ct as (select lang, source, cast(count(*) as bigint) as o
+                from documents
+                where lang is not null and source is not null
+                group by lang, source),
+    rt as (select lang, cast(sum(o) as bigint) as r from ct group by lang),
+    cl as (select source, cast(sum(o) as bigint) as c
+           from ct group by source),
+    n as (select cast(sum(o) as bigint) as n from ct),
+    grid as (
+      select rt.lang, cl.source, rt.r, cl.c, coalesce(ct.o, 0) as o
+      from rt cross join cl
+      left join ct on ct.lang = rt.lang and ct.source = cl.source
+    ),
+    t as (
+      select cast(round(
+               ((cast(o as double)
+                 - (cast(r as double) * cast(c as double))
+                   / cast((select n from n) as double))
+                * (cast(o as double)
+                   - (cast(r as double) * cast(c as double))
+                     / cast((select n from n) as double)))
+               / ((cast(r as double) * cast(c as double))
+                  / cast((select n from n) as double)),
+               9) as decimal(38,9)) as term
+      from grid
+    ),
+    dims as (select cast(count(*) as bigint) as nr from rt),
+    dimc as (select cast(count(*) as bigint) as nc from cl),
+    chi as (select cast(sum(term) as decimal(38,9)) as chi2d from t)
+    select round(cast(chi.chi2d as double), 6) as chi2,
+           cast((dims.nr - 1) * (dimc.nc - 1) as bigint) as dof,
+           n.n as n_docs,
+           round(sqrt(cast(chi.chi2d as double)
+                      / (cast(n.n as double)
+                         * cast(least(dims.nr - 1, dimc.nc - 1) as double))),
+                 6) as cramers_v
+    from chi cross join dims cross join dimc cross join n
+"""
+
+sql_case(
+    "q177_chi2_independence",
+    _Q177_BODY,
+    _Q177_BODY,
+    doc="chi-squared independence test between lang and source with "
+    "Cramer's V: the full row x column grid (zero cells included via "
+    "left join + coalesce), exact bigint marginals, per-cell terms as "
+    "fixed IEEE sequences rounded to 9 and decimal-summed, V = "
+    "sqrt(chi2/(N*min(r-1,c-1))). The significance-test view of "
+    "q153's conditional-entropy table; reduces to the contingency "
+    "grid before any float",
+)
+
+
+# ---------------------------------------------------------------------------
+# q178 — permutation entropy (order 3, Bandt-Pompe) of each event
+# type's value series: the structureless-series screen. Consecutive
+# value triples (two lag windows hash-partitioned by event_type,
+# ordered by ts with event_id tiebreak) map to one of 6 ordinal
+# patterns via a fixed CASE ladder whose <= comparisons break ties
+# toward the earlier element (total order, both engines identical);
+# H = -sum p ln p / ln 6 from round-6 decimal-summed terms. At 100 TB
+# a hot event_type would sub-bucket by (type, day) with boundary
+# stitching, exactly as q82's as-of does.
+# ---------------------------------------------------------------------------
+
+_Q178_BODY = """
+    with e as (
+      select event_type, value as c0,
+             lag(value, 1) over (partition by event_type
+                                 order by ts, event_id) as c1,
+             lag(value, 2) over (partition by event_type
+                                 order by ts, event_id) as c2
+      from events
+      where value is not null and not isnan(value)
+    ),
+    pat as (
+      select event_type,
+             case
+               when c2 <= c1 and c1 <= c0 then 'abc'
+               when c2 <= c1 and c2 <= c0 then 'acb'
+               when c2 <= c0 then 'bac'
+               when c1 <= c0 then 'bca'
+               when c2 <= c1 then 'cab'
+               else 'cba'
+             end as pattern
+      from e where c2 is not null
+    ),
+    pc as (select event_type, pattern, cast(count(*) as bigint) as c
+           from pat group by event_type, pattern),
+    tot as (select event_type, cast(sum(c) as bigint) as t
+            from pc group by event_type),
+    terms as (
+      select pc.event_type, tot.t,
+             cast(round(
+               -(cast(pc.c as double) / cast(tot.t as double))
+               * ln(cast(pc.c as double) / cast(tot.t as double))
+               / ln(cast(6 as double)), 6) as decimal(38,6)) as term
+      from pc join tot on tot.event_type = pc.event_type
+    )
+    select event_type,
+           cast(min(t) as bigint) as n_triples,
+           cast(count(*) as bigint) as n_patterns,
+           round(cast(sum(term) as double), 6) as perm_entropy
+    from terms
+    group by event_type
+    order by event_type
+"""
+
+sql_case(
+    "q178_permutation_entropy",
+    _Q178_BODY,
+    _Q178_BODY,
+    doc="order-3 Bandt-Pompe permutation entropy of each event type's "
+    "value series: two lag windows hash-partitioned by event_type "
+    "(ts + event_id total order), a fixed CASE ladder mapping each "
+    "triple to one of 6 ordinal patterns with ties broken toward the "
+    "earlier element, H normalized by ln 6 from round-6 decimal-"
+    "summed terms. Near 1 = structureless noise, near 0 = "
+    "deterministic motion — the series-structure screen beside "
+    "q167's ACF",
+)

@@ -426,6 +426,10 @@ def test_no_undocumented_global_windows_catalog_wide(spark, cases):
       q166      — Theil-Sen median: windows over distinct pairwise
                   slopes of the DAY table (<= C(#calendar-days, 2),
                   calendar-bounded — never corpus rows)
+      q171/q172 — rank statistics: windows over DISTINCT-VALUE
+                  count-of-counts histograms (support-bounded, the
+                  q144 class — doc lengths / rounded scores, never
+                  corpus rows)
 
     Anything new that lands here is a scale regression (the q118 class)
     unless it joins this list with a documented bound."""
@@ -436,6 +440,8 @@ def test_no_undocumented_global_windows_catalog_wide(spark, cases):
         "q144_ks_statistic",
         "q92_quality_deciles",
         "q166_theil_sen_trend",
+        "q171_mann_whitney_u",
+        "q172_spearman_rho",
     }
     def node_depth(line: str) -> int:
         m = re.search(r"[+][-] |^(\s*)\S", line)
