@@ -320,56 +320,6 @@ sql_case(
 # the first day so moments stay small and exact.
 # ---------------------------------------------------------------------------
 
-_Q175_BODY = """
-    with days as (select {EPOCHDAY} as day, cast(count(*) as bigint) as y
-                  from events group by {EPOCHDAY}),
-    base as (select min(day) as d0 from days),
-    xy as (select cast(day - (select d0 from base) as bigint) as x, y
-           from days),
-    s as (select cast(count(*) as bigint) as n,
-                 cast(sum(cast(x as decimal(38,0))) as decimal(38,0)) as sx,
-                 cast(sum(cast(y as decimal(38,0))) as decimal(38,0)) as sy,
-                 cast(sum(cast(x * y as decimal(38,0))) as decimal(38,0))
-                   as sxy,
-                 cast(sum(cast(x * x as decimal(38,0))) as decimal(38,0))
-                   as sxx,
-                 cast(sum(cast(y * y as decimal(38,0))) as decimal(38,0))
-                   as syy
-          from s0),
-    s0 as (select x, y from xy)
-    select n,
-           round((cast(n as double) * cast(sxy as double)
-                  - cast(sx as double) * cast(sy as double))
-                 / (cast(n as double) * cast(sxx as double)
-                    - cast(sx as double) * cast(sx as double)),
-                 6) as slope_per_day,
-           round((cast(sy as double)
-                  - ((cast(n as double) * cast(sxy as double)
-                      - cast(sx as double) * cast(sy as double))
-                     / (cast(n as double) * cast(sxx as double)
-                        - cast(sx as double) * cast(sx as double)))
-                    * cast(sx as double))
-                 / cast(n as double),
-                 6) as intercept,
-           round(((cast(n as double) * cast(sxy as double)
-                   - cast(sx as double) * cast(sy as double))
-                  * (cast(n as double) * cast(sxy as double)
-                     - cast(sx as double) * cast(sy as double)))
-                 / ((cast(n as double) * cast(sxx as double)
-                     - cast(sx as double) * cast(sx as double))
-                    * (cast(n as double) * cast(syy as double)
-                       - cast(sy as double) * cast(sy as double))),
-                 6) as r2
-    from s
-"""
-
-
-def _q175(body: str, epochday: str) -> str:
-    # s0 must precede s in DuckDB's stricter CTE ordering; rewrite here
-    out = body.replace("{EPOCHDAY}", epochday)
-    return out
-
-
 _Q175_FIXED = """
     with days as (select {EPOCHDAY} as day, cast(count(*) as bigint) as y
                   from events group by {EPOCHDAY}),

@@ -1,0 +1,401 @@
+"""Planted-data semantics tests for the q171-q178 statistics audits.
+
+These entries run the SAME SQL body on Spark and DuckDB, so the
+differential gate cannot catch a shared-body formula bug — a wrong U
+statistic would be wrong identically on both engines and still hash-match.
+Each test here plants a tiny dataset whose statistic is known in closed
+form (or recomputed independently in Python) and asserts the SQL gets it.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+
+import pytest
+
+
+def _mk_docs(spark, rows):
+    """rows: (doc_id, text, lang, source, n_chars)"""
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q171 Mann-Whitney U
+# ---------------------------------------------------------------------------
+
+
+def test_mann_whitney_separated_distributions(spark):
+    """Source aa entirely below bb → U_a = 0, auc = 0; the tiny third
+    source must be excluded by the two-largest selection."""
+    from leaf_spark.queries_stats import _Q171_BODY
+
+    rows = [(i, "t", "en", "aa", v) for i, v in enumerate([1, 2, 3, 4, 5])]
+    rows += [(10 + i, "t", "en", "bb", v) for i, v in enumerate([6, 7, 8, 9])]
+    rows += [(99, "t", "en", "zz", 100)]  # not among the two largest
+    _mk_docs(spark, rows).createOrReplaceTempView("documents")
+    out = spark.sql(_Q171_BODY).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["source_a"], r["source_b"]) == ("aa", "bb")
+    assert (r["n_a"], r["n_b"]) == (5, 4)
+    assert r["u2_a"] == 0 and r["u2_b"] == 40
+    assert r["tie_cubes"] == 0
+    assert r["auc"] == 0.0
+    # tie-free normal approximation: z = (U - nm/2) / sqrt(nm(n+1)/12)
+    z = (0 - 10.0) / math.sqrt(5 * 4 * 10 / 12.0)
+    assert r["z"] == pytest.approx(z, abs=1e-6)
+
+
+def test_mann_whitney_reversed_and_tied(spark):
+    from leaf_spark.queries_stats import _Q171_BODY
+
+    # aa above bb → auc = 1; then a fully tied pair → auc = 0.5, z = 0
+    rows = [(i, "t", "en", "aa", 10 + v) for i, v in enumerate(range(5))]
+    rows += [(10 + i, "t", "en", "bb", v) for i, v in enumerate([1, 2, 3, 4])]
+    _mk_docs(spark, rows).createOrReplaceTempView("documents")
+    r = spark.sql(_Q171_BODY).collect()[0]
+    assert r["u2_a"] == 2 * 5 * 4 and r["auc"] == 1.0 and r["z"] > 0
+
+    rows = [(0, "t", "en", "aa", 7), (1, "t", "en", "bb", 7)]
+    _mk_docs(spark, rows).createOrReplaceTempView("documents")
+    r = spark.sql(_Q171_BODY).collect()[0]
+    # one tied pair: U_a = 0.5 (u2 carries 2U), auc = 0.5, t^3 - t = 6
+    assert r["u2_a"] == 1 and r["auc"] == 0.5
+    assert r["tie_cubes"] == 6
+    # every observation tied → the variance term is 0 and z is NULL
+    # (0/0 under Spark's non-ANSI division) — undefined, not misleading
+    assert r["z"] is None
+
+
+# ---------------------------------------------------------------------------
+# q172 Spearman rho
+# ---------------------------------------------------------------------------
+
+
+def _q172_sql():
+    from leaf_spark.queries_stats import _Q172_BODY
+
+    return _Q172_BODY.replace(
+        "{NTOK}",
+        "size(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '))",
+    )
+
+
+def test_spearman_perfect_monotone(spark):
+    rows = [
+        (0, "a b", "en", "s", 10),
+        (1, "a b c", "en", "s", 20),
+        (2, "a b c d", "en", "s", 30),
+        (3, "a b c d e", "en", "s", 40),
+    ]
+    _mk_docs(spark, rows).createOrReplaceTempView("documents")
+    r = spark.sql(_q172_sql()).collect()[0]
+    assert r["n"] == 4 and r["spearman_rho"] == 1.0
+
+
+def test_spearman_perfect_inverse(spark):
+    rows = [
+        (0, "a b c d e", "en", "s", 10),
+        (1, "a b c d", "en", "s", 20),
+        (2, "a b c", "en", "s", 30),
+        (3, "a b", "en", "s", 40),
+    ]
+    _mk_docs(spark, rows).createOrReplaceTempView("documents")
+    r = spark.sql(_q172_sql()).collect()[0]
+    assert r["spearman_rho"] == -1.0
+
+
+def test_spearman_ties_average_ranks(spark):
+    # x: 10, 10, 30 (tie on the low pair); y: 2, 2, 3 tokens — the tie
+    # structure is identical on both variables, so rho = 1 exactly
+    rows = [
+        (0, "a b", "en", "s", 10),
+        (1, "a b", "en", "s", 10),
+        (2, "a b c", "en", "s", 30),
+    ]
+    _mk_docs(spark, rows).createOrReplaceTempView("documents")
+    r = spark.sql(_q172_sql()).collect()[0]
+    assert r["spearman_rho"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# q173 association rules
+# ---------------------------------------------------------------------------
+
+
+def test_assoc_rules_known_baskets(spark):
+    from leaf_spark.queries_stats import _Q173_BODY
+
+    base = dt.datetime(2026, 1, 1)
+    baskets = {1: ["x", "y"], 2: ["x", "y"], 3: ["x"], 4: ["y", "z"]}
+    rows = []
+    eid = 0
+    for u, types in baskets.items():
+        for t in types:
+            # duplicate raw events must not inflate the basket counts
+            for _ in range(2):
+                rows.append((eid, base, u, t, 1.0, "{}"))
+                eid += 1
+    _mk_events(spark, rows).createOrReplaceTempView("events")
+    out = spark.sql(_Q173_BODY).collect()
+    by_pair = {(r["antecedent"], r["consequent"]): r for r in out}
+    assert set(by_pair) == {("x", "y"), ("y", "z")}
+    xy = by_pair[("x", "y")]
+    assert xy["pair_users"] == 2 and xy["n_users"] == 4
+    assert xy["ante_users"] == 3 and xy["cons_users"] == 3
+    assert xy["support"] == 0.5
+    assert xy["conf_a_to_c"] == pytest.approx(2 / 3, abs=1e-6)
+    assert xy["lift"] == pytest.approx(8 / 9, abs=1e-6)
+    yz = by_pair[("y", "z")]
+    assert yz["pair_users"] == 1 and yz["lift"] == pytest.approx(4 / 3, abs=1e-6)
+    assert yz["conf_c_to_a"] == 1.0
+    # ordered by lift desc → the (y, z) rule outranks (x, y)
+    assert (out[0]["antecedent"], out[0]["consequent"]) == ("y", "z")
+
+
+# ---------------------------------------------------------------------------
+# q174 count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_countmin_matches_python_sketch(spark):
+    """Rebuild the 4x64 sketch in Python from the same md5 hashes and
+    assert identical estimates — plus the CMS guarantee est >= exact."""
+    from leaf_spark.queries_stats import _H_SPARK, _Q174_BODY, _TOK_SPARK
+
+    counts = {"aa": 5, "bb": 3, "cc": 2}
+    text = " ".join(" ".join([t] * c) for t, c in counts.items())
+    _mk_docs(spark, [(0, text, "en", "s", len(text))]).createOrReplaceTempView(
+        "documents"
+    )
+    sql = _Q174_BODY.replace("{TOKENS}", _TOK_SPARK).replace("{H}", _H_SPARK)
+    out = {r["tok"]: r for r in spark.sql(sql).collect()}
+    assert set(out) == set(counts)
+
+    def bucket(r, tok):
+        return int(hashlib.md5(f"{r}:{tok}".encode()).hexdigest()[:12], 16) % 64
+
+    cells: dict[tuple[int, int], int] = {}
+    for tok, c in counts.items():
+        for r in range(4):
+            key = (r, bucket(r, tok))
+            cells[key] = cells.get(key, 0) + c
+    for tok, c in counts.items():
+        est = min(cells[(r, bucket(r, tok))] for r in range(4))
+        row = out[tok]
+        assert row["exact_count"] == c
+        assert row["cms_estimate"] == est >= c
+        assert row["overestimate"] == est - c
+
+
+# ---------------------------------------------------------------------------
+# q175 OLS trend
+# ---------------------------------------------------------------------------
+
+
+def _plant_daily_counts(spark, counts):
+    base = dt.datetime(2026, 3, 1)
+    rows = []
+    eid = 0
+    for day, n in enumerate(counts):
+        for _ in range(n):
+            rows.append((eid, base + dt.timedelta(days=day), 7, "e", 1.0, "{}"))
+            eid += 1
+    _mk_events(spark, rows).createOrReplaceTempView("events")
+
+
+def test_ols_exact_line(spark):
+    from leaf_spark.queries_stats import _EPOCHDAY_SPARK, _Q175_FIXED
+
+    _plant_daily_counts(spark, [5, 7, 9, 11])  # y = 5 + 2x exactly
+    r = spark.sql(_Q175_FIXED.replace("{EPOCHDAY}", _EPOCHDAY_SPARK)).collect()[0]
+    assert r["n"] == 4
+    assert r["slope_per_day"] == 2.0
+    assert r["intercept"] == 5.0
+    assert r["r2"] == 1.0
+
+
+def test_ols_known_moments(spark):
+    from leaf_spark.queries_stats import _EPOCHDAY_SPARK, _Q175_FIXED
+
+    _plant_daily_counts(spark, [1, 2, 4])
+    r = spark.sql(_Q175_FIXED.replace("{EPOCHDAY}", _EPOCHDAY_SPARK)).collect()[0]
+    # n=3 sx=3 sy=7 sxy=10 sxx=5 syy=21 → slope 1.5, intercept 5/6, r2 81/84
+    assert r["slope_per_day"] == 1.5
+    assert r["intercept"] == pytest.approx(5 / 6, abs=1e-6)
+    assert r["r2"] == pytest.approx(81 / 84, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# q176 Benford screen
+# ---------------------------------------------------------------------------
+
+_BENFORD_P = [
+    0.301029996,
+    0.176091259,
+    0.124938737,
+    0.096910013,
+    0.079181246,
+    0.066946790,
+    0.057991947,
+    0.051152522,
+    0.045757491,
+]
+
+
+def test_benford_uniform_digits(spark):
+    from leaf_spark.queries_stats import _Q176_BODY
+
+    # one doc per leading digit 1..9 (lengths 1..9); multi-digit lengths
+    # must contribute their FIRST digit (17 → 1)
+    rows = [(d, "t", "en", "s", d) for d in range(1, 10)]
+    rows.append((10, "t", "en", "s", 17))
+    _mk_docs(spark, rows).createOrReplaceTempView("documents")
+    out = spark.sql(_Q176_BODY.replace("{STR}", "string")).collect()
+    assert [r["digit"] for r in out] == list(range(1, 10))
+    obs = {r["digit"]: r["obs"] for r in out}
+    assert obs == {1: 2, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 1, 8: 1, 9: 1}
+    n = 10
+    chi2 = round(
+        sum(
+            round(((o - n * p) * (o - n * p)) / (n * p), 9)
+            for o, p in zip([2, 1, 1, 1, 1, 1, 1, 1, 1], _BENFORD_P)
+        ),
+        6,
+    )
+    for r in out:
+        assert r["expected"] == pytest.approx(n * _BENFORD_P[r["digit"] - 1], abs=1e-6)
+        assert r["chi2"] == pytest.approx(chi2, abs=1e-6)
+        assert r["obs_share"] == pytest.approx(r["obs"] / n, abs=1e-6)
+
+
+def test_benford_missing_digits_get_zero_rows(spark):
+    from leaf_spark.queries_stats import _Q176_BODY
+
+    # all lengths start with 1 → digits 2..9 must still appear with obs=0
+    rows = [(i, "t", "en", "s", v) for i, v in enumerate([1, 10, 100, 1234])]
+    _mk_docs(spark, rows).createOrReplaceTempView("documents")
+    out = spark.sql(_Q176_BODY.replace("{STR}", "string")).collect()
+    assert len(out) == 9
+    obs = {r["digit"]: r["obs"] for r in out}
+    assert obs[1] == 4 and all(obs[d] == 0 for d in range(2, 10))
+
+
+# ---------------------------------------------------------------------------
+# q177 chi-squared independence
+# ---------------------------------------------------------------------------
+
+
+def test_chi2_independent_table_is_zero(spark):
+    from leaf_spark.queries_stats import _Q177_BODY
+
+    rows = []
+    i = 0
+    for lang in ("en", "fr"):
+        for src in ("s1", "s2"):
+            for _ in range(2):
+                rows.append((i, "t", lang, src, 5))
+                i += 1
+    _mk_docs(spark, rows).createOrReplaceTempView("documents")
+    r = spark.sql(_Q177_BODY).collect()[0]
+    assert r["chi2"] == 0.0 and r["cramers_v"] == 0.0
+    assert r["dof"] == 1 and r["n_docs"] == 8
+
+
+def test_chi2_perfect_association_v_is_one(spark):
+    from leaf_spark.queries_stats import _Q177_BODY
+
+    rows = [(i, "t", "en", "s1", 5) for i in range(3)]
+    rows += [(10 + i, "t", "fr", "s2", 5) for i in range(3)]
+    _mk_docs(spark, rows).createOrReplaceTempView("documents")
+    r = spark.sql(_Q177_BODY).collect()[0]
+    # 2x2 with perfect association: chi2 = N (zero cells included), V = 1
+    assert r["chi2"] == pytest.approx(6.0, abs=1e-6)
+    assert r["cramers_v"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# q178 permutation entropy
+# ---------------------------------------------------------------------------
+
+
+def test_permutation_entropy_extremes(spark):
+    from leaf_spark.queries_stats import _Q178_BODY
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    # monotone series → single 'abc' pattern → entropy exactly 0
+    for i in range(8):
+        rows.append((eid, base + dt.timedelta(minutes=i), 1, "mono", float(i), "{}"))
+        eid += 1
+    # cycle 1,3,2 over 11 points → 9 triples, 3 patterns x 3 each
+    cyc = [1.0, 3.0, 2.0]
+    for i in range(11):
+        rows.append(
+            (eid, base + dt.timedelta(minutes=i), 2, "cyc", cyc[i % 3], "{}")
+        )
+        eid += 1
+    _mk_events(spark, rows).createOrReplaceTempView("events")
+    out = {r["event_type"]: r for r in spark.sql(_Q178_BODY).collect()}
+    mono = out["mono"]
+    assert mono["n_triples"] == 6 and mono["n_patterns"] == 1
+    assert mono["perm_entropy"] == 0.0
+    cyc_r = out["cyc"]
+    assert cyc_r["n_triples"] == 9 and cyc_r["n_patterns"] == 3
+    term = round(-(1 / 3) * math.log(1 / 3) / math.log(6), 6)
+    assert cyc_r["perm_entropy"] == pytest.approx(round(3 * term, 6), abs=1e-6)
+
+
+def test_permutation_entropy_all_six_patterns(spark):
+    """A series realizing all 6 ordinal patterns caps entropy at 1 when
+    uniform; here we just assert every pattern the ladder claims exists
+    matches an independent Python classification of the same triples."""
+    from leaf_spark.queries_stats import _Q178_BODY
+
+    vals = [5.0, 1.0, 4.0, 2.0, 6.0, 3.0, 7.0, 0.0, 8.0, 2.5, 1.5]
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 1, "z", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    _mk_events(spark, rows).createOrReplaceTempView("events")
+    r = spark.sql(_Q178_BODY).collect()[0]
+
+    def classify(c2, c1, c0):
+        if c2 <= c1 and c1 <= c0:
+            return "abc"
+        if c2 <= c1 and c2 <= c0:
+            return "acb"
+        if c2 <= c0:
+            return "bac"
+        if c1 <= c0:
+            return "bca"
+        if c2 <= c1:
+            return "cab"
+        return "cba"
+
+    pats: dict[str, int] = {}
+    for i in range(2, len(vals)):
+        p = classify(vals[i - 2], vals[i - 1], vals[i])
+        pats[p] = pats.get(p, 0) + 1
+    t = sum(pats.values())
+    ent = round(
+        sum(round(-(c / t) * math.log(c / t) / math.log(6), 6) for c in pats.values()),
+        6,
+    )
+    assert r["n_triples"] == t and r["n_patterns"] == len(pats)
+    assert r["perm_entropy"] == pytest.approx(ent, abs=1e-6)
+    assert 0.0 <= r["perm_entropy"] <= 1.0
