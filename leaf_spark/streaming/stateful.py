@@ -445,3 +445,137 @@ def scd2_versions(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Live count-min sketch (the streaming counterpart of batch q174)
+# ---------------------------------------------------------------------------
+
+
+def cms_bucket_cols(key_col: str, d: int = 4, w: int = 64) -> list:
+    """The d (row, bucket) pairs for a key — the same md5-derived hash
+    family as the batch q174 sketch, as pure JVM-side expressions."""
+    pairs = []
+    for r in range(d):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{r}:"), F.col(key_col).cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+        pairs.append(
+            F.struct(F.lit(r).alias("r"), F.pmod(h, F.lit(w)).alias("bucket"))
+        )
+    return pairs
+
+
+def cms_cells(events: DataFrame, key_col: str = "user_id", d: int = 4, w: int = 64) -> DataFrame:
+    """Live count-min sketch over a high-cardinality key: each event
+    increments one cell per sketch row, and the running cells table IS a
+    streaming aggregation — fully declarative, no custom state, partial
+    aggregation map-side, at most d*w = 256 rows of state total
+    regardless of corpus size. Point estimates read
+    ``min(cell over the key's d buckets)`` >= true count, exactly as the
+    batch q174 entry audits.
+
+    Output mode: update — refreshed cells each micro-batch."""
+    return (
+        events.where(F.col(key_col).isNotNull())
+        .select(F.explode(F.array(*cms_bucket_cols(key_col, d, w))).alias("rb"))
+        .select("rb.r", "rb.bucket")
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (bounded-state streaming top-k)
+# ---------------------------------------------------------------------------
+
+_MG_OUT_SCHEMA = "shard long, key string, est long, shard_n long"
+_MG_STATE_SCHEMA = "n long, ks string, cs string"
+
+
+def _mg_update_factory(k: int):
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, ks, cs = state.get
+            counters = (
+                dict(zip(ks.split("\x1f"), (int(c) for c in cs.split("\x1f"))))
+                if ks
+                else {}
+            )
+        else:
+            n, counters = 0, {}
+        chunks = list(pdfs)
+        whole = (
+            pd.concat(chunks, ignore_index=True).sort_values("event_id")
+            if chunks
+            else pd.DataFrame({"mg_key": []})
+        )
+        for x in whole["mg_key"]:
+            n += 1
+            if x in counters:
+                counters[x] += 1
+            elif len(counters) < k:
+                counters[x] = 1
+            else:
+                # decrement-all step: every counter pays one, zeros drop
+                counters = {y: c - 1 for y, c in counters.items() if c > 1}
+        items = sorted(counters.items())
+        state.update(
+            (
+                n,
+                "\x1f".join(y for y, _ in items),
+                "\x1f".join(str(c) for _, c in items),
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(items),
+                "key": [y for y, _ in items],
+                "est": [c for _, c in items],
+                "shard_n": [n] * len(items),
+            }
+        )
+
+    return update
+
+
+def heavy_hitters(
+    events: DataFrame, key_col: str = "user_id", k: int = 8, nshards: int = 8
+) -> DataFrame:
+    """Misra-Gries heavy hitters over the stream with BOUNDED state: each
+    shard keeps at most k counters (the classic guarantee per shard:
+    true_count - est <= shard_n / (k + 1), and any key with frequency
+    above that bound is present). Shards split the key space so the k
+    counters and the per-item work distribute; merging summaries across
+    shards at read time keeps the same additive error bound, because each
+    key lives in exactly one shard (disjoint key ranges, not replicas).
+
+    Where ``cms_cells`` answers "how often is key X?" (point query, fixed
+    256 cells), this answers "WHICH keys are frequent?" without holding
+    the full key set — the pair every streaming frequency stack ships.
+
+    State per shard: one long + k counters. Output mode: update — each
+    micro-batch re-emits a touched shard's full summary stamped with
+    shard_n; readers keep each shard's highest-shard_n rows (a key can
+    LEAVE the summary, so stale rows must not linger).
+
+    ``key_col`` values must not contain the \\x1f unit separator (state
+    serialization); event keys here are numeric ids rendered as strings."""
+    ev = events.where(F.col(key_col).isNotNull()).select(
+        F.pmod(F.col(key_col).cast("long"), F.lit(nshards)).alias("shard"),
+        F.col(key_col).cast("string").alias("mg_key"),
+        "event_id",
+    )
+    return ev.groupBy("shard").applyInPandasWithState(
+        _mg_update_factory(k),
+        outputStructType=_MG_OUT_SCHEMA,
+        stateStructType=_MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

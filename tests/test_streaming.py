@@ -587,3 +587,111 @@ def test_scd2_versions_match_batch_windows(spark, events_src_dir, tmp_path):
     }
     assert got == exp
     assert len(got) > 0
+
+
+def test_cms_cells_match_batch_sketch(spark, events_src_dir, tmp_path):
+    """The streaming count-min cells, accumulated across micro-batches,
+    must equal the batch-built sketch over the same log; point estimates
+    must dominate exact counts (the CMS guarantee)."""
+    from pyspark.sql import functions as F
+
+    from leaf_spark.streaming.stateful import (
+        cms_bucket_cols,
+        cms_cells,
+        drain,
+        events_stream,
+    )
+
+    src = events_stream(spark, events_src_dir)
+    drain(cms_cells(src), str(tmp_path / "ck_cms"), "cms", output_mode="update")
+    # update mode re-emits refreshed cells; the memory sink appends, so
+    # keep the LAST row per (r, bucket)
+    got = {}
+    for r in spark.table("cms").collect():
+        got[(r["r"], r["bucket"])] = r["cell"]
+
+    batch = _batch_events(spark, events_src_dir)
+    exp = {
+        (r["r"], r["bucket"]): r["cell"]
+        for r in cms_cells(batch).collect()
+    }
+    assert got == exp
+    assert len(got) <= 4 * 64
+
+    # estimate >= exact for every user in the log
+    exact = {
+        r["user_id"]: r["c"]
+        for r in batch.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    buckets = (
+        batch.where(F.col("user_id").isNotNull())
+        .select("user_id", F.explode(F.array(*cms_bucket_cols("user_id"))).alias("rb"))
+        .select("user_id", "rb.r", "rb.bucket")
+        .distinct()
+        .collect()
+    )
+    per_user: dict = {}
+    for row in buckets:
+        per_user.setdefault(row["user_id"], []).append((row["r"], row["bucket"]))
+    for uid, cells in per_user.items():
+        est = min(exp[c] for c in cells)
+        assert est >= exact[uid]
+
+
+def test_heavy_hitters_match_python_misra_gries(spark, events_src_dir, tmp_path):
+    """The per-shard Misra-Gries summaries must exactly match a Python
+    reference run over the same events in event_id order, and every key
+    whose true frequency beats the shard_n/(k+1) bound must be present."""
+    from pyspark.sql import functions as F
+
+    from leaf_spark.streaming.stateful import drain, events_stream, heavy_hitters
+
+    K, NSHARDS = 4, 4
+    src = events_stream(spark, events_src_dir)
+    drain(
+        heavy_hitters(src, k=K, nshards=NSHARDS),
+        str(tmp_path / "ck_mg"),
+        "mg",
+        output_mode="update",
+    )
+    # keep each shard's freshest summary (highest shard_n)
+    latest_n: dict = {}
+    for r in spark.table("mg").collect():
+        latest_n[r["shard"]] = max(latest_n.get(r["shard"], 0), r["shard_n"])
+    got: dict = {}
+    for r in spark.table("mg").collect():
+        if r["shard_n"] == latest_n[r["shard"]]:
+            got[(r["shard"], r["key"])] = r["est"]
+
+    rows = (
+        _batch_events(spark, events_src_dir)
+        .where(F.col("user_id").isNotNull())
+        .select("event_id", "user_id")
+        .sort("event_id")
+        .collect()
+    )
+    ref: dict = {}
+    shard_n: dict = {}
+    true_counts: dict = {}
+    for r in rows:
+        shard = r["user_id"] % NSHARDS
+        key = str(r["user_id"])
+        shard_n[shard] = shard_n.get(shard, 0) + 1
+        true_counts[(shard, key)] = true_counts.get((shard, key), 0) + 1
+        counters = ref.setdefault(shard, {})
+        if key in counters:
+            counters[key] += 1
+        elif len(counters) < K:
+            counters[key] = 1
+        else:
+            ref[shard] = {y: c - 1 for y, c in counters.items() if c > 1}
+    exp = {(s, y): c for s, counters in ref.items() for y, c in counters.items()}
+    assert got == exp
+    # the Misra-Gries frequency guarantee, per shard
+    for (s, y), true in true_counts.items():
+        if true > shard_n[s] / (K + 1):
+            assert (s, y) in got
+            assert got[(s, y)] <= true <= got[(s, y)] + shard_n[s] // (K + 1)
