@@ -507,3 +507,51 @@ def test_checkpointed_entries_do_not_rescan(spark, cases):
         plan = plan_of(cases[name].spark_fn(spark, SF_DIR))
         assert "Scan parquet" not in plan, name
         assert "ExistingRDD" in plan or "LocalTableScan" in plan, name
+
+
+def test_assoc_rules_self_join_is_post_distinct(spark, cases):
+    """q173's within-user pair join must consume the DISTINCT (user, type)
+    aggregate, never the raw events — that aggregate bounds per-user
+    fan-out by the type vocabulary. A SortMergeJoin/ShuffledHashJoin
+    whose children are scans (no HashAggregate beneath the join) would
+    be the quadratic-blowup regression."""
+    plan = plan_of(cases["q173_assoc_rules"].spark_fn(spark, SF_DIR))
+    lines = plan.splitlines()
+    join_idx = [i for i, ln in enumerate(lines) if "Join" in ln and "user_id" in ln]
+    assert join_idx, plan
+    # beneath the basket self-join, each side must aggregate (the
+    # distinct) before the join input — scan-fed joins are the regression
+    below = "\n".join(lines[join_idx[0] :])
+    assert "HashAggregate" in below
+    # and the raw events scan feeds an aggregate, not the join directly
+    assert "EvalPython" not in plan
+
+
+def test_countmin_is_one_bounded_aggregation(spark, cases):
+    """q174's sketch is a fixed 256-cell aggregation: no Python eval, no
+    window, and the only corpus-sized shuffle carries (r, bucket) cell
+    partials — map-side combined (partial_sum before the exchange)."""
+    plan = plan_of(cases["q174_countmin_sketch"].spark_fn(spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert re.search(r"partial_(count|sum)", plan), plan
+
+
+def test_contingency_reductions_have_no_windows(spark, cases):
+    """q176/q177 reduce the corpus to digit/contingency tables with plain
+    aggregations — any Window (esp. single-partition) is a regression."""
+    for name in ("q176_benford_digits", "q177_chi2_independence"):
+        plan = plan_of(cases[name].spark_fn(spark, SF_DIR))
+        assert "Window" not in plan, name
+        assert "EvalPython" not in plan, name
+
+
+def test_permutation_entropy_windows_are_type_partitioned(spark, cases):
+    """q178's two lag windows must hash-partition by event_type — a
+    no-partition window would serialize the whole corpus onto one task
+    (the q118 class of bug)."""
+    plan = plan_of(cases["q178_permutation_entropy"].spark_fn(spark, SF_DIR))
+    assert "Window" in plan
+    win_lines = [ln for ln in plan.splitlines() if re.search(r"\bWindow \[", ln)]
+    for ln in win_lines:
+        assert "event_type" in ln, ln
