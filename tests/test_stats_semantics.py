@@ -399,3 +399,99 @@ def test_permutation_entropy_all_six_patterns(spark):
     assert r["n_triples"] == t and r["n_patterns"] == len(pats)
     assert r["perm_entropy"] == pytest.approx(ent, abs=1e-6)
     assert 0.0 <= r["perm_entropy"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Randomized recompute fuzz — random datasets vs exact Python statistics
+# (the planted cases above pin known outcomes; these catch formula bugs
+# on arbitrary tie/size structures)
+# ---------------------------------------------------------------------------
+
+from fractions import Fraction
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    a=st.lists(st.integers(1, 12), min_size=3, max_size=10),
+    b=st.lists(st.integers(1, 12), min_size=2, max_size=8),
+)
+def test_mann_whitney_matches_exact_python(spark, a, b):
+    from leaf_spark.queries_stats import _Q171_BODY
+
+    # keep |a| > |b| so the two-largest selection and orientation are fixed
+    if len(a) <= len(b):
+        a = a + [1] * (len(b) - len(a) + 1)
+    rows = [(i, "t", "en", "aa", v) for i, v in enumerate(a)]
+    rows += [(1000 + i, "t", "en", "bb", v) for i, v in enumerate(b)]
+    _mk_docs(spark, rows).createOrReplaceTempView("documents")
+    r = spark.sql(_Q171_BODY).collect()[0]
+
+    # exact U via pair comparison: U_a counts b-values below each a (ties 1/2)
+    u2 = sum(2 for x in a for y in b if y < x) + sum(
+        1 for x in a for y in b if y == x
+    )
+    assert r["u2_a"] == u2
+    assert r["u2_b"] == 2 * len(a) * len(b) - u2
+    from collections import Counter
+
+    tc = Counter(a) + Counter(b)
+    assert r["tie_cubes"] == sum(t**3 - t for t in tc.values())
+    assert r["auc"] == pytest.approx(u2 / (2 * len(a) * len(b)), abs=1e-6)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    xy=st.lists(
+        st.tuples(st.integers(1, 9), st.integers(1, 5)), min_size=3, max_size=12
+    )
+)
+def test_spearman_matches_exact_python_ranks(spark, xy):
+    from leaf_spark.queries_stats import _Q172_BODY
+
+    rows = [
+        (i, " ".join(["w"] * y), "en", "s", x) for i, (x, y) in enumerate(xy)
+    ]
+    _mk_docs(spark, rows).createOrReplaceTempView("documents")
+    sql = _Q172_BODY.replace(
+        "{NTOK}",
+        "size(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '))",
+    )
+    r = spark.sql(sql).collect()[0]
+
+    def double_ranks(vals):
+        # 2 x tie-averaged rank, exactly as the histogram construction
+        s = sorted(vals)
+        return {
+            v: 2 * (s.index(v)) + s.count(v) + 1  # 2*(#below) + count + 1
+            for v in set(vals)
+        }
+
+    xs = [x for x, _ in xy]
+    ys = [y for _, y in xy]
+    rx = double_ranks(xs)
+    ry = double_ranks(ys)
+    n = len(xy)
+    sx = sum(rx[x] for x in xs)
+    sy = sum(ry[y] for y in ys)
+    sxy = sum(rx[x] * ry[y] for x, y in xy)
+    sxx = sum(rx[x] ** 2 for x in xs)
+    syy = sum(ry[y] ** 2 for y in ys)
+    num = Fraction(n * sxy - sx * sy)
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    if denx == 0 or deny == 0:
+        assert r["spearman_rho"] is None  # zero variance → undefined
+        return
+    rho = float(num) / (denx**0.5 * deny**0.5)
+    assert r["spearman_rho"] == pytest.approx(rho, abs=2e-6)
