@@ -186,6 +186,7 @@ class Stream:
         self.store = TableStore(spark, prefix)
         self._update_listeners: list[Callable[[int], None]] = []
         os.makedirs(self.events_dir, exist_ok=True)
+        self._recover_compaction()
         self.state = self._load_state()
         drisl.register_udfs(spark)
         from .sqlcompat import register_json_udfs
@@ -264,6 +265,129 @@ class Stream:
             self.events_dir, f"part-{events[0].idx:012d}-{events[-1].idx:012d}.parquet"
         )
         pq.write_table(t, path)
+
+    # -- log compaction (small-files control) --------------------------------
+
+    def _journal_path(self) -> str:
+        return os.path.join(self.dir, "compact.journal.json")
+
+    def _log_files(self) -> list[tuple[int, int, str]]:
+        """Committed log files as (start_idx, end_idx, path), idx-sorted."""
+        out = []
+        for name in os.listdir(self.events_dir):
+            m = re.fullmatch(r"part-(\d{12})-(\d{12})\.parquet", name)
+            if m:
+                out.append(
+                    (int(m.group(1)), int(m.group(2)), os.path.join(self.events_dir, name))
+                )
+        out.sort()
+        return out
+
+    def compact_log(
+        self, target_bytes: int = 128 * 1024 * 1024, min_group: int = 2
+    ) -> int:
+        """Bin-pack adjacent small log files into ~target_bytes files.
+
+        One parquet file lands per committed batch (`_append_parquet`), so a
+        long-lived stream accumulates thousands of tiny files — the classic
+        small-files failure: every replay/range scan pays per-file footer
+        reads and scheduler overhead instead of sequential row-group IO.
+        (The reference never meets this because SQLite is one file —
+        leaf-stream/src/streams.rs:101-150 keeps a single db per stream;
+        this is the parquet-log equivalent of its compile-time layout.)
+
+        Crash-safe roll-forward protocol, per merged group:
+          1. stream-write the merged file as ``_compacting-*`` (the leading
+             underscore hides it from Spark's file listings) and fsync;
+          2. atomically publish a journal naming sources/tmp/final
+             (``os.replace`` — the commit point of the swap);
+          3. unlink the sources; 4. rename tmp → final; 5. drop the journal.
+        A crash anywhere replays forward on next open (`_recover_compaction`):
+        before the journal exists nothing observable changed; after it, the
+        merged file already holds every source row, so finishing the deletes
+        and the rename is always safe. Runs under the stream's single-writer
+        lock; like a snapshot, it is a between-batches maintenance action —
+        concurrent ad-hoc scans of the raw log should be quiesced, exactly
+        as the reference serializes maintenance on its write lock. A
+        streaming file source tailing the raw directory sees merged files as
+        new inputs (the standard Spark file-source caveat); subscriptions
+        and queries read materialized state and keep cursor semantics.
+
+        Merging streams row groups file-by-file (constant memory, no Spark
+        job — the same driver-side path that wrote the batches). Returns the
+        number of merged groups."""
+        with self._lock:
+            files = [
+                f for f in self._log_files() if f[1] <= self.state.latest_idx
+            ]
+            groups: list[list[tuple[int, int, str]]] = []
+            cur: list[tuple[int, int, str]] = []
+            cur_bytes = 0
+            for f in files:
+                sz = os.path.getsize(f[2])
+                contiguous = not cur or f[0] == cur[-1][1] + 1
+                if cur and (not contiguous or cur_bytes + sz > target_bytes):
+                    groups.append(cur)
+                    cur, cur_bytes = [], 0
+                cur.append(f)
+                cur_bytes += sz
+            if cur:
+                groups.append(cur)
+            merged = 0
+            for g in groups:
+                if len(g) < min_group:
+                    continue
+                start, end = g[0][0], g[-1][1]
+                final = os.path.join(
+                    self.events_dir, f"part-{start:012d}-{end:012d}.parquet"
+                )
+                tmp = os.path.join(
+                    self.events_dir, f"_compacting-{start:012d}-{end:012d}.parquet"
+                )
+                writer = pq.ParquetWriter(tmp, _ARROW_SCHEMA)
+                for _, _, path in g:
+                    writer.write_table(pq.read_table(path, schema=_ARROW_SCHEMA))
+                writer.close()
+                with open(tmp, "rb") as fh:
+                    os.fsync(fh.fileno())
+                jtmp = self._journal_path() + ".tmp"
+                with open(jtmp, "w") as fh:
+                    json.dump(
+                        {
+                            "sources": [p for _, _, p in g],
+                            "tmp": tmp,
+                            "final": final,
+                        },
+                        fh,
+                    )
+                    fh.flush()
+                    os.fsync(fh.fileno())
+                os.replace(jtmp, self._journal_path())  # swap commit point
+                for _, _, path in g:
+                    os.unlink(path)
+                os.replace(tmp, final)
+                os.unlink(self._journal_path())
+                merged += 1
+            return merged
+
+    def _recover_compaction(self) -> None:
+        """Roll an interrupted compact_log forward (see protocol above)."""
+        jp = self._journal_path()
+        if os.path.exists(jp):
+            with open(jp) as fh:
+                j = json.load(fh)
+            if os.path.exists(j["tmp"]) or os.path.exists(j["final"]):
+                # journal published → the merged file holds every source row
+                for src in j["sources"]:
+                    if os.path.exists(src):
+                        os.unlink(src)
+                if os.path.exists(j["tmp"]):
+                    os.replace(j["tmp"], j["final"])
+            os.unlink(jp)
+        # pre-journal temp files are invisible leftovers — drop them
+        for name in os.listdir(self.events_dir):
+            if name.startswith("_compacting-"):
+                os.unlink(os.path.join(self.events_dir, name))
 
     # -- state snapshots (persistence across restarts) -----------------------
 

@@ -190,3 +190,137 @@ class TestAuthorizerPaths:
             "select iif(drisl_exists((select payload from event), '.content'), 1, throw('missing content'))",
         ]:
             assert Stream._vectorize_auth_stmt(s_check, stmt) is not None
+
+
+class TestLogCompaction:
+    def _mk(self, spark, tmp_path, batches=6, per=3):
+        s = Stream(spark, str(tmp_path), "did:plc:compact")
+        s.provide_module(CHAT)
+        n = 0
+        for b in range(batches):
+            s.add_events([msg("did:plc:u", f"m{b}-{i}", n * 10 + i) for i in range(per)])
+            n += 1
+        return s
+
+    def test_compact_preserves_events_and_replay(self, spark, tmp_path):
+        s = self._mk(spark, tmp_path)
+        before = s.raw_get_events()
+        nfiles_before = len(s._log_files())
+        assert nfiles_before == 6
+        merged = s.compact_log(target_bytes=10**9)
+        assert merged == 1
+        files = s._log_files()
+        assert len(files) == 1
+        # merged file spans the full committed range, name encodes it
+        assert (files[0][0], files[0][1]) == (1, before[-1].idx)
+        after = s.raw_get_events()
+        assert [(e.idx, e.user, e.payload, e.signature) for e in after] == [
+            (e.idx, e.user, e.payload, e.signature) for e in before
+        ]
+        # replay from the compacted log reproduces the same state
+        s2 = Stream(spark, str(tmp_path), "did:plc:compact")
+        s2.provide_module(CHAT)
+        s2._drop_snapshot()
+        s2.catch_up()
+        rows = s2.query(None, LeafQuery("messages"))
+        assert len(rows) == len(before)
+
+    def test_compact_respects_target_and_grouping(self, spark, tmp_path):
+        s = self._mk(spark, tmp_path, batches=5)
+        # tiny target → no group reaches min_group size of 2? files are a
+        # few KB each; a target below one file's size keeps them separate
+        assert s.compact_log(target_bytes=1) == 0
+        assert len(s._log_files()) == 5
+        # generous target merges everything
+        assert s.compact_log(target_bytes=10**9) == 1
+        assert len(s._log_files()) == 1
+        # idempotent: a single file is never re-merged
+        assert s.compact_log(target_bytes=10**9) == 0
+
+    def test_compact_skips_uncommitted_orphans(self, spark, tmp_path):
+        import os
+
+        s = self._mk(spark, tmp_path, batches=3)
+        # fabricate an orphan beyond the commit point (crash leftover)
+        lo = s.state.latest_idx + 1
+        orphan = [
+            Event(lo, "did:plc:u", b"x", b""),
+            Event(lo + 1, "did:plc:u", b"y", b""),
+        ]
+        s._append_parquet(orphan)
+        assert s.compact_log(target_bytes=10**9) == 1
+        files = s._log_files()
+        # orphan file untouched, committed range merged
+        assert len(files) == 2
+        assert files[-1][0] == lo
+        assert os.path.exists(files[-1][2])
+
+    def test_crash_after_journal_rolls_forward(self, spark, tmp_path):
+        import json
+        import os
+        import shutil
+
+        s = self._mk(spark, tmp_path, batches=4)
+        before = [(e.idx, e.payload) for e in s.raw_get_events()]
+        files = s._log_files()
+        start, end = files[0][0], files[-1][1]
+        tmp = os.path.join(s.events_dir, f"_compacting-{start:012d}-{end:012d}.parquet")
+        final = os.path.join(s.events_dir, f"part-{start:012d}-{end:012d}.parquet")
+        # simulate: merged tmp fully written + journal published, then crash
+        # BEFORE any source delete
+        import pyarrow.parquet as pq
+
+        from leaf_spark.stream import _ARROW_SCHEMA
+
+        w = pq.ParquetWriter(tmp, _ARROW_SCHEMA)
+        for _, _, p in files:
+            w.write_table(pq.read_table(p, schema=_ARROW_SCHEMA))
+        w.close()
+        with open(s._journal_path(), "w") as fh:
+            json.dump(
+                {"sources": [p for _, _, p in files], "tmp": tmp, "final": final}, fh
+            )
+        # crash here → reopen must finish the swap
+        s3 = Stream(spark, str(tmp_path), "did:plc:compact")
+        assert not os.path.exists(s3._journal_path())
+        got = s3._log_files()
+        assert len(got) == 1 and (got[0][0], got[0][1]) == (start, end)
+        assert [(e.idx, e.payload) for e in s3.raw_get_events()] == before
+
+        # and a crash mid-delete (journal + some sources gone) also recovers
+        shutil.rmtree(s.events_dir)
+        os.makedirs(s.events_dir)
+        s4 = Stream(spark, str(tmp_path / "b"), "did:plc:c2")
+        s4.provide_module(CHAT)
+        for b in range(3):
+            s4.add_events([msg("did:plc:u", f"x{b}", b)])
+        before4 = [(e.idx, e.payload) for e in s4.raw_get_events()]
+        f4 = s4._log_files()
+        st, en = f4[0][0], f4[-1][1]
+        tmp4 = os.path.join(s4.events_dir, f"_compacting-{st:012d}-{en:012d}.parquet")
+        final4 = os.path.join(s4.events_dir, f"part-{st:012d}-{en:012d}.parquet")
+        w = pq.ParquetWriter(tmp4, _ARROW_SCHEMA)
+        for _, _, p in f4:
+            w.write_table(pq.read_table(p, schema=_ARROW_SCHEMA))
+        w.close()
+        with open(s4._journal_path(), "w") as fh:
+            json.dump(
+                {"sources": [p for _, _, p in f4], "tmp": tmp4, "final": final4}, fh
+            )
+        os.unlink(f4[0][2])  # one source already deleted, then crash
+        s5 = Stream(spark, str(tmp_path / "b"), "did:plc:c2")
+        got5 = s5._log_files()
+        assert len(got5) == 1
+        assert [(e.idx, e.payload) for e in s5.raw_get_events()] == before4
+
+    def test_stale_tmp_without_journal_is_dropped(self, spark, tmp_path):
+        import os
+
+        s = self._mk(spark, tmp_path, batches=2)
+        stray = os.path.join(s.events_dir, "_compacting-000000000001-000000000002.parquet")
+        with open(stray, "wb") as fh:
+            fh.write(b"junk")
+        before = [(e.idx, e.payload) for e in s.raw_get_events()]
+        s2 = Stream(spark, str(tmp_path), "did:plc:compact")
+        assert not os.path.exists(stray)
+        assert [(e.idx, e.payload) for e in s2.raw_get_events()] == before
