@@ -568,3 +568,179 @@ sql_case(
     "deterministic motion — the series-structure screen beside "
     "q167's ACF",
 )
+
+
+# ---------------------------------------------------------------------------
+# q179-q181 — the score-calibration audit family: does a heuristic quality
+# score actually predict the outcome we filter on? The score here is the
+# consonant-density heuristic (vowel-stripped length / length, a crude
+# language-ness signal with real spread on this corpus) bucketed to 64
+# levels; the
+# binary outcome is lang = 'en'. q179 fits the isotonic (PAV) calibration
+# curve via the minimax characterization; q180 draws the cumulative-gains
+# curve a pruning budget reads; q181 picks the Youden-J operating
+# threshold. All three reduce the corpus to ONE <= 64-row (bucket, n,
+# positives) histogram (a single aggregation, checkpointed on the Spark
+# side so the bounded O(B^2)/O(B^3) join solves never rescan the corpus);
+# every rate is a fixed IEEE division of exact bigints, so both engines
+# produce identical doubles and min/max/argmax agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_CAL_HIST = """
+    select b, cast(count(*) as bigint) as n, cast(sum(pos) as bigint) as s
+    from (
+      select case when lang = 'en' then 1 else 0 end as pos,
+             least(63, cast(floor(64.0
+               * (cast(length({LETTERS}) as double)
+                  / cast(greatest(length(text), 1) as double)))
+               as bigint)) as b
+      from documents where text is not null and lang is not null
+    ) t
+    group by b
+"""
+
+_LETTERS_SPARK = "regexp_replace(text, '[aeiou]', '')"
+_LETTERS_DUCK = "regexp_replace(text, '[aeiou]', '', 'g')"
+
+# PAV via the minimax formula: fitted[i] = max_{j<=i} min_{k>=i} mean(j..k)
+# — closed-form, no iteration, exact over the bounded histogram.
+_Q179_FINAL = """
+    with hist as (select * from {H}),
+    cum as (
+      select h1.b, cast(sum(h2.n) as bigint) as cn,
+             cast(sum(h2.s) as bigint) as cs
+      from hist h1 join hist h2 on h2.b <= h1.b
+      group by h1.b
+    ),
+    cumlt as (
+      select h1.b, cast(coalesce(sum(h2.n), 0) as bigint) as lt_n,
+             cast(coalesce(sum(h2.s), 0) as bigint) as lt_s
+      from hist h1 left join hist h2 on h2.b < h1.b
+      group by h1.b
+    ),
+    pairs as (
+      select jl.b as bj, ck.b as bk,
+             cast(ck.cs - jl.lt_s as double)
+               / cast(ck.cn - jl.lt_n as double) as m
+      from cum ck join cumlt jl on jl.b <= ck.b
+    ),
+    mins as (
+      select p.bj, i.b as bi, min(p.m) as mn
+      from pairs p join hist i on p.bj <= i.b and i.b <= p.bk
+      group by p.bj, i.b
+    ),
+    fit as (select bi as b, max(mn) as fitted from mins group by bi)
+    select h.b as score_bucket, h.n as n_docs, h.s as n_pos,
+           round(cast(h.s as double) / cast(h.n as double), 6) as raw_rate,
+           round(f.fitted, 6) as isotonic_rate
+    from hist h join fit f on f.b = h.b
+    order by h.b
+"""
+
+
+def _q179_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, names=("documents",))
+    h = spark.sql(_CAL_HIST.replace("{LETTERS}", _LETTERS_SPARK)).localCheckpoint()
+    h.createOrReplaceTempView("__q179_h__")
+    return spark.sql(_Q179_FINAL.replace("{H}", "__q179_h__"))
+
+
+register(
+    "q179_isotonic_calibration",
+    _Q179_FINAL.replace(
+        "{H}", "(" + _CAL_HIST.replace("{LETTERS}", _LETTERS_DUCK) + ")"
+    ),
+    doc="isotonic (PAV) calibration of the consonant-density quality score "
+    "against the lang='en' outcome, via the closed-form minimax "
+    "characterization fitted[i] = max_{j<=i} min_{k>=i} mean(j..k) "
+    "over the checkpointed <= 64-bucket histogram — the monotone "
+    "recalibration map beside q143's reliability bins. Bucket means "
+    "are fixed IEEE divisions of exact bigint cumulative sums, so "
+    "min/max agree across engines bit-for-bit",
+)(_q179_spark)
+
+
+_Q180_FINAL = """
+    with hist as (select * from {H}),
+    tot as (select cast(sum(n) as bigint) as tn,
+                   cast(sum(s) as bigint) as ts from hist),
+    cum as (
+      select h1.b, cast(sum(h2.n) as bigint) as cn,
+             cast(sum(h2.s) as bigint) as cs
+      from hist h1 join hist h2 on h2.b >= h1.b
+      group by h1.b
+    )
+    select c.b as score_bucket, c.cn as docs_kept, c.cs as pos_kept,
+           round(cast(c.cn as double) / cast(t.tn as double), 6)
+             as frac_scanned,
+           round(cast(c.cs as double) / cast(t.ts as double), 6) as gain,
+           round((cast(c.cs as double) * cast(t.tn as double))
+                 / (cast(c.cn as double) * cast(t.ts as double)), 6) as lift
+    from cum c cross join tot t
+    order by c.b desc
+"""
+
+
+def _q180_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, names=("documents",))
+    h = spark.sql(_CAL_HIST.replace("{LETTERS}", _LETTERS_SPARK)).localCheckpoint()
+    h.createOrReplaceTempView("__q180_h__")
+    return spark.sql(_Q180_FINAL.replace("{H}", "__q180_h__"))
+
+
+register(
+    "q180_cumulative_gains",
+    _Q180_FINAL.replace(
+        "{H}", "(" + _CAL_HIST.replace("{LETTERS}", _LETTERS_DUCK) + ")"
+    ),
+    doc="cumulative-gains / lift curve of the consonant-density score against "
+    "lang='en': keep buckets best-first and report the fraction of "
+    "positives captured vs fraction of corpus kept, plus lift — the "
+    "curve a pruning budget reads to pick its keep-rate. Bounded "
+    "suffix-cumulative joins over the checkpointed histogram; exact "
+    "bigint counts, rates as fixed IEEE divisions",
+)(_q180_spark)
+
+
+_Q181_FINAL = """
+    with hist as (select * from {H}),
+    tot as (select cast(sum(s) as bigint) as tp_all,
+                   cast(sum(n - s) as bigint) as tn_all from hist),
+    cum as (
+      select h1.b, cast(sum(h2.s) as bigint) as tp,
+             cast(sum(h2.n - h2.s) as bigint) as fp
+      from hist h1 join hist h2 on h2.b >= h1.b
+      group by h1.b
+    )
+    select c.b as threshold_bucket, c.tp, c.fp,
+           round(cast(c.tp as double) / cast(t.tp_all as double), 6) as tpr,
+           round(cast(c.fp as double) / cast(t.tn_all as double), 6) as fpr,
+           round(cast(c.tp as double) / cast(t.tp_all as double)
+                 - cast(c.fp as double) / cast(t.tn_all as double), 6)
+             as youden_j
+    from cum c cross join tot t
+    order by cast(c.tp as double) / cast(t.tp_all as double)
+             - cast(c.fp as double) / cast(t.tn_all as double) desc, c.b
+    limit 1
+"""
+
+
+def _q181_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, names=("documents",))
+    h = spark.sql(_CAL_HIST.replace("{LETTERS}", _LETTERS_SPARK)).localCheckpoint()
+    h.createOrReplaceTempView("__q181_h__")
+    return spark.sql(_Q181_FINAL.replace("{H}", "__q181_h__"))
+
+
+register(
+    "q181_youden_threshold",
+    _Q181_FINAL.replace(
+        "{H}", "(" + _CAL_HIST.replace("{LETTERS}", _LETTERS_DUCK) + ")"
+    ),
+    doc="Youden-J optimal operating threshold for the consonant-density score "
+    "vs lang='en': the bucket maximizing TPR - FPR over suffix-"
+    "cumulative confusion counts, argmax ordered on the unrounded "
+    "statistic with a bucket tiebreak (identical doubles on both "
+    "engines make the argmax deterministic). The single-number "
+    "companion to q180's full curve",
+)(_q181_spark)

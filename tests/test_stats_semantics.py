@@ -495,3 +495,101 @@ def test_spearman_matches_exact_python_ranks(spark, xy):
         return
     rho = float(num) / (denx**0.5 * deny**0.5)
     assert r["spearman_rho"] == pytest.approx(rho, abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# q179-q181 score-calibration family: the FINAL solves run over a planted
+# histogram view, so the PAV minimax formula, gains cums, and Youden argmax
+# are each pinned against independent Python recomputes
+# ---------------------------------------------------------------------------
+
+
+def _mk_hist(spark, rows, view):
+    spark.createDataFrame(rows, "b bigint, n bigint, s bigint").createOrReplaceTempView(
+        view
+    )
+
+
+def _pav(ns, ss):
+    """Weighted pool-adjacent-violators in exact rationals."""
+    blocks: list[list[int]] = []
+    for n, s in zip(ns, ss):
+        blocks.append([n, s])
+        while len(blocks) > 1 and blocks[-2][1] * blocks[-1][0] >= blocks[-1][1] * blocks[-2][0]:
+            w, t = blocks[-2][0] + blocks[-1][0], blocks[-2][1] + blocks[-1][1]
+            blocks[-2:] = [[w, t]]
+    # expand block rates positionally
+    rates = []
+    i = 0
+    for w, t in blocks:
+        consumed = 0
+        while consumed < w:
+            consumed += ns[i]
+            rates.append(t / w)
+            i += 1
+    return rates
+
+
+def test_isotonic_pools_adjacent_violators(spark):
+    from leaf_spark.queries_stats import _Q179_FINAL
+
+    _mk_hist(spark, [(0, 4, 0), (1, 4, 3), (2, 4, 1), (3, 4, 4)], "__t179__")
+    out = spark.sql(_Q179_FINAL.replace("{H}", "__t179__")).collect()
+    assert [r["score_bucket"] for r in out] == [0, 1, 2, 3]
+    assert [r["raw_rate"] for r in out] == [0.0, 0.75, 0.25, 1.0]
+    # buckets 1,2 violate monotonicity → pooled to (3+1)/(4+4) = 0.5
+    assert [r["isotonic_rate"] for r in out] == [0.0, 0.5, 0.5, 1.0]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    hist=st.lists(
+        st.tuples(st.integers(1, 9), st.integers(0, 9)), min_size=1, max_size=7
+    )
+)
+def test_isotonic_matches_python_pav(spark, hist):
+    from leaf_spark.queries_stats import _Q179_FINAL
+
+    rows = [(b, n, min(s, n)) for b, (n, s) in enumerate(hist)]
+    _mk_hist(spark, rows, "__t179f__")
+    out = spark.sql(_Q179_FINAL.replace("{H}", "__t179f__")).collect()
+    ns = [n for _, n, _ in rows]
+    ss = [s for _, _, s in rows]
+    exp = _pav(ns, ss)
+    got = [r["isotonic_rate"] for r in out]
+    assert got == pytest.approx(exp, abs=2e-6)
+    # isotonicity: fitted must be non-decreasing in the bucket
+    assert all(a <= b + 1e-12 for a, b in zip(got, got[1:]))
+
+
+def test_cumulative_gains_known_curve(spark):
+    from leaf_spark.queries_stats import _Q180_FINAL
+
+    _mk_hist(spark, [(0, 10, 1), (1, 10, 5), (2, 10, 9)], "__t180__")
+    out = spark.sql(_Q180_FINAL.replace("{H}", "__t180__")).collect()
+    # best-first: bucket 2 → 1 → 0
+    assert [r["score_bucket"] for r in out] == [2, 1, 0]
+    top = out[0]
+    assert top["docs_kept"] == 10 and top["pos_kept"] == 9
+    assert top["frac_scanned"] == pytest.approx(1 / 3, abs=1e-6)
+    assert top["gain"] == pytest.approx(9 / 15, abs=1e-6)
+    assert top["lift"] == pytest.approx((9 / 15) / (1 / 3), abs=1e-6)
+    # the full-corpus row has gain = lift = frac = 1
+    assert out[-1]["gain"] == 1.0 and out[-1]["lift"] == 1.0
+
+
+def test_youden_picks_max_j_threshold(spark):
+    from leaf_spark.queries_stats import _Q181_FINAL
+
+    _mk_hist(spark, [(0, 10, 1), (1, 10, 6), (2, 10, 8)], "__t181__")
+    r = spark.sql(_Q181_FINAL.replace("{H}", "__t181__")).collect()[0]
+    # J(b>=2) = 8/15 - 2/15 = 6/15; J(b>=1) = 14/15 - 6/15 = 8/15 (max);
+    # J(b>=0) = 0
+    assert r["threshold_bucket"] == 1
+    assert r["tpr"] == pytest.approx(14 / 15, abs=1e-6)
+    assert r["fpr"] == pytest.approx(6 / 15, abs=1e-6)
+    assert r["youden_j"] == pytest.approx(8 / 15, abs=1e-6)
