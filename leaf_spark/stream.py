@@ -162,6 +162,7 @@ class Stream:
         authorizer: Authorizer | None = None,
         snapshot_every: int = 256,
         snapshot_frac: float = 0.25,
+        compact_files: int = 0,
     ):
         self.spark = spark
         self.stream_did = stream_did
@@ -178,6 +179,13 @@ class Stream:
         # while bounding recovery replay to snapshot_frac of the log.
         self.snapshot_every = snapshot_every
         self.snapshot_frac = snapshot_frac
+        # auto-compaction cadence: when > 0, compact_log() runs as part of
+        # batch maintenance once the committed log holds this many files —
+        # the same between-batches slot snapshots use, so ingest latency
+        # pays for maintenance at a bounded, amortized rate. 0 keeps
+        # compaction an explicit maintenance call (the default: some
+        # deployments schedule it off-peak instead).
+        self.compact_files = compact_files
         self._snap_cursor = 0
         self._lock = threading.RLock()
         self.sql_authorizer = authorizer or Authorizer()
@@ -503,6 +511,12 @@ class Stream:
         threshold = max(self.snapshot_every, int(self.snapshot_frac * self._snap_cursor))
         if since >= threshold:
             self.persist_state()
+        if self.compact_files > 0:
+            committed = sum(
+                1 for f in self._log_files() if f[1] <= self.state.latest_idx
+            )
+            if committed >= self.compact_files:
+                self.compact_log()
 
     # -- A14 module provide/swap --------------------------------------------
 

@@ -324,3 +324,15 @@ class TestLogCompaction:
         s2 = Stream(spark, str(tmp_path), "did:plc:compact")
         assert not os.path.exists(stray)
         assert [(e.idx, e.payload) for e in s2.raw_get_events()] == before
+
+    def test_auto_compaction_cadence(self, spark, tmp_path):
+        s = Stream(spark, str(tmp_path), "did:plc:autoc", compact_files=4)
+        s.provide_module(CHAT)
+        for b in range(6):
+            s.add_events([msg("did:plc:u", f"a{b}", b)])
+        # maintenance merged the log once it crossed 4 files; events intact
+        assert len(s._log_files()) < 6
+        evs = s.raw_get_events()
+        assert [e.idx for e in evs] == list(range(1, 7))
+        rows = s.query(None, LeafQuery("messages"))
+        assert len(rows) == 6
