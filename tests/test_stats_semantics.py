@@ -593,3 +593,82 @@ def test_youden_picks_max_j_threshold(spark):
     assert r["tpr"] == pytest.approx(14 / 15, abs=1e-6)
     assert r["fpr"] == pytest.approx(6 / 15, abs=1e-6)
     assert r["youden_j"] == pytest.approx(8 / 15, abs=1e-6)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(counts=st.lists(st.integers(1, 5), min_size=3, max_size=7))
+def test_ols_matches_python_on_random_days(spark, counts):
+    from leaf_spark.queries_stats import _EPOCHDAY_SPARK, _Q175_FIXED
+
+    _plant_daily_counts(spark, counts)
+    r = spark.sql(_Q175_FIXED.replace("{EPOCHDAY}", _EPOCHDAY_SPARK)).collect()[0]
+    n = len(counts)
+    xs = list(range(n))
+    sx, sy = sum(xs), sum(counts)
+    sxy = sum(x * y for x, y in zip(xs, counts))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in counts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    assert r["n"] == n
+    assert r["slope_per_day"] == pytest.approx(slope, abs=2e-6)
+    assert r["intercept"] == pytest.approx(intercept, abs=2e-6)
+    deny = n * syy - sy * sy
+    if deny != 0:
+        r2 = ((n * sxy - sx * sy) ** 2) / ((n * sxx - sx * sx) * deny)
+        assert r["r2"] == pytest.approx(r2, abs=2e-6)
+    else:
+        assert r["r2"] is None  # constant y → undefined fit quality
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cells=st.dictionaries(
+        st.tuples(st.sampled_from(["en", "fr", "zh"]), st.sampled_from(["s1", "s2"])),
+        st.integers(1, 6),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_chi2_matches_python_on_random_tables(spark, cells):
+    from leaf_spark.queries_stats import _Q177_BODY
+
+    rows = []
+    i = 0
+    for (lang, src), c in cells.items():
+        for _ in range(c):
+            rows.append((i, "t", lang, src, 5))
+            i += 1
+    _mk_docs(spark, rows).createOrReplaceTempView("documents")
+    r = spark.sql(_Q177_BODY).collect()[0]
+
+    langs = sorted({k[0] for k in cells})
+    srcs = sorted({k[1] for k in cells})
+    n = sum(cells.values())
+    rt = {l: sum(c for (l2, _), c in cells.items() if l2 == l) for l in langs}
+    ct = {s: sum(c for (_, s2), c in cells.items() if s2 == s) for s in srcs}
+    chi2 = round(
+        sum(
+            round(
+                (cells.get((l, s), 0) - rt[l] * ct[s] / n) ** 2 / (rt[l] * ct[s] / n),
+                9,
+            )
+            for l in langs
+            for s in srcs
+        ),
+        6,
+    )
+    assert r["n_docs"] == n
+    assert r["dof"] == (len(langs) - 1) * (len(srcs) - 1)
+    assert r["chi2"] == pytest.approx(chi2, abs=2e-6)
+    if r["dof"] > 0:
+        v = (float(chi2) / (n * min(len(langs) - 1, len(srcs) - 1))) ** 0.5
+        assert r["cramers_v"] == pytest.approx(v, abs=2e-6)
