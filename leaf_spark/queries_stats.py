@@ -744,3 +744,104 @@ register(
     "engines make the argmax deterministic). The single-number "
     "companion to q180's full curve",
 )(_q181_spark)
+
+
+# ---------------------------------------------------------------------------
+# q182 — Kaplan-Meier time-to-conversion survival with right-censoring:
+# the survival-analysis primitive q119's cohort matrix cannot give. The
+# duration is days from a user's FIRST event to their FIRST 'purchase'
+# event; users who never purchase are right-censored at the end of the
+# observation window (alive in the "not yet converted" state). S(t) =
+# prod over conversion times t_i <= t of (1 - d_i / n_i), censored users
+# at risk through their censor time — the standard KM estimator. The
+# corpus reduces to a per-user (duration, converted) table and then to a
+# distinct-duration histogram (calendar-bounded — durations are day
+# counts, never user counts), so at-risk counts and the cumulative
+# product run over bounded join-cums: no windows, no iteration. Exact
+# bigint (conversions, at_risk) are the primary columns; survival
+# follows the libm recipe (round-9 ln terms decimal-summed, one exp,
+# round 6), with an exact zero-flag short-circuiting S = 0 once any
+# d_i = n_i.
+# ---------------------------------------------------------------------------
+
+_Q182_HIST = """
+    with bounds as (select max({EPOCHDAY}) as obs_end from events),
+    f as (select user_id, min({EPOCHDAY}) as d0
+          from events where user_id is not null group by user_id),
+    c as (select user_id, min({EPOCHDAY}) as dc
+          from events
+          where user_id is not null and event_type = 'purchase'
+          group by user_id),
+    lab as (
+      select case when c.dc is not null
+                  then cast(c.dc - f.d0 as bigint)
+                  else cast((select obs_end from bounds) - f.d0 as bigint)
+             end as duration,
+             case when c.dc is not null then 1 else 0 end as died
+      from f left join c on c.user_id = f.user_id
+    )
+    select duration, cast(count(*) as bigint) as total,
+           cast(sum(died) as bigint) as deaths
+    from lab group by duration
+"""
+
+_Q182_FINAL = """
+    with km as (select * from {KM}),
+    risk as (
+      select k1.duration, k1.deaths,
+             cast(sum(k2.total) as bigint) as at_risk
+      from km k1 join km k2 on k2.duration >= k1.duration
+      where k1.deaths > 0
+      group by k1.duration, k1.deaths
+    ),
+    terms as (
+      select duration, deaths, at_risk,
+             case when deaths = at_risk then cast(1 as bigint)
+                  else cast(0 as bigint) end as hits_zero,
+             case when deaths = at_risk then cast(0 as decimal(38,9))
+                  else cast(round(ln(
+                         cast(at_risk - deaths as double)
+                         / cast(at_risk as double)), 9)
+                       as decimal(38,9)) end as lnterm
+      from risk
+    ),
+    cum as (
+      select t1.duration, t1.deaths, t1.at_risk,
+             cast(sum(t2.lnterm) as decimal(38,9)) as lnsum,
+             cast(max(t2.hits_zero) as bigint) as zeroed
+      from terms t1 join terms t2 on t2.duration <= t1.duration
+      group by t1.duration, t1.deaths, t1.at_risk
+    )
+    select duration as days_to_convert, deaths as conversions, at_risk,
+           case when zeroed = 1 then cast(0.0 as double)
+                else round(exp(cast(lnsum as double)), 6) end as survival
+    from cum
+    order by duration
+"""
+
+
+def _q182_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, names=("events",))
+    km = spark.sql(
+        _Q182_HIST.replace("{EPOCHDAY}", _EPOCHDAY_SPARK)
+    ).localCheckpoint()
+    km.createOrReplaceTempView("__q182_km__")
+    return spark.sql(_Q182_FINAL.replace("{KM}", "__q182_km__"))
+
+
+register(
+    "q182_kaplan_meier",
+    _Q182_FINAL.replace(
+        "{KM}", "(" + _Q182_HIST.replace("{EPOCHDAY}", _EPOCHDAY_DUCK) + ")"
+    ),
+    doc="Kaplan-Meier time-to-conversion survival (days from a user's "
+    "first event to their first purchase), right-censoring users who "
+    "never convert at the observation end: S(t) = prod(1 - d_i/n_i) "
+    "over conversion times, censored users at risk through their "
+    "censor time. Calendar-bounded distinct-duration histogram, "
+    "join-cums (no windows), exact bigint conversions/at-risk "
+    "primary, survival via round-9 decimal-summed ln terms and one "
+    "exp, exact zero short-circuit when d_i = n_i. The time-to-event "
+    "curve q119's cohort matrix can't give. The duration histogram "
+    "is checkpointed so the bounded join-cums never rescan events",
+)(_q182_spark)

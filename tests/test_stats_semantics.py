@@ -672,3 +672,101 @@ def test_chi2_matches_python_on_random_tables(spark, cells):
     if r["dof"] > 0:
         v = (float(chi2) / (n * min(len(langs) - 1, len(srcs) - 1))) ** 0.5
         assert r["cramers_v"] == pytest.approx(v, abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# q182 Kaplan-Meier
+# ---------------------------------------------------------------------------
+
+
+def _plant_km(spark, users):
+    """users: list of (first_day, purchase_day_or_None, last_day)."""
+    base = dt.datetime(2026, 5, 1)
+    rows = []
+    eid = 0
+    for uid, (d0, dc, dlast) in enumerate(users):
+        rows.append((eid, base + dt.timedelta(days=d0), uid, "view", 1.0, "{}"))
+        eid += 1
+        if dc is not None:
+            rows.append(
+                (eid, base + dt.timedelta(days=dc), uid, "purchase", 1.0, "{}")
+            )
+            eid += 1
+        rows.append((eid, base + dt.timedelta(days=dlast), uid, "click", 1.0, "{}"))
+        eid += 1
+    _mk_events(spark, rows).createOrReplaceTempView("events")
+
+
+def _km_python(users):
+    """Exact KM over (first, purchase|None, last) with obs-end censoring."""
+    obs_end = max(max(d0, dc if dc is not None else 0, dl) for d0, dc, dl in users)
+    lab = []
+    for d0, dc, _ in users:
+        if dc is not None:
+            lab.append((dc - d0, 1))
+        else:
+            lab.append((obs_end - d0, 0))
+    out = []
+    s = 1.0
+    for t in sorted({t for t, died in lab if died}):
+        n = sum(1 for u, _ in lab if u >= t)
+        d = sum(1 for u, died in lab if u == t and died)
+        s *= (n - d) / n
+        out.append((t, d, n, s))
+    return out
+
+
+def _run_km(spark):
+    from leaf_spark.queries_stats import _EPOCHDAY_SPARK, _Q182_FINAL, _Q182_HIST
+
+    spark.sql(
+        _Q182_HIST.replace("{EPOCHDAY}", _EPOCHDAY_SPARK)
+    ).createOrReplaceTempView("__t182_km__")
+    return spark.sql(_Q182_FINAL.replace("{KM}", "__t182_km__")).collect()
+
+
+def test_kaplan_meier_known_curve_with_censoring(spark):
+    # conversions at days 0, 1, 3; one never-converter censored at day 5
+    _plant_km(spark, [(0, 1, 2), (0, 3, 4), (0, None, 5), (1, 1, 2)])
+    out = _run_km(spark)
+    got = [(r["days_to_convert"], r["conversions"], r["at_risk"], r["survival"]) for r in out]
+    assert got == [(0, 1, 4, 0.75), (1, 1, 3, 0.5), (3, 1, 2, 0.25)]
+
+
+def test_kaplan_meier_hits_zero_when_all_convert_last(spark):
+    _plant_km(spark, [(0, 2, 2), (0, 2, 2)])
+    out = _run_km(spark)
+    assert len(out) == 1
+    r = out[0]
+    assert (r["days_to_convert"], r["conversions"], r["at_risk"]) == (2, 2, 2)
+    assert r["survival"] == 0.0
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    users=st.lists(
+        st.tuples(
+            st.integers(0, 4),
+            st.one_of(st.none(), st.integers(0, 9)),
+            st.integers(5, 10),
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_kaplan_meier_matches_python(spark, users):
+    # purchase must not precede the first event
+    users = [
+        (d0, (dc if dc is None or dc >= d0 else d0), dl) for d0, dc, dl in users
+    ]
+    _plant_km(spark, users)
+    out = _run_km(spark)
+    exp = _km_python(users)
+    assert len(out) == len(exp)
+    for r, (t, d, n, s) in zip(out, exp):
+        assert (r["days_to_convert"], r["conversions"], r["at_risk"]) == (t, d, n)
+        assert r["survival"] == pytest.approx(s, abs=2e-6)
