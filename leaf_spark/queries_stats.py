@@ -845,3 +845,121 @@ register(
     "curve q119's cohort matrix can't give. The duration histogram "
     "is checkpointed so the bounded join-cums never rescan events",
 )(_q182_spark)
+
+
+# ---------------------------------------------------------------------------
+# q183 — log-rank test between the two md5 A/B arms' time-to-conversion
+# survival curves: does the treatment arm convert FASTER, accounting for
+# censoring? The inference companion to q182 (which draws one curve) and
+# q160 (which compares final rates, ignoring time and censoring). At each
+# death time: O1 = observed arm-1 conversions (exact bigint), E1 =
+# d * n1 / n expected under the null, V = hypergeometric variance;
+# chi2 = (O1 - E1)^2 / V. The per-(arm, duration) histogram is calendar-
+# bounded and checkpointed; everything downstream is bounded join-cums.
+# E1/V terms are fixed IEEE sequences rounded to 9 and decimal-summed.
+# ---------------------------------------------------------------------------
+
+_Q183_HIST = """
+    with bounds as (select max({EPOCHDAY}) as obs_end from events),
+    f as (select user_id, {UHASH} % 2 as arm, min({EPOCHDAY}) as d0
+          from events where user_id is not null group by user_id),
+    c as (select user_id, min({EPOCHDAY}) as dc
+          from events
+          where user_id is not null and event_type = 'purchase'
+          group by user_id),
+    lab as (
+      select f.arm,
+             case when c.dc is not null
+                  then cast(c.dc - f.d0 as bigint)
+                  else cast((select obs_end from bounds) - f.d0 as bigint)
+             end as duration,
+             case when c.dc is not null then 1 else 0 end as died
+      from f left join c on c.user_id = f.user_id
+    )
+    select arm, duration, cast(count(*) as bigint) as total,
+           cast(sum(died) as bigint) as deaths
+    from lab group by arm, duration
+"""
+
+_Q183_FINAL = """
+    with km as (select * from {KM}),
+    dt_ as (select duration from km group by duration
+            having sum(deaths) > 0),
+    r as (
+      select d.duration,
+             cast(sum(k.total) as bigint) as n,
+             cast(sum(case when k.arm = 1 then k.total else 0 end)
+               as bigint) as n1,
+             cast(sum(case when k.duration = d.duration then k.deaths
+                           else 0 end) as bigint) as d_tot,
+             cast(sum(case when k.duration = d.duration and k.arm = 1
+                           then k.deaths else 0 end) as bigint) as d1
+      from dt_ d join km k on k.duration >= d.duration
+      group by d.duration
+    ),
+    terms as (
+      select d1,
+             cast(round(cast(d_tot as double) * cast(n1 as double)
+                        / cast(n as double), 9) as decimal(38,9)) as e1,
+             case when n > 1 then
+               cast(round(
+                 (cast(d_tot as double) * cast(n1 as double)
+                  * cast(n - n1 as double) * cast(n - d_tot as double))
+                 / (cast(n as double) * cast(n as double)
+                    * cast(n - 1 as double)), 9) as decimal(38,9))
+             else cast(0 as decimal(38,9)) end as v
+      from r
+    ),
+    s as (
+      select cast(count(*) as bigint) as n_times,
+             cast(coalesce(sum(d1), 0) as bigint) as o1,
+             cast(coalesce(sum(e1), 0) as decimal(38,9)) as e1d,
+             cast(coalesce(sum(v), 0) as decimal(38,9)) as vd
+      from terms
+    )
+    select n_times, o1,
+           round(cast(e1d as double), 6) as e1,
+           round(cast(vd as double), 6) as variance,
+           round(((cast(o1 as double) - cast(e1d as double))
+                  * (cast(o1 as double) - cast(e1d as double)))
+                 / nullif(cast(vd as double), 0.0), 6) as logrank_chi2
+    from s
+"""
+
+
+def _q183_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_ranking import _UHASH_SPARK
+
+    load_tables(spark, sf_dir, names=("events",))
+    km = spark.sql(
+        _Q183_HIST.replace("{EPOCHDAY}", _EPOCHDAY_SPARK).replace(
+            "{UHASH}", _UHASH_SPARK
+        )
+    ).localCheckpoint()
+    km.createOrReplaceTempView("__q183_km__")
+    return spark.sql(_Q183_FINAL.replace("{KM}", "__q183_km__"))
+
+
+def _q183_oracle() -> str:
+    from .queries_ranking import _UHASH_DUCK
+
+    return _Q183_FINAL.replace(
+        "{KM}",
+        "("
+        + _Q183_HIST.replace("{EPOCHDAY}", _EPOCHDAY_DUCK).replace(
+            "{UHASH}", _UHASH_DUCK
+        )
+        + ")",
+    )
+
+
+register(
+    "q183_logrank_test",
+    _q183_oracle(),
+    doc="log-rank test between the md5 A/B arms' time-to-conversion "
+    "survival curves (censoring-aware, unlike q160's final-rate z): "
+    "O1 exact bigint, E1 = d*n1/n and the hypergeometric variance as "
+    "round-9 decimal-summed IEEE terms over the checkpointed "
+    "calendar-bounded (arm, duration) histogram, chi2 = (O1-E1)^2/V "
+    "with a nullif guard for the single-arm degenerate case",
+)(_q183_spark)

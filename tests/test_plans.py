@@ -509,8 +509,9 @@ def test_checkpointed_entries_do_not_rescan(spark, cases):
         "q179_isotonic_calibration",
         "q180_cumulative_gains",
         "q181_youden_threshold",
-        # q182's duration histogram feeds at-risk/terms/cum join-cums
+        # q182/q183's duration histograms feed at-risk/terms/cum join-cums
         "q182_kaplan_meier",
+        "q183_logrank_test",
     ):
         plan = plan_of(cases[name].spark_fn(spark, SF_DIR))
         assert "Scan parquet" not in plan, name

@@ -770,3 +770,129 @@ def test_kaplan_meier_matches_python(spark, users):
     for r, (t, d, n, s) in zip(out, exp):
         assert (r["days_to_convert"], r["conversions"], r["at_risk"]) == (t, d, n)
         assert r["survival"] == pytest.approx(s, abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# q183 log-rank
+# ---------------------------------------------------------------------------
+
+
+def _arm(uid):
+    return int(hashlib.md5(f"ab:{uid}".encode()).hexdigest()[:15], 16) % 2
+
+
+def _run_logrank(spark):
+    from leaf_spark.queries_ranking import _UHASH_SPARK
+    from leaf_spark.queries_stats import _EPOCHDAY_SPARK, _Q183_FINAL, _Q183_HIST
+
+    spark.sql(
+        _Q183_HIST.replace("{EPOCHDAY}", _EPOCHDAY_SPARK).replace(
+            "{UHASH}", _UHASH_SPARK
+        )
+    ).createOrReplaceTempView("__t183_km__")
+    return spark.sql(_Q183_FINAL.replace("{KM}", "__t183_km__")).collect()[0]
+
+
+def _logrank_python(users):
+    """users: {uid: (first_day, purchase_day_or_None, last_day)}."""
+    obs_end = max(
+        max(d0, dc if dc is not None else 0, dl) for d0, dc, dl in users.values()
+    )
+    lab = []
+    for uid, (d0, dc, _) in users.items():
+        dur = (dc - d0) if dc is not None else (obs_end - d0)
+        lab.append((_arm(uid), dur, 1 if dc is not None else 0))
+    o1 = e1 = v = 0.0
+    times = sorted({t for _, t, died in lab if died})
+    for t in times:
+        n = sum(1 for _, u, _ in lab if u >= t)
+        n1 = sum(1 for a, u, _ in lab if u >= t and a == 1)
+        d = sum(1 for _, u, died in lab if u == t and died)
+        d1 = sum(1 for a, u, died in lab if u == t and died and a == 1)
+        o1 += d1
+        e1 += d * n1 / n
+        if n > 1:
+            v += (d * n1 * (n - n1) * (n - d)) / (n * n * (n - 1))
+    chi2 = (o1 - e1) ** 2 / v if v > 0 else None
+    return len(times), o1, e1, v, chi2
+
+
+def test_logrank_matches_python_known_split(spark):
+    # pick uids so both arms are populated (md5-deterministic)
+    uids = list(range(20))
+    arm1 = [u for u in uids if _arm(u) == 1][:4]
+    arm0 = [u for u in uids if _arm(u) == 0][:4]
+    users = {}
+    # arm-1 users convert fast, arm-0 slowly or never
+    for i, u in enumerate(arm1):
+        users[u] = (0, 1 + i % 2, 8)
+    for i, u in enumerate(arm0):
+        users[u] = (0, 6 + i % 2 if i < 2 else None, 8)
+    base = dt.datetime(2026, 6, 1)
+    rows = []
+    eid = 0
+    for uid, (d0, dc, dl) in users.items():
+        rows.append((eid, base + dt.timedelta(days=d0), uid, "view", 1.0, "{}"))
+        eid += 1
+        if dc is not None:
+            rows.append(
+                (eid, base + dt.timedelta(days=dc), uid, "purchase", 1.0, "{}")
+            )
+            eid += 1
+        rows.append((eid, base + dt.timedelta(days=dl), uid, "click", 1.0, "{}"))
+        eid += 1
+    _mk_events(spark, rows).createOrReplaceTempView("events")
+    r = _run_logrank(spark)
+    n_times, o1, e1, v, chi2 = _logrank_python(users)
+    assert r["n_times"] == n_times and r["o1"] == o1
+    assert r["e1"] == pytest.approx(e1, abs=1e-5)
+    assert r["variance"] == pytest.approx(v, abs=1e-5)
+    assert r["logrank_chi2"] == pytest.approx(chi2, abs=1e-4)
+    # arm 1 converts faster → observed arm-1 conversions exceed expectation
+    assert o1 > e1 and r["logrank_chi2"] > 1.0
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    spec=st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.one_of(st.none(), st.integers(0, 8)),
+            st.integers(4, 9),
+        ),
+        min_size=3,
+        max_size=10,
+    )
+)
+def test_logrank_matches_python_random(spark, spec):
+    users = {
+        uid: (d0, (dc if dc is None or dc >= d0 else d0), dl)
+        for uid, (d0, dc, dl) in enumerate(spec)
+    }
+    base = dt.datetime(2026, 6, 1)
+    rows = []
+    eid = 0
+    for uid, (d0, dc, dl) in users.items():
+        rows.append((eid, base + dt.timedelta(days=d0), uid, "view", 1.0, "{}"))
+        eid += 1
+        if dc is not None:
+            rows.append(
+                (eid, base + dt.timedelta(days=dc), uid, "purchase", 1.0, "{}")
+            )
+            eid += 1
+        rows.append((eid, base + dt.timedelta(days=dl), uid, "click", 1.0, "{}"))
+        eid += 1
+    _mk_events(spark, rows).createOrReplaceTempView("events")
+    r = _run_logrank(spark)
+    n_times, o1, e1, v, chi2 = _logrank_python(users)
+    assert r["n_times"] == n_times and r["o1"] == o1
+    assert r["e1"] == pytest.approx(e1, abs=1e-5)
+    assert r["variance"] == pytest.approx(v, abs=1e-5)
+    if chi2 is None:
+        assert r["logrank_chi2"] is None
+    else:
+        assert r["logrank_chi2"] == pytest.approx(chi2, abs=1e-4)
