@@ -619,13 +619,13 @@ _Q179_FINAL = """
       group by h1.b
     ),
     pairs as (
-      select jl.b as bj, ck.b as bk,
+      select /*+ BROADCAST(jl) */ jl.b as bj, ck.b as bk,
              cast(ck.cs - jl.lt_s as double)
                / cast(ck.cn - jl.lt_n as double) as m
       from cum ck join cumlt jl on jl.b <= ck.b
     ),
     mins as (
-      select p.bj, i.b as bi, min(p.m) as mn
+      select /*+ BROADCAST(i) */ p.bj, i.b as bi, min(p.m) as mn
       from pairs p join hist i on p.bj <= i.b and i.b <= p.bk
       group by p.bj, i.b
     ),
@@ -788,7 +788,7 @@ _Q182_HIST = """
 _Q182_FINAL = """
     with km as (select * from {KM}),
     risk as (
-      select k1.duration, k1.deaths,
+      select /*+ BROADCAST(k2) */ k1.duration, k1.deaths,
              cast(sum(k2.total) as bigint) as at_risk
       from km k1 join km k2 on k2.duration >= k1.duration
       where k1.deaths > 0
@@ -806,7 +806,7 @@ _Q182_FINAL = """
       from risk
     ),
     cum as (
-      select t1.duration, t1.deaths, t1.at_risk,
+      select /*+ BROADCAST(t2) */ t1.duration, t1.deaths, t1.at_risk,
              cast(sum(t2.lnterm) as decimal(38,9)) as lnsum,
              cast(max(t2.hits_zero) as bigint) as zeroed
       from terms t1 join terms t2 on t2.duration <= t1.duration
