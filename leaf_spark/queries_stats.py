@@ -963,3 +963,134 @@ register(
     "calendar-bounded (arm, duration) histogram, chi2 = (O1-E1)^2/V "
     "with a nullif guard for the single-arm degenerate case",
 )(_q183_spark)
+
+
+# ---------------------------------------------------------------------------
+# q184 — ROC AUC of the consonant-density score vs lang='en', as an exact
+# rank-sum over the calibration histogram: 2U = sum over buckets of
+# pos_b * (2 * negatives_strictly_below + neg_b) (ties count half), so
+# AUC = U / (P * N) is a single fixed IEEE division of exact bigints.
+# The global ranking-quality number beside q181's single operating point;
+# Gini = 2*AUC - 1 rides along. Same bounded-histogram shape as q179.
+# ---------------------------------------------------------------------------
+
+_Q184_FINAL = """
+    with hist as (select * from {H}),
+    neglt as (
+      select h1.b,
+             cast(coalesce(sum(h2.n - h2.s), 0) as bigint) as neg_below
+      from hist h1 left join hist h2 on h2.b < h1.b
+      group by h1.b
+    ),
+    tot as (select cast(sum(s) as bigint) as p_total,
+                   cast(sum(n - s) as bigint) as n_total from hist),
+    u as (
+      select cast(sum(h.s * (2 * g.neg_below + (h.n - h.s))) as bigint)
+        as u2
+      from hist h join neglt g on g.b = h.b
+    )
+    select t.p_total, t.n_total, u.u2,
+           round(cast(u.u2 as double)
+                 / (2.0 * (cast(t.p_total as double)
+                           * cast(t.n_total as double))), 6) as auc,
+           round(cast(u.u2 as double)
+                 / (cast(t.p_total as double) * cast(t.n_total as double))
+                 - 1.0, 6) as gini
+    from u cross join tot t
+"""
+
+
+def _q184_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, names=("documents",))
+    h = spark.sql(_CAL_HIST.replace("{LETTERS}", _LETTERS_SPARK)).localCheckpoint()
+    h.createOrReplaceTempView("__q184_h__")
+    return spark.sql(_Q184_FINAL.replace("{H}", "__q184_h__"))
+
+
+register(
+    "q184_roc_auc",
+    _Q184_FINAL.replace(
+        "{H}", "(" + _CAL_HIST.replace("{LETTERS}", _LETTERS_DUCK) + ")"
+    ),
+    doc="ROC AUC of the consonant-density score vs lang='en' as an exact "
+    "rank-sum over the calibration histogram (2U carried as a bigint, "
+    "within-bucket ties counting half), plus Gini = 2*AUC - 1 — the "
+    "global ranking-quality number beside q181's single operating "
+    "point. One corpus aggregation, bounded join-cums, one IEEE "
+    "division",
+)(_q184_spark)
+
+
+# ---------------------------------------------------------------------------
+# q185 — Murphy decomposition of the Brier score over the calibration
+# histogram, with the bucket midpoint (2b+1)/128 as the forecast
+# probability: reliability (forecast-vs-observed gap, what q179
+# recalibrates away), resolution (how much the buckets separate
+# outcomes), and uncertainty (the outcome's own variance);
+# brier = reliability - resolution + uncertainty. Per-bucket terms are
+# fixed IEEE sequences rounded to 9 and decimal-summed; the identity is
+# exact up to those roundings.
+# ---------------------------------------------------------------------------
+
+_Q185_FINAL = """
+    with hist as (select * from {H}),
+    tot as (select cast(sum(n) as bigint) as nn,
+                   cast(sum(s) as bigint) as ss from hist),
+    terms as (
+      select
+        cast(round(cast(h.n as double)
+          * (cast(2 * h.b + 1 as double) / 128.0
+             - cast(h.s as double) / cast(h.n as double))
+          * (cast(2 * h.b + 1 as double) / 128.0
+             - cast(h.s as double) / cast(h.n as double)), 9)
+          as decimal(38,9)) as rel_term,
+        cast(round(cast(h.n as double)
+          * (cast(h.s as double) / cast(h.n as double)
+             - cast(t.ss as double) / cast(t.nn as double))
+          * (cast(h.s as double) / cast(h.n as double)
+             - cast(t.ss as double) / cast(t.nn as double)), 9)
+          as decimal(38,9)) as res_term
+      from hist h cross join tot t
+    ),
+    s as (
+      select cast(sum(rel_term) as decimal(38,9)) as rel,
+             cast(sum(res_term) as decimal(38,9)) as res
+      from terms
+    )
+    select t.nn as n_docs,
+           round(cast(t.ss as double) / cast(t.nn as double), 6)
+             as base_rate,
+           round(cast(s.rel as double) / cast(t.nn as double), 6)
+             as reliability,
+           round(cast(s.res as double) / cast(t.nn as double), 6)
+             as resolution,
+           round((cast(t.ss as double) / cast(t.nn as double))
+                 * (1.0 - cast(t.ss as double) / cast(t.nn as double)), 6)
+             as uncertainty,
+           round(cast(s.rel as double) / cast(t.nn as double)
+                 - cast(s.res as double) / cast(t.nn as double)
+                 + (cast(t.ss as double) / cast(t.nn as double))
+                   * (1.0 - cast(t.ss as double) / cast(t.nn as double)),
+                 6) as brier
+    from s cross join tot t
+"""
+
+
+def _q185_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, names=("documents",))
+    h = spark.sql(_CAL_HIST.replace("{LETTERS}", _LETTERS_SPARK)).localCheckpoint()
+    h.createOrReplaceTempView("__q185_h__")
+    return spark.sql(_Q185_FINAL.replace("{H}", "__q185_h__"))
+
+
+register(
+    "q185_brier_decomposition",
+    _Q185_FINAL.replace(
+        "{H}", "(" + _CAL_HIST.replace("{LETTERS}", _LETTERS_DUCK) + ")"
+    ),
+    doc="Murphy decomposition of the Brier score over the calibration "
+    "histogram (bucket midpoints as forecasts): reliability - "
+    "resolution + uncertainty = brier. Round-9 decimal-summed IEEE "
+    "terms over the checkpointed <= 64-bucket table; the calibration-"
+    "quality summary q179 fixes and q180/q181 operate on",
+)(_q185_spark)

@@ -512,6 +512,9 @@ def test_checkpointed_entries_do_not_rescan(spark, cases):
         # q182/q183's duration histograms feed at-risk/terms/cum join-cums
         "q182_kaplan_meier",
         "q183_logrank_test",
+        # q184/q185 reuse the q179 calibration histogram
+        "q184_roc_auc",
+        "q185_brier_decomposition",
     ):
         plan = plan_of(cases[name].spark_fn(spark, SF_DIR))
         assert "Scan parquet" not in plan, name

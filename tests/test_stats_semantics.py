@@ -896,3 +896,103 @@ def test_logrank_matches_python_random(spark, spec):
         assert r["logrank_chi2"] is None
     else:
         assert r["logrank_chi2"] == pytest.approx(chi2, abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# q184 ROC AUC / q185 Brier decomposition (over a planted histogram view)
+# ---------------------------------------------------------------------------
+
+
+def test_roc_auc_perfect_random_and_ties(spark):
+    from leaf_spark.queries_stats import _Q184_FINAL
+
+    # perfect separation: all negatives in bucket 0, positives in bucket 1
+    _mk_hist(spark, [(0, 5, 0), (1, 4, 4)], "__t184a__")
+    r = spark.sql(_Q184_FINAL.replace("{H}", "__t184a__")).collect()[0]
+    assert (r["p_total"], r["n_total"]) == (4, 5)
+    assert r["auc"] == 1.0 and r["gini"] == 1.0
+    # inverted: positives below negatives → AUC 0
+    _mk_hist(spark, [(0, 4, 4), (1, 5, 0)], "__t184b__")
+    r = spark.sql(_Q184_FINAL.replace("{H}", "__t184b__")).collect()[0]
+    assert r["auc"] == 0.0 and r["gini"] == -1.0
+    # everything in one bucket → all ties → AUC 0.5, gini 0
+    _mk_hist(spark, [(3, 10, 4)], "__t184c__")
+    r = spark.sql(_Q184_FINAL.replace("{H}", "__t184c__")).collect()[0]
+    assert r["auc"] == 0.5 and r["gini"] == 0.0
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    hist=st.lists(
+        st.tuples(st.integers(1, 9), st.integers(0, 9)), min_size=1, max_size=6
+    )
+)
+def test_roc_auc_matches_exact_pair_count(spark, hist):
+    from leaf_spark.queries_stats import _Q184_FINAL
+
+    rows = [(b, n, min(s, n)) for b, (n, s) in enumerate(hist)]
+    p_total = sum(s for _, _, s in rows)
+    n_total = sum(n - s for _, n, s in rows)
+    if p_total == 0 or n_total == 0:
+        return  # AUC undefined (division yields NULL) — not the contract here
+    _mk_hist(spark, rows, "__t184f__")
+    r = spark.sql(_Q184_FINAL.replace("{H}", "__t184f__")).collect()[0]
+    u2 = 0
+    for b1, n1, s1 in rows:  # positives in b1
+        for b2, n2, s2 in rows:  # negatives in b2
+            negs = n2 - s2
+            if b2 < b1:
+                u2 += 2 * s1 * negs
+            elif b2 == b1:
+                u2 += s1 * negs
+    assert r["u2"] == u2
+    assert r["auc"] == pytest.approx(u2 / (2 * p_total * n_total), abs=1e-6)
+
+
+def test_brier_decomposition_identity_and_extremes(spark):
+    from leaf_spark.queries_stats import _Q185_FINAL
+
+    # bucket 63 midpoint = 127/128 ≈ 0.992; all positive → tiny reliability
+    _mk_hist(spark, [(63, 8, 8), (0, 8, 0)], "__t185a__")
+    r = spark.sql(_Q185_FINAL.replace("{H}", "__t185a__")).collect()[0]
+    assert r["base_rate"] == 0.5
+    assert r["uncertainty"] == 0.25
+    # perfectly separating buckets: resolution equals uncertainty
+    assert r["resolution"] == pytest.approx(0.25, abs=1e-6)
+    assert r["reliability"] == pytest.approx((1 / 128) ** 2, abs=1e-6)
+    assert r["brier"] == pytest.approx(
+        r["reliability"] - r["resolution"] + r["uncertainty"], abs=2e-6
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    hist=st.lists(
+        st.tuples(st.integers(1, 9), st.integers(0, 9)), min_size=1, max_size=6
+    )
+)
+def test_brier_matches_python(spark, hist):
+    from leaf_spark.queries_stats import _Q185_FINAL
+
+    rows = [(b, n, min(s, n)) for b, (n, s) in enumerate(hist)]
+    _mk_hist(spark, rows, "__t185f__")
+    r = spark.sql(_Q185_FINAL.replace("{H}", "__t185f__")).collect()[0]
+    nn = sum(n for _, n, _ in rows)
+    ss = sum(s for _, _, s in rows)
+    pbar = ss / nn
+    rel = sum(n * ((2 * b + 1) / 128.0 - s / n) ** 2 for b, n, s in rows) / nn
+    res = sum(n * (s / n - pbar) ** 2 for b, n, s in rows) / nn
+    unc = pbar * (1 - pbar)
+    assert r["n_docs"] == nn
+    assert r["reliability"] == pytest.approx(rel, abs=1e-5)
+    assert r["resolution"] == pytest.approx(res, abs=1e-5)
+    assert r["uncertainty"] == pytest.approx(unc, abs=1e-6)
+    assert r["brier"] == pytest.approx(rel - res + unc, abs=2e-5)
