@@ -644,13 +644,30 @@ def test_cms_cells_match_batch_sketch(spark, events_src_dir, tmp_path):
 def test_heavy_hitters_match_python_misra_gries(spark, events_src_dir, tmp_path):
     """The per-shard Misra-Gries summaries must exactly match a Python
     reference run over the same events in event_id order, and every key
-    whose true frequency beats the shard_n/(k+1) bound must be present."""
+    whose true frequency beats the shard_n/(k+1) bound must be present.
+
+    The source is re-split into 4 files drained one per micro-batch, so
+    the counter state round-trips the state store serialization between
+    batches — a single-batch drain would never exercise it."""
     from pyspark.sql import functions as F
 
     from leaf_spark.streaming.stateful import drain, events_stream, heavy_hitters
 
     K, NSHARDS = 4, 4
-    src = events_stream(spark, events_src_dir)
+    split_dir = str(tmp_path / "split_src")
+    # idx-ordered 4-way split: each file holds a contiguous event_id range,
+    # so per-shard arrival order across micro-batches stays event_id order
+    base = spark.read.parquet(events_src_dir).orderBy("event_id").collect()
+    import os
+
+    os.makedirs(split_dir)
+    chunk = (len(base) + 3) // 4
+    for i in range(4):
+        part = base[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, spark.read.parquet(events_src_dir).schema) \
+                .coalesce(1).write.mode("append").parquet(split_dir)
+    src = events_stream(spark, split_dir, max_files=1)
     drain(
         heavy_hitters(src, k=K, nshards=NSHARDS),
         str(tmp_path / "ck_mg"),
