@@ -1,7 +1,9 @@
-"""Catalog entries q171-q178: classical-statistics auditing over the
+"""Catalog entries q171-q185: classical-statistics auditing over the
 corpus — the rank tests, independence tests, regression diagnostics,
 association rules, and sketches a data-quality review runs before a
-training mix ships.
+training mix ships, plus the score-calibration family (q179-q181,
+q184-q185: isotonic PAV, gains, Youden-J, ROC AUC, Brier) and the
+survival pair (q182 Kaplan-Meier, q183 log-rank).
 
 Where q160 (Welch z) compares MEANS, q171 (Mann-Whitney) compares whole
 distributions rank-wise and q172 (Spearman) rank-correlates two columns;
@@ -34,7 +36,11 @@ Scale notes (SCALE.md discipline):
 - q174's sketch is a fixed d x w = 4 x 64 cell table (map-side
   combinable agg), candidates come from TakeOrderedAndProject;
 - q175 aggregates to calendar days before the bounded solve;
-- q176/q177 reduce to digit/category contingency tables first.
+- q176/q177 reduce to digit/category contingency tables first;
+- q179-q185 reduce to ONE checkpointed <= 64-row histogram (score
+  buckets or calendar-day durations) and solve with bounded join-cums —
+  range joins over those tables carry /*+ BROADCAST */ hints, or
+  Catalyst plans them as CartesianProduct.
 """
 
 from __future__ import annotations
