@@ -1100,3 +1100,151 @@ register(
     "terms over the checkpointed <= 64-bucket table; the calibration-"
     "quality summary q179 fixes and q180/q181 operate on",
 )(_q185_spark)
+
+
+# ---------------------------------------------------------------------------
+# q186 — CUPED variance reduction audit: how much experiment variance the
+# pre-period covariate removes. Each user's activity value-mass splits at
+# the observation midpoint into (pre, post); theta = cov(pre, post) /
+# var(pre) is the CUPED adjustment coefficient and rho^2 the fraction of
+# post-period variance it removes (adjusted variance = (1 - rho^2) ×
+# raw). Values quantize to exact micro-units per event, per-user sums are
+# bigints, moments go through decimal(19,0)-cast products into
+# decimal(38,0) (the q162 recipe), and only the final theta / rho^2
+# quotients are doubles — bit-identical cross-engine. One corpus scan,
+# one user_id shuffle, a 1-row moment table.
+# ---------------------------------------------------------------------------
+
+_Q186_BODY = """
+    with days as (
+      select user_id, {EPOCHDAY} as day,
+             cast(round(value * 1000000.0) as bigint) as micro
+      from events
+      where user_id is not null and value is not null and not isnan(value)
+    ),
+    b as (select min(day) as d0, max(day) as d1 from days),
+    sp as (select d0 + ((d1 - d0 + 1) {IDIV} 2) as split from b),
+    u as (
+      select user_id,
+             cast(sum(case when day < sp.split
+                           then micro else 0 end) as bigint) as pre,
+             cast(sum(case when day >= sp.split
+                           then micro else 0 end) as bigint) as post
+      from days cross join sp group by user_id
+    ),
+    s as (
+      select cast(count(*) as bigint) as n,
+             cast(sum(cast(pre as decimal(19,0))) as decimal(38,0)) as sx,
+             cast(sum(cast(post as decimal(19,0))) as decimal(38,0)) as sy,
+             cast(sum(cast(pre as decimal(19,0)) * post) as decimal(38,0))
+               as sxy,
+             cast(sum(cast(pre as decimal(19,0)) * pre) as decimal(38,0))
+               as sxx,
+             cast(sum(cast(post as decimal(19,0)) * post) as decimal(38,0))
+               as syy
+      from s0
+    ),
+    s0 as (select pre, post from u)
+    select n as n_users,
+           round(cast(cast(n as decimal(19,0)) * sxy - sx * sy as double)
+                 / nullif(cast(cast(n as decimal(19,0)) * sxx - sx * sx
+                               as double), 0.0), 6) as theta,
+           round((cast(cast(n as decimal(19,0)) * sxy - sx * sy as double)
+                  * cast(cast(n as decimal(19,0)) * sxy - sx * sy as double))
+                 / nullif(cast(cast(n as decimal(19,0)) * sxx - sx * sx
+                               as double)
+                          * cast(cast(n as decimal(19,0)) * syy - sy * sy
+                                 as double), 0.0), 6) as rho2
+    from s
+"""
+
+
+def _q186_sql(epochday: str, idiv: str) -> str:
+    # DuckDB requires s0 defined before s; Spark accepts either — emit
+    # the DuckDB-legal ordering for both
+    body = _Q186_BODY.replace("{EPOCHDAY}", epochday).replace("{IDIV}", idiv)
+    s0 = "    s0 as (select pre, post from u)"
+    assert body.count(s0) == 1
+    body = body.replace(",\n" + s0, "")
+    return body.replace(
+        "    s as (",
+        s0 + ",\n    s as (",
+    )
+
+
+sql_case(
+    "q186_cuped_reduction",
+    _q186_sql(_EPOCHDAY_SPARK, "div"),
+    _q186_sql(_EPOCHDAY_DUCK, "//"),
+    doc="CUPED variance-reduction audit: per-user value mass split at the "
+    "observation midpoint into (pre, post); theta = cov/var(pre) is "
+    "the adjustment coefficient, rho^2 the post-period variance "
+    "fraction it removes. Micro-unit exact per-event quantization, "
+    "bigint user sums, decimal(19,0)-routed moment products, two "
+    "final IEEE quotients with nullif zero-variance guards",
+)
+
+
+# ---------------------------------------------------------------------------
+# q187 — minimum detectable effect per event type for the q160 A/B frame:
+# the design-stage number that says whether the experiment as split can
+# SEE an effect of interest (alpha = 0.05 two-sided, power = 0.8). z
+# constants are decimal literals (no engine quantile function), the
+# control rate and arm sizes are exact bigints, and the MDE is one fixed
+# IEEE sequence — the audit that belongs beside q160's realized z and
+# q183's censoring-aware comparison.
+# ---------------------------------------------------------------------------
+
+_Q187_BODY = """
+    with t as (
+      select event_type, {UHASH} % 2 as grp,
+             case when value >= 100.0 then 1 else 0 end as conv
+      from events
+      where user_id is not null and value is not null and not isnan(value)
+    ),
+    a as (
+      select event_type,
+             cast(sum(case when grp = 0 then 1 else 0 end) as bigint) as na,
+             cast(sum(case when grp = 0 then conv else 0 end) as bigint)
+               as xa,
+             cast(sum(case when grp = 1 then 1 else 0 end) as bigint) as nb
+      from t group by event_type
+    )
+    select event_type, na, xa, nb,
+           round(cast(xa as double) / cast(na as double), 6) as p0,
+           round((1.959964 + 0.841621)
+                 * sqrt(2.0 * (cast(xa as double) / cast(na as double))
+                        * (1.0 - cast(xa as double) / cast(na as double))
+                        / cast(nb as double)), 6) as mde_abs,
+           round(((1.959964 + 0.841621)
+                  * sqrt(2.0 * (cast(xa as double) / cast(na as double))
+                         * (1.0 - cast(xa as double) / cast(na as double))
+                         / cast(nb as double)))
+                 / nullif(cast(xa as double) / cast(na as double), 0.0),
+                 6) as mde_rel
+    from a
+    order by event_type
+"""
+
+
+def _q187_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_ranking import _UHASH_SPARK
+
+    load_tables(spark, sf_dir, names=("events",))
+    return spark.sql(_Q187_BODY.replace("{UHASH}", _UHASH_SPARK))
+
+
+def _q187_oracle() -> str:
+    from .queries_ranking import _UHASH_DUCK
+
+    return _Q187_BODY.replace("{UHASH}", _UHASH_DUCK)
+
+
+register(
+    "q187_minimum_detectable_effect",
+    _q187_oracle(),
+    doc="minimum detectable effect per event type at alpha=0.05 two-sided "
+    "/ power=0.8 over the md5 A/B arms: z constants as decimal "
+    "literals, exact arm counts primary, MDE as one fixed IEEE "
+    "sequence — the design-stage audit beside q160's realized z",
+)(_q187_spark)

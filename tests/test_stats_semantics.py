@@ -996,3 +996,107 @@ def test_brier_matches_python(spark, hist):
     assert r["resolution"] == pytest.approx(res, abs=1e-5)
     assert r["uncertainty"] == pytest.approx(unc, abs=1e-6)
     assert r["brier"] == pytest.approx(rel - res + unc, abs=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# q186 CUPED / q187 MDE
+# ---------------------------------------------------------------------------
+
+
+def _run_cuped(spark):
+    from leaf_spark.queries_stats import _EPOCHDAY_SPARK, _q186_sql
+
+    return spark.sql(_q186_sql(_EPOCHDAY_SPARK, "div")).collect()[0]
+
+
+def _plant_pre_post(spark, pairs):
+    """pairs: per-user (pre_value, post_value); days 0-3, midpoint 2."""
+    base = dt.datetime(2026, 7, 1)
+    rows = []
+    eid = 0
+    for uid, (pre, post) in enumerate(pairs):
+        rows.append((eid, base, uid, "view", float(pre), "{}"))
+        eid += 1
+        rows.append(
+            (eid, base + dt.timedelta(days=2), uid, "view", float(post), "{}")
+        )
+        eid += 1
+    # pin the observation span to days 0..3 so the midpoint split is day 2
+    rows.append((eid, base + dt.timedelta(days=3), 999, "view", 0.0, "{}"))
+    _mk_events(spark, rows).createOrReplaceTempView("events")
+
+
+def test_cuped_perfect_linear_covariate(spark):
+    _plant_pre_post(spark, [(1, 2), (2, 4), (3, 6)])
+    r = _run_cuped(spark)
+    assert r["n_users"] == 4  # incl. the span-pinning user (pre=0, post=0)
+    assert r["theta"] == 2.0 and r["rho2"] == 1.0
+
+
+def test_cuped_zero_pre_variance_yields_null(spark):
+    # every user's pre is 0 (incl. the span-pinning user) → var(pre) = 0
+    # → theta and rho2 are NULL via the nullif guard, not a crash
+    _plant_pre_post(spark, [(0, 3), (0, 7)])
+    r = _run_cuped(spark)
+    assert r["theta"] is None and r["rho2"] is None
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=2, max_size=8
+    )
+)
+def test_cuped_matches_python(spark, pairs):
+    _plant_pre_post(spark, pairs)
+    r = _run_cuped(spark)
+    allp = list(pairs) + [(0, 0)]  # the span-pinning user
+    n = len(allp)
+    xs = [p * 10**6 for p, _ in allp]
+    ys = [q * 10**6 for _, q in allp]
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    assert r["n_users"] == n
+    if denx == 0:
+        assert r["theta"] is None
+    else:
+        assert r["theta"] == pytest.approx(num / denx, abs=2e-6)
+    if denx == 0 or deny == 0:
+        assert r["rho2"] is None
+    else:
+        assert r["rho2"] == pytest.approx(num * num / (denx * deny), abs=2e-6)
+
+
+def test_mde_matches_closed_form(spark):
+    from leaf_spark.queries_ranking import _UHASH_SPARK
+    from leaf_spark.queries_stats import _Q187_BODY
+
+    base = dt.datetime(2026, 7, 1)
+    rows = []
+    eid = 0
+    # 12 users, one "t" event each, conversion when value >= 100
+    for uid in range(12):
+        v = 150.0 if uid % 3 == 0 else 50.0
+        rows.append((eid, base, uid, "t", v, "{}"))
+        eid += 1
+    _mk_events(spark, rows).createOrReplaceTempView("events")
+    r = spark.sql(_Q187_BODY.replace("{UHASH}", _UHASH_SPARK)).collect()[0]
+    arms = {uid: _arm(uid) for uid in range(12)}
+    na = sum(1 for a in arms.values() if a == 0)
+    xa = sum(1 for uid, a in arms.items() if a == 0 and uid % 3 == 0)
+    nb = 12 - na
+    assert (r["na"], r["xa"], r["nb"]) == (na, xa, nb)
+    p0 = xa / na
+    mde = (1.959964 + 0.841621) * math.sqrt(2.0 * p0 * (1.0 - p0) / nb)
+    assert r["p0"] == pytest.approx(p0, abs=1e-6)
+    assert r["mde_abs"] == pytest.approx(mde, abs=1e-6)
+    assert r["mde_rel"] == pytest.approx(mde / p0, abs=1e-5)
