@@ -82,48 +82,88 @@ def sql_case(name: str, spark_sql: str, oracle: str, doc: str = "") -> None:
 # pytest-covered regardless of position; rotation only changes which subset
 # gets a fresh official row this round.  See README "Correctness coverage".
 #
-# Round-5 window (VERDICT r4 "Next round #1"): the 24 entries with no
-# official r3/r4 row — q117-q120 (written after the r4 scoring cutoff)
-# and the 20 entries last scored in r02 (two rounds of code churn since,
-# so they deserve official re-confirmation) — plus every NEW round-5
-# entry (q121+, appended below as they land), plus re-confirmations of
-# the heaviest round-4 operators to fill the 50-slot window. Everything
-# rotated out holds an official green row in CORRECTNESS_r03/r04; every
-# case stays registered and pytest-covered regardless of position, and
-# the full local gate (tools/check.py) covers all entries every run.
-_ROUND5_FRONT = [
-    # never officially scored (added after the r4 cutoff; local-green)
-    "q117_entropy_kl", "q118_activity_gini", "q119_cohort_retention",
-    "q120_session_funnel",
-    # last scored in r02 — official re-confirmation after two rounds of churn
-    "q04_left_join", "q05_semi_join", "q06_anti_join",
-    "q07_distinct", "q08_set_ops", "q09_order_limit_offset",
-    "q16_cross_join", "q20_conditional", "q21_string_fns",
-    "q22_math", "q23_datetime", "q25_total",
-    "q27_json_object", "q28_json_group_array", "q29_like_glob",
-    "q31_events_range_scan", "q35_events_topk_users", "q36_events_two_pages",
-    "q37_typeof", "q39_json_each",
-    # new round-5 entries (never scored)
-    "q121_ann_label_noise", "q122_grouped_gini",
-    "q123_pagerank_checkpointed", "q124_png_decode_stats",
-    "q125_simpson_diversity", "q126_label_balance",
-    "q127_dp_noise_count", "q128_bootstrap_ci", "q129_dataset_card",
-    "q130_out_of_order_rate", "q131_quota_dedup_rank",
-    "q132_prefix_dedup", "q133_minhash_error", "q134_winsorized_stats",
-    "q135_source_znorm_quality", "q136_stratified_eval_holdout",
-    "q137_vocab_coverage_curve", "q138_doc_graph_triangles",
-    "q139_length_histogram", "q140_source_jsd",
-    # never-scored late-round-5 entries fill the window to 50 (the heavy
-    # round-4 operators q49/q90/q96/q109/q110/q113 they displace are all
-    # officially green in CORRECTNESS_r04 — a never-scored entry's first
-    # official row beats a re-confirmation, VERDICT r4 "Next round #1")
-    "q141_embedding_covariance", "q144_ks_statistic", "q147_cohens_kappa",
-    "q154_markov_transitions", "q155_bradley_terry", "q157_mad_outliers",
+# Hash-robustness convention (VERDICT r5 "Next round #2"): a derived
+# ratio that appears in a hashed projection must be witnessed by exact
+# integer/decimal(38,0) rationals (numerator + denominator columns) or
+# be itself computed in exact arithmetic; an engine-rounded
+# ``round(x/y, k)`` double may sit BESIDE the witnesses for readability
+# but must never be the only column carrying the statistic (q147's r5
+# red — locally bit-identical, flagged by the driver env anyway — is the
+# case study; its rounded quotient is now dropped entirely).
+#
+# Round-6 window (VERDICT r5 "Next round #1"): the 42 entries with no
+# official green row — q147 first (the r5 red, hashed projection now
+# hardened to exact rationals only), then the 41 never-scored entries
+# that landed after the r5 window filled (ranking/time-series/SCD-2/
+# k-anonymity q156/q158-q170, statistics audits q171-q178, calibration/
+# AUC/Brier q179-q181/q184-q185, survival q182-q183, experimentation
+# q186-q187, plus q142/q143/q145/q146/q148-q153) — then the 8 stalest
+# r03-green entries (q10-q15, q17, q19) to fill the 50-slot window.
+# Everything rotated out holds an official green row in
+# CORRECTNESS_r03/r04/r05; every case stays registered and
+# pytest-covered regardless of position, and the full local gate
+# (tools/check.py) covers all entries every run.
+_ROUND6_FRONT = [
+    # the r5 official red, hardened (exact-rational projection) for re-score
+    "q147_cohens_kappa",
+    # never officially scored (landed after the r5 scoring cutoff)
+    "q142_random_projection", "q143_calibration_bins",
+    "q145_survivor_selection", "q146_confusion_matrix",
+    "q148_langid_agreement", "q149_cross_source_dups",
+    "q150_shrunk_quality", "q151_pmi_collocations",
+    "q152_term_burstiness", "q153_conditional_entropy",
+    "q156_template_mining",
+    "q158_decayed_engagement", "q159_gap_quantiles", "q160_ab_ztest",
+    "q161_top_eigenvector", "q162_degree_assortativity",
+    "q163_rrf_fusion", "q164_zipf_tail_index", "q165_ndcg_eval",
+    "q166_theil_sen_trend", "q167_volume_acf", "q168_scd2_history",
+    "q169_mean_shift_changepoint", "q170_k_anonymity",
+    "q171_mann_whitney_u", "q172_spearman_rho", "q173_assoc_rules",
+    "q174_countmin_sketch", "q175_ols_trend", "q176_benford_digits",
+    "q177_chi2_independence", "q178_permutation_entropy",
+    "q179_isotonic_calibration", "q180_cumulative_gains",
+    "q181_youden_threshold", "q182_kaplan_meier", "q183_logrank_test",
+    "q184_roc_auc", "q185_brier_decomposition",
+    "q186_cuped_reduction", "q187_minimum_detectable_effect",
+    # stalest r03-green entries — official re-confirmation after three
+    # rounds of churn (fills the window to 50)
+    "q10_having", "q11_window_topk", "q12_window_running",
+    "q13_cte", "q14_scalar_subquery", "q15_correlated_subquery",
+    "q17_recursive_cte", "q19_agg_of_agg",
+]
+
+# Committed round-7 rotation plan (VERDICT r5 "Next round #4"): the 38
+# r03-green entries that did not fit in the r6 window, oldest official
+# row first, then the oldest r04-green entries to fill the 50 slots.
+# This makes the stale-row re-confirmation ledger explicit and
+# auditable ahead of time; r7 renames this to _ROUND7_FRONT's active
+# role by assigning it in _ordered().
+_ROUND7_FRONT = [
+    # r03-green, not re-confirmed since (38 entries)
+    "q01_pricing_summary", "q02_filter_project", "q03_revenue_by_nation",
+    "q18_ineq_join", "q24_group_concat", "q26_json_extract",
+    "q30_events_page", "q32_events_type_stats", "q33_events_time_buckets",
+    "q34_events_sessionize", "q38_json_set_patch",
+    "q40_dedup_exact", "q41_dedup_normalized", "q42_text_quality",
+    "q43_lang_stats", "q44_token_totals", "q45_fingerprint",
+    "q46_word_jaccard_pairs", "q47_cosine_topk", "q48_embedding_neardup",
+    "q50_simhash", "q51_ann_lsh", "q52_document_profile",
+    "q53_multimodal_meta", "q54_ann_ivf", "q55_dedup_clusters",
+    "q56_salted_agg", "q57_salted_join", "q58_repetition_metrics",
+    "q59_crossdoc_ngram_overlap", "q60_pii_scrub", "q61_decontaminate",
+    "q62_line_dedup", "q63_sketch_distinct", "q64_sketch_quantiles",
+    "q65_asof_attribution", "q66_error_window_rollup",
+    "q69_stratified_sample",
+    # oldest r04-green entries fill the remaining 12 slots
+    "q49_minhash_lsh", "q67_train_split", "q68_source_mix",
+    "q70_pack_sequences", "q71_bm25_topk", "q72_gopher_filter",
+    "q73_semantic_dedup", "q74_corpus_stats", "q75_unigram_logprob",
+    "q76_clean_pipeline", "q77_incremental_dedup", "q78_window_breadth",
 ]
 
 
 def _ordered(reg: dict[str, QueryCase]) -> dict[str, QueryCase]:
-    front = [n for n in _ROUND5_FRONT if n in reg]
+    front = [n for n in _ROUND6_FRONT if n in reg]
     rest = [n for n in reg if n not in set(front)]
     return {n: reg[n] for n in [*front, *rest]}
 

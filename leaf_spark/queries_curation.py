@@ -1678,9 +1678,7 @@ _Q147_FINAL_BODY = """
     select cast(tot.nn as bigint) as n, cast(agr.a as bigint) as n_agree,
            cast(marg.pe_num as decimal(38,0)) as pe_num,
            cast(tot.nn * agr.a - marg.pe_num as decimal(38,0)) as kappa_num,
-           cast(tot.nn * tot.nn - marg.pe_num as decimal(38,0)) as kappa_den,
-           round(cast(tot.nn * agr.a - marg.pe_num as double)
-                 / cast(tot.nn * tot.nn - marg.pe_num as double), 6) as kappa
+           cast(tot.nn * tot.nn - marg.pe_num as decimal(38,0)) as kappa_den
     from tot cross join agr cross join marg
 """
 
@@ -1700,10 +1698,14 @@ register(
     doc="Cohen's kappa (chance-corrected agreement) in exact rational form: "
     "kappa = (N*agree - sum_k row_k*col_k) / (N^2 - sum_k row_k*col_k), "
     "numerator and denominator emitted as exact decimal(38,0) (products "
-    "decimal-routed so nothing wraps int64 at extreme row counts) beside "
-    "the rounded quotient — annotation-QA over the q146 matrix. The tiny "
-    "matrix is checkpointed so its four consumers cost one embeddings "
-    "scan, not four (the q141 CTE-inlining gotcha)",
+    "decimal-routed so nothing wraps int64 at extreme row counts) — "
+    "annotation-QA over the q146 matrix. The rationals fully determine "
+    "kappa; the rounded double quotient was removed from the hashed "
+    "projection after CORRECTNESS_r05 flagged it (locally bit-identical "
+    "on both engines; see VERDICT r5 'What's wrong #1' — exact-rational "
+    "witnesses are hash-robust where engine-rounded doubles are not). "
+    "The tiny matrix is checkpointed so its four consumers cost one "
+    "embeddings scan, not four (the q141 CTE-inlining gotcha)",
 )(_q147_spark)
 
 
