@@ -121,6 +121,13 @@ def encode_png(
     stride = width * channels
     if len(pixels) != stride * height:
         raise ValueError("pixels length != width*height*channels")
+    if row_filters is not None and len(row_filters) != height:
+        # fail up front like the pixels-length check: a short list would
+        # IndexError mid-encode after bytes are buffered, a long one would
+        # be silently truncated
+        raise ValueError(
+            f"row_filters length {len(row_filters)} != height {height}"
+        )
     filters = row_filters or [0] * height
     out = bytearray()
     prev = bytes(stride)

@@ -26,6 +26,8 @@ Shuffle inventory at 100 TB:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -151,8 +153,29 @@ def distributed_prefix_sum(
     ordered window (a single-partition sort of the doubly-reduced count).
     Offsets flow back down through two equi-joins on uniform range ids +
     intra-range partitioned windows. ``order_col`` must be unique numeric.
-    Construction is fully lazy."""
-    rid = (F.col(order_col) / range_width).cast("long")
+    Construction is fully lazy.
+
+    Misuse fails loudly, not silently: a non-numeric ``order_col`` raises
+    here at plan time, and a NULL order value raises at execution time —
+    the inner equi-join on ``__rid__`` would otherwise silently DROP
+    null-range rows and return a partial prefix sum (a wrong sample from
+    systematic_sample, wrong offsets from pack_sequences)."""
+    dtype = dict(df.dtypes).get(order_col)
+    if dtype is None or not re.match(
+        r"^(tinyint|smallint|int|bigint|float|double|decimal)", dtype
+    ):
+        raise ValueError(
+            f"distributed_prefix_sum: order_col {order_col!r} must be a "
+            f"numeric column (got {dtype!r}); a non-numeric order would "
+            "cast to NULL range ids and silently drop rows"
+        )
+    rid_raw = (F.col(order_col) / range_width).cast("long")
+    rid = F.when(rid_raw.isNull(), F.raise_error(
+        F.lit(
+            f"distributed_prefix_sum: NULL {order_col} (or a value that "
+            "casts to NULL) — every row needs a non-null numeric order"
+        )
+    ).cast("long")).otherwise(rid_raw)
     tagged = df.withColumn("__rid__", rid)
 
     # level 1: per-range totals (one narrow shuffle, ~N/range_width rows)

@@ -1870,7 +1870,7 @@ _Q151_BODY = """
       from (select {BIGRAMS} as bigram from w) group by bigram
     ),
     scored as (
-      select bg.bigram, bg.cb, u1.c as c1, u2.c as c2,
+      select bg.bigram, bg.cb, u1.c as c1, u2.c as c2, toks.n_tok,
              round(ln((cast(bg.cb as double) * toks.n_tok)
                       / (cast(u1.c as double) * u2.c)), 6) as pmi
       from bg
@@ -1879,7 +1879,7 @@ _Q151_BODY = """
       cross join toks
       where bg.cb >= 5
     )
-    select bigram, cb, c1, c2, pmi
+    select bigram, cb, c1, c2, n_tok, pmi
     from scored
     order by pmi desc, bigram
     limit 50

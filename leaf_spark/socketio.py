@@ -267,8 +267,17 @@ class LeafSocketIOServer:
                         # until every retiring thread is dead, then sweep
                         # once more (re-posting the noop whenever a drain
                         # swallows it, so a blocked polling GET still
-                        # wakes)
-                        while any(pt.is_alive() for pt in pc.push_threads):
+                        # wakes). The wait is DEADLINE-bounded: a push
+                        # thread wedged in a long engine query must not
+                        # hang the upgrade (and the whole connection)
+                        # forever — past the deadline we fall through to
+                        # the final drain+noop sweep and the straggler's
+                        # packet degrades to the old dropped-packet
+                        # behavior instead of blocking the transport.
+                        drain_deadline = time.monotonic() + 5.0
+                        while any(
+                            pt.is_alive() for pt in pc.push_threads
+                        ) and time.monotonic() < drain_deadline:
                             for pt in pc.push_threads:
                                 pt.join(timeout=1.0)
                             if _drain():

@@ -228,10 +228,18 @@ class Stream:
 
     def events_df(self) -> DataFrame:
         """The committed event log (rows beyond the commit point filtered —
-        crash-orphan tolerance)."""
-        if not os.listdir(self.events_dir):
+        crash-orphan tolerance).
+
+        Reads the explicit overlap-deduped file list from ``_log_files``
+        rather than the directory: during compact_log's publish window the
+        merged file and its sources coexist, and a directory read would
+        double-count that range (``_compacting-*`` temp files are already
+        invisible via the leading underscore, but the published final is
+        not)."""
+        files = [p for _, _, p in self._log_files()]
+        if not files:
             return self.spark.createDataFrame([], EVENT_SCHEMA)
-        return self.spark.read.schema(EVENT_SCHEMA).parquet(self.events_dir).where(
+        return self.spark.read.schema(EVENT_SCHEMA).parquet(*files).where(
             F.col("idx") <= self.state.latest_idx
         )
 
@@ -280,7 +288,15 @@ class Stream:
         return os.path.join(self.dir, "compact.journal.json")
 
     def _log_files(self) -> list[tuple[int, int, str]]:
-        """Committed log files as (start_idx, end_idx, path), idx-sorted."""
+        """Committed log files as (start_idx, end_idx, path), idx-sorted.
+
+        Overlap-deduped: during compact_log's publish window the merged
+        file (renamed into place FIRST) briefly coexists with the source
+        files it covers; sorting wider-range-first and skipping any file
+        whose range is contained in the previous one makes every listing
+        prefer the merged file, so a concurrent reader sees each event
+        exactly once rather than duplicated (or — under the old
+        unlink-first order — missing)."""
         out = []
         for name in os.listdir(self.events_dir):
             m = re.fullmatch(r"part-(\d{12})-(\d{12})\.parquet", name)
@@ -288,8 +304,13 @@ class Stream:
                 out.append(
                     (int(m.group(1)), int(m.group(2)), os.path.join(self.events_dir, name))
                 )
-        out.sort()
-        return out
+        out.sort(key=lambda f: (f[0], -f[1]))
+        dedup: list[tuple[int, int, str]] = []
+        for f in out:
+            if dedup and f[1] <= dedup[-1][1]:
+                continue  # range contained in the previous (wider) file
+            dedup.append(f)
+        return dedup
 
     def compact_log(
         self, target_bytes: int = 128 * 1024 * 1024, min_group: int = 2
@@ -309,7 +330,7 @@ class Stream:
              underscore hides it from Spark's file listings) and fsync;
           2. atomically publish a journal naming sources/tmp/final
              (``os.replace`` — the commit point of the swap);
-          3. unlink the sources; 4. rename tmp → final; 5. drop the journal.
+          3. rename tmp → final; 4. unlink the sources; 5. drop the journal.
         A crash anywhere replays forward on next open (`_recover_compaction`):
         before the journal exists nothing observable changed; after it, the
         merged file already holds every source row, so finishing the deletes
@@ -371,9 +392,15 @@ class Stream:
                     fh.flush()
                     os.fsync(fh.fileno())
                 os.replace(jtmp, self._journal_path())  # swap commit point
+                # publish BEFORE unlinking: a concurrent listing never sees
+                # the range missing — at worst it sees merged + sources
+                # together, which _log_files' overlap-dedup resolves to the
+                # merged file alone (ADVICE r5: the old unlink-first order
+                # left a window where the range's events vanished from
+                # ad-hoc raw scans)
+                os.replace(tmp, final)
                 for _, _, path in g:
                     os.unlink(path)
-                os.replace(tmp, final)
                 os.unlink(self._journal_path())
                 merged += 1
             return merged
