@@ -34,6 +34,13 @@ class QueryCase:
     spark_fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # None → non-SQL-expressible, rows-only check
     doc: str = ""
+    # True when the Spark side and the DuckDB oracle are the SAME SQL text
+    # (set automatically by sql_case). Such entries hash-match BY
+    # CONSTRUCTION even if the formula is wrong, so the differential gate
+    # cannot falsify them — each one must carry a named planted-data /
+    # Python-recompute semantics test, machine-enforced by
+    # tests/test_shared_body_semantics.py (VERDICT r5 "Next round #8").
+    shared_body: bool = False
 
 
 _REGISTRY: dict[str, QueryCase] = {}
@@ -71,7 +78,9 @@ def sql_case(name: str, spark_sql: str, oracle: str, doc: str = "") -> None:
         load_tables(spark, sf_dir, names=_names)
         return spark.sql(_sql)
 
-    _REGISTRY[name] = QueryCase(name, fn, oracle, doc)
+    _REGISTRY[name] = QueryCase(
+        name, fn, oracle, doc, shared_body=spark_sql.strip() == oracle.strip()
+    )
 
 
 # The correctness harness scores at most the first 50 catalog entries per
