@@ -163,9 +163,8 @@ class SubscriptionWorker:
             sub = self.subs.get(sub_id)
         if sub is None:
             return
-        stream_latest = self.stream.state.latest_idx
-        if sub.latest_event >= stream_latest:
-            return
+        if sub.latest_event >= self.stream.state.latest_idx:
+            return  # cheap idle pre-check (no stream lock taken)
         q2 = sub.query.update_for_subscription(sub.latest_event + 1)
         try:
             key = (
@@ -180,14 +179,31 @@ class SubscriptionWorker:
             key, memo = None, None
         try:
             if memo is not None and key in memo:
-                rows = memo[key]
+                rows, stream_latest = memo[key]
             else:
-                rows = self.stream.query(sub.user, q2)
+                # head capture + query execution must be ATOMIC against
+                # commits (the stream RLock serializes add_events): the
+                # query reads the LIVE materialized table, so a commit
+                # landing mid-query would deliver rows beyond a
+                # previously-captured head while min() clamps the cursor
+                # below them → the next page re-delivers that tail
+                # (duplicates; caught by the compaction×subscription
+                # interleaving property test). The reference never meets
+                # this because its SQLite query + head read share one
+                # serialized connection (lib.rs:926-983). The memo stores
+                # the (rows, head) PAIR for the same reason — reusing
+                # rows against a fresher head would overshoot the cursor
+                # and LOSE events for the sharing subscriber.
+                with self.stream._lock:
+                    stream_latest = self.stream.state.latest_idx
+                    rows = self.stream.query(sub.user, q2)
                 if memo is not None:
-                    memo[key] = rows
+                    memo[key] = (rows, stream_latest)
         except Exception as ex:  # error forwarding, not teardown
             self._emit(sub.channel, SubscriptionResponse([], False, error=str(ex)[:500]))
             return
+        if sub.latest_event >= stream_latest:
+            return  # another cycle already advanced past this window
         query_last = min(q2.last_event(), stream_latest)
         has_more = query_last < stream_latest
         sub.latest_event = query_last

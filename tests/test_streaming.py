@@ -712,3 +712,102 @@ def test_heavy_hitters_match_python_misra_gries(spark, events_src_dir, tmp_path)
         if true > shard_n[s] / (K + 1):
             assert (s, y) in got
             assert got[(s, y)] <= true <= got[(s, y)] + shard_n[s] // (K + 1)
+
+
+def test_compaction_and_subscription_interleaving_property(
+    spark, tmp_path_factory
+):
+    """VERDICT r5 'Next round #6': compact_log rewrites event files while a
+    SubscriptionWorker may be mid-drain on the same stream. Interleave
+    add_events / compact_log / subscription drains over 100 rng-seeded
+    schedules and assert NO page is lost or duplicated: the concatenation
+    of every subscription page is exactly 1..head in order, the raw log
+    partition stays exactly-once at every quiesce point, and the final
+    raw scan agrees. compact_log runs from a background thread racing the
+    drain (the publish-before-unlink order + _log_files overlap-dedup is
+    what keeps concurrent listings exactly-once)."""
+    import queue
+    import random
+    import threading
+    import time
+
+    from leaf_spark.streaming.subscribe import SubscriptionWorker
+    from leaf_spark.types import LeafQuery
+
+    rng = random.Random(0xC0FFEE)
+    root = str(tmp_path_factory.mktemp("compactsub"))
+    s = Stream(spark, root, "did:plc:compactsub")
+    s.provide_module(CHAT)
+
+    w = SubscriptionWorker(s)
+    got: list[int] = []
+    errors: list[str] = []
+    done = threading.Event()
+    head = 0
+
+    try:
+        sub = w.subscribe_events(None, LeafQuery("messages", start=1, limit=7))
+
+        def drain():
+            while not done.is_set() or not sub.channel.empty():
+                try:
+                    resp = sub.channel.get(timeout=0.5)
+                except queue.Empty:
+                    continue
+                if resp.error is not None:
+                    errors.append(resp.error)
+                    continue
+                got.extend(r["idx"] for r in resp.rows)
+
+        consumer = threading.Thread(target=drain)
+        consumer.start()
+
+        compactor: threading.Thread | None = None
+        for i in range(100):
+            # one random schedule: a batch append, maybe a concurrent
+            # compaction racing the drain, maybe a quiesced exactly-once
+            # raw-scan audit
+            n = rng.randint(1, 6)
+            s.add_events(
+                [msg("did:plc:u", f"c{i}-{j}", i * 10 + j) for j in range(n)]
+            )
+            head += n
+            if compactor is None and rng.random() < 0.5:
+                compactor = threading.Thread(
+                    target=s.compact_log,
+                    kwargs={
+                        "target_bytes": rng.choice([1, 10_000, 10**9]),
+                        "min_group": rng.choice([2, 3]),
+                    },
+                )
+                compactor.start()
+            if compactor is not None and (rng.random() < 0.6 or i % 10 == 9):
+                compactor.join()
+                compactor = None
+            if i % 10 == 9:
+                # quiesce point: the committed log partitions 1..head
+                # exactly once (no file lost, none double-listed)
+                assert compactor is None
+                ranges = [(a, b) for a, b, _ in s._log_files()]
+                seen = [x for a, b in ranges for x in range(a, b + 1)]
+                assert sorted(seen) == list(range(1, head + 1)), ranges
+                ids = [e.idx for e in s.raw_get_events()]
+                assert ids == list(range(1, head + 1))
+        if compactor is not None:
+            compactor.join()
+
+        deadline = time.time() + 300
+        while len(got) < head and time.time() < deadline:
+            time.sleep(0.25)
+        done.set()
+        consumer.join(timeout=30)
+
+        assert not errors, errors[:3]
+        # every appended idx delivered exactly once, in order
+        assert got == list(range(1, head + 1)), (len(got), head)
+        # and the compacted log still replays to the same materialized state
+        direct = s.query(None, LeafQuery("messages", start=1, limit=head))
+        assert [r["idx"] for r in direct] == got
+    finally:
+        done.set()
+        w.close()
