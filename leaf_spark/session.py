@@ -59,6 +59,14 @@ def get_spark(
         # sets this at runtime so foreign sessions behave identically.
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # FAIR across scheduler pools: concurrent streams each commit and
+        # re-query in their own pool (Stream._scheduler_pool), so one
+        # stream's burst of commit jobs can't queue another stream's
+        # subscription push behind it (the 4-stream p95 was ~4x the
+        # 1-stream p95 under FIFO). Single-threaded use is unaffected:
+        # with every job in the one default pool, FAIR degenerates to
+        # FIFO — bench.py numbers are identical by construction.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

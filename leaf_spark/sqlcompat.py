@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 # ---------------------------------------------------------------------------
 # Tokenizer — minimal SQL-aware scanning (strings, identifiers, parens)
@@ -1114,7 +1115,17 @@ def _lit_encode(content: str) -> str:
 
 
 def translate(sql: str) -> str:
-    """Translate one SQLite-dialect statement/expression to Spark SQL."""
+    """Translate one SQLite-dialect statement/expression to Spark SQL.
+
+    Memoized on the exact text: translation is a pure token rewrite, and
+    module folds re-execute the SAME materializer/query statements on
+    every commit/push — re-tokenizing them per execution was measurable
+    GIL-held Python work on the commit hot path."""
+    return _translate_cached(sql)
+
+
+@lru_cache(maxsize=4096)
+def _translate_cached(sql: str) -> str:
     tokens = tokenize(sql)
     # SQLite string literals are VERBATIM (no escape sequences); Spark's
     # parser processes C-style backslash escapes. Double every backslash

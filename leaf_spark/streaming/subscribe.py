@@ -132,6 +132,15 @@ class SubscriptionWorker:
         return False
 
     def _run(self) -> None:
+        # dedicated worker thread → pin it to the stream's FAIR pool once:
+        # re-query collect()s submitted here schedule fairly against other
+        # streams' commit chains instead of FIFO-queueing behind them
+        try:
+            self.stream.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", self.stream._pool_name
+            )
+        except Exception:
+            pass  # scheduling is an optimization, never a failure mode
         while not self._stopped:
             try:
                 msg = self._msgs.get(timeout=0.25)
