@@ -163,11 +163,15 @@ _ROUND7_FRONT = [
     "q62_line_dedup", "q63_sketch_distinct", "q64_sketch_quantiles",
     "q65_asof_attribution", "q66_error_window_rollup",
     "q69_stratified_sample",
-    # oldest r04-green entries fill the remaining 12 slots
+    # the 8 round-6 additions (q188-q195, never scored — a never-scored
+    # entry's first official row beats a re-confirmation)
+    "q188_expected_calibration_error", "q189_mrr_eval",
+    "q190_precision_recall_at_k", "q191_fleiss_kappa",
+    "q192_rfm_segments", "q193_interevent_burstiness",
+    "q194_heaps_law", "q195_mann_kendall",
+    # oldest r04-green entries fill the remaining 4 slots
     "q49_minhash_lsh", "q67_train_split", "q68_source_mix",
-    "q70_pack_sequences", "q71_bm25_topk", "q72_gopher_filter",
-    "q73_semantic_dedup", "q74_corpus_stats", "q75_unigram_logprob",
-    "q76_clean_pipeline", "q77_incremental_dedup", "q78_window_breadth",
+    "q70_pack_sequences",
 ]
 
 
@@ -191,6 +195,7 @@ def all_cases() -> dict[str, QueryCase]:
     from . import queries_ranking  # noqa: F401
     from . import queries_retrieval  # noqa: F401
     from . import queries_stats  # noqa: F401
+    from . import queries_eval  # noqa: F401
 
     return _ordered(dict(_REGISTRY))
 
