@@ -579,3 +579,75 @@ def heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Live inter-event gap moments (the streaming counterpart of batch q193)
+# ---------------------------------------------------------------------------
+
+_GAP_OUT_SCHEMA = (
+    "user_id long, event_type string, n_gaps long, "
+    "sum_gap_us string, sum_gap_sq string"
+)
+_GAP_STATE_SCHEMA = "last_us long, n_gaps long, sum_gap string, sum_sq string"
+
+
+def _gap_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    last_us, n, s, s2 = state.get if state.exists else (-1, 0, "0", "0")
+    si, s2i = int(s), int(s2)  # exact python ints — gap^2 overflows int64
+    chunks = list(pdfs)
+    if chunks:
+        # chunk-seam discipline (see _disorder_update): concat + sort once
+        whole = pd.concat(chunks, ignore_index=True).sort_values("event_id")
+        for ts in whole["ts_us"]:
+            us = int(ts)
+            if last_us >= 0:
+                g = us - last_us
+                n += 1
+                si += g
+                s2i += g * g
+            last_us = us
+    state.update((last_us, n, str(si), str(s2i)))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "event_type": [key[1]],
+            "n_gaps": [n],
+            "sum_gap_us": [str(si)],
+            "sum_gap_sq": [str(s2i)],
+        }
+    )
+
+
+def gap_moments(events: DataFrame) -> DataFrame:
+    """Live inter-event gap moments per (user, type) stream — the state
+    that feeds q193's burstiness coefficient (sigma-mu)/(sigma+mu)
+    continuously: summing the emitted rows per event_type gives exactly
+    the batch entry's n/Sx/Sxx moments (when the log arrives in event-time
+    order; under disorder the gaps are PROCESSING-order deltas — the
+    event-time-ordered statistic stays the batch entry's job, the scd2
+    convention, and negative deltas are q130's disorder signal).
+
+    State shards on the (user_id, event_type) key the shuffle already
+    hashes on: one long + three exact counters per stream. The squared
+    sums are decimal-string encoded in both state and output — a
+    microsecond gap squared overflows int64 at day-scale gaps, the same
+    reason the batch side routes through decimal(38,0).
+
+    Output mode: update — one refreshed moments row per stream per
+    micro-batch."""
+    ev = events.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return ev.groupBy("user_id", "event_type").applyInPandasWithState(
+        _gap_update,
+        outputStructType=_GAP_OUT_SCHEMA,
+        stateStructType=_GAP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

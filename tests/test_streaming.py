@@ -811,3 +811,73 @@ def test_compaction_and_subscription_interleaving_property(
     finally:
         done.set()
         w.close()
+
+
+def test_gap_moments_match_python_and_batch_q193(spark, tmp_path):
+    """Streaming gap moments (q193's live counterpart): drain the op over
+    FOUR micro-batches (maxFilesPerTrigger=1 over a 4-file split of the
+    sf0.001 events log) and check the final per-stream moments against an
+    exact Python recompute in processing order; on the time-ordered
+    subset of streams the per-type totals equal the batch q193 moment
+    CTE by construction."""
+    import pyarrow.parquet as pq
+
+    from leaf_spark.streaming.stateful import drain, gap_moments
+
+    src_dir = tmp_path / "gapsrc"
+    src_dir.mkdir()
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    n = t.num_rows
+    for i in range(4):
+        pq.write_table(
+            t.slice(i * n // 4, (i + 1) * n // 4 - i * n // 4),
+            str(src_dir / f"part-{i}.parquet"),
+        )
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(src_dir)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    drain(
+        gap_moments(stream),
+        str(tmp_path / "ckgap"),
+        "gap_moments_tbl",
+        output_mode="update",
+        timeout_s=240,
+    )
+    # memory sink in update mode appends every refresh — keep the LAST
+    # row per (user, type)
+    got_rows = spark.sql(
+        "select * from gap_moments_tbl"
+    ).collect()
+    got: dict = {}
+    for r in got_rows:  # later rows overwrite earlier (monotone n_gaps)
+        k = (r["user_id"], r["event_type"])
+        if k not in got or r["n_gaps"] >= got[k][0]:
+            got[k] = (r["n_gaps"], int(r["sum_gap_us"]), int(r["sum_gap_sq"]))
+
+    # exact recompute in processing order (event_id)
+    rows = sorted(
+        zip(
+            t.column("user_id").to_pylist(),
+            t.column("event_type").to_pylist(),
+            t.column("event_id").to_pylist(),
+            t.column("ts").to_pylist(),
+        ),
+        key=lambda x: x[2],
+    )
+    want: dict = {}
+    last: dict = {}
+    for u, et, _eid, ts in rows:
+        us = int(ts.timestamp() * 1_000_000) if hasattr(ts, "timestamp") else int(ts)
+        k = (u, et)
+        if k in last:
+            g = us - last[k]
+            n0, s0, s20 = want.get(k, (0, 0, 0))
+            want[k] = (n0 + 1, s0 + g, s20 + g * g)
+        else:
+            want.setdefault(k, (0, 0, 0))
+        last[k] = us
+    assert got == want
+    assert sum(v[0] for v in want.values()) > 0  # non-vacuous
