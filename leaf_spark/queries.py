@@ -169,9 +169,9 @@ _ROUND7_FRONT = [
     "q190_precision_recall_at_k", "q191_fleiss_kappa",
     "q192_rfm_segments", "q193_interevent_burstiness",
     "q194_heaps_law", "q195_mann_kendall",
-    # oldest r04-green entries fill the remaining 4 slots
-    "q49_minhash_lsh", "q67_train_split", "q68_source_mix",
-    "q70_pack_sequences",
+    "q196_wilson_interval", "q197_cochran_armitage",
+    # oldest r04-green entries fill the remaining 2 slots
+    "q49_minhash_lsh", "q67_train_split",
 ]
 
 

@@ -1,4 +1,4 @@
-"""Catalog entries q188-q195: retrieval/agreement evaluation and
+"""Catalog entries q188-q197: retrieval/agreement evaluation and
 behavioral-profile analytics — round-6 catalog growth.
 
 - q188 expected calibration error (the scalar over q143's reliability
@@ -16,7 +16,11 @@ behavioral-profile analytics — round-6 catalog growth.
   tokens over doc-id buckets + the log-log OLS exponent;
 - q195 Mann-Kendall trend test with tie-corrected variance over daily
   event counts (the nonparametric sibling of q175's OLS slope and
-  q166's Theil-Sen).
+  q166's Theil-Sen);
+- q196 Wilson score interval for the per-type conversion rate (the CI
+  beside q160's z and q187's MDE);
+- q197 Cochran-Armitage trend test of conversion vs an ordered dose
+  band (exact component witnesses, no N^4 exact intermediates).
 
 Determinism follows the q171-q187 discipline: counts/ranks/statistic
 numerators are exact bigint/decimal(38,0); libm terms round to 6-9
@@ -635,3 +639,121 @@ register(
     "reduces once to a checkpointed calendar-day table; the D^2 pair "
     "join is bounded and broadcast-hinted (the q166/q179 recipe)",
 )(_q195_spark)
+
+
+# ---------------------------------------------------------------------------
+# q196 — Wilson score 95% interval for the per-type conversion rate:
+# the CI that stays inside [0,1] and behaves at small n / extreme p
+# where the Wald interval collapses (the number a launch-review reads
+# next to q160's z). z = 1.959964 as a decimal literal (the q187
+# convention, never engine-inverse-normal); exact x/n witnesses beside
+# the fixed-IEEE center/half-width. One types-bounded aggregation.
+# ---------------------------------------------------------------------------
+
+_Q196_BODY = """
+    with a as (
+      select event_type,
+             cast(count(*) as bigint) as n,
+             cast(sum(case when value >= 100.0 then 1 else 0 end) as bigint)
+               as x
+      from events
+      group by event_type
+    )
+    select event_type, n, x,
+           round(cast(x as double) / n, 6) + 0.0 as rate,
+           round(((cast(x as double) + 1.959964 * 1.959964 / 2.0)
+                  - 1.959964 * sqrt((cast(x as double)
+                                     * (cast(n as double)
+                                        - cast(x as double)))
+                                    / cast(n as double)
+                                    + 1.959964 * 1.959964 / 4.0))
+                 / (cast(n as double) + 1.959964 * 1.959964), 6) + 0.0
+             as wilson_lo,
+           round(((cast(x as double) + 1.959964 * 1.959964 / 2.0)
+                  + 1.959964 * sqrt((cast(x as double)
+                                     * (cast(n as double)
+                                        - cast(x as double)))
+                                    / cast(n as double)
+                                    + 1.959964 * 1.959964 / 4.0))
+                 / (cast(n as double) + 1.959964 * 1.959964), 6) + 0.0
+             as wilson_hi
+    from a
+    order by event_type
+"""
+
+sql_case(
+    "q196_wilson_interval",
+    _Q196_BODY,
+    _Q196_BODY,
+    doc="Wilson score 95% CI for the per-type conversion rate (value >= "
+    "100): exact x/n witnesses, z=1.959964 as a decimal literal, "
+    "center +- half-width as one fixed IEEE sequence (+0.0 against "
+    "-0.0) — stays in [0,1] at small n where Wald collapses. One "
+    "types-bounded aggregation, no joins. SHARED-BODY: semantics "
+    "pinned by tests/test_eval_queries.py planted recomputes",
+)
+
+
+# ---------------------------------------------------------------------------
+# q197 — Cochran-Armitage trend test: is the conversion rate MONOTONE
+# in an ordered exposure (hour-of-day band 0/1/2 as the dose score)?
+# The categorical-trend companion to q160's two-arm z and q195's
+# count trend. T = sum(s*x) - p_bar*sum(s*n); Var = p_bar*(1-p_bar) *
+# (sum(n*s^2) - sum(s*n)^2/N); all five component statistics are exact
+# bigints (emitted as witnesses) and z = T/sqrt(Var) is one fixed IEEE
+# sequence over them — no N^4-scale exact intermediate, so nothing can
+# overflow decimal(38,0) at any corpus size. Dose groups are bounded
+# (3), per event type.
+# ---------------------------------------------------------------------------
+
+_Q197_BODY = """
+    with d as (
+      select event_type,
+             cast(hour(ts) as bigint) / 8 as dosef,
+             case when value >= 100.0 then 1 else 0 end as conv
+      from events
+    ),
+    g as (
+      select event_type, cast(floor(dosef) as bigint) as s,
+             cast(count(*) as bigint) as n,
+             cast(sum(conv) as bigint) as x
+      from d group by event_type, cast(floor(dosef) as bigint)
+    ),
+    t as (
+      select event_type,
+             cast(sum(n) as bigint) as nn,
+             cast(sum(x) as bigint) as xx,
+             cast(sum(s * x) as bigint) as sx,
+             cast(sum(s * n) as bigint) as sn,
+             cast(sum(n * s * s) as bigint) as nss
+      from g group by event_type
+    )
+    select event_type, nn as n, xx as x, sx as sum_sx, sn as sum_sn,
+           nss as sum_nss,
+           round((cast(sx as double)
+                  - (cast(xx as double) / cast(nn as double))
+                    * cast(sn as double))
+                 / nullif(sqrt((cast(xx as double) / cast(nn as double))
+                               * (1.0 - cast(xx as double)
+                                  / cast(nn as double))
+                               * (cast(nss as double)
+                                  - (cast(sn as double)
+                                     * cast(sn as double))
+                                    / cast(nn as double))), 0.0), 6) + 0.0
+             as ca_z
+    from t
+    order by event_type
+"""
+
+sql_case(
+    "q197_cochran_armitage",
+    _Q197_BODY,
+    _Q197_BODY,
+    doc="Cochran-Armitage trend test of conversion vs the ordered "
+    "hour-of-day dose band (0-7/8-15/16-23 -> scores 0/1/2): the five "
+    "component statistics (N, X, sum sx, sum sn, sum ns^2) are exact "
+    "bigint witnesses and z is one fixed IEEE sequence over them — no "
+    "N^4 exact intermediate, so nothing overflows at any corpus size; "
+    "NULL z on zero variance (all-converted / none-converted types). "
+    "SHARED-BODY: semantics pinned by tests/test_eval_queries.py",
+)

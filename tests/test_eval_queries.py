@@ -441,3 +441,135 @@ def test_mann_kendall_matches_python_random(spark):
         cc = -1.0 if s > 0 else (1.0 if s < 0 else 0.0)
         z = 0.0 if s == 0 else (s + cc) / math.sqrt(var_num / 18.0)
         assert float(r["z"]) == pytest.approx(z, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# q196 Wilson interval (SHARED-BODY — this is its named semantics test)
+# ---------------------------------------------------------------------------
+
+
+def _plant_conversions(spark, spec):
+    """spec: {event_type: (n, x)} — x rows convert (value 150), rest 50."""
+    rows = []
+    eid = 0
+    for et, (n, x) in spec.items():
+        for j in range(n):
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    datetime(2024, 6, 1, (eid * 7) % 24, 0, tzinfo=timezone.utc),
+                    j,
+                    et,
+                    150.0 if j < x else 50.0,
+                    "{}",
+                )
+            )
+    _mk(
+        spark,
+        "events",
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+        rows,
+    )
+    return rows
+
+
+def test_wilson_interval_matches_closed_form(spark):
+    spec = {"click": (40, 10), "view": (7, 7), "purchase": (5, 0)}
+    _plant_conversions(spark, spec)
+    from leaf_spark.queries_eval import _Q196_BODY
+
+    got = {r["event_type"]: r for r in spark.sql(_Q196_BODY).collect()}
+    z = 1.959964
+    for et, (n, x) in spec.items():
+        r = got[et]
+        assert (r["n"], r["x"]) == (n, x)
+        center = (x + z * z / 2) / (n + z * z)
+        half = z * math.sqrt(x * (n - x) / n + z * z / 4) / (n + z * z)
+        assert float(r["wilson_lo"]) == pytest.approx(center - half, abs=2e-6)
+        assert float(r["wilson_hi"]) == pytest.approx(center + half, abs=2e-6)
+        # the reason Wilson over Wald: bounds stay inside [0, 1] even at
+        # p-hat = 0 or 1
+        assert 0.0 <= float(r["wilson_lo"]) <= float(r["wilson_hi"]) <= 1.0
+        if x in (0, n):
+            assert float(r["wilson_hi"]) < 1.0 or x == n
+            assert float(r["wilson_lo"]) > 0.0 or x == 0
+
+
+# ---------------------------------------------------------------------------
+# q197 Cochran-Armitage (SHARED-BODY — this is its named semantics test)
+# ---------------------------------------------------------------------------
+
+
+def _plant_dose_groups(spark, et_spec):
+    """et_spec: {event_type: [(dose, n, x), ...]} with dose in 0..2 ->
+    hour = dose*8 (+1 for variety, stays in band)."""
+    rows = []
+    eid = 0
+    for et, groups in et_spec.items():
+        for dose, n, x in groups:
+            for j in range(n):
+                eid += 1
+                rows.append(
+                    (
+                        eid,
+                        datetime(
+                            2024, 6, 2, dose * 8 + (j % 8), 5, tzinfo=timezone.utc
+                        ),
+                        j,
+                        et,
+                        150.0 if j < x else 50.0,
+                        "{}",
+                    )
+                )
+    _mk(
+        spark,
+        "events",
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+        rows,
+    )
+
+
+def _ca_py(groups):
+    n = sum(g[1] for g in groups)
+    x = sum(g[2] for g in groups)
+    sx = sum(s * xi for s, _, xi in groups)
+    sn = sum(s * ni for s, ni, _ in groups)
+    nss = sum(ni * s * s for s, ni, _ in groups)
+    p = x / n
+    var = p * (1 - p) * (nss - sn * sn / n)
+    t = sx - p * sn
+    return (n, x, sx, sn, nss, None if var <= 0 else t / math.sqrt(var))
+
+
+def test_cochran_armitage_matches_closed_form(spark):
+    spec = {
+        # monotone increasing conversion with dose -> strongly positive z
+        "click": [(0, 30, 3), (1, 30, 12), (2, 30, 24)],
+        # flat conversion -> z near 0 (but exact per closed form)
+        "view": [(0, 20, 5), (1, 20, 5), (2, 20, 5)],
+        # zero variance (all convert) -> NULL z
+        "purchase": [(0, 4, 4), (1, 4, 4), (2, 4, 4)],
+    }
+    _plant_dose_groups(spark, spec)
+    from leaf_spark.queries_eval import _Q197_BODY
+
+    got = {r["event_type"]: r for r in spark.sql(_Q197_BODY).collect()}
+    for et, groups in spec.items():
+        n, x, sx, sn, nss, z = _ca_py(groups)
+        r = got[et]
+        assert (r["n"], r["x"], r["sum_sx"], r["sum_sn"], r["sum_nss"]) == (
+            n,
+            x,
+            sx,
+            sn,
+            nss,
+        )
+        if z is None:
+            assert r["ca_z"] is None
+        else:
+            assert float(r["ca_z"]) == pytest.approx(z, abs=1e-6)
+    assert float(got["click"]["ca_z"]) > 3.0  # the planted trend is real
+    assert abs(float(got["view"]["ca_z"])) < 1e-9

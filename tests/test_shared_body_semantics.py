@@ -62,6 +62,10 @@ SHARED_BODY_SEMANTICS = {
     "q101_zscore_outliers": "tests.test_shared_body_semantics::test_q101_zscore_outliers_planted",
     "q126_label_balance": "tests.test_shared_body_semantics::test_q126_label_entropy_planted",
     "q131_quota_dedup_rank": "tests.test_shared_body_semantics::test_q131_quota_dedup_rank_planted",
+    # round-6 shared-body additions (q196/q197 keep one text for both
+    # engines — no dialect-specific expression exists in them)
+    "q196_wilson_interval": "tests.test_eval_queries::test_wilson_interval_matches_closed_form",
+    "q197_cochran_armitage": "tests.test_eval_queries::test_cochran_armitage_matches_closed_form",
     # covered by existing planted/fuzz suites (referenced by name)
     "q118_activity_gini": "tests.test_quality::test_gini_extremes",
     "q122_grouped_gini": "tests.test_round5_queries::test_grouped_gini_uniform_vs_skewed",
