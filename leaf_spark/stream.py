@@ -810,9 +810,17 @@ class Stream:
         is_state = policy == "state_materialize"
         ev_view = self.store.view_prefix + "event"
         events = events.select("idx", "user", "payload")
+        stmts = split_statements(strip_comments(fold_sql))
+        # raw-log view only when some statement actually references it
+        # (the _run_script rule; materializers read the staged `event`
+        # view, almost never the whole `events` log)
+        needs_events = any(
+            re.search(r"\bevents\b", st, re.IGNORECASE) for st in stmts
+        )
         if self._batch_safe(fold_sql):
             events.createOrReplaceTempView(ev_view)
-            for stmt in split_statements(strip_comments(fold_sql)):
+            ex = self._executor(ev_view, with_events=needs_events)
+            for stmt in stmts:
                 self.sql_authorizer.check(stmt, policy)
                 low = stmt.lower()
                 # any conflict-resolving insert needs __ord__ so the batch
@@ -824,7 +832,7 @@ class Stream:
                     or re.search(r"\binsert\s+or\s+(replace|ignore)\b", low) is not None
                 )
                 s = self._inject_ord(stmt) if has_conflict else stmt
-                self._executor(ev_view).execute(s, is_state=is_state)
+                ex.execute(s, is_state=is_state)
             return
         # per-event sequential fold (reference lib.rs:543-569)
         rows = events.orderBy("idx").collect()
@@ -834,9 +842,10 @@ class Stream:
                 [tuple(r[c] for c in cols)], events.schema
             )
             one.createOrReplaceTempView(ev_view)
-            for stmt in split_statements(strip_comments(fold_sql)):
+            ex = self._executor(ev_view, with_events=needs_events)
+            for stmt in stmts:
                 self.sql_authorizer.check(stmt, policy)
-                self._executor(ev_view).execute(stmt, is_state=is_state)
+                ex.execute(stmt, is_state=is_state)
 
     # -- A3 authorize --------------------------------------------------------
 
@@ -893,8 +902,16 @@ class Stream:
         stmts = split_statements(strip_comments(self.module.authorizer))
         for stmt in stmts:
             self.sql_authorizer.check(stmt, "authorize")
-        staged_df = staged_df.localCheckpoint()
+        if not staged_df.isLocal():
+            # lineage-truncate non-local staging so the N lazy branches
+            # don't re-run an upstream scan each; Arrow-local staging
+            # (LocalTableScan) is already a materialized literal — a
+            # checkpoint there is a pure ~200 ms driver round-trip
+            staged_df = staged_df.localCheckpoint()
         vectorized = [self._vectorize_auth_stmt(s) for s in stmts]
+        needs_events = any(
+            re.search(r"\bevents\b", st, re.IGNORECASE) for st in stmts
+        )
 
         branches: list[DataFrame] = []
         views: list[str] = []
@@ -903,8 +920,9 @@ class Stream:
             # fast path: each statement evaluates once over all staged rows
             staged_df.select("user", "payload").createOrReplaceTempView(batch_view)
             views.append(batch_view)
+            ex = self._executor(batch_view, with_events=needs_events)
             for v in vectorized:
-                res = self._executor(batch_view).execute(v)
+                res = ex.execute(v)
                 if res is not None:
                     branches.append(self._force_all_columns(res))
         else:
@@ -916,8 +934,9 @@ class Stream:
                     "user", "payload"
                 ).createOrReplaceTempView(ev_view)
                 views.append(ev_view)
+                ex = self._executor(ev_view, with_events=needs_events)
                 for stmt in stmts:
-                    res = self._executor(ev_view).execute(stmt)
+                    res = ex.execute(stmt)
                     if res is not None:
                         branches.append(self._force_all_columns(res))
         try:
