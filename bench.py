@@ -39,6 +39,12 @@ HEAVY = [
     "q161_top_eigenvector",
     "q163_rrf_fusion",
     "q168_scd2_history",
+    # round-6 additions: the corpus-heavy eval/profile entries (the
+    # scalar-agg ones — q188/q191/q195/q196/q197 — are sub-100 ms and
+    # not worth a tracked slot)
+    "q190_precision_recall_at_k",
+    "q192_rfm_segments",
+    "q194_heaps_law",
 ]
 
 HEADLINE = [
