@@ -651,3 +651,33 @@ def gap_moments(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Live conversion counts (the streaming counterpart of batch q196/q160)
+# ---------------------------------------------------------------------------
+
+
+def conversion_counts(
+    events: DataFrame, threshold: float = 100.0
+) -> DataFrame:
+    """Live per-type conversion tallies — the exact (n, x) state behind
+    q196's Wilson interval and q160's two-proportion z, maintained as a
+    DECLARATIVE streaming aggregation (no custom state function): one
+    update-mode groupBy whose state is two longs per event type, exactly
+    the shape Spark's agg state store already handles. Downstream
+    monitors derive rate/CI from the exact counts at read time (the
+    Wilson formula is a deterministic function of n and x — keeping the
+    math OUT of the stream keeps the state minimal and replay-safe).
+
+    Output mode: update — one refreshed (event_type, n, x) row per type
+    per micro-batch."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("value") >= threshold, 1).otherwise(0)
+            ).alias("x"),
+        )
+    )

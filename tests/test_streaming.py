@@ -881,3 +881,39 @@ def test_gap_moments_match_python_and_batch_q193(spark, tmp_path):
         last[k] = us
     assert got == want
     assert sum(v[0] for v in want.values()) > 0  # non-vacuous
+
+
+def test_conversion_counts_match_batch_q196_counts(spark, events_src_dir, tmp_path):
+    """Streaming conversion tallies (q196's live counterpart): drained
+    totals equal the batch exact counts per event type."""
+    from leaf_spark.streaming.stateful import (
+        conversion_counts,
+        drain,
+        events_batch,
+        events_stream,
+    )
+
+    src = events_stream(spark, events_src_dir)
+    drain(
+        conversion_counts(src),
+        str(tmp_path / "ckconv"),
+        "conv_counts_tbl",
+        output_mode="complete",
+    )
+    got = {
+        r["event_type"]: (r["n"], r["x"])
+        for r in spark.sql("select * from conv_counts_tbl").collect()
+    }
+    import pyspark.sql.functions as F
+
+    batch = {
+        r["event_type"]: (r["n"], r["x"])
+        for r in events_batch(spark, events_src_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("value") >= 100.0, 1).otherwise(0)).alias("x"),
+        )
+        .collect()
+    }
+    assert got == batch and len(got) >= 2
