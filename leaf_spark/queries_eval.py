@@ -317,7 +317,8 @@ _Q192_FINAL = """
       from hf h1 join hf h2 on h2.v <= h1.v group by h1.v
     ),
     seg as (
-      select cast((5 * cr.cum + r.nu - 1) {IDIV} r.nu as bigint)
+      select /*+ BROADCAST(cr, cf) */
+             cast((5 * cr.cum + r.nu - 1) {IDIV} r.nu as bigint)
                as r_quintile,
              cast((5 * cf.cum + r.nu - 1) {IDIV} r.nu as bigint)
                as f_quintile,

@@ -28,6 +28,7 @@ import pyarrow.parquet as pq
 sys.path.insert(0, "/root/repo")
 
 SRC = "/root/testdata/sf0.1/documents.parquet"
+EVENTS_SRC = "/root/testdata/sf0.1/events.parquet"
 SEED = 42
 EXACT_DUP_RATE = 8 / 5000  # measured: count(*) - count(distinct md5(text))
 NEAR_DUP_PAIR_RATE = 256 / 5000  # measured: q49/q90 pair rows per doc
@@ -111,6 +112,53 @@ def main() -> None:
         f"wrote {n_out} docs ({n_exact} exact dups, {n_near} near-dup pairs) "
         f"-> {dest}"
     )
+
+    # events: mult epochs of the base month, each shifted by 31 days and
+    # re-keyed — user population grows sqrt(mult)x (heavy users stay
+    # heavy: per-user activity grows too, matching how a longer capture
+    # window scales), event ids stay globally unique, values/types/props
+    # keep the empirical joint distribution row-for-row.
+    ev = pq.read_table(EVENTS_SRC).to_pydict()
+    n_ev = len(ev["event_id"])
+    import math as _math
+
+    user_groups = max(1, int(round(_math.sqrt(mult))))
+    out = {k: [] for k in ev if k != "ts"}
+    day_us = 86_400_000_000
+    for epoch in range(mult):
+        ugroup = epoch % user_groups
+        for k in out:
+            if k == "event_id":
+                out[k].extend(e + epoch * n_ev for e in ev[k])
+            elif k == "user_id":
+                out[k].extend(u + ugroup * 100_000 for u in ev[k])
+            else:
+                out[k].extend(ev[k])
+    # timestamps shift exactly one epoch stride per copy (int64 us math)
+    base_us = (
+        pq.read_table(EVENTS_SRC)
+        .column("ts")
+        .cast(pa.timestamp("us"))
+        .cast(pa.int64())
+        .to_pylist()
+    )
+    shifted = []
+    for epoch in range(mult):
+        shift = epoch * 31 * day_us
+        shifted.extend(b + shift for b in base_us)
+    etable = pa.table(
+        {
+            "event_id": pa.array(out["event_id"], pa.int64()),
+            "ts": pa.array(shifted, pa.timestamp("us")),
+            "user_id": pa.array(out["user_id"], pa.int64()),
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "value": pa.array(out["value"], pa.float64()),
+            "props": pa.array(out["props"], pa.string()),
+        }
+    )
+    edest = os.path.join(out_dir, "events.parquet")
+    pq.write_table(etable, edest)
+    print(f"wrote {len(shifted)} events ({user_groups} user cohorts) -> {edest}")
 
 
 if __name__ == "__main__":

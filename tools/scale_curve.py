@@ -29,6 +29,11 @@ HEAVIES = [
     "q109_bpe_merges",
     "q96_pagerank",
     "q61_decontaminate",
+    # round-6 event/profile entries (gen_scale synthesizes events too)
+    "q192_rfm_segments",
+    "q193_interevent_burstiness",
+    "q194_heaps_law",
+    "q195_mann_kendall",
 ]
 SF01 = "/root/testdata/sf0.1"
 SF10 = "/root/repo/.scale/sf1.0"
