@@ -515,6 +515,15 @@ def test_checkpointed_entries_do_not_rescan(spark, cases):
         # q184/q185 reuse the q179 calibration histogram
         "q184_roc_auc",
         "q185_brier_decomposition",
+        # round-6 checkpoint-reduced entries: q190's scored postings feed
+        # top-10 + corpus relevant-count; q192's per-user RFM table feeds
+        # two histograms, their cums, and the final join; q194's
+        # (shingle x bucket) table feeds token totals + first-occurrence;
+        # q195's day table feeds pairs/ties/count
+        "q190_precision_recall_at_k",
+        "q192_rfm_segments",
+        "q194_heaps_law",
+        "q195_mann_kendall",
     ):
         plan = plan_of(cases[name].spark_fn(spark, SF_DIR))
         assert "Scan parquet" not in plan, name
@@ -567,3 +576,15 @@ def test_permutation_entropy_windows_are_type_partitioned(spark, cases):
     win_lines = [ln for ln in plan.splitlines() if re.search(r"\bWindow \[", ln)]
     for ln in win_lines:
         assert "event_type" in ln, ln
+
+
+def test_q192_histogram_joins_stay_broadcast(spark, cases):
+    """The quintile-cum histograms are provably bounded (recency support
+    <= calendar days, frequency support <= distinct activity counts), but
+    at 10x data Catalyst's size ESTIMATE crossed the broadcast threshold
+    and silently flipped the seg joins to SortMergeJoin (caught by
+    tools/scale_curve.py's plan-identity assert). The explicit
+    /*+ BROADCAST(cr, cf) */ hint pins the plan; this contract keeps it
+    pinned."""
+    plan = plan_of(cases["q192_rfm_segments"].spark_fn(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan[:2000]
