@@ -173,6 +173,8 @@ _ROUND7_FRONT = [
     # oldest r04-green entries fill the remaining 2 slots
     "q49_minhash_lsh", "q67_train_split",
 ]
+# q198-q200 (added after the r7 ledger filled) queue for the r8 window
+# along with the remaining r04-stale re-confirmations.
 
 
 def _ordered(reg: dict[str, QueryCase]) -> dict[str, QueryCase]:

@@ -1,4 +1,4 @@
-"""Catalog entries q188-q197: retrieval/agreement evaluation and
+"""Catalog entries q188-q200: retrieval/agreement evaluation and
 behavioral-profile analytics — round-6 catalog growth.
 
 - q188 expected calibration error (the scalar over q143's reliability
@@ -20,7 +20,12 @@ behavioral-profile analytics — round-6 catalog growth.
 - q196 Wilson score interval for the per-type conversion rate (the CI
   beside q160's z and q187's MDE);
 - q197 Cochran-Armitage trend test of conversion vs an ordered dose
-  band (exact component witnesses, no N^4 exact intermediates).
+  band (exact component witnesses, no N^4 exact intermediates);
+- q198 top 3-step behavior paths (the sequence extension of q154);
+- q199 day-of-week seasonality index (exact rational witnesses over
+  the checkpointed calendar-day table);
+- q200 Fisher discriminant ratio of a quantized embedding component
+  across labels (the feature-separability audit).
 
 Determinism follows the q171-q187 discipline: counts/ranks/statistic
 numerators are exact bigint/decimal(38,0); libm terms round to 6-9
@@ -757,4 +762,168 @@ sql_case(
     "N^4 exact intermediate, so nothing overflows at any corpus size; "
     "NULL z on zero variance (all-converted / none-converted types). "
     "SHARED-BODY: semantics pinned by tests/test_eval_queries.py",
+)
+
+
+# ---------------------------------------------------------------------------
+# q198 — top 3-step behavior paths: the frequency table of consecutive
+# (type -> type -> type) transitions within a user's stream — the
+# sequence-mining extension of q154's 1-step Markov matrix (paths, not
+# edges: "view->click->purchase" vs independent pairs). Two leads over
+# the (user)-partitioned event-time order (hash-partitioned windows,
+# event_id tiebreak), one count, top-20 with full tiebreaks.
+# ---------------------------------------------------------------------------
+
+_Q198_BODY = """
+    with s as (
+      select user_id, event_type,
+             lead(event_type, 1) over (
+               partition by user_id order by ts, event_id) as t2,
+             lead(event_type, 2) over (
+               partition by user_id order by ts, event_id) as t3
+      from events
+    )
+    select event_type as step1, t2 as step2, t3 as step3,
+           cast(count(*) as bigint) as n
+    from s
+    where t2 is not null and t3 is not null
+    group by event_type, t2, t3
+    order by n desc, step1, step2, step3
+    limit 20
+"""
+
+sql_case(
+    "q198_top_trigram_paths",
+    _Q198_BODY,
+    _Q198_BODY,
+    doc="top-20 3-step behavior paths (consecutive event-type trigrams "
+    "within each user's time-ordered stream) — the sequence-mining "
+    "extension of q154's 1-step Markov matrix. Two leads over "
+    "user-partitioned windows (event_id tiebreak), one bounded "
+    "(types^3) aggregation, TakeOrderedAndProject top-k with full "
+    "tiebreaks. SHARED-BODY: semantics pinned by planted path tests",
+)
+
+
+# ---------------------------------------------------------------------------
+# q199 — day-of-week seasonality index: per-dow event volume vs the
+# all-days mean (index 1.0 = flat), the seasonal profile a forecast or
+# anomaly threshold normalizes by. Exact integer witnesses: per-dow
+# counts and day tallies; the index is n_dow*total_days / (days_dow*N)
+# in exact rational form beside the rounded quotient. One bounded
+# (<= 7 x days) aggregation chain over the checkpointed day table.
+# ---------------------------------------------------------------------------
+
+_Q199_D = """
+    select {EPOCHDAY} as day, cast(count(*) as bigint) as c
+    from events
+    group by {EPOCHDAY}
+"""
+
+# epoch day 0 = 1970-01-01 = a Thursday = dow 4 under ISO (Mon=1..Sun=7)
+_Q199_FINAL = """
+    with d as (select * from {D}),
+    w as (
+      select cast((day + 3) % 7 + 1 as bigint) as dow,
+             cast(count(*) as bigint) as n_days,
+             cast(sum(c) as bigint) as n_events
+      from d group by cast((day + 3) % 7 + 1 as bigint)
+    ),
+    tot as (
+      select cast(sum(n_days) as bigint) as total_days,
+             cast(sum(n_events) as bigint) as total_events
+      from w
+    )
+    select w.dow, w.n_days, w.n_events,
+           cast(w.n_events * tot.total_days as bigint) as idx_num,
+           cast(w.n_days * tot.total_events as bigint) as idx_den,
+           round(cast(w.n_events * tot.total_days as double)
+                 / (cast(w.n_days as double)
+                    * cast(tot.total_events as double)), 6) as seasonality
+    from w cross join tot
+    order by w.dow
+"""
+
+
+def _q199_sql(engine: str) -> str:
+    day = _EPOCHDAY_SPARK if engine == "spark" else _EPOCHDAY_DUCK
+    return _Q199_FINAL.replace(
+        "{D}", "(" + _Q199_D.replace("{EPOCHDAY}", day) + ")"
+    )
+
+
+def _q199_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, names=("events",))
+    d = spark.sql(
+        _Q199_D.replace("{EPOCHDAY}", _EPOCHDAY_SPARK)
+    ).localCheckpoint()
+    d.createOrReplaceTempView("__q199_d__")
+    return spark.sql(_Q199_FINAL.replace("{D}", "__q199_d__"))
+
+
+register(
+    "q199_dow_seasonality",
+    _q199_sql("duckdb"),
+    doc="day-of-week seasonality index: per-ISO-dow volume vs the "
+    "all-days mean (epoch day 0 = Thursday anchors the modular dow "
+    "without engine date functions) — exact idx_num/idx_den bigint "
+    "rationals beside the rounded index. The corpus reduces once to "
+    "the checkpointed calendar-day table; everything downstream is "
+    "<= 7 rows",
+)(_q199_spark)
+
+
+# ---------------------------------------------------------------------------
+# q200 — Fisher discriminant ratio of the first embedding component
+# across labels: between-class variance / within-class variance over
+# exact integer-quantized values (milli-units), the separability audit
+# that says whether a stored feature carries any label signal at all.
+# Grouped exact moments (labels-bounded), then one fixed IEEE sequence:
+#   between = sum_k n_k*(mu_k - mu)^2 / N,  within = sum_k n_k*var_k / N
+# computed from the exact per-label (n, S1, S2) via the standard
+# decomposition: N*S2_total - ... all in decimal(38,0).
+# ---------------------------------------------------------------------------
+
+_Q200_BODY = """
+    with q as (
+      select label,
+             cast(floor(cast({E1} as double) * 1000.0 + 0.5) as bigint) as v
+      from embeddings
+    ),
+    g as (
+      select label, cast(count(*) as bigint) as n,
+             cast(sum(cast(v as decimal(19,0))) as decimal(38,0)) as s1,
+             cast(sum(cast(v as decimal(19,0)) * cast(v as decimal(19,0)))
+                  as decimal(38,0)) as s2
+      from q group by label
+    ),
+    t as (
+      select cast(sum(n) as decimal(38,0)) as nn,
+             cast(sum(s1) as decimal(38,0)) as ts1,
+             cast(sum(s2) as decimal(38,0)) as ts2,
+             cast(sum(cast(s1 * s1 as decimal(38,0)) / n) as double) as sb_raw
+      from g
+    )
+    select cast(t.nn as bigint) as n_rows,
+           cast((select count(*) from g) as bigint) as n_labels,
+           cast(t.ts1 as decimal(38,0)) as sum_v,
+           cast(t.ts2 as decimal(38,0)) as sum_v_sq,
+           round((t.sb_raw - cast(t.ts1 as double) * cast(t.ts1 as double)
+                             / cast(t.nn as double))
+                 / nullif(cast(t.ts2 as double) - t.sb_raw, 0.0), 6) + 0.0
+             as fisher_ratio
+    from t
+"""
+
+sql_case(
+    "q200_fisher_ratio",
+    _Q200_BODY.replace("{E1}", "element_at(embedding, 1)"),
+    _Q200_BODY.replace("{E1}", "embedding[1]"),
+    doc="Fisher discriminant ratio (between-class SS / within-class SS) "
+    "of the milli-quantized first embedding component across labels — "
+    "the does-this-feature-separate-classes audit. Exact decimal "
+    "moments per label (labels-bounded groups); the ratio uses the "
+    "identity SS_between = sum_k s1_k^2/n_k - S1^2/N and SS_within = "
+    "S2 - sum_k s1_k^2/n_k as one fixed IEEE sequence; NULL on zero "
+    "within-class variance. SHARED-STRUCTURE planted-tested",
 )

@@ -573,3 +573,140 @@ def test_cochran_armitage_matches_closed_form(spark):
             assert float(r["ca_z"]) == pytest.approx(z, abs=1e-6)
     assert float(got["click"]["ca_z"]) > 3.0  # the planted trend is real
     assert abs(float(got["view"]["ca_z"])) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# q198 trigram paths (SHARED-BODY — this is its named semantics test)
+# ---------------------------------------------------------------------------
+
+
+def test_trigram_paths_planted_sequences(spark):
+    rows = []
+    eid = 0
+    # user 1: v,c,p,v,c,p -> trigrams vcp, cpv, pvc, vcp (vcp x2)
+    seq1 = ["view", "click", "purchase", "view", "click", "purchase"]
+    for j, et in enumerate(seq1):
+        eid += 1
+        rows.append((eid, datetime(2024, 7, 1, 10, j, tzinfo=timezone.utc), 1, et, 1.0, "{}"))
+    # user 2: v,v,v -> one vvv
+    for j in range(3):
+        eid += 1
+        rows.append((eid, datetime(2024, 7, 1, 11, j, tzinfo=timezone.utc), 2, "view", 1.0, "{}"))
+    # user 3: only 2 events -> no trigram
+    for j in range(2):
+        eid += 1
+        rows.append((eid, datetime(2024, 7, 1, 12, j, tzinfo=timezone.utc), 3, "click", 1.0, "{}"))
+    _mk(
+        spark,
+        "events",
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+        rows,
+    )
+    from leaf_spark.queries_eval import _Q198_BODY
+
+    got = {
+        (r["step1"], r["step2"], r["step3"]): r["n"]
+        for r in spark.sql(_Q198_BODY).collect()
+    }
+    assert got == {
+        ("view", "click", "purchase"): 2,
+        ("click", "purchase", "view"): 1,
+        ("purchase", "view", "click"): 1,
+        ("view", "view", "view"): 1,
+    }
+
+
+# ---------------------------------------------------------------------------
+# q199 dow seasonality
+# ---------------------------------------------------------------------------
+
+
+def test_dow_seasonality_planted_weekend_spike(spark):
+    """2024-07-01 is a Monday; plant 2 full weeks with weekends 3x the
+    weekday volume and verify the exact index rationals."""
+    rows = []
+    eid = 0
+    for d in range(14):
+        dow = d % 7  # 0 = Monday
+        n = 30 if dow >= 5 else 10
+        for j in range(n):
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    datetime(2024, 7, 1 + d, 9, j % 60, tzinfo=timezone.utc),
+                    j,
+                    "click",
+                    1.0,
+                    "{}",
+                )
+            )
+    _mk(
+        spark,
+        "events",
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+        rows,
+    )
+    from leaf_spark.queries_eval import _q199_sql
+
+    got = {r["dow"]: r for r in spark.sql(_q199_sql("spark")).collect()}
+    # 2 weeks x (5 weekdays x 10 + 2 weekend days x 30)
+    total_events = (5 * 10 + 2 * 30) * 2
+    assert set(got) == set(range(1, 8))
+    for dow in range(1, 8):
+        r = got[dow]
+        n_events = (30 if dow >= 6 else 10) * 2
+        assert (r["n_days"], r["n_events"]) == (2, n_events)
+        assert (r["idx_num"], r["idx_den"]) == (
+            n_events * 14,
+            2 * total_events,
+        )
+        assert float(r["seasonality"]) == pytest.approx(
+            (n_events * 14) / (2 * total_events), abs=1e-6
+        )
+
+
+# ---------------------------------------------------------------------------
+# q200 Fisher ratio
+# ---------------------------------------------------------------------------
+
+
+def test_fisher_ratio_matches_python(spark):
+    import struct
+
+    rows = []
+    # two separated clusters + noise: label 0 around -0.5, label 1 at +0.5
+    for i in range(30):
+        lab = i % 2
+        base = -0.5 if lab == 0 else 0.5
+        rows.append((i, [base + ((i * 13) % 7 - 3) / 100.0, 0.0], lab))
+    _mk(spark, "embeddings", "vec_id bigint, embedding array<float>, label int", rows)
+    from leaf_spark.queries_eval import _Q200_BODY
+
+    r = spark.sql(_Q200_BODY.replace("{E1}", "element_at(embedding, 1)")).collect()[0]
+    vals: dict = {}
+    for _, emb, lab in rows:
+        f32 = struct.unpack("f", struct.pack("f", emb[0]))[0]
+        v = math.floor(f32 * 1000.0 + 0.5)
+        vals.setdefault(lab, []).append(v)
+    n = sum(len(v) for v in vals.values())
+    s1 = sum(sum(v) for v in vals.values())
+    s2 = sum(x * x for v in vals.values() for x in v)
+    sb_raw = sum(sum(v) ** 2 / len(v) for v in vals.values())
+    between = sb_raw - s1 * s1 / n
+    within = s2 - sb_raw
+    assert (r["n_rows"], r["n_labels"]) == (n, 2)
+    assert (int(r["sum_v"]), int(r["sum_v_sq"])) == (s1, s2)
+    assert float(r["fisher_ratio"]) == pytest.approx(between / within, abs=1e-6)
+    assert float(r["fisher_ratio"]) > 50  # planted separation is strong
+
+
+def test_fisher_ratio_null_on_zero_within_variance(spark):
+    rows = [(0, [1.0, 0.0], 0), (1, [1.0, 0.0], 0), (2, [-1.0, 0.0], 1)]
+    _mk(spark, "embeddings", "vec_id bigint, embedding array<float>, label int", rows)
+    from leaf_spark.queries_eval import _Q200_BODY
+
+    r = spark.sql(_Q200_BODY.replace("{E1}", "element_at(embedding, 1)")).collect()[0]
+    assert r["fisher_ratio"] is None  # within-class SS is exactly 0

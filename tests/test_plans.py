@@ -524,6 +524,8 @@ def test_checkpointed_entries_do_not_rescan(spark, cases):
         "q192_rfm_segments",
         "q194_heaps_law",
         "q195_mann_kendall",
+        # q199's day table feeds the dow rollup + totals
+        "q199_dow_seasonality",
     ):
         plan = plan_of(cases[name].spark_fn(spark, SF_DIR))
         assert "Scan parquet" not in plan, name

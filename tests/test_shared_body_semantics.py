@@ -66,6 +66,7 @@ SHARED_BODY_SEMANTICS = {
     # engines — no dialect-specific expression exists in them)
     "q196_wilson_interval": "tests.test_eval_queries::test_wilson_interval_matches_closed_form",
     "q197_cochran_armitage": "tests.test_eval_queries::test_cochran_armitage_matches_closed_form",
+    "q198_top_trigram_paths": "tests.test_eval_queries::test_trigram_paths_planted_sequences",
     # covered by existing planted/fuzz suites (referenced by name)
     "q118_activity_gini": "tests.test_quality::test_gini_extremes",
     "q122_grouped_gini": "tests.test_round5_queries::test_grouped_gini_uniform_vs_skewed",
