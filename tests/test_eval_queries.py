@@ -710,3 +710,68 @@ def test_fisher_ratio_null_on_zero_within_variance(spark):
 
     r = spark.sql(_Q200_BODY.replace("{E1}", "element_at(embedding, 1)")).collect()[0]
     assert r["fisher_ratio"] is None  # within-class SS is exactly 0
+
+
+# ---------------------------------------------------------------------------
+# hypothesis fuzz: random planted data vs exact Python recomputes
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    labels=st.lists(st.integers(0, 9), min_size=5, max_size=60),
+    offset=st.integers(0, 500),
+)
+def test_fleiss_kappa_fuzz_exact_rationals(spark, labels, offset):
+    """Random item labels and vec_id offsets: the engine's exact
+    decimal(38,0) rationals must equal the exact-fraction Python Fleiss
+    computation under the same md5 rater model."""
+    items = [(offset + i, lab) for i, lab in enumerate(labels)]
+    rows = [(vid, [0.0] * 4, lab) for vid, lab in items]
+    _mk(spark, "embeddings", "vec_id bigint, embedding array<float>, label int", rows)
+    from leaf_spark.queries_eval import _q191_sql
+
+    r = spark.sql(_q191_sql("spark")).collect()[0]
+    s, c_sq, num, den = _fleiss_py(items)
+    assert (r["n_items"], r["s_sum"], int(r["c_sq"])) == (len(items), s, c_sq)
+    if den == 0:
+        assert int(r["kappa_den"]) == 0
+    else:
+        assert Fraction(int(r["kappa_num"]), int(r["kappa_den"])) == Fraction(
+            num, den
+        )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(counts=st.lists(st.integers(1, 8), min_size=2, max_size=16))
+def test_mann_kendall_fuzz_exact_s_and_variance(spark, counts):
+    """Random daily-count series: exact S and the tie-corrected variance
+    numerator must match the pairwise Python recompute."""
+    _plant_daily_counts(spark, counts)
+    from collections import Counter
+
+    from leaf_spark.queries_eval import _q195_sql
+
+    r = spark.sql(_q195_sql("spark")).collect()[0]
+    n = len(counts)
+    s = sum(
+        (counts[j] > counts[i]) - (counts[j] < counts[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    ties = Counter(counts)
+    var_num = n * (n - 1) * (2 * n + 5) - sum(
+        t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1
+    )
+    assert (r["n_days"], r["s_stat"], r["var_num"]) == (n, s, var_num)
