@@ -34,12 +34,40 @@ def normalized(text: Column) -> Column:
 
 
 def _size_conf_bytes(spark, key: str, default: int) -> int:
-    """Parse a Spark byte-size conf value ('128MB', '4194304b', '1g')."""
+    """Parse a Spark byte-size conf value ('128MB', '4194304b', '1g').
+
+    Fractional values ('0.5g', '1.5m') are valid Spark byte-size strings
+    and must not fall back to the default (ADVICE r6) — parse as float,
+    truncate after the unit multiply like the JVM's byteStringAsBytes."""
     raw = str(spark.conf.get(key, str(default))).strip().lower()
-    m = re.fullmatch(r"(\d+)\s*([kmgt]?)b?", raw)
+    m = re.fullmatch(r"(\d+(?:\.\d+)?)\s*([kmgt]?)b?", raw)
     if not m:
         return default
-    return int(m.group(1)) * 1024 ** " kmgt".index(m.group(2) or " ")
+    return int(float(m.group(1)) * 1024 ** " kmgt".index(m.group(2) or " "))
+
+
+_NARROW_NODES = ("Relation", "Project", "Filter", "SubqueryAlias", "View")
+
+
+def _is_narrow_over_scan(df: DataFrame) -> bool:
+    """True iff the optimized logical plan is file relations under only
+    narrow, partitioning-preserving nodes (Project/Filter/aliases) — the
+    shapes whose output partitioning IS the scan partitioning. Any join,
+    aggregate, window, repartition, union, etc. means the DataFrame's
+    partitioning comes from elsewhere and the file-size estimate is
+    meaningless for it. Inspects the plan tree only (no job, no RDD
+    conversion); unparseable plans conservatively return False."""
+    try:
+        tree = df._jdf.queryExecution().optimizedPlan().treeString()
+    except Exception:
+        return False
+    for line in tree.splitlines():
+        head = line.lstrip(" :+-").split(" ", 1)[0].split("[", 1)[0]
+        if not head:
+            continue
+        if not any(head == n or head.startswith(n) for n in _NARROW_NODES):
+            return False
+    return True
 
 
 def _estimated_scan_partitions(df: DataFrame) -> int | None:
@@ -53,7 +81,13 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
 
     Returns None when the input is not a pure file scan (derived inputs
     already carry upstream shuffle partitioning) or a file's size is not
-    locally knowable (non-local scheme)."""
+    locally knowable (non-local scheme). "Pure file scan" is verified
+    against the optimized logical plan, not just ``inputFiles()`` — the
+    latter is non-empty for ANY plan whose lineage contains file scans
+    (post-join/aggregate DataFrames too, ADVICE r6), which would let
+    spread() add a redundant repartition after a shuffle."""
+    if not _is_narrow_over_scan(df):
+        return None
     files = df.inputFiles()
     if not files:
         return None

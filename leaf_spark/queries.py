@@ -141,14 +141,30 @@ _ROUND6_FRONT = [
     "q17_recursive_cte", "q19_agg_of_agg",
 ]
 
-# Committed round-7 rotation plan (VERDICT r5 "Next round #4"): the 38
-# r03-green entries that did not fit in the r6 window, oldest official
-# row first, then the oldest r04-green entries to fill the 50 slots.
-# This makes the stale-row re-confirmation ledger explicit and
-# auditable ahead of time; r7 renames this to _ROUND7_FRONT's active
-# role by assigning it in _ordered().
+# Round-7 window (active; VERDICT r6 "Next round #3" revised the r6-
+# committed ledger): the FIVE r6 official reds go first — all five were
+# one bug (decimal(38,0) OUTPUT columns hash-fail at the driver even
+# when bit-identical locally, VERDICT r6 "What's wrong #1"), now fixed
+# by casting the exact witnesses to plain-digit strings on both
+# engines, so their first green beats a stale re-confirmation. They
+# displace the five youngest r03-stales (q63-q66, q69 — moved to the
+# r8 ledger below). Then the 10 round-6 additions q188-q197 (never
+# scored; q191/q193 carried the same decimal landmine, defused the
+# same way) and the 33 remaining r03-stale re-confirmations, plus the
+# two oldest r04-greens to fill 50.
 _ROUND7_FRONT = [
-    # r03-green, not re-confirmed since (38 entries)
+    # the five r6 reds, decimal-purged for re-score (first green > stale)
+    "q147_cohens_kappa", "q150_shrunk_quality", "q158_decayed_engagement",
+    "q161_top_eigenvector", "q162_degree_assortativity",
+    # the 10 round-6 additions (q188-q197, never scored — a never-scored
+    # entry's first official row beats a re-confirmation)
+    "q188_expected_calibration_error", "q189_mrr_eval",
+    "q190_precision_recall_at_k", "q191_fleiss_kappa",
+    "q192_rfm_segments", "q193_interevent_burstiness",
+    "q194_heaps_law", "q195_mann_kendall",
+    "q196_wilson_interval", "q197_cochran_armitage",
+    # r03-green, not re-confirmed since (33 of the 38; q63-q66/q69
+    # yielded their slots to the fixed reds)
     "q01_pricing_summary", "q02_filter_project", "q03_revenue_by_nation",
     "q18_ineq_join", "q24_group_concat", "q26_json_extract",
     "q30_events_page", "q32_events_type_stats", "q33_events_time_buckets",
@@ -160,25 +176,46 @@ _ROUND7_FRONT = [
     "q53_multimodal_meta", "q54_ann_ivf", "q55_dedup_clusters",
     "q56_salted_agg", "q57_salted_join", "q58_repetition_metrics",
     "q59_crossdoc_ngram_overlap", "q60_pii_scrub", "q61_decontaminate",
-    "q62_line_dedup", "q63_sketch_distinct", "q64_sketch_quantiles",
-    "q65_asof_attribution", "q66_error_window_rollup",
-    "q69_stratified_sample",
-    # the 8 round-6 additions (q188-q195, never scored — a never-scored
-    # entry's first official row beats a re-confirmation)
-    "q188_expected_calibration_error", "q189_mrr_eval",
-    "q190_precision_recall_at_k", "q191_fleiss_kappa",
-    "q192_rfm_segments", "q193_interevent_burstiness",
-    "q194_heaps_law", "q195_mann_kendall",
-    "q196_wilson_interval", "q197_cochran_armitage",
+    "q62_line_dedup",
     # oldest r04-green entries fill the remaining 2 slots
     "q49_minhash_lsh", "q67_train_split",
 ]
-# q198-q200 (added after the r7 ledger filled) queue for the r8 window
-# along with the remaining r04-stale re-confirmations.
+
+# Committed round-8 rotation plan (VERDICT r6 "Next round #4" — the
+# auditable ahead-of-time ledger): the three entries added after the r7
+# ledger filled (q198-q200, never scored; q200's decimal witnesses are
+# already string-cast), the five r03-stales displaced by the fixed reds,
+# and the 42 oldest remaining r04-stale re-confirmations (catalog
+# order). The final 6 r04-stales (q111-q116) queue for r9 with the
+# r05-stales. r8 activates this by swapping the name in _ordered().
+_ROUND8_FRONT = [
+    # never scored (landed after the r7 ledger filled)
+    "q198_top_trigram_paths", "q199_dow_seasonality", "q200_fisher_ratio",
+    # r03-stale, displaced from the r7 window by the fixed reds
+    "q63_sketch_distinct", "q64_sketch_quantiles",
+    "q65_asof_attribution", "q66_error_window_rollup",
+    "q69_stratified_sample",
+    # r04-green, not re-confirmed since (42 oldest in catalog order)
+    "q68_source_mix", "q70_pack_sequences", "q71_bm25_topk",
+    "q72_gopher_filter", "q73_semantic_dedup", "q74_corpus_stats",
+    "q75_unigram_logprob", "q76_clean_pipeline", "q77_incremental_dedup",
+    "q78_window_breadth", "q79_rollup_stats", "q80_editdist_blocked",
+    "q81_temperature_mix", "q82_asof_bucketed", "q83_chunk_windows",
+    "q84_ngram_novelty", "q85_tfidf_top_terms", "q86_kmeans_clusters",
+    "q87_cdc_chunks", "q88_bigram_logprob", "q89_dsir_importance",
+    "q90_containment_dedup", "q91_build_postings", "q92_quality_deciles",
+    "q93_budget_allocation", "q94_decay_ess", "q95_label_balance",
+    "q96_pagerank", "q97_triplet_mining", "q98_int8_quant_stats",
+    "q99_conversation_examples", "q100_cluster_histogram",
+    "q101_zscore_outliers", "q102_doc_contamination",
+    "q103_rendezvous_shards", "q104_systematic_sample",
+    "q105_weighted_sample", "q106_feature_hash", "q107_source_overlap",
+    "q108_packing_efficiency", "q109_bpe_merges", "q110_bpe_encode",
+]
 
 
 def _ordered(reg: dict[str, QueryCase]) -> dict[str, QueryCase]:
-    front = [n for n in _ROUND6_FRONT if n in reg]
+    front = [n for n in _ROUND7_FRONT if n in reg]
     rest = [n for n in reg if n not in set(front)]
     return {n: reg[n] for n in [*front, *rest]}
 

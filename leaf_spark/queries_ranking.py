@@ -366,7 +366,9 @@ _Q158_BODY = """
                   as decimal(38,0)) as wv_num
       from b group by event_type
     )
-    select event_type, n, w_num, wv_num,
+    select event_type, n,
+           cast(w_num as string) as w_num,
+           cast(wv_num as string) as wv_num,
            round(cast(w_num as double) / 1099511627776.0, 6) as decayed_n,
            round(cast(wv_num as double) / 1099511627776.0 / 1000000.0, 6)
              as decayed_value_sum
@@ -599,7 +601,8 @@ _EIG_ITER = """
       group by m.i
     ),
     mx as (select max(abs(v)) as mv from v2)
-    select v2.i, v2.v as eig_num, cast(mx.mv as decimal(38,0)) as eig_den,
+    select v2.i, cast(v2.v as string) as eig_num,
+           cast(cast(mx.mv as decimal(38,0)) as string) as eig_den,
            round(cast(v2.v as double) / cast(mx.mv as double), 6)
              as component
     from v2 cross join mx
@@ -686,12 +689,15 @@ _Q162_FINAL = """
       from ed
     )
     select m {IDIV} 2 as n_edges,
-           cast(cast(m as decimal(19,0)) * sxy
-                - cast(sx as decimal(19,0)) * sy as decimal(38,0)) as r_num,
-           cast(cast(m as decimal(19,0)) * sxx
-                - cast(sx as decimal(19,0)) * sx as decimal(38,0)) as r_den_x,
-           cast(cast(m as decimal(19,0)) * syy
-                - cast(sy as decimal(19,0)) * sy as decimal(38,0)) as r_den_y,
+           cast(cast(cast(m as decimal(19,0)) * sxy
+                - cast(sx as decimal(19,0)) * sy as decimal(38,0)) as string)
+             as r_num,
+           cast(cast(cast(m as decimal(19,0)) * sxx
+                - cast(sx as decimal(19,0)) * sx as decimal(38,0)) as string)
+             as r_den_x,
+           cast(cast(cast(m as decimal(19,0)) * syy
+                - cast(sy as decimal(19,0)) * sy as decimal(38,0)) as string)
+             as r_den_y,
            round(cast(cast(m as decimal(19,0)) * sxy
                       - cast(sx as decimal(19,0)) * sy as double)
                  / nullif(sqrt(cast(cast(m as decimal(19,0)) * sxx
@@ -784,7 +790,14 @@ def _q166_sql_final(engine: str) -> str:
     return _Q166_FINAL.replace("{IDIV}", "//")
 
 
-_EPOCHDAY_SPARK = "unix_micros(cast(ts as timestamp)) div 86400000000"
+# exact FLOOR division (DuckDB // floors; Spark div truncates — the
+# correction term keeps pre-1970 partial days on the right calendar day;
+# pure integer arithmetic, no double rounding horizon). ADVICE r6 family.
+_EPOCHDAY_SPARK = (
+    "(unix_micros(cast(ts as timestamp)) div 86400000000"
+    " - (case when unix_micros(cast(ts as timestamp)) % 86400000000 < 0"
+    " then 1 else 0 end))"
+)
 _EPOCHDAY_DUCK = "epoch_us(ts) // 86400000000"
 
 

@@ -565,6 +565,91 @@ class TestRound5Advice:
         # correct length still works
         assert encode_png(2, 2, bytes(4), 1, row_filters=[0, 2])
 
+    def test_size_conf_parses_fractional_values(self, spark):
+        """ADVICE r6 asked the parser to accept fractional byte-sizes like
+        '0.5g'. Empirically Spark ITSELF rejects fractional values for its
+        typed byte confs at set-time (INVALID_CONF_VALUE.TYPE_MISMATCH on
+        spark.sql.files.maxPartitionBytes), so the divergence scenario
+        cannot arise through a live session — the extended parser is kept
+        as defensive robustness and exercised here via an untyped key."""
+        from leaf_spark.operators.dedup import _size_conf_bytes
+
+        key = "leaf.test.bytesize"
+        for raw, want in [
+            ("0.5g", 512 * 1024 * 1024),
+            ("1.5m", 1536 * 1024),
+            ("128MB", 128 * 1024 * 1024),
+            ("4194304b", 4194304),
+            ("7", 7),
+        ]:
+            spark.conf.set(key, raw)
+            assert _size_conf_bytes(spark, key, 1) == want, raw
+        spark.conf.set(key, "not-a-size")
+        assert _size_conf_bytes(spark, key, 42) == 42
+        spark.conf.unset(key)
+        # and Spark really does reject the fractional form for its own conf
+        import pytest as _pytest
+        from pyspark.errors.exceptions.captured import IllegalArgumentException
+
+        with _pytest.raises(IllegalArgumentException):
+            spark.conf.set("spark.sql.files.maxPartitionBytes", "0.5g")
+
+    def test_scan_estimate_none_for_derived_inputs(self, spark, tmp_path):
+        """df.inputFiles() is non-empty for any lineage containing file
+        scans, so the estimate must gate on the optimized plan being
+        narrow-over-scan — a post-aggregate/join DataFrame's partitioning
+        comes from the shuffle, and spread() must leave it alone
+        (ADVICE r6)."""
+        from pyspark.sql import functions as F
+
+        from leaf_spark.operators.dedup import (
+            _estimated_scan_partitions,
+            _is_narrow_over_scan,
+            spread,
+        )
+
+        p = str(tmp_path / "docs.parquet")
+        spark.range(100).withColumnRenamed("id", "doc_id").write.parquet(p)
+        scan = spark.read.parquet(p)
+        assert _is_narrow_over_scan(scan)
+        assert _estimated_scan_partitions(scan) is not None
+        # narrow ops preserve scan partitioning → still estimable
+        narrow = scan.filter("doc_id > 3").select("doc_id")
+        assert _is_narrow_over_scan(narrow)
+        # derived shapes: partitioning comes from the shuffle, not files
+        agg = scan.groupBy((F.col("doc_id") % 5).alias("k")).count()
+        joined = scan.join(scan.withColumnRenamed("doc_id", "d2"),
+                           F.col("doc_id") == F.col("d2"))
+        repart = scan.repartition(3)
+        for df in (agg, joined, repart):
+            assert not _is_narrow_over_scan(df)
+            assert _estimated_scan_partitions(df) is None
+            # spread() is a no-op on them (identical plan object back)
+            assert spread(df) is df
+
+    def test_q199_dow_nonnegative_for_pre1970(self, spark):
+        """Sign-of-dividend %: epoch day -5 (1969-12-27, a Saturday) must
+        land in ISO dow 6, not bucket -1 (ADVICE r6)."""
+        from datetime import datetime, timezone
+
+        from leaf_spark.queries_eval import _Q199_D, _Q199_FINAL, _EPOCHDAY_SPARK
+
+        rows = [
+            # 1969-12-27 (Sat, iso 6) twice; 1970-01-01 (Thu, iso 4) once
+            (1, datetime(1969, 12, 27, 10, 0, tzinfo=timezone.utc)),
+            (2, datetime(1969, 12, 27, 11, 0, tzinfo=timezone.utc)),
+            (3, datetime(1970, 1, 1, 9, 0, tzinfo=timezone.utc)),
+        ]
+        spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp"
+        ).createOrReplaceTempView("events")
+        sql = _Q199_FINAL.replace(
+            "{D}", "(" + _Q199_D.replace("{EPOCHDAY}", _EPOCHDAY_SPARK) + ")"
+        )
+        got = {r["dow"]: r["n_events"] for r in spark.sql(sql).collect()}
+        assert got == {4: 1, 6: 2}
+        spark.catalog.dropTempView("events")
+
     def test_upgrade_drain_has_deadline(self):
         """The websocket-upgrade drain loop must carry a finite deadline so
         a wedged push thread cannot hang the transport forever (source

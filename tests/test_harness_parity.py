@@ -51,15 +51,17 @@ def test_checker_surfaces_hugeint_typing():
     con = duckdb.connect()
     con.execute("create table t as select * from (values (1), (2), (41)) v(x)")
 
-    bare = duck_rows(con, "select sum(x) as s from t")
+    bare, bare_dec = duck_rows(con, "select sum(x) as s from t")
     import decimal
 
     assert isinstance(bare[0]["s"], decimal.Decimal)
+    assert bare_dec == ["s"]  # the checker now also flags the column itself
     spark_like = [{"s": 44}]  # what Spark's BIGINT sum collects to
     assert value_hash(bare) != value_hash(spark_like)
 
-    cast = duck_rows(con, "select cast(sum(x) as bigint) as s from t")
+    cast, cast_dec = duck_rows(con, "select cast(sum(x) as bigint) as s from t")
     assert isinstance(cast[0]["s"], int)
+    assert cast_dec == []
     assert value_hash(cast) == value_hash(spark_like)
 
 
@@ -82,11 +84,68 @@ def test_training_oracles_cast_integer_sums():
             f"create or replace view {t} as select * from '{SF_DIR}/{t}.parquet'"
         )
     for name in ["q67_train_split", "q68_source_mix", "q70_pack_sequences"]:
-        rows = duck_rows(con, oracles[name])
+        rows, dec_cols = duck_rows(con, oracles[name])
         assert rows, name
+        assert dec_cols == [], name
         for r in rows:
             for k, v in r.items():
                 assert not isinstance(v, decimal.Decimal), (name, k, type(v))
+
+
+def test_no_decimal_in_any_oracle_output():
+    """Catalog-wide no-DECIMAL-output contract, oracle side (VERDICT r6
+    "Next round #2"). DECIMAL/HUGEINT-typed OUTPUT columns hash-fail at the
+    driver even when values are bit-identical locally — the 9-for-9 law
+    across six rounds (r3 q67/q68/q70; r5+r6 q147/q150/q158/q161/q162).
+    DuckDB DESCRIBE binds the query without executing it, so this covers
+    every oracle cheaply; r3's reds were oracle-side-only, hence the
+    independent check of this side."""
+    import duckdb
+
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.execute(
+            f"create or replace view {t} as select * from '{SF_DIR}/{t}.parquet'"
+        )
+    offenders = {}
+    for name, sql in e.oracle_sql().items():
+        cols = con.execute("describe " + sql).fetchall()
+        bad = [
+            c[0]
+            for c in cols
+            if "DECIMAL" in c[1].upper() or "HUGEINT" in c[1].upper()
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"DECIMAL/HUGEINT output columns (driver hash-fail guaranteed): "
+        f"{offenders} — cast exact witnesses to string (plain-digit render "
+        f"both engines), keep decimal arithmetic internal"
+    )
+
+
+def test_no_decimal_in_any_spark_output(spark):
+    """Catalog-wide no-DECIMAL-output contract, Spark side. Builds every
+    entry's DataFrame at sf0.001 and walks the schema (nested types
+    included); lazy for pure-SQL entries, executes only the checkpointed
+    builders."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from check import spark_decimal_cols
+
+    import __spark_entry__ as e
+
+    offenders = {}
+    for name, fn in e.queries().items():
+        bad = spark_decimal_cols(fn(spark, SF_DIR))
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"DecimalType output columns (driver hash-fail guaranteed): "
+        f"{offenders} — cast exact witnesses to string, keep decimal "
+        f"arithmetic internal"
+    )
 
 
 @pytest.mark.slow

@@ -56,18 +56,61 @@ def value_hash(rows: list[dict]) -> str:
     return hashlib.sha256("".join(row_digests).encode()).hexdigest()
 
 
+def spark_decimal_cols(df) -> list[str]:
+    """Columns whose (possibly nested) type contains DecimalType.
+
+    DECIMAL-typed OUTPUT columns hash-fail at the driver even when values
+    are bit-identical locally (VERDICT r6 "What's wrong #1" — 9-for-9 over
+    six rounds: r3 q67/q68/q70, r5+r6 q147/q150/q158/q161/q162). Exact
+    witnesses must leave the projection as plain-digit strings; this check
+    makes the local gate predict the driver.
+    """
+    from pyspark.sql import types as T
+
+    def has_dec(dt) -> bool:
+        if isinstance(dt, T.DecimalType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return has_dec(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return has_dec(dt.keyType) or has_dec(dt.valueType)
+        if isinstance(dt, T.StructType):
+            return any(has_dec(f.dataType) for f in dt.fields)
+        return False
+
+    return [f.name for f in df.schema.fields if has_dec(f.dataType)]
+
+
+def arrow_decimal_cols(tbl) -> list[str]:
+    """Arrow columns with decimal128/decimal256 type (DuckDB DECIMAL/HUGEINT)."""
+    import pyarrow as pa
+
+    def has_dec(t) -> bool:
+        if pa.types.is_decimal(t):
+            return True
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            return has_dec(t.value_type)
+        if pa.types.is_struct(t):
+            return any(has_dec(f.type) for f in t)
+        if pa.types.is_map(t):
+            return has_dec(t.key_type) or has_dec(t.item_type)
+        return False
+
+    return [f.name for f in tbl.schema if has_dec(f.type)]
+
+
 def spark_rows(df) -> list[dict]:
     cols = df.columns
     return [dict(zip(cols, row)) for row in df.collect()]
 
 
-def duck_rows(con, sql: str) -> list[dict]:
+def duck_rows(con, sql: str) -> tuple[list[dict], list[str]]:
     # Fetch through Arrow, not fetchall(): the driver's hash materializes the
     # oracle via Arrow, where DuckDB's HUGEINT (bare sum(INTEGER)) arrives as
     # decimal128 → Python Decimal.  fetchall() would coerce it to int and hide
     # the typing divergence that broke q67/q68/q70 in round 3.
     tbl = con.execute(sql).fetch_arrow_table()
-    return tbl.to_pylist()
+    return tbl.to_pylist(), arrow_decimal_cols(tbl)
 
 
 def main() -> int:
@@ -114,10 +157,18 @@ def main() -> int:
         t0 = time.time()
         try:
             df = qs[name](spark, sf_dir)
+            dec_cols = spark_decimal_cols(df)
             srows = spark_rows(df)
         except Exception:
             print(f"FAIL {name}: SPARK ERROR")
             traceback.print_exc(limit=3)
+            n_fail += 1
+            failures.append(name)
+            continue
+        if dec_cols:
+            # hard fail BEFORE any value compare: decimal outputs hash-fail
+            # at the driver even when locally bit-identical (VERDICT r6 #1)
+            print(f"FAIL {name}: DECIMAL OUTPUT (spark) {dec_cols}")
             n_fail += 1
             failures.append(name)
             continue
@@ -127,9 +178,15 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            orows = duck_rows(con, oracles[name])
+            orows, o_dec_cols = duck_rows(con, oracles[name])
         except Exception as ex:
             print(f"FAIL {name}: ORACLE ERROR {ex}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        if o_dec_cols:
+            # oracle-side-only decimals broke q67/q68/q70 in round 3
+            print(f"FAIL {name}: DECIMAL OUTPUT (oracle) {o_dec_cols}")
             n_fail += 1
             failures.append(name)
             continue
