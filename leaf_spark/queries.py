@@ -213,9 +213,47 @@ _ROUND8_FRONT = [
     "q108_packing_efficiency", "q109_bpe_merges", "q110_bpe_encode",
 ]
 
+# Committed round-9 rotation plan (VERDICT r7 "Next round #6" — ledger
+# ahead of time so the rotation is auditable): the final six r04-stales
+# (q111-q116), then the 44 oldest entries whose last official green is
+# r05, in catalog order (relational/function r03->r05 re-confirmations
+# q04-q39, the events trio q31/q35/q36, and the oldest of the
+# q117-q146 stats block). The remaining 50 r05-greens (ledgered in the
+# comment trail above _ordered()) queue for r10, completing a full
+# 4-round sweep of the 200-entry catalog. r9 activates this by
+# swapping the name in _ordered().
+_ROUND9_FRONT = [
+    # final r04-stales
+    "q111_hash_vector_ann", "q112_psi_drift", "q113_label_noise",
+    "q114_column_profile", "q115_mmr_selection", "q116_leakage_free_split",
+    # r05-green relational/function basics (last re-confirmed r05)
+    "q04_left_join", "q05_semi_join", "q06_anti_join", "q07_distinct",
+    "q08_set_ops", "q09_order_limit_offset", "q10_having",
+    "q11_window_topk", "q12_window_running", "q13_cte",
+    "q14_scalar_subquery", "q15_correlated_subquery", "q16_cross_join",
+    "q17_recursive_cte", "q19_agg_of_agg", "q20_conditional",
+    "q21_string_fns", "q22_math", "q23_datetime", "q25_total",
+    "q27_json_object", "q28_json_group_array", "q29_like_glob",
+    "q37_typeof", "q39_json_each",
+    # r05-green events entries
+    "q31_events_range_scan", "q35_events_topk_users", "q36_events_two_pages",
+    # oldest r05-green stats/pipeline entries (catalog order)
+    "q124_png_decode_stats", "q123_pagerank_checkpointed",
+    "q138_doc_graph_triangles", "q131_quota_dedup_rank",
+    "q132_prefix_dedup", "q133_minhash_error", "q135_source_znorm_quality",
+    "q136_stratified_eval_holdout", "q137_vocab_coverage_curve",
+    "q140_source_jsd", "q141_embedding_covariance",
+    "q142_random_projection", "q143_calibration_bins",
+    "q144_ks_statistic", "q145_survivor_selection",
+    "q146_confusion_matrix",
+]
+# r10 then takes the remaining 50 r05/r08-stales (q148-q187 family,
+# q117-q130 diversity/privacy block) — at which point every catalog
+# entry has an official green no older than 4 rounds.
+
 
 def _ordered(reg: dict[str, QueryCase]) -> dict[str, QueryCase]:
-    front = [n for n in _ROUND7_FRONT if n in reg]
+    front = [n for n in _ROUND8_FRONT if n in reg]
     rest = [n for n in reg if n not in set(front)]
     return {n: reg[n] for n in [*front, *rest]}
 
