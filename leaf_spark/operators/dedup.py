@@ -36,17 +36,32 @@ def normalized(text: Column) -> Column:
 def _size_conf_bytes(spark, key: str, default: int) -> int:
     """Parse a Spark byte-size conf value ('128MB', '4194304b', '1g').
 
-    Fractional values ('0.5g', '1.5m') are valid Spark byte-size strings
-    and must not fall back to the default (ADVICE r6) — parse as float,
-    truncate after the unit multiply like the JVM's byteStringAsBytes."""
+    Integer values take an exact integer path (no float round-trip — a
+    conf above 2^53 bytes must not lose precision, ADVICE r7).
+    Fractional values ('0.5g') are a defensive extension BEYOND the
+    JVM's byteStringAsBytes, which rejects them (Spark throws
+    IllegalArgumentException on '0.5g'); accepting them here only
+    matters if such a value arrives from a non-Spark config source."""
     raw = str(spark.conf.get(key, str(default))).strip().lower()
     m = re.fullmatch(r"(\d+(?:\.\d+)?)\s*([kmgt]?)b?", raw)
     if not m:
         return default
-    return int(float(m.group(1)) * 1024 ** " kmgt".index(m.group(2) or " "))
+    mult = 1024 ** " kmgt".index(m.group(2) or " ")
+    if "." in m.group(1):
+        return int(float(m.group(1)) * mult)
+    return int(m.group(1)) * mult
 
 
-_NARROW_NODES = ("Relation", "Project", "Filter", "SubqueryAlias", "View")
+# Closed allowlist, matched EXACTLY (ADVICE r7: a prefix match would
+# misclassify any future node whose name merely starts with 'View'/
+# 'Relation', making spread() repartition a shuffled input — the
+# wrong-direction failure). The head parser below already strips the
+# 'Relation[cols] parquet' rendering's '[' suffix, so exact names
+# suffice for every known rendering.
+_NARROW_NODES = frozenset(
+    {"Relation", "LogicalRelation", "Project", "Filter", "SubqueryAlias",
+     "View"}
+)
 
 
 def _is_narrow_over_scan(df: DataFrame) -> bool:
@@ -56,7 +71,11 @@ def _is_narrow_over_scan(df: DataFrame) -> bool:
     aggregate, window, repartition, union, etc. means the DataFrame's
     partitioning comes from elsewhere and the file-size estimate is
     meaningless for it. Inspects the plan tree only (no job, no RDD
-    conversion); unparseable plans conservatively return False."""
+    conversion); unparseable plans and unknown node names conservatively
+    return False (callers then skip the file-size shortcut — the safe
+    direction). The treeString text format is version-fragile by nature;
+    the conservative default plus the exact-name allowlist bounds the
+    blast radius of a rendering change to 'shortcut not taken'."""
     try:
         tree = df._jdf.queryExecution().optimizedPlan().treeString()
     except Exception:
@@ -65,7 +84,7 @@ def _is_narrow_over_scan(df: DataFrame) -> bool:
         head = line.lstrip(" :+-").split(" ", 1)[0].split("[", 1)[0]
         if not head:
             continue
-        if not any(head == n or head.startswith(n) for n in _NARROW_NODES):
+        if head not in _NARROW_NODES:
             return False
     return True
 

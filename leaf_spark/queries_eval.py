@@ -53,18 +53,25 @@ from .queries import register, sql_case
 from .queries_retrieval import _q165_sql
 from .session import load_tables
 
-# Exact FLOOR division on both engines: DuckDB's // floors, but Spark's
-# div truncates toward zero, so a bare `div` misattributes pre-1970
-# partial days (epoch_us -396e9 is day -5, trunc says -4) — the same
-# sign-of-dividend family as the q199 dow bug (ADVICE r6). The
-# correction term keeps it pure integer arithmetic (a floor(double/…)
-# would misround near the 2^53-µs horizon).
+# Exact FLOOR division on BOTH engines: Spark's `div` AND DuckDB 1.0's
+# `//` both truncate toward zero (verified: -7 // 2 = -3 in DuckDB
+# 1.0.0), so a bare integer divide misattributes pre-1970 partial days
+# (epoch_us -396e9 is day -5, trunc says -4) — the same
+# sign-of-dividend family as the q199 dow bug (ADVICE r6). Both
+# engines' `%` keeps the dividend's sign, so the identical correction
+# term floors on both sides (ADVICE r7 — the r7 fix floored only
+# Spark, silently diverging from the still-truncating oracle). Pure
+# integer arithmetic: a floor(double/…) would misround near the
+# 2^53-µs horizon.
 _EPOCHDAY_SPARK = (
     "(unix_micros(cast(ts as timestamp)) div 86400000000"
     " - (case when unix_micros(cast(ts as timestamp)) % 86400000000 < 0"
     " then 1 else 0 end))"
 )
-_EPOCHDAY_DUCK = "epoch_us(ts) // 86400000000"
+_EPOCHDAY_DUCK = (
+    "(epoch_us(ts) // 86400000000"
+    " - (case when epoch_us(ts) % 86400000000 < 0 then 1 else 0 end))"
+)
 _EPOCHUS_SPARK = "unix_micros(cast(ts as timestamp))"
 _EPOCHUS_DUCK = "epoch_us(ts)"
 

@@ -1278,13 +1278,18 @@ sql_case(
     "q170_k_anonymity",
     _Q170_BODY.replace(
         "{EPOCHDAY}",
-        # exact floor division (Spark div truncates; DuckDB // floors —
+        # exact floor division on BOTH engines (Spark div AND DuckDB //
+        # truncate toward zero; the shared correction term floors each —
         # keeps pre-1970 partial days on the right calendar day)
         "(unix_micros(cast(ts as timestamp)) div 86400000000"
         " - (case when unix_micros(cast(ts as timestamp)) % 86400000000 < 0"
         " then 1 else 0 end))"
     ),
-    _Q170_BODY.replace("{EPOCHDAY}", "epoch_us(ts) // 86400000000"),
+    _Q170_BODY.replace(
+        "{EPOCHDAY}",
+        "(epoch_us(ts) // 86400000000"
+        " - (case when epoch_us(ts) % 86400000000 < 0 then 1 else 0 end))",
+    ),
     doc="k-anonymity / l-diversity audit: equivalence classes over the "
     "(event_type, day, high-value) quasi-identifier tuple, reported as "
     "the exact count-of-counts histogram over class size k with the "

@@ -790,15 +790,20 @@ def _q166_sql_final(engine: str) -> str:
     return _Q166_FINAL.replace("{IDIV}", "//")
 
 
-# exact FLOOR division (DuckDB // floors; Spark div truncates — the
-# correction term keeps pre-1970 partial days on the right calendar day;
-# pure integer arithmetic, no double rounding horizon). ADVICE r6 family.
+# exact FLOOR division on BOTH engines (Spark div AND DuckDB 1.0 //
+# truncate toward zero; % keeps the dividend sign on both, so the same
+# correction term floors each side — keeps pre-1970 partial days on the
+# right calendar day; pure integer arithmetic, no double rounding
+# horizon). ADVICE r6/r7 family.
 _EPOCHDAY_SPARK = (
     "(unix_micros(cast(ts as timestamp)) div 86400000000"
     " - (case when unix_micros(cast(ts as timestamp)) % 86400000000 < 0"
     " then 1 else 0 end))"
 )
-_EPOCHDAY_DUCK = "epoch_us(ts) // 86400000000"
+_EPOCHDAY_DUCK = (
+    "(epoch_us(ts) // 86400000000"
+    " - (case when epoch_us(ts) % 86400000000 < 0 then 1 else 0 end))"
+)
 
 
 def _q166_spark(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -57,8 +57,19 @@ _TOK_DUCK = (
     "'g')), ' '))"
 )
 
-_EPOCHDAY_SPARK = "unix_micros(cast(ts as timestamp)) div 86400000000"
-_EPOCHDAY_DUCK = "epoch_us(ts) // 86400000000"
+# exact FLOOR division on BOTH engines (Spark div AND DuckDB 1.0 //
+# truncate toward zero; % keeps the dividend sign on both, so the same
+# correction term floors each side — pre-1970 partial days land on the
+# right calendar day). ADVICE r6/r7 family.
+_EPOCHDAY_SPARK = (
+    "(unix_micros(cast(ts as timestamp)) div 86400000000"
+    " - (case when unix_micros(cast(ts as timestamp)) % 86400000000 < 0"
+    " then 1 else 0 end))"
+)
+_EPOCHDAY_DUCK = (
+    "(epoch_us(ts) // 86400000000"
+    " - (case when epoch_us(ts) % 86400000000 < 0 then 1 else 0 end))"
+)
 
 
 # ---------------------------------------------------------------------------

@@ -664,3 +664,188 @@ class TestRound5Advice:
         idx = src.index("drain_deadline")
         loop = src[idx : idx + 400]
         assert "time.monotonic() < drain_deadline" in loop
+
+
+class TestRound7Advice:
+    """Round-7 advisor findings (ADVICE.md r7): the epoch-day floor fix
+    floored only the Spark side while every DuckDB oracle still used the
+    TRUNCATING `//` (DuckDB 1.0: -7 // 2 = -3), silently diverging for
+    pre-1970 partial-day timestamps; plus the _size_conf_bytes float
+    round-trip and the _is_narrow_over_scan prefix-match lows."""
+
+    _PRE1970 = [
+        # (event_id, ts) — partial days on BOTH sides of the epoch, one
+        # exact midnight (trunc == floor there), one leap-year day
+        (1, "1969-12-27 10:00:00"),  # Sat, epoch day -5 (trunc says -4)
+        (2, "1969-12-27 11:00:00"),
+        (3, "1969-12-31 23:00:00"),  # Wed, epoch day -1 (trunc says 0!)
+        (4, "1969-12-28 00:00:00"),  # Sun midnight exact: day -4 both ways
+        (5, "1968-02-29 06:30:00"),  # leap day, deep-negative partial
+        (6, "1970-01-01 09:00:00"),  # Thu, epoch day 0
+        (7, "2024-03-05 17:45:00"),  # modern control row
+    ]
+
+    def _events_fixture(self, spark, tmp_path):
+        """Write the straddle-1970 events to parquet once; register the
+        Spark view and return a DuckDB connection reading the SAME bytes
+        (identical storage rules out codec skew in the comparison)."""
+        import duckdb
+
+        p = str(tmp_path / "events.parquet")
+        df = spark.createDataFrame(
+            [(i, t) for i, t in self._PRE1970],
+            "event_id bigint, ts_s string",
+        ).selectExpr("event_id", "cast(ts_s as timestamp) as ts")
+        df.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p).createOrReplaceTempView("events")
+        con = duckdb.connect()
+        con.execute(
+            f"create view events as select * from read_parquet('{p}/*.parquet')"
+        )
+        return con, p
+
+    def test_epochday_floors_identically_on_both_engines(
+        self, spark, tmp_path
+    ):
+        """Every module's (_EPOCHDAY_SPARK, _EPOCHDAY_DUCK) pair must
+        produce the SAME day for every row — and that day must be the
+        floor (1969-12-27 10:00 is day -5; 1969-12-31 23:00 is day -1,
+        where bare truncation says day 0, i.e. the wrong YEAR)."""
+        from leaf_spark import (
+            queries_eval,
+            queries_ranking,
+            queries_stats,
+        )
+
+        con, _ = self._events_fixture(spark, tmp_path)
+        expected = [-5, -5, -1, -4, -672, 0, 19787]
+        for mod in (queries_eval, queries_ranking, queries_stats):
+            s_sql = (
+                f"select {mod._EPOCHDAY_SPARK} as d from events"
+                " order by event_id"
+            )
+            d_sql = (
+                f"select {mod._EPOCHDAY_DUCK} as d from events"
+                " order by event_id"
+            )
+            got_s = [r["d"] for r in spark.sql(s_sql).collect()]
+            got_d = [r[0] for r in con.execute(d_sql).fetchall()]
+            assert got_s == got_d == expected, mod.__name__
+        spark.catalog.dropTempView("events")
+
+    def test_q199_pre1970_cross_engine_rowsets_match(self, spark, tmp_path):
+        """ADVICE r7 medium: the q199 regression test validated only the
+        Spark path. Run the FULL q199 statement on both engines over the
+        pre-1970 fixture and assert the complete row sets match — and
+        that Saturday rows land in ISO dow 6 (the truncating oracle put
+        1969-12-27 in dow 7)."""
+        from leaf_spark.queries_eval import _q199_sql
+
+        con, _ = self._events_fixture(spark, tmp_path)
+        s_rows = [
+            (r["dow"], r["n_days"], r["n_events"], r["idx_num"],
+             r["idx_den"], r["seasonality"])
+            for r in spark.sql(_q199_sql("spark")).collect()
+        ]
+        d_rows = [tuple(r) for r in con.execute(_q199_sql("duckdb")).fetchall()]
+        assert s_rows == d_rows
+        by_dow = {r[0]: r[2] for r in s_rows}
+        # Sat 1969-12-27 ×2 → dow 6 (the truncating oracle said dow 7);
+        # Wed -1 → 3; Sun -4 → 7; Thu (1968-02-29 and epoch day 0) → 4;
+        # Tue 2024-03-05 → 2.
+        assert by_dow == {2: 1, 3: 1, 4: 2, 6: 2, 7: 1}
+        spark.catalog.dropTempView("events")
+
+    def test_q170_pre1970_cross_engine_rowsets_match(self, spark, tmp_path):
+        """q170's inline epoch-day (queries_quality) shares the fix; its
+        class histogram must agree across engines on pre-1970 rows."""
+        from leaf_spark.queries import all_cases
+
+        con, p = self._events_fixture(spark, tmp_path)
+        # q170 also reads user_id/event_type/value — extend the view on
+        # both engines straight from the shared parquet bytes
+        ext = (
+            "select event_id, ts, event_id % 3 as user_id,"
+            " case when event_id % 2 = 0 then 'a' else 'b' end as"
+            " event_type, cast(event_id * 60 as double) as value"
+            " from {src}"
+        )
+        spark.sql(ext.format(src="events")).createOrReplaceTempView("events")
+        con.execute("drop view events")
+        con.execute(
+            "create view events as "
+            + ext.format(src=f"read_parquet('{p}/*.parquet')")
+        )
+        from leaf_spark.queries_eval import _EPOCHDAY_DUCK, _EPOCHDAY_SPARK
+        from leaf_spark.queries_quality import _Q170_BODY
+
+        case = all_cases()["q170_k_anonymity"]
+        # the registered oracle must be the floored form (not a stale
+        # truncating copy) — and both sides must agree on the fixture
+        assert case.oracle == _Q170_BODY.replace("{EPOCHDAY}", _EPOCHDAY_DUCK)
+        s_sql = _Q170_BODY.replace("{EPOCHDAY}", _EPOCHDAY_SPARK)
+        s_rows = sorted(tuple(r) for r in spark.sql(s_sql).collect())
+        d_rows = sorted(tuple(r) for r in con.execute(case.oracle).fetchall())
+        assert s_rows == d_rows
+        spark.catalog.dropTempView("events")
+
+    def test_size_conf_integer_path_is_exact_above_2_53(self, spark):
+        """ADVICE r7 low: routing plain integers through float loses
+        exactness above 2^53 bytes; the integer fast-path must be exact
+        (float round-trip collapses 2^53+1 to 2^53)."""
+        from leaf_spark.operators.dedup import _size_conf_bytes
+
+        key = "leaf.test.bigbytesize"
+        exact = 2**53 + 1
+        for raw, want in [
+            (str(exact), exact),
+            (f"{exact}b", exact),
+            (str(2**60 + 7), 2**60 + 7),
+            # fractional values still take the (inherently lossy) float path
+            ("0.5g", 512 * 1024 * 1024),
+        ]:
+            spark.conf.set(key, raw)
+            assert _size_conf_bytes(spark, key, 1) == want, raw
+        spark.conf.unset(key)
+
+    def test_narrow_scan_rejects_prefix_named_nodes(self):
+        """ADVICE r7 low: 'Viewport'/'RelationV2Sketch' must NOT match the
+        allowlist by prefix — an unknown node conservatively returns
+        False (spread() then skips the file-size shortcut; the wrong
+        direction would repartition a shuffled input)."""
+        from leaf_spark.operators.dedup import _is_narrow_over_scan
+
+        class _FakePlan:
+            def __init__(self, tree):
+                self._t = tree
+
+            def treeString(self):
+                return self._t
+
+        class _FakeQE:
+            def __init__(self, tree):
+                self._p = _FakePlan(tree)
+
+            def optimizedPlan(self):
+                return self._p
+
+        class _FakeJdf:
+            def __init__(self, tree):
+                self._qe = _FakeQE(tree)
+
+            def queryExecution(self):
+                return self._qe
+
+        class _FakeDf:
+            def __init__(self, tree):
+                self._jdf = _FakeJdf(tree)
+
+        ok = "Project [a]\n+- Filter (a > 1)\n   +- Relation [a,b] parquet"
+        assert _is_narrow_over_scan(_FakeDf(ok))
+        for bad in (
+            "Viewport [x]\n+- Relation [a] parquet",
+            "RelationHandle [x]\n+- Relation [a] parquet",
+            "ProjectSet [explode(a)]\n+- Relation [a] parquet",
+            "Aggregate [k] [k, count(1)]\n+- Relation [a] parquet",
+        ):
+            assert not _is_narrow_over_scan(_FakeDf(bad)), bad
