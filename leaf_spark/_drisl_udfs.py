@@ -11,6 +11,44 @@ import pandas as pd
 from .drisl import drisl_exists, drisl_extract, drisl_to_json
 
 
+# Spark is statically typed while the reference (SQLite) is dynamic; these
+# four conversions define the typed projections of a dynamic drisl value.
+# They are shared by the pandas UDFs below AND by localexec.py's driver-side
+# sqlite registrations, so the local fast path and the distributed path are
+# value-identical by construction.
+
+def conv_extract_str(v):
+    if v is None:
+        return None
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, str):
+        return v
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+def conv_extract_int(v):
+    if isinstance(v, bool):
+        return 1 if v else 0
+    if isinstance(v, (int, float)):
+        return int(v)
+    return None
+
+
+def conv_extract_real(v):
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float)):
+        return float(v)
+    return None
+
+
+def conv_extract_blob(v):
+    return v if isinstance(v, bytes) else None
+
+
 def _series_extract(payloads, paths, conv):
     out = []
     for blob, path in zip(payloads, paths):
@@ -31,47 +69,19 @@ def make_udfs():
 
     @pandas_udf("string")
     def extract_str(payloads: pd.Series, paths: pd.Series) -> pd.Series:
-        def conv(v):
-            if v is None:
-                return None
-            if isinstance(v, bytes):
-                return v.hex()
-            if isinstance(v, str):
-                return v
-            if isinstance(v, float):
-                return repr(v)
-            return str(v)
-
-        return _series_extract(payloads, paths, conv)
+        return _series_extract(payloads, paths, conv_extract_str)
 
     @pandas_udf("long")
     def extract_int(payloads: pd.Series, paths: pd.Series) -> pd.Series:
-        def conv(v):
-            if isinstance(v, bool):
-                return 1 if v else 0
-            if isinstance(v, (int, float)):
-                return int(v)
-            return None
-
-        return _series_extract(payloads, paths, conv)
+        return _series_extract(payloads, paths, conv_extract_int)
 
     @pandas_udf("double")
     def extract_real(payloads: pd.Series, paths: pd.Series) -> pd.Series:
-        def conv(v):
-            if isinstance(v, bool):
-                return None
-            if isinstance(v, (int, float)):
-                return float(v)
-            return None
-
-        return _series_extract(payloads, paths, conv)
+        return _series_extract(payloads, paths, conv_extract_real)
 
     @pandas_udf("binary")
     def extract_blob(payloads: pd.Series, paths: pd.Series) -> pd.Series:
-        def conv(v):
-            return v if isinstance(v, bytes) else None
-
-        return _series_extract(payloads, paths, conv)
+        return _series_extract(payloads, paths, conv_extract_blob)
 
     @pandas_udf("int")
     def exists_udf(payloads: pd.Series, paths: pd.Series) -> pd.Series:

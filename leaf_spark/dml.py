@@ -124,6 +124,30 @@ class TableStore:
     def view_name(self, table: str) -> str:
         return f"{self.view_prefix}{table}"
 
+    def _empty_df(self, schema: T.StructType) -> DataFrame:
+        """Empty DataFrame with a pure-JVM plan. ``createDataFrame([],
+        schema)`` parallelizes an empty PYTHON RDD, so every downstream
+        action on a never-mutated table (e.g. the authorizer's bans
+        EXISTS each commit) re-pays a Python-worker round trip (~100 ms)
+        to scan nothing. Project-over-range(0) stays in whole-stage
+        codegen; one slice so an evaluation is one empty task."""
+        try:
+            proj = [
+                f"cast(null as {f.dataType.simpleString()}) as `{f.name}`"
+                for f in schema.fields
+            ]
+            df = self.spark.range(0, 0, 1, 1).selectExpr(*proj)
+            # nullability intentionally not compared: cast(null as t) is
+            # nullable while declared schemas may carry NOT NULL — the
+            # constraint is enforced by the insert path from TableDef,
+            # never from the DataFrame schema
+            assert [(f.name, f.dataType) for f in df.schema.fields] == [
+                (f.name, f.dataType) for f in schema.fields
+            ]
+            return df
+        except Exception:
+            return self.spark.createDataFrame([], schema)
+
     def register(self, name: str, df: DataFrame) -> None:
         self.tables[name] = df
         df.createOrReplaceTempView(self.view_name(name))
@@ -134,7 +158,7 @@ class TableStore:
                 return
             raise ValueError(f"table {tdef.name} already exists")
         self.defs[tdef.name] = tdef
-        self.register(tdef.name, self.spark.createDataFrame([], tdef.schema))
+        self.register(tdef.name, self._empty_df(tdef.schema))
 
     def drop(self, name: str, if_exists: bool) -> None:
         if name not in self.defs:

@@ -1,0 +1,339 @@
+"""Driver-side SQLite evaluation of event-only module statements.
+
+The single-event commit floor was ~4 Spark actions x ~250 ms of intrinsic
+Python-runner job latency (SCALE.md §3): the authorizer's drisl UDF
+branch, the fold insert's constraint scan, and the checkpoint each re-ran
+a Python-worker round trip over a one-row batch. But the staged event
+batch is DRIVER-LOCAL data (it arrives as Python objects through the
+API), and the reference executes these statements in-process in SQLite
+(leaf-stream/src/lib.rs:636-644) — so for statements that touch ONLY the
+staged ``event`` table, evaluating them in the stdlib ``sqlite3`` on the
+driver is both the scale-correct move (no cluster round trip for one
+row) and the parity-correct one (the dialect IS SQLite; our Spark
+translation layer is the approximation, differential-tested against this
+very engine in tests/test_sqlite_differential.py).
+
+Safety model: a statement takes the local path only when
+  * every table it references is the staged ``event`` view (any known
+    store table, ``state.``/``main.`` qualifier, or the raw ``events``
+    log forces the Spark path), and
+  * every function it calls is on the curated allowlist below — names
+    where native-SQLite semantics and our Spark translation are the
+    same tested surface — and is actually available in the linked
+    SQLite (checked against ``pragma_function_list`` once), and
+  * any sqlite error during evaluation (unknown column, syntax we
+    mis-gated) falls back to the Spark path — the local path never
+    WRITES, so falling back mid-way is always safe.
+
+The drisl_* registrations share the exact conversion functions of the
+pandas UDFs (_drisl_udfs.conv_extract_*), so both paths are
+value-identical by construction. throw()/unauthorized() raise
+:class:`LocalAbort` eagerly — strictly earlier than the Spark path's
+raise_error-at-collect, same commit outcome (reference lib.rs:592-595:
+any authorizer abort rejects the whole batch).
+"""
+
+from __future__ import annotations
+
+import sqlite3
+
+from . import drisl
+from ._drisl_udfs import (
+    conv_extract_blob,
+    conv_extract_int,
+    conv_extract_real,
+    conv_extract_str,
+)
+from .sqlcompat import _is_word, tokenize
+
+
+class LocalAbort(Exception):
+    """throw()/unauthorized() fired during local evaluation."""
+
+    def __init__(self, detail: str):
+        super().__init__(detail)
+        self.detail = detail
+
+
+class LocalEvalError(Exception):
+    """Local evaluation could not complete — caller falls back to Spark."""
+
+
+# Function names where the native-SQLite behavior is exactly the surface
+# our Spark translation mimics (the differential suite's territory).
+# Deliberately ABSENT: group_concat / json_group_array (our Spark side
+# adds a determinism sort the reference lacks — keep one code path for
+# those), random/randomblob (nondeterministic), changes/last_insert_rowid
+# /total_changes (substituted driver-side before execution; if one
+# survives to here it must NOT silently read the wrong connection),
+# json_each/json_tree (table-valued — caught by the table gate anyway).
+_FN_CANDIDATES = frozenset({
+    "abs", "round", "length", "lower", "upper", "substr", "substring",
+    "trim", "ltrim", "rtrim", "replace", "instr", "hex", "quote",
+    "coalesce", "ifnull", "nullif", "iif", "typeof", "sign", "min",
+    "max", "char", "unicode", "printf", "format", "glob", "like",
+    "date", "time", "datetime", "strftime", "unixepoch", "julianday",
+    "count", "sum", "avg", "total",
+    "json", "json_extract", "json_object", "json_array", "json_set",
+    "json_insert", "json_replace", "json_remove", "json_patch",
+    "json_type", "json_valid", "json_quote", "json_array_length",
+    "sqrt", "pow", "power", "floor", "ceil", "ceiling", "mod", "exp",
+    "ln", "log", "log2", "log10", "sin", "cos", "tan", "asin", "acos",
+    "atan", "atan2", "degrees", "radians", "trunc", "pi",
+})
+
+_DRISL_FNS = frozenset({
+    "drisl_extract", "drisl_extract_int", "drisl_extract_real",
+    "drisl_extract_blob", "drisl_exists", "drisl_to_json",
+})
+
+_ABORT_FNS = frozenset({"throw", "unauthorized"})
+
+# SQL keywords that can directly precede '(' without being a function call
+_KEYWORDS = frozenset({
+    "exists", "in", "not", "and", "or", "case", "when", "then", "else",
+    "end", "select", "from", "where", "group", "having", "order", "by",
+    "limit", "offset", "distinct", "as", "on", "join", "left", "right",
+    "inner", "outer", "cross", "natural", "union", "all", "except",
+    "intersect", "values", "between", "is", "null", "escape", "collate",
+    "asc", "desc", "cast", "over", "partition", "filter", "range",
+    "rows", "current", "preceding", "following", "unbounded",
+})
+
+
+def _available_fns() -> frozenset[str]:
+    """Candidates actually present in the linked SQLite (math functions
+    are a compile-time option; pragma_function_list is authoritative)."""
+    con = sqlite3.connect(":memory:")
+    try:
+        have = {
+            r[0].lower()
+            for r in con.execute("select name from pragma_function_list")
+        }
+    except sqlite3.Error:
+        # very old sqlite: fall back to the always-present core
+        have = {
+            "abs", "round", "length", "lower", "upper", "substr", "trim",
+            "ltrim", "rtrim", "replace", "instr", "hex", "quote",
+            "coalesce", "ifnull", "nullif", "typeof", "min", "max",
+            "count", "sum", "avg", "total", "date", "time", "datetime",
+            "strftime", "like", "glob",
+        }
+    finally:
+        con.close()
+    return frozenset(_FN_CANDIDATES & have)
+
+
+_AVAILABLE_FNS = _available_fns()
+
+
+def eligible(
+    stmt: str,
+    known_tables: set[str],
+    allow_abort: bool,
+    toks: list[str] | None = None,
+) -> bool:
+    """True when ``stmt`` (a SELECT) provably touches only the staged
+    ``event`` table and allowlisted functions. Conservative: anything
+    unrecognized (a managed-table name, a ``state.`` qualifier, the raw
+    ``events`` log, an un-allowlisted function, RETURNING) says False
+    and the caller uses the Spark path."""
+    toks = tokenize(stmt) if toks is None else toks
+    lows = [t.lower() if _is_word(t) else t for t in toks]
+    if not lows or lows[0] != "select":
+        return False
+    fn_ok = _AVAILABLE_FNS | _DRISL_FNS
+    if allow_abort:
+        fn_ok = fn_ok | _ABORT_FNS
+    n = len(lows)
+    for i, low in enumerate(lows):
+        t = toks[i]
+        if not _is_word(t):
+            continue
+        nxt = toks[i + 1] if i + 1 < n else ""
+        if low in known_tables or low == "events":
+            return False
+        if low in ("state", "main") and nxt == ".":
+            return False
+        if low == "returning":
+            return False
+        if nxt == "(":
+            if low in _KEYWORDS:
+                continue
+            if low not in fn_ok:
+                return False
+        if low in ("from", "join"):
+            # FROM/JOIN target must be the event view or a subquery;
+            # (comma-joined extra tables are caught by the known-table /
+            # sqlite-error gates)
+            if nxt and nxt != "(" and nxt.lower() != "event":
+                return False
+    return True
+
+
+def _spark_str(v) -> str | None:
+    """Mirror Spark's cast(x AS STRING) for abort-message args."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return str(v)
+
+
+class LocalEval:
+    """One in-memory SQLite connection with the module-fn surface
+    registered. NOT thread-safe — owned by a Stream, used under its
+    lock (the same discipline as the store snapshot)."""
+
+    def __init__(self):
+        self._pending_abort: LocalAbort | None = None
+        # check_same_thread=False: the owning Stream serializes access
+        # under its RLock, but server threads rotate — the sqlite default
+        # would refuse the (safe) cross-thread reuse
+        con = sqlite3.connect(":memory:", check_same_thread=False)
+
+        def _wrap2(fn):
+            def g(payload, path):
+                try:
+                    return fn(payload, path)
+                except Exception:
+                    return None
+            return g
+
+        def _extract(conv):
+            def g(payload, path):
+                if payload is None or path is None:
+                    return None
+                try:
+                    v = drisl.drisl_extract(bytes(payload), path)
+                except Exception:
+                    return None
+                return conv(v)
+            return g
+
+        con.create_function("drisl_extract", 2, _extract(conv_extract_str),
+                            deterministic=True)
+        con.create_function("drisl_extract_int", 2,
+                            _extract(conv_extract_int), deterministic=True)
+        con.create_function("drisl_extract_real", 2,
+                            _extract(conv_extract_real), deterministic=True)
+        con.create_function("drisl_extract_blob", 2,
+                            _extract(conv_extract_blob), deterministic=True)
+
+        def _exists(payload, path):
+            if payload is None or path is None:
+                return 0
+            try:
+                return drisl.drisl_exists(bytes(payload), path)
+            except Exception:
+                return 0
+
+        con.create_function("drisl_exists", 2, _exists, deterministic=True)
+        con.create_function(
+            "drisl_to_json", 1,
+            _wrap2(lambda p, _=None: drisl.drisl_to_json(bytes(p))
+                   if p is not None else None),
+            deterministic=True,
+        )
+
+        def _abort(prefix):
+            def g(*args):
+                parts = [s for s in (_spark_str(a) for a in args)
+                         if s is not None]
+                msg = " ".join(([prefix] if prefix else []) + parts)
+                ab = LocalAbort(msg)
+                self._pending_abort = ab
+                raise ab
+            return g
+
+        # sqlite has no varargs-with-registration-per-arity shortcut in
+        # the stdlib wrapper besides narg=-1
+        con.create_function("throw", -1, _abort(""))
+        con.create_function("unauthorized", -1, _abort("Unauthorized:"))
+        self._con = con
+
+    def close(self) -> None:
+        self._con.close()
+
+    # -- execution ---------------------------------------------------------
+
+    def _stage_event(self, columns: list[str], rows: list[tuple]) -> None:
+        con = self._con
+        con.execute("drop table if exists event")
+        decl = {"idx": "integer", "user": "text", "payload": "blob"}
+        cols = ", ".join(
+            f'"{c}" {decl.get(c, "")}'.strip() for c in columns
+        )
+        con.execute(f"create table event ({cols})")
+        if rows:
+            ph = ", ".join("?" for _ in columns)
+            con.executemany(f"insert into event values ({ph})", rows)
+
+    def _execute(self, sql: str):
+        """Run one statement; LocalAbort propagates as itself (the stdlib
+        wrapper surfaces callback exceptions as OperationalError, so the
+        pending-abort cell restores the typed one)."""
+        self._pending_abort = None
+        try:
+            cur = self._con.execute(sql)
+            rows = cur.fetchall()
+            return cur.description, rows
+        except LocalAbort:
+            raise
+        except sqlite3.Error as e:
+            if self._pending_abort is not None:
+                raise self._pending_abort from None
+            raise LocalEvalError(str(e)) from e
+
+    def authorize(self, stmts: list[str], rows: list[tuple]) -> None:
+        """Per-event authorizer evaluation: each statement sees a
+        single-row (user, payload) event table — the reference's exact
+        authorize-context shape (basic.rs:134-158). Raises LocalAbort on
+        the first throw()/unauthorized(); LocalEvalError → caller falls
+        back to Spark (nothing was written)."""
+        for row in rows:
+            self._stage_event(["user", "payload"], [row])
+            for stmt in stmts:
+                self._execute(stmt)
+
+    def run_select(
+        self, sql: str, rows: list[tuple]
+    ) -> tuple[list[str], list[tuple]]:
+        """Evaluate a fold-source SELECT over the whole staged batch
+        (idx, user, payload — the materializer event view, basic.rs:60-74).
+        Returns (column names, result rows)."""
+        self._stage_event(["idx", "user", "payload"], rows)
+        desc, out = self._execute(sql)
+        names = [d[0] for d in desc] if desc else []
+        return names, out
+
+
+def infer_spark_schema(names: list[str], rows: list[tuple]):
+    """Best-effort Spark schema for dynamically-typed sqlite output.
+    Returns None (caller falls back to Spark evaluation) when a column
+    mixes incompatible Python types. All-NULL columns become STRING —
+    the insert path casts every column to its declared type, and a
+    string NULL casts to anything."""
+    from pyspark.sql import types as T
+
+    py_types: list[set] = [set() for _ in names]
+    for r in rows:
+        for i, v in enumerate(r):
+            if v is not None:
+                py_types[i].add(type(v))
+    fields = []
+    for name, ts in zip(names, py_types):
+        if not ts or ts == {str}:
+            dt = T.StringType()
+        elif ts == {int}:
+            dt = T.LongType()
+        elif ts <= {float, int}:
+            dt = T.DoubleType()
+        elif ts == {bytes}:
+            dt = T.BinaryType()
+        else:
+            return None
+        fields.append(T.StructField(name, dt, True))
+    return T.StructType(fields)

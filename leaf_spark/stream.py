@@ -53,7 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from . import drisl
+from . import drisl, localexec
 from .dml import DmlExecutor, TableStore
 from .module import BasicModuleDef, split_statements, strip_comments
 from .sqlcompat import Authorizer, classify, tokenize, _is_word
@@ -202,6 +202,9 @@ class Stream:
         prefix = "leaf_" + hashlib.sha256(stream_did.encode()).hexdigest()[:10] + "_"
         self.store = TableStore(spark, prefix)
         self._update_listeners: list[Callable[[int], None]] = []
+        # driver-side sqlite evaluator for event-only statements (lazy;
+        # see localexec.py — removes the per-commit Python-runner jobs)
+        self._local_eval_inst: localexec.LocalEval | None = None
         os.makedirs(self.events_dir, exist_ok=True)
         self._recover_compaction()
         self.state = self._load_state()
@@ -798,13 +801,96 @@ class Stream:
                 )
         return stmt
 
-    def _fold_df(self, events: DataFrame, fold_sql: str, policy: str) -> None:
+    def _localize_insert(
+        self, stmt: str, local_rows: list[tuple] | None
+    ) -> str | None:
+        """When ``stmt`` is INSERT … SELECT whose source reads only the
+        staged ``event`` rows (which are driver-local Python objects),
+        evaluate the SELECT in sqlite on the driver (localexec.py) and
+        rewrite the statement to read the result as a JVM-local literal
+        view. The surrounding insert machinery (defaults, auto-PK,
+        NOT NULL, ON CONFLICT, triggers) is untouched — but now operates
+        on a LocalTableScan, so its constraint scan and the pre-commit
+        checkpoint are pure-JVM jobs instead of Python-runner round
+        trips (~200 ms each on a one-row batch). Returns the rewritten
+        statement, or None to use the normal Spark path. Never writes —
+        any local-eval failure falls back safely."""
+        if local_rows is None:
+            return None
+        toks = tokenize(stmt)
+        lows = [t.lower() if _is_word(t) else t for t in toks]
+        if not lows or lows[0] not in ("insert", "replace"):
+            return None
+        if "returning" in lows:
+            return None
+        depth = 0
+        isel = icut = -1
+        for i, t in enumerate(toks):
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and isel < 0 and lows[i] == "select":
+                isel = i
+            elif (
+                depth == 0
+                and isel >= 0
+                and lows[i] == "on"
+                and i + 1 < len(lows)
+                and lows[i + 1] == "conflict"
+            ):
+                icut = i
+                break
+        if isel < 0:
+            return None
+        src = " ".join(toks[isel : icut if icut >= 0 else len(toks)])
+        if not localexec.eligible(
+            src, self._known_tables(), allow_abort=False
+        ):
+            return None
+        try:
+            names, rows = self._local_eval.run_select(src, local_rows)
+        except (localexec.LocalEvalError, localexec.LocalAbort):
+            return None
+        # positional rename (sqlite expression names may collide or fail
+        # to parse); keep the __ord__ marker the upsert path looks for
+        cols = [
+            "__ord__" if n == "__ord__" else f"_c{i}"
+            for i, n in enumerate(names)
+        ]
+        schema = localexec.infer_spark_schema(cols, rows)
+        if schema is None or not names:
+            return None
+        view = self.store.view_prefix + "localsrc"
+        self._event_local_df(rows, schema).createOrReplaceTempView(view)
+        return (
+            " ".join(toks[:isel])
+            + " select "
+            + ", ".join(cols)
+            + " from "
+            + view
+            + ((" " + " ".join(toks[icut:])) if icut >= 0 else "")
+        )
+
+    def _fold_df(
+        self,
+        events: DataFrame,
+        fold_sql: str,
+        policy: str,
+        local_rows: list[tuple] | None = None,
+    ) -> None:
         """Fold an idx-ordered event DataFrame through materializer SQL.
 
         The staged ``event`` view exposes exactly the reference's
         materializer columns (idx, user, payload — basic.rs:60-74);
         signature is log-only, and a module doing ``SELECT * FROM event``
-        must see the same arity as it would on the reference."""
+        must see the same arity as it would on the reference.
+
+        ``local_rows`` — the staged (idx, user, payload) tuples when they
+        are driver-local (interactive commits); enables the sqlite
+        fold-source fast path. Replay/catch-up folds read the parquet log
+        distributed and pass None — at that scale the set-wise Spark path
+        is the right one."""
         if not fold_sql.strip():
             return
         is_state = policy == "state_materialize"
@@ -832,6 +918,7 @@ class Stream:
                     or re.search(r"\binsert\s+or\s+(replace|ignore)\b", low) is not None
                 )
                 s = self._inject_ord(stmt) if has_conflict else stmt
+                s = self._localize_insert(s, local_rows) or s
                 ex.execute(s, is_state=is_state)
             return
         # per-event sequential fold (reference lib.rs:543-569)
@@ -887,13 +974,28 @@ class Stream:
                 return None  # residual event reference we can't prove safe
         return s2 + " from event as __ev__"
 
+    @property
+    def _local_eval(self) -> localexec.LocalEval:
+        if self._local_eval_inst is None:
+            self._local_eval_inst = localexec.LocalEval()
+        return self._local_eval_inst
+
+    def _known_tables(self) -> set[str]:
+        return {n.lower() for n in self.store.defs} | {
+            n.lower() for n in self.store.views
+        }
+
     def _authorize(self, staged: list[Event], staged_df: DataFrame) -> None:
         """Run the authorizer for every staged event.
 
-        Per-event semantics (each statement sees a single-row ``event``
-        table) are preserved by building one lazy result branch per
-        (event, statement) — a filter of the SAME staged DataFrame, so no
-        per-event driver→JVM data transfer — and forcing evaluation in
+        Statements that touch only the staged ``event`` table evaluate
+        driver-side in sqlite (localexec.py) — per-event, the reference's
+        exact in-process shape (lib.rs:636-644), at microseconds instead
+        of a Spark job. For the rest (managed-table reads like the bans
+        EXISTS), per-event semantics (each statement sees a single-row
+        ``event`` table) are preserved by building one lazy result branch
+        per (event, statement) — a filter of the SAME staged DataFrame, so
+        no per-event driver→JVM data transfer — and forcing evaluation in
         chunked unions: ~N/32 Spark jobs per batch instead of multiple jobs
         per event. Any ``throw``/``unauthorized`` fires during evaluation
         and rejects the whole batch (reference lib.rs:592-595)."""
@@ -902,6 +1004,25 @@ class Stream:
         stmts = split_statements(strip_comments(self.module.authorizer))
         for stmt in stmts:
             self.sql_authorizer.check(stmt, "authorize")
+        known = self._known_tables()
+        local = [
+            s for s in stmts if localexec.eligible(s, known, allow_abort=True)
+        ]
+        if local:
+            try:
+                self._local_eval.authorize(
+                    local, [(e.user, e.payload) for e in staged]
+                )
+                local_set = set(local)
+                stmts = [s for s in stmts if s not in local_set]
+            except localexec.LocalAbort as ab:
+                raise BatchRejected(
+                    f"batch rejected: {ab.detail}"
+                ) from None
+            except localexec.LocalEvalError:
+                pass  # mis-gated: evaluate everything through Spark
+        if not stmts:
+            return
         if not staged_df.isLocal():
             # lineage-truncate non-local staging so the N lazy branches
             # don't re-run an upstream scan each; Arrow-local staging
@@ -996,7 +1117,12 @@ class Stream:
                     [(e.idx, e.user, e.payload, e.signature) for e in staged]
                 )
                 self._authorize(staged, staged_df)
-                self._fold_df(staged_df, self.module.materializer, "materialize")
+                self._fold_df(
+                    staged_df,
+                    self.module.materializer,
+                    "materialize",
+                    local_rows=[(e.idx, e.user, e.payload) for e in staged],
+                )
                 self.store.checkpoint_all()  # force evaluation pre-commit
             except Exception:
                 # rollback: restore pre-batch table/view versions (nothing was
@@ -1035,7 +1161,13 @@ class Stream:
             snap = self.store.snapshot()
             try:
                 self._fold_df(
-                    staged_df, self.module.state_materializer, "state_materialize"
+                    staged_df,
+                    self.module.state_materializer,
+                    "state_materialize",
+                    local_rows=[
+                        (i + 1, e.user, e.payload)
+                        for i, e in enumerate(events)
+                    ],
                 )
                 self.store.checkpoint_all()
             except Exception:
