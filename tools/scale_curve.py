@@ -34,6 +34,16 @@ HEAVIES = [
     "q193_interevent_burstiness",
     "q194_heaps_law",
     "q195_mann_kendall",
+    # round-8 additions (VERDICT r7 "Next round #3"): the lag-window and
+    # day-pair-solve shapes the curve never covered — q159 per-user gap
+    # quantiles, q166 Theil-Sen over day pairs, q167 daily-volume ACF,
+    # q169 mean-shift changepoint, q178 (user,type)-window permutation
+    # entropy (the q178/q193 family representative)
+    "q159_gap_quantiles",
+    "q166_theil_sen_trend",
+    "q167_volume_acf",
+    "q169_mean_shift_changepoint",
+    "q178_permutation_entropy",
 ]
 SF01 = "/root/testdata/sf0.1"
 SF10 = "/root/repo/.scale/sf1.0"
