@@ -292,7 +292,19 @@ class DmlExecutor:
 
     def _sql(self, sql: str, args: dict | None) -> DataFrame:
         self._materialize_views()
-        return self.store.spark.sql(self._map_names(sql), args=args or {})
+        mapped = self._map_names(sql)
+        try:
+            return self.store.spark.sql(mapped, args=args or {})
+        except Exception as e:
+            # SQLite filters accept numeric truthiness (WHERE
+            # drisl_exists(p, '.k')); Spark demands BOOLEAN. Retry once
+            # with every WHERE/HAVING coerced — retry-only so boolean
+            # filters keep their pushdown-able conjunct form
+            if "FILTER_NOT_BOOLEAN" not in str(e):
+                raise
+            return self.store.spark.sql(
+                sqlcompat.coerce_filter_truthiness(mapped), args=args or {}
+            )
 
     def _materialize_views(self) -> None:
         for name, vsql in self.store.views.items():

@@ -1114,6 +1114,63 @@ def _lit_encode(content: str) -> str:
     return "'" + content.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
+# Keywords that terminate a depth-0 WHERE/HAVING clause (ON covers the
+# upsert's trailing ON CONFLICT after an INSERT…SELECT…WHERE)
+_FILTER_CLAUSE_ENDS = frozenset({
+    "group", "order", "limit", "offset", "window", "union", "except",
+    "intersect", "returning", "having", "on",
+})
+
+
+def _coerce_filter_tokens(toks: list[str], lows: list[str]) -> list[str]:
+    out: list[str] = []
+    i, n = 0, len(toks)
+    while i < n:
+        t, low = toks[i], lows[i]
+        out.append(t)
+        if _is_word(t) and low in ("where", "having"):
+            d = 0
+            j = i + 1
+            while j < n:
+                tj = toks[j]
+                if tj == "(":
+                    d += 1
+                elif tj == ")":
+                    if d == 0:
+                        break
+                    d -= 1
+                elif (
+                    d == 0
+                    and _is_word(tj)
+                    and lows[j] in _FILTER_CLAUSE_ENDS
+                ):
+                    break
+                j += 1
+            inner = _coerce_filter_tokens(toks[i + 1 : j], lows[i + 1 : j])
+            out.append("coalesce(cast((")
+            out.extend(inner)
+            out.append(") as boolean), false)")
+            i = j
+            continue
+        i += 1
+    return out
+
+
+def coerce_filter_truthiness(sql: str) -> str:
+    """Wrap every WHERE/HAVING clause (all nesting depths) in
+    ``coalesce(cast((…) as boolean), false)`` — SQLite filters accept
+    numeric truthiness (``WHERE drisl_exists(p, '.k')``, ``WHERE 1``)
+    while Spark demands BOOLEAN. Boolean clauses pass through the wrap
+    unchanged (cast boolean→boolean), so this is semantics-preserving,
+    but it can hide pushdown-able conjuncts from Catalyst — callers
+    apply it only as a RETRY after a FILTER_NOT_BOOLEAN analysis error
+    (DmlExecutor._sql), keeping the common path's plans clean. Same
+    truthiness rule the iif() translation already applies."""
+    toks = tokenize(sql)
+    lows = [t.lower() if _is_word(t) else t for t in toks]
+    return " ".join(_coerce_filter_tokens(toks, lows))
+
+
 def translate(sql: str) -> str:
     """Translate one SQLite-dialect statement/expression to Spark SQL.
 

@@ -285,3 +285,95 @@ class TestInferSchema:
 
     def test_mixed_incompatible_returns_none(self):
         assert localexec.infer_spark_schema(["a"], [(1,), ("x",)]) is None
+
+
+class TestFuzzParity:
+    """Hypothesis sweep: for random event payloads, every statement in a
+    pool of eligible fold-source shapes must produce identical values on
+    the local sqlite path and the translate()+Spark path. One Spark call
+    per example (rows batched), so the sweep stays fast."""
+
+    STATEMENTS = [
+        "select idx, user, drisl_extract(payload, '.k') as v from event",
+        "select drisl_extract_int(payload, '.n') as n,"
+        " drisl_extract_real(payload, '.f') as f from event",
+        "select coalesce(drisl_extract_int(payload, '.n'), -1) as n,"
+        " length(user) as lu from event",
+        "select count(*) as c, sum(drisl_extract_int(payload, '.n')) as s"
+        " from event",
+        "select upper(drisl_extract(payload, '.k')) as u from event"
+        " where drisl_exists(payload, '.k')",
+        "select iif(drisl_extract_int(payload, '.n') > 0, 'pos', 'neg')"
+        " as sgn, idx % 3 as m from event",
+        "select user || ':' || coalesce(drisl_extract(payload, '.k'), '-')"
+        " as tag from event order by idx",
+    ]
+
+    def _spark_rows(self, spark, sel, rows):
+        """The production Spark path: DmlExecutor.execute (translate +
+        the FILTER_NOT_BOOLEAN truthiness retry), exactly what a
+        non-localized fold/authorize statement runs through."""
+        import pandas as pd
+        import pyspark.sql.types as T
+
+        from leaf_spark.dml import DmlExecutor, TableStore
+
+        schema = T.StructType([
+            T.StructField("idx", T.LongType()),
+            T.StructField("user", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ])
+        pdf = pd.DataFrame(rows, columns=["idx", "user", "payload"])
+        spark.createDataFrame(pdf, schema).createOrReplaceTempView("event")
+        try:
+            ex = DmlExecutor(TableStore(spark, "t_lxfuzz_"))
+            return [tuple(r) for r in ex.execute(sel).collect()]
+        finally:
+            spark.catalog.dropTempView("event")
+
+    def test_fuzz_local_matches_spark(self, spark):
+        from decimal import Decimal
+
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        drisl.register_udfs(spark)
+        le = LocalEval()
+        payload = st.fixed_dictionaries(
+            {},
+            optional={
+                "k": st.text(
+                    st.characters(codec="utf-8",
+                                  blacklist_categories=("Cs",)),
+                    max_size=12,
+                ),
+                "n": st.integers(-2**40, 2**40),
+                "f": st.floats(allow_nan=False, allow_infinity=False,
+                               width=32),
+            },
+        )
+
+        def norm(v):
+            if isinstance(v, Decimal):
+                return float(v)
+            return v
+
+        @settings(
+            max_examples=8, deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(st.lists(payload, min_size=1, max_size=5))
+        def run(payloads):
+            rows = [
+                (i + 1, f"u{i % 2}", drisl.encode(p))
+                for i, p in enumerate(payloads)
+            ]
+            for sel in self.STATEMENTS:
+                _, local = le.run_select(sel, rows)
+                got = self._spark_rows(spark, sel, rows)
+                assert [
+                    tuple(norm(v) for v in r) for r in local
+                ] == [tuple(norm(v) for v in r) for r in got], sel
+
+        run()
+        le.close()

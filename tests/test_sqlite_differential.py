@@ -307,6 +307,18 @@ CASES = [
     "select s as v from t order by s collate binary, id",
     "select s collate nocase as v from t order by id",
     "select s as v from t where id < 3 and s collate nocase = 'alpha' order by id",
+    # numeric truthiness in filters (SQLite: nonzero → true; Spark path
+    # FILTER_NOT_BOOLEAN retry in DmlExecutor._sql — found by the
+    # localexec parity fuzz, round 8)
+    "select id as v from t where 1 order by id",
+    "select id as v from t where 0",
+    "select id as v from t where n order by id",
+    "select id as v from t where f order by id",
+    "select id as v from t where n + 1 order by id",
+    "select id as v from t where length(coalesce(s, '')) order by id",
+    "select id as v from t where id < 4 group by id having count(*) order by id",
+    "select id as v from t where (select n from t where id = 1) order by id",
+    "select id as v from t where iif(n, 1, 0) order by id",
 ]
 
 
