@@ -861,7 +861,13 @@ class Stream:
         schema = localexec.infer_spark_schema(cols, rows)
         if schema is None or not names:
             return None
-        view = self.store.view_prefix + "localsrc"
+        # a module table named __localsrc__ would own this view name —
+        # registering over it would leak staged rows into its queries
+        if "__localsrc__" in self.store.defs or (
+            "__localsrc__" in self.store.views
+        ):
+            return None
+        view = self.store.view_prefix + "__localsrc__"
         self._event_local_df(rows, schema).createOrReplaceTempView(view)
         return (
             " ".join(toks[:isel])
