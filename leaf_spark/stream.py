@@ -781,6 +781,66 @@ class Stream:
                         and (i + 1 >= len(toks) or toks[i + 1] != "(")
                     ):
                         return False
+            # accumulating upserts read the CURRENT target row: in
+            # ON CONFLICT DO UPDATE SET, any reference that is not
+            # excluded.-qualified (``n = n + 1``, or target-qualified
+            # ``t.n``) makes set-wise application diverge from the
+            # per-event fold when one batch carries the same conflict
+            # key twice — __ord__ keeps only the LAST row per key, so
+            # the reference increments twice where set-wise increments
+            # once (found by the round-8 model-based soak). Such
+            # statements take the per-event path.
+            oc = -1
+            depth = 0
+            for i, t in enumerate(toks):
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    depth -= 1
+                elif (
+                    depth == 0
+                    and lows[i] == "on"
+                    and i + 1 < len(toks)
+                    and lows[i + 1] == "conflict"
+                ):
+                    oc = i
+                    break
+            if oc >= 0:
+                tail = toks[oc:]
+                tlows = lows[oc:]
+                try:
+                    do_i = next(
+                        j for j, x in enumerate(tlows) if x == "do"
+                    )
+                except StopIteration:
+                    do_i = -1
+                if do_i >= 0 and do_i + 1 < len(tail) and tlows[
+                    do_i + 1
+                ] == "update":
+                    for j in range(do_i + 2, len(tail)):
+                        w = tail[j]
+                        if not _is_word(w):
+                            continue
+                        if tlows[j] in ("set", "where", "excluded", "and",
+                                        "or", "not", "is", "null", "case",
+                                        "when", "then", "else", "end",
+                                        "like", "in", "between"):
+                            continue
+                        # function name or excluded./qualifier-prefixed
+                        if j + 1 < len(tail) and tail[j + 1] == "(":
+                            continue
+                        if j >= 1 and tail[j - 1] == ".":
+                            prev = tlows[j - 2] if j >= 2 else ""
+                            if prev == "excluded":
+                                continue
+                            # any other qualifier is the target table
+                            return False
+                        # bare identifier: an assignment TARGET (followed
+                        # by '=') is fine; anything else may read the
+                        # current row
+                        if j + 1 < len(tail) and tail[j + 1] == "=":
+                            continue
+                        return False
         return True
 
     @staticmethod

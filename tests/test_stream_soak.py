@@ -1,0 +1,284 @@
+"""Model-based soak of the stream engine's interacting features.
+
+A seeded random schedule of commits (single + batch, localized and
+per-event fold paths), state events, rejections, log compaction,
+reopen/replay, and clear_state runs against TWO modules — one
+batch-safe (upsert counter), one not (the NOT-EXISTS dedup idiom) —
+while a plain-Python model tracks the expected state. After every
+operation the engine's query results must equal the model exactly.
+
+This is the integration net under round 8's localexec fast path: the
+local sqlite evaluation, the Spark fallback, replay (which skips
+localization), and compaction all feed the same tables, and any
+divergence between the paths shows up as a model mismatch here.
+"""
+
+import random
+
+import pytest
+
+from leaf_spark import drisl
+from leaf_spark.module import BasicModuleDef, QueryDef
+from leaf_spark.stream import BatchRejected, Stream
+from leaf_spark.types import IncomingEvent, LeafQuery
+
+pytestmark = pytest.mark.slow
+
+
+# batch-safe: localized authorize (throw on empty key) + localized
+# upsert fold (__ord__ last-write-wins) + a bans table the authorizer
+# reads through the Spark path
+KV = BasicModuleDef(
+    init_sql=(
+        "create table if not exists kv (k text primary key, v integer not null,"
+        " n integer not null); "
+        "create table if not exists bans (user text primary key);"
+    ),
+    authorizer=(
+        # nested iif: the inner condition only runs when .k exists, so a
+        # ban-only event passes; an explicit empty .k throws
+        "select iif(drisl_exists((select payload from event), '.k'), "
+        "iif(length(drisl_extract((select payload from event), '.k')) = 0, "
+        "throw('empty key'), 1), 1); "
+        "select iif(exists(select 1 from bans where user = "
+        "(select user from event)), unauthorized('banned'), 1);"
+    ),
+    materializer=(
+        "insert into kv (k, v, n) select drisl_extract(payload, '.k'), "
+        "drisl_extract_int(payload, '.v'), 1 from event where "
+        "drisl_exists(payload, '.k') "
+        "on conflict(k) do update set v = excluded.v, n = n + 1; "
+        "insert into bans (user) select drisl_extract(payload, '.ban') "
+        "from event where drisl_exists(payload, '.ban') "
+        "on conflict(user) do nothing;"
+    ),
+    state_init_sql=(
+        "create table if not exists state.marks "
+        "(user text primary key, m integer not null);"
+    ),
+    state_materializer=(
+        "insert into state.marks (user, m) select user, "
+        "drisl_extract_int(payload, '.m') from event where true "
+        "on conflict(user) do update set m = excluded.m;"
+    ),
+    queries=(
+        QueryDef("kv", "select k, v, n from kv order by k"),
+        QueryDef("bans", "select user from bans order by user"),
+        QueryDef("marks", "select user, m from state.marks order by user"),
+    ),
+)
+
+# NOT batch-safe: the dedup idiom (subquery reads the managed table) —
+# every commit takes the per-event sequential Spark fold
+DEDUP = BasicModuleDef(
+    init_sql=(
+        "create table if not exists seen (key text not null, idx integer not null)"
+    ),
+    materializer=(
+        "insert into seen (key, idx) "
+        "select drisl_extract(payload, '.key'), idx from event "
+        "where not exists (select 1 from seen "
+        "where key = drisl_extract(payload, '.key'));"
+    ),
+    queries=(QueryDef("seen", "select key, idx from seen order by idx"),),
+)
+
+
+def ev(user, **p):
+    return IncomingEvent(user, drisl.encode(p))
+
+
+class KvModel:
+    def __init__(self):
+        self.kv = {}       # k -> (v, n)
+        self.bans = set()
+        self.marks = {}
+        self.idx = 0
+
+    def apply_batch(self, events):
+        """events: list of (user, payload-dict). Returns False when the
+        authorizer rejects (model state unchanged). Mirrors the module:
+        an explicit empty .k throws; a banned sender rejects; the whole
+        batch authorizes against the batch-START bans snapshot (the
+        engine's documented batch divergence)."""
+        for user, p in events:
+            if "k" in p and len(p["k"]) == 0:
+                return False
+            if user in self.bans:
+                return False
+        for user, p in events:
+            self.idx += 1
+            if "k" in p:
+                k, v = p["k"], p["v"]
+                if k in self.kv:
+                    self.kv[k] = (v, self.kv[k][1] + 1)
+                else:
+                    self.kv[k] = (v, 1)
+            if "ban" in p:
+                self.bans.add(p["ban"])
+        return True
+
+    def rows(self):
+        return {
+            "kv": [
+                {"k": k, "v": v, "n": n}
+                for k, (v, n) in sorted(self.kv.items())
+            ],
+            "bans": [{"user": u} for u in sorted(self.bans)],
+            "marks": [
+                {"user": u, "m": m} for u, m in sorted(self.marks.items())
+            ],
+        }
+
+
+def _assert_kv(stream, model):
+    for q in ("kv", "bans", "marks"):
+        assert stream.query(None, LeafQuery(q)) == model.rows()[q], q
+
+
+def test_soak_mixed_schedule(spark, tmp_path):
+    rng = random.Random(20260815)
+    s = Stream(spark, str(tmp_path), "did:plc:soakkv", compact_files=6)
+    s.provide_module(KV)
+    m = KvModel()
+
+    users = [f"u{i}" for i in range(6)]
+    keys = [f"k{i}" for i in range(5)]
+
+    for step in range(40):
+        op = rng.random()
+        if op < 0.45:
+            # commit batch (1-4 events, may include a ban or a bad key)
+            n = rng.randint(1, 4)
+            events = []
+            for _ in range(n):
+                u = rng.choice(users)
+                r = rng.random()
+                if r < 0.70:
+                    events.append((u, {"k": rng.choice(keys),
+                                       "v": rng.randint(-50, 50)}))
+                elif r < 0.85:
+                    events.append((u, {"ban": rng.choice(users)}))
+                else:
+                    events.append((u, {"k": "", "v": 0}))  # → throw
+            ok = m.apply_batch(events)
+            if ok:
+                s.add_events([ev(u, **p) for u, p in events])
+            else:
+                with pytest.raises((BatchRejected, Exception)):
+                    s.add_events([ev(u, **p) for u, p in events])
+        elif op < 0.60:
+            u = rng.choice(users)
+            mark = rng.randint(0, 100)
+            s.add_state_events([ev(u, m=mark)])
+            m.marks[u] = mark
+        elif op < 0.75:
+            s.compact_log()
+        elif op < 0.9:
+            # reopen: replay from log (+ whatever state snapshot was
+            # persisted). marks are ephemeral-with-snapshots — adopt the
+            # engine's post-reopen view once, then stay strict; kv/bans
+            # must replay exactly
+            s = Stream(spark, str(tmp_path), "did:plc:soakkv",
+                       compact_files=6)
+            s.provide_module(KV)
+            s.catch_up()
+            m.marks = {
+                r["user"]: r["m"]
+                for r in s.query(None, LeafQuery("marks"))
+            }
+        else:
+            s.clear_state()
+            m.marks = {}
+        _assert_kv(s, m)
+
+
+def test_soak_per_event_fold_path(spark, tmp_path):
+    """Same schedule shape over the NOT-batch-safe dedup module — the
+    per-event sequential Spark fold (localization ineligible: the
+    subquery reads the managed table) interleaved with compaction and
+    replay."""
+    rng = random.Random(97)
+    s = Stream(spark, str(tmp_path), "did:plc:soakdd", compact_files=5)
+    s.provide_module(DEDUP)
+    seen = {}
+    idx = 0
+    for step in range(12):
+        r = rng.random()
+        if r < 0.7:
+            n = rng.randint(1, 3)
+            batch = []
+            for _ in range(n):
+                idx += 1
+                key = f"key{rng.randint(0, 4)}"
+                batch.append((key, idx))
+            s.add_events([ev("u", key=k) for k, _ in batch])
+            for k, i in batch:
+                seen.setdefault(k, i)
+        elif r < 0.85:
+            s.compact_log()
+        else:
+            s = Stream(spark, str(tmp_path), "did:plc:soakdd",
+                       compact_files=5)
+            s.provide_module(DEDUP)
+            s.catch_up()
+        got = s.query(None, LeafQuery("seen"))
+        want = sorted(
+            ({"key": k, "idx": i} for k, i in seen.items()),
+            key=lambda d: d["idx"],
+        )
+        assert got == want, step
+
+
+class TestAccumulatingUpsertBatchSafety:
+    """Direct unit coverage of the rule the soak exposed: DO UPDATE SET
+    expressions that read the CURRENT target row make set-wise batch
+    application diverge from the reference's per-event fold when a batch
+    repeats a conflict key."""
+
+    def _safe(self, spark, tmp_path, mod, stmt):
+        s = Stream(spark, str(tmp_path), "did:plc:bsafe")
+        s.provide_module(mod)
+        return s._batch_safe(stmt)
+
+    def test_excluded_only_set_stays_batch_safe(self, spark, tmp_path):
+        assert self._safe(
+            spark, tmp_path, KV,
+            "insert into kv (k, v, n) select drisl_extract(payload, '.k'),"
+            " 1, 1 from event where true"
+            " on conflict(k) do update set v = excluded.v + 1",
+        )
+
+    def test_target_reading_set_not_batch_safe(self, spark, tmp_path):
+        for clause in (
+            "set v = excluded.v, n = n + 1",
+            "set v = kv.v + excluded.v",
+            "set v = excluded.v where v > 2",
+        ):
+            assert not self._safe(
+                spark, tmp_path, KV,
+                "insert into kv (k, v, n) select"
+                " drisl_extract(payload, '.k'), 1, 1 from event where true"
+                f" on conflict(k) do update {clause}",
+            ), clause
+
+    def test_do_nothing_stays_batch_safe(self, spark, tmp_path):
+        assert self._safe(
+            spark, tmp_path, KV,
+            "insert into bans (user) select user from event where true"
+            " on conflict(user) do nothing",
+        )
+
+    def test_in_batch_duplicate_key_increments_per_event(
+        self, spark, tmp_path
+    ):
+        """The reference folds per event: the same key twice in ONE batch
+        increments n twice."""
+        s = Stream(spark, str(tmp_path), "did:plc:accum")
+        s.provide_module(KV)
+        s.add_events([
+            ev("u", k="a", v=1), ev("u", k="a", v=2), ev("u", k="b", v=3),
+        ])
+        assert s.query(None, LeafQuery("kv")) == [
+            {"k": "a", "v": 2, "n": 2}, {"k": "b", "v": 3, "n": 1},
+        ]
