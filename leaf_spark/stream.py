@@ -990,15 +990,19 @@ class Stream:
         # per-event sequential fold (reference lib.rs:543-569)
         rows = events.orderBy("idx").collect()
         cols = events.columns
+        for stmt in stmts:
+            self.sql_authorizer.check(stmt, policy)
         for r in rows:
-            one = self._event_local_df(
-                [tuple(r[c] for c in cols)], events.schema
-            )
+            row = tuple(r[c] for c in cols)
+            one = self._event_local_df([row], events.schema)
             one.createOrReplaceTempView(ev_view)
             ex = self._executor(ev_view, with_events=needs_events)
             for stmt in stmts:
-                self.sql_authorizer.check(stmt, policy)
-                ex.execute(stmt, is_state=is_state)
+                # event-only INSERT sources (e.g. the accumulating-upsert
+                # shape that forces this path) still localize per event —
+                # the statement's own managed-table reads stay in Spark
+                s2 = self._localize_insert(stmt, [row[:3]]) or stmt
+                ex.execute(s2, is_state=is_state)
 
     # -- A3 authorize --------------------------------------------------------
 
