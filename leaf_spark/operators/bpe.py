@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..localdf import arrow_local_df
+
 from .text import words_expr
 
 
@@ -181,7 +183,8 @@ def bpe_merges(
     merge — the compression curve a tokenizer report plots.
     """
     _, results = _learn(docs, num_merges, text_col, min_freq)
-    return docs.sparkSession.createDataFrame(
+    return arrow_local_df(
+        docs.sparkSession,
         results,
         "rank int, left string, right string, merged string, "
         "pair_count bigint, corpus_syms_after bigint",

@@ -33,6 +33,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..localdf import arrow_local_df
+
 
 def _sqdist_int(v: Column, c: Column) -> Column:
     """Exact integer squared L2 distance via an in-order fold."""
@@ -104,7 +106,7 @@ def kmeans_quantized(
         (i, list(r["qv"])) for i, r in enumerate(sorted(init, key=lambda r: r["id"]))
     ]
     spark = corpus.sparkSession
-    cents = spark.createDataFrame(cents_rows, "cid int, cvec array<bigint>")
+    cents = arrow_local_df(spark, cents_rows, "cid int, cvec array<bigint>")
 
     for _ in range(iters):
         assigned = _assign(quant, cents)
@@ -113,7 +115,7 @@ def kmeans_quantized(
         # deterministic; matches the unrolled-SQL oracle which coalesces)
         got = {r["cid"]: list(r["cvec"]) for r in new_cents}
         cents_rows = [(cid, got.get(cid, cvec)) for cid, cvec in cents_rows]
-        cents = spark.createDataFrame(cents_rows, "cid int, cvec array<bigint>")
+        cents = arrow_local_df(spark, cents_rows, "cid int, cvec array<bigint>")
 
     final = _assign(quant, cents)
     return final.select("id", F.col("cid").alias("cluster_id"))
@@ -139,7 +141,7 @@ def kmeans(
     cents_rows = [
         (i, list(r["qv"])) for i, r in enumerate(sorted(init, key=lambda r: r["id"]))
     ]
-    cents = spark.createDataFrame(cents_rows, "cid int, cvec array<double>")
+    cents = arrow_local_df(spark, cents_rows, "cid int, cvec array<double>")
 
     def _sqdist(v: Column, c: Column) -> Column:
         return F.aggregate(
@@ -167,7 +169,7 @@ def kmeans(
         )
         got = {r["cid"]: list(r["cvec"]) for r in new_cents}
         cents_rows = [(cid, got.get(cid, cvec)) for cid, cvec in cents_rows]
-        cents = spark.createDataFrame(cents_rows, "cid int, cvec array<double>")
+        cents = arrow_local_df(spark, cents_rows, "cid int, cvec array<double>")
 
     scored = doubled.join(F.broadcast(cents)).select(
         "id", "cid", _sqdist(F.col("qv"), F.col("cvec")).alias("d2")

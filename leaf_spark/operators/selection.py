@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..localdf import arrow_local_df
+
 from .similarity import _to_double, cosine_expr
 
 
@@ -93,7 +95,8 @@ def mmr_select(
                 round(best["r"] - lam * best["pen"], 6),
             )
         )
-    return spark.createDataFrame(
+    return arrow_local_df(
+        spark,
         out_rows,
         "rank int, id bigint, relevance double, penalty double, mmr_score double",
     )

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..localdf import arrow_local_df
+
 
 def _to_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
@@ -292,8 +294,9 @@ def ivf_train_centroids(
 
 
 def _centroids_df(spark, centroids: list[list[float]]) -> DataFrame:
-    return spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)], "cid int, cvec array<double>"
+    return arrow_local_df(
+        spark, [(i, c) for i, c in enumerate(centroids)],
+        "cid int, cvec array<double>",
     )
 
 

@@ -225,19 +225,9 @@ class Stream:
         3-5 actions per commit, so this is most of the single-event
         commit latency. Falls back to the classic path on any Arrow
         conversion failure (never a correctness dependency)."""
-        try:
-            import pandas as pd
+        from .localdf import arrow_local_df
 
-            names = [f.name for f in schema.fields]
-            pdf = pd.DataFrame(rows, columns=names)
-            for f in schema.fields:
-                if isinstance(f.dataType, T.BinaryType):
-                    pdf[f.name] = pdf[f.name].map(
-                        lambda b: bytes(b) if b is not None else None
-                    )
-            return self.spark.createDataFrame(pdf, schema)
-        except Exception:
-            return self.spark.createDataFrame(rows, schema)
+        return arrow_local_df(self.spark, rows, schema)
 
     def _scheduler_pool(self):
         """Route jobs submitted from the calling thread into this stream's
@@ -297,7 +287,9 @@ class Stream:
         not)."""
         files = [p for _, _, p in self._log_files()]
         if not files:
-            return self.spark.createDataFrame([], EVENT_SCHEMA)
+            from .localdf import arrow_local_df
+
+            return arrow_local_df(self.spark, [], EVENT_SCHEMA)
         return self.spark.read.schema(EVENT_SCHEMA).parquet(*files).where(
             F.col("idx") <= self.state.latest_idx
         )
