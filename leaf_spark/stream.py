@@ -708,7 +708,7 @@ class Stream:
 
     # -- fold execution ------------------------------------------------------
 
-    def _batch_safe(self, sql: str) -> bool:
+    def _batch_safe(self, sql: str, ignore_accumulating: bool = False) -> bool:
         """A materializer is batch-safe when every statement is
         INSERT … SELECT … FROM event (optionally with ON CONFLICT): applying
         the whole idx-ordered batch set-wise ≡ per-event sequential fold
@@ -773,67 +773,76 @@ class Stream:
                         and (i + 1 >= len(toks) or toks[i + 1] != "(")
                     ):
                         return False
-            # accumulating upserts read the CURRENT target row: in
-            # ON CONFLICT DO UPDATE SET, any reference that is not
-            # excluded.-qualified (``n = n + 1``, or target-qualified
-            # ``t.n``) makes set-wise application diverge from the
-            # per-event fold when one batch carries the same conflict
-            # key twice — __ord__ keeps only the LAST row per key, so
-            # the reference increments twice where set-wise increments
-            # once (found by the round-8 model-based soak). Such
-            # statements take the per-event path.
-            oc = -1
-            depth = 0
-            for i, t in enumerate(toks):
-                if t == "(":
-                    depth += 1
-                elif t == ")":
-                    depth -= 1
-                elif (
-                    depth == 0
-                    and lows[i] == "on"
-                    and i + 1 < len(toks)
-                    and lows[i + 1] == "conflict"
-                ):
-                    oc = i
-                    break
-            if oc >= 0:
-                tail = toks[oc:]
-                tlows = lows[oc:]
-                try:
-                    do_i = next(
-                        j for j, x in enumerate(tlows) if x == "do"
-                    )
-                except StopIteration:
-                    do_i = -1
-                if do_i >= 0 and do_i + 1 < len(tail) and tlows[
-                    do_i + 1
-                ] == "update":
-                    for j in range(do_i + 2, len(tail)):
-                        w = tail[j]
-                        if not _is_word(w):
-                            continue
-                        if tlows[j] in ("set", "where", "excluded", "and",
-                                        "or", "not", "is", "null", "case",
-                                        "when", "then", "else", "end",
-                                        "like", "in", "between"):
-                            continue
-                        # function name or excluded./qualifier-prefixed
-                        if j + 1 < len(tail) and tail[j + 1] == "(":
-                            continue
-                        if j >= 1 and tail[j - 1] == ".":
-                            prev = tlows[j - 2] if j >= 2 else ""
-                            if prev == "excluded":
-                                continue
-                            # any other qualifier is the target table
-                            return False
-                        # bare identifier: an assignment TARGET (followed
-                        # by '=') is fine; anything else may read the
-                        # current row
-                        if j + 1 < len(tail) and tail[j + 1] == "=":
-                            continue
-                        return False
+            if not ignore_accumulating and self._accumulating_upsert(stmt):
+                return False
         return True
+
+    @staticmethod
+    def _find_on_conflict(toks: list[str], lows: list[str]) -> int:
+        """Index of the depth-0 ``on conflict`` pair, or -1."""
+        depth = 0
+        for i, t in enumerate(toks):
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif (
+                depth == 0
+                and lows[i] == "on"
+                and i + 1 < len(toks)
+                and lows[i + 1] == "conflict"
+            ):
+                return i
+        return -1
+
+    @staticmethod
+    def _accumulating_upsert(stmt: str) -> bool:
+        """True when the statement's ON CONFLICT DO UPDATE reads the
+        CURRENT target row: any reference that is not
+        excluded.-qualified (``n = n + 1``, target-qualified ``t.n``, a
+        DO UPDATE … WHERE condition) makes one-shot set-wise application
+        diverge from the per-event fold when one batch carries the same
+        conflict key twice — __ord__ keeps only the LAST row per key, so
+        the reference increments twice where set-wise increments once
+        (found by the round-8 model-based soak). Such statements apply
+        round-wise (one set-wise upsert per per-key occurrence rank) or,
+        when the script disqualifies entirely, per event."""
+        toks = tokenize(stmt)
+        lows = [t.lower() if _is_word(t) else t for t in toks]
+        oc = Stream._find_on_conflict(toks, lows)
+        if oc < 0:
+            return False
+        tail = toks[oc:]
+        tlows = lows[oc:]
+        try:
+            do_i = next(j for j, x in enumerate(tlows) if x == "do")
+        except StopIteration:
+            return False
+        if do_i + 1 >= len(tail) or tlows[do_i + 1] != "update":
+            return False
+        for j in range(do_i + 2, len(tail)):
+            w = tail[j]
+            if not _is_word(w):
+                continue
+            if tlows[j] in ("set", "where", "excluded", "and", "or",
+                            "not", "is", "null", "case", "when", "then",
+                            "else", "end", "like", "in", "between"):
+                continue
+            # function name or excluded./qualifier-prefixed
+            if j + 1 < len(tail) and tail[j + 1] == "(":
+                continue
+            if j >= 1 and tail[j - 1] == ".":
+                prev = tlows[j - 2] if j >= 2 else ""
+                if prev == "excluded":
+                    continue
+                # any other qualifier is the target table
+                return True
+            # bare identifier: an assignment TARGET (followed by '=')
+            # is fine; anything else may read the current row
+            if j + 1 < len(tail) and tail[j + 1] == "=":
+                continue
+            return True
+        return False
 
     @staticmethod
     def _inject_ord(stmt: str) -> str:
@@ -853,24 +862,13 @@ class Stream:
                 )
         return stmt
 
-    def _localize_insert(
-        self, stmt: str, local_rows: list[tuple] | None
-    ) -> str | None:
-        """When ``stmt`` is INSERT … SELECT whose source reads only the
-        staged ``event`` rows (which are driver-local Python objects),
-        evaluate the SELECT in sqlite on the driver (localexec.py) and
-        rewrite the statement to read the result as a JVM-local literal
-        view. The surrounding insert machinery (defaults, auto-PK,
-        NOT NULL, ON CONFLICT, triggers) is untouched — but now operates
-        on a LocalTableScan, so its constraint scan and the pre-commit
-        checkpoint are pure-JVM jobs instead of Python-runner round
-        trips (~200 ms each on a one-row batch). Returns the rewritten
-        statement, or None to use the normal Spark path. Never writes —
-        any local-eval failure falls back safely."""
-        if local_rows is None:
-            return None
-        toks = tokenize(stmt)
-        lows = [t.lower() if _is_word(t) else t for t in toks]
+    @staticmethod
+    def _split_insert(
+        toks: list[str], lows: list[str]
+    ) -> tuple[int, int] | None:
+        """For INSERT … SELECT … [ON CONFLICT …]: (index of the depth-0
+        SELECT, index of the depth-0 ON CONFLICT or -1). None when the
+        statement is not that shape (VALUES insert, RETURNING, …)."""
         if not lows or lows[0] not in ("insert", "replace"):
             return None
         if "returning" in lows:
@@ -895,6 +893,30 @@ class Stream:
                 break
         if isel < 0:
             return None
+        return isel, icut
+
+    def _localize_insert(
+        self, stmt: str, local_rows: list[tuple] | None
+    ) -> str | None:
+        """When ``stmt`` is INSERT … SELECT whose source reads only the
+        staged ``event`` rows (which are driver-local Python objects),
+        evaluate the SELECT in sqlite on the driver (localexec.py) and
+        rewrite the statement to read the result as a JVM-local literal
+        view. The surrounding insert machinery (defaults, auto-PK,
+        NOT NULL, ON CONFLICT, triggers) is untouched — but now operates
+        on a LocalTableScan, so its constraint scan and the pre-commit
+        checkpoint are pure-JVM jobs instead of Python-runner round
+        trips (~200 ms each on a one-row batch). Returns the rewritten
+        statement, or None to use the normal Spark path. Never writes —
+        any local-eval failure falls back safely."""
+        if local_rows is None:
+            return None
+        toks = tokenize(stmt)
+        lows = [t.lower() if _is_word(t) else t for t in toks]
+        split = self._split_insert(toks, lows)
+        if split is None:
+            return None
+        isel, icut = split
         src = " ".join(toks[isel : icut if icut >= 0 else len(toks)])
         if not localexec.eligible(
             src, self._known_tables(), allow_abort=False
@@ -929,6 +951,106 @@ class Stream:
             + view
             + ((" " + " ".join(toks[icut:])) if icut >= 0 else "")
         )
+
+    def _parse_upsert_shape(
+        self, stmt: str
+    ) -> tuple[list[str], list[str], str, str, str] | None:
+        """Parse an ord-injected accumulating upsert into
+        (insert columns, conflict key columns, source select SQL,
+        insert prefix SQL, ON CONFLICT tail SQL). None when the shape
+        can't be handled round-wise (no explicit/derivable conflict keys
+        among the inserted columns, unknown target, …) — the caller then
+        uses the per-event path for the whole script."""
+        try:
+            s = self._inject_ord(stmt)
+            toks = tokenize(s)
+            lows = [t.lower() if _is_word(t) else t for t in toks]
+            split = self._split_insert(toks, lows)
+            if split is None:
+                return None
+            isel, icut = split
+            if icut < 0:
+                return None
+            into_i = lows.index("into")
+            j = into_i + 1
+            name_parts = [toks[j]]
+            j += 1
+            if j < len(toks) and toks[j] == ".":
+                name_parts += [".", toks[j + 1]]
+                j += 2
+            flat = "".join(name_parts).lower()
+            flat = flat.replace("state.", "state_").replace("main.", "")
+            tdef = self.store.defs.get(flat)
+            if tdef is None:
+                return None
+            if j < isel and toks[j] == "(":
+                cols = [
+                    t for t in toks[j + 1 : toks.index(")", j)] if _is_word(t)
+                ]
+            else:
+                cols = [f.name for f in tdef.schema.fields]
+            tail = toks[icut:]
+            if len(tail) > 2 and tail[2] == "(":
+                keys = [
+                    t for t in tail[3 : tail.index(")", 3)] if _is_word(t)
+                ]
+            else:
+                keys = list(tdef.primary_key)
+            if not keys or not all(k in cols for k in keys):
+                # a defaulted/auto-assigned conflict key can't be ranked
+                # before the insert computes it
+                return None
+            return (
+                cols,
+                keys,
+                " ".join(toks[isel:icut]),
+                " ".join(toks[:isel]),
+                " ".join(tail),
+            )
+        except Exception:
+            return None
+
+    def _roundwise_ok(self, stmt: str) -> bool:
+        return self._parse_upsert_shape(stmt) is not None
+
+    def _exec_roundwise(
+        self,
+        ex: DmlExecutor,
+        stmt: str,
+        is_state: bool,
+        local_rows: list[tuple] | None,
+    ) -> None:
+        """Apply an accumulating upsert in per-key occurrence rounds.
+
+        The source select (event-only by the round-wise gate) evaluates
+        ONCE; each row gets ``__round__`` = its occurrence rank within
+        its conflict key (ordered by event idx). Round r then applies the
+        r-th occurrences set-wise — unique keys within a round, so the
+        __ord__ dedup collapses nothing and DO UPDATE's current-row reads
+        see exactly the state the per-event fold would have produced.
+        R = max multiplicity Spark statements total (R ≤ N, typically
+        ≪ N; a replay is O(R) jobs, not O(events))."""
+        from pyspark.sql import Window
+
+        shape = self._parse_upsert_shape(stmt)
+        assert shape is not None  # caller gates on _roundwise_ok
+        cols, keys, src_sql, prefix_sql_, tail_sql_ = shape
+        src = ex.execute(src_sql, is_state=is_state).toDF(*cols, "__ord__")
+        w = Window.partitionBy(*keys).orderBy(F.col("__ord__"))
+        src = src.withColumn(
+            "__round__", F.row_number().over(w)
+        ).localCheckpoint(eager=True)
+        n_rounds = src.agg(F.max("__round__").alias("r")).first()["r"] or 0
+        view = self.store.view_prefix + "__roundsrc__"
+        prefix_sql, tail_sql = prefix_sql_, tail_sql_
+        for r in range(1, n_rounds + 1):
+            src.where(F.col("__round__") == r).select(
+                *cols, "__ord__"
+            ).createOrReplaceTempView(view)
+            ex.execute(
+                f"{prefix_sql} select * from {view} {tail_sql}",
+                is_state=is_state,
+            )
 
     def _fold_df(
         self,
@@ -974,6 +1096,40 @@ class Stream:
                     " conflict" in low
                     or re.search(r"^\s*replace\b", low) is not None
                     or re.search(r"\binsert\s+or\s+(replace|ignore)\b", low) is not None
+                )
+                s = self._inject_ord(stmt) if has_conflict else stmt
+                s = self._localize_insert(s, local_rows) or s
+                ex.execute(s, is_state=is_state)
+            return
+        if self._batch_safe(fold_sql, ignore_accumulating=True) and all(
+            self._roundwise_ok(st)
+            for st in stmts
+            if self._accumulating_upsert(st)
+        ):
+            # round-wise path: the ONLY disqualifier was an accumulating
+            # DO UPDATE (reads the current target row, e.g. n = n + 1).
+            # Same-key occurrences must fold sequentially, but different
+            # keys are independent (the SET/WHERE exprs are row-local by
+            # the accumulating gate's own definition), so applying the
+            # r-th occurrence of EVERY key set-wise per round is exact —
+            # R = max per-key multiplicity rounds (each one bounded Spark
+            # statement) instead of one statement per EVENT, which is the
+            # difference between replaying a log in O(max-multiplicity)
+            # jobs and O(events) jobs.
+            events.createOrReplaceTempView(ev_view)
+            ex = self._executor(ev_view, with_events=needs_events)
+            for stmt in stmts:
+                self.sql_authorizer.check(stmt, policy)
+                if self._accumulating_upsert(stmt):
+                    self._exec_roundwise(ex, stmt, is_state, local_rows)
+                    continue
+                low = stmt.lower()
+                has_conflict = (
+                    " conflict" in low
+                    or re.search(r"^\s*replace\b", low) is not None
+                    or re.search(
+                        r"\binsert\s+or\s+(replace|ignore)\b", low
+                    ) is not None
                 )
                 s = self._inject_ord(stmt) if has_conflict else stmt
                 s = self._localize_insert(s, local_rows) or s

@@ -282,3 +282,67 @@ class TestAccumulatingUpsertBatchSafety:
         assert s.query(None, LeafQuery("kv")) == [
             {"k": "a", "v": 2, "n": 2}, {"k": "b", "v": 3, "n": 1},
         ]
+
+
+class TestRoundwiseUpsert:
+    """Accumulating upserts apply round-wise: the r-th occurrence of each
+    conflict key per round — exact per-event semantics in
+    O(max-multiplicity) Spark statements instead of O(events)."""
+
+    def test_replay_of_accumulating_module_is_exact(self, spark, tmp_path):
+        """Replay (local_rows=None — the path with no driver rows) must
+        reproduce the same counts the live commits produced, including a
+        batch with a triple-repeated key."""
+        s = Stream(spark, str(tmp_path), "did:plc:rw1")
+        s.provide_module(KV)
+        s.add_events([
+            ev("u", k="a", v=1), ev("u", k="a", v=2), ev("u", k="a", v=3),
+            ev("u", k="b", v=9),
+        ])
+        s.add_events([ev("u", k="b", v=10)])
+        live = s.query(None, LeafQuery("kv"))
+        assert live == [
+            {"k": "a", "v": 3, "n": 3}, {"k": "b", "v": 10, "n": 2},
+        ]
+        s2 = Stream(spark, str(tmp_path), "did:plc:rw1")
+        s2.provide_module(KV)
+        s2.catch_up()
+        assert s2.query(None, LeafQuery("kv")) == live
+
+    def test_script_takes_roundwise_not_per_event(self, spark, tmp_path):
+        """The KV materializer must route through _exec_roundwise (not
+        the per-event loop) — pin the dispatch so a refactor can't
+        silently regress replay back to O(events)."""
+        s = Stream(spark, str(tmp_path), "did:plc:rw2")
+        s.provide_module(KV)
+        assert not s._batch_safe(KV.materializer)
+        assert s._batch_safe(KV.materializer, ignore_accumulating=True)
+        stmts = [
+            st for st in KV.materializer.split(";") if st.strip()
+        ]
+        acc = [st for st in stmts if s._accumulating_upsert(st)]
+        assert len(acc) == 1 and s._roundwise_ok(acc[0])
+
+    def test_defaulted_conflict_key_falls_back_per_event(
+        self, spark, tmp_path
+    ):
+        """A conflict key that is not among the inserted columns can't be
+        ranked before the insert computes it — the shape parser refuses
+        and the per-event path handles the script."""
+        mod = BasicModuleDef(
+            init_sql=(
+                "create table if not exists t2 "
+                "(k text primary key default 'fixed', v integer not null)"
+            ),
+            materializer=(
+                "insert into t2 (v) select drisl_extract_int(payload, '.v')"
+                " from event where true"
+                " on conflict(k) do update set v = v + excluded.v;"
+            ),
+            queries=(QueryDef("t2", "select k, v from t2 order by k"),),
+        )
+        s = Stream(spark, str(tmp_path), "did:plc:rw3")
+        s.provide_module(mod)
+        assert not s._roundwise_ok(mod.materializer.strip().rstrip(";"))
+        s.add_events([ev("u", v=5), ev("u", v=7)])
+        assert s.query(None, LeafQuery("t2")) == [{"k": "fixed", "v": 12}]
