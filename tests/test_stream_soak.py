@@ -140,6 +140,7 @@ def test_soak_mixed_schedule(spark, tmp_path):
     rng = random.Random(20260815)
     s = Stream(spark, str(tmp_path), "did:plc:soakkv", compact_files=6)
     s.provide_module(KV)
+    cur_mod = KV
     m = KvModel()
 
     users = [f"u{i}" for i in range(6)]
@@ -181,15 +182,34 @@ def test_soak_mixed_schedule(spark, tmp_path):
             # must replay exactly
             s = Stream(spark, str(tmp_path), "did:plc:soakkv",
                        compact_files=6)
-            s.provide_module(KV)
+            s.provide_module(cur_mod)
             s.catch_up()
             m.marks = {
                 r["user"]: r["m"]
                 for r in s.query(None, LeafQuery("marks"))
             }
-        else:
+        elif op < 0.96:
             s.clear_state()
             m.marks = {}
+        else:
+            # module swap: same logical module, cosmetically different
+            # SQL text (new CID) -> drop derived tables + FULL replay
+            # from the log (the round-wise path, local_rows=None);
+            # kv/bans must rebuild exactly, ephemeral marks reset
+            swapped = BasicModuleDef(
+                init_sql=KV.init_sql,
+                authorizer=KV.authorizer,
+                materializer=KV.materializer + f" -- swap {step}",
+                state_init_sql=KV.state_init_sql,
+                state_materializer=KV.state_materializer,
+                queries=KV.queries,
+            )
+            s.update_module(swapped)
+            cur_mod = swapped
+            m.marks = {
+                r["user"]: r["m"]
+                for r in s.query(None, LeafQuery("marks"))
+            }
         _assert_kv(s, m)
 
 
