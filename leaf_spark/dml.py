@@ -105,6 +105,8 @@ class TableStore:
     # tables mutated since the last checkpoint_all — checkpointing is
     # O(table), so only dirty tables get re-materialized per batch
     _dirty: set = field(default_factory=set)
+    # per-table monotone registration counter (see register())
+    _table_versions: dict = field(default_factory=dict)
     # SQLite connection-state functions (last_insert_rowid / changes /
     # total_changes). Tracking costs one count job per DML statement, so it
     # is enabled only when module SQL actually references the functions
@@ -150,7 +152,14 @@ class TableStore:
 
     def register(self, name: str, df: DataFrame) -> None:
         self.tables[name] = df
+        # monotone per-table version: consumers that cache derived state
+        # (localexec table mirrors) key on this — object identity would
+        # be GC-reusable, and restore()/clear_state re-register too
+        self._table_versions[name] = self._table_versions.get(name, 0) + 1
         df.createOrReplaceTempView(self.view_name(name))
+
+    def table_version(self, name: str) -> int:
+        return self._table_versions.get(name, 0)
 
     def create(self, tdef: TableDef, if_not_exists: bool) -> None:
         if tdef.name in self.defs:

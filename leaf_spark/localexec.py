@@ -132,12 +132,15 @@ def eligible(
     known_tables: set[str],
     allow_abort: bool,
     toks: list[str] | None = None,
+    mirrorable: frozenset[str] | set[str] = frozenset(),
 ) -> bool:
     """True when ``stmt`` (a SELECT) provably touches only the staged
-    ``event`` table and allowlisted functions. Conservative: anything
-    unrecognized (a managed-table name, a ``state.`` qualifier, the raw
-    ``events`` log, an un-allowlisted function, RETURNING) says False
-    and the caller uses the Spark path."""
+    ``event`` table (plus tables in ``mirrorable``, which the caller
+    promises to stage as literal rows) and allowlisted functions.
+    Conservative: anything unrecognized (an unmirrored managed-table
+    name, a ``state.`` qualifier, the raw ``events`` log, an
+    un-allowlisted function, RETURNING) says False and the caller uses
+    the Spark path."""
     toks = tokenize(stmt) if toks is None else toks
     lows = [t.lower() if _is_word(t) else t for t in toks]
     if not lows or lows[0] != "select":
@@ -151,7 +154,7 @@ def eligible(
         if not _is_word(t):
             continue
         nxt = toks[i + 1] if i + 1 < n else ""
-        if low in known_tables or low == "events":
+        if (low in known_tables and low not in mirrorable) or low == "events":
             return False
         if low in ("state", "main") and nxt == ".":
             return False
@@ -163,12 +166,35 @@ def eligible(
             if low not in fn_ok:
                 return False
         if low in ("from", "join"):
-            # FROM/JOIN target must be the event view or a subquery;
-            # (comma-joined extra tables are caught by the known-table /
-            # sqlite-error gates)
-            if nxt and nxt != "(" and nxt.lower() != "event":
+            # FROM/JOIN target must be the event view, a mirrored table,
+            # or a subquery (comma-joined extras are caught by the
+            # known-table / sqlite-error gates)
+            if (
+                nxt
+                and nxt != "("
+                and nxt.lower() != "event"
+                and nxt.lower() not in mirrorable
+            ):
                 return False
     return True
+
+
+def table_refs(stmt: str, known_tables: set[str]) -> set[str]:
+    """Known managed tables the statement mentions (unqualified)."""
+    toks = tokenize(stmt)
+    return {
+        t.lower()
+        for i, t in enumerate(toks)
+        if _is_word(t)
+        and t.lower() in known_tables
+        and (i == 0 or toks[i - 1] != ".")
+    }
+
+
+# Python value types a mirrored table row may carry — anything else
+# (Decimal, datetime, arrays/structs) has engine-specific comparison
+# semantics and disqualifies the mirror.
+_MIRRORABLE_TYPES = (int, float, str, bytes, bool, type(None))
 
 
 def _spark_str(v) -> str | None:
@@ -286,6 +312,33 @@ class LocalEval:
             if self._pending_abort is not None:
                 raise self._pending_abort from None
             raise LocalEvalError(str(e)) from e
+
+    def stage_table(
+        self, name: str, columns: list[str], rows: list[tuple]
+    ) -> bool:
+        """Mirror a small managed table as literal rows. Returns False
+        when any value's type has engine-specific comparison semantics —
+        any previously staged mirror is dropped either way, so a stale
+        version can never answer (absence surfaces as a sqlite error →
+        Spark fallback)."""
+        con = self._con
+        con.execute(f'drop table if exists "{name}"')
+        for r in rows:
+            for v in r:
+                if not isinstance(v, _MIRRORABLE_TYPES):
+                    return False
+        cols = ", ".join(f'"{c}"' for c in columns)
+        con.execute(f'create table "{name}" ({cols})')
+        if rows:
+            ph = ", ".join("?" for _ in columns)
+            con.executemany(
+                f'insert into "{name}" values ({ph})',
+                [tuple(r) for r in rows],
+            )
+        return True
+
+    def drop_table(self, name: str) -> None:
+        self._con.execute(f'drop table if exists "{name}"')
 
     def authorize(self, stmts: list[str], rows: list[tuple]) -> None:
         """Per-event authorizer evaluation: each statement sees a

@@ -205,6 +205,7 @@ class Stream:
         # driver-side sqlite evaluator for event-only statements (lazy;
         # see localexec.py — removes the per-commit Python-runner jobs)
         self._local_eval_inst: localexec.LocalEval | None = None
+        self._mirror_versions: dict[str, int] = {}
         os.makedirs(self.events_dir, exist_ok=True)
         self._recover_compaction()
         self.state = self._load_state()
@@ -1198,6 +1199,40 @@ class Stream:
             self._local_eval_inst = localexec.LocalEval()
         return self._local_eval_inst
 
+    # managed tables with at most this many rows mirror into the local
+    # evaluator so table-referencing authorizer statements (the bans
+    # EXISTS) also skip the per-commit Spark job; bigger tables keep the
+    # Spark path (broadcast joins are what Spark is FOR at that size)
+    _MIRROR_CAP = 256
+
+    def _mirror_tables(self, names: set[str]) -> bool:
+        """Stage each named managed table into the local evaluator as
+        literal rows, cached per TableStore registration version (any
+        mutation/rollback/restore re-registers and bumps it, so a stale
+        mirror can never answer). Returns False when any table exceeds
+        the cap or carries unmirrorable value types."""
+        le = self._local_eval
+        for name in sorted(names):
+            ver = self.store.table_version(name)
+            if self._mirror_versions.get(name) == ver:
+                continue
+            df = self.store.tables.get(name)
+            if df is None:
+                return False
+            rows = df.take(self._MIRROR_CAP + 1)
+            if len(rows) > self._MIRROR_CAP:
+                self._mirror_versions.pop(name, None)
+                le.drop_table(name)
+                return False
+            cols = df.columns
+            if not le.stage_table(
+                name, cols, [tuple(r[c] for c in cols) for r in rows]
+            ):
+                self._mirror_versions.pop(name, None)
+                return False
+            self._mirror_versions[name] = ver
+        return True
+
     def _known_tables(self) -> set[str]:
         return {n.lower() for n in self.store.defs} | {
             n.lower() for n in self.store.views
@@ -1223,9 +1258,17 @@ class Stream:
         for stmt in stmts:
             self.sql_authorizer.check(stmt, "authorize")
         known = self._known_tables()
-        local = [
-            s for s in stmts if localexec.eligible(s, known, allow_abort=True)
-        ]
+        local: list[str] = []
+        needed: set[str] = set()
+        for s_ in stmts:
+            refs = localexec.table_refs(s_, known)
+            if localexec.eligible(
+                s_, known, allow_abort=True, mirrorable=refs
+            ):
+                local.append(s_)
+                needed |= refs
+        if local and needed and not self._mirror_tables(needed):
+            local = []  # a referenced table is too big / unmirrorable
         if local:
             try:
                 self._local_eval.authorize(

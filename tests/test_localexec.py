@@ -377,3 +377,92 @@ class TestFuzzParity:
 
         run()
         le.close()
+
+
+class TestTableMirror:
+    """Small managed tables mirror into the local evaluator so
+    table-referencing authorizer statements skip the per-commit Spark
+    job. The mirror is keyed on the TableStore registration version —
+    staleness is the failure mode these tests pin."""
+
+    BANS_MOD = None  # built lazily to reuse fixtures.CHAT
+
+    def _stream(self, spark, tmp_path):
+        s = Stream(spark, str(tmp_path), "did:plc:mirror")
+        s.provide_module(CHAT)
+        return s
+
+    def test_ban_enforced_on_next_commit(self, spark, tmp_path):
+        """The fold mutates bans -> version bump -> the next commit's
+        authorize must see the fresh mirror, not a stale empty one."""
+        from leaf_spark.dml import DmlExecutor
+
+        s = self._stream(spark, tmp_path)
+        s.add_events([ev("alice", content="hi")])
+        # ban alice through the store (CHAT has no ban materializer —
+        # mutate directly, which re-registers and bumps the version)
+        DmlExecutor(s.store).execute("insert into bans values ('alice')")
+        with pytest.raises(BatchRejected, match="banned"):
+            s.add_events([ev("alice", content="should fail")])
+        # and an unbanned user still passes
+        s.add_events([ev("bob", content="fine")])
+        assert [r["sender"] for r in s.query(None, LeafQuery("messages"))] \
+            == ["alice", "bob"]
+
+    def test_rollback_restores_mirror_view(self, spark, tmp_path):
+        """A rejected batch restores the pre-batch bans table; the mirror
+        must follow (restore re-registers -> version bump)."""
+        mod = BasicModuleDef(
+            init_sql=(
+                "create table if not exists msgs (idx integer primary key,"
+                " sender text not null); "
+                "create table if not exists bans (user text primary key);"
+            ),
+            authorizer=(
+                "select iif(exists(select 1 from bans where user = "
+                "(select user from event)), unauthorized('banned'), 1);"
+            ),
+            materializer=(
+                "insert into msgs (idx, sender) select idx, user from event"
+                " where not drisl_exists(payload, '.ban'); "
+                "insert into bans (user) select"
+                " drisl_extract(payload, '.ban') from event where"
+                " drisl_exists(payload, '.ban')"
+                " on conflict(user) do nothing; "
+                # .boom forces a NOT NULL violation AFTER bans mutated —
+                # the whole batch (including the ban) must roll back
+                "insert into msgs (idx, sender) select idx, null from event"
+                " where drisl_exists(payload, '.boom');"
+            ),
+            queries=(
+                QueryDef("bans", "select user from bans order by user"),
+                QueryDef("msgs", "select idx, sender from msgs order by idx"),
+            ),
+        )
+        s = Stream(spark, str(tmp_path), "did:plc:mirror2")
+        s.provide_module(mod)
+        s.add_events([ev("alice", content="ok")])
+        # authorize sees the pre-batch bans (empty) -> mirror staged;
+        # the fold bans bob, then the .boom statement fails -> rollback
+        with pytest.raises(Exception, match="NOT NULL"):
+            s.add_events([ev("carol", ban="bob"), ev("carol", boom=1)])
+        # whatever failed, bans must NOT contain bob after rollback
+        assert s.query(None, LeafQuery("bans")) == []
+        # and bob can still commit (stale mirror would also reject here
+        # only if it wrongly kept the rolled-back ban)
+        s.add_events([ev("bob", content="alive")])
+        assert {r["sender"] for r in s.query(None, LeafQuery("msgs"))} \
+            >= {"alice", "bob"}
+
+    def test_oversized_table_keeps_spark_path(self, spark, tmp_path):
+        from leaf_spark.dml import DmlExecutor
+
+        s = self._stream(spark, tmp_path)
+        s.add_events([ev("alice", content="hi")])
+        ex = DmlExecutor(s.store)
+        vals = ", ".join(f"('u{i}')" for i in range(300))
+        ex.execute(f"insert into bans values {vals}")
+        assert not s._mirror_tables({"bans"})
+        with pytest.raises(BatchRejected, match="banned"):
+            s.add_events([ev("u7", content="nope")])
+        s.add_events([ev("fresh", content="yes")])
