@@ -1212,6 +1212,14 @@ class Stream:
         mirror can never answer). Returns False when any table exceeds
         the cap or carries unmirrorable value types."""
         le = self._local_eval
+        # purge mirrors whose table left the store (module swap, DROP):
+        # a lingering mirror would silently ANSWER for a statement the
+        # Spark path would reject with "no such table"
+        known = self._known_tables()
+        for name in list(self._mirror_versions):
+            if name not in known:
+                le.drop_table(name)
+                del self._mirror_versions[name]
         for name in sorted(names):
             ver = self.store.table_version(name)
             if self._mirror_versions.get(name) == ver:

@@ -466,3 +466,21 @@ class TestTableMirror:
         with pytest.raises(BatchRejected, match="banned"):
             s.add_events([ev("u7", content="nope")])
         s.add_events([ev("fresh", content="yes")])
+
+    def test_dropped_table_mirror_purged_on_module_swap(
+        self, spark, tmp_path
+    ):
+        """After a module swap drops a mirrored table, a statement still
+        referencing it must NOT be answered by the lingering mirror —
+        absence falls back to Spark, which errors like the reference."""
+        s = self._stream(spark, tmp_path)
+        s.add_events([ev("alice", content="hi")])  # mirrors bans
+        assert "bans" in s._mirror_versions
+        # simulate the swap's table drop
+        s.store.drop("bans", if_exists=False)
+        assert s._mirror_tables(set())  # nothing needed → True, but the
+        assert "bans" not in s._mirror_versions  # purge pass ran
+        with pytest.raises(localexec.LocalEvalError):
+            s._local_eval.authorize(
+                ["select 1 from bans"], [("alice", b"")]
+            )
