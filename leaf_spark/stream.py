@@ -1205,6 +1205,22 @@ class Stream:
     # Spark path (broadcast joins are what Spark is FOR at that size)
     _MIRROR_CAP = 256
 
+    def _purge_stale_mirrors(self) -> None:
+        """Drop mirrors whose table left the store (module swap, DROP):
+        a lingering mirror would silently ANSWER for a statement the
+        Spark path rejects with "no such table". Runs before EVERY local
+        authorize evaluation — a statement referencing a dropped table
+        has empty known-refs and would otherwise pass the eligibility
+        gate straight into the stale mirror."""
+        if not self._mirror_versions:
+            return
+        known = self._known_tables()
+        le = self._local_eval
+        for name in list(self._mirror_versions):
+            if name not in known:
+                le.drop_table(name)
+                del self._mirror_versions[name]
+
     def _mirror_tables(self, names: set[str]) -> bool:
         """Stage each named managed table into the local evaluator as
         literal rows, cached per TableStore registration version (any
@@ -1212,14 +1228,6 @@ class Stream:
         mirror can never answer). Returns False when any table exceeds
         the cap or carries unmirrorable value types."""
         le = self._local_eval
-        # purge mirrors whose table left the store (module swap, DROP):
-        # a lingering mirror would silently ANSWER for a statement the
-        # Spark path would reject with "no such table"
-        known = self._known_tables()
-        for name in list(self._mirror_versions):
-            if name not in known:
-                le.drop_table(name)
-                del self._mirror_versions[name]
         for name in sorted(names):
             ver = self.store.table_version(name)
             if self._mirror_versions.get(name) == ver:
@@ -1275,6 +1283,8 @@ class Stream:
             ):
                 local.append(s_)
                 needed |= refs
+        if local:
+            self._purge_stale_mirrors()
         if local and needed and not self._mirror_tables(needed):
             local = []  # a referenced table is too big / unmirrorable
         if local:

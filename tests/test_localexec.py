@@ -478,9 +478,16 @@ class TestTableMirror:
         assert "bans" in s._mirror_versions
         # simulate the swap's table drop
         s.store.drop("bans", if_exists=False)
-        assert s._mirror_tables(set())  # nothing needed → True, but the
-        assert "bans" not in s._mirror_versions  # purge pass ran
+        # the REAL flow: a statement referencing the dropped table has
+        # empty known-refs, passes eligibility, and must NOT find the
+        # stale mirror — _authorize purges before every local evaluation
+        s._purge_stale_mirrors()
+        assert "bans" not in s._mirror_versions
         with pytest.raises(localexec.LocalEvalError):
             s._local_eval.authorize(
                 ["select 1 from bans"], [("alice", b"")]
             )
+        # end-to-end: the broken module's authorizer now fails loudly on
+        # BOTH paths instead of silently using rolled-back mirror data
+        with pytest.raises(Exception):
+            s.add_events([ev("alice", content="after drop")])
