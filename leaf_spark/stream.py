@@ -508,7 +508,10 @@ class Stream:
             tables_meta: dict[str, dict] = {}
             for name, tdef in self.store.defs.items():
                 path = os.path.join(vdir, name)
-                self.store.tables[name].write.mode("overwrite").parquet(path)
+                if not self._write_snapshot_table(name, tdef, path):
+                    self.store.tables[name].write.mode(
+                        "overwrite"
+                    ).parquet(path)
                 tables_meta[name] = {
                     "schema": tdef.schema.json(),
                     "primary_key": list(tdef.primary_key),
@@ -584,6 +587,37 @@ class Stream:
         self.state.module_event_cursor = manifest["cursor"]
         self._snap_cursor = manifest["cursor"]
         return True
+
+    # tables at most this many rows snapshot via a driver-side pyarrow
+    # write: a Spark parquet write JOB costs ~300 ms of fixed commit
+    # machinery regardless of size, and the snapshot cadence made that
+    # ~60% of batch-ingest wall time for small-state modules. Large
+    # tables keep the executor-side write (no driver materialization).
+    _SNAPSHOT_DRIVER_CAP = 10_000
+
+    def _write_snapshot_table(self, name: str, tdef, path: str) -> bool:
+        """Write a small table's snapshot directly with pyarrow. The
+        layout matches the restore path exactly (a directory holding
+        parquet files, read back via spark.read.schema(...).parquet);
+        arrow types come from the Spark schema, so read-back types are
+        identical. Returns False (caller uses the Spark writer) for
+        big/unconvertible tables — never a correctness dependency."""
+        try:
+            rows = self.store.tables[name].take(self._SNAPSHOT_DRIVER_CAP + 1)
+            if len(rows) > self._SNAPSHOT_DRIVER_CAP:
+                return False
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            asch = to_arrow_schema(tdef.schema)
+            cols = tdef.schema.fieldNames()
+            tbl = pa.Table.from_pydict(
+                {c: [r[c] for r in rows] for c in cols}, schema=asch
+            )
+            os.makedirs(path, exist_ok=True)
+            pq.write_table(tbl, os.path.join(path, "part-00000.parquet"))
+            return True
+        except Exception:
+            return False
 
     def _maybe_persist(self) -> None:
         since = self.state.module_event_cursor - self._snap_cursor

@@ -828,11 +828,22 @@ def test_gap_moments_match_python_and_batch_q193(spark, tmp_path):
     src_dir.mkdir()
     t = pq.read_table("/root/testdata/sf0.001/events.parquet")
     n = t.num_rows
+    import os as _os
+    import time as _time
+
+    base_mtime = int(_time.time()) - 100
     for i in range(4):
+        p = str(src_dir / f"part-{i}.parquet")
         pq.write_table(
-            t.slice(i * n // 4, (i + 1) * n // 4 - i * n // 4),
-            str(src_dir / f"part-{i}.parquet"),
+            t.slice(i * n // 4, (i + 1) * n // 4 - i * n // 4), p
         )
+        # pin strictly increasing mtimes: on a fast host all four writes
+        # can land inside one clock tick, and the file source's
+        # (modTime, path) ordering then falls to directory-listing order
+        # — micro-batches would arrive out of event order and the gaps
+        # become processing-order deltas (a real, documented semantics of
+        # the op, but not what this in-order parity test is testing)
+        _os.utime(p, (base_mtime + i, base_mtime + i))
 
     stream = (
         spark.readStream.schema(spark.read.parquet(str(src_dir)).schema)
