@@ -247,13 +247,40 @@ _ROUND9_FRONT = [
     "q144_ks_statistic", "q145_survivor_selection",
     "q146_confusion_matrix",
 ]
-# r10 then takes the remaining 50 r05/r08-stales (q148-q187 family,
-# q117-q130 diversity/privacy block) — at which point every catalog
-# entry has an official green no older than 4 rounds.
+# Committed round-10 rotation plan (VERDICT r8 "Next round #5" — the
+# ahead-of-time ledger): the remaining 50 catalog entries not covered
+# by the r07/r08 windows or _ROUND9_FRONT — the q117-q130
+# diversity/privacy block and the q148-q187 stats/eval family, in
+# catalog-number order. Activating this in r10 completes the first
+# full 4-round sweep of the 200-entry catalog: every entry's official
+# green will then be no older than 4 rounds. r10 activates this by
+# swapping the name in _ordered().
+_ROUND10_FRONT = [
+    "q117_entropy_kl", "q118_activity_gini", "q119_cohort_retention",
+    "q120_session_funnel", "q121_ann_label_noise", "q122_grouped_gini",
+    "q125_simpson_diversity", "q126_label_balance", "q127_dp_noise_count",
+    "q128_bootstrap_ci", "q129_dataset_card", "q130_out_of_order_rate",
+    "q134_winsorized_stats", "q139_length_histogram",
+    "q148_langid_agreement", "q149_cross_source_dups",
+    "q151_pmi_collocations", "q152_term_burstiness",
+    "q153_conditional_entropy", "q154_markov_transitions",
+    "q155_bradley_terry", "q156_template_mining", "q157_mad_outliers",
+    "q159_gap_quantiles", "q160_ab_ztest", "q163_rrf_fusion",
+    "q164_zipf_tail_index", "q165_ndcg_eval", "q166_theil_sen_trend",
+    "q167_volume_acf", "q168_scd2_history",
+    "q169_mean_shift_changepoint", "q170_k_anonymity",
+    "q171_mann_whitney_u", "q172_spearman_rho", "q173_assoc_rules",
+    "q174_countmin_sketch", "q175_ols_trend", "q176_benford_digits",
+    "q177_chi2_independence", "q178_permutation_entropy",
+    "q179_isotonic_calibration", "q180_cumulative_gains",
+    "q181_youden_threshold", "q182_kaplan_meier", "q183_logrank_test",
+    "q184_roc_auc", "q185_brier_decomposition", "q186_cuped_reduction",
+    "q187_minimum_detectable_effect",
+]
 
 
 def _ordered(reg: dict[str, QueryCase]) -> dict[str, QueryCase]:
-    front = [n for n in _ROUND8_FRONT if n in reg]
+    front = [n for n in _ROUND9_FRONT if n in reg]
     rest = [n for n in reg if n not in set(front)]
     return {n: reg[n] for n in [*front, *rest]}
 
