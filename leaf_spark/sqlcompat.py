@@ -351,6 +351,29 @@ def _sqlite_int_cast(e: str) -> str:
     )
 
 
+def _sqlite_truthy(e: str) -> str:
+    """SQLite truthiness of one expression as a Spark BOOLEAN: a value
+    is true when its numeric coercion is nonzero — TEXT takes the
+    longest numeric PREFIX ('1.5x' → 1.5 → true, 'true' → 0 → FALSE,
+    where Spark's cast-to-boolean says NULL and true respectively),
+    NULL and blobs are false, booleans pass through. Dispatches on
+    static typeof; the operand is inlined several times, so callers
+    should wrap whole filter clauses only on the retry path (Catalyst
+    reuses duplicated scalar subqueries, but the text grows)."""
+    num = (
+        f"coalesce(cast(regexp_extract({e}, "
+        f"'^\\\\s*([-+]?([0-9]+\\\\.?[0-9]*|\\\\.[0-9]+)"
+        f"([eE][-+]?[0-9]+)?)', 1) as double), 0.0)"
+    )
+    return (
+        f"(case when ({e}) is null then false "
+        f"when typeof({e}) = 'boolean' then cast({e} as boolean) "
+        f"when typeof({e}) = 'binary' then false "
+        f"when typeof({e}) = 'string' then {num} <> 0.0 "
+        f"else cast({e} as double) <> 0.0 end)"
+    )
+
+
 def _char_codepoint(a: str) -> str:
     """One char() argument → the one-character string for its Unicode
     CODEPOINT (SQLite semantics; Spark's chr() wraps at 256). The
@@ -437,10 +460,10 @@ def _rw_call(name: str, args: list[str]) -> str:
             return f"cast({e} as {tgt})"
         return f"cast({args[0]})"
     if n == "iif":
-        # SQLite truthiness: any nonzero numeric is true; Spark if() demands
-        # BOOLEAN → coerce via cast (boolean exprs pass through unchanged)
-        cond = f"coalesce(cast(({args[0]}) as boolean), false)"
-        return f"if({cond}, {args[1]}, {args[2]})"
+        # SQLite truthiness: nonzero numeric coercion is true (text takes
+        # its numeric prefix — NOT Spark's cast-to-boolean, which parses
+        # 'true' and rejects '1.5'); boolean exprs pass through unchanged
+        return f"if({_sqlite_truthy(args[0])}, {args[1]}, {args[2]})"
     if n == "total":
         return f"coalesce(cast(sum(cast({args[0]} as double)) as double), 0.0)"
     if n == "log" and len(args) == 1:
@@ -1147,9 +1170,7 @@ def _coerce_filter_tokens(toks: list[str], lows: list[str]) -> list[str]:
                     break
                 j += 1
             inner = _coerce_filter_tokens(toks[i + 1 : j], lows[i + 1 : j])
-            out.append("coalesce(cast((")
-            out.extend(inner)
-            out.append(") as boolean), false)")
+            out.append(_sqlite_truthy("( " + " ".join(inner) + " )"))
             i = j
             continue
         i += 1
@@ -1157,15 +1178,18 @@ def _coerce_filter_tokens(toks: list[str], lows: list[str]) -> list[str]:
 
 
 def coerce_filter_truthiness(sql: str) -> str:
-    """Wrap every WHERE/HAVING clause (all nesting depths) in
-    ``coalesce(cast((…) as boolean), false)`` — SQLite filters accept
-    numeric truthiness (``WHERE drisl_exists(p, '.k')``, ``WHERE 1``)
-    while Spark demands BOOLEAN. Boolean clauses pass through the wrap
-    unchanged (cast boolean→boolean), so this is semantics-preserving,
-    but it can hide pushdown-able conjuncts from Catalyst — callers
-    apply it only as a RETRY after a FILTER_NOT_BOOLEAN analysis error
-    (DmlExecutor._sql), keeping the common path's plans clean. Same
-    truthiness rule the iif() translation already applies."""
+    """Wrap every WHERE/HAVING clause (all nesting depths) in the
+    SQLite truthiness coercion (``_sqlite_truthy``) — SQLite filters
+    accept numeric truthiness (``WHERE drisl_exists(p, '.k')``,
+    ``WHERE 1``, ``WHERE '1.5'`` via the text numeric-prefix rule)
+    while Spark demands BOOLEAN, and Spark's own cast-to-boolean
+    DIVERGES on strings ('true'→true vs SQLite's 0→false, '1.5'→NULL
+    vs SQLite's true). Boolean clauses pass through the wrap unchanged,
+    so this is semantics-preserving, but it can hide pushdown-able
+    conjuncts from Catalyst — callers apply it only as a RETRY after a
+    FILTER_NOT_BOOLEAN analysis error (DmlExecutor._sql), keeping the
+    common path's plans clean. Same truthiness rule the iif()
+    translation applies."""
     toks = tokenize(sql)
     lows = [t.lower() if _is_word(t) else t for t in toks]
     return " ".join(_coerce_filter_tokens(toks, lows))

@@ -613,6 +613,12 @@ class Stream:
             tbl = pa.Table.from_pydict(
                 {c: [r[c] for r in rows] for c in cols}, schema=asch
             )
+            # a persist that crashed before the manifest rename leaves its
+            # part files in this same v<seq> dir (the manifest seq never
+            # advanced); the Spark writer clears them via mode('overwrite'),
+            # this path must clear them itself or restore would read
+            # stale+new parts merged
+            shutil.rmtree(path, ignore_errors=True)
             os.makedirs(path, exist_ok=True)
             pq.write_table(tbl, os.path.join(path, "part-00000.parquet"))
             return True
@@ -759,6 +765,7 @@ class Stream:
         known = {n.lower() for n in self.store.defs} | {
             n.lower() for n in self.store.views
         }
+        targets: list[tuple[str, bool]] = []  # (flat target, has conflict)
         for stmt in split_statements(strip_comments(sql)):
             info = classify(stmt)
             if info.kind != "insert":
@@ -810,6 +817,45 @@ class Stream:
                         return False
             if not ignore_accumulating and self._accumulating_upsert(stmt):
                 return False
+            low = stmt.lower()
+            has_conflict = (
+                " conflict" in low
+                or re.search(r"^\s*replace\b", low) is not None
+                or re.search(r"\binsert\s+or\s+(replace|ignore)\b", low)
+                is not None
+            )
+            targets.append((tgt, has_conflict))
+        # statement-major hazard (advice r8): batch/round-wise execution
+        # applies all events of stmt1, then stmt2, but the reference fold
+        # interleaves statements per event (lib.rs:543-569). Statements
+        # writing DIFFERENT tables can't observe each other (their SELECTs
+        # read only `event`), so statement-major ≡ interleaved there — but
+        # two statements sharing a target diverge whenever execution order
+        # is visible: conflict resolution (which statement's row wins a
+        # key) or rowid-alias auto-assignment (max+1 order). Fall back to
+        # the per-event fold for such scripts.
+        by_tgt: dict[str, int] = {}
+        for tgt, _ in targets:
+            by_tgt[tgt] = by_tgt.get(tgt, 0) + 1
+        for tgt, has_conflict in targets:
+            if by_tgt[tgt] < 2:
+                continue
+            if has_conflict:
+                return False
+            tdef = self.store.defs.get(tgt)
+            if tdef is not None and len(tdef.primary_key) == 1:
+                f_ = next(
+                    (
+                        f
+                        for f in tdef.schema.fields
+                        if f.name == tdef.primary_key[0]
+                    ),
+                    None,
+                )
+                if f_ is not None and isinstance(
+                    f_.dataType, (T.LongType, T.IntegerType)
+                ):
+                    return False  # rowid-alias assignment is order-visible
         return True
 
     @staticmethod
@@ -1046,6 +1092,13 @@ class Stream:
             return None
 
     def _roundwise_ok(self, stmt: str) -> bool:
+        # a module table named __roundsrc__ would own the round-source
+        # view name — registering over it would leak staged rounds into
+        # its queries (same guard _localize_insert applies to __localsrc__)
+        if "__roundsrc__" in self.store.defs or (
+            "__roundsrc__" in self.store.views
+        ):
+            return False
         return self._parse_upsert_shape(stmt) is not None
 
     def _exec_roundwise(

@@ -104,3 +104,43 @@ class TestSnapshotReopen:
         s2.provide_module(CHAT)
         # the marker must NOT come back from the snapshot
         assert s2.query("a", LeafQuery("my_unread"))[0]["unread"] == 2
+
+
+class TestCrashedPersistLeftovers:
+    def test_stale_parts_from_crashed_attempt_are_cleared(
+        self, spark, tmp_root
+    ):
+        """A persist that crashes AFTER writing table parts but BEFORE
+        the manifest rename never advances seq — the next persist reuses
+        the same v<seq> dir and must not merge the crashed attempt's
+        files with its own (advice r9: the pyarrow fast path lacked the
+        Spark writer's mode('overwrite') clearing)."""
+        import os
+        import shutil
+
+        s = Stream(spark, tmp_root, "did:plc:crashp")
+        s.provide_module(CHAT)
+        s.add_events([msg("a", "m1", 1), msg("b", "m2", 2)])
+        s.persist_state()  # seq 1
+
+        # simulate the crashed attempt: v000002/messages already holds a
+        # part file (copy of v1's data) with a non-colliding name
+        base = s._snapshot_base()
+        stale_dir = os.path.join(base, "v000002", "messages")
+        os.makedirs(stale_dir, exist_ok=True)
+        src_dir = os.path.join(base, "v000001", "messages")
+        part = next(
+            f for f in os.listdir(src_dir) if f.endswith(".parquet")
+        )
+        shutil.copy(
+            os.path.join(src_dir, part),
+            os.path.join(stale_dir, "part-stale.parquet"),
+        )
+
+        s.add_events([msg("a", "m3", 3), msg("b", "m4", 4)])
+        s.persist_state()  # seq 2 — reuses v000002
+
+        s2 = Stream(spark, tmp_root, "did:plc:crashp")
+        s2.provide_module(CHAT)  # snapshot restore, no refold
+        rows = s2.query(None, LeafQuery("messages"))
+        assert [r["content"] for r in rows] == ["m1", "m2", "m3", "m4"]

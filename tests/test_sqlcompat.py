@@ -13,7 +13,12 @@ from leaf_spark.sqlcompat import (
 class TestTranslate:
     def test_iif_coerces_truthiness(self):
         out = translate("select iif(1, 'a', 'b')")
-        assert "if(coalesce(cast((1) as boolean), false), 'a', 'b')" in out
+        # SQLite numeric truthiness: static-typeof dispatch, text takes
+        # its numeric prefix (NOT Spark's cast-to-boolean)
+        flat = " ".join(out.replace("(", " ( ").replace(")", " ) ").split())
+        assert flat.startswith("select if ( ( case when ( 1 ) is null then false")
+        assert "typeof ( 1 ) = 'string'" in flat
+        assert ", 'a', 'b' )" in flat
 
     def test_params(self):
         assert translate("select * from t where x >= $start limit $limit") == (

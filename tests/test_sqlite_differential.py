@@ -319,6 +319,19 @@ CASES = [
     "select id as v from t where id < 4 group by id having count(*) order by id",
     "select id as v from t where (select n from t where id = 1) order by id",
     "select id as v from t where iif(n, 1, 0) order by id",
+    # string truthiness: SQLite takes the numeric PREFIX of text ('1.5'
+    # → true, 'true' → 0 → FALSE) where Spark's cast-to-boolean parses
+    # 'true'/'1' and NULLs everything else — advice-found divergence,
+    # round 9 (_sqlite_truthy)
+    "select id as v from t where '1.5' order by id",
+    "select id as v from t where 'true'",
+    "select id as v from t where '0.0x'",
+    "select id as v from t where ' 2abc' order by id",
+    "select id as v from t where '-.5e1' order by id",
+    "select id as v from t where s order by id",
+    "select id as v from t where iif('1.5', 1, 0) order by id",
+    "select id as v from t where iif('true', 1, 0)",
+    "select id as v from t where iif(s, 1, 0)",
 ]
 
 

@@ -366,3 +366,140 @@ class TestRoundwiseUpsert:
         assert not s._roundwise_ok(mod.materializer.strip().rstrip(";"))
         s.add_events([ev("u", v=5), ev("u", v=7)])
         assert s.query(None, LeafQuery("t2")) == [{"k": "fixed", "v": 12}]
+
+
+class TestStatementMajorHazard:
+    """Round-9 advice: batch/round-wise execution applies statements
+    statement-major (all events of stmt1, then stmt2) while the
+    reference fold interleaves statements per event. Two statements
+    sharing a target table make that order visible — such scripts must
+    take the per-event fold."""
+
+    TWO_ACC = BasicModuleDef(
+        init_sql=(
+            "create table if not exists acc "
+            "(k text primary key, n integer not null)"
+        ),
+        materializer=(
+            "insert into acc (k, n) select drisl_extract(payload, '.k'), 1"
+            " from event where true"
+            " on conflict(k) do update set n = n + 1; "
+            "insert into acc (k, n) select drisl_extract(payload, '.k'), 2"
+            " from event where true"
+            " on conflict(k) do update set n = n * 2;"
+        ),
+        queries=(QueryDef("acc", "select k, n from acc order by k"),),
+    )
+
+    def test_two_accumulating_upserts_interleave_per_event(
+        self, spark, tmp_path
+    ):
+        """Non-commuting SET exprs (n=n+1, n=n*2) on the same table:
+        per-event gives ((1*2)+1)*2 = 6; statement-major round-wise
+        would give ((1+1)*2)*2 = 8."""
+        s = Stream(spark, str(tmp_path), "did:plc:smh1")
+        s.provide_module(self.TWO_ACC)
+        assert not s._batch_safe(self.TWO_ACC.materializer)
+        assert not s._batch_safe(
+            self.TWO_ACC.materializer, ignore_accumulating=True
+        )
+        s.add_events([ev("u", k="a"), ev("u", k="a")])
+        assert s.query(None, LeafQuery("acc")) == [{"k": "a", "n": 6}]
+        # replay reproduces the same interleaving
+        s2 = Stream(spark, str(tmp_path), "did:plc:smh1")
+        s2.provide_module(self.TWO_ACC)
+        s2.catch_up()
+        assert s2.query(None, LeafQuery("acc")) == [{"k": "a", "n": 6}]
+
+    def test_shared_target_conflict_inserts_not_batch_safe(
+        self, spark, tmp_path
+    ):
+        """Even two NON-accumulating conflict inserts on one table are
+        order-visible (which statement's row wins a key)."""
+        mod = BasicModuleDef(
+            init_sql=(
+                "create table if not exists first "
+                "(k text primary key, src integer not null)"
+            ),
+            materializer=(
+                "insert into first (k, src) select"
+                " drisl_extract(payload, '.a'), 1 from event"
+                " where drisl_exists(payload, '.a')"
+                " on conflict(k) do nothing; "
+                "insert into first (k, src) select"
+                " drisl_extract(payload, '.b'), 2 from event"
+                " where drisl_exists(payload, '.b')"
+                " on conflict(k) do nothing;"
+            ),
+            queries=(QueryDef("first", "select k, src from first order by k"),),
+        )
+        s = Stream(spark, str(tmp_path), "did:plc:smh2")
+        s.provide_module(mod)
+        assert not s._batch_safe(mod.materializer)
+        # key 'x' arrives via stmt2 in event 1 and stmt1 in event 2: the
+        # reference's per-event interleaving means stmt2@e1 wins
+        s.add_events([ev("u", b="x"), ev("u", a="x")])
+        assert s.query(None, LeafQuery("first")) == [{"k": "x", "src": 2}]
+
+    def test_distinct_targets_keep_fast_paths(self, spark, tmp_path):
+        """The KV module (accumulating upsert on kv + conflict insert on
+        bans — different tables) must keep the round-wise dispatch."""
+        s = Stream(spark, str(tmp_path), "did:plc:smh3")
+        s.provide_module(KV)
+        assert s._batch_safe(KV.materializer, ignore_accumulating=True)
+
+    def test_shared_target_plain_inserts_with_rowid_alias(
+        self, spark, tmp_path
+    ):
+        """Two plain inserts into a rowid-alias table: id auto-assignment
+        order is visible (max+1), so the script folds per event —
+        event-interleaved ids, not statement-major ones."""
+        mod = BasicModuleDef(
+            init_sql=(
+                "create table if not exists logb "
+                "(id integer primary key, tag text not null)"
+            ),
+            materializer=(
+                "insert into logb (tag) select 'a' || idx from event; "
+                "insert into logb (tag) select 'b' || idx from event;"
+            ),
+            queries=(QueryDef("logb", "select id, tag from logb order by id"),),
+        )
+        s = Stream(spark, str(tmp_path), "did:plc:smh4")
+        s.provide_module(mod)
+        assert not s._batch_safe(mod.materializer)
+        s.add_events([ev("u", v=1), ev("u", v=2)])
+        assert s.query(None, LeafQuery("logb")) == [
+            {"id": 1, "tag": "a1"}, {"id": 2, "tag": "b1"},
+            {"id": 3, "tag": "a2"}, {"id": 4, "tag": "b2"},
+        ]
+
+
+class TestRoundsrcCollision:
+    def test_module_table_named_roundsrc_falls_back(self, spark, tmp_path):
+        """A module table named __roundsrc__ owns that view name — the
+        round-wise path must refuse and fold per event (same guard as
+        __localsrc__)."""
+        mod = BasicModuleDef(
+            init_sql=(
+                "create table if not exists __roundsrc__ "
+                "(k text primary key, n integer not null)"
+            ),
+            materializer=(
+                "insert into __roundsrc__ (k, n) select"
+                " drisl_extract(payload, '.k'), 1 from event where true"
+                " on conflict(k) do update set n = n + 1;"
+            ),
+            queries=(
+                QueryDef(
+                    "rs", "select k, n from __roundsrc__ order by k"
+                ),
+            ),
+        )
+        s = Stream(spark, str(tmp_path), "did:plc:rsc")
+        s.provide_module(mod)
+        stmt = mod.materializer.strip().rstrip(";")
+        assert s._accumulating_upsert(stmt)
+        assert not s._roundwise_ok(stmt)
+        s.add_events([ev("u", k="a"), ev("u", k="a")])
+        assert s.query(None, LeafQuery("rs")) == [{"k": "a", "n": 2}]
