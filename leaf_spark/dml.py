@@ -1132,7 +1132,7 @@ class DmlExecutor:
                 *(["__ord__"] if "__ord__" in aligned.columns else [])
             )
             self._fire_triggers("before", "insert", name, inserted, None, args)
-            self.store.mutated(name, existing.unionByName(aligned))
+            self.store.mutated(name, existing.unionByName(inserted))
             self._fire_triggers("after", "insert", name, inserted, None, args)
             # divergence note: SQLite's last_insert_rowid is the rowid of
             # the literal last row; with set-wise batch inserts we record

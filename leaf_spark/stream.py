@@ -761,87 +761,108 @@ class Stream:
         would evaluate every event against the pre-batch snapshot, missing
         intra-batch effects the reference's sequential fold sees
         (basic.rs:76-105). Any known table name at subquery depth (or a
-        ``state.``/``main.``-qualified one) forces the per-event path."""
-        known = {n.lower() for n in self.store.defs} | {
-            n.lower() for n in self.store.views
-        }
-        targets: list[tuple[str, bool]] = []  # (flat target, has conflict)
+        ``state.``/``main.``-qualified one) disqualifies; the recognized
+        NOT-EXISTS-on-target shape is then compiled set-wise by
+        ``_compile_script`` and everything else folds per event."""
+        targets: list[tuple[str, bool]] = []  # (flat target, order-sensitive)
         for stmt in split_statements(strip_comments(sql)):
-            info = classify(stmt)
-            if info.kind != "insert":
+            got = self._stmt_batch_safe(stmt)
+            if got is None:
                 return False
-            # triggers on the insert target run their bodies per statement
-            # execution; per-event application keeps their visibility
-            # semantics identical to the reference's row-at-a-time fold
-            tgt = (info.target or "").replace("state.", "state_").replace("main.", "")
-            if any(t.table == tgt for t in self.store.triggers.values()):
-                return False
-            toks = tokenize(stmt)
-            lows = [t.lower() if _is_word(t) else t for t in toks]
-            depth = 0
-            from_ok = False
-            for i, t in enumerate(toks):
-                if t == "(":
-                    depth += 1
-                elif t == ")":
-                    depth -= 1
-                elif depth == 0 and lows[i] == "from":
-                    if i + 1 < len(toks) and lows[i + 1] == "event":
-                        nxt = lows[i + 2] if i + 2 < len(toks) else None
-                        if nxt in (None, "where", "on", "group", "order", "limit"):
-                            from_ok = True
-                    break
-            if not from_ok:
-                return False
-            # reject managed-table references anywhere inside parens
-            # (subqueries); the only sanctioned relation is the top-level
-            # FROM event. db-qualified names flatten like _create_table.
-            depth = 0
-            for i, t in enumerate(toks):
-                if t == "(":
-                    depth += 1
-                elif t == ")":
-                    depth -= 1
-                elif depth > 0 and _is_word(t):
-                    low = lows[i]
-                    if low in ("state", "main") and i + 2 < len(toks) and toks[i + 1] == ".":
-                        nxt = lows[i + 2]
-                        flat = nxt if low == "main" else f"state_{nxt}"
-                        if flat in known:
-                            return False
-                    if (
-                        low in known
-                        and (i == 0 or toks[i - 1] != ".")
-                        and (i + 1 >= len(toks) or toks[i + 1] != "(")
-                    ):
-                        return False
             if not ignore_accumulating and self._accumulating_upsert(stmt):
                 return False
-            low = stmt.lower()
-            has_conflict = (
-                " conflict" in low
-                or re.search(r"^\s*replace\b", low) is not None
-                or re.search(r"\binsert\s+or\s+(replace|ignore)\b", low)
-                is not None
-            )
-            targets.append((tgt, has_conflict))
-        # statement-major hazard (advice r8): batch/round-wise execution
-        # applies all events of stmt1, then stmt2, but the reference fold
-        # interleaves statements per event (lib.rs:543-569). Statements
-        # writing DIFFERENT tables can't observe each other (their SELECTs
-        # read only `event`), so statement-major ≡ interleaved there — but
-        # two statements sharing a target diverge whenever execution order
-        # is visible: conflict resolution (which statement's row wins a
-        # key) or rowid-alias auto-assignment (max+1 order). Fall back to
-        # the per-event fold for such scripts.
+            targets.append(got)
+        return not self._shared_target_hazard(targets)
+
+    def _known_table_names(self) -> set[str]:
+        return {n.lower() for n in self.store.defs} | {
+            n.lower() for n in self.store.views
+        }
+
+    def _stmt_batch_safe(self, stmt: str) -> tuple[str, bool] | None:
+        """(flat target, order-sensitive) when ONE statement is
+        INSERT … SELECT … FROM event touching no managed table and no
+        trigger; None otherwise. Order-sensitive = conflict-resolving
+        (which execution sees a key first is visible in the result).
+        Accumulating-upsert handling is the caller's concern."""
+        known = self._known_table_names()
+        info = classify(stmt)
+        if info.kind != "insert":
+            return None
+        # triggers on the insert target run their bodies per statement
+        # execution; per-event application keeps their visibility
+        # semantics identical to the reference's row-at-a-time fold
+        tgt = (info.target or "").replace("state.", "state_").replace("main.", "")
+        if any(t.table == tgt for t in self.store.triggers.values()):
+            return None
+        toks = tokenize(stmt)
+        lows = [t.lower() if _is_word(t) else t for t in toks]
+        depth = 0
+        from_ok = False
+        for i, t in enumerate(toks):
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and lows[i] == "from":
+                if i + 1 < len(toks) and lows[i + 1] == "event":
+                    nxt = lows[i + 2] if i + 2 < len(toks) else None
+                    if nxt in (None, "where", "on", "group", "order", "limit"):
+                        from_ok = True
+                break
+        if not from_ok:
+            return None
+        # reject managed-table references anywhere inside parens
+        # (subqueries); the only sanctioned relation is the top-level
+        # FROM event. db-qualified names flatten like _create_table.
+        depth = 0
+        for i, t in enumerate(toks):
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth > 0 and _is_word(t):
+                low = lows[i]
+                if low in ("state", "main") and i + 2 < len(toks) and toks[i + 1] == ".":
+                    nxt = lows[i + 2]
+                    flat = nxt if low == "main" else f"state_{nxt}"
+                    if flat in known:
+                        return None
+                if (
+                    low in known
+                    and (i == 0 or toks[i - 1] != ".")
+                    and (i + 1 >= len(toks) or toks[i + 1] != "(")
+                ):
+                    return None
+        low = stmt.lower()
+        has_conflict = (
+            " conflict" in low
+            or re.search(r"^\s*replace\b", low) is not None
+            or re.search(r"\binsert\s+or\s+(replace|ignore)\b", low)
+            is not None
+        )
+        return tgt, has_conflict
+
+    def _shared_target_hazard(
+        self, targets: list[tuple[str, bool]]
+    ) -> bool:
+        """Statement-major hazard (advice r8): batch/round-wise execution
+        applies all events of stmt1, then stmt2, but the reference fold
+        interleaves statements per event (lib.rs:543-569). Statements
+        writing DIFFERENT tables can't observe each other (their SELECTs
+        read only ``event``), so statement-major ≡ interleaved there — but
+        two statements sharing a target diverge whenever execution order
+        is visible: conflict resolution / dedup probes (which statement's
+        row wins a key) or rowid-alias auto-assignment (max+1 order).
+        Such scripts take the per-event fold."""
         by_tgt: dict[str, int] = {}
         for tgt, _ in targets:
             by_tgt[tgt] = by_tgt.get(tgt, 0) + 1
-        for tgt, has_conflict in targets:
+        for tgt, sensitive in targets:
             if by_tgt[tgt] < 2:
                 continue
-            if has_conflict:
-                return False
+            if sensitive:
+                return True
             tdef = self.store.defs.get(tgt)
             if tdef is not None and len(tdef.primary_key) == 1:
                 f_ = next(
@@ -855,8 +876,8 @@ class Stream:
                 if f_ is not None and isinstance(
                     f_.dataType, (T.LongType, T.IntegerType)
                 ):
-                    return False  # rowid-alias assignment is order-visible
-        return True
+                    return True  # rowid-alias assignment is order-visible
+        return False
 
     @staticmethod
     def _find_on_conflict(toks: list[str], lows: list[str]) -> int:
@@ -1101,6 +1122,349 @@ class Stream:
             return False
         return self._parse_upsert_shape(stmt) is not None
 
+    # -- set-wise dedup-idiom compilation (round 9, VERDICT r8 #2) -----------
+
+    _DEDUP_ALIASES = ("__dedupsrc__", "__dedupcand__", "__deduptgt__")
+
+    @staticmethod
+    def _top_spans(
+        toks: list[str], lows: list[str], sep: str, start: int, end: int
+    ) -> list[tuple[int, int]]:
+        """[start, end) split on depth-0 occurrences of ``sep`` (compared
+        against lows); returns (lo, hi) spans excluding separators."""
+        spans: list[tuple[int, int]] = []
+        depth, lo = 0, start
+        for i in range(start, end):
+            t = toks[i]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and lows[i] == sep:
+                spans.append((lo, i))
+                lo = i + 1
+        spans.append((lo, end))
+        return spans
+
+    def _compile_dedup_idiom(self, stmt: str) -> tuple[str, str] | None:
+        """Compile the NOT-EXISTS-on-target dedup idiom
+
+            INSERT INTO t (cols) SELECT … FROM event
+            WHERE … AND NOT EXISTS (SELECT … FROM t WHERE k = <expr> …)
+
+        into ONE set-wise statement: elect the first occurrence per probe
+        key within the batch (row_number over the key, ordered by event
+        idx — exactly the intra-batch blocking the reference's sequential
+        fold produces, leaf-stream/src/lib.rs:543-569), then keep the
+        NOT EXISTS against the pre-statement table, which is now exact
+        because elected keys are unique. A replay fold of such a module
+        becomes one Spark statement instead of one per event.
+
+        Exactness conditions enforced here: every correlated equality
+        pairs a target column with an event-side expression that is
+        TOKEN-IDENTICAL to that column's inserted value (so inserting a
+        row blocks exactly the later events the reference would block);
+        rows whose key is NULL bypass election and the probe (NULL = NULL
+        is not true in SQLite — every NULL-key event inserts and blocks
+        nothing); no other managed reference anywhere in the statement.
+        Returns (flat target, compiled SQL) or None."""
+        try:
+            toks = tokenize(stmt)
+            lows = [t.lower() if _is_word(t) else t for t in toks]
+            if not lows or lows[0] != "insert" or "returning" in lows:
+                return None
+            split = self._split_insert(toks, lows)
+            if split is None:
+                return None
+            isel, icut = split
+            if icut >= 0:  # ON CONFLICT is the upsert machinery's job
+                return None
+            into_i = lows.index("into")
+            j = into_i + 1
+            raw_parts = [toks[j]]
+            j += 1
+            if j < len(toks) and toks[j] == ".":
+                raw_parts += [".", toks[j + 1]]
+                j += 2
+            raw_target = "".join(raw_parts)
+            flat = raw_target.lower().replace("state.", "state_").replace(
+                "main.", ""
+            )
+            tdef = self.store.defs.get(flat)
+            if tdef is None:
+                return None
+            if any(t.table == flat for t in self.store.triggers.values()):
+                return None
+            if toks[j] == "(":
+                close = toks.index(")", j)
+                cols = [t for t in toks[j + 1 : close] if _is_word(t)]
+            else:
+                cols = [f.name for f in tdef.schema.fields]
+            tcols = {f.name.lower() for f in tdef.schema.fields}
+            reserved = {"__ord__", "__rn__"}
+            if reserved & {c.lower() for c in cols} or reserved & tcols:
+                return None
+            for a in self._DEDUP_ALIASES:
+                if a in self.store.defs or a in self.store.views:
+                    return None
+            # depth-0 FROM event WHERE …
+            ifrom, depth = -1, 0
+            for i in range(isel, len(toks)):
+                t = toks[i]
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    depth -= 1
+                elif depth == 0 and lows[i] == "from":
+                    ifrom = i
+                    break
+            if (
+                ifrom < 0
+                or ifrom + 2 >= len(toks)
+                or lows[ifrom + 1] != "event"
+                or lows[ifrom + 2] != "where"
+            ):
+                return None
+            # select list: one expression per target column, optional AS
+            exprs: list[list[str]] = []
+            for lo, hi in self._top_spans(toks, lows, ",", isel + 1, ifrom):
+                item = toks[lo:hi]
+                if (
+                    len(item) >= 2
+                    and _is_word(item[-1])
+                    and item[-2].lower() == "as"
+                ):
+                    item = item[:-2]
+                if not item:
+                    return None
+                exprs.append(item)
+            if len(exprs) != len(cols):
+                return None
+            # WHERE region must be a bare conjunction (no trailing clauses)
+            wlo, whi = ifrom + 3, len(toks)
+            depth = 0
+            for i in range(wlo, whi):
+                t = toks[i]
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    depth -= 1
+                elif depth == 0 and lows[i] in (
+                    "group", "order", "limit", "having", "union",
+                    "intersect", "except", "window", "on", "or",
+                ):
+                    return None
+            conjs = self._top_spans(toks, lows, "and", wlo, whi)
+            ne = [
+                (lo, hi)
+                for lo, hi in conjs
+                if hi - lo >= 4
+                and lows[lo] == "not"
+                and lows[lo + 1] == "exists"
+                and toks[lo + 2] == "("
+                and toks[hi - 1] == ")"
+            ]
+            if len(ne) != 1:
+                return None
+            nlo, nhi = ne[0]
+            keys = self._parse_dedup_probe(
+                toks[nlo + 3 : nhi - 1],
+                lows[nlo + 3 : nhi - 1],
+                raw_target,
+                flat,
+                tdef,
+                cols,
+                exprs,
+            )
+            if not keys:
+                return None
+            # the reduced statement (idiom conjunct removed) must be the
+            # plain insert-from-event shape with no other managed refs
+            wprime: list[str] = []
+            for lo, hi in conjs:
+                if (lo, hi) == (nlo, nhi):
+                    continue
+                if wprime:
+                    wprime.append("and")
+                wprime.extend(toks[lo:hi])
+            reduced = " ".join(
+                toks[: ifrom + 2] + (["where", *wprime] if wprime else [])
+            )
+            if self._stmt_batch_safe(reduced) is None:
+                return None
+            inner_sel = (
+                "select "
+                + ", ".join(
+                    " ".join(exprs[i]) + " as " + c
+                    for i, c in enumerate(cols)
+                )
+                + ", idx as __ord__ from event"
+                + ((" where " + " ".join(wprime)) if wprime else "")
+            )
+            null_bypass = "".join(f" or {k} is null" for k in keys)
+            probe = " and ".join(
+                f"__deduptgt__.{k} = __dedupcand__.{k}" for k in keys
+            )
+            compiled = (
+                " ".join(toks[:isel])
+                + " select "
+                + ", ".join(cols)
+                + ", __ord__ from (select "
+                + ", ".join(cols)
+                + ", __ord__, row_number() over (partition by "
+                + ", ".join(keys)
+                + " order by __ord__) as __rn__ from ("
+                + inner_sel
+                + ") __dedupsrc__) __dedupcand__ where (__rn__ = 1"
+                + null_bypass
+                + ") and not exists (select 1 from "
+                + raw_target
+                + " __deduptgt__ where "
+                + probe
+                + ")"
+            )
+            return flat, compiled
+        except Exception:
+            return None
+
+    @staticmethod
+    def _parse_dedup_probe(
+        inner: list[str],
+        inlows: list[str],
+        raw_target: str,
+        flat: str,
+        tdef,
+        cols: list[str],
+        exprs: list[list[str]],
+    ) -> list[str] | None:
+        """The NOT EXISTS body must be SELECT … FROM <target> WHERE a
+        conjunction of equalities, each pairing a target column with the
+        token-identical expression inserted for that column (so the
+        insert blocks exactly what the probe would later see). Returns
+        the key column list, or None."""
+        if not inner or inlows[0] != "select":
+            return None
+        depth, ifrom = 0, -1
+        for i, t in enumerate(inner):
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and inlows[i] == "from":
+                ifrom = i
+                break
+        if ifrom < 0:
+            return None
+        j = ifrom + 1
+        if j >= len(inner):
+            return None
+        parts = [inner[j]]
+        j += 1
+        if j < len(inner) and inner[j] == ".":
+            parts += [".", inner[j + 1]]
+            j += 2
+        probe_flat = "".join(parts).lower().replace(
+            "state.", "state_"
+        ).replace("main.", "")
+        if probe_flat != flat:
+            return None
+        if j >= len(inner) or inlows[j] != "where":  # no alias/join forms
+            return None
+        tname = parts[-1].lower()
+        tcols = {f.name.lower() for f in tdef.schema.fields}
+        colmap = {
+            c.lower(): " ".join(
+                t.lower() if _is_word(t) else t for t in exprs[i]
+            )
+            for i, c in enumerate(cols)
+        }
+
+        def colref(ts: list[str], ls: list[str]) -> str | None:
+            if len(ts) == 1 and _is_word(ts[0]) and ls[0] in tcols:
+                return ls[0]
+            if (
+                len(ts) == 3
+                and ts[1] == "."
+                and _is_word(ts[0])
+                and ls[0] in (tname, flat)
+                and ls[2] in tcols
+            ):
+                return ls[2]
+            return None
+
+        keys: list[str] = []
+        for lo, hi in Stream._top_spans(inner, inlows, "and", j + 1, len(inner)):
+            span, slows = inner[lo:hi], inlows[lo:hi]
+            depth, ieq = 0, -1
+            for i, t in enumerate(span):
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    depth -= 1
+                elif depth == 0 and t == "=":
+                    ieq = i
+                    break
+            if ieq < 0:
+                return None
+            c = colref(span[:ieq], slows[:ieq])
+            evt, evl = span[ieq + 1 :], slows[ieq + 1 :]
+            if c is None:
+                c = colref(span[ieq + 1 :], slows[ieq + 1 :])
+                evt, evl = span[:ieq], slows[:ieq]
+            if c is None or not evt:
+                return None
+            # the event-side expression must not resolve to the inner
+            # table (bare target-column names win inner resolution in
+            # SQLite and Spark alike) nor nest its own query
+            for i, t in enumerate(evt):
+                if not _is_word(t):
+                    continue
+                w = evl[i]
+                if w in ("select", "exists"):
+                    return None
+                if i + 1 < len(evt) and evt[i + 1] == "(":
+                    continue  # function name
+                if i >= 1 and evt[i - 1] == ".":
+                    continue  # qualified member; qualifier checked below
+                if w in tcols or w in (tname, flat):
+                    return None
+            if c not in colmap:
+                return None
+            norm = " ".join(t.lower() if _is_word(t) else t for t in evt)
+            if norm != colmap[c]:
+                return None
+            if c not in keys:
+                keys.append(c)
+        return keys or None
+
+    def _compile_script(self, stmts: list[str]) -> list[str] | None:
+        """Script-level set-wise compilation: every statement must be
+        independently batch-safe (non-accumulating) or the dedup idiom,
+        with at least one idiom statement and no shared-target hazard
+        (a compiled probe reads the pre-statement table, so no other
+        statement may touch its target). Returns the statement list with
+        idiom statements replaced by their compiled form, or None — the
+        caller then folds per-event."""
+        out: list[str] = []
+        targets: list[tuple[str, bool]] = []
+        compiled_any = False
+        for stmt in stmts:
+            got = self._stmt_batch_safe(stmt)
+            if got is not None and not self._accumulating_upsert(stmt):
+                out.append(stmt)
+                targets.append(got)
+                continue
+            cd = self._compile_dedup_idiom(stmt)
+            if cd is None:
+                return None
+            flat, ctext = cd
+            out.append(ctext)
+            targets.append((flat, True))  # probe order is visible
+            compiled_any = True
+        if not compiled_any or self._shared_target_hazard(targets):
+            return None
+        return out
+
     def _exec_roundwise(
         self,
         ex: DmlExecutor,
@@ -1220,6 +1584,33 @@ class Stream:
                     ) is not None
                 )
                 s = self._inject_ord(stmt) if has_conflict else stmt
+                s = self._localize_insert(s, local_rows) or s
+                ex.execute(s, is_state=is_state)
+            return
+        compiled = self._compile_script(stmts)
+        if compiled is not None:
+            # dedup-idiom path: the NOT-EXISTS-on-target statements were
+            # compiled set-wise (first-occurrence election + pre-state
+            # probe — exact per-event semantics in ONE statement); the
+            # rest of the script is plain batch-safe. Replay of such a
+            # module is O(statements) Spark jobs, not O(events).
+            events.createOrReplaceTempView(ev_view)
+            ex = self._executor(ev_view, with_events=needs_events)
+            for orig, s in zip(stmts, compiled):
+                self.sql_authorizer.check(orig, policy)
+                if s is not orig:
+                    s2 = self._localize_insert(s, local_rows) or s
+                    ex.execute(s2, is_state=is_state)
+                    continue
+                low = orig.lower()
+                has_conflict = (
+                    " conflict" in low
+                    or re.search(r"^\s*replace\b", low) is not None
+                    or re.search(
+                        r"\binsert\s+or\s+(replace|ignore)\b", low
+                    ) is not None
+                )
+                s = self._inject_ord(orig) if has_conflict else orig
                 s = self._localize_insert(s, local_rows) or s
                 ex.execute(s, is_state=is_state)
             return

@@ -503,3 +503,215 @@ class TestRoundsrcCollision:
         assert not s._roundwise_ok(stmt)
         s.add_events([ev("u", k="a"), ev("u", k="a")])
         assert s.query(None, LeafQuery("rs")) == [{"k": "a", "n": 2}]
+
+
+class TestDedupIdiomCompilation:
+    """Round-9 flagship: the NOT-EXISTS-on-target dedup idiom compiles
+    set-wise — first-occurrence-per-key election (window over the probe
+    key, ordered by idx) + the NOT EXISTS against the pre-statement
+    table. Exact per-event semantics (lib.rs:543-569) in ONE statement;
+    replay is O(statements), not O(events)."""
+
+    def _mk(self, spark, tmp_path, mod, who="did:plc:dcomp"):
+        s = Stream(spark, str(tmp_path), who)
+        s.provide_module(mod)
+        return s
+
+    def test_dedup_module_takes_compiled_path(self, spark, tmp_path):
+        s = self._mk(spark, tmp_path, DEDUP)
+        stmts = [
+            st.strip() for st in DEDUP.materializer.split(";") if st.strip()
+        ]
+        compiled = s._compile_script(stmts)
+        assert compiled is not None and compiled[0] != stmts[0]
+        assert "row_number() over" in compiled[0]
+
+    def test_replay_runs_one_statement_not_per_event(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A catch-up replay of a dedup module must never enter the
+        per-event loop (whose signature is one single-row
+        _event_local_df per event)."""
+        s = self._mk(spark, tmp_path, DEDUP)
+        s.add_events([ev("u", key=f"k{i % 7}") for i in range(20)])
+        expect = s.query(None, LeafQuery("seen"))
+
+        s2 = Stream(spark, str(tmp_path), "did:plc:dcomp")
+
+        def no_single_row(rows, schema):
+            raise AssertionError("per-event fold ran for a compiled module")
+
+        monkeypatch.setattr(s2, "_event_local_df", no_single_row)
+        s2.provide_module(DEDUP)
+        s2.catch_up()
+        assert s2.query(None, LeafQuery("seen")) == expect
+        assert [r["key"] for r in expect] == [f"k{i}" for i in range(7)]
+
+    def test_intra_and_cross_batch_blocking(self, spark, tmp_path):
+        s = self._mk(spark, tmp_path, DEDUP)
+        s.add_events([ev("u", key="a"), ev("u", key="b"), ev("u", key="a")])
+        assert s.query(None, LeafQuery("seen")) == [
+            {"key": "a", "idx": 1}, {"key": "b", "idx": 2},
+        ]
+        s.add_events([ev("u", key="b"), ev("u", key="c")])
+        assert s.query(None, LeafQuery("seen")) == [
+            {"key": "a", "idx": 1}, {"key": "b", "idx": 2},
+            {"key": "c", "idx": 5},
+        ]
+
+    def test_null_keys_always_insert_and_never_block(self, spark, tmp_path):
+        """NULL = NULL is not true in SQLite: every NULL-key event
+        inserts (no election among them) and blocks nothing."""
+        mod = BasicModuleDef(
+            init_sql=(
+                "create table if not exists seen2 "
+                "(key text, idx integer not null)"
+            ),
+            materializer=(
+                "insert into seen2 (key, idx) "
+                "select drisl_extract(payload, '.key'), idx from event "
+                "where not exists (select 1 from seen2 "
+                "where key = drisl_extract(payload, '.key'));"
+            ),
+            queries=(
+                QueryDef("seen2", "select key, idx from seen2 order by idx"),
+            ),
+        )
+        s = self._mk(spark, tmp_path, mod)
+        assert s._compile_script(
+            [mod.materializer.strip().rstrip(";")]
+        ) is not None
+        s.add_events([
+            ev("u", other=1), ev("u", key="a"), ev("u", other=2),
+            ev("u", key="a"),
+        ])
+        assert s.query(None, LeafQuery("seen2")) == [
+            {"key": None, "idx": 1}, {"key": "a", "idx": 2},
+            {"key": None, "idx": 3},
+        ]
+
+    def test_multi_key_and_extra_conjunct_and_qualified_probe(
+        self, spark, tmp_path
+    ):
+        mod = BasicModuleDef(
+            init_sql=(
+                "create table if not exists pairs "
+                "(a text not null, b text not null, idx integer not null)"
+            ),
+            materializer=(
+                "insert into pairs (a, b, idx) "
+                "select drisl_extract(payload, '.a'), "
+                "drisl_extract(payload, '.b'), idx from event "
+                "where drisl_exists(payload, '.a') "
+                "and not exists (select 1 from pairs "
+                "where pairs.a = drisl_extract(payload, '.a') "
+                "and b = drisl_extract(payload, '.b'));"
+            ),
+            queries=(
+                QueryDef("pairs", "select a, b, idx from pairs order by idx"),
+            ),
+        )
+        s = self._mk(spark, tmp_path, mod)
+        assert s._compile_script(
+            [mod.materializer.strip().rstrip(";")]
+        ) is not None
+        s.add_events([
+            ev("u", a="x", b="1"), ev("u", a="x", b="2"),
+            ev("u", a="x", b="1"), ev("u", nothing=True),
+            ev("u", a="y", b="1"),
+        ])
+        assert s.query(None, LeafQuery("pairs")) == [
+            {"a": "x", "b": "1", "idx": 1},
+            {"a": "x", "b": "2", "idx": 2},
+            {"a": "y", "b": "1", "idx": 5},
+        ]
+
+    def test_non_identical_probe_expr_falls_back(self, spark, tmp_path):
+        """Probe expression differing from the inserted value can't be
+        compiled (inserting wouldn't block what the probe sees) — the
+        script stays on the per-event fold and stays correct."""
+        mod = BasicModuleDef(
+            init_sql=(
+                "create table if not exists norm "
+                "(key text not null, idx integer not null)"
+            ),
+            materializer=(
+                # inserts the RAW key but probes the UPPERCASED one
+                "insert into norm (key, idx) "
+                "select drisl_extract(payload, '.key'), idx from event "
+                "where not exists (select 1 from norm "
+                "where key = upper(drisl_extract(payload, '.key')));"
+            ),
+            queries=(
+                QueryDef("norm", "select key, idx from norm order by idx"),
+            ),
+        )
+        s = self._mk(spark, tmp_path, mod)
+        assert s._compile_script(
+            [mod.materializer.strip().rstrip(";")]
+        ) is None
+        s.add_events([ev("u", key="a"), ev("u", key="A"), ev("u", key="a")])
+        # per-event: 'a' inserts (probe 'A' absent); 'A' inserts (probe
+        # 'A' != raw row 'a'); second 'a' probes 'A' — now present → blocked
+        assert [r["key"] for r in s.query(None, LeafQuery("norm"))] == [
+            "a", "A",
+        ]
+
+    def test_second_writer_to_target_falls_back(self, spark, tmp_path):
+        mod = BasicModuleDef(
+            init_sql=(
+                "create table if not exists seen3 "
+                "(key text not null, idx integer not null)"
+            ),
+            materializer=(
+                "insert into seen3 (key, idx) "
+                "select drisl_extract(payload, '.key'), idx from event "
+                "where not exists (select 1 from seen3 "
+                "where key = drisl_extract(payload, '.key')); "
+                "insert into seen3 (key, idx) "
+                "select 'marker', idx from event where idx = 1;"
+            ),
+            queries=(
+                QueryDef("seen3", "select key, idx from seen3 order by idx, key"),
+            ),
+        )
+        s = self._mk(spark, tmp_path, mod)
+        stmts = [st.strip() for st in mod.materializer.split(";") if st.strip()]
+        assert s._compile_script(stmts) is None
+        s.add_events([ev("u", key="a"), ev("u", key="a")])
+        assert s.query(None, LeafQuery("seen3")) == [
+            {"key": "a", "idx": 1}, {"key": "marker", "idx": 1},
+        ]
+
+    def test_dedup_plus_batch_safe_statement_compiles(self, spark, tmp_path):
+        """A script mixing the idiom with a plain batch-safe insert on a
+        DIFFERENT table keeps the set-wise path for both."""
+        mod = BasicModuleDef(
+            init_sql=(
+                "create table if not exists seen4 "
+                "(key text not null, idx integer not null); "
+                "create table if not exists log4 "
+                "(idx integer not null, who text not null)"
+            ),
+            materializer=(
+                "insert into seen4 (key, idx) "
+                "select drisl_extract(payload, '.key'), idx from event "
+                "where not exists (select 1 from seen4 "
+                "where key = drisl_extract(payload, '.key')); "
+                "insert into log4 (idx, who) select idx, user from event;"
+            ),
+            queries=(
+                QueryDef("seen4", "select key, idx from seen4 order by idx"),
+                QueryDef("log4", "select idx, who from log4 order by idx"),
+            ),
+        )
+        s = self._mk(spark, tmp_path, mod)
+        stmts = [st.strip() for st in mod.materializer.split(";") if st.strip()]
+        compiled = s._compile_script(stmts)
+        assert compiled is not None
+        assert compiled[0] != stmts[0] and compiled[1] is stmts[1]
+        s.add_events([ev("ua", key="a"), ev("ub", key="a")])
+        assert s.query(None, LeafQuery("seen4")) == [{"key": "a", "idx": 1}]
+        assert s.query(None, LeafQuery("log4")) == [
+            {"idx": 1, "who": "ua"}, {"idx": 2, "who": "ub"},
+        ]

@@ -259,8 +259,79 @@ def latency_main() -> None:
             shutil.rmtree(root, ignore_errors=True)
 
 
+def dedup_main() -> None:
+    """Replay throughput for a NOT-EXISTS dedup-idiom module — the class
+    that folded per-event (O(events) Spark statements) before round 9's
+    set-wise compilation (one statement per fold).
+
+    Usage: python tools/bench_stream.py dedup [n_events] [batch_size]
+    """
+    n_events = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000
+    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 500
+    spark = get_spark("leaf-dedup-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from leaf_spark import drisl
+    from leaf_spark.module import BasicModuleDef, QueryDef
+
+    mod = BasicModuleDef(
+        init_sql=(
+            "create table if not exists seen "
+            "(key text not null, idx integer not null)"
+        ),
+        materializer=(
+            "insert into seen (key, idx) "
+            "select drisl_extract(payload, '.key'), idx from event "
+            "where not exists (select 1 from seen "
+            "where key = drisl_extract(payload, '.key'));"
+        ),
+        queries=(QueryDef("n", "select count(*) as n from seen"),),
+    )
+
+    root = tempfile.mkdtemp(prefix="dedup_bench_")
+    out: dict = {"mode": "dedup", "n_events": n_events, "batch_size": batch}
+    try:
+        s = Stream(spark, root, "did:plc:dd")
+        s.provide_module(mod)
+        t0 = time.time()
+        i = 0
+        while i < n_events:
+            n = min(batch, n_events - i)
+            s.add_events(
+                [
+                    IncomingEvent(
+                        "did:plc:u", drisl.encode({"key": f"k{(i + j) % 257}"})
+                    )
+                    for j in range(n)
+                ]
+            )
+            i += n
+        out["ingest_events_per_sec"] = round(n_events / (time.time() - t0), 1)
+
+        import os
+
+        snap = next(
+            os.path.join(r, "snapshot")
+            for r, d, f in os.walk(os.path.join(root, "streams"))
+            if "snapshot" in d
+        )
+        shutil.rmtree(snap, ignore_errors=True)
+        t0 = time.time()
+        s2 = Stream(spark, root, "did:plc:dd")
+        s2.provide_module(mod)
+        replay_s = time.time() - t0
+        out["replay_events_per_sec"] = round(n_events / replay_s, 1)
+        out["replay_sec"] = round(replay_s, 2)
+        out["distinct_keys"] = s2.query(None, LeafQuery("n"))[0]["n"]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "latency":
         latency_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "dedup":
+        dedup_main()
     else:
         main()
