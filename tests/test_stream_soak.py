@@ -715,3 +715,214 @@ class TestDedupIdiomCompilation:
         assert s.query(None, LeafQuery("log4")) == [
             {"idx": 1, "who": "ua"}, {"idx": 2, "who": "ub"},
         ]
+
+
+class TestSoakMirrorBoundary:
+    """r9 soak (VERDICT r8 "Next round" #6): schedules that interleave
+    module swap, batch rollback, clear_state, reopen, and bans-table
+    growth ACROSS the mirror eligibility cap (``Stream._MIRROR_CAP``).
+
+    After every op three things must hold:
+
+    1. engine query results equal the model — the behavioral
+       local-vs-Spark parity check (a stale mirror would mis-authorize a
+       banned sender; a lost mirror would never, because the Spark path
+       answers instead);
+    2. any mirror whose cached version equals the store's CURRENT
+       registration version holds exactly the Spark table's rows
+       (out-of-date mirrors are fine at rest — ``_mirror_tables``
+       re-stages them before they can answer);
+    3. once the table exceeds the cap, the next authorize drops the
+       mirror entirely (the >cap growth crossing whose staleness edges
+       r8 hand-fixed in 95033ea / b49a828).
+
+    The cap is patched small so schedules cross the boundary cheaply;
+    ``test_real_cap_crossing`` crosses the production 256 once.
+    """
+
+    _seq = [0]  # fresh stream dir + DID per hypothesis example
+
+    def _mirror_rows_match(self, s):
+        for name, ver in list(s._mirror_versions.items()):
+            df = s.store.tables.get(name)
+            if df is None:
+                continue  # dropped table: purged before next local eval
+            if ver != s.store.table_version(name):
+                continue  # out-of-date at rest: re-staged before answering
+            spark_rows = sorted(tuple(r) for r in df.collect())
+            local_rows = sorted(
+                tuple(r)
+                for r in s._local_eval._con.execute(
+                    f'select * from "{name}"'
+                ).fetchall()
+            )
+            assert local_rows == spark_rows, name
+
+    def _run_schedule(self, spark, root, did, ops):
+        from leaf_spark.stream import Stream as S
+
+        cap = S._MIRROR_CAP
+        s = Stream(spark, root, did)
+        s.provide_module(KV)
+        cur = KV
+        m = KvModel()
+        next_ban = [0]
+
+        def commit(events):
+            pre_bans = len(m.bans)
+            ok = m.apply_batch(events)
+            if ok:
+                s.add_events([ev(u, **p) for u, p in events])
+            else:
+                with pytest.raises((BatchRejected, Exception)):
+                    s.add_events([ev(u, **p) for u, p in events])
+            # (3): authorize ran against the pre-batch bans table; past
+            # the cap the mirror must be gone, under it (and previously
+            # mirrored) it may stay
+            if pre_bans > cap:
+                assert "bans" not in s._mirror_versions
+
+        for i, op in enumerate(ops):
+            sender = f"s{i % 3}"
+            if op == "kv":
+                commit([(sender, {"k": f"k{i % 4}", "v": i})])
+            elif op == "grow":
+                evs = []
+                for _ in range(3):
+                    evs.append((sender, {"ban": f"b{next_ban[0]}"}))
+                    next_ban[0] += 1
+                commit(evs)
+            elif op == "ban_sender":
+                commit([(sender, {"ban": f"s{(i + 1) % 3}"})])
+            elif op == "throw":
+                commit([
+                    (sender, {"ban": f"b{next_ban[0] + 100}"}),
+                    (sender, {"k": "", "v": 0}),
+                ])
+            elif op == "mark":
+                # state events skip the authorizer (stream.py:1901 — no
+                # _authorize call), so a banned sender still marks
+                s.add_state_events([ev(sender, m=i)])
+                m.marks[sender] = i
+            elif op == "clear":
+                s.clear_state()
+                m.marks = {}
+            elif op == "swap":
+                swapped = BasicModuleDef(
+                    init_sql=KV.init_sql,
+                    authorizer=KV.authorizer,
+                    materializer=KV.materializer + f" -- mb {i}",
+                    state_init_sql=KV.state_init_sql,
+                    state_materializer=KV.state_materializer,
+                    queries=KV.queries,
+                )
+                s.update_module(swapped)
+                cur = swapped
+                m.marks = {
+                    r["user"]: r["m"]
+                    for r in s.query(None, LeafQuery("marks"))
+                }
+            elif op == "reopen":
+                s = Stream(spark, root, did)
+                s.provide_module(cur)
+                s.catch_up()
+                m.marks = {
+                    r["user"]: r["m"]
+                    for r in s.query(None, LeafQuery("marks"))
+                }
+            _assert_kv(s, m)  # (1)
+            self._mirror_rows_match(s)  # (2)
+        return s, m
+
+    def test_cap_crossing_drops_mirror(self, spark, tmp_path):
+        """Deterministic crossing: mirror present and fresh under the
+        cap, dropped on the first authorize past it, behavior unchanged
+        on both sides (non-vacuous version of soak assert (3))."""
+        from leaf_spark.stream import Stream as S
+
+        old = S._MIRROR_CAP
+        S._MIRROR_CAP = 4
+        try:
+            s = Stream(spark, str(tmp_path / "cross"), "did:plc:mbcross")
+            s.provide_module(KV)
+            s.add_events([ev("s0", k="a", v=1)])
+            assert "bans" in s._mirror_versions  # local path engaged
+            s.add_events([ev("s0", **{"ban": f"b{i}"}) for i in range(3)])
+            s.add_events([ev("s0", k="a", v=2)])
+            assert "bans" in s._mirror_versions  # 3 rows <= cap
+            self._mirror_rows_match(s)
+            s.add_events([ev("s0", **{"ban": f"b{i}"}) for i in range(3, 6)])
+            s.add_events([ev("s0", k="a", v=3)])  # 6 rows > cap
+            assert "bans" not in s._mirror_versions
+            # behavioral parity across the boundary: bans now enforce
+            # through the Spark path
+            s.add_events([ev("s0", **{"ban": "s1"})])
+            with pytest.raises((BatchRejected, Exception)):
+                s.add_events([ev("s1", k="z", v=9)])
+            assert s.query(None, LeafQuery("kv")) == [
+                {"k": "a", "v": 3, "n": 3}
+            ]
+        finally:
+            S._MIRROR_CAP = old
+
+    def test_soak_hypothesis_schedules(self, spark, tmp_path):
+        """Hypothesis-driven op schedules across the (patched) mirror
+        boundary: every mutating op must leave mirrors either fresh,
+        out-of-date-but-refreshable, or dropped — never stale-answering."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from leaf_spark.stream import Stream as S
+
+        ops = st.lists(
+            st.sampled_from(
+                ["kv", "grow", "ban_sender", "throw", "mark",
+                 "clear", "swap", "reopen", "kv", "grow"]
+            ),
+            min_size=6,
+            max_size=10,
+        )
+
+        old = S._MIRROR_CAP
+        S._MIRROR_CAP = 6
+        try:
+
+            @settings(
+                max_examples=4,
+                deadline=None,
+                suppress_health_check=[
+                    HealthCheck.function_scoped_fixture,
+                ],
+            )
+            @given(ops)
+            def run(schedule):
+                self._seq[0] += 1
+                n = self._seq[0]
+                self._run_schedule(
+                    spark,
+                    str(tmp_path / f"mb{n}"),
+                    f"did:plc:mb{n}",
+                    schedule,
+                )
+
+            run()
+        finally:
+            S._MIRROR_CAP = old
+
+    def test_real_cap_crossing(self, spark, tmp_path):
+        """Cross the production _MIRROR_CAP=256 once: the mirror must
+        disengage exactly as with the patched cap, and bans keep
+        enforcing through the Spark path."""
+        s = Stream(spark, str(tmp_path / "real"), "did:plc:mbreal")
+        s.provide_module(KV)
+        s.add_events([ev("s0", k="a", v=1)])
+        assert "bans" in s._mirror_versions
+        for lo in range(0, 300, 60):
+            s.add_events(
+                [ev("s0", **{"ban": f"b{i}"}) for i in range(lo, lo + 60)]
+            )
+        s.add_events([ev("s0", k="a", v=2)])  # 300 rows > 256
+        assert "bans" not in s._mirror_versions
+        s.add_events([ev("s0", **{"ban": "s9"})])
+        with pytest.raises((BatchRejected, Exception)):
+            s.add_events([ev("s9", k="z", v=9)])
