@@ -107,9 +107,48 @@ def _q90_evidence(spark, sf_dir: str) -> float:
     return float(row["ev"] or 1.0)
 
 
+def _q49_evidence(spark, sf_dir: str) -> float:
+    """q49's cost driver: banded candidate volume Σ_{|b|≤cap} C(|b|,2)
+    over the (band_id, bucket) LSH buckets — the pairs the verify join
+    must score. Sub-cap only: capped buckets chain (n-1 edges, linear)."""
+    from pyspark.sql import functions as F
+
+    from leaf_spark.operators.dedup import minhash_signatures
+
+    bands, r, cap = 16, 4, 1000
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = minhash_signatures(df, "text", "doc_id", bands * r, 3)
+    banded = sigs.select(
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.aggregate(
+                    F.slice("minhash_sig", b * r + 1, r),
+                    F.xxhash64(b),
+                    lambda acc, x: F.xxhash64(acc, x),
+                ),
+            )
+        ).alias("band_id", "bucket")
+    )
+    row = (
+        banded.groupBy("band_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(
+                F.when(F.col("n") <= cap, F.col("n") * (F.col("n") - 1) / 2)
+            ).alias("ev")
+        )
+        .collect()[0]
+    )
+    return float(row["ev"] or 1.0)
+
+
 # operators whose wall-growth gate should follow a measured cost driver
 # instead of the doc-count multiple (evidence-bound, not row-bound)
-COST_DRIVERS = {"q90_containment_dedup": _q90_evidence}
+COST_DRIVERS = {
+    "q90_containment_dedup": _q90_evidence,
+    "q49_minhash_lsh": _q49_evidence,
+}
 
 
 def plan_counts(df) -> dict[str, int]:
