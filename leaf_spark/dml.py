@@ -107,6 +107,14 @@ class TableStore:
     _dirty: set = field(default_factory=set)
     # per-table monotone registration counter (see register())
     _table_versions: dict = field(default_factory=dict)
+    # pure-insert deltas since the last snapshot: name → list of the
+    # appended DataFrames (driver-local literal plans only), or None
+    # once any non-append mutation poisoned the table. Consumed by
+    # Stream.persist_state to write O(delta) incremental snapshots for
+    # append-only tables (the common fold shape); anything it can't
+    # prove append-only falls back to the full rewrite — the safe
+    # direction. Missing key = untouched since the last snapshot.
+    _snap_deltas: dict = field(default_factory=dict)
     # SQLite connection-state functions (last_insert_rowid / changes /
     # total_changes). Tracking costs one count job per DML statement, so it
     # is enabled only when module SQL actually references the functions
@@ -176,15 +184,60 @@ class TableStore:
             raise ValueError(f"no such table {name}")
         del self.defs[name]
         del self.tables[name]
+        self._snap_deltas.pop(name, None)
         self.spark.catalog.dropTempView(self.view_name(name))
 
     def mutated(self, name: str, df: DataFrame) -> None:
+        self._snap_deltas[name] = None  # not provably append-only
         self.register(name, df)
         self._dirty.add(name)
         self._mutations += 1
         # bound lineage growth inside long per-event folds
         if self._mutations % 32 == 0:
             self.tables[name].localCheckpoint(eager=False)
+
+    def appended(self, name: str, df: DataFrame, delta: DataFrame) -> None:
+        """Like ``mutated`` but for a PURE append: ``df`` is exactly the
+        previous table unioned with ``delta``. Records the delta for the
+        incremental snapshot; whether the delta is actually usable (a
+        driver-local literal plan) is checked lazily in ``snap_deltas``
+        — on the persist path, not on every fold statement."""
+        cur = self._snap_deltas.get(name, [])
+        if cur is not None:
+            self._snap_deltas[name] = cur + [delta]
+        self.register(name, df)
+        self._dirty.add(name)
+        self._mutations += 1
+        if self._mutations % 32 == 0:
+            self.tables[name].localCheckpoint(eager=False)
+
+    def snap_deltas(self, name: str) -> list | None:
+        """Deltas since the last snapshot ([] = untouched, None = must
+        fully rewrite). A delta qualifies only when its OPTIMIZED plan
+        is a literal ``LocalRelation`` — values captured in the plan,
+        no lineage that could re-execute against since-changed temp
+        views. (``DataFrame.isLocal()`` tests the ANALYZED plan, which
+        a temp-view Project fails; analysis happened eagerly at
+        creation, so optimizing here is pure planning, no execution.)
+        Any non-local delta poisons the whole chain → full rewrite."""
+        cur = self._snap_deltas.get(name, [])
+        if cur is None or not cur:
+            return cur
+        for d in cur:
+            try:
+                if (
+                    d._jdf.queryExecution().optimizedPlan().nodeName()
+                    != "LocalRelation"
+                ):
+                    self._snap_deltas[name] = None
+                    return None
+            except Exception:
+                self._snap_deltas[name] = None
+                return None
+        return cur
+
+    def snapshot_written(self, name: str) -> None:
+        self._snap_deltas[name] = []
 
     def checkpoint_all(self) -> None:
         """Materialize (and lineage-truncate) every table mutated since the
@@ -218,6 +271,9 @@ class TableStore:
         # conservatively treat every restored table as dirty: the reinstated
         # DataFrames may carry pre-fold lineage
         self._dirty = set(tables)
+        # deltas recorded during the failed fold are no longer part of the
+        # table; poison so the next snapshot fully rewrites (safe direction)
+        self._snap_deltas = {n: None for n in tables}
         self.triggers = dict(triggers)
         for gone in set(self.tables) - set(tables):
             self.tables.pop(gone, None)
@@ -1132,7 +1188,14 @@ class DmlExecutor:
                 *(["__ord__"] if "__ord__" in aligned.columns else [])
             )
             self._fire_triggers("before", "insert", name, inserted, None, args)
-            self.store.mutated(name, existing.unionByName(inserted))
+            if self._has_triggers(name, "insert"):
+                # trigger bodies may have interleaved their own writes to
+                # this table — not a provable pure append
+                self.store.mutated(name, existing.unionByName(inserted))
+            else:
+                self.store.appended(
+                    name, existing.unionByName(inserted), inserted
+                )
             self._fire_triggers("after", "insert", name, inserted, None, args)
             # divergence note: SQLite's last_insert_rowid is the rowid of
             # the literal last row; with set-wise batch inserts we record

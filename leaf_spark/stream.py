@@ -187,6 +187,13 @@ class Stream:
         # deployments schedule it off-peak instead).
         self.compact_files = compact_files
         self._snap_cursor = 0
+        # table registration version at the last persisted snapshot —
+        # persist_state skips rewriting (and re-registering) tables whose
+        # version is unchanged, referencing the prior snapshot files in
+        # the new manifest instead. Any mutation, rollback-restore, or
+        # checkpoint re-registration bumps the store version and forces a
+        # rewrite (the safe direction).
+        self._snap_table_versions: dict[str, int] = {}
         self._lock = threading.RLock()
         # per-stream FAIR scheduler pool (pools are created on demand by
         # name): commit jobs and subscription re-queries submitted from a
@@ -505,23 +512,89 @@ class Stream:
                     prev = json.load(f)
             seq = (prev["seq"] + 1) if prev else 1
             vdir = os.path.join(base, f"v{seq:06d}")
+            prev_tables = (prev or {}).get("tables", {})
+            prev_seq_dir = f"v{prev['seq']:06d}" if prev else ""
             tables_meta: dict[str, dict] = {}
             for name, tdef in self.store.defs.items():
-                path = os.path.join(vdir, name)
+                schema_json = tdef.schema.json()
+                pm = prev_tables.get(name)
+                prev_paths = None
+                if pm is not None and pm.get("schema") == schema_json:
+                    prev_paths = pm.get("paths") or [
+                        pm.get("path", f"{prev_seq_dir}/{name}")
+                    ]
+                    if not all(
+                        os.path.isdir(os.path.join(base, p))
+                        for p in prev_paths
+                    ):
+                        prev_paths = None
+                deltas = self.store.snap_deltas(name)
+                if (
+                    prev_paths is not None
+                    and deltas == []
+                    and self._snap_table_versions.get(name)
+                    == self.store.table_version(name)
+                ):
+                    # untouched since the last persist: the new manifest
+                    # references the existing files (no rewrite, no
+                    # re-register → the table's version stays stable, so
+                    # localexec mirrors keyed on it stay valid too)
+                    tables_meta[name] = {**pm, "paths": prev_paths}
+                    continue
+                rel = f"v{seq:06d}/{name}"
+                path = os.path.join(base, rel)
+                if (
+                    prev_paths is not None
+                    and deltas
+                    and len(prev_paths) < self._SNAPSHOT_CHAIN_CAP
+                ):
+                    # incremental snapshot: every mutation since the last
+                    # persist was a pure driver-local append — write ONLY
+                    # the delta rows as a new chain link; the table is the
+                    # union of all chain dirs. O(delta) per persist
+                    # regardless of table size (the SQLite-txn analogue).
+                    d = deltas[0]
+                    for extra in deltas[1:]:
+                        d = d.unionByName(extra)
+                    if self._write_snapshot_table(name, tdef, path, df=d):
+                        paths = prev_paths + [rel]
+                        tables_meta[name] = {
+                            "schema": schema_json,
+                            "primary_key": list(tdef.primary_key),
+                            "is_state": tdef.is_state,
+                            "paths": paths,
+                        }
+                        self.store.register(
+                            name,
+                            self.spark.read.schema(tdef.schema).parquet(
+                                *[os.path.join(base, p) for p in paths]
+                            ),
+                        )
+                        self._snap_table_versions[name] = (
+                            self.store.table_version(name)
+                        )
+                        self.store.snapshot_written(name)
+                        continue
+                    # delta too big / unconvertible → full rewrite below
                 if not self._write_snapshot_table(name, tdef, path):
                     self.store.tables[name].write.mode(
                         "overwrite"
                     ).parquet(path)
                 tables_meta[name] = {
-                    "schema": tdef.schema.json(),
+                    "schema": schema_json,
                     "primary_key": list(tdef.primary_key),
                     "is_state": tdef.is_state,
+                    "paths": [rel],
                 }
                 # re-point the live DataFrame at the durable copy: truncates
                 # lineage and drops references to the previous snapshot files
                 self.store.register(
                     name, self.spark.read.schema(tdef.schema).parquet(path)
                 )
+                self._snap_table_versions[name] = self.store.table_version(
+                    name
+                )
+                self.store.snapshot_written(name)
             manifest = {
                 "module_cid": self.state.module_cid,
                 "cursor": self.state.module_event_cursor,
@@ -538,15 +611,30 @@ class Stream:
             with open(tmp, "w") as f:
                 json.dump(manifest, f)
             os.replace(tmp, self._snapshot_manifest_path())
-            # GC superseded versions (no live DataFrame references them now)
+            # GC superseded table snapshots at per-table granularity —
+            # unchanged tables reference files possibly several seqs old,
+            # so a v<seq> dir stays only as long as some table still
+            # points into it; superseded sibling copies go now
+            live = {p for m in tables_meta.values() for p in m["paths"]}
             for d in os.listdir(base):
-                if d.startswith("v") and d != f"v{seq:06d}":
-                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+                if not d.startswith("v") or d == f"v{seq:06d}":
+                    continue
+                dpath = os.path.join(base, d)
+                if not os.path.isdir(dpath):
+                    continue
+                for t in os.listdir(dpath):
+                    if f"{d}/{t}" not in live:
+                        shutil.rmtree(
+                            os.path.join(dpath, t), ignore_errors=True
+                        )
+                if not os.listdir(dpath):
+                    os.rmdir(dpath)
             self._snap_cursor = self.state.module_event_cursor
 
     def _drop_snapshot(self) -> None:
         shutil.rmtree(self._snapshot_base(), ignore_errors=True)
         self._snap_cursor = 0
+        self._snap_table_versions.clear()
 
     def _try_load_snapshot(self) -> bool:
         """Load the persisted tables if the snapshot matches the installed
@@ -568,15 +656,25 @@ class Stream:
             return False
         from .dml import TableDef
 
-        vdir = os.path.join(self._snapshot_base(), f"v{manifest['seq']:06d}")
+        base = self._snapshot_base()
         for name, meta in manifest["tables"].items():
             schema = T.StructType.fromJson(json.loads(meta["schema"]))
             tdef = TableDef(
                 name, schema, tuple(meta["primary_key"]), meta["is_state"]
             )
-            df = self.spark.read.schema(schema).parquet(os.path.join(vdir, name))
+            # per-table path chain: unchanged tables reference files from
+            # an earlier seq; append-only tables a list of delta dirs
+            # (pre-r9 manifests carry neither → the seq dir)
+            rels = meta.get("paths") or [
+                meta.get("path", f"v{manifest['seq']:06d}/{name}")
+            ]
+            df = self.spark.read.schema(schema).parquet(
+                *[os.path.join(base, r) for r in rels]
+            )
             self.store.defs[name] = tdef
             self.store.register(name, df)
+            self._snap_table_versions[name] = self.store.table_version(name)
+            self.store.snapshot_written(name)
         self.store.views = dict(manifest.get("views", {}))
         from .dml import TriggerDef
 
@@ -595,15 +693,25 @@ class Stream:
     # tables keep the executor-side write (no driver materialization).
     _SNAPSHOT_DRIVER_CAP = 10_000
 
-    def _write_snapshot_table(self, name: str, tdef, path: str) -> bool:
+    # incremental snapshots chain at most this many part dirs before a
+    # full rewrite compacts them (bounds restore-time file listing and
+    # read fan-in; the LSM compaction analogue)
+    _SNAPSHOT_CHAIN_CAP = 8
+
+    def _write_snapshot_table(
+        self, name: str, tdef, path: str, df=None
+    ) -> bool:
         """Write a small table's snapshot directly with pyarrow. The
         layout matches the restore path exactly (a directory holding
         parquet files, read back via spark.read.schema(...).parquet);
         arrow types come from the Spark schema, so read-back types are
         identical. Returns False (caller uses the Spark writer) for
-        big/unconvertible tables — never a correctness dependency."""
+        big/unconvertible tables — never a correctness dependency.
+        ``df`` overrides the source frame (the incremental-snapshot path
+        writes just the append delta)."""
         try:
-            rows = self.store.tables[name].take(self._SNAPSHOT_DRIVER_CAP + 1)
+            src = df if df is not None else self.store.tables[name]
+            rows = src.take(self._SNAPSHOT_DRIVER_CAP + 1)
             if len(rows) > self._SNAPSHOT_DRIVER_CAP:
                 return False
             from pyspark.sql.pandas.types import to_arrow_schema

@@ -144,3 +144,181 @@ class TestCrashedPersistLeftovers:
         s2.provide_module(CHAT)  # snapshot restore, no refold
         rows = s2.query(None, LeafQuery("messages"))
         assert [r["content"] for r in rows] == ["m1", "m2", "m3", "m4"]
+
+
+class TestSnapshotVersionSkip:
+    """r9: persist_state writes O(delta) snapshots. Three per-table
+    regimes per persist:
+
+    - untouched → the new manifest references the prior snapshot's
+      files verbatim; the table is NOT re-registered, so its store
+      version (and any localexec mirror keyed on it) stays stable;
+    - pure driver-local appends since the last persist → only the delta
+      rows are written as a new chain dir (manifest ``paths`` list),
+      capped at _SNAPSHOT_CHAIN_CAP before a full-rewrite compaction;
+    - anything else (upsert/update/delete/trigger writes/rollback) →
+      poisoned, full rewrite (the safe direction).
+
+    GC keeps every chain dir the current manifest references and
+    removes superseded ones at per-table granularity."""
+
+    def test_untouched_skipped_append_chained(self, spark, tmp_root):
+        import json
+        import os
+
+        s = Stream(spark, tmp_root, "did:plc:snapskip")
+        s.provide_module(CHAT)
+        s.add_events([msg("a", "m1", 1)])
+        s.persist_state()  # seq 1: all tables written fresh
+        with open(s._snapshot_manifest_path()) as f:
+            m1 = json.load(f)
+        assert m1["tables"]["bans"]["paths"] == ["v000001/bans"]
+        assert m1["tables"]["messages"]["paths"] == ["v000001/messages"]
+        bans_ver = s.store.table_version("bans")
+
+        s.add_events([msg("a", "m2", 2)])  # pure append to messages
+        s.persist_state()  # seq 2
+        with open(s._snapshot_manifest_path()) as f:
+            m2 = json.load(f)
+        # messages chained a delta dir; bans untouched → same files
+        assert m2["tables"]["messages"]["paths"] == [
+            "v000001/messages",
+            "v000002/messages",
+        ]
+        assert m2["tables"]["bans"]["paths"] == ["v000001/bans"]
+        base = s._snapshot_base()
+        assert os.path.isdir(os.path.join(base, "v000001", "messages"))
+        # bans was not re-registered: version (and thus any mirror keyed
+        # on it) is stable across the persist
+        assert s.store.table_version("bans") == bans_ver
+        # the delta dir holds ONLY the delta row
+        import pyarrow.parquet as _pq
+
+        d2 = os.path.join(base, "v000002", "messages")
+        n = sum(
+            _pq.ParquetFile(os.path.join(d2, f)).metadata.num_rows
+            for f in os.listdir(d2)
+            if f.endswith(".parquet")
+        )
+        assert n == 1
+        # live table reads the chain correctly
+        assert [r["content"] for r in s.query(None, LeafQuery("messages"))] == [
+            "m1",
+            "m2",
+        ]
+
+    def test_chain_caps_then_compacts(self, spark, tmp_root):
+        import json
+
+        s = Stream(spark, tmp_root, "did:plc:snapchain")
+        s.provide_module(CHAT)
+        cap = Stream._SNAPSHOT_CHAIN_CAP
+        for i in range(cap + 2):
+            s.add_events([msg("a", f"m{i}", i + 1)])
+            s.persist_state()
+            with open(s._snapshot_manifest_path()) as f:
+                m = json.load(f)
+            assert len(m["tables"]["messages"]["paths"]) <= cap
+        # after the cap the chain was compacted to a single full dir
+        # and grows again from there
+        expect = [f"m{i}" for i in range(cap + 2)]
+        assert [
+            r["content"] for r in s.query(None, LeafQuery("messages"))
+        ] == expect
+        s2 = Stream(spark, tmp_root, "did:plc:snapchain")
+        s2.provide_module(CHAT)  # restore from the chained snapshot
+        assert [
+            r["content"] for r in s2.query(None, LeafQuery("messages"))
+        ] == expect
+
+    def test_restore_reads_chained_paths_without_refold(
+        self, spark, tmp_root
+    ):
+        s = Stream(spark, tmp_root, "did:plc:snapskip2")
+        s.provide_module(CHAT)
+        s.add_events([msg("a", "m1", 1)])
+        s.persist_state()
+        s.add_events([msg("b", "m2", 2)])
+        s.persist_state()  # messages = chain of 2, bans referenced from v1
+        expect = s.query(None, LeafQuery("messages"))
+
+        import unittest.mock as mock
+
+        with mock.patch.object(Stream, "_fold_df", _no_fold):
+            s2 = Stream(spark, tmp_root, "did:plc:snapskip2")
+            s2.provide_module(CHAT)  # restore only, no refold
+            assert s2.query(None, LeafQuery("messages")) == expect
+
+    def test_upsert_table_fully_rewrites(self, spark, tmp_root):
+        """state.read_markers folds via ON CONFLICT DO UPDATE — never
+        provably append-only, so every persist rewrites it fully."""
+        import json
+
+        s = Stream(spark, tmp_root, "did:plc:snapups")
+        s.provide_module(CHAT)
+        s.add_events(
+            [msg("a", "m1", 1), msg("a", "m2", 2), msg("a", "m3", 3)]
+        )
+        s.add_state_events([marker("a", 1)])
+        s.persist_state()
+        s.add_state_events([marker("a", 2)])
+        s.persist_state()
+        with open(s._snapshot_manifest_path()) as f:
+            m = json.load(f)
+        assert m["tables"]["state_read_markers"]["paths"] == [
+            "v000002/state_read_markers"
+        ]
+        s2 = Stream(spark, tmp_root, "did:plc:snapups")
+        s2.provide_module(CHAT)
+        # marker last_read=2 restored → only m3 unread (a stale marker
+        # of 1 would read 2 unread)
+        assert s2.query("a", LeafQuery("my_unread"))[0]["unread"] == 1
+
+    def test_rollback_poisons_chain(self, spark, tmp_root):
+        """A rejected batch restores the pre-batch tables; deltas staged
+        during the failed fold must not leak into the next snapshot."""
+        import json
+
+        s = Stream(spark, tmp_root, "did:plc:snaprb")
+        s.provide_module(CHAT)
+        s.add_events([msg("a", "m1", 1)])
+        s.persist_state()
+        s.add_events([msg("a", "m2", 2)])
+        from leaf_spark import drisl
+        from leaf_spark.types import IncomingEvent
+
+        with pytest.raises(Exception):
+            # second event missing .content → authorizer throw → rollback
+            s.add_events(
+                [msg("a", "m3", 3), IncomingEvent("a", drisl.encode({"x": 1}))]
+            )
+        s.persist_state()
+        with open(s._snapshot_manifest_path()) as f:
+            m = json.load(f)
+        # poisoned → full rewrite (single fresh dir, not a chain)
+        assert len(m["tables"]["messages"]["paths"]) == 1
+        s2 = Stream(spark, tmp_root, "did:plc:snaprb")
+        s2.provide_module(CHAT)
+        assert [
+            r["content"] for r in s2.query(None, LeafQuery("messages"))
+        ] == ["m1", "m2"]
+
+    def test_mirror_survives_persist(self, spark, tmp_root):
+        """The localexec mirror of an untouched authorizer table must
+        stay valid across a persist (pre-r9, the blanket re-registration
+        invalidated every mirror each snapshot)."""
+        s = Stream(spark, tmp_root, "did:plc:snapskip4")
+        s.provide_module(CHAT)
+        s.add_events([msg("a", "m1", 1)])
+        s.persist_state()  # first persist writes (and re-registers) all
+        s.add_events([msg("a", "m2", 2)])  # stages bans mirror @ cur ver
+        if "bans" not in s._mirror_versions:
+            import pytest as _pytest
+
+            _pytest.skip("local authorize path not engaged")
+        ver = s._mirror_versions["bans"]
+        assert s.store.table_version("bans") == ver
+        s.persist_state()  # bans untouched → skipped, NOT re-registered
+        s.add_events([msg("a", "m3", 3)])
+        assert s._mirror_versions["bans"] == ver
+        assert s.store.table_version("bans") == ver
