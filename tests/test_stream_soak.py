@@ -173,8 +173,14 @@ def test_soak_mixed_schedule(spark, tmp_path):
             mark = rng.randint(0, 100)
             s.add_state_events([ev(u, m=mark)])
             m.marks[u] = mark
-        elif op < 0.75:
+        elif op < 0.70:
             s.compact_log()
+        elif op < 0.75:
+            # r9: exercise the incremental-snapshot chain under the
+            # model — kv folds via upsert (poisoned → full rewrite),
+            # bans via ON CONFLICT DO NOTHING (poisoned); interleaved
+            # with reopen below, which restores from these snapshots
+            s.persist_state()
         elif op < 0.9:
             # reopen: replay from log (+ whatever state snapshot was
             # persisted). marks are ephemeral-with-snapshots — adopt the
@@ -804,6 +810,11 @@ class TestSoakMirrorBoundary:
                 # _authorize call), so a banned sender still marks
                 s.add_state_events([ev(sender, m=i)])
                 m.marks[sender] = i
+            elif op == "persist":
+                # snapshot under the schedule: untouched tables skip,
+                # mutated ones rewrite/chain; mirrors of skipped tables
+                # must survive (checked by _mirror_rows_match below)
+                s.persist_state()
             elif op == "clear":
                 s.clear_state()
                 m.marks = {}
@@ -877,7 +888,7 @@ class TestSoakMirrorBoundary:
         ops = st.lists(
             st.sampled_from(
                 ["kv", "grow", "ban_sender", "throw", "mark",
-                 "clear", "swap", "reopen", "kv", "grow"]
+                 "clear", "swap", "reopen", "kv", "grow", "persist"]
             ),
             min_size=6,
             max_size=10,
