@@ -362,6 +362,21 @@ class LocalEval:
             for stmt in stmts:
                 self._execute(stmt)
 
+    def authorize_setwise(self, stmts: list[str], rows: list[tuple]) -> None:
+        """Vectorized authorizer evaluation: each statement (already
+        rewritten by ``Stream._vectorize_auth_stmt`` to scan ``event``
+        as ``__ev__``) runs ONCE over the whole staged batch — one
+        sqlite table scan instead of an N-event statement loop, so the
+        driver's per-event GIL cost drops to per-batch. Within a
+        statement, throw()/unauthorized() fires on the first offending
+        row in event order (rowid scan order = insertion order);
+        across statements evaluation is statement-major, the same
+        order the Spark vectorized fast path uses. LocalAbort
+        propagates; LocalEvalError → caller falls back to Spark."""
+        self._stage_event(["user", "payload"], rows)
+        for stmt in stmts:
+            self._execute(stmt)
+
     def run_select(
         self, sql: str, rows: list[tuple]
     ) -> tuple[list[str], list[tuple]]:

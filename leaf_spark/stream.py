@@ -1875,9 +1875,17 @@ class Stream:
             local = []  # a referenced table is too big / unmirrorable
         if local:
             try:
-                self._local_eval.authorize(
-                    local, [(e.user, e.payload) for e in staged]
-                )
+                ev_rows = [(e.user, e.payload) for e in staged]
+                # statement-major, original order: vectorizable
+                # statements evaluate ONCE over the whole staged batch
+                # (one sqlite scan — per-batch GIL cost, not per-event);
+                # the rest keep the faithful per-event loop
+                for s_ in local:
+                    vec = self._vectorize_auth_stmt(s_)
+                    if vec is not None:
+                        self._local_eval.authorize_setwise([vec], ev_rows)
+                    else:
+                        self._local_eval.authorize([s_], ev_rows)
                 local_set = set(local)
                 stmts = [s for s in stmts if s not in local_set]
             except localexec.LocalAbort as ab:
