@@ -279,8 +279,37 @@ _ROUND10_FRONT = [
 ]
 
 
+# Committed round-11 rotation plan (VERDICT r9 "Next round #5" — the
+# ahead-of-time ledger; second sweep begins): once _ROUND10_FRONT
+# scores in r10, every entry's official green is <=4 rounds old and
+# the stalest block is the r07 window (last scored r07, 4 rounds old
+# at r11). That block — verbatim the 50 names in CORRECTNESS_r07.json
+# — is the r11 front, in the same order the driver scored them.
+# r11 activates this by swapping the name in _ordered().
+_ROUND11_FRONT = [
+    "q147_cohens_kappa", "q150_shrunk_quality", "q158_decayed_engagement",
+    "q161_top_eigenvector", "q162_degree_assortativity",
+    "q188_expected_calibration_error", "q189_mrr_eval",
+    "q190_precision_recall_at_k", "q191_fleiss_kappa", "q192_rfm_segments",
+    "q193_interevent_burstiness", "q194_heaps_law", "q195_mann_kendall",
+    "q196_wilson_interval", "q197_cochran_armitage",
+    "q01_pricing_summary", "q02_filter_project", "q03_revenue_by_nation",
+    "q18_ineq_join", "q24_group_concat", "q26_json_extract",
+    "q30_events_page", "q32_events_type_stats", "q33_events_time_buckets",
+    "q34_events_sessionize", "q38_json_set_patch",
+    "q40_dedup_exact", "q41_dedup_normalized", "q42_text_quality",
+    "q43_lang_stats", "q44_token_totals", "q45_fingerprint",
+    "q46_word_jaccard_pairs", "q47_cosine_topk", "q48_embedding_neardup",
+    "q50_simhash", "q51_ann_lsh", "q52_document_profile",
+    "q53_multimodal_meta", "q54_ann_ivf", "q55_dedup_clusters",
+    "q56_salted_agg", "q57_salted_join", "q58_repetition_metrics",
+    "q59_crossdoc_ngram_overlap", "q60_pii_scrub", "q61_decontaminate",
+    "q62_line_dedup", "q49_minhash_lsh", "q67_train_split",
+]
+
+
 def _ordered(reg: dict[str, QueryCase]) -> dict[str, QueryCase]:
-    front = [n for n in _ROUND9_FRONT if n in reg]
+    front = [n for n in _ROUND10_FRONT if n in reg]
     rest = [n for n in reg if n not in set(front)]
     return {n: reg[n] for n in [*front, *rest]}
 
