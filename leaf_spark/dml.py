@@ -175,6 +175,12 @@ class TableStore:
                 return
             raise ValueError(f"table {tdef.name} already exists")
         self.defs[tdef.name] = tdef
+        # poison the snapshot-delta chain: after DROP + CREATE with the
+        # same schema, the previous manifest still holds the DROPPED
+        # table's files under this name — chaining an insert delta onto
+        # them would resurrect the dropped rows. None forces the first
+        # persist after a (re)create to take the full-rewrite path.
+        self._snap_deltas[tdef.name] = None
         self.register(tdef.name, self._empty_df(tdef.schema))
 
     def drop(self, name: str, if_exists: bool) -> None:
@@ -184,7 +190,10 @@ class TableStore:
             raise ValueError(f"no such table {name}")
         del self.defs[name]
         del self.tables[name]
-        self._snap_deltas.pop(name, None)
+        # None, not pop: a missing key means "untouched since last
+        # snapshot", which a recreate under the same name must not
+        # inherit (see create())
+        self._snap_deltas[name] = None
         self.spark.catalog.dropTempView(self.view_name(name))
 
     def mutated(self, name: str, df: DataFrame) -> None:

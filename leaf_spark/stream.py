@@ -565,10 +565,7 @@ class Stream:
                             "paths": paths,
                         }
                         self.store.register(
-                            name,
-                            self.spark.read.schema(tdef.schema).parquet(
-                                *[os.path.join(base, p) for p in paths]
-                            ),
+                            name, self._read_chain(tdef.schema, paths)
                         )
                         self._snap_table_versions[name] = (
                             self.store.table_version(name)
@@ -631,6 +628,24 @@ class Stream:
                     os.rmdir(dpath)
             self._snap_cursor = self.state.module_event_cursor
 
+    def _read_chain(self, schema, rels: list) -> "DataFrame":
+        """Read a snapshot chain (base + delta dirs) preserving insertion
+        order. A single ``spark.read.parquet(*dirs)`` packs input files
+        into partitions sorted by SIZE, so base and delta rows can
+        interleave — order-sensitive SQLite semantics (scalar subqueries,
+        LIMIT without ORDER BY, mirror first-row answers) would silently
+        diverge after a persist or restart. Union concatenates its
+        children's partitions in order, so per-dir reads unioned in chain
+        order keep rowid-like scan order stable."""
+        base = self._snapshot_base()
+        df = None
+        for r in rels:
+            part = self.spark.read.schema(schema).parquet(
+                os.path.join(base, r)
+            )
+            df = part if df is None else df.unionByName(part)
+        return df
+
     def _drop_snapshot(self) -> None:
         shutil.rmtree(self._snapshot_base(), ignore_errors=True)
         self._snap_cursor = 0
@@ -668,9 +683,7 @@ class Stream:
             rels = meta.get("paths") or [
                 meta.get("path", f"v{manifest['seq']:06d}/{name}")
             ]
-            df = self.spark.read.schema(schema).parquet(
-                *[os.path.join(base, r) for r in rels]
-            )
+            df = self._read_chain(schema, rels)
             self.store.defs[name] = tdef
             self.store.register(name, df)
             self._snap_table_versions[name] = self.store.table_version(name)
@@ -1773,7 +1786,14 @@ class Stream:
                 depth += 1
             elif t == ")":
                 depth -= 1
-            elif depth == 0 and low in ("from", "where", "group", "order", "limit"):
+            elif depth == 0 and low in (
+                "from", "where", "group", "order", "limit",
+                # compound selects: the appended "from event" would bind
+                # only to the LAST arm, and event-free earlier arms with
+                # throw()/unauthorized() would evaluate once per batch
+                # instead of once per event — not provably equivalent
+                "union", "intersect", "except", "values",
+            ):
                 return None  # has its own relation/clauses — not a bare select
             elif low == "event":
                 return None  # residual event reference we can't prove safe
@@ -1876,16 +1896,34 @@ class Stream:
         if local:
             try:
                 ev_rows = [(e.user, e.payload) for e in staged]
-                # statement-major, original order: vectorizable
-                # statements evaluate ONCE over the whole staged batch
-                # (one sqlite scan — per-batch GIL cost, not per-event);
-                # the rest keep the faithful per-event loop
-                for s_ in local:
-                    vec = self._vectorize_auth_stmt(s_)
-                    if vec is not None:
-                        self._local_eval.authorize_setwise([vec], ev_rows)
-                    else:
-                        self._local_eval.authorize([s_], ev_rows)
+                # vectorizable statements evaluate ONCE over the whole
+                # staged batch (one sqlite scan each — per-batch GIL
+                # cost, not per-event); the rest share a SINGLE
+                # event-major pass (all statements per event — the
+                # reference's order among them, lib.rs:636-644 — and
+                # one event stage/delete/insert loop total instead of
+                # one per statement)
+                vec_map = {
+                    s_: self._vectorize_auth_stmt(s_) for s_ in local
+                }
+                vecs = [v for v in vec_map.values() if v is not None]
+                others = [s_ for s_ in local if vec_map[s_] is None]
+                try:
+                    if vecs:
+                        self._local_eval.authorize_setwise(vecs, ev_rows)
+                    if others:
+                        self._local_eval.authorize(others, ev_rows)
+                except localexec.LocalAbort:
+                    if len(local) > 1:
+                        # the fast path is statement-major across
+                        # groups; the reference reports the FIRST
+                        # (event, statement) abort in event-major
+                        # order. The batch is rejected either way, so
+                        # replay per-event off the hot path to recover
+                        # the reference-exact error detail (this raises
+                        # LocalAbort with the winning message).
+                        self._local_eval.authorize(local, ev_rows)
+                    raise
                 local_set = set(local)
                 stmts = [s for s in stmts if s not in local_set]
             except localexec.LocalAbort as ab:

@@ -303,6 +303,82 @@ class TestSnapshotVersionSkip:
             r["content"] for r in s2.query(None, LeafQuery("messages"))
         ] == ["m1", "m2"]
 
+    def test_drop_recreate_does_not_resurrect(self, spark, tmp_root):
+        """DROP TABLE + CREATE TABLE (same schema) + INSERT between
+        persists must NOT chain the insert delta onto the DROPPED
+        table's snapshot files (advice r10 high: create() now poisons
+        _snap_deltas so the first persist after a recreate fully
+        rewrites)."""
+        import json
+
+        from leaf_spark import drisl
+        from leaf_spark.module import BasicModuleDef, QueryDef
+        from leaf_spark.types import IncomingEvent
+
+        rebuild = BasicModuleDef(
+            init_sql="create table if not exists roster (user text primary key);",
+            materializer=(
+                "drop table if exists roster; "
+                "create table roster (user text primary key); "
+                "insert into roster (user) select user from event;"
+            ),
+            queries=(
+                QueryDef("roster", "select user from roster order by user"),
+            ),
+        )
+        s = Stream(spark, tmp_root, "did:plc:snapdrop")
+        s.provide_module(rebuild)
+        s.add_events([IncomingEvent("alice", drisl.encode({}))])
+        s.persist_state()  # seq 1: roster = [alice]
+        s.add_events([IncomingEvent("bob", drisl.encode({}))])
+        # fold dropped + recreated roster; it now holds only [bob]
+        s.persist_state()  # seq 2
+        with open(s._snapshot_manifest_path()) as f:
+            m = json.load(f)
+        # recreate poisoned the chain → single fresh dir, no chain onto
+        # the dropped table's v1 files
+        assert m["tables"]["roster"]["paths"] == ["v000002/roster"]
+        assert [r["user"] for r in s.query(None, LeafQuery("roster"))] == [
+            "bob"
+        ]
+        s2 = Stream(spark, tmp_root, "did:plc:snapdrop")
+        s2.provide_module(rebuild)  # snapshot restore
+        # pre-fix the restored snapshot resurrected alice
+        assert [r["user"] for r in s2.query(None, LeafQuery("roster"))] == [
+            "bob"
+        ]
+
+    def test_chain_restore_preserves_insertion_order(self, spark, tmp_root):
+        """Chained snapshots must restore in INSERTION order (advice r10
+        medium): a single multi-dir parquet read packs files by SIZE, so
+        a small base + large delta would scan delta-first and reorder
+        rowid-like semantics (scalar subqueries, LIMIT without ORDER BY).
+        The chain is now read per-dir and unioned in path order."""
+        import json
+
+        s = Stream(spark, tmp_root, "did:plc:snaporder")
+        s.provide_module(CHAT)
+        s.add_events([msg("a", "m0", 1)])
+        s.persist_state()  # base: 1 tiny row
+        s.add_events([msg("a", f"m{i}", i + 1) for i in range(1, 61)])
+        s.persist_state()  # delta dir much larger than the base
+        with open(s._snapshot_manifest_path()) as f:
+            m = json.load(f)
+        assert len(m["tables"]["messages"]["paths"]) == 2  # chained
+        expect = [f"m{i}" for i in range(61)]
+        # live table (re-registered as a read of the chain) keeps order
+        rows = s.store.tables["messages"].collect()
+        assert [r["content"] for r in rows] == expect
+
+        s2 = Stream(spark, tmp_root, "did:plc:snaporder")
+        s2.provide_module(CHAT)  # restore from the chain
+        rows2 = s2.store.tables["messages"].collect()
+        assert [r["content"] for r in rows2] == expect
+        # the order-sensitive idiom the reorder would break: a scalar
+        # subquery answers with the FIRST row in scan order
+        first = s2.store.tables["messages"].limit(1).collect()
+        assert first[0]["content"] == "m0"
+
     def test_mirror_survives_persist(self, spark, tmp_root):
         """The localexec mirror of an untouched authorizer table must
         stay valid across a persist (pre-r9, the blanket re-registration

@@ -191,6 +191,89 @@ class TestAuthorizerPaths:
         ]:
             assert Stream._vectorize_auth_stmt(s_check, stmt) is not None
 
+    def test_compound_selects_not_vectorized(self, spark):
+        """advice r10 low: the appended 'from event' would bind only to
+        the LAST arm of a compound select, and event-free earlier arms
+        with throw()/unauthorized() would evaluate once per batch instead
+        of once per event — compounds must take the per-event path."""
+        s_check = Stream.__new__(Stream)
+        for stmt in [
+            "select 1 union select iif((select user from event) = 'x', throw('a'), 1)",
+            "select iif((select user from event) = 'x', throw('a'), 1) union all select 1",
+            "select 1 intersect select (select user from event)",
+            "select (select user from event) except select 'x'",
+            "select 1 union values (2)",
+        ]:
+            assert Stream._vectorize_auth_stmt(s_check, stmt) is None
+        # nested compounds inside a subquery stay vectorizable
+        assert Stream._vectorize_auth_stmt(
+            s_check,
+            "select iif((select user from event) in "
+            "(select 'a' union select 'b'), throw('x'), 1)",
+        ) is not None
+
+    def test_abort_detail_is_event_major(self, spark, tmp_path):
+        """advice r10 low: when multiple (event, statement) pairs would
+        abort, the reference reports the FIRST abort in event-major
+        order (all statements per event, lib.rs:636-644). stmt1
+        (vectorizable) aborts on event 2; stmt2 (per-event path) aborts
+        on event 1 — event-major order means stmt2's message wins."""
+        from leaf_spark.module import BasicModuleDef, QueryDef
+
+        mod = BasicModuleDef(
+            init_sql="create table if not exists log (idx integer primary key)",
+            authorizer=(
+                "select iif((select user from event) = 'u2', throw('stmt1 abort'), 1); "
+                "select throw('stmt2 abort') where (select user from event) = 'u1'"
+            ),
+            materializer="insert into log (idx) select idx from event;",
+            queries=(QueryDef("log", "select idx from log order by idx"),),
+        )
+        s = Stream(spark, str(tmp_path), "did:plc:evmajor")
+        s.provide_module(mod)
+        with pytest.raises(BatchRejected, match="stmt2 abort"):
+            s.add_events(
+                [
+                    IncomingEvent("u1", drisl.encode({"v": 1})),
+                    IncomingEvent("u2", drisl.encode({"v": 2})),
+                ]
+            )
+        assert s.state.latest_idx == 0
+
+    def test_non_vectorizable_statements_share_one_pass(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """advice r10 low: N non-vectorizable local statements must run
+        in ONE authorize() call (one event stage/delete/insert loop
+        total), not one call per statement."""
+        from leaf_spark import localexec
+        from leaf_spark.module import BasicModuleDef, QueryDef
+
+        mod = BasicModuleDef(
+            init_sql="create table if not exists log (idx integer primary key)",
+            authorizer=(
+                "select throw('a') where (select user from event) = 'nobody'; "
+                "select throw('b') where (select user from event) = 'nemo'"
+            ),
+            materializer="insert into log (idx) select idx from event;",
+            queries=(QueryDef("log", "select idx from log order by idx"),),
+        )
+        s = Stream(spark, str(tmp_path), "did:plc:onepass")
+        s.provide_module(mod)
+        calls = []
+        orig = localexec.LocalEval.authorize
+
+        def counting(self, stmts, rows):
+            calls.append(list(stmts))
+            return orig(self, stmts, rows)
+
+        monkeypatch.setattr(localexec.LocalEval, "authorize", counting)
+        s.add_events(
+            [IncomingEvent(f"u{i}", drisl.encode({"v": i})) for i in range(3)]
+        )
+        assert s.state.latest_idx == 3
+        assert len(calls) == 1 and len(calls[0]) == 2
+
 
 class TestLogCompaction:
     def _mk(self, spark, tmp_path, batches=6, per=3):
