@@ -179,6 +179,54 @@ def eligible(
     return True
 
 
+def flatten_namespaces(stmt: str) -> str:
+    """``state.t`` → ``state_t`` and ``main.t`` → ``t`` at the token
+    level — the store's flat table naming (the same mapping the Spark
+    translate layer applies), so read-path statements referencing state
+    tables can hit their mirrors. Quoted qualifiers ('"state".t') are
+    left alone: they fail the eligibility gate or error in sqlite, both
+    of which fall back to Spark."""
+    toks = tokenize(stmt)
+    out: list[str] = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        t = toks[i]
+        if (
+            _is_word(t)
+            and t.lower() in ("state", "main")
+            and i + 2 < n
+            and toks[i + 1] == "."
+            and _is_word(toks[i + 2])
+            and (not out or out[-1] != ".")
+        ):
+            if t.lower() == "state":
+                out.append(f"state_{toks[i + 2]}")
+            else:
+                out.append(toks[i + 2])
+            i += 3
+            continue
+        out.append(t)
+        i += 1
+    return " ".join(out)
+
+
+# result column names that are plain identifiers are named identically
+# by SQLite and Spark (bare columns and explicit aliases); anything else
+# (unaliased expressions: 'count(*)' vs 'count(1)') may differ between
+# the engines, so the read path falls back to Spark for those
+_IDENT_RE = None
+
+
+def plain_ident(name: str) -> bool:
+    global _IDENT_RE
+    if _IDENT_RE is None:
+        import re
+
+        _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+    return bool(_IDENT_RE.match(name or ""))
+
+
 def table_refs(stmt: str, known_tables: set[str]) -> set[str]:
     """Known managed tables the statement mentions (unqualified)."""
     toks = tokenize(stmt)
@@ -297,13 +345,19 @@ class LocalEval:
             ph = ", ".join("?" for _ in columns)
             con.executemany(f"insert into event values ({ph})", rows)
 
-    def _execute(self, sql: str):
+    def _execute(self, sql: str, args: dict | None = None):
         """Run one statement; LocalAbort propagates as itself (the stdlib
         wrapper surfaces callback exceptions as OperationalError, so the
-        pending-abort cell restores the typed one)."""
+        pending-abort cell restores the typed one). ``args`` binds
+        ``$name`` parameters (native SQLite syntax; unused keys are
+        ignored, a referenced-but-missing name errors → fallback)."""
         self._pending_abort = None
         try:
-            cur = self._con.execute(sql)
+            cur = (
+                self._con.execute(sql, args)
+                if args
+                else self._con.execute(sql)
+            )
             rows = cur.fetchall()
             return cur.description, rows
         except LocalAbort:
@@ -376,6 +430,22 @@ class LocalEval:
         self._stage_event(["user", "payload"], rows)
         for stmt in stmts:
             self._execute(stmt)
+
+    def run_readonly(
+        self, stmts: list[str], args: dict
+    ) -> tuple[list[str], list[tuple]]:
+        """Evaluate a named-query script against the staged table
+        mirrors (the reference's in-process query shape,
+        leaf-stream/src/lib.rs:842-862); rows of the LAST statement
+        return. The caller gates statements to SELECTs over mirrored
+        tables only — in particular none may reference ``event``, whose
+        staged table from the last authorize may still be present on
+        this connection and must never answer a read."""
+        desc, out = None, []
+        for s in stmts:
+            desc, out = self._execute(s, args)
+        names = [d[0] for d in desc] if desc else []
+        return names, out
 
     def run_select(
         self, sql: str, rows: list[tuple]

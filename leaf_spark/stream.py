@@ -87,6 +87,19 @@ class BatchRejected(StreamError):
     (reference lib.rs:592-595)."""
 
 
+def _norm_sql_value(v):
+    """Normalize a Spark-collected query value to the reference's SQLite
+    value space: booleans → 1/0 (SQLite has no boolean storage class;
+    the wire codec already maps bool→integer) and bytearray → bytes.
+    Keeps the Spark path and the driver-side sqlite read path
+    value-identical."""
+    if isinstance(v, bool):
+        return 1 if v else 0
+    if isinstance(v, bytearray):
+        return bytes(v)
+    return v
+
+
 def _safe_dirname(did: str) -> str:
     return re.sub(r"[^A-Za-z0-9._-]", "_", did)
 
@@ -213,6 +226,9 @@ class Stream:
         # see localexec.py — removes the per-commit Python-runner jobs)
         self._local_eval_inst: localexec.LocalEval | None = None
         self._mirror_versions: dict[str, int] = {}
+        # table versions whose mirror staging FAILED (> cap /
+        # unmirrorable) — skip re-probing until the version changes
+        self._mirror_failed: dict[str, int] = {}
         os.makedirs(self.events_dir, exist_ok=True)
         self._recover_compaction()
         self.state = self._load_state()
@@ -1838,12 +1854,19 @@ class Stream:
             ver = self.store.table_version(name)
             if self._mirror_versions.get(name) == ver:
                 continue
+            if self._mirror_failed.get(name) == ver:
+                # this exact version already failed staging (> cap /
+                # unmirrorable values) — without this negative cache
+                # every read-path attempt on a big table would re-pay
+                # the take() Spark job just to re-discover that
+                return False
             df = self.store.tables.get(name)
             if df is None:
                 return False
             rows = df.take(self._MIRROR_CAP + 1)
             if len(rows) > self._MIRROR_CAP:
                 self._mirror_versions.pop(name, None)
+                self._mirror_failed[name] = ver
                 le.drop_table(name)
                 return False
             cols = df.columns
@@ -1851,6 +1874,7 @@ class Stream:
                 name, cols, [tuple(r[c] for c in cols) for r in rows]
             ):
                 self._mirror_versions.pop(name, None)
+                self._mirror_failed[name] = ver
                 return False
             self._mirror_versions[name] = ver
         return True
@@ -2105,7 +2129,16 @@ class Stream:
 
     def query(self, user: str | None, q: LeafQuery) -> list[dict]:
         """Dispatch a named query with validated params + builtin
-        $start/$limit/$requesting_user; rows of the LAST statement return."""
+        $start/$limit/$requesting_user; rows of the LAST statement return.
+
+        When every statement is a SELECT over mirror-eligible tables
+        (the ≤_MIRROR_CAP-row, version-keyed mirrors the authorize path
+        already maintains), the query is served from driver-side sqlite
+        — the reference's own in-process query shape
+        (leaf-stream/src/lib.rs:842-862) — skipping the ~70-110 ms Spark
+        SQL floor per named query and subscription re-query. Any gate
+        miss or sqlite error falls back to the Spark path (the local
+        path never writes, so falling back mid-way is always safe)."""
         if self.module is None:
             raise StreamError("no module loaded")
         qdef = self.module.query_def(q.name)
@@ -2114,8 +2147,70 @@ class Stream:
         args["start"] = q.start if q.start is not None else 1
         args["limit"] = q.limit
         args["requesting_user"] = user
+        rows = self._local_query(qdef.sql, args)
+        if rows is not None:
+            return rows
         df = self.query_df(user, q, args)
-        return [] if df is None else [r.asDict() for r in df.collect()]
+        if df is None:
+            return []
+        return [
+            {k: _norm_sql_value(v) for k, v in r.asDict().items()}
+            for r in df.collect()
+        ]
+
+    def _local_query(self, sql: str, args: dict) -> list[dict] | None:
+        """Serve a named-query script from the driver-side sqlite table
+        mirrors when provably equivalent; None → caller uses Spark.
+
+        Eligibility (all conservative, any miss → Spark):
+        - every statement is a SELECT touching only mirrorable managed
+          tables (≤_MIRROR_CAP rows, scalar-typed values) and
+          allowlisted functions — the same gate as local authorize;
+        - no statement references ``event``/``events`` (no staged event
+          exists in query context, and the LocalEval connection may
+          hold a leftover authorize staging that must never answer);
+        - every result column is a plain identifier (bare column or
+          explicit alias) — unaliased expressions are NAMED differently
+          by SQLite and Spark ('count(*)' vs 'count(1)').
+        Value parity: mirrors are staged from the live DataFrames, and
+        sqlite is the dialect the Spark translation approximates (the
+        differential suite's invariant), so matching rows are identical;
+        boolean expression results surface as sqlite 1/0, which the
+        Spark path normalizes to as well (_norm_sql_value)."""
+        stmts = split_statements(strip_comments(sql))
+        if not stmts:
+            return None
+        known = self._known_tables()
+        flat: list[str] = []
+        needed: set[str] = set()
+        for s_ in stmts:
+            s2 = localexec.flatten_namespaces(s_)
+            toks = tokenize(s2)
+            if any(
+                _is_word(t)
+                and t.lower() in ("event", "events")
+                and (i == 0 or toks[i - 1] != ".")
+                for i, t in enumerate(toks)
+            ):
+                return None
+            refs = localexec.table_refs(s2, known)
+            if not localexec.eligible(
+                s2, known, allow_abort=False, toks=toks, mirrorable=refs
+            ):
+                return None
+            needed |= refs
+            flat.append(s2)
+        with self._lock:
+            self._purge_stale_mirrors()
+            if needed and not self._mirror_tables(needed):
+                return None
+            try:
+                names, rows = self._local_eval.run_readonly(flat, args)
+            except (localexec.LocalEvalError, localexec.LocalAbort):
+                return None  # mis-gated → Spark path (nothing written)
+        if not all(localexec.plain_ident(n) for n in names):
+            return None
+        return [dict(zip(names, r)) for r in rows]
 
     def query_df(self, user: str | None, q: LeafQuery, args: dict | None = None) -> DataFrame | None:
         if args is None:

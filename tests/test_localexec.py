@@ -491,3 +491,207 @@ class TestTableMirror:
         # BOTH paths instead of silently using rolled-back mirror data
         with pytest.raises(Exception):
             s.add_events([ev("alice", content="after drop")])
+
+
+class TestReadPath:
+    """r10: named queries (and therefore subscription re-queries, which
+    go through Stream.query) are served from the driver-side sqlite
+    mirrors when every statement is a SELECT over mirror-eligible
+    tables — the reference's in-process query shape (lib.rs:842-862).
+    The local answer must be value-identical to the Spark path, and
+    every gate miss must fall back to Spark."""
+
+    def _chat(self, spark, tmp_path):
+        from .fixtures import msg, marker
+
+        s = Stream(spark, str(tmp_path), "did:plc:readpath")
+        s.provide_module(CHAT)
+        s.add_events([msg("a", f"m{i}", i) for i in range(1, 6)])
+        s.add_state_events([marker("a", 2)])
+        return s
+
+    def _spark_rows(self, s, user, q):
+        """Force the Spark path for a parity reference."""
+        import unittest.mock as mock
+
+        with mock.patch.object(
+            Stream, "_local_query", lambda self, sql, args: None
+        ):
+            return s.query(user, q)
+
+    def test_all_chat_queries_parity_and_local(self, spark, tmp_path):
+        from leaf_spark.types import SqlValue
+
+        s = self._chat(spark, tmp_path)
+        cases = [
+            ("a", LeafQuery("messages")),
+            ("a", LeafQuery("messages", start=3, limit=2)),
+            ("a", LeafQuery("message_stats")),
+            ("a", LeafQuery("my_unread")),  # state.-qualified table
+            (
+                "a",
+                LeafQuery(
+                    "messages_by_sender",
+                    {"sender": SqlValue("text", "a")},
+                ),
+            ),
+            (None, LeafQuery("my_unread")),  # null $requesting_user
+        ]
+        import unittest.mock as mock
+
+        for user, q in cases:
+            expect = self._spark_rows(s, user, q)
+            # engagement proof: the local path must answer WITHOUT Spark
+            with mock.patch.object(
+                Stream,
+                "query_df",
+                side_effect=AssertionError("spark path used"),
+            ):
+                got = s.query(user, q)
+            assert got == expect, q.name
+
+    def test_mirror_tracks_commits(self, spark, tmp_path):
+        from .fixtures import msg
+
+        s = self._chat(spark, tmp_path)
+        before = s.query("a", LeafQuery("messages"))
+        s.add_events([msg("b", "m6", 6)])
+        after = s.query("a", LeafQuery("messages"))
+        assert len(after) == len(before) + 1
+        assert after[-1]["content"] == "m6"
+        assert after == self._spark_rows(s, "a", LeafQuery("messages"))
+
+    def test_oversized_table_falls_back_to_spark(self, spark, tmp_path):
+        from .fixtures import msg
+
+        s = self._chat(spark, tmp_path)
+        cap = Stream._MIRROR_CAP
+        s.add_events([msg("bulk", f"x{i}", 100 + i) for i in range(cap)])
+        q = LeafQuery("message_stats", limit=1000)
+        assert s._local_query(
+            s.module.query_def("message_stats").sql,
+            {"start": 1, "limit": 1000, "requesting_user": "a"},
+        ) is None
+        rows = s.query("a", q)
+        assert rows == self._spark_rows(s, "a", q)
+
+    def test_events_log_reference_not_served_locally(self, spark, tmp_path):
+        s = self._chat(spark, tmp_path)
+        assert s._local_query(
+            "select count(*) as n from events",
+            {"start": 1, "limit": 10, "requesting_user": None},
+        ) is None
+
+    def test_leftover_event_staging_never_answers(self, spark, tmp_path):
+        """The LocalEval connection may hold a staged ``event`` table
+        from the last authorize; a query referencing event must be
+        refused by the gate, not answered by that leftover."""
+        s = self._chat(spark, tmp_path)
+        # the last add_events staged an event table on this connection
+        assert s._local_query(
+            "select user from event",
+            {"start": 1, "limit": 10, "requesting_user": None},
+        ) is None
+
+    def test_unaliased_expressions_fall_back(self, spark, tmp_path):
+        """SQLite names 'count(*)' what Spark names 'count(1)' — column
+        names must match across paths, so unaliased expressions are
+        refused."""
+        s = self._chat(spark, tmp_path)
+        assert s._local_query(
+            "select count(*) from messages",
+            {"start": 1, "limit": 10, "requesting_user": None},
+        ) is None
+
+    def test_boolean_results_normalized_to_int(self, spark, tmp_path):
+        """Both paths return SQLite's 1/0 for boolean expressions (the
+        wire codec maps bool→integer; the Python API now matches)."""
+        mod = BasicModuleDef(
+            init_sql=(
+                "create table if not exists t (idx integer primary key)"
+            ),
+            materializer="insert into t (idx) select idx from event;",
+            queries=(
+                QueryDef(
+                    "flags",
+                    "select idx, idx > 1 as big from t order by idx",
+                ),
+            ),
+        )
+        s = Stream(spark, str(tmp_path), "did:plc:boolnorm")
+        s.provide_module(mod)
+        s.add_events([ev("u", v=1), ev("u", v=2)])
+        local = s.query(None, LeafQuery("flags"))
+        sparkr = self._spark_rows(s, None, LeafQuery("flags"))
+        assert local == sparkr
+        assert [r["big"] for r in local] == [0, 1]
+
+    def test_view_reference_falls_back(self, spark, tmp_path):
+        """Views are not DataFrames in the store — mirror staging must
+        refuse them and the Spark path must answer."""
+        mod = BasicModuleDef(
+            init_sql=(
+                "create table if not exists t (idx integer primary key); "
+                "create view big as select idx from t where idx > 1;"
+            ),
+            materializer="insert into t (idx) select idx from event;",
+            queries=(
+                QueryDef("big", "select idx from big order by idx"),
+            ),
+        )
+        s = Stream(spark, str(tmp_path), "did:plc:viewread")
+        s.provide_module(mod)
+        s.add_events([ev("u", v=1), ev("u", v=2)])
+        assert s._local_query(
+            "select idx from big order by idx",
+            {"start": 1, "limit": 10, "requesting_user": None},
+        ) is None
+        assert [r["idx"] for r in s.query(None, LeafQuery("big"))] == [2]
+
+    def test_subscription_requeries_use_local_path(self, spark, tmp_path):
+        """Subscription re-queries go through Stream.query and must hit
+        the mirror path for mirror-eligible modules."""
+        import unittest.mock as mock
+
+        from .fixtures import msg
+
+        import queue as queue_mod
+
+        s = self._chat(spark, tmp_path)
+        from leaf_spark.streaming.subscribe import SubscriptionWorker
+
+        w = SubscriptionWorker(s)
+        try:
+            sub = w.subscribe_events(
+                "a", LeafQuery("messages", start=1, limit=100)
+            )
+            deadline = 50
+            got = 0
+            while got == 0 and deadline:
+                try:
+                    got += len(sub.channel.get(timeout=0.1).rows)
+                except Exception:
+                    pass
+                deadline -= 1
+            assert got == 5, "no backfill delivered"
+            with mock.patch.object(
+                Stream,
+                "query_df",
+                side_effect=AssertionError("spark path used"),
+            ):
+                s.add_events([msg("b", "live1", 99)])
+                deadline = 50
+                while deadline:
+                    try:
+                        resp = sub.channel.get(timeout=0.1)
+                        if resp.error:
+                            raise AssertionError(resp.error)
+                        got += len(resp.rows)
+                        if got > 5:
+                            break
+                    except queue_mod.Empty:
+                        pass
+                    deadline -= 1
+            assert got == 6
+        finally:
+            w.close()

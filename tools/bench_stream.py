@@ -66,6 +66,30 @@ def main() -> None:
             assert rows
         out["query_roundtrips_per_sec"] = round(n_q / (time.time() - t0), 2)
 
+        # mirror-served round-trips (r10 read path): a stream whose
+        # tables stay within Stream._MIRROR_CAP is served from the
+        # driver-side sqlite mirrors — the 20k-message stream above
+        # exceeds the cap and measures the Spark floor instead
+        sroot = tempfile.mkdtemp(prefix="stream_bench_small_")
+        try:
+            ss = Stream(spark, sroot, "did:plc:benchsmall")
+            ss.provide_module(CHAT)
+            ss.add_events(
+                [msg("did:plc:u", f"m{j}", j) for j in range(100)]
+            )
+            t0 = time.time()
+            n_lq = 500
+            for k in range(n_lq):
+                rows = ss.query(
+                    "did:plc:u", LeafQuery("messages", start=1, limit=50)
+                )
+                assert rows
+            out["local_query_roundtrips_per_sec"] = round(
+                n_lq / (time.time() - t0), 2
+            )
+        finally:
+            shutil.rmtree(sroot, ignore_errors=True)
+
         # reopen with snapshot (fast path)
         del s
         t0 = time.time()
