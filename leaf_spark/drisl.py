@@ -25,6 +25,7 @@ once into a variant/JSON column and use ``variant_get`` for everything after.
 
 from __future__ import annotations
 
+import functools
 import json
 import math
 import re
@@ -244,7 +245,12 @@ class _Seg:
     index: int = 0
 
 
+@functools.lru_cache(maxsize=1024)
 def parse_path(path: str) -> list[_Seg]:
+    """Memoized: a module references a handful of fixed paths, but the
+    sqlite-UDF hot path re-parses per (event × extract) — measured as a
+    visible slice of per-event GIL time. Callers only iterate the
+    returned list (never mutate), so sharing the cached object is safe."""
     if not path or not path.startswith("."):
         raise ValueError(f"invalid DRISL path {path!r}: must start with '.'")
     segs: list[_Seg] = []

@@ -35,6 +35,7 @@ any authorizer abort rejects the whole batch).
 
 from __future__ import annotations
 
+import json
 import sqlite3
 
 from . import drisl
@@ -45,6 +46,9 @@ from ._drisl_udfs import (
     conv_extract_str,
 )
 from .sqlcompat import _is_word, tokenize
+
+
+_DC_MISS = object()
 
 
 class LocalAbort(Exception):
@@ -263,10 +267,28 @@ class LocalEval:
 
     def __init__(self):
         self._pending_abort: LocalAbort | None = None
+        # content-keyed payload-decode memo: the authorizer + fold of one
+        # commit call drisl UDFs ~5× per event on the SAME payload bytes,
+        # and each call re-ran the full CBOR decode — a top slice of the
+        # per-event GIL time that sets the multi-stream convoy ceiling.
+        # decode() is a pure function of the bytes, so the memo is safe;
+        # size-bounded (cleared wholesale) instead of per-batch so the
+        # authorize staging and the fold's run_select share hits.
+        self._dcache: dict[bytes, object] = {}
         # check_same_thread=False: the owning Stream serializes access
         # under its RLock, but server threads rotate — the sqlite default
         # would refuse the (safe) cross-thread reuse
         con = sqlite3.connect(":memory:", check_same_thread=False)
+
+        def _decode_cached(payload) -> object:
+            b = bytes(payload)
+            v = self._dcache.get(b, _DC_MISS)
+            if v is _DC_MISS:
+                if len(self._dcache) > 100_000:
+                    self._dcache.clear()
+                v = drisl.decode(b)
+                self._dcache[b] = v
+            return v
 
         def _wrap2(fn):
             def g(payload, path):
@@ -281,10 +303,12 @@ class LocalEval:
                 if payload is None or path is None:
                     return None
                 try:
-                    v = drisl.drisl_extract(bytes(payload), path)
+                    v = drisl.to_sql_value(
+                        drisl.extract_value(_decode_cached(payload), path)
+                    )
                 except Exception:
                     return None
-                return conv(v)
+                return conv(None if v is drisl.MISSING else v)
             return g
 
         con.create_function("drisl_extract", 2, _extract(conv_extract_str),
@@ -300,15 +324,28 @@ class LocalEval:
             if payload is None or path is None:
                 return 0
             try:
-                return drisl.drisl_exists(bytes(payload), path)
+                return (
+                    0
+                    if drisl.extract_value(_decode_cached(payload), path)
+                    is drisl.MISSING
+                    else 1
+                )
             except Exception:
                 return 0
 
         con.create_function("drisl_exists", 2, _exists, deterministic=True)
         con.create_function(
             "drisl_to_json", 1,
-            _wrap2(lambda p, _=None: drisl.drisl_to_json(bytes(p))
-                   if p is not None else None),
+            _wrap2(
+                lambda p, _=None: json.dumps(
+                    _decode_cached(p),
+                    separators=(",", ":"),
+                    sort_keys=False,
+                    default=drisl._json_default,
+                )
+                if p is not None
+                else None
+            ),
             deterministic=True,
         )
 
