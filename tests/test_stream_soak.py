@@ -937,3 +937,372 @@ class TestSoakMirrorBoundary:
         s.add_events([ev("s0", **{"ban": "s9"})])
         with pytest.raises((BatchRejected, Exception)):
             s.add_events([ev("s9", k="z", v=9)])
+
+
+# ---------------------------------------------------------------------------
+# round 10 (VERDICT r9 #4): set-wise DELETE compilation + pooled rounds
+# ---------------------------------------------------------------------------
+
+# lone event-keyed DELETE (its target written by no other statement):
+# compiles to one EXISTS-over-batch statement. Items are seeded by
+# init_sql so deletes have something to bite.
+DELMOD = BasicModuleDef(
+    init_sql=(
+        "create table if not exists items (id text primary key, v integer not null); "
+        "insert into items values ('a',1),('b',2),('c',3),('d',4),('e',5) on conflict(id) do nothing; "
+        "create table if not exists dlog (id text not null, at integer not null);"
+    ),
+    materializer=(
+        "insert into dlog (id, at) select drisl_extract(payload, '.del'), idx "
+        "from event where drisl_exists(payload, '.del'); "
+        "delete from items where id = (select drisl_extract(payload, '.del') from event);"
+    ),
+    queries=(
+        QueryDef("items", "select id, v from items order by id"),
+        QueryDef("dlog", "select id, at from dlog order by at"),
+    ),
+)
+
+# shared-target conflict-handling script: two DO UPDATEs whose winner is
+# order-dependent — the pooled-round tier must interleave exactly.
+POOLMOD = BasicModuleDef(
+    init_sql=(
+        "create table if not exists reg (k text primary key, v integer not null)"
+    ),
+    materializer=(
+        "insert into reg (k, v) select drisl_extract(payload, '.a'), "
+        "drisl_extract_int(payload, '.v') from event "
+        "where drisl_exists(payload, '.a') "
+        "on conflict(k) do update set v = excluded.v; "
+        "insert into reg (k, v) select drisl_extract(payload, '.b'), "
+        "drisl_extract_int(payload, '.v') from event "
+        "where drisl_exists(payload, '.b') "
+        "on conflict(k) do update set v = excluded.v;"
+    ),
+    queries=(QueryDef("reg", "select k, v from reg order by k"),),
+)
+
+
+class TestDeleteCompilation:
+    def test_delete_statement_compiles(self, spark, tmp_path):
+        s = Stream(spark, str(tmp_path), "did:plc:delc1")
+        s.provide_module(DELMOD)
+        got = s._compile_delete_setwise(
+            "delete from items where id = "
+            "(select drisl_extract(payload, '.del') from event)"
+        )
+        assert got is not None
+        flat, sql = got
+        assert flat == "items" and "exists" in sql and "__ev__" in sql
+        stmts = [
+            st.strip()
+            for st in DELMOD.materializer.split(";")
+            if st.strip()
+        ]
+        compiled = s._compile_script(stmts)
+        assert compiled is not None and compiled[1] != stmts[1]
+
+    def test_delete_gates_fall_back(self, spark, tmp_path):
+        s = Stream(spark, str(tmp_path), "did:plc:delc2")
+        s.provide_module(DELMOD)
+        for stmt in [
+            # ORDER/LIMIT tails are order-sensitive
+            "delete from items where id = (select user from event) "
+            "order by id limit 1",
+            # RETURNING
+            "delete from items where id = (select user from event) "
+            "returning id",
+            # aggregate over event degenerates per-event only
+            "delete from items where v < "
+            "(select count(*) from event)",
+            # another subquery (reads live table state)
+            "delete from items where id = "
+            "(select id from items limit 1)",
+            # bare event column would be captured by __ev__
+            "delete from items where id = user",
+            # event subquery with its own WHERE
+            "delete from items where id = "
+            "(select user from event where idx > 1)",
+            # random() is order/set visible
+            "delete from items where random() < 0 and id = "
+            "(select user from event)",
+            # unknown target
+            "delete from nosuch where id = (select user from event)",
+        ]:
+            assert s._compile_delete_setwise(stmt) is None, stmt
+
+    def test_lone_delete_end_to_end_and_replay_setwise(
+        self, spark, tmp_path, monkeypatch
+    ):
+        s = Stream(spark, str(tmp_path), "did:plc:delc3")
+        s.provide_module(DELMOD)
+        # intra-batch: two deletes in one batch, one miss
+        s.add_events(
+            [ev("u", del_="zz") if False else ev(u, **{"del": d})
+             for u, d in [("u", "b"), ("u", "zz"), ("u", "d")]]
+        )
+        assert [r["id"] for r in s.query(None, LeafQuery("items"))] == [
+            "a", "c", "e"
+        ]
+        s.add_events([ev("u", **{"del": "a"})])
+        assert [r["id"] for r in s.query(None, LeafQuery("items"))] == [
+            "c", "e"
+        ]
+        expect_items = s.query(None, LeafQuery("items"))
+        expect_dlog = s.query(None, LeafQuery("dlog"))
+
+        # replay must never enter the per-event loop
+        s2 = Stream(spark, str(tmp_path), "did:plc:delc3")
+
+        def no_single_row(rows, schema):
+            raise AssertionError("per-event fold ran for a compiled module")
+
+        monkeypatch.setattr(s2, "_event_local_df", no_single_row)
+        s2.provide_module(DELMOD)
+        s2.catch_up()
+        assert s2.query(None, LeafQuery("items")) == expect_items
+        assert s2.query(None, LeafQuery("dlog")) == expect_dlog
+
+    def test_predicate_beyond_key_equality(self, spark, tmp_path):
+        """The EXISTS rewrite is exact for ANY event-pure predicate, not
+        just key equality — e.g. a range delete."""
+        mod = BasicModuleDef(
+            init_sql=(
+                "create table if not exists items2 "
+                "(id text primary key, v integer not null); "
+                "insert into items2 values ('a',1),('b',2),('c',3),('d',4) on conflict(id) do nothing;"
+            ),
+            materializer=(
+                "delete from items2 where v <= "
+                "(select drisl_extract_int(payload, '.below') from event);"
+            ),
+            queries=(
+                QueryDef("items2", "select id, v from items2 order by id"),
+            ),
+        )
+        s = Stream(spark, str(tmp_path), "did:plc:delc4")
+        s.provide_module(mod)
+        stmts = [
+            st.strip() for st in mod.materializer.split(";") if st.strip()
+        ]
+        assert s._compile_script(stmts) is not None
+        s.add_events([ev("u", below=2), ev("u", below=1)])
+        assert [r["id"] for r in s.query(None, LeafQuery("items2"))] == [
+            "c", "d"
+        ]
+
+    def test_shared_insert_delete_target_stays_per_event(
+        self, spark, tmp_path
+    ):
+        """INSERT + DELETE on one target interleave per event (add k,
+        del k, add k must leave k present) — the compile must refuse."""
+        mod = BasicModuleDef(
+            init_sql=(
+                "create table if not exists live "
+                "(id text primary key, v integer not null)"
+            ),
+            materializer=(
+                "insert into live (id, v) select "
+                "drisl_extract(payload, '.add'), idx from event "
+                "where drisl_exists(payload, '.add') "
+                "on conflict(id) do update set v = excluded.v; "
+                "delete from live where id = "
+                "(select drisl_extract(payload, '.del') from event);"
+            ),
+            queries=(QueryDef("live", "select id, v from live order by id"),),
+        )
+        s = Stream(spark, str(tmp_path), "did:plc:delc5")
+        s.provide_module(mod)
+        stmts = [
+            st.strip() for st in mod.materializer.split(";") if st.strip()
+        ]
+        assert s._compile_script(stmts) is None
+        assert s._pool_plan(stmts) is None
+        # add a, del a, add a  → a present (statement-major would drop it)
+        s.add_events(
+            [ev("u", add="a"), ev("u", **{"del": "a"}), ev("u", add="a")]
+        )
+        assert [r["id"] for r in s.query(None, LeafQuery("live"))] == ["a"]
+        # add b then del b in a later event → gone
+        s.add_events([ev("u", add="b")])
+        s.add_events([ev("u", **{"del": "b"})])
+        assert [r["id"] for r in s.query(None, LeafQuery("live"))] == ["a"]
+
+
+class TestPooledRounds:
+    def test_plan_and_order_dependent_winner(self, spark, tmp_path):
+        s = Stream(spark, str(tmp_path), "did:plc:pool1")
+        s.provide_module(POOLMOD)
+        stmts = [
+            st.strip()
+            for st in POOLMOD.materializer.split(";")
+            if st.strip()
+        ]
+        assert not s._batch_safe(POOLMOD.materializer)
+        assert s._compile_script(stmts) is None
+        assert s._pool_plan(stmts) is not None
+        # k arrives via stmt2 (b) FIRST, then stmt1 (a): per-event order
+        # means stmt1@e2 wins; statement-major would let stmt2 win
+        s.add_events(
+            [ev("u", b="k", v=7), ev("u", a="k", v=5)]
+        )
+        assert s.query(None, LeafQuery("reg")) == [{"k": "k", "v": 5}]
+
+    def test_same_event_both_statements(self, spark, tmp_path):
+        """One event matching BOTH statements applies them in statement
+        order within the event."""
+        s = Stream(spark, str(tmp_path), "did:plc:pool2")
+        s.provide_module(POOLMOD)
+        # .a and .b in one event, same key: stmt1 then stmt2 → v from .b
+        # (both read .v, so make them differ via two events first)
+        s.add_events([ev("u", a="k", b="k", v=9)])
+        assert s.query(None, LeafQuery("reg")) == [{"k": "k", "v": 9}]
+        # later single-statement update still lands
+        s.add_events([ev("u", a="k", v=1)])
+        assert s.query(None, LeafQuery("reg")) == [{"k": "k", "v": 1}]
+
+    def test_replay_never_per_event_and_bounded_rounds(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Replay of a pooled module must not enter the per-event loop,
+        and the number of pooled upsert executions is bounded by
+        R·S (max per-key multiplicity × statements), not O(events)."""
+        s = Stream(spark, str(tmp_path), "did:plc:pool3")
+        s.provide_module(POOLMOD)
+        rng = random.Random(7)
+        batch = []
+        for i in range(30):
+            side = rng.choice(["a", "b"])
+            batch.append(
+                ev("u", **{side: f"k{rng.randint(0, 4)}", "v": i})
+            )
+        s.add_events(batch)
+        expect = s.query(None, LeafQuery("reg"))
+
+        s2 = Stream(spark, str(tmp_path), "did:plc:pool3")
+
+        def no_single_row(rows, schema):
+            raise AssertionError("per-event fold ran for a pooled module")
+
+        monkeypatch.setattr(s2, "_event_local_df", no_single_row)
+        execs = []
+        orig = Stream._exec_pooled_rounds
+
+        def counting(self_, ex, group, is_state):
+            n0 = len(execs)
+            real_execute = ex.execute
+
+            def spy(sql, *a, **k):
+                if sql.lstrip().lower().startswith("insert"):
+                    execs.append(sql)
+                return real_execute(sql, *a, **k)
+
+            ex.execute = spy
+            try:
+                return orig(self_, ex, group, is_state)
+            finally:
+                ex.execute = real_execute
+
+        monkeypatch.setattr(Stream, "_exec_pooled_rounds", counting)
+        s2.provide_module(POOLMOD)
+        s2.catch_up()
+        assert s2.query(None, LeafQuery("reg")) == expect
+        # R <= max ops per key; 30 events over 5 keys → R <= 30, but the
+        # bound we assert is the structural one: executions <= R*S with
+        # S=2, and strictly fewer than per-event's 2*30
+        assert 0 < len(execs) < 60
+
+    def test_pooled_model_soak(self, spark, tmp_path):
+        """Seeded schedule over the pooled module vs a python model,
+        with reopen/replay interleaved."""
+        rng = random.Random(20260816)
+        s = Stream(spark, str(tmp_path), "did:plc:pool4")
+        s.provide_module(POOLMOD)
+        model = {}
+        seq = 0
+        for step in range(10):
+            r = rng.random()
+            if r < 0.75:
+                n = rng.randint(1, 5)
+                batch = []
+                for _ in range(n):
+                    seq += 1
+                    side = rng.choice(["a", "b"])
+                    k = f"k{rng.randint(0, 3)}"
+                    batch.append(ev("u", **{side: k, "v": seq}))
+                    model[k] = seq
+                s.add_events(batch)
+            else:
+                s = Stream(spark, str(tmp_path), "did:plc:pool4")
+                s.provide_module(POOLMOD)
+                s.catch_up()
+            got = s.query(None, LeafQuery("reg"))
+            want = [
+                {"k": k, "v": v} for k, v in sorted(model.items())
+            ]
+            assert got == want, step
+
+    def test_auto_rowid_pk_refuses_pool(self, spark, tmp_path):
+        """Conflict key present but an auto-assigned INTEGER PK absent
+        from the insert columns → rowid order is visible → per-event."""
+        mod = BasicModuleDef(
+            init_sql=(
+                "create table if not exists withid (id integer primary key, "
+                "k text unique, v integer not null)"
+            ),
+            materializer=(
+                "insert into withid (k, v) select "
+                "drisl_extract(payload, '.a'), 1 from event "
+                "where drisl_exists(payload, '.a') "
+                "on conflict(k) do update set v = excluded.v; "
+                "insert into withid (k, v) select "
+                "drisl_extract(payload, '.b'), 2 from event "
+                "where drisl_exists(payload, '.b') "
+                "on conflict(k) do update set v = excluded.v;"
+            ),
+            queries=(
+                QueryDef("withid", "select id, k, v from withid order by id"),
+            ),
+        )
+        s = Stream(spark, str(tmp_path), "did:plc:pool5")
+        s.provide_module(mod)
+        stmts = [
+            st.strip() for st in mod.materializer.split(";") if st.strip()
+        ]
+        assert s._pool_plan(stmts) is None
+
+    def test_mismatched_keys_refuse_pool(self, spark, tmp_path):
+        mod = BasicModuleDef(
+            init_sql=(
+                "create table if not exists twok (k1 text, k2 text, "
+                "v integer not null, primary key (k1, k2))"
+            ),
+            materializer=(
+                "insert into twok (k1, k2, v) select 'x', "
+                "drisl_extract(payload, '.k'), 1 from event where true "
+                "on conflict(k1, k2) do update set v = excluded.v; "
+                "insert into twok (k1, k2, v) select 'x', "
+                "drisl_extract(payload, '.k'), 2 from event where true "
+                "on conflict(k2, k1) do update set v = excluded.v;"
+            ),
+            queries=(QueryDef("twok", "select k1, k2, v from twok"),),
+        )
+        s = Stream(spark, str(tmp_path), "did:plc:pool6")
+        s.provide_module(mod)
+        stmts = [
+            st.strip() for st in mod.materializer.split(";") if st.strip()
+        ]
+        # same key SET (order-insensitive) → pools fine
+        assert s._pool_plan(stmts) is not None
+
+    def test_two_acc_takes_pooled_path_now(self, spark, tmp_path):
+        """The TWO_ACC hazard module (n=n+1 / n=n*2) now pools — same
+        interleaved result, set-wise execution."""
+        s = Stream(spark, str(tmp_path), "did:plc:pool7")
+        s.provide_module(TestStatementMajorHazard.TWO_ACC)
+        stmts = [
+            st.strip()
+            for st in TestStatementMajorHazard.TWO_ACC.materializer.split(";")
+            if st.strip()
+        ]
+        assert s._pool_plan(stmts) is not None
