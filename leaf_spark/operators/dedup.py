@@ -521,6 +521,113 @@ def incremental_dedup(
     return fresh.join(w, ["h", id_col]).drop("h").unionByName(keep_nulls)
 
 
+def suggest_bucket_cap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+    budget_pairs: int = 50_000_000,
+) -> dict:
+    """Size ``bucket_cap`` for :func:`containment_pairs` (and the LSH
+    family) from the corpus's own bucket-size profile — the "one cheap
+    aggregation before committing a run" SCALE.md prescribes, as code.
+
+    The exact-recall evidence volume is Σ_b C(|b|, 2) over inverted-index
+    buckets; capping a bucket replaces its C(|b|,2) pairs with a |b|-1
+    connectivity chain. This computes the bucket-size HISTOGRAM (one
+    groupBy h + one groupBy size — bounded output: one row per distinct
+    bucket size), then picks the largest cap whose predicted evidence
+    volume fits ``budget_pairs``. Histogram rows are O(√(2·index-size))
+    by a counting argument, so the collect is always driver-safe.
+
+    Returns a dict:
+      cap                      — suggested bucket_cap (None = no capping
+                                 needed, the exact volume already fits)
+      exact_evidence_pairs     — Σ C(|b|,2), the uncapped task size
+      predicted_evidence_pairs — volume at the suggested cap
+      predicted_recall_loss    — fraction of exact pair-evidence the cap
+                                 skips (upper bound on pair-recall loss:
+                                 a pair is lost only if ALL its shared
+                                 shingles are over-cap)
+      over_cap_buckets         — buckets the suggested cap chains
+      max_bucket               — largest bucket observed
+    """
+    exploded = spread(df).select(
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    _word_shingles(F.col(text_col), shingle_words),
+                    lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)),
+                )
+            )
+        ).alias("h")
+    )
+    hist = (
+        exploded.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .collect()
+    )
+    sizes = sorted((int(r["sz"]), int(r["nb"])) for r in hist)
+    if not sizes:
+        return {
+            "cap": None,
+            "exact_evidence_pairs": 0,
+            "predicted_evidence_pairs": 0,
+            "predicted_recall_loss": 0.0,
+            "over_cap_buckets": 0,
+            "max_bucket": 0,
+        }
+
+    def c2(s: int) -> int:
+        return s * (s - 1) // 2
+
+    exact = sum(nb * c2(s) for s, nb in sizes)
+
+    def stats(cap: int | None) -> tuple[int, int, int]:
+        vol = skipped = over = 0
+        for s, nb in sizes:
+            if cap is None or s <= cap:
+                vol += nb * c2(s)
+            else:
+                vol += nb * (s - 1)
+                skipped += nb * (c2(s) - (s - 1))
+                over += nb
+        return vol, skipped, over
+
+    if exact <= budget_pairs:
+        return {
+            "cap": None,
+            "exact_evidence_pairs": exact,
+            "predicted_evidence_pairs": exact,
+            "predicted_recall_loss": 0.0,
+            "over_cap_buckets": 0,
+            "max_bucket": sizes[-1][0],
+        }
+    # volume(cap) only changes at distinct sizes — walk them descending
+    # and keep the largest cap that fits; if none fits, take the floor
+    # (cap below every bucket = pure chains, the minimum possible volume)
+    best = None
+    for s, _ in reversed(sizes):
+        cap = s
+        vol, _, _ = stats(cap)
+        if vol <= budget_pairs:
+            best = cap
+            break
+    if best is None:
+        best = sizes[0][0] - 1 if sizes[0][0] > 1 else 1
+    vol, skipped, over = stats(best)
+    return {
+        "cap": best,
+        "exact_evidence_pairs": exact,
+        "predicted_evidence_pairs": vol,
+        "predicted_recall_loss": (skipped / exact) if exact else 0.0,
+        "over_cap_buckets": over,
+        "max_bucket": sizes[-1][0],
+    }
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -462,3 +462,97 @@ def test_png_decompression_bomb_refused():
     assert decode_png_pixels(oversized) is None
     # sanity: legitimate image still decodes after the hardening
     assert decode_png_pixels(good) == (4, 4, 1, bytes(range(16)))
+
+
+class TestSuggestBucketCap:
+    """r10 (VERDICT r9 #6): the SCALE.md cap-sizing recipe as code —
+    one cheap aggregation predicting evidence volume + recall loss."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id string, text string")
+
+    def test_exact_volume_matches_hand_count(self, spark):
+        from leaf_spark.operators.dedup import suggest_bucket_cap
+
+        # two docs sharing one 2-word shingle; a third disjoint
+        df = self._df(spark, [
+            ("a", "red fox jumps"),
+            ("b", "red fox sleeps"),
+            ("c", "blue whale sings"),
+        ])
+        got = suggest_bucket_cap(
+            df, shingle_words=2, budget_pairs=10**9
+        )
+        # shingles: a={red fox, fox jumps}, b={red fox, fox sleeps},
+        # c={blue whale, whale sings}; only "red fox" is shared → one
+        # bucket of 2 → C(2,2)=1 evidence pair
+        assert got["exact_evidence_pairs"] == 1
+        assert got["cap"] is None  # fits budget → no capping
+        assert got["predicted_recall_loss"] == 0.0
+        assert got["max_bucket"] == 2
+
+    def test_cap_selection_under_budget(self, spark):
+        from leaf_spark.operators.dedup import suggest_bucket_cap
+
+        # a mass-duplicated shingle across 10 docs (bucket of 10:
+        # C(10,2)=45) plus a small bucket of 2 (1 pair): exact = 46
+        rows = [(f"d{i}", f"common boiler plate {i}") for i in range(10)]
+        rows += [("x", "rare pair one"), ("y", "rare pair two")]
+        df = self._df(spark, rows)
+        got = suggest_bucket_cap(df, shingle_words=2, budget_pairs=20)
+        # "common boiler" and "boiler plate" both occur in 10 docs →
+        # two buckets of 10 (90 pairs) + "rare pair" bucket of 2 (1)
+        assert got["exact_evidence_pairs"] == 91
+        # capping the 10-buckets costs 2*(45-9)=72 skipped, volume
+        # 2*9 + 1 = 19 <= 20 → cap lands between 2 and 9
+        assert got["cap"] is not None and 2 <= got["cap"] < 10
+        assert got["predicted_evidence_pairs"] <= 20
+        assert got["over_cap_buckets"] == 2
+        assert abs(got["predicted_recall_loss"] - 72 / 91) < 1e-9
+
+    def test_predicted_volume_matches_operator_behavior(self, spark):
+        """The predicted volume at the suggested cap must equal what
+        containment_pairs actually shuffles: small-bucket pair rows +
+        chain rows."""
+        from leaf_spark.operators.dedup import suggest_bucket_cap
+
+        rows = [(f"d{i}", "alpha beta gamma") for i in range(6)]
+        rows += [("p", "delta epsilon zeta"), ("q", "delta epsilon eta")]
+        df = self._df(spark, rows)
+        got = suggest_bucket_cap(df, shingle_words=2, budget_pairs=12)
+        # buckets: {alpha beta}:6, {beta gamma}:6, {delta epsilon}:2 →
+        # exact = 15+15+1 = 31; at cap 2: 5+5+1 = 11 <= 12
+        assert got["exact_evidence_pairs"] == 31
+        assert got["cap"] == 2
+        assert got["predicted_evidence_pairs"] == 11
+
+    def test_monotone_in_budget(self, spark):
+        from leaf_spark.operators.dedup import suggest_bucket_cap
+
+        rows = [(f"d{i}", "same text here") for i in range(20)]
+        df = self._df(spark, rows)
+        caps = []
+        for budget in (5, 50, 500):
+            got = suggest_bucket_cap(df, shingle_words=2, budget_pairs=budget)
+            caps.append(got["cap"] if got["cap"] is not None else 10**9)
+        assert caps == sorted(caps)
+
+    def test_sf01_corpus_profile(self, spark):
+        """On the sf0.1 documents corpus the knob must produce a usable
+        cap: predicted volume within budget, loss a fraction < 1."""
+        import os
+
+        import pytest as _pytest
+
+        path = "/root/testdata/sf0.1/documents.parquet"
+        if not os.path.exists(path):
+            _pytest.skip("sf0.1 testdata not present")
+        from leaf_spark.operators.dedup import suggest_bucket_cap
+
+        df = spark.read.parquet(path).select("doc_id", "text")
+        got = suggest_bucket_cap(df, budget_pairs=2_000_000)
+        assert got["exact_evidence_pairs"] > 0
+        assert got["predicted_evidence_pairs"] <= 2_000_000
+        assert 0.0 <= got["predicted_recall_loss"] < 1.0
+        if got["cap"] is not None:
+            assert 1 <= got["cap"] <= got["max_bucket"]
