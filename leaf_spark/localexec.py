@@ -36,6 +36,7 @@ any authorizer abort rejects the whole batch).
 from __future__ import annotations
 
 import json
+import re
 import sqlite3
 
 from . import drisl
@@ -219,15 +220,10 @@ def flatten_namespaces(stmt: str) -> str:
 # by SQLite and Spark (bare columns and explicit aliases); anything else
 # (unaliased expressions: 'count(*)' vs 'count(1)') may differ between
 # the engines, so the read path falls back to Spark for those
-_IDENT_RE = None
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
 def plain_ident(name: str) -> bool:
-    global _IDENT_RE
-    if _IDENT_RE is None:
-        import re
-
-        _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
     return bool(_IDENT_RE.match(name or ""))
 
 
@@ -368,6 +364,12 @@ class LocalEval:
     def close(self) -> None:
         self._con.close()
 
+    def reset_decode_cache(self) -> None:
+        """Called at batch start: the memo's hits are all within one
+        commit, so per-batch lifetime keeps the speedup with O(batch)
+        driver memory (the 100k in-batch backstop still applies)."""
+        self._dcache.clear()
+
     # -- execution ---------------------------------------------------------
 
     def _stage_event(self, columns: list[str], rows: list[tuple]) -> None:
@@ -475,9 +477,15 @@ class LocalEval:
         mirrors (the reference's in-process query shape,
         leaf-stream/src/lib.rs:842-862); rows of the LAST statement
         return. The caller gates statements to SELECTs over mirrored
-        tables only — in particular none may reference ``event``, whose
-        staged table from the last authorize may still be present on
-        this connection and must never answer a read."""
+        tables only — in particular none may reference ``event``.
+        Defense in depth: the staged ``event`` table from the last
+        authorize is DROPPED first, so even a reference the token gate
+        misses (e.g. a quoted '"event"' identifier, which _is_word
+        skips) errors out and falls back to Spark instead of being
+        answered by stale authorize staging; the next authorize
+        restages from scratch, so dropping costs nothing (r10 review
+        finding)."""
+        self._con.execute("drop table if exists event")
         desc, out = None, []
         for s in stmts:
             desc, out = self._execute(s, args)

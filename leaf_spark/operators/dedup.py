@@ -524,7 +524,6 @@ def incremental_dedup(
 def suggest_bucket_cap(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     shingle_words: int = 3,
     budget_pairs: int = 50_000_000,
 ) -> dict:
@@ -584,18 +583,6 @@ def suggest_bucket_cap(
         return s * (s - 1) // 2
 
     exact = sum(nb * c2(s) for s, nb in sizes)
-
-    def stats(cap: int | None) -> tuple[int, int, int]:
-        vol = skipped = over = 0
-        for s, nb in sizes:
-            if cap is None or s <= cap:
-                vol += nb * c2(s)
-            else:
-                vol += nb * (s - 1)
-                skipped += nb * (c2(s) - (s - 1))
-                over += nb
-        return vol, skipped, over
-
     if exact <= budget_pairs:
         return {
             "cap": None,
@@ -605,19 +592,44 @@ def suggest_bucket_cap(
             "over_cap_buckets": 0,
             "max_bucket": sizes[-1][0],
         }
-    # volume(cap) only changes at distinct sizes — walk them descending
-    # and keep the largest cap that fits; if none fits, take the floor
-    # (cap below every bucket = pure chains, the minimum possible volume)
-    best = None
-    for s, _ in reversed(sizes):
-        cap = s
-        vol, _, _ = stats(cap)
-        if vol <= budget_pairs:
-            best = cap
+    # volume(cap) only changes at distinct sizes; with prefix sums over
+    # the sorted histogram every candidate evaluates O(1), so the whole
+    # walk is O(D) instead of O(D²) (r10 review finding). D ~ √(2·index)
+    # by the counting argument, so this stays trivial at any scale.
+    d = len(sizes)
+    pre_pairs = [0] * (d + 1)  # Σ nb·C(s,2) over sizes[:i]
+    suf_chain = [0] * (d + 1)  # Σ nb·(s-1) over sizes[i:]
+    suf_pairs = [0] * (d + 1)  # Σ nb·C(s,2) over sizes[i:]
+    suf_count = [0] * (d + 1)  # Σ nb over sizes[i:]
+    for i, (s, nb) in enumerate(sizes):
+        pre_pairs[i + 1] = pre_pairs[i] + nb * c2(s)
+    for i in range(d - 1, -1, -1):
+        s, nb = sizes[i]
+        suf_chain[i] = suf_chain[i + 1] + nb * (s - 1)
+        suf_pairs[i] = suf_pairs[i + 1] + nb * c2(s)
+        suf_count[i] = suf_count[i + 1] + nb
+
+    def stats_at(i: int) -> tuple[int, int, int]:
+        """Volume/skipped/over with cap = sizes[i-1][0] (buckets with
+        size index < i keep all pairs; the rest chain)."""
+        vol = pre_pairs[i] + suf_chain[i]
+        skipped = suf_pairs[i] - suf_chain[i]
+        return vol, skipped, suf_count[i]
+
+    best_i = None
+    for i in range(d, 0, -1):  # largest cap first
+        if stats_at(i)[0] <= budget_pairs:
+            best_i = i
             break
-    if best is None:
+    if best_i is not None:
+        best = sizes[best_i - 1][0]
+        vol, skipped, over = stats_at(best_i)
+    else:
+        # even pure chains exceed the budget: cap below every bucket is
+        # the minimum-possible volume — report it honestly
         best = sizes[0][0] - 1 if sizes[0][0] > 1 else 1
-    vol, skipped, over = stats(best)
+        i0 = 1 if best >= sizes[0][0] else 0
+        vol, skipped, over = stats_at(i0)
     return {
         "cap": best,
         "exact_evidence_pairs": exact,

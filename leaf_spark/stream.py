@@ -944,11 +944,56 @@ class Stream:
             elif depth == 0 and lows[i] == "from":
                 if i + 1 < len(toks) and lows[i + 1] == "event":
                     nxt = lows[i + 2] if i + 2 < len(toks) else None
-                    if nxt in (None, "where", "on", "group", "order", "limit"):
+                    # ONLY row-local tails: WHERE filters and the ON
+                    # CONFLICT clause. GROUP BY / ORDER BY / LIMIT /
+                    # HAVING / compounds — anywhere at depth 0 after the
+                    # FROM — are set-wise vs per-event DIVERGENT: the
+                    # reference evaluates them against a SINGLE-row
+                    # event table (count(*) group by user = (user, 1)
+                    # per event; limit 1 = every event's row), so those
+                    # shapes must fold per event (r10 review finding).
+                    if nxt in (None, "where", "on"):
                         from_ok = True
+                        d2 = 0
+                        for k in range(i + 2, len(toks)):
+                            tk = toks[k]
+                            if tk == "(":
+                                d2 += 1
+                            elif tk == ")":
+                                d2 -= 1
+                            elif d2 == 0 and lows[k] in (
+                                "group", "order", "limit", "having",
+                                "union", "intersect", "except", "window",
+                            ):
+                                from_ok = False
+                                break
                 break
         if not from_ok:
             return None
+        # aggregate calls are set-wise vs per-event divergent even
+        # WITHOUT group by (count(*) over a single-row event table = 1
+        # per event; over the batch = N once). min/max are aggregates
+        # only in their 1-arg form — the 2-arg scalar form stays legal.
+        for i, t in enumerate(toks):
+            if not _is_word(t) or i + 1 >= len(toks) or toks[i + 1] != "(":
+                continue
+            low = lows[i]
+            if low in ("count", "sum", "avg", "total", "group_concat"):
+                return None
+            if low in ("min", "max"):
+                d2, has_comma = 0, False
+                for k in range(i + 1, len(toks)):
+                    tk = toks[k]
+                    if tk == "(":
+                        d2 += 1
+                    elif tk == ")":
+                        d2 -= 1
+                        if d2 == 0:
+                            break
+                    elif tk == "," and d2 == 1:
+                        has_comma = True
+                if not has_comma:
+                    return None
         # reject managed-table references anywhere inside parens
         # (subqueries); the only sanctioned relation is the top-level
         # FROM event. db-qualified names flatten like _create_table.
@@ -1352,6 +1397,12 @@ class Stream:
                 t = toks[i]
                 low = lows[i]
                 if t == "(" and i + 1 < n and lows[i + 1] == "select":
+                    # the span is replaced by its bare expression, so a
+                    # structural consumer of the SUBQUERY form breaks:
+                    # EXISTS(<expr>) is a syntax error (r10 review
+                    # finding) — reject rather than emit invalid SQL
+                    if out and out[-1].lower() == "exists":
+                        return None
                     # find the matching close paren
                     d = 0
                     k = i
@@ -1954,8 +2005,13 @@ class Stream:
         key_frames = []
         for si, shape in group:
             cols, _, src_sql, _, _ = shape
-            src = ex.execute(src_sql, is_state=is_state).toDF(
-                *cols, "__ord__"
+            # checkpoint: each source select is re-joined once per round
+            # below — without the lineage cut every round would re-run
+            # the select (the _exec_roundwise discipline)
+            src = (
+                ex.execute(src_sql, is_state=is_state)
+                .toDF(*cols, "__ord__")
+                .localCheckpoint(eager=True)
             )
             srcs.append((si, shape, src))
             key_frames.append(
@@ -1974,17 +2030,27 @@ class Stream:
         pool = pool.withColumn(
             "__round__", F.row_number().over(w)
         ).localCheckpoint(eager=True)
-        n_rounds = pool.agg(F.max("__round__").alias("r")).first()["r"] or 0
+        # one aggregation tells which (round, stmt) cells are non-empty —
+        # NOT a take(1) probe job per cell (r10 review finding); the
+        # collect is bounded by total ops (≤ events × statements) and
+        # carries two ints per row
+        cells = {
+            (r["__round__"], r["__stmt__"])
+            for r in pool.select("__round__", "__stmt__")
+            .distinct()
+            .collect()
+        }
+        n_rounds = max((r for r, _ in cells), default=0)
         view = self.store.view_prefix + "__poolsrc__"
         for r in range(1, n_rounds + 1):
             for si, shape, src in srcs:
+                if (r, si) not in cells:
+                    continue  # no rank-r operations for this statement
                 cols, _, _, prefix_sql, tail_sql = shape
                 picked = pool.where(
                     (F.col("__round__") == r) & (F.col("__stmt__") == si)
                 ).select("__ord__")
                 sub = src.join(picked, "__ord__").select(*cols, "__ord__")
-                if not sub.take(1):
-                    continue  # this statement has no rank-r operations
                 sub.createOrReplaceTempView(view)
                 ex.execute(
                     f"{prefix_sql} select * from {view} {tail_sql}",
@@ -2430,6 +2496,12 @@ class Stream:
             return self.state.latest_idx
         with self._lock, self._scheduler_pool():
             self.catch_up()
+            # the payload-decode memo's wins are all WITHIN one commit
+            # (authorize + fold touch the same payloads ~5×); reset per
+            # batch so driver memory stays O(batch), not
+            # O(lifetime-distinct-payloads) (r10 review finding)
+            if self._local_eval_inst is not None:
+                self._local_eval_inst.reset_decode_cache()
             sig = signer([e.payload for e in events]) if signer else b""
             start = self.state.latest_idx + 1
             staged = [
@@ -2573,6 +2645,11 @@ class Stream:
         flat: list[str] = []
         needed: set[str] = set()
         for s_ in stmts:
+            # the same pre-execution policy gate the Spark path runs in
+            # _run_script — the local path must never bypass an
+            # enforced authorizer (r10 review finding); failures
+            # propagate identically to the Spark path's
+            self.sql_authorizer.check(s_, "query")
             s2 = localexec.flatten_namespaces(s_)
             toks = tokenize(s2)
             if any(

@@ -695,3 +695,58 @@ class TestReadPath:
             assert got == 6
         finally:
             w.close()
+
+
+class TestReadPathHardening:
+    """r10 review findings on the read path: authorizer enforcement,
+    quoted-identifier event capture, decode-cache lifetime."""
+
+    def _chat(self, spark, tmp_path):
+        from .fixtures import msg
+
+        s = Stream(spark, str(tmp_path), "did:plc:rph")
+        s.provide_module(CHAT)
+        s.add_events([msg("a", "m1", 1)])
+        return s
+
+    def test_enforced_authorizer_gates_local_reads(self, spark, tmp_path):
+        """With enforce=True, a query using a function outside the
+        query allowlist must raise on BOTH paths — the local path must
+        not answer what the Spark path would refuse."""
+        from leaf_spark.sqlcompat import AuthorizationError
+
+        s = self._chat(spark, tmp_path)
+        s.sql_authorizer.enforce = True
+        try:
+            allowed = s.query("a", LeafQuery("messages"))
+            assert allowed  # allowlisted query still answers
+            with pytest.raises(AuthorizationError):
+                s._local_query(
+                    "select hex(randomblob(4)) as h from messages",
+                    {"start": 1, "limit": 10, "requesting_user": None},
+                )
+        finally:
+            s.sql_authorizer.enforce = False
+
+    def test_quoted_event_identifier_never_answers(self, spark, tmp_path):
+        """A quoted '"event"' reference slips past the bare-word gate
+        (quoted tokens fail _is_word) — the leftover authorize staging
+        must still never answer: run_readonly drops it, sqlite errors,
+        and the read falls back to Spark."""
+        s = self._chat(spark, tmp_path)
+        # the add_events above staged an `event` table on the local con
+        got = s._local_query(
+            'select m.content from messages m, "event" e',
+            {"start": 1, "limit": 10, "requesting_user": None},
+        )
+        assert got is None  # fallback, not stale staging
+
+    def test_decode_cache_resets_per_batch(self, spark, tmp_path):
+        from .fixtures import msg
+
+        s = self._chat(spark, tmp_path)
+        first = dict(s._local_eval._dcache)
+        s.add_events([msg("b", "m2", 2)])
+        after = s._local_eval._dcache
+        # the first batch's payloads were evicted at second-batch start
+        assert all(k not in after for k in first), "cache not reset"

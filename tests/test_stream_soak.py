@@ -1028,6 +1028,12 @@ class TestDeleteCompilation:
             "(select user from event)",
             # unknown target
             "delete from nosuch where id = (select user from event)",
+            # EXISTS consumes the subquery FORM — EXISTS(<expr>) would
+            # be a syntax error after the rewrite
+            "delete from items where exists "
+            "(select user from event)",
+            "delete from items where not exists "
+            "(select user from event)",
         ]:
             assert s._compile_delete_setwise(stmt) is None, stmt
 
@@ -1306,3 +1312,90 @@ class TestPooledRounds:
             if st.strip()
         ]
         assert s._pool_plan(stmts) is not None
+
+
+class TestSetwiseDivergentTails:
+    """r10 review finding: GROUP BY / bare aggregates / LIMIT in a
+    materializer source are set-wise vs per-event DIVERGENT — the
+    reference evaluates them against a SINGLE-row event table. Such
+    statements must fold per event."""
+
+    def test_grouped_source_folds_per_event(self, spark, tmp_path):
+        mod = BasicModuleDef(
+            init_sql=(
+                "create table if not exists tally "
+                "(user text not null, n integer not null)"
+            ),
+            materializer=(
+                "insert into tally (user, n) select user, count(*) "
+                "from event group by user;"
+            ),
+            queries=(
+                QueryDef("tally", "select user, n from tally order by user, n"),
+            ),
+        )
+        s = Stream(spark, str(tmp_path), "did:plc:grp1")
+        s.provide_module(mod)
+        assert not s._batch_safe(mod.materializer)
+        assert s._pool_plan(
+            [mod.materializer.strip().rstrip(";")]
+        ) is None
+        s.add_events([ev("u", x=1), ev("u", x=2), ev("v", x=3)])
+        # reference per-event: each event sees a 1-row table → (user, 1)
+        assert s.query(None, LeafQuery("tally")) == [
+            {"user": "u", "n": 1},
+            {"user": "u", "n": 1},
+            {"user": "v", "n": 1},
+        ]
+
+    def test_bare_aggregate_folds_per_event(self, spark, tmp_path):
+        mod = BasicModuleDef(
+            init_sql=(
+                "create table if not exists agg1 (n integer not null)"
+            ),
+            materializer=(
+                "insert into agg1 (n) select count(*) from event;"
+            ),
+            queries=(QueryDef("agg1", "select n from agg1 order by n"),),
+        )
+        s = Stream(spark, str(tmp_path), "did:plc:grp2")
+        s.provide_module(mod)
+        assert not s._batch_safe(mod.materializer)
+        s.add_events([ev("u", x=1), ev("u", x=2), ev("u", x=3)])
+        assert s.query(None, LeafQuery("agg1")) == [
+            {"n": 1}, {"n": 1}, {"n": 1},
+        ]
+
+    def test_limit_tail_folds_per_event(self, spark, tmp_path):
+        mod = BasicModuleDef(
+            init_sql=(
+                "create table if not exists lim1 (i integer not null)"
+            ),
+            materializer=(
+                "insert into lim1 (i) select idx from event limit 1;"
+            ),
+            queries=(QueryDef("lim1", "select i from lim1 order by i"),),
+        )
+        s = Stream(spark, str(tmp_path), "did:plc:grp3")
+        s.provide_module(mod)
+        assert not s._batch_safe(mod.materializer)
+        s.add_events([ev("u", x=1), ev("u", x=2)])
+        # per-event: limit 1 of a single-row table = every event's row
+        assert s.query(None, LeafQuery("lim1")) == [{"i": 1}, {"i": 2}]
+
+    def test_two_arg_scalar_minmax_stays_batch_safe(self, spark, tmp_path):
+        mod = BasicModuleDef(
+            init_sql=(
+                "create table if not exists mm (v integer not null)"
+            ),
+            materializer=(
+                "insert into mm (v) select max(drisl_extract_int(payload, '.v'), 0) "
+                "from event;"
+            ),
+            queries=(QueryDef("mm", "select v from mm order by v"),),
+        )
+        s = Stream(spark, str(tmp_path), "did:plc:grp4")
+        s.provide_module(mod)
+        assert s._batch_safe(mod.materializer)
+        s.add_events([ev("u", v=-3), ev("u", v=7)])
+        assert s.query(None, LeafQuery("mm")) == [{"v": 0}, {"v": 7}]
