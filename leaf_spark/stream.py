@@ -1505,6 +1505,271 @@ class Stream:
         except Exception:
             return None
 
+    def _parse_pooled_delete(
+        self, stmt: str, key: str
+    ) -> tuple[str, str, str] | None:
+        """Parse a DELETE so it can join a pooled-round group keyed on
+        ``key``: (raw target, source SQL, residual predicate).
+
+        Required shape: ``DELETE FROM t WHERE <conjunction>`` where
+        exactly ONE depth-0 conjunct is ``<key> = (SELECT <expr> FROM
+        event)`` (either side order), every other conjunct is either
+        event-only (its only identifiers live inside ``(select …
+        from event)`` scalar subqueries — moved into the source WHERE,
+        with each subquery collapsing to its bare expression since the
+        source itself scans ``event``) or target-only (no subqueries,
+        no managed-table/event words — kept in the DELETE as a residual
+        that evaluates against the live interleaved state, which is
+        exactly per-event semantics). The per-(event, statement) op
+        then touches only its key's rows, so it commutes across keys
+        and ranks into the same (idx, statement) order as the inserts.
+
+        Source SQL: ``select <expr> as <key>, idx as __ord__ from event
+        [where <event conjs>]``. Execution per round: ``delete from t
+        where <key> in (select <key> from <round view>) [and
+        (<residual>)]``. NULL keys never match either side — the same
+        no-op as the reference's ``k = NULL``."""
+        try:
+            toks = tokenize(stmt)
+            lows = [t.lower() if _is_word(t) else t for t in toks]
+            if (
+                len(lows) < 5
+                or lows[0] != "delete"
+                or lows[1] != "from"
+                or "returning" in lows
+            ):
+                return None
+            j = 2
+            raw_parts = [toks[j]]
+            j += 1
+            if j < len(toks) and toks[j] == ".":
+                raw_parts += [".", toks[j + 1]]
+                j += 2
+            raw_target = "".join(raw_parts)
+            flat = raw_target.lower().replace("state.", "state_").replace(
+                "main.", ""
+            )
+            tdef = self.store.defs.get(flat)
+            if tdef is None:
+                return None
+            if any(t.table == flat for t in self.store.triggers.values()):
+                return None
+            if key.lower() not in {
+                f.name.lower() for f in tdef.schema.fields
+            }:
+                return None
+            if j >= len(toks) or lows[j] != "where":
+                return None
+            wlo = j + 1
+            depth = 0
+            for i in range(wlo, len(toks)):
+                t = toks[i]
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    depth -= 1
+                elif depth == 0 and lows[i] in ("order", "limit"):
+                    return None
+            known = self._known_table_names()
+            key_expr: list[str] | None = None
+            ev_conjs: list[list[str]] = []
+            residual: list[list[str]] = []
+            for lo, hi in self._top_spans(toks, lows, "and", wlo, len(toks)):
+                span = toks[lo:hi]
+                slows = lows[lo:hi]
+                got = self._classify_delete_conj(
+                    span, slows, key, flat, known
+                )
+                if got is None:
+                    return None
+                kind, payload = got
+                if kind == "key":
+                    if key_expr is not None:
+                        return None  # two key equalities: ambiguous
+                    key_expr = payload
+                elif kind == "event":
+                    ev_conjs.append(payload)
+                else:
+                    residual.append(payload)
+            if key_expr is None:
+                return None
+            src = (
+                f"select {' '.join(key_expr)} as {key} , idx as __ord__ "
+                f"from event"
+            )
+            if ev_conjs:
+                src += " where " + " and ".join(
+                    "( " + " ".join(c) + " )" for c in ev_conjs
+                )
+            res = " and ".join(
+                "( " + " ".join(c) + " )" for c in residual
+            )
+            return raw_target, src, res
+        except Exception:
+            return None
+
+    def _classify_delete_conj(
+        self,
+        span: list[str],
+        slows: list[str],
+        key: str,
+        flat: str,
+        known: set[str],
+    ) -> tuple[str, list[str]] | None:
+        """Classify one depth-0 conjunct of a pooled DELETE:
+        ("key", expr tokens) | ("event", rewritten tokens) |
+        ("residual", tokens) | None (unpoolable)."""
+        if not span:
+            return None
+        # --- key equality: <key> = (select <expr> from event) ----------
+        def _subq_expr(tokens: list[str], tl: list[str]):
+            """(select <expr> from event) → expr tokens, else None."""
+            if (
+                len(tokens) >= 5
+                and tokens[0] == "("
+                and tl[1] == "select"
+                and tokens[-1] == ")"
+            ):
+                d = 0
+                for m in range(1, len(tokens) - 1):
+                    if tokens[m] == "(":
+                        d += 1
+                    elif tokens[m] == ")":
+                        d -= 1
+                    elif d == 0 and tl[m] in (
+                        "from", "where", "group", "order", "limit",
+                        "union", "intersect", "except",
+                    ):
+                        if tl[m] != "from":
+                            return None
+                        if (
+                            m + 2 == len(tokens) - 1
+                            and tl[m + 1] == "event"
+                        ):
+                            return tokens[2:m]  # between select and from
+                        return None
+            return None
+
+        def _is_key_ref(tokens: list[str], tl: list[str]) -> bool:
+            if len(tokens) == 1 and tl[0] == key.lower():
+                return True
+            return (
+                len(tokens) == 3
+                and tl[0] == flat
+                and tokens[1] == "."
+                and tl[2] == key.lower()
+            )
+
+        # find a depth-0 '=' splitting the span
+        d = 0
+        for m, t in enumerate(span):
+            if t == "(":
+                d += 1
+            elif t == ")":
+                d -= 1
+            elif d == 0 and t == "=":
+                left, lleft = span[:m], slows[:m]
+                right, lright = span[m + 1:], slows[m + 1:]
+                for a, la, b, lb in (
+                    (left, lleft, right, lright),
+                    (right, lright, left, lleft),
+                ):
+                    if _is_key_ref(a, la):
+                        expr = _subq_expr(b, lb)
+                        if expr is not None and self._event_expr_ok(
+                            expr, known
+                        ):
+                            return "key", expr
+                break  # '=' present but not the key shape → other rules
+        has_select = any(sl == "select" for sl in slows)
+        i, n = 0, len(span)
+        subq_ok = True
+        bare_outside = False  # bare identifier OUTSIDE any subquery =
+        # a target column in the original DELETE's scope; moving it
+        # into the event-scanning source would rebind it — mixed
+        # event/target conjuncts are unpoolable
+        out: list[str] = []
+        while i < n:
+            t = span[i]
+            if t == "(" and i + 1 < n and slows[i + 1] == "select":
+                d = 0
+                k = i
+                while k < n:
+                    if span[k] == "(":
+                        d += 1
+                    elif span[k] == ")":
+                        d -= 1
+                        if d == 0:
+                            break
+                    k += 1
+                expr = _subq_expr(span[i : k + 1], slows[i : k + 1])
+                if expr is None or not self._event_expr_ok(expr, known):
+                    subq_ok = False
+                    break
+                # in the source's FROM event context the subquery
+                # collapses to its bare expression
+                out += ["(", *expr, ")"]
+                i = k + 1
+                continue
+            if _is_word(t):
+                low = slows[i]
+                nxt = span[i + 1] if i + 1 < n else ""
+                prv = span[i - 1] if i > 0 else ""
+                if nxt == "(":
+                    if low in self._DELETE_UNSAFE_FNS:
+                        subq_ok = False
+                        break
+                elif low not in localexec._KEYWORDS and prv != ".":
+                    bare_outside = True
+            out.append(t)
+            i += 1
+        if has_select:
+            if subq_ok and not bare_outside:
+                return "event", out
+            return None
+        if has_select:
+            return None
+        # residual (target-only): no event/known-table words, no
+        # unsafe/connection fns
+        for idx, t in enumerate(span):
+            if not _is_word(t):
+                continue
+            low = slows[idx]
+            nxt = span[idx + 1] if idx + 1 < len(span) else ""
+            prv = span[idx - 1] if idx > 0 else ""
+            if nxt == "(" and low in self._DELETE_UNSAFE_FNS:
+                return None
+            if low in ("event", "events") and prv != ".":
+                return None
+            if low in known and prv != "." and nxt != ".":
+                return None
+        return "residual", span
+
+    def _event_expr_ok(self, expr: list[str], known: set[str]) -> bool:
+        """An expression destined for the pooled-delete SOURCE select
+        (FROM event context): no aggregates (they'd re-scope from the
+        single-row per-event table to the whole batch), no unsafe fns,
+        no managed-table references."""
+        lows = [t.lower() if _is_word(t) else t for t in expr]
+        for i, t in enumerate(expr):
+            if not _is_word(t):
+                continue
+            low = lows[i]
+            nxt = expr[i + 1] if i + 1 < len(expr) else ""
+            prv = expr[i - 1] if i > 0 else ""
+            if nxt == "(":
+                if low in (
+                    "count", "sum", "avg", "min", "max", "total",
+                    "group_concat",
+                ) or low in self._DELETE_UNSAFE_FNS:
+                    return False
+                continue
+            if low in ("event",) and nxt == ".":
+                continue
+            if (low in known or low == "events") and prv != ".":
+                return False
+        return True
+
     # -- set-wise dedup-idiom compilation (round 9, VERDICT r8 #2) -----------
 
     _DEDUP_ALIASES = ("__dedupsrc__", "__dedupcand__", "__deduptgt__")
@@ -1922,16 +2187,26 @@ class Stream:
             or "__poolsrc__" in self.store.views
         ):
             return None
-        per_stmt: list[tuple[str, bool] | None] = []
+        # ("insert", tgt, conflict?) | ("delete", tgt)
+        per_stmt: list[tuple[str, str, bool]] = []
         for stmt in stmts:
             got = self._stmt_batch_safe(stmt)
-            if got is None:
-                return None
-            per_stmt.append(got)
+            if got is not None:
+                per_stmt.append(("insert", got[0], got[1]))
+                continue
+            dt = self._delete_target(stmt)
+            if dt is not None:
+                per_stmt.append(("delete", dt, True))
+                continue
+            return None
         by_tgt: dict[str, list[int]] = {}
-        for i, (tgt, _) in enumerate(per_stmt):
+        for i, (_, tgt, _) in enumerate(per_stmt):
             by_tgt.setdefault(tgt, []).append(i)
         shared = {t: idxs for t, idxs in by_tgt.items() if len(idxs) > 1}
+        # a LONE delete is Tier-A _compile_script territory; a lone
+        # delete here (reached because something ELSE made the script
+        # unpoolable by that tier, e.g. a shared group) compiles the
+        # same way
         if not shared:
             return None
         plan: dict[str, list[tuple[int, tuple]]] = {}
@@ -1942,10 +2217,25 @@ class Stream:
             fields = {f.name.lower() for f in tdef.schema.fields}
             if fields & {"__ord__", "__round__", "__stmt__"}:
                 return None
-            shapes: list[tuple[int, tuple]] = []
+            ins_idxs = [i for i in idxs if per_stmt[i][0] == "insert"]
+            del_idxs = [i for i in idxs if per_stmt[i][0] == "delete"]
+            if not ins_idxs:
+                # deletes-only shared target: deletes COMMUTE (both only
+                # remove; the survivor set is "no statement's predicate
+                # matched for any event" regardless of order), so each
+                # compiles independently set-wise
+                shapes = []
+                for i in del_idxs:
+                    cd = self._compile_delete_setwise(stmts[i])
+                    if cd is None:
+                        return None
+                    shapes.append((i, ("delcompiled", cd[1])))
+                plan[tgt] = shapes
+                continue
+            shapes = []
             keyset: set[str] | None = None
-            for i in idxs:
-                if not per_stmt[i][1]:  # plain insert on a shared
+            for i in ins_idxs:
+                if not per_stmt[i][2]:  # plain insert on a shared
                     return None  # conflict target: order-visible dupes
                 shape = self._parse_upsert_shape(stmts[i])
                 if shape is None:
@@ -1976,19 +2266,53 @@ class Stream:
                         and pk.lower() not in {c.lower() for c in cols}
                     ):
                         return None
-                shapes.append((i, shape))
-            plan[tgt] = shapes
+                shapes.append((i, ("upsert", shape)))
+            if del_idxs:
+                # interleaved insert+delete: the delete op must be keyed
+                # by the SAME single conflict-key column so it ranks
+                # into the pool
+                if keyset is None or len(keyset) != 1:
+                    return None
+                key = next(iter(keyset))
+                for i in del_idxs:
+                    ds = self._parse_pooled_delete(stmts[i], key)
+                    if ds is None:
+                        return None
+                    shapes.append((i, ("delete", (key, *ds))))
+            plan[tgt] = sorted(shapes)
         # unshared statements must be safe to run set-wise on their own:
         # non-accumulating (or round-wise-able) — accumulating singles
-        # reuse the round-wise executor
-        for i, (tgt, _) in enumerate(per_stmt):
+        # reuse the round-wise executor; unshared deletes compile via
+        # the Tier-A rewrite or refuse the plan
+        for i, (kind, tgt, _) in enumerate(per_stmt):
             if tgt in shared:
+                continue
+            if kind == "delete":
+                if self._compile_delete_setwise(stmts[i]) is None:
+                    return None
                 continue
             if self._accumulating_upsert(stmts[i]) and not (
                 self._roundwise_ok(stmts[i])
             ):
                 return None
         return plan
+
+    @staticmethod
+    def _delete_target(stmt: str) -> str | None:
+        """Flat target of a DELETE FROM statement, else None."""
+        toks = tokenize(stmt)
+        lows = [t.lower() if _is_word(t) else t for t in toks]
+        if len(lows) < 3 or lows[0] != "delete" or lows[1] != "from":
+            return None
+        parts = [toks[2]]
+        if len(toks) > 4 and toks[3] == ".":
+            parts += [".", toks[4]]
+        return (
+            "".join(parts)
+            .lower()
+            .replace("state.", "state_")
+            .replace("main.", "")
+        )
 
     def _exec_pooled_rounds(
         self,
@@ -1997,14 +2321,31 @@ class Stream:
         is_state: bool,
     ) -> None:
         """Apply one shared-target statement group in pooled per-key
-        occurrence rounds (see _pool_plan)."""
+        occurrence rounds (see _pool_plan). Group entries are tagged:
+        ("upsert", upsert_shape), ("delete", (key, raw_target, src_sql,
+        residual)) — a keyed delete ranked into the pool — or
+        ("delcompiled", sql) for deletes-only groups, which commute and
+        run once each."""
         from pyspark.sql import Window
 
-        keys = [k.lower() for k in group[0][1][1]]
-        srcs: list[tuple[int, tuple, DataFrame]] = []
+        if all(tag == "delcompiled" for _, (tag, _) in group):
+            for _si, (_tag, sql) in group:
+                ex.execute(sql, is_state=is_state)
+            return
+        keys: list[str] | None = None
+        for _si, (tag, shape) in group:
+            if tag == "upsert":
+                keys = [k.lower() for k in shape[1]]
+                break
+        assert keys is not None  # _pool_plan guarantees >=1 upsert here
+        srcs: list[tuple[int, str, tuple, DataFrame]] = []
         key_frames = []
-        for si, shape in group:
-            cols, _, src_sql, _, _ = shape
+        for si, (tag, shape) in group:
+            if tag == "upsert":
+                cols, _, src_sql, _, _ = shape
+            else:  # keyed delete: source selects (key, __ord__)
+                _key, _raw, src_sql, _res = shape
+                cols = [keys[0]]
             # checkpoint: each source select is re-joined once per round
             # below — without the lineage cut every round would re-run
             # the select (the _exec_roundwise discipline)
@@ -2013,7 +2354,7 @@ class Stream:
                 .toDF(*cols, "__ord__")
                 .localCheckpoint(eager=True)
             )
-            srcs.append((si, shape, src))
+            srcs.append((si, tag, shape, src))
             key_frames.append(
                 src.select(
                     *[F.col(k).alias(k) for k in keys],
@@ -2043,19 +2384,33 @@ class Stream:
         n_rounds = max((r for r, _ in cells), default=0)
         view = self.store.view_prefix + "__poolsrc__"
         for r in range(1, n_rounds + 1):
-            for si, shape, src in srcs:
+            for si, tag, shape, src in srcs:
                 if (r, si) not in cells:
                     continue  # no rank-r operations for this statement
-                cols, _, _, prefix_sql, tail_sql = shape
                 picked = pool.where(
                     (F.col("__round__") == r) & (F.col("__stmt__") == si)
                 ).select("__ord__")
-                sub = src.join(picked, "__ord__").select(*cols, "__ord__")
-                sub.createOrReplaceTempView(view)
-                ex.execute(
-                    f"{prefix_sql} select * from {view} {tail_sql}",
-                    is_state=is_state,
-                )
+                if tag == "upsert":
+                    cols, _, _, prefix_sql, tail_sql = shape
+                    sub = src.join(picked, "__ord__").select(
+                        *cols, "__ord__"
+                    )
+                    sub.createOrReplaceTempView(view)
+                    ex.execute(
+                        f"{prefix_sql} select * from {view} {tail_sql}",
+                        is_state=is_state,
+                    )
+                else:
+                    key, raw_target, _src_sql, residual = shape
+                    sub = src.join(picked, "__ord__").select(keys[0])
+                    sub.createOrReplaceTempView(view)
+                    sql = (
+                        f"delete from {raw_target} where {key} in "
+                        f"( select {key} from {view} )"
+                    )
+                    if residual:
+                        sql += f" and ( {residual} )"
+                    ex.execute(sql, is_state=is_state)
 
     def _fold_df(
         self,
@@ -2190,6 +2545,12 @@ class Stream:
                         self._exec_pooled_rounds(
                             ex, pooled[shared_first[i]], is_state
                         )
+                    continue
+                if self._delete_target(stmt) is not None:
+                    # unshared delete: the Tier-A set-wise rewrite
+                    # (_pool_plan refused the plan unless it compiles)
+                    cd = self._compile_delete_setwise(stmt)
+                    ex.execute(cd[1], is_state=is_state)
                     continue
                 if self._accumulating_upsert(stmt):
                     self._exec_roundwise(ex, stmt, is_state, local_rows)

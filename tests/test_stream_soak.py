@@ -1097,33 +1097,35 @@ class TestDeleteCompilation:
             "c", "d"
         ]
 
-    def test_shared_insert_delete_target_stays_per_event(
-        self, spark, tmp_path
-    ):
+    LIVE = BasicModuleDef(
+        init_sql=(
+            "create table if not exists live "
+            "(id text primary key, v integer not null)"
+        ),
+        materializer=(
+            "insert into live (id, v) select "
+            "drisl_extract(payload, '.add'), idx from event "
+            "where drisl_exists(payload, '.add') "
+            "on conflict(id) do update set v = excluded.v; "
+            "delete from live where id = "
+            "(select drisl_extract(payload, '.del') from event);"
+        ),
+        queries=(QueryDef("live", "select id, v from live order by id"),),
+    )
+
+    def test_shared_insert_delete_target_pools(self, spark, tmp_path):
         """INSERT + DELETE on one target interleave per event (add k,
-        del k, add k must leave k present) — the compile must refuse."""
-        mod = BasicModuleDef(
-            init_sql=(
-                "create table if not exists live "
-                "(id text primary key, v integer not null)"
-            ),
-            materializer=(
-                "insert into live (id, v) select "
-                "drisl_extract(payload, '.add'), idx from event "
-                "where drisl_exists(payload, '.add') "
-                "on conflict(id) do update set v = excluded.v; "
-                "delete from live where id = "
-                "(select drisl_extract(payload, '.del') from event);"
-            ),
-            queries=(QueryDef("live", "select id, v from live order by id"),),
-        )
+        del k, add k must leave k present) — pooled rounds key the
+        delete on the conflict column and preserve exactly that."""
         s = Stream(spark, str(tmp_path), "did:plc:delc5")
-        s.provide_module(mod)
+        s.provide_module(self.LIVE)
         stmts = [
-            st.strip() for st in mod.materializer.split(";") if st.strip()
+            st.strip()
+            for st in self.LIVE.materializer.split(";")
+            if st.strip()
         ]
-        assert s._compile_script(stmts) is None
-        assert s._pool_plan(stmts) is None
+        assert s._compile_script(stmts) is None  # Tier A refuses sharing
+        assert s._pool_plan(stmts) is not None  # pooled rounds take it
         # add a, del a, add a  → a present (statement-major would drop it)
         s.add_events(
             [ev("u", add="a"), ev("u", **{"del": "a"}), ev("u", add="a")]
@@ -1133,6 +1135,163 @@ class TestDeleteCompilation:
         s.add_events([ev("u", add="b")])
         s.add_events([ev("u", **{"del": "b"})])
         assert [r["id"] for r in s.query(None, LeafQuery("live"))] == ["a"]
+        # del-then-add within one batch → present
+        s.add_events([ev("u", **{"del": "a"}), ev("u", add="a")])
+        assert [r["id"] for r in s.query(None, LeafQuery("live"))] == ["a"]
+
+    def test_insert_delete_pool_replay_not_per_event(
+        self, spark, tmp_path, monkeypatch
+    ):
+        s = Stream(spark, str(tmp_path), "did:plc:delc6")
+        s.provide_module(self.LIVE)
+        rng = random.Random(11)
+        keys = [f"k{i}" for i in range(4)]
+        live = {}
+        batch = []
+        for i in range(24):
+            k = rng.choice(keys)
+            if rng.random() < 0.6:
+                batch.append(ev("u", add=k))
+                live[k] = True
+            else:
+                batch.append(ev("u", **{"del": k}))
+                live.pop(k, None)
+        s.add_events(batch)
+        got = [r["id"] for r in s.query(None, LeafQuery("live"))]
+        assert got == sorted(live)
+        expect = s.query(None, LeafQuery("live"))
+
+        s2 = Stream(spark, str(tmp_path), "did:plc:delc6")
+
+        def no_single_row(rows, schema):
+            raise AssertionError("per-event fold ran for a pooled module")
+
+        monkeypatch.setattr(s2, "_event_local_df", no_single_row)
+        s2.provide_module(self.LIVE)
+        s2.catch_up()
+        assert s2.query(None, LeafQuery("live")) == expect
+
+    def test_pooled_delete_event_conjunct_and_residual(
+        self, spark, tmp_path
+    ):
+        """Event-only conjuncts move into the source; target-only
+        conjuncts stay as a residual evaluated against the live
+        interleaved state."""
+        mod = BasicModuleDef(
+            init_sql=(
+                "create table if not exists live2 "
+                "(id text primary key, v integer not null)"
+            ),
+            materializer=(
+                "insert into live2 (id, v) select "
+                "drisl_extract(payload, '.k'), "
+                "drisl_extract_int(payload, '.v') from event "
+                "where drisl_exists(payload, '.v') "
+                "on conflict(id) do update set v = excluded.v; "
+                "delete from live2 where id = "
+                "(select drisl_extract(payload, '.k') from event) "
+                "and (select drisl_extract(payload, '.op') from event) "
+                "= 'del' and v < 10;"
+            ),
+            queries=(
+                QueryDef("live2", "select id, v from live2 order by id"),
+            ),
+        )
+        s = Stream(spark, str(tmp_path), "did:plc:delc7")
+        s.provide_module(mod)
+        stmts = [
+            st.strip() for st in mod.materializer.split(";") if st.strip()
+        ]
+        assert s._pool_plan(stmts) is not None
+        # set a=5; delete a (v<10 → goes); set b=50; delete b (v<10
+        # residual FALSE → stays)
+        s.add_events(
+            [
+                ev("u", k="a", v=5),
+                ev("u", k="a", op="del"),
+                ev("u", k="b", v=50),
+                ev("u", k="b", op="del"),
+            ]
+        )
+        assert s.query(None, LeafQuery("live2")) == [{"id": "b", "v": 50}]
+        # set a=3 AFTER its delete in the same batch → a survives at 3
+        s.add_events([ev("u", k="a", op="del"), ev("u", k="a", v=3)])
+        assert s.query(None, LeafQuery("live2")) == [
+            {"id": "a", "v": 3},
+            {"id": "b", "v": 50},
+        ]
+
+    def test_deletes_only_shared_target_commute(self, spark, tmp_path):
+        mod = BasicModuleDef(
+            init_sql=(
+                "create table if not exists items3 "
+                "(id text primary key, grp text not null); "
+                "insert into items3 values "
+                "('a','x'),('b','x'),('c','y'),('d','z') "
+                "on conflict(id) do nothing;"
+            ),
+            materializer=(
+                "delete from items3 where id = "
+                "(select drisl_extract(payload, '.id') from event); "
+                "delete from items3 where grp = "
+                "(select drisl_extract(payload, '.grp') from event);"
+            ),
+            queries=(
+                QueryDef("items3", "select id from items3 order by id"),
+            ),
+        )
+        s = Stream(spark, str(tmp_path), "did:plc:delc8")
+        s.provide_module(mod)
+        stmts = [
+            st.strip() for st in mod.materializer.split(";") if st.strip()
+        ]
+        plan = s._pool_plan(stmts)
+        assert plan is not None
+        assert all(
+            tag == "delcompiled"
+            for _, (tag, _) in plan["items3"]
+        )
+        s.add_events([ev("u", id="d", grp="x")])
+        assert [r["id"] for r in s.query(None, LeafQuery("items3"))] == [
+            "c"
+        ]
+
+    def test_delete_without_key_equality_stays_per_event(
+        self, spark, tmp_path
+    ):
+        """A shared-target delete NOT keyed on the conflict column
+        can't rank into the pool — whole script folds per event."""
+        mod = BasicModuleDef(
+            init_sql=(
+                "create table if not exists live3 "
+                "(id text primary key, v integer not null)"
+            ),
+            materializer=(
+                "insert into live3 (id, v) select "
+                "drisl_extract(payload, '.k'), idx from event "
+                "where drisl_exists(payload, '.k') "
+                "on conflict(id) do nothing; "
+                "delete from live3 where v < "
+                "(select drisl_extract_int(payload, '.below') from event);"
+            ),
+            queries=(
+                QueryDef("live3", "select id from live3 order by id"),
+            ),
+        )
+        s = Stream(spark, str(tmp_path), "did:plc:delc9")
+        s.provide_module(mod)
+        stmts = [
+            st.strip() for st in mod.materializer.split(";") if st.strip()
+        ]
+        assert s._pool_plan(stmts) is None
+        # per-event still correct: add k1(v=1), purge below 2 → gone;
+        # add k2 afterwards → stays
+        s.add_events(
+            [ev("u", k="k1"), ev("u", below=2), ev("u", k="k2")]
+        )
+        assert [r["id"] for r in s.query(None, LeafQuery("live3"))] == [
+            "k2"
+        ]
 
 
 class TestPooledRounds:
