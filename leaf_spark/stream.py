@@ -1325,9 +1325,11 @@ class Stream:
                                         WHERE <pred'>)
 
         where each scalar event subquery becomes its expression over the
-        correlated ``__ev__`` row. Exact because deletes only REMOVE and
-        the predicate reads no live table state: a row survives the
-        sequential per-event fold iff NO event's predicate matches it,
+        correlated ``__ev__`` row. Exact vs the reference's sequential
+        per-event fold (leaf-stream/src/lib.rs:543-569) because deletes
+        only REMOVE and the predicate reads no live table state: a row
+        survives the sequential per-event fold iff NO event's predicate
+        matches it,
         which is precisely NOT EXISTS — for ANY predicate shape, not
         just key equality. Gates (any miss → None, caller falls back):
 
@@ -2168,7 +2170,8 @@ class Stream:
         Why rounds interleave correctly: each (event, statement) pair is
         an operation touching ONLY the rows of its conflict key (the
         source reads just ``event``), so operations on different keys
-        commute; per key, the reference applies operations in (event
+        commute; per key, the reference's sequential fold
+        (leaf-stream/src/lib.rs:543-569) applies operations in (event
         idx, statement position) order. Rank every pooled operation
         within its key by that order; round r then applies each
         statement's rank-r operations set-wise, in statement order —
