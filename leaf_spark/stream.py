@@ -1610,6 +1610,263 @@ class Stream:
         except Exception:
             return None
 
+    def _parse_pooled_update(
+        self, stmt: str, key: str | None
+    ) -> tuple | None:
+        """Parse an event-keyed UPDATE so it can run in pooled per-key
+        occurrence rounds: (flat target, raw target, key column, source
+        SQL, SET assignment list, residual predicate, carried columns).
+
+        Required shape: ``UPDATE t SET <col> = <expr over t-columns and
+        (SELECT e FROM event) scalar subqueries>, … WHERE <conjunction
+        with exactly one key equality <pk-col> = (SELECT … FROM
+        event)>`` — the reference's accumulate-by-key module shape (the
+        COUNTER fixture); the key must be t's single-column primary
+        key. Each (event, statement) op touches only its key's row, so
+        it commutes across keys and ranks by (idx, statement) like the
+        pooled inserts/deletes (lib.rs:543-569 order per key).
+
+        Round execution rewrites to an UPSERT whose source joins the
+        target: every event subquery becomes a materialized source
+        column ``__e<n>__`` and the statement becomes ``INSERT INTO t
+        (key, cols…) SELECT view.__k__, <exprs(__e<n>__)>, <carried>
+        FROM view, t WHERE view.__k__ = t.key [AND residual] ON
+        CONFLICT(key) DO UPDATE SET col = excluded.col`` — keys are
+        unique per round (rank), only existing rows are selected (the
+        join), so the DO UPDATE branch always fires and UPDATE
+        semantics hold exactly. This shape deliberately AVOIDS
+        UPDATE…FROM: its existing⋈matches self-join under the fold's
+        insert-union trips Spark's Union.rewriteConstraints at the
+        batch-end checkpoint, while join-under-union inside an insert
+        source is the shape the compiled dedup idiom has exercised
+        since r9. ``key=None`` discovers the key column from the
+        equality conjunct; a non-None key (imposed by the group's
+        conflict key) must match it."""
+        try:
+            toks = tokenize(stmt)
+            lows = [t.lower() if _is_word(t) else t for t in toks]
+            if (
+                len(lows) < 6
+                or lows[0] != "update"
+                or "returning" in lows
+                or lows[1] in ("or",)  # UPDATE OR IGNORE/… conflict
+            ):
+                return None
+            j = 1
+            raw_parts = [toks[j]]
+            j += 1
+            if j < len(toks) and toks[j] == ".":
+                raw_parts += [".", toks[j + 1]]
+                j += 2
+            raw_target = "".join(raw_parts)
+            flat = raw_target.lower().replace("state.", "state_").replace(
+                "main.", ""
+            )
+            tdef = self.store.defs.get(flat)
+            if tdef is None:
+                return None
+            if any(t.table == flat for t in self.store.triggers.values()):
+                return None
+            fields = {f.name.lower() for f in tdef.schema.fields}
+            if any(f.startswith("__") for f in fields):
+                return None
+            if j >= len(toks) or lows[j] != "set":
+                return None
+            # depth-0 WHERE / FROM after SET
+            depth = 0
+            where_i = None
+            for i in range(j + 1, len(toks)):
+                t = toks[i]
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    depth -= 1
+                elif depth == 0 and lows[i] in ("from", "order", "limit"):
+                    return None  # already a join-update / ordered form
+                elif depth == 0 and lows[i] == "where":
+                    where_i = i
+                    break
+            if where_i is None:
+                return None  # unkeyed UPDATE touches every row
+            known = self._known_table_names()
+            # --- WHERE: find the key conjunct, split the rest ----------
+            key_expr: list[str] | None = None
+            key_col: str | None = None
+            ev_conjs: list[list[str]] = []
+            residual: list[list[str]] = []
+            for lo, hi in self._top_spans(
+                toks, lows, "and", where_i + 1, len(toks)
+            ):
+                span, slows = toks[lo:hi], lows[lo:hi]
+                cand_cols = (
+                    [key] if key is not None
+                    else sorted(fields)
+                )
+                got = None
+                for kc in cand_cols:
+                    got = self._classify_delete_conj(
+                        span, slows, kc, flat, known
+                    )
+                    if got is not None and got[0] == "key":
+                        if key_expr is not None:
+                            return None  # two key equalities
+                        key_expr, key_col = got[1], kc
+                        break
+                    if key is not None:
+                        break  # classification below handles non-key
+                if key_expr is not None and got and got[0] == "key":
+                    continue
+                got = self._classify_delete_conj(
+                    span, slows, key or "\x00nokey", flat, known
+                )
+                if got is None:
+                    return None
+                kind, payload = got
+                if kind == "key":
+                    if key_expr is not None:
+                        return None
+                    key_expr, key_col = payload, key
+                elif kind == "event":
+                    ev_conjs.append(payload)
+                else:
+                    residual.append(payload)
+            if key_expr is None or key_col is None:
+                return None
+            if key is not None and key_col.lower() != key.lower():
+                return None
+            # --- SET: rewrite event subqueries to source columns -------
+            e_exprs: list[list[str]] = []
+            set_parts: list[str] = []
+            for lo, hi in self._top_spans(toks, lows, ",", j + 1, where_i):
+                span, slows = toks[lo:hi], lows[lo:hi]
+                if (
+                    len(span) < 3
+                    or not _is_word(span[0])
+                    or slows[0] not in fields
+                    or span[1] != "="
+                ):
+                    return None
+                out: list[str] = [span[0], "="]
+                i2, n2 = 2, len(span)
+                while i2 < n2:
+                    t = span[i2]
+                    if (
+                        t == "("
+                        and i2 + 1 < n2
+                        and slows[i2 + 1] == "select"
+                    ):
+                        d = 0
+                        k2 = i2
+                        while k2 < n2:
+                            if span[k2] == "(":
+                                d += 1
+                            elif span[k2] == ")":
+                                d -= 1
+                                if d == 0:
+                                    break
+                            k2 += 1
+                        expr = self._scalar_event_subq(
+                            span[i2 : k2 + 1], slows[i2 : k2 + 1]
+                        )
+                        if expr is None or not self._event_expr_ok(
+                            expr, known
+                        ):
+                            return None
+                        if out and out[-1].lower() in ("exists",):
+                            return None
+                        e_exprs.append(expr)
+                        out.append(f"__e{len(e_exprs)}__")
+                        i2 = k2 + 1
+                        continue
+                    if _is_word(t):
+                        low = slows[i2]
+                        nxt = span[i2 + 1] if i2 + 1 < n2 else ""
+                        prv = span[i2 - 1] if i2 > 0 else ""
+                        if low == "select":
+                            return None  # unrecognized subquery
+                        if nxt == "(" and low in self._DELETE_UNSAFE_FNS:
+                            return None
+                        if low in ("event", "events") and prv != ".":
+                            return None
+                        if low in known and prv != "." and nxt != ".":
+                            return None
+                    out.append(t)
+                    i2 += 1
+                set_parts.append(" ".join(out))
+            if not set_parts:
+                return None
+            sels = [f"{' '.join(key_expr)} as __k__"]
+            sels += [
+                f"{' '.join(e)} as __e{n + 1}__"
+                for n, e in enumerate(e_exprs)
+            ]
+            src = (
+                f"select {', '.join(sels)}, idx as __ord__ from event"
+            )
+            if ev_conjs:
+                src += " where " + " and ".join(
+                    "( " + " ".join(c) + " )" for c in ev_conjs
+                )
+            res = " and ".join(
+                "( " + " ".join(c) + " )" for c in residual
+            )
+            # the round rewrite expresses the update as an upsert on the
+            # key; with a NON-unique key the conflict machinery would
+            # collapse the multi-row update — require the single-column
+            # primary key (the accumulate-by-key shape always has one),
+            # and refuse key reassignment (the upsert's conflict target
+            # cannot also be SET)
+            if [k.lower() for k in tdef.primary_key] != [key_col.lower()]:
+                return None
+            assigned = {p.split("=", 1)[0].strip().lower() for p in set_parts}
+            if key_col.lower() in assigned:
+                return None
+            others = [
+                f.name
+                for f in tdef.schema.fields
+                if f.name.lower() != key_col.lower()
+                and f.name.lower() not in assigned
+            ]
+            return (
+                flat,
+                raw_target,
+                key_col,
+                src,
+                set_parts,
+                res,
+                others,
+            )
+        except Exception:
+            return None
+
+    @staticmethod
+    def _scalar_event_subq(
+        tokens: list[str], tl: list[str]
+    ) -> list[str] | None:
+        """``(select <expr> from event)`` → expr tokens, else None."""
+        if (
+            len(tokens) >= 5
+            and tokens[0] == "("
+            and tl[1] == "select"
+            and tokens[-1] == ")"
+        ):
+            d = 0
+            for m in range(1, len(tokens) - 1):
+                if tokens[m] == "(":
+                    d += 1
+                elif tokens[m] == ")":
+                    d -= 1
+                elif d == 0 and tl[m] in (
+                    "from", "where", "group", "order", "limit",
+                    "union", "intersect", "except",
+                ):
+                    if tl[m] != "from":
+                        return None
+                    if m + 2 == len(tokens) - 1 and tl[m + 1] == "event":
+                        return tokens[2:m]
+                    return None
+        return None
+
     def _classify_delete_conj(
         self,
         span: list[str],
@@ -2190,7 +2447,7 @@ class Stream:
             or "__poolsrc__" in self.store.views
         ):
             return None
-        # ("insert", tgt, conflict?) | ("delete", tgt)
+        # ("insert", tgt, conflict?) | ("delete", tgt) | ("update", tgt)
         per_stmt: list[tuple[str, str, bool]] = []
         for stmt in stmts:
             got = self._stmt_batch_safe(stmt)
@@ -2201,11 +2458,24 @@ class Stream:
             if dt is not None:
                 per_stmt.append(("delete", dt, True))
                 continue
+            ut = self._update_target(stmt)
+            if ut is not None:
+                per_stmt.append(("update", ut, True))
+                continue
             return None
         by_tgt: dict[str, list[int]] = {}
         for i, (_, tgt, _) in enumerate(per_stmt):
             by_tgt.setdefault(tgt, []).append(i)
-        shared = {t: idxs for t, idxs in by_tgt.items() if len(idxs) > 1}
+        # a target is a pooled GROUP when >1 statement writes it, or
+        # when an UPDATE writes it at all: same-key updates must apply
+        # sequentially even standalone (n = n + delta twice), so a lone
+        # update still needs per-key rounds
+        shared = {
+            t: idxs
+            for t, idxs in by_tgt.items()
+            if len(idxs) > 1
+            or any(per_stmt[i][0] == "update" for i in idxs)
+        }
         # a LONE delete is Tier-A _compile_script territory; a lone
         # delete here (reached because something ELSE made the script
         # unpoolable by that tier, e.g. a shared group) compiles the
@@ -2222,7 +2492,8 @@ class Stream:
                 return None
             ins_idxs = [i for i in idxs if per_stmt[i][0] == "insert"]
             del_idxs = [i for i in idxs if per_stmt[i][0] == "delete"]
-            if not ins_idxs:
+            upd_idxs = [i for i in idxs if per_stmt[i][0] == "update"]
+            if not ins_idxs and not upd_idxs:
                 # deletes-only shared target: deletes COMMUTE (both only
                 # remove; the survivor set is "no statement's predicate
                 # matched for any event" regardless of order), so each
@@ -2270,14 +2541,34 @@ class Stream:
                     ):
                         return None
                 shapes.append((i, ("upsert", shape)))
-            if del_idxs:
-                # interleaved insert+delete: the delete op must be keyed
-                # by the SAME single conflict-key column so it ranks
-                # into the pool
-                if keyset is None or len(keyset) != 1:
+            if del_idxs or upd_idxs:
+                # interleaved delete/update ops must be keyed by ONE
+                # column shared with the inserts' conflict key (when
+                # inserts are present) so every op ranks into the pool
+                if keyset is not None and len(keyset) != 1:
                     return None
-                key = next(iter(keyset))
+                key = next(iter(keyset)) if keyset is not None else None
+                for i in upd_idxs:
+                    us = self._parse_pooled_update(stmts[i], key)
+                    if us is None:
+                        return None
+                    _flat, raw, key_col, src, set_sql, res, others = us
+                    if key is None:
+                        key = key_col  # first update fixes the group key
+                    elif key_col.lower() != key.lower():
+                        return None
+                    shapes.append(
+                        (
+                            i,
+                            (
+                                "update",
+                                (key_col, raw, src, set_sql, res, others),
+                            ),
+                        )
+                    )
                 for i in del_idxs:
+                    if key is None:
+                        return None  # deletes need a keyed sibling
                     ds = self._parse_pooled_delete(stmts[i], key)
                     if ds is None:
                         return None
@@ -2299,6 +2590,23 @@ class Stream:
             ):
                 return None
         return plan
+
+    @staticmethod
+    def _update_target(stmt: str) -> str | None:
+        """Flat target of a plain UPDATE statement, else None."""
+        toks = tokenize(stmt)
+        lows = [t.lower() if _is_word(t) else t for t in toks]
+        if len(lows) < 4 or lows[0] != "update" or lows[1] == "or":
+            return None
+        parts = [toks[1]]
+        if len(toks) > 3 and toks[2] == ".":
+            parts += [".", toks[3]]
+        return (
+            "".join(parts)
+            .lower()
+            .replace("state.", "state_")
+            .replace("main.", "")
+        )
 
     @staticmethod
     def _delete_target(stmt: str) -> str | None:
@@ -2340,31 +2648,47 @@ class Stream:
             if tag == "upsert":
                 keys = [k.lower() for k in shape[1]]
                 break
-        assert keys is not None  # _pool_plan guarantees >=1 upsert here
+        if keys is None:  # update-led group: its key column names the pool
+            for _si, (tag, shape) in group:
+                if tag == "update":
+                    keys = [shape[0].lower()]
+                    break
+        assert keys is not None  # _pool_plan guarantees a keyed statement
         srcs: list[tuple[int, str, tuple, DataFrame]] = []
         key_frames = []
         for si, (tag, shape) in group:
             if tag == "upsert":
                 cols, _, src_sql, _, _ = shape
-            else:  # keyed delete: source selects (key, __ord__)
+            elif tag == "delete":  # source selects (key, __ord__)
                 _key, _raw, src_sql, _res = shape
                 cols = [keys[0]]
+            else:  # update: source is explicitly aliased (__k__, __e*__)
+                src_sql = shape[2]
+                cols = None
             # checkpoint: each source select is re-joined once per round
             # below — without the lineage cut every round would re-run
             # the select (the _exec_roundwise discipline)
-            src = (
-                ex.execute(src_sql, is_state=is_state)
-                .toDF(*cols, "__ord__")
-                .localCheckpoint(eager=True)
-            )
+            src = ex.execute(src_sql, is_state=is_state)
+            if cols is not None:
+                src = src.toDF(*cols, "__ord__")
+            src = src.localCheckpoint(eager=True)
             srcs.append((si, tag, shape, src))
-            key_frames.append(
-                src.select(
-                    *[F.col(k).alias(k) for k in keys],
-                    F.col("__ord__"),
-                    F.lit(si).alias("__stmt__"),
+            if tag == "update":
+                key_frames.append(
+                    src.select(
+                        F.col("__k__").alias(keys[0]),
+                        F.col("__ord__"),
+                        F.lit(si).alias("__stmt__"),
+                    )
                 )
-            )
+            else:
+                key_frames.append(
+                    src.select(
+                        *[F.col(k).alias(k) for k in keys],
+                        F.col("__ord__"),
+                        F.lit(si).alias("__stmt__"),
+                    )
+                )
         pool = key_frames[0]
         for kf in key_frames[1:]:
             pool = pool.unionByName(kf)
@@ -2403,7 +2727,7 @@ class Stream:
                         f"{prefix_sql} select * from {view} {tail_sql}",
                         is_state=is_state,
                     )
-                else:
+                elif tag == "delete":
                     key, raw_target, _src_sql, residual = shape
                     sub = src.join(picked, "__ord__").select(keys[0])
                     sub.createOrReplaceTempView(view)
@@ -2413,6 +2737,56 @@ class Stream:
                     )
                     if residual:
                         sql += f" and ( {residual} )"
+                    ex.execute(sql, is_state=is_state)
+                else:  # update → upsert with a target-joining source
+                    # NOT an UPDATE…FROM: its existing⋈matches self-join
+                    # under the fold's insert-union trips Spark's
+                    # Union.rewriteConstraints at the batch-end
+                    # checkpoint ("key not found: <attr>"). The upsert
+                    # form keeps the target read INSIDE the insert
+                    # source (the same join-under-union shape the
+                    # compiled dedup idiom has exercised since r9):
+                    # rows select only keys that exist (join) and pass
+                    # the residual, so the DO UPDATE branch always
+                    # fires and non-existent keys stay no-ops — exact
+                    # UPDATE semantics.
+                    (
+                        key,
+                        raw_target,
+                        _src_sql,
+                        set_assigns,
+                        residual,
+                        others,
+                    ) = shape  # noqa: F841
+                    sub = src.join(picked, "__ord__").drop("__ord__")
+                    sub.createOrReplaceTempView(view)
+                    set_cols = [a.split("=", 1) for a in set_assigns]
+                    col_names = [c.strip() for c, _ in set_cols]
+                    sel_exprs = [
+                        f"( {e.strip()} ) as {c.strip()}"
+                        for c, e in set_cols
+                    ]
+                    # unassigned columns ride along from the joined
+                    # target row so the candidate row is always fully
+                    # populated (NOT NULL constraints never see a
+                    # default) — the DO UPDATE only touches assigned
+                    # columns, so they are read-through either way
+                    sel_exprs += [
+                        f"{raw_target}.{c} as {c}" for c in others
+                    ]
+                    where = f"{view}.__k__ = {raw_target}.{key}"
+                    if residual:
+                        where += f" and ( {residual} )"
+                    sql = (
+                        f"insert into {raw_target} "
+                        f"( {key} , {' , '.join(col_names + others)} ) "
+                        f"select {view}.__k__ , {' , '.join(sel_exprs)} "
+                        f"from {view} , {raw_target} where {where} "
+                        f"on conflict ( {key} ) do update set "
+                        + " , ".join(
+                            f"{c} = excluded.{c}" for c in col_names
+                        )
+                    )
                     ex.execute(sql, is_state=is_state)
 
     def _fold_df(

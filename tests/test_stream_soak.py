@@ -1558,3 +1558,210 @@ class TestSetwiseDivergentTails:
         assert s._batch_safe(mod.materializer)
         s.add_events([ev("u", v=-3), ev("u", v=7)])
         assert s.query(None, LeafQuery("mm")) == [{"v": 0}, {"v": 7}]
+
+
+class TestPooledUpdates:
+    """r10: event-keyed UPDATE folds (the COUNTER shape) rank into the
+    pooled rounds as join-updates — the last common O(events) replay
+    class. Per-key sequencing (n = n + delta twice) is exactly what the
+    rank rounds preserve."""
+
+    def test_counter_pools_and_replay_not_per_event(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from .fixtures import COUNTER, bump
+
+        s = Stream(spark, str(tmp_path), "did:plc:updp1")
+        s.provide_module(COUNTER)
+        stmts = [
+            st.strip()
+            for st in COUNTER.materializer.split(";")
+            if st.strip()
+        ]
+        assert s._pool_plan(stmts) is not None
+        s.add_events([bump("u", "x", 1)])
+        s.add_events(
+            [bump("u", "x", 10), bump("u", "x", 100), bump("u", "y", 7)]
+        )
+        assert s.query(None, LeafQuery("counters")) == [
+            {"name": "x", "value": 111},
+            {"name": "y", "value": 7},
+        ]
+        expect = s.query(None, LeafQuery("counters"))
+
+        s2 = Stream(spark, str(tmp_path), "did:plc:updp1")
+
+        def no_single_row(rows, schema):
+            raise AssertionError("per-event fold ran for a pooled module")
+
+        monkeypatch.setattr(s2, "_event_local_df", no_single_row)
+        s2.provide_module(COUNTER)
+        s2.catch_up()
+        assert s2.query(None, LeafQuery("counters")) == expect
+
+    def test_update_only_module_pools(self, spark, tmp_path):
+        """A lone keyed UPDATE still needs per-key rounds (two same-key
+        events must apply sequentially) — the pool handles a group of
+        one, key discovered from the equality conjunct."""
+        mod = BasicModuleDef(
+            init_sql=(
+                "create table if not exists gauges "
+                "(g text primary key, v integer not null); "
+                "insert into gauges values ('a', 0), ('b', 100) "
+                "on conflict(g) do nothing;"
+            ),
+            materializer=(
+                "update gauges set v = v * 2 + "
+                "(select drisl_extract_int(payload, '.d') from event) "
+                "where g = (select drisl_extract(payload, '.g') from event);"
+            ),
+            queries=(QueryDef("gauges", "select g, v from gauges order by g"),),
+        )
+        s = Stream(spark, str(tmp_path), "did:plc:updp2")
+        s.provide_module(mod)
+        stmts = [
+            st.strip() for st in mod.materializer.split(";") if st.strip()
+        ]
+        assert s._pool_plan(stmts) is not None
+        # non-commutative v*2+d per event, same key twice in one batch:
+        # a: ((0*2+3)*2+5) = 11 — a single set-wise pass would get 5
+        s.add_events([ev("u", g="a", d=3), ev("u", g="a", d=5)])
+        assert s.query(None, LeafQuery("gauges")) == [
+            {"g": "a", "v": 11},
+            {"g": "b", "v": 100},
+        ]
+
+    def test_full_trio_insert_update_delete(self, spark, tmp_path):
+        """insert + update + delete on ONE target, all keyed — the
+        complete module shape, interleaved per event."""
+        mod = BasicModuleDef(
+            init_sql=(
+                "create table if not exists acct "
+                "(id text primary key, bal integer not null)"
+            ),
+            materializer=(
+                "insert into acct (id, bal) select "
+                "drisl_extract(payload, '.open'), 0 from event "
+                "where drisl_exists(payload, '.open') "
+                "on conflict(id) do nothing; "
+                "update acct set bal = bal + "
+                "(select drisl_extract_int(payload, '.amt') from event) "
+                "where id = (select drisl_extract(payload, '.pay') from event); "
+                "delete from acct where id = "
+                "(select drisl_extract(payload, '.close') from event);"
+            ),
+            queries=(QueryDef("acct", "select id, bal from acct order by id"),),
+        )
+        s = Stream(spark, str(tmp_path), "did:plc:updp3")
+        s.provide_module(mod)
+        stmts = [
+            st.strip() for st in mod.materializer.split(";") if st.strip()
+        ]
+        plan = s._pool_plan(stmts)
+        assert plan is not None and len(plan["acct"]) == 3
+        # open a; pay a +5; pay a +7; close a; open a (fresh, bal 0)
+        s.add_events(
+            [
+                ev("u", open="a"),
+                ev("u", pay="a", amt=5),
+                ev("u", pay="a", amt=7),
+                ev("u", close="a"),
+                ev("u", open="a"),
+            ]
+        )
+        assert s.query(None, LeafQuery("acct")) == [{"id": "a", "bal": 0}]
+        # and a normal lifecycle on another key in the same batch
+        s.add_events(
+            [ev("u", open="b"), ev("u", pay="b", amt=9)]
+        )
+        assert s.query(None, LeafQuery("acct")) == [
+            {"id": "a", "bal": 0},
+            {"id": "b", "bal": 9},
+        ]
+
+    def test_update_model_soak(self, spark, tmp_path):
+        from .fixtures import COUNTER, bump
+
+        rng = random.Random(20260817)
+        s = Stream(spark, str(tmp_path), "did:plc:updp4")
+        s.provide_module(COUNTER)
+        model = {}
+        for step in range(8):
+            if rng.random() < 0.8:
+                n = rng.randint(1, 5)
+                batch = []
+                for _ in range(n):
+                    k = f"k{rng.randint(0, 2)}"
+                    d = rng.randint(-9, 9)
+                    batch.append(bump("u", k, d))
+                    model[k] = model.get(k, 0) + d
+                s.add_events(batch)
+            else:
+                s = Stream(spark, str(tmp_path), "did:plc:updp4")
+                s.provide_module(COUNTER)
+                s.catch_up()
+            got = s.query(None, LeafQuery("counters"))
+            want = [
+                {"name": k, "value": v} for k, v in sorted(model.items())
+            ]
+            assert got == want, step
+
+    def test_update_gates_fall_back(self, spark, tmp_path):
+        from .fixtures import COUNTER
+
+        s = Stream(spark, str(tmp_path), "did:plc:updp5")
+        s.provide_module(COUNTER)
+        for stmts in [
+            # no key equality: touches every row per event
+            ["update counters set value = value + "
+             "(select drisl_extract_int(payload, '.d') from event)"],
+            # aggregate inside the event subquery
+            ["update counters set value = "
+             "(select count(*) from event) where name = "
+             "(select drisl_extract(payload, '.name') from event)"],
+            # already a join-update
+            ["update counters set value = 0 from counters c2 "
+             "where c2.name = counters.name"],
+            # RETURNING
+            ["update counters set value = 0 where name = "
+             "(select drisl_extract(payload, '.name') from event) "
+             "returning name"],
+        ]:
+            assert s._pool_plan(stmts) is None, stmts[0]
+
+    def test_update_event_conjunct_and_residual(self, spark, tmp_path):
+        """Event-only conjunct gates which events generate ops; a
+        target-only residual evaluates against the live row."""
+        mod = BasicModuleDef(
+            init_sql=(
+                "create table if not exists caps "
+                "(k text primary key, v integer not null); "
+                "insert into caps values ('a', 1), ('b', 99) "
+                "on conflict(k) do nothing;"
+            ),
+            materializer=(
+                "update caps set v = v + "
+                "(select drisl_extract_int(payload, '.d') from event) "
+                "where k = (select drisl_extract(payload, '.k') from event) "
+                "and (select drisl_extract(payload, '.op') from event) = 'add' "
+                "and v < 50;"
+            ),
+            queries=(QueryDef("caps", "select k, v from caps order by k"),),
+        )
+        s = Stream(spark, str(tmp_path), "did:plc:updp6")
+        s.provide_module(mod)
+        stmts = [
+            st.strip() for st in mod.materializer.split(";") if st.strip()
+        ]
+        assert s._pool_plan(stmts) is not None
+        s.add_events(
+            [
+                ev("u", k="a", d=10, op="add"),   # 1 → 11
+                ev("u", k="a", d=10, op="noop"),  # filtered by op
+                ev("u", k="b", d=10, op="add"),   # 99: residual v<50 false
+            ]
+        )
+        assert s.query(None, LeafQuery("caps")) == [
+            {"k": "a", "v": 11},
+            {"k": "b", "v": 99},
+        ]
