@@ -2630,6 +2630,7 @@ class Stream:
         ex: DmlExecutor,
         group: list[tuple[int, tuple]],
         is_state: bool,
+        flat_target: str | None = None,
     ) -> None:
         """Apply one shared-target statement group in pooled per-key
         occurrence rounds (see _pool_plan). Group entries are tagged:
@@ -2654,11 +2655,12 @@ class Stream:
                     keys = [shape[0].lower()]
                     break
         assert keys is not None  # _pool_plan guarantees a keyed statement
+        has_delete = any(tag == "delete" for _, (tag, _) in group)
         srcs: list[tuple[int, str, tuple, DataFrame]] = []
         key_frames = []
         for si, (tag, shape) in group:
             if tag == "upsert":
-                cols, _, src_sql, _, _ = shape
+                cols, _, src_sql, _, tail_sql = shape
             elif tag == "delete":  # source selects (key, __ord__)
                 _key, _raw, src_sql, _res = shape
                 cols = [keys[0]]
@@ -2674,21 +2676,40 @@ class Stream:
             src = src.localCheckpoint(eager=True)
             srcs.append((si, tag, shape, src))
             if tag == "update":
-                key_frames.append(
-                    src.select(
-                        F.col("__k__").alias(keys[0]),
-                        F.col("__ord__"),
-                        F.lit(si).alias("__stmt__"),
-                    )
+                kf = src.select(
+                    F.col("__k__").alias(keys[0]),
+                    F.col("__ord__"),
+                    F.lit(si).alias("__stmt__"),
                 )
             else:
-                key_frames.append(
-                    src.select(
-                        *[F.col(k).alias(k) for k in keys],
-                        F.col("__ord__"),
-                        F.lit(si).alias("__stmt__"),
-                    )
+                kf = src.select(
+                    *[F.col(k).alias(k) for k in keys],
+                    F.col("__ord__"),
+                    F.lit(si).alias("__stmt__"),
                 )
+                if (
+                    tag == "upsert"
+                    and not has_delete
+                    and re.search(
+                        r"\bdo\s+nothing\s*$", tail_sql, re.IGNORECASE
+                    )
+                ):
+                    # DO NOTHING ops beyond a key's FIRST are provably
+                    # no-ops when nothing can delete the key mid-batch
+                    # (updates never remove rows): pool only the first
+                    # occurrence per non-NULL key — halves R for the
+                    # insert-then-accumulate module shape. NULL keys
+                    # never conflict (every one inserts), so they all
+                    # stay pooled.
+                    anynull = F.lit(False)
+                    for k in keys:
+                        anynull = anynull | F.col(k).isNull()
+                    firsts = kf.where(~anynull).groupBy(*keys).agg(
+                        F.min("__ord__").alias("__ord__"),
+                        F.min("__stmt__").alias("__stmt__"),
+                    )
+                    kf = firsts.unionByName(kf.where(anynull))
+            key_frames.append(kf)
         pool = key_frames[0]
         for kf in key_frames[1:]:
             pool = pool.unionByName(kf)
@@ -2711,6 +2732,7 @@ class Stream:
         n_rounds = max((r for r, _ in cells), default=0)
         view = self.store.view_prefix + "__poolsrc__"
         for r in range(1, n_rounds + 1):
+            round_had_update = False
             for si, tag, shape, src in srcs:
                 if (r, si) not in cells:
                     continue  # no rank-r operations for this statement
@@ -2788,6 +2810,21 @@ class Stream:
                         )
                     )
                     ex.execute(sql, is_state=is_state)
+                    round_had_update = True
+            if round_had_update and flat_target in self.store.tables:
+                # an update round JOINS the target into its own plan —
+                # without a lineage cut the plan EMBEDS itself once per
+                # round (exponential analysis cost by round ~10).
+                # Eagerly checkpoint the target after every update
+                # round: O(R·table) materializations, linear plans —
+                # the price of exact per-key sequencing, still far
+                # cheaper than the per-event fold it replaces.
+                self.store.register(
+                    flat_target,
+                    self.store.tables[flat_target].localCheckpoint(
+                        eager=True
+                    ),
+                )
 
     def _fold_df(
         self,
@@ -2920,7 +2957,10 @@ class Stream:
                 if i in shared_idxs:
                     if i in shared_first:
                         self._exec_pooled_rounds(
-                            ex, pooled[shared_first[i]], is_state
+                            ex,
+                            pooled[shared_first[i]],
+                            is_state,
+                            flat_target=shared_first[i],
                         )
                     continue
                 if self._delete_target(stmt) is not None:

@@ -1353,8 +1353,7 @@ class TestPooledRounds:
         execs = []
         orig = Stream._exec_pooled_rounds
 
-        def counting(self_, ex, group, is_state):
-            n0 = len(execs)
+        def counting(self_, ex, group, is_state, **kw):
             real_execute = ex.execute
 
             def spy(sql, *a, **k):
@@ -1364,7 +1363,7 @@ class TestPooledRounds:
 
             ex.execute = spy
             try:
-                return orig(self_, ex, group, is_state)
+                return orig(self_, ex, group, is_state, **kw)
             finally:
                 ex.execute = real_execute
 

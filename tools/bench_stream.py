@@ -352,10 +352,73 @@ def dedup_main() -> None:
     print(json.dumps(out))
 
 
+def counter_main() -> None:
+    """Replay throughput for the accumulate-by-key UPDATE module (the
+    COUNTER shape) — the class that folded per-event before round 10's
+    pooled rounds (O(R·S) statements, R = max per-key op multiplicity).
+
+    Usage: python tools/bench_stream.py counter [n_events] [n_keys]
+    """
+    n_events = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000
+    n_keys = int(sys.argv[3]) if len(sys.argv) > 3 else 200
+    spark = get_spark("leaf-counter-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from leaf_spark import drisl
+    from tests.fixtures import COUNTER
+
+    root = tempfile.mkdtemp(prefix="counter_bench_")
+    out: dict = {"mode": "counter", "n_events": n_events, "n_keys": n_keys}
+    try:
+        s = Stream(spark, root, "did:plc:cb")
+        s.provide_module(COUNTER)
+        t0 = time.time()
+        i = 0
+        batch = 500
+        while i < n_events:
+            n = min(batch, n_events - i)
+            s.add_events(
+                [
+                    IncomingEvent(
+                        "did:plc:u",
+                        drisl.encode(
+                            {"name": f"k{(i + j) % n_keys}", "delta": 1}
+                        ),
+                    )
+                    for j in range(n)
+                ]
+            )
+            i += n
+        out["ingest_events_per_sec"] = round(n_events / (time.time() - t0), 1)
+
+        import os
+
+        snap = next(
+            os.path.join(r, "snapshot")
+            for r, d, f in os.walk(os.path.join(root, "streams"))
+            if "snapshot" in d
+        )
+        shutil.rmtree(snap, ignore_errors=True)
+        t0 = time.time()
+        s2 = Stream(spark, root, "did:plc:cb")
+        s2.provide_module(COUNTER)
+        replay_s = time.time() - t0
+        out["replay_events_per_sec"] = round(n_events / replay_s, 1)
+        out["replay_sec"] = round(replay_s, 2)
+        rows = s2.query("did:plc:u", LeafQuery("counters", limit=10000))
+        out["distinct_keys"] = len(rows)
+        out["sum_check"] = sum(r["value"] for r in rows) == n_events
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "latency":
         latency_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "dedup":
         dedup_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "counter":
+        counter_main()
     else:
         main()
