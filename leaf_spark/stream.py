@@ -2826,6 +2826,62 @@ class Stream:
                     ),
                 )
 
+    def _ord_needed(self, stmt: str) -> bool:
+        """True when a set-wise insert must carry ``__ord__``: conflict
+        resolution (last-event-wins order) OR rowid-alias auto-assignment
+        (the dml layer numbers max+1 ids in __ord__ order when present;
+        without it FRAME order decides — which on a replayed multi-file
+        log is size-sorted file order, not event order — r10 finding:
+        replayed rowid tables came back with permuted ids)."""
+        low = stmt.lower()
+        if (
+            " conflict" in low
+            or re.search(r"^\s*replace\b", low) is not None
+            or re.search(r"\binsert\s+or\s+(replace|ignore)\b", low)
+            is not None
+        ):
+            return True
+        try:
+            toks = tokenize(stmt)
+            lows = [t.lower() if _is_word(t) else t for t in toks]
+            if not lows or lows[0] != "insert":
+                return False
+            into_i = lows.index("into")
+            j = into_i + 1
+            parts = [toks[j]]
+            j += 1
+            if j < len(toks) and toks[j] == ".":
+                parts += [".", toks[j + 1]]
+                j += 2
+            flat = (
+                "".join(parts)
+                .lower()
+                .replace("state.", "state_")
+                .replace("main.", "")
+            )
+            tdef = self.store.defs.get(flat)
+            if tdef is None or len(tdef.primary_key) != 1:
+                return False
+            pk = tdef.primary_key[0]
+            f_ = next(
+                (f for f in tdef.schema.fields if f.name == pk), None
+            )
+            if f_ is None or not isinstance(
+                f_.dataType, (T.LongType, T.IntegerType)
+            ):
+                return False
+            if j < len(toks) and toks[j] == "(":
+                cols = [
+                    t.lower()
+                    for t in toks[j + 1 : toks.index(")", j)]
+                    if _is_word(t)
+                ]
+            else:
+                cols = [f.name.lower() for f in tdef.schema.fields]
+            return pk.lower() not in cols
+        except Exception:
+            return False
+
     def _fold_df(
         self,
         events: DataFrame,
@@ -2862,16 +2918,9 @@ class Stream:
             ex = self._executor(ev_view, with_events=needs_events)
             for stmt in stmts:
                 self.sql_authorizer.check(stmt, policy)
-                low = stmt.lower()
-                # any conflict-resolving insert needs __ord__ so the batch
-                # upsert keeps last-event-wins order (incl. the SQLite
-                # OR REPLACE / OR IGNORE / REPLACE INTO forms)
-                has_conflict = (
-                    " conflict" in low
-                    or re.search(r"^\s*replace\b", low) is not None
-                    or re.search(r"\binsert\s+or\s+(replace|ignore)\b", low) is not None
-                )
-                s = self._inject_ord(stmt) if has_conflict else stmt
+                # __ord__ rides along when conflict resolution or
+                # rowid auto-assignment makes event order visible
+                s = self._inject_ord(stmt) if self._ord_needed(stmt) else stmt
                 s = self._localize_insert(s, local_rows) or s
                 ex.execute(s, is_state=is_state)
             return
@@ -2897,15 +2946,7 @@ class Stream:
                 if self._accumulating_upsert(stmt):
                     self._exec_roundwise(ex, stmt, is_state, local_rows)
                     continue
-                low = stmt.lower()
-                has_conflict = (
-                    " conflict" in low
-                    or re.search(r"^\s*replace\b", low) is not None
-                    or re.search(
-                        r"\binsert\s+or\s+(replace|ignore)\b", low
-                    ) is not None
-                )
-                s = self._inject_ord(stmt) if has_conflict else stmt
+                s = self._inject_ord(stmt) if self._ord_needed(stmt) else stmt
                 s = self._localize_insert(s, local_rows) or s
                 ex.execute(s, is_state=is_state)
             return
@@ -2924,15 +2965,7 @@ class Stream:
                     s2 = self._localize_insert(s, local_rows) or s
                     ex.execute(s2, is_state=is_state)
                     continue
-                low = orig.lower()
-                has_conflict = (
-                    " conflict" in low
-                    or re.search(r"^\s*replace\b", low) is not None
-                    or re.search(
-                        r"\binsert\s+or\s+(replace|ignore)\b", low
-                    ) is not None
-                )
-                s = self._inject_ord(orig) if has_conflict else orig
+                s = self._inject_ord(orig) if self._ord_needed(orig) else orig
                 s = self._localize_insert(s, local_rows) or s
                 ex.execute(s, is_state=is_state)
             return
@@ -2972,15 +3005,7 @@ class Stream:
                 if self._accumulating_upsert(stmt):
                     self._exec_roundwise(ex, stmt, is_state, local_rows)
                     continue
-                low = stmt.lower()
-                has_conflict = (
-                    " conflict" in low
-                    or re.search(r"^\s*replace\b", low) is not None
-                    or re.search(
-                        r"\binsert\s+or\s+(replace|ignore)\b", low
-                    ) is not None
-                )
-                s = self._inject_ord(stmt) if has_conflict else stmt
+                s = self._inject_ord(stmt) if self._ord_needed(stmt) else stmt
                 s = self._localize_insert(s, local_rows) or s
                 ex.execute(s, is_state=is_state)
             return

@@ -1764,3 +1764,54 @@ class TestPooledUpdates:
             {"k": "a", "v": 11},
             {"k": "b", "v": 99},
         ]
+
+
+class TestRowidReplayOrder:
+    """r10: dml assigns rowid-alias ids (max+1, …) in __ord__ order when
+    present; a plain insert WITHOUT __ord__ left frame order to decide —
+    which on a replayed multi-file log is size-sorted FILE order, not
+    event order. Every insert into an auto-pk table now carries __ord__."""
+
+    MOD = BasicModuleDef(
+        init_sql=(
+            "create table if not exists logx "
+            "(id integer primary key, tag text not null)"
+        ),
+        materializer=(
+            "insert into logx (tag) select "
+            "drisl_extract(payload, '.t') from event;"
+        ),
+        queries=(QueryDef("logx", "select id, tag from logx order by id"),),
+    )
+
+    def test_replayed_rowids_follow_event_order(self, spark, tmp_path):
+        s = Stream(spark, str(tmp_path), "did:plc:rowidord")
+        s.provide_module(self.MOD)
+        rng = random.Random(3)
+        n = 0
+        while n < 40:  # variable batch sizes → log files of varying size
+            b = rng.randint(1, 5)
+            s.add_events([ev("u", t=f"t{n + j + 1}") for j in range(b)])
+            n += b
+        live = s.query(None, LeafQuery("logx", limit=100))
+        assert [r["tag"] for r in live] == [f"t{r['id']}" for r in live]
+        s2 = Stream(spark, str(tmp_path), "did:plc:rowidord")
+        s2.provide_module(self.MOD)  # replay reads the multi-file log
+        rep = s2.query(None, LeafQuery("logx", limit=100))
+        assert [(r["id"], r["tag"]) for r in rep] == [
+            (r["id"], r["tag"]) for r in live
+        ]
+
+    def test_ord_needed_classifier(self, spark, tmp_path):
+        s = Stream(spark, str(tmp_path), "did:plc:rowidord2")
+        s.provide_module(self.MOD)
+        assert s._ord_needed(
+            "insert into logx (tag) select user from event"
+        )  # auto id
+        assert s._ord_needed(
+            "insert into logx (id, tag) select idx, user from event "
+            "on conflict(id) do nothing"
+        )  # conflict
+        assert not s._ord_needed(
+            "insert into logx (id, tag) select idx, user from event"
+        )  # explicit id, no conflict
