@@ -2493,6 +2493,24 @@ class Stream:
             ins_idxs = [i for i in idxs if per_stmt[i][0] == "insert"]
             del_idxs = [i for i in idxs if per_stmt[i][0] == "delete"]
             upd_idxs = [i for i in idxs if per_stmt[i][0] == "update"]
+            if (
+                ins_idxs
+                and not del_idxs
+                and not upd_idxs
+                and all(not per_stmt[i][2] for i in ins_idxs)
+            ):
+                # shared PLAIN inserts: only hazard is the rowid-alias
+                # id sequence (that's why _batch_safe rejected them) —
+                # compile by assigning ids explicitly as max + global
+                # (idx, statement) rank
+                shapes = []
+                for i in ins_idxs:
+                    ps = self._parse_plain_insert(stmts[i])
+                    if ps is None:
+                        return None
+                    shapes.append((i, ("plainins", ps)))
+                plan[tgt] = shapes
+                continue
             if not ins_idxs and not upd_idxs:
                 # deletes-only shared target: deletes COMMUTE (both only
                 # remove; the survivor set is "no statement's predicate
@@ -2591,6 +2609,61 @@ class Stream:
                 return None
         return plan
 
+    def _parse_plain_insert(
+        self, stmt: str
+    ) -> tuple[str, list[str], str] | None:
+        """(raw target, insert columns, ord-injected source SQL) for a
+        PLAIN insert (no conflict clause) into a rowid-alias table whose
+        id column is auto-assigned — the shape whose only order
+        visibility is the id sequence itself. The pooled compile assigns
+        ids explicitly as max+global-rank over (event idx, statement
+        position), exactly the sequence the per-event fold produces."""
+        try:
+            s = self._inject_ord(stmt)
+            toks = tokenize(s)
+            lows = [t.lower() if _is_word(t) else t for t in toks]
+            split = self._split_insert(toks, lows)
+            if split is None:
+                return None
+            isel, icut = split
+            if icut >= 0 or "returning" in lows:
+                return None
+            into_i = lows.index("into")
+            j = into_i + 1
+            parts = [toks[j]]
+            j += 1
+            if j < len(toks) and toks[j] == ".":
+                parts += [".", toks[j + 1]]
+                j += 2
+            raw_target = "".join(parts)
+            flat = raw_target.lower().replace("state.", "state_").replace(
+                "main.", ""
+            )
+            tdef = self.store.defs.get(flat)
+            if tdef is None:
+                return None
+            if j < isel and toks[j] == "(":
+                cols = [
+                    t for t in toks[j + 1 : toks.index(")", j)] if _is_word(t)
+                ]
+            else:
+                cols = [f.name for f in tdef.schema.fields]
+            if len(tdef.primary_key) != 1:
+                return None
+            pk = tdef.primary_key[0]
+            f_ = next(
+                (f for f in tdef.schema.fields if f.name == pk), None
+            )
+            if f_ is None or not isinstance(
+                f_.dataType, (T.LongType, T.IntegerType)
+            ):
+                return None
+            if pk.lower() in {c.lower() for c in cols}:
+                return None  # explicit ids: nothing to sequence
+            return raw_target, cols, " ".join(toks[isel:])
+        except Exception:
+            return None
+
     @staticmethod
     def _update_target(stmt: str) -> str | None:
         """Flat target of a plain UPDATE statement, else None."""
@@ -2643,6 +2716,73 @@ class Stream:
         if all(tag == "delcompiled" for _, (tag, _) in group):
             for _si, (_tag, sql) in group:
                 ex.execute(sql, is_state=is_state)
+            return
+        if all(tag == "plainins" for _, (tag, _) in group):
+            # shared plain inserts into a rowid-alias table: assign ids
+            # explicitly as max + global (event idx, statement) rank —
+            # the exact per-event sequence — then each statement inserts
+            # ONCE (plain inserts commute after ids are fixed). The rank
+            # window is single-partition like the dml layer's own
+            # assignment: sequential ids are inherently serial,
+            # event-batch-sized only.
+            raw0 = group[0][1][1][0]
+            flat0 = (
+                raw0.lower()
+                .replace("state.", "state_")
+                .replace("main.", "")
+            )
+            tdef0 = self.store.defs[flat0]
+            pk = tdef0.primary_key[0]
+            pk_type = next(
+                f.dataType for f in tdef0.schema.fields if f.name == pk
+            )
+            srcs2 = []
+            frames = []
+            for si, (_tag, (raw, cols, src_sql)) in group:
+                src = (
+                    ex.execute(src_sql, is_state=is_state)
+                    .toDF(*cols, "__ord__")
+                    .localCheckpoint(eager=True)
+                )
+                srcs2.append((si, raw, cols, src))
+                frames.append(
+                    src.select("__ord__", F.lit(si).alias("__stmt__"))
+                )
+            pool = frames[0]
+            for fr in frames[1:]:
+                pool = pool.unionByName(fr)
+            w = Window.orderBy(F.col("__ord__"), F.col("__stmt__"))
+            pool = pool.withColumn(
+                "__rank__", F.row_number().over(w)
+            ).localCheckpoint(eager=True)
+            live = {
+                r["__stmt__"]
+                for r in pool.select("__stmt__").distinct().collect()
+            }
+            base = (
+                self.store.tables[flat0]
+                .agg(F.coalesce(F.max(pk), F.lit(0)).alias("m"))
+                .first()["m"]
+            ) or 0
+            view = self.store.view_prefix + "__poolsrc__"
+            for si, raw, cols, src in srcs2:
+                if si not in live:
+                    continue
+                picked = pool.where(F.col("__stmt__") == si).select(
+                    "__ord__", "__rank__"
+                )
+                sub = src.join(picked, "__ord__").select(
+                    (F.lit(base) + F.col("__rank__"))
+                    .cast(pk_type)
+                    .alias(pk),
+                    *cols,
+                )
+                sub.createOrReplaceTempView(view)
+                ex.execute(
+                    f"insert into {raw} ( {pk} , {' , '.join(cols)} ) "
+                    f"select * from {view}",
+                    is_state=is_state,
+                )
             return
         keys: list[str] | None = None
         for _si, (tag, shape) in group:

@@ -1815,3 +1815,80 @@ class TestRowidReplayOrder:
         assert not s._ord_needed(
             "insert into logx (id, tag) select idx, user from event"
         )  # explicit id, no conflict
+
+
+class TestPooledPlainInserts:
+    """r10: shared plain inserts on a rowid-alias table compile by
+    assigning ids as max + global (event idx, statement) rank — the
+    exact per-event id sequence, one set-wise insert per statement."""
+
+    MOD = BasicModuleDef(
+        init_sql=(
+            "create table if not exists logb "
+            "(id integer primary key, tag text not null)"
+        ),
+        materializer=(
+            "insert into logb (tag) select 'a' || idx from event; "
+            "insert into logb (tag) select 'b' || idx from event "
+            "where drisl_exists(payload, '.b');"
+        ),
+        queries=(QueryDef("logb", "select id, tag from logb order by id"),),
+    )
+
+    def test_pools_and_matches_per_event_sequence(
+        self, spark, tmp_path, monkeypatch
+    ):
+        s = Stream(spark, str(tmp_path), "did:plc:pins1")
+        s.provide_module(self.MOD)
+        stmts = [
+            st.strip()
+            for st in self.MOD.materializer.split(";")
+            if st.strip()
+        ]
+        plan = s._pool_plan(stmts)
+        assert plan is not None
+        assert all(tag == "plainins" for _, (tag, _) in plan["logb"])
+        # event 1 fires both statements; event 2 only the first
+        s.add_events([ev("u", b=1), ev("u", x=1)])
+        assert s.query(None, LeafQuery("logb")) == [
+            {"id": 1, "tag": "a1"},
+            {"id": 2, "tag": "b1"},
+            {"id": 3, "tag": "a2"},
+        ]
+        s.add_events([ev("u", b=1)])
+        assert s.query(None, LeafQuery("logb"))[-2:] == [
+            {"id": 4, "tag": "a3"},
+            {"id": 5, "tag": "b3"},
+        ]
+        expect = s.query(None, LeafQuery("logb"))
+
+        s2 = Stream(spark, str(tmp_path), "did:plc:pins1")
+
+        def no_single_row(rows, schema):
+            raise AssertionError("per-event fold ran for a pooled module")
+
+        monkeypatch.setattr(s2, "_event_local_df", no_single_row)
+        s2.provide_module(self.MOD)
+        s2.catch_up()
+        assert s2.query(None, LeafQuery("logb")) == expect
+
+    def test_explicit_id_statement_refuses_pool(self, spark, tmp_path):
+        mod = BasicModuleDef(
+            init_sql=(
+                "create table if not exists logc "
+                "(id integer primary key, tag text not null)"
+            ),
+            materializer=(
+                "insert into logc (id, tag) select idx * 10, 'a' from event; "
+                "insert into logc (tag) select 'b' from event;"
+            ),
+            queries=(QueryDef("logc", "select id from logc order by id"),),
+        )
+        s = Stream(spark, str(tmp_path), "did:plc:pins2")
+        s.provide_module(mod)
+        stmts = [
+            st.strip() for st in mod.materializer.split(";") if st.strip()
+        ]
+        # one statement supplies explicit ids: the interleaved max+1
+        # sequence depends on live state per event — stays per-event
+        assert s._pool_plan(stmts) is None
