@@ -1892,3 +1892,69 @@ class TestPooledPlainInserts:
         # one statement supplies explicit ids: the interleaved max+1
         # sequence depends on live state per event — stays per-event
         assert s._pool_plan(stmts) is None
+
+
+def test_soak_pooled_trio_full_lifecycle(spark, tmp_path):
+    """Seeded long soak over the pooled trio module (insert + update +
+    delete on one rowid-free keyed table) interleaved with persists,
+    log compaction, and reopen/replay — the round-10 fold tiers under
+    the same model-vs-engine discipline as the KV soak."""
+    rng = random.Random(20260818)
+    mod = BasicModuleDef(
+        init_sql=(
+            "create table if not exists acct "
+            "(id text primary key, bal integer not null)"
+        ),
+        materializer=(
+            "insert into acct (id, bal) select "
+            "drisl_extract(payload, '.open'), 0 from event "
+            "where drisl_exists(payload, '.open') "
+            "on conflict(id) do nothing; "
+            "update acct set bal = bal + "
+            "(select drisl_extract_int(payload, '.amt') from event) "
+            "where id = (select drisl_extract(payload, '.pay') from event); "
+            "delete from acct where id = "
+            "(select drisl_extract(payload, '.close') from event);"
+        ),
+        queries=(QueryDef("acct", "select id, bal from acct order by id"),),
+    )
+    s = Stream(spark, str(tmp_path), "did:plc:triosoak", compact_files=6)
+    s.provide_module(mod)
+    model: dict[str, int] = {}
+    keys = [f"k{i}" for i in range(4)]
+    for step in range(14):
+        r = rng.random()
+        if r < 0.6:
+            n = rng.randint(1, 6)
+            batch = []
+            for _ in range(n):
+                k = rng.choice(keys)
+                op = rng.random()
+                if op < 0.4:
+                    batch.append(ev("u", open=k))
+                    if k not in model:
+                        model[k] = 0
+                elif op < 0.8:
+                    amt = rng.randint(-5, 9)
+                    batch.append(ev("u", pay=k, amt=amt))
+                    if k in model:
+                        model[k] += amt
+                else:
+                    batch.append(ev("u", close=k))
+                    model.pop(k, None)
+            s.add_events(batch)
+        elif r < 0.72:
+            s.persist_state()
+        elif r < 0.82:
+            s.compact_log()
+        else:
+            s = Stream(
+                spark, str(tmp_path), "did:plc:triosoak", compact_files=6
+            )
+            s.provide_module(mod)
+            s.catch_up()
+        got = s.query(None, LeafQuery("acct"))
+        want = [
+            {"id": k, "bal": v} for k, v in sorted(model.items())
+        ]
+        assert got == want, step
