@@ -308,8 +308,37 @@ _ROUND11_FRONT = [
 ]
 
 
+# Committed round-12 rotation plan (same mechanics as every round since
+# r8 — the ahead-of-time ledger for the sweep's second block): once
+# _ROUND11_FRONT scores in r11, the stalest official block is the r08
+# window (last scored r08, 4 rounds old at r12). That block — verbatim
+# the 50 names in CORRECTNESS_r08.json, in the order the driver scored
+# them — is the r12 front. r12 activates this by swapping the name in
+# _ordered().
+_ROUND12_FRONT = [
+    "q198_top_trigram_paths", "q199_dow_seasonality", "q200_fisher_ratio",
+    "q63_sketch_distinct", "q64_sketch_quantiles", "q65_asof_attribution",
+    "q66_error_window_rollup", "q69_stratified_sample", "q68_source_mix",
+    "q70_pack_sequences", "q71_bm25_topk", "q72_gopher_filter",
+    "q73_semantic_dedup", "q74_corpus_stats", "q75_unigram_logprob",
+    "q76_clean_pipeline", "q77_incremental_dedup", "q78_window_breadth",
+    "q79_rollup_stats", "q80_editdist_blocked", "q81_temperature_mix",
+    "q82_asof_bucketed", "q83_chunk_windows", "q84_ngram_novelty",
+    "q85_tfidf_top_terms", "q86_kmeans_clusters", "q87_cdc_chunks",
+    "q88_bigram_logprob", "q89_dsir_importance", "q90_containment_dedup",
+    "q91_build_postings", "q92_quality_deciles", "q93_budget_allocation",
+    "q94_decay_ess", "q95_label_balance", "q96_pagerank",
+    "q97_triplet_mining", "q98_int8_quant_stats",
+    "q99_conversation_examples", "q100_cluster_histogram",
+    "q101_zscore_outliers", "q102_doc_contamination",
+    "q103_rendezvous_shards", "q104_systematic_sample",
+    "q105_weighted_sample", "q106_feature_hash", "q107_source_overlap",
+    "q108_packing_efficiency", "q109_bpe_merges", "q110_bpe_encode",
+]
+
+
 def _ordered(reg: dict[str, QueryCase]) -> dict[str, QueryCase]:
-    front = [n for n in _ROUND10_FRONT if n in reg]
+    front = [n for n in _ROUND11_FRONT if n in reg]
     rest = [n for n in reg if n not in set(front)]
     return {n: reg[n] for n in [*front, *rest]}
 
