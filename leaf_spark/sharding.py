@@ -1,0 +1,651 @@
+"""Multi-driver stream sharding — the share-nothing deployment mode.
+
+The reference hosts every stream in one process but each stream is fully
+independent of the others (share-nothing-per-stream: one `Stream` actor per
+DID with its own sqlite handle, leaf-server/src/streams.rs:36-46). On this
+engine the analogous unit is a (SparkSession, StreamCatalog) pair, and a
+single driver process hits a Python-side GIL ceiling once ~8+ streams
+ingest concurrently (SCALE.md §3: 16 streams at 0.86× single-stream on one
+driver; 2 drivers × 4 streams measured 4.4×). This module turns the
+measured cure into a deployment mode:
+
+    LeafShardSupervisor(root, n_shards=2).start()
+
+- spawns N shard workers, each a separate OS process with its OWN
+  SparkSession (own JVM, own GIL) and its own StreamCatalog rooted at
+  ``root/shard{i}``;
+- serves the full A23 socket.io surface on ONE port (the supervisor embeds
+  an unmodified LeafSocketIOServer) and routes every stream-addressed
+  endpoint to the owning shard by a stable hash of the stream DID;
+- relays live-subscription pushes from the owning shard back onto the
+  client's socket.io connection.
+
+Routing is deterministic (sha-256 of the DID mod N), so reopening a
+supervisor over the same root with the same shard count finds every stream
+where it was left. Changing ``n_shards`` over an existing root is NOT a
+resharding operation — streams would hash to new owners; migrate the shard
+directories first.
+
+Auth is forwarded per-request, not per-connection: the supervisor
+authenticates the external socket.io connection exactly like the
+single-driver server (token map / ATProto JWT), then ships the resolved
+``(user, trusted)`` pair inside each RPC frame so the shard's LeafServer
+applies the reference's own checks (require-auth writes,
+trusted-only user_override/admin). No endpoint gains privilege by passing
+through the supervisor.
+
+Internal RPC (supervisor ↔ shard): one persistent TCP connection per
+shard, length-prefixed DRISL frames:
+
+    request   {id, user, trusted, endpoint, args: bytes}
+    response  {id, ack: bytes}          # the LeafServer Result ack verbatim
+    push      {push: {subscriptionId, streamDid, rows, hasMore, error}}
+
+Endpoint args bytes are forwarded VERBATIM (no supervisor re-encode); the
+supervisor decodes them once only to extract the routing key. Broadcast
+endpoints: ``module/upload`` fans out to every shard (so the owning shard
+of any later ``stream/create`` has the module), ``module/exists`` is the
+AND over shards, ``admin/list_streams`` concatenates.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import socket
+import struct
+import subprocess
+import sys
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from . import drisl
+from .server import Connection, LeafServer
+from .streaming.subscribe import RESULT_CHANNEL_CAPACITY, SubscriptionResponse
+
+_LEN = struct.Struct(">I")
+MAX_FRAME = 64 * 1024 * 1024  # internal frames can carry full event batches
+
+
+def shard_of(stream_did: str, n_shards: int) -> int:
+    """Stable DID → shard assignment (sha-256, first 8 bytes, mod N)."""
+    import hashlib
+
+    h = hashlib.sha256(stream_did.encode("utf-8")).digest()
+    return int.from_bytes(h[:8], "big") % n_shards
+
+
+def _write_frame(sock: socket.socket, lock: threading.Lock, obj: dict) -> None:
+    blob = drisl.encode(obj)
+    with lock:
+        sock.sendall(_LEN.pack(len(blob)) + blob)
+
+
+def _read_frame(sock: socket.socket) -> dict | None:
+    head = _read_exact(sock, _LEN.size)
+    if head is None:
+        return None
+    (n,) = _LEN.unpack(head)
+    if n > MAX_FRAME:
+        raise ValueError(f"internal frame of {n} bytes exceeds {MAX_FRAME}")
+    body = _read_exact(sock, n)
+    if body is None:
+        return None
+    return drisl.decode(body)
+
+
+def _read_exact(sock: socket.socket, n: int) -> bytes | None:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            return None
+        buf += chunk
+    return buf
+
+
+# --------------------------------------------------------------------------
+# shard worker (runs inside the shard process; also servable in-process for
+# tests — same RPC protocol, only the process boundary differs)
+# --------------------------------------------------------------------------
+
+
+class ShardWorker:
+    """One shard: a LeafServer over its own catalog, served over the RPC."""
+
+    def __init__(self, spark, root_dir: str):
+        from .catalog import StreamCatalog
+
+        self.catalog = StreamCatalog(spark, root_dir)
+        self.server = LeafServer(self.catalog)
+        self._stop = threading.Event()
+        self._listener: socket.socket | None = None
+
+    def listen(self, host: str = "127.0.0.1", port: int = 0) -> int:
+        self._listener = socket.create_server((host, port))
+        return self._listener.getsockname()[1]
+
+    def serve_forever(self) -> None:
+        assert self._listener is not None, "listen() first"
+        while not self._stop.is_set():
+            try:
+                sock, _ = self._listener.accept()
+            except OSError:
+                return
+            threading.Thread(
+                target=self._serve_conn, args=(sock,), daemon=True
+            ).start()
+
+    def close(self) -> None:
+        self._stop.set()
+        if self._listener is not None:
+            try:
+                self._listener.close()
+            except OSError:
+                pass
+        self.catalog.close()
+
+    # -- one supervisor connection --------------------------------------------
+
+    def _serve_conn(self, sock: socket.socket) -> None:
+        send_lock = threading.Lock()
+        conn_stop = threading.Event()
+        # subs opened over THIS supervisor connection: unsubscribed when the
+        # connection dies so their worker entries and push threads don't leak
+        conn_subs: list[tuple[str, str]] = []
+        try:
+            while not self._stop.is_set():
+                req = _read_frame(sock)
+                if req is None:
+                    return
+                threading.Thread(
+                    target=self._handle_one,
+                    args=(sock, send_lock, conn_stop, conn_subs, req),
+                    daemon=True,
+                ).start()
+        except (OSError, ValueError):
+            pass
+        finally:
+            conn_stop.set()
+            for did, sub_id in conn_subs:
+                try:
+                    self.catalog.worker(did).unsubscribe(sub_id)
+                except Exception:
+                    pass
+            try:
+                sock.close()
+            except OSError:
+                pass
+
+    def _handle_one(
+        self,
+        sock: socket.socket,
+        send_lock: threading.Lock,
+        conn_stop: threading.Event,
+        conn_subs: list[tuple[str, str]],
+        req: dict,
+    ) -> None:
+        conn = Connection(user=req.get("user"), trusted=bool(req.get("trusted")))
+        endpoint = req["endpoint"]
+        args_bytes = bytes(req.get("args") or b"")
+        ack = self.server.handle(conn, endpoint, args_bytes)
+        try:
+            _write_frame(sock, send_lock, {"id": req["id"], "ack": ack})
+        except OSError:
+            conn_stop.set()
+            return
+        if endpoint == "stream/subscribe_events":
+            decoded = drisl.decode(ack)
+            if "Ok" in decoded:
+                stream_did = drisl.decode(args_bytes)["streamDid"]
+                sub_id = decoded["Ok"]["subscriptionId"]
+                conn_subs.append((stream_did, sub_id))
+                threading.Thread(
+                    target=self._push_relay,
+                    args=(sock, send_lock, conn_stop, stream_did, sub_id),
+                    daemon=True,
+                ).start()
+
+    def _push_relay(
+        self,
+        sock: socket.socket,
+        send_lock: threading.Lock,
+        conn_stop: threading.Event,
+        stream_did: str,
+        sub_id: str,
+    ) -> None:
+        """Drain the real subscription channel; frame each response up to
+        the supervisor (which re-emits it on the client's transport)."""
+        worker = self.catalog.worker(stream_did)
+        stream = self.catalog.open(stream_did)
+        sub = worker.subs.get(sub_id)
+        if sub is None:
+            return
+        while not conn_stop.is_set() and not self._stop.is_set():
+            try:
+                r = sub.channel.get(timeout=0.25)
+            except queue.Empty:
+                if sub_id not in worker.subs:
+                    return  # unsubscribed
+                continue
+            try:
+                _write_frame(
+                    sock,
+                    send_lock,
+                    {
+                        "push": {
+                            "subscriptionId": sub_id,
+                            "streamDid": stream_did,
+                            "rows": stream.rows_to_wire(r.rows),
+                            "hasMore": r.has_more,
+                            "error": r.error,
+                        }
+                    },
+                )
+            except OSError:
+                conn_stop.set()
+                return
+
+
+# --------------------------------------------------------------------------
+# supervisor side
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class _RemoteSub:
+    """Supervisor-local mirror of a shard-side subscription: the push relay
+    fills ``channel``; the socket.io push loop drains it."""
+
+    sub_id: str
+    stream_did: str
+    channel: "queue.Queue[SubscriptionResponse]" = field(
+        default_factory=lambda: queue.Queue(maxsize=RESULT_CHANNEL_CAPACITY)
+    )
+
+
+class ShardClient:
+    """Persistent RPC connection to one shard; thread-safe, multiplexed."""
+
+    def __init__(self, host: str, port: int, timeout: float = 60.0):
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self.sock.settimeout(None)
+        self._send_lock = threading.Lock()
+        self._next_id = 0
+        self._id_lock = threading.Lock()
+        self._pending: dict[int, queue.Queue] = {}
+        self.subs: dict[str, _RemoteSub] = {}
+        self._closed = threading.Event()
+        self._reader = threading.Thread(target=self._read_loop, daemon=True)
+        self._reader.start()
+
+    def call(
+        self,
+        user: str | None,
+        trusted: bool,
+        endpoint: str,
+        args_bytes: bytes,
+        timeout: float = 600.0,
+    ) -> bytes:
+        with self._id_lock:
+            self._next_id += 1
+            req_id = self._next_id
+        ch: queue.Queue = queue.Queue()
+        self._pending[req_id] = ch
+        try:
+            _write_frame(
+                self.sock,
+                self._send_lock,
+                {
+                    "id": req_id,
+                    "user": user,
+                    "trusted": trusted,
+                    "endpoint": endpoint,
+                    "args": args_bytes,
+                },
+            )
+            return bytes(ch.get(timeout=timeout))
+        finally:
+            self._pending.pop(req_id, None)
+
+    def _read_loop(self) -> None:
+        try:
+            while not self._closed.is_set():
+                frame = _read_frame(self.sock)
+                if frame is None:
+                    return
+                if "ack" in frame:
+                    ch = self._pending.get(frame["id"])
+                    if ch is not None:
+                        ch.put(frame["ack"])
+                    continue
+                p = frame.get("push")
+                if p is None:
+                    continue
+                sub = self.subs.get(p["subscriptionId"])
+                if sub is None:
+                    continue
+                try:
+                    # drop-on-full, NEVER block: this thread also demuxes
+                    # acks — an undrained orphan sub must not stall them
+                    sub.channel.put_nowait(
+                        SubscriptionResponse(
+                            rows=p["rows"],
+                            has_more=bool(p["hasMore"]),
+                            error=p.get("error"),
+                        )
+                    )
+                except queue.Full:
+                    pass
+        except (OSError, ValueError):
+            pass
+        finally:
+            self._closed.set()
+            # unblock any caller still waiting on an ack
+            for ch in list(self._pending.values()):
+                ch.put(drisl.encode({"Err": "ConnectionError: shard connection lost"}))
+
+    def close(self) -> None:
+        self._closed.set()
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+
+class _WorkerFacade:
+    """What LeafSocketIOServer._push_loop needs from ``catalog.worker()``."""
+
+    def __init__(self, client: ShardClient):
+        self.subs = client.subs
+
+
+class _StreamFacade:
+    """Rows arriving over the push relay are already wire-encoded."""
+
+    @staticmethod
+    def rows_to_wire(rows):
+        return rows
+
+
+class _CatalogFacade:
+    def __init__(self, router: "ShardRouter"):
+        self._router = router
+
+    def worker(self, stream_did: str) -> _WorkerFacade:
+        return _WorkerFacade(self._router.client_for(stream_did))
+
+    def open(self, stream_did: str) -> _StreamFacade:
+        return _StreamFacade()
+
+
+class ShardRouter:
+    """LeafServer-shaped front: ``handle()`` + ``catalog`` facade, routing
+    every request to the shard that owns its stream DID."""
+
+    ENDPOINTS = LeafServer.ENDPOINTS
+
+    def __init__(self, clients: list[ShardClient]):
+        self.clients = clients
+        self.catalog = _CatalogFacade(self)
+
+    def client_for(self, stream_did: str) -> ShardClient:
+        return self.clients[shard_of(stream_did, len(self.clients))]
+
+    def handle(self, conn: Connection, endpoint: str, args_drisl: bytes) -> bytes:
+        try:
+            return self._dispatch(conn, endpoint, args_drisl)
+        except Exception as ex:
+            return drisl.encode({"Err": f"{type(ex).__name__}: {ex}"})
+
+    def _dispatch(self, conn: Connection, endpoint: str, args_drisl: bytes) -> bytes:
+        if endpoint == "module/upload":
+            # broadcast so ANY shard can later create a stream on the module;
+            # first Err wins (shards are deterministic — a partial failure
+            # means a real fault, surfaced rather than half-registered)
+            acks = [
+                c.call(conn.user, conn.trusted, endpoint, args_drisl)
+                for c in self.clients
+            ]
+            for ack in acks:
+                if "Err" in drisl.decode(ack):
+                    return ack
+            return acks[0]
+        if endpoint == "module/exists":
+            exists = True
+            for c in self.clients:
+                ack = drisl.decode(
+                    c.call(conn.user, conn.trusted, endpoint, args_drisl)
+                )
+                if "Err" in ack:
+                    return drisl.encode(ack)
+                exists = exists and bool(ack["Ok"]["exists"])
+            return drisl.encode({"Ok": {"exists": exists}})
+        if endpoint == "admin/list_streams":
+            merged: list[dict] = []
+            for c in self.clients:
+                ack = drisl.decode(
+                    c.call(conn.user, conn.trusted, endpoint, args_drisl)
+                )
+                if "Err" in ack:
+                    return drisl.encode(ack)
+                merged.extend(ack["Ok"]["streams"])
+            return drisl.encode({"Ok": {"streams": merged}})
+
+        args = drisl.decode(args_drisl) if args_drisl else {}
+        if endpoint == "stream/poll_subscription":
+            # served locally from the supervisor-side mirror queue — the
+            # shard's own channel is drained by its push relay, so
+            # forwarding would long-poll an always-empty queue
+            return drisl.encode({"Ok": self._poll_local(args)})
+        stream_did = args.get("streamDid")
+        if stream_did is None:
+            raise ValueError(f"unknown endpoint {endpoint!r}")
+        client = self.client_for(stream_did)
+        ack = client.call(conn.user, conn.trusted, endpoint, args_drisl)
+        if endpoint == "stream/subscribe_events":
+            decoded = drisl.decode(ack)
+            if "Ok" in decoded:
+                sub_id = decoded["Ok"]["subscriptionId"]
+                client.subs[sub_id] = _RemoteSub(sub_id, stream_did)
+        elif endpoint == "stream/unsubscribe":
+            if "Ok" in drisl.decode(ack):
+                client.subs.pop(args.get("subscriptionId"), None)
+        return ack
+
+    def _poll_local(self, args: dict) -> dict:
+        sub = self.client_for(args["streamDid"]).subs.get(args["subscriptionId"])
+        if sub is None:
+            raise KeyError(f"unknown subscription {args['subscriptionId']}")
+        responses: list[SubscriptionResponse] = []
+        timeout = float(args.get("timeoutSec") or 0)
+        try:
+            responses.append(
+                sub.channel.get(timeout=timeout)
+                if timeout > 0
+                else sub.channel.get_nowait()
+            )
+            while True:
+                responses.append(sub.channel.get_nowait())
+        except queue.Empty:
+            pass
+        return {
+            "responses": [
+                {"rows": r.rows, "hasMore": r.has_more, "error": r.error}
+                for r in responses
+            ]
+        }
+
+    def close(self) -> None:
+        for c in self.clients:
+            c.close()
+
+
+class LeafShardSupervisor:
+    """One-port A23 front end over N share-nothing shard drivers.
+
+    ``spark=None`` (production shape) spawns each shard as a subprocess
+    with its own SparkSession/JVM via ``python -m leaf_spark.sharding``.
+    Passing a live ``spark`` runs the shards in-process on that session
+    (threads, separate catalog roots, same RPC protocol) — the cheap mode
+    for tests, which exercises everything but the process boundary.
+    """
+
+    def __init__(
+        self,
+        root_dir: str,
+        n_shards: int = 2,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        tokens: dict[str, Connection] | None = None,
+        did_keys: dict[str, bytes] | None = None,
+        audience: str | None = None,
+        server_did: str = "did:web:localhost",
+        spark=None,
+        cpus_per_shard: int | None = None,
+        spawn_timeout: float = 180.0,
+    ):
+        if n_shards < 1:
+            raise ValueError("n_shards must be >= 1")
+        self.root_dir = root_dir
+        self.n_shards = n_shards
+        self._host, self._port = host, port
+        self._tokens, self._did_keys = tokens, did_keys
+        self._audience, self._server_did = audience, server_did
+        self._spark = spark
+        self._cpus = cpus_per_shard
+        self._spawn_timeout = spawn_timeout
+        self._procs: list[subprocess.Popen] = []
+        self._workers: list[ShardWorker] = []
+        self.router: ShardRouter | None = None
+        self.sio = None
+
+    # -- lifecycle -------------------------------------------------------------
+
+    def start(self) -> "LeafShardSupervisor":
+        from .socketio import LeafSocketIOServer
+
+        ports = (
+            self._start_inprocess() if self._spark is not None else self._spawn()
+        )
+        clients = [ShardClient("127.0.0.1", p) for p in ports]
+        self.router = ShardRouter(clients)
+        self.sio = LeafSocketIOServer(
+            self.router,
+            host=self._host,
+            port=self._port,
+            tokens=self._tokens,
+            did_keys=self._did_keys,
+            audience=self._audience,
+            server_did=self._server_did,
+        ).start()
+        self.host, self.port = self.sio.host, self.sio.port
+        return self
+
+    def _shard_root(self, i: int) -> str:
+        return os.path.join(self.root_dir, f"shard{i}")
+
+    def _start_inprocess(self) -> list[int]:
+        ports = []
+        for i in range(self.n_shards):
+            w = ShardWorker(self._spark, self._shard_root(i))
+            ports.append(w.listen())
+            threading.Thread(target=w.serve_forever, daemon=True).start()
+            self._workers.append(w)
+        return ports
+
+    def _spawn(self) -> list[int]:
+        total = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+        cpus = self._cpus or max(2, total // self.n_shards)
+        port_files = []
+        for i in range(self.n_shards):
+            os.makedirs(self._shard_root(i), exist_ok=True)
+            pf = os.path.join(self._shard_root(i), f".port.{uuid.uuid4().hex}")
+            port_files.append(pf)
+            self._procs.append(
+                subprocess.Popen(
+                    [
+                        sys.executable,
+                        "-m",
+                        "leaf_spark.sharding",
+                        "--root",
+                        self._shard_root(i),
+                        "--port-file",
+                        pf,
+                        "--cpus",
+                        str(cpus),
+                        "--app",
+                        f"leaf-shard-{i}",
+                    ],
+                    cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                )
+            )
+        ports = []
+        deadline = time.monotonic() + self._spawn_timeout
+        for i, pf in enumerate(port_files):
+            while not os.path.exists(pf):
+                if self._procs[i].poll() is not None:
+                    raise RuntimeError(
+                        f"shard {i} exited with {self._procs[i].returncode}"
+                    )
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"shard {i} did not report a port")
+                time.sleep(0.1)
+            with open(pf) as f:
+                ports.append(int(f.read().strip()))
+            os.unlink(pf)
+        return ports
+
+    def close(self) -> None:
+        if self.sio is not None:
+            self.sio.close()
+        if self.router is not None:
+            self.router.close()
+        for w in self._workers:
+            w.close()
+        for p in self._procs:
+            p.terminate()
+        for p in self._procs:
+            try:
+                p.wait(timeout=20)
+            except subprocess.TimeoutExpired:
+                p.kill()
+
+
+# --------------------------------------------------------------------------
+# shard worker subprocess entry: python -m leaf_spark.sharding …
+# --------------------------------------------------------------------------
+
+
+def _worker_main(argv: list[str]) -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(description="leaf_spark shard worker")
+    ap.add_argument("--root", required=True)
+    ap.add_argument("--port-file", required=True)
+    ap.add_argument("--cpus", type=int, default=4)
+    ap.add_argument("--app", default="leaf-shard")
+    ns = ap.parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark(
+        ns.app, master=f"local[{ns.cpus}]", shuffle_partitions=ns.cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    worker = ShardWorker(spark, ns.root)
+    port = worker.listen()
+    tmp = ns.port_file + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(port))
+    os.replace(tmp, ns.port_file)
+    try:
+        worker.serve_forever()
+    finally:
+        worker.close()
+
+
+if __name__ == "__main__":
+    _worker_main(sys.argv[1:])

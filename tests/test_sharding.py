@@ -1,0 +1,297 @@
+"""Multi-driver sharding tests (SCALE.md §3 cure shipped as code): the
+supervisor serves the full A23 socket.io surface on one port, routes by a
+stable DID hash to share-nothing shard catalogs (≈ the reference's
+one-actor-per-stream layout, leaf-server/src/streams.rs:36-46), forwards
+per-request auth, broadcasts module uploads, merges admin listings, and
+relays live subscription pushes across the shard RPC.
+
+Most tests run the shards in-process (same RPC protocol over real TCP,
+shared SparkSession — everything but the process boundary); one smoke test
+exercises the true subprocess mode with separate JVMs.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from leaf_spark import drisl
+from leaf_spark.server import Connection
+from leaf_spark.sharding import LeafShardSupervisor, shard_of
+from leaf_spark.socketio import LeafSocketIOClient
+
+from .fixtures import CHAT
+
+
+def _dids_on_shards(n_shards: int) -> list[str]:
+    """One DID per shard, found by scanning the deterministic hash."""
+    out: dict[int, str] = {}
+    i = 0
+    while len(out) < n_shards:
+        did = f"did:plc:shardtest{i}"
+        out.setdefault(shard_of(did, n_shards), did)
+        i += 1
+    return [out[s] for s in range(n_shards)]
+
+
+@pytest.fixture()
+def sharded(spark, tmp_root):
+    sup = LeafShardSupervisor(
+        tmp_root,
+        n_shards=2,
+        tokens={
+            "alice-token": Connection(user="did:plc:alice"),
+            "admin-token": Connection(user="did:plc:admin", trusted=True),
+        },
+        spark=spark,
+    ).start()
+    yield sup
+    sup.close()
+
+
+def _client(sup, token="alice-token") -> LeafSocketIOClient:
+    return LeafSocketIOClient(sup.host, sup.port, token=token)
+
+
+def test_shard_of_stable_and_total() -> None:
+    dids = [f"did:plc:u{i}" for i in range(200)]
+    owners = [shard_of(d, 4) for d in dids]
+    assert owners == [shard_of(d, 4) for d in dids]  # deterministic
+    assert set(owners) == {0, 1, 2, 3}  # every shard gets work
+    assert all(0 <= o < 4 for o in owners)
+
+
+def test_streams_land_on_their_hash_shard(sharded):
+    did0, did1 = _dids_on_shards(2)
+    cli = _client(sharded)
+    try:
+        cid = cli.call("module/upload", {"module": CHAT.to_codec()})["Ok"]["cid"]
+        for did in (did0, did1):
+            assert "Ok" in cli.call(
+                "stream/create", {"streamDid": did, "moduleCid": cid}
+            )
+            out = cli.call(
+                "stream/event_batch",
+                {
+                    "streamDid": did,
+                    "payloads": [drisl.encode({"content": f"on {did}", "sentAt": 1})],
+                },
+            )
+            assert out["Ok"]["latestEvent"] == 1
+            rows = cli.call(
+                "stream/query", {"streamDid": did, "query": {"name": "messages"}}
+            )["Ok"]["rows"]
+            assert [r["content"]["value"] for r in rows] == [f"on {did}"]
+        # share-nothing on disk: each stream persisted under its own shard root
+        w0, w1 = sharded._workers
+        assert [i.stream_did for i in w0.catalog.list_streams()] == [did0]
+        assert [i.stream_did for i in w1.catalog.list_streams()] == [did1]
+    finally:
+        cli.close()
+
+
+def test_module_upload_broadcasts_and_exists_is_global(sharded):
+    cli = _client(sharded)
+    try:
+        cid = cli.call("module/upload", {"module": CHAT.to_codec()})["Ok"]["cid"]
+        assert cli.call("module/exists", {"cid": cid})["Ok"]["exists"] is True
+        assert (
+            cli.call("module/exists", {"cid": "no-such-cid"})["Ok"]["exists"]
+            is False
+        )
+        for w in sharded._workers:
+            assert w.catalog.modules.exists(cid)
+    finally:
+        cli.close()
+
+
+def test_admin_list_streams_merges_shards(sharded):
+    did0, did1 = _dids_on_shards(2)
+    alice, admin = _client(sharded), _client(sharded, token="admin-token")
+    try:
+        cid = alice.call("module/upload", {"module": CHAT.to_codec()})["Ok"]["cid"]
+        for did in (did0, did1):
+            alice.call("stream/create", {"streamDid": did, "moduleCid": cid})
+        out = admin.call("admin/list_streams", {})
+        assert sorted(s["streamDid"] for s in out["Ok"]["streams"]) == sorted(
+            [did0, did1]
+        )
+        # auth is forwarded, not laundered: the supervisor's shard links are
+        # internal — a non-trusted external conn must still be refused
+        assert "Err" in alice.call("admin/list_streams", {})
+    finally:
+        alice.close()
+        admin.close()
+
+
+def test_anonymous_write_denied_through_supervisor(sharded):
+    anon = _client(sharded, token=None)
+    try:
+        out = anon.call("module/upload", {"module": CHAT.to_codec()})
+        assert "Err" in out and "PermissionError" in out["Err"]
+    finally:
+        anon.close()
+
+
+def test_subscription_push_relayed_across_shard_rpc(sharded):
+    did0, _ = _dids_on_shards(2)
+    cli = _client(sharded)
+    try:
+        cid = cli.call("module/upload", {"module": CHAT.to_codec()})["Ok"]["cid"]
+        cli.call("stream/create", {"streamDid": did0, "moduleCid": cid})
+        sub = cli.call(
+            "stream/subscribe_events",
+            {"streamDid": did0, "query": {"name": "messages"}},
+        )["Ok"]
+        sub_id = sub["subscriptionId"]
+        cli.call(
+            "stream/event_batch",
+            {
+                "streamDid": did0,
+                "payloads": [drisl.encode({"content": "relayed!", "sentAt": 2})],
+            },
+        )
+        for _ in range(10):
+            kind, payload = cli.next_event(timeout=60)
+            if kind == "stream/subscription_response":
+                break
+        else:
+            pytest.fail("no subscription push relayed")
+        assert payload["subscriptionId"] == sub_id
+        rows = payload["response"]["Ok"]["rows"]
+        assert [r["content"]["value"] for r in rows] == ["relayed!"]
+
+        assert "Ok" in cli.call(
+            "stream/unsubscribe", {"streamDid": did0, "subscriptionId": sub_id}
+        )
+        # supervisor mirror cleaned up; shard-side sub gone too
+        client = sharded.router.client_for(did0)
+        assert sub_id not in client.subs
+        owner = sharded._workers[shard_of(did0, 2)]
+        deadline = time.monotonic() + 5
+        while sub_id in owner.catalog.worker(did0).subs:
+            assert time.monotonic() < deadline, "shard-side sub not removed"
+            time.sleep(0.05)
+    finally:
+        cli.close()
+
+
+def test_poll_subscription_served_from_supervisor_mirror(sharded):
+    did0, _ = _dids_on_shards(2)
+    cli = _client(sharded)
+    try:
+        cid = cli.call("module/upload", {"module": CHAT.to_codec()})["Ok"]["cid"]
+        cli.call("stream/create", {"streamDid": did0, "moduleCid": cid})
+        sub_id = cli.call(
+            "stream/subscribe_events",
+            {"streamDid": did0, "query": {"name": "messages"}},
+        )["Ok"]["subscriptionId"]
+        cli.call(
+            "stream/event_batch",
+            {
+                "streamDid": did0,
+                "payloads": [drisl.encode({"content": "polled", "sentAt": 3})],
+            },
+        )
+        # the ws push loop and poll share the mirror queue (same race as the
+        # single-driver server) — accept the response on either path
+        got: list[dict] = []
+        deadline = time.monotonic() + 60
+        while not got and time.monotonic() < deadline:
+            out = cli.call(
+                "stream/poll_subscription",
+                {"streamDid": did0, "subscriptionId": sub_id, "timeoutSec": 1},
+            )
+            if "Ok" in out:
+                got.extend(out["Ok"]["responses"])
+            try:
+                kind, payload = cli.next_event(timeout=0.1)
+                if kind == "stream/subscription_response":
+                    got.append(payload["response"]["Ok"])
+            except Exception:
+                pass
+        assert got, "no subscription response on either path"
+        assert "Err" in cli.call(
+            "stream/poll_subscription",
+            {"streamDid": did0, "subscriptionId": "nope", "timeoutSec": 0},
+        )
+    finally:
+        cli.close()
+
+
+def test_remaining_endpoints_route_by_did(sharded):
+    _, did1 = _dids_on_shards(2)
+    cli = _client(sharded)
+    try:
+        cid = cli.call("module/upload", {"module": CHAT.to_codec()})["Ok"]["cid"]
+        cli.call("stream/create", {"streamDid": did1, "moduleCid": cid})
+        assert "Ok" in cli.call(
+            "stream/set_handle", {"streamDid": did1, "handle": "room.example.com"}
+        )
+        info = cli.call("stream/info", {"streamDid": did1})["Ok"]
+        assert info["handle"] == "room.example.com"
+        assert info["moduleCid"] == cid
+        assert "Ok" in cli.call(
+            "stream/state_event_batch",
+            {
+                "streamDid": did1,
+                "payloads": [drisl.encode({"lastRead": 4})],
+            },
+        )
+        assert "Ok" in cli.call("stream/clear_state", {"streamDid": did1})
+        assert "Ok" in cli.call(
+            "stream/update_module", {"streamDid": did1, "moduleCid": cid}
+        )
+        assert "Err" in cli.call("nope/endpoint", {})
+    finally:
+        cli.close()
+
+
+@pytest.mark.slow
+def test_subprocess_shards_smoke(tmp_path):
+    """True multi-driver mode: 2 shard subprocesses, each its own JVM."""
+    sup = LeafShardSupervisor(
+        str(tmp_path / "sharded"),
+        n_shards=2,
+        tokens={"alice-token": Connection(user="did:plc:alice")},
+        cpus_per_shard=2,
+    )
+    try:
+        sup.start()
+        assert len(sup._procs) == 2
+        assert all(p.poll() is None for p in sup._procs)
+        did0, did1 = _dids_on_shards(2)
+        cli = _client(sup)
+        try:
+            cid = cli.call("module/upload", {"module": CHAT.to_codec()})["Ok"][
+                "cid"
+            ]
+            for did in (did0, did1):
+                assert "Ok" in cli.call(
+                    "stream/create", {"streamDid": did, "moduleCid": cid}
+                )
+                out = cli.call(
+                    "stream/event_batch",
+                    {
+                        "streamDid": did,
+                        "payloads": [
+                            drisl.encode({"content": "cross-jvm", "sentAt": 1})
+                        ],
+                    },
+                )
+                assert out["Ok"]["latestEvent"] == 1
+                rows = cli.call(
+                    "stream/query",
+                    {"streamDid": did, "query": {"name": "messages"}},
+                )["Ok"]["rows"]
+                assert [r["content"]["value"] for r in rows] == ["cross-jvm"]
+            # persisted under each shard's own root (share-nothing on disk)
+            for i in range(2):
+                root = os.path.join(str(tmp_path / "sharded"), f"shard{i}")
+                assert os.listdir(root), f"shard{i} root is empty"
+        finally:
+            cli.close()
+    finally:
+        sup.close()

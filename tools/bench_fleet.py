@@ -6,6 +6,14 @@ slots saturate.
 
 Usage: python tools/bench_fleet.py [streams] [events_per_stream] [batch]
 Prints one JSON line.
+
+``--shards N`` benches the multi-driver supervisor instead (leaf_spark/
+sharding.py): N shard subprocesses, each its own SparkSession/JVM, fronted
+by one socket.io port; ingest arrives over real socket.io clients, so the
+full route (ws → supervisor → shard RPC → Spark fold) is measured. This is
+the deployment cure for the single-driver GIL ceiling — compare its
+``fleet_aggregate_events_per_sec`` against the default mode's at the same
+stream count.
 """
 
 from __future__ import annotations
@@ -24,10 +32,109 @@ from leaf_spark.stream import Stream
 from tests.fixtures import CHAT, msg
 
 
+def main_sharded(n_streams: int, per_stream: int, batch: int, n_shards: int) -> None:
+    import os
+
+    from leaf_spark import drisl
+    from leaf_spark.server import Connection
+    from leaf_spark.sharding import LeafShardSupervisor
+    from leaf_spark.socketio import LeafSocketIOClient
+
+    root = tempfile.mkdtemp(prefix="fleet_shard_bench_")
+    sup = LeafShardSupervisor(
+        root,
+        n_shards=n_shards,
+        tokens={"bench-token": Connection(user="did:plc:bench")},
+        cpus_per_shard=max(
+            2, int(os.environ.get("SPARK_GRAFT_CPUS", "32")) // n_shards
+        ),
+    ).start()
+    try:
+        setup = LeafSocketIOClient(sup.host, sup.port, token="bench-token")
+        cid = setup.call("module/upload", {"module": CHAT.to_codec()})["Ok"]["cid"]
+        dids = [f"did:plc:fleet{i}" for i in range(n_streams)]
+        for did in dids:
+            out = setup.call("stream/create", {"streamDid": did, "moduleCid": cid})
+            assert "Ok" in out, out
+
+        def ingest(did: str) -> None:
+            cli = LeafSocketIOClient(sup.host, sup.port, token="bench-token")
+            try:
+                i = 0
+                while i < per_stream:
+                    n = min(batch, per_stream - i)
+                    out = cli.call(
+                        "stream/event_batch",
+                        {
+                            "streamDid": did,
+                            "payloads": [
+                                drisl.encode(
+                                    {"content": f"m{i + j}", "sentAt": i + j}
+                                )
+                                for j in range(n)
+                            ],
+                        },
+                    )
+                    assert "Ok" in out, out
+                    i += n
+            finally:
+                cli.close()
+
+        # warm every shard's JVM/codegen with one batch per stream
+        for did in dids:
+            out = setup.call(
+                "stream/event_batch",
+                {
+                    "streamDid": did,
+                    "payloads": [
+                        drisl.encode({"content": f"w{j}", "sentAt": j})
+                        for j in range(batch)
+                    ],
+                },
+            )
+            assert "Ok" in out, out
+        setup.close()
+
+        t0 = time.time()
+        ingest(dids[0])
+        single = per_stream / (time.time() - t0)
+
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=n_streams - 1) as ex:
+            list(ex.map(ingest, dids[1:]))
+        fleet = (n_streams - 1) * per_stream / (time.time() - t0)
+
+        print(
+            json.dumps(
+                {
+                    "mode": "sharded",
+                    "n_shards": n_shards,
+                    "n_streams_concurrent": n_streams - 1,
+                    "events_per_stream": per_stream,
+                    "batch_size": batch,
+                    "single_stream_events_per_sec": round(single, 1),
+                    "fleet_aggregate_events_per_sec": round(fleet, 1),
+                    "scaling_factor": round(fleet / single, 2),
+                }
+            )
+        )
+    finally:
+        sup.close()
+
+
 def main() -> None:
-    n_streams = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    per_stream = int(sys.argv[2]) if len(sys.argv) > 2 else 4000
-    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 2000
+    argv = list(sys.argv[1:])
+    n_shards = 0
+    if "--shards" in argv:
+        i = argv.index("--shards")
+        n_shards = int(argv[i + 1])
+        del argv[i : i + 2]
+    n_streams = int(argv[0]) if len(argv) > 0 else 4
+    per_stream = int(argv[1]) if len(argv) > 1 else 4000
+    batch = int(argv[2]) if len(argv) > 2 else 2000
+    if n_shards:
+        main_sharded(n_streams, per_stream, batch, n_shards)
+        return
     # FAIR must be set at context creation — scheduler mode is immutable
     # after the TaskScheduler initializes (a setLocalProperty would be a
     # silent no-op; only spark.scheduler.pool is read per-thread)
