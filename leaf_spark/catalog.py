@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -108,6 +109,11 @@ class StreamCatalog:
         self._open: dict[str, _Entry] = {}
         self._meta_path = os.path.join(root_dir, "streams_meta.json")
         self._meta: dict[str, dict] = self._load_meta()
+        # concurrent commits on DIFFERENT streams both persist latest_event
+        # through this catalog: without the lock, two writers race on the
+        # same .tmp file (the loser's os.replace hits FileNotFoundError)
+        # and json.dump can iterate _meta mid-mutation
+        self._meta_lock = threading.RLock()
 
     def _load_meta(self) -> dict:
         if os.path.exists(self._meta_path):
@@ -116,11 +122,12 @@ class StreamCatalog:
         return {}
 
     def _save_meta(self) -> None:
-        os.makedirs(self.root, exist_ok=True)
-        tmp = self._meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self._meta, f)
-        os.replace(tmp, self._meta_path)
+        with self._meta_lock:
+            os.makedirs(self.root, exist_ok=True)
+            tmp = self._meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(self._meta, f)
+            os.replace(tmp, self._meta_path)
 
     # -- stream lifecycle ----------------------------------------------------
 
@@ -130,8 +137,9 @@ class StreamCatalog:
         module = self.modules.get(module_cid)
         stream = Stream(self.spark, self.root, stream_did, self.authorizer)
         stream.provide_module(module)
-        self._meta[stream_did] = {"handle": None, "latest_event": 0, "module_cid": module_cid}
-        self._save_meta()
+        with self._meta_lock:
+            self._meta[stream_did] = {"handle": None, "latest_event": 0, "module_cid": module_cid}
+            self._save_meta()
         self._register(stream)
         return stream
 
@@ -140,9 +148,10 @@ class StreamCatalog:
 
         def _persist_latest(latest: int, did=stream.stream_did) -> None:
             # server persists latest_event globally (streams.rs:64-73)
-            if did in self._meta:
-                self._meta[did]["latest_event"] = latest
-                self._save_meta()
+            with self._meta_lock:
+                if did in self._meta:
+                    self._meta[did]["latest_event"] = latest
+                    self._save_meta()
 
         stream.on_update(_persist_latest)
         self._open[stream.stream_did] = _Entry(stream, worker)
@@ -174,8 +183,9 @@ class StreamCatalog:
     def update_module(self, stream_did: str, module_cid: str) -> None:
         stream = self.open(stream_did)
         stream.update_module(self.modules.get(module_cid))
-        self._meta[stream_did]["module_cid"] = module_cid
-        self._save_meta()
+        with self._meta_lock:
+            self._meta[stream_did]["module_cid"] = module_cid
+            self._save_meta()
 
     def set_handle(self, stream_did: str, handle: str | None) -> None:
         if stream_did not in self._meta:
@@ -183,8 +193,9 @@ class StreamCatalog:
         for did, m in self._meta.items():
             if handle is not None and m.get("handle") == handle and did != stream_did:
                 raise ValueError(f"handle {handle!r} already taken")
-        self._meta[stream_did]["handle"] = handle
-        self._save_meta()
+        with self._meta_lock:
+            self._meta[stream_did]["handle"] = handle
+            self._save_meta()
 
     def stream_info(self, stream_did: str) -> StreamInfo:
         m = self._meta.get(stream_did)

@@ -31,6 +31,20 @@ def accept_key(client_key: str) -> str:
     return base64.b64encode(digest).decode()
 
 
+def _xor_mask(data: bytes, key: bytes) -> bytes:
+    """RFC 6455 §5.3 payload masking at C speed: one big-int XOR instead of
+    a per-byte Python loop (the loop capped transport throughput at a few
+    hundred KB/s and serialized every large frame on the GIL — it was the
+    top slice of a 2000-event batch round trip over socket.io)."""
+    n = len(data)
+    if not n:
+        return data
+    full = key * (n // 4) + key[: n % 4]
+    return (
+        int.from_bytes(data, "little") ^ int.from_bytes(full, "little")
+    ).to_bytes(n, "little")
+
+
 class FrameSocket:
     """A socket plus the unconsumed tail of the handshake read."""
 
@@ -65,7 +79,7 @@ class FrameSocket:
             mask = self._recv_exact(4) if masked else None
             data = self._recv_exact(ln) if ln else b""
             if mask:
-                data = bytes(b ^ mask[i % 4] for i, b in enumerate(data))
+                data = _xor_mask(data, mask)
             if op != OP_CONT:
                 opcode = op
             payload += data
@@ -87,7 +101,7 @@ class FrameSocket:
         if mask:
             key = os.urandom(4)
             header += key
-            payload = bytes(b ^ key[i % 4] for i, b in enumerate(payload))
+            payload = _xor_mask(payload, key)
         self.sock.sendall(bytes(header) + payload)
 
     def close(self) -> None:

@@ -249,6 +249,41 @@ def test_remaining_endpoints_route_by_did(sharded):
         cli.close()
 
 
+def test_catalog_meta_persist_is_concurrent_safe(spark, tmp_root):
+    """Concurrent commits on different streams of one catalog race on
+    streams_meta.json (.tmp rename + json.dump during mutation) — found by
+    the sharded fleet bench, fixed with the catalog meta lock."""
+    import threading
+
+    from leaf_spark.catalog import StreamCatalog
+
+    cat = StreamCatalog(spark, tmp_root)
+    with cat._meta_lock:
+        for i in range(8):
+            cat._meta[f"did:plc:c{i}"] = {
+                "handle": None,
+                "latest_event": 0,
+                "module_cid": None,
+            }
+    errs: list[Exception] = []
+
+    def churn(i: int) -> None:
+        try:
+            for n in range(100):
+                with cat._meta_lock:
+                    cat._meta[f"did:plc:c{i}"]["latest_event"] = n
+                    cat._save_meta()
+        except Exception as e:  # pragma: no cover - failure path
+            errs.append(e)
+
+    ts = [threading.Thread(target=churn, args=(i,)) for i in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+
+
 @pytest.mark.slow
 def test_subprocess_shards_smoke(tmp_path):
     """True multi-driver mode: 2 shard subprocesses, each its own JVM."""

@@ -32,8 +32,54 @@ from leaf_spark.stream import Stream
 from tests.fixtures import CHAT, msg
 
 
+def _ingest_worker(argv: list[str]) -> None:
+    """Subprocess load generator: its encode/mask/frame CPU must not share
+    the supervisor's GIL (clients are remote processes in any real
+    deployment — an in-process thread would bench the generator, not the
+    server)."""
+    import sys as _sys
+
+    sys.path.insert(0, "/root/repo")
+    from leaf_spark import drisl
+    from leaf_spark.socketio import LeafSocketIOClient
+
+    host, port, did, per_stream, batch = (
+        argv[0],
+        int(argv[1]),
+        argv[2],
+        int(argv[3]),
+        int(argv[4]),
+    )
+    cli = LeafSocketIOClient(host, port, token="bench-token")
+    # ready/go barrier: interpreter + pyspark-import startup (~1-2 s per
+    # worker) must not land inside the parent's timing window
+    print("READY", flush=True)
+    assert _sys.stdin.readline().strip() == "GO"
+    try:
+        i = 0
+        while i < per_stream:
+            n = min(batch, per_stream - i)
+            out = cli.call(
+                "stream/event_batch",
+                {
+                    "streamDid": did,
+                    "payloads": [
+                        drisl.encode({"content": f"m{i + j}", "sentAt": i + j})
+                        for j in range(n)
+                    ],
+                },
+                timeout=600,
+            )
+            assert "Ok" in out, out
+            i += n
+    finally:
+        cli.close()
+    _sys.exit(0)
+
+
 def main_sharded(n_streams: int, per_stream: int, batch: int, n_shards: int) -> None:
     import os
+    import subprocess
 
     from leaf_spark import drisl
     from leaf_spark.server import Connection
@@ -52,33 +98,52 @@ def main_sharded(n_streams: int, per_stream: int, batch: int, n_shards: int) -> 
     try:
         setup = LeafSocketIOClient(sup.host, sup.port, token="bench-token")
         cid = setup.call("module/upload", {"module": CHAT.to_codec()})["Ok"]["cid"]
-        dids = [f"did:plc:fleet{i}" for i in range(n_streams)]
+        # shard-balanced DIDs (round-robin over the hash): 9 sequential
+        # names can land 8-on-1 by chance; a real fleet of many tenants
+        # balances by the law of large numbers, and THAT capacity is what
+        # this bench measures — an adversarially skewed tenant set is a
+        # placement problem, not a transport one
+        from leaf_spark.sharding import shard_of
+
+        dids: list[str] = []
+        i = 0
+        while len(dids) < n_streams:
+            cand = f"did:plc:fleet{i}"
+            if shard_of(cand, n_shards) == len(dids) % n_shards:
+                dids.append(cand)
+            i += 1
         for did in dids:
             out = setup.call("stream/create", {"streamDid": did, "moduleCid": cid})
             assert "Ok" in out, out
 
-        def ingest(did: str) -> None:
-            cli = LeafSocketIOClient(sup.host, sup.port, token="bench-token")
-            try:
-                i = 0
-                while i < per_stream:
-                    n = min(batch, per_stream - i)
-                    out = cli.call(
-                        "stream/event_batch",
-                        {
-                            "streamDid": did,
-                            "payloads": [
-                                drisl.encode(
-                                    {"content": f"m{i + j}", "sentAt": i + j}
-                                )
-                                for j in range(n)
-                            ],
-                        },
-                    )
-                    assert "Ok" in out, out
-                    i += n
-            finally:
-                cli.close()
+        def spawn(did: str) -> subprocess.Popen:
+            return subprocess.Popen(
+                [
+                    sys.executable,
+                    sys.argv[0],
+                    "--ingest-worker",
+                    sup.host,
+                    str(sup.port),
+                    did,
+                    str(per_stream),
+                    str(batch),
+                ],
+                stdin=subprocess.PIPE,
+                stdout=subprocess.PIPE,
+                text=True,
+            )
+
+        def run_group(group: list[str]) -> float:
+            """Spawn one worker per DID, barrier on READY, time GO→exit."""
+            procs = [spawn(d) for d in group]
+            for p in procs:
+                assert p.stdout.readline().strip() == "READY"
+            t0 = time.time()
+            for p in procs:
+                p.stdin.write("GO\n")
+                p.stdin.flush()
+            assert all(p.wait() == 0 for p in procs)
+            return time.time() - t0
 
         # warm every shard's JVM/codegen with one batch per stream
         for did in dids:
@@ -95,14 +160,8 @@ def main_sharded(n_streams: int, per_stream: int, batch: int, n_shards: int) -> 
             assert "Ok" in out, out
         setup.close()
 
-        t0 = time.time()
-        ingest(dids[0])
-        single = per_stream / (time.time() - t0)
-
-        t0 = time.time()
-        with ThreadPoolExecutor(max_workers=n_streams - 1) as ex:
-            list(ex.map(ingest, dids[1:]))
-        fleet = (n_streams - 1) * per_stream / (time.time() - t0)
+        single = per_stream / run_group(dids[:1])
+        fleet = (n_streams - 1) * per_stream / run_group(dids[1:])
 
         print(
             json.dumps(
@@ -124,6 +183,9 @@ def main_sharded(n_streams: int, per_stream: int, batch: int, n_shards: int) -> 
 
 def main() -> None:
     argv = list(sys.argv[1:])
+    if argv and argv[0] == "--ingest-worker":
+        _ingest_worker(argv[1:])
+        return
     n_shards = 0
     if "--shards" in argv:
         i = argv.index("--shards")
