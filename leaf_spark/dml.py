@@ -115,6 +115,20 @@ class TableStore:
     # prove append-only falls back to the full rewrite — the safe
     # direction. Missing key = untouched since the last snapshot.
     _snap_deltas: dict = field(default_factory=dict)
+    # mirror append chain: name → list of (version_after, delta_df | None)
+    # registrations since the mirror consumer last synced, or None once
+    # poisoned by a non-append registration. Like _snap_deltas but keyed
+    # by VERSION instead of "since last snapshot", so the localexec sqlite
+    # mirrors (Stream._mirror_tables) can advance a mirror staged at any
+    # version by inserting only the delta rows — the O(delta) read-path
+    # analogue of the incremental snapshot. A (ver, None) entry records a
+    # content-preserving re-registration (checkpoint/persist re-point).
+    _mirror_chain: dict = field(default_factory=dict)
+    _MIRROR_CHAIN_CAP = 64  # mirrors staler than this many registrations restage
+    # version at which the table was provably EMPTY (set by create): lets a
+    # never-staged mirror bootstrap by replaying the full append chain from
+    # an empty base instead of a take() over the grown table
+    _mirror_base: dict = field(default_factory=dict)
     # SQLite connection-state functions (last_insert_rowid / changes /
     # total_changes). Tracking costs one count job per DML statement, so it
     # is enabled only when module SQL actually references the functions
@@ -164,6 +178,11 @@ class TableStore:
         # (localexec table mirrors) key on this — object identity would
         # be GC-reusable, and restore()/clear_state re-register too
         self._table_versions[name] = self._table_versions.get(name, 0) + 1
+        # poison-by-default: every registration is assumed content-changing
+        # unless the caller (appended / _reregister_preserving) repairs the
+        # chain right after — the safe direction for ALTER/restore/ad-hoc
+        # register callers that know nothing about mirrors
+        self._mirror_chain[name] = None
         df.createOrReplaceTempView(self.view_name(name))
 
     def table_version(self, name: str) -> int:
@@ -182,6 +201,9 @@ class TableStore:
         # persist after a (re)create to take the full-rewrite path.
         self._snap_deltas[tdef.name] = None
         self.register(tdef.name, self._empty_df(tdef.schema))
+        # a fresh empty table is a valid mirror base: the chain starts here
+        self._mirror_chain[tdef.name] = []
+        self._mirror_base[tdef.name] = self._table_versions[tdef.name]
 
     def drop(self, name: str, if_exists: bool) -> None:
         if name not in self.defs:
@@ -214,11 +236,60 @@ class TableStore:
         cur = self._snap_deltas.get(name, [])
         if cur is not None:
             self._snap_deltas[name] = cur + [delta]
-        self.register(name, df)
+        chain = self._mirror_chain.get(name)
+        self.register(name, df)  # poisons the chain; repaired just below
+        if chain is not None:
+            chain.append((self._table_versions[name], delta))
+            self._mirror_chain[name] = chain[-self._MIRROR_CHAIN_CAP :]
         self._dirty.add(name)
         self._mutations += 1
         if self._mutations % 32 == 0:
             self.tables[name].localCheckpoint(eager=False)
+
+    def reregister_preserving(self, name: str, df: DataFrame) -> None:
+        """Re-register ``df`` as the SAME content under a new plan
+        (localCheckpoint / read-of-snapshot re-point): the version bumps,
+        but a mirror staged at the previous version is still exact — the
+        chain records a no-op entry instead of poisoning."""
+        chain = self._mirror_chain.get(name)
+        self.register(name, df)
+        if chain is not None:
+            chain.append((self._table_versions[name], None))
+            self._mirror_chain[name] = chain[-self._MIRROR_CHAIN_CAP :]
+
+    def mirror_base(self, name: str) -> int | None:
+        """Version at which ``name`` was empty (its CREATE), if known."""
+        return self._mirror_base.get(name)
+
+    def mirror_deltas(self, name: str, since_ver: int):
+        """Deltas that advance a mirror staged at ``since_ver`` to the
+        current version, or None when not provable (poisoned chain,
+        trimmed history, or a delta whose optimized plan is not a literal
+        LocalRelation — same proof the incremental snapshot uses, see
+        ``snap_deltas``). [] means only no-op re-registrations happened."""
+        chain = self._mirror_chain.get(name)
+        if chain is None:
+            return None
+        cur = self.table_version(name)
+        need = [e for e in chain if e[0] > since_ver]
+        if len(need) != cur - since_ver:
+            return None  # gap: history trimmed past the mirror's version
+        out = []
+        for _, d in need:
+            if d is None:
+                continue  # content-preserving re-registration
+            try:
+                if (
+                    d._jdf.queryExecution().optimizedPlan().nodeName()
+                    != "LocalRelation"
+                ):
+                    self._mirror_chain[name] = None
+                    return None
+            except Exception:
+                self._mirror_chain[name] = None
+                return None
+            out.append(d)
+        return out
 
     def snap_deltas(self, name: str) -> list | None:
         """Deltas since the last snapshot ([] = untouched, None = must
@@ -254,7 +325,9 @@ class TableStore:
         them would cost O(table) per batch for nothing."""
         for name in sorted(self._dirty):
             if name in self.tables:
-                self.register(name, self.tables[name].localCheckpoint(eager=True))
+                self.reregister_preserving(
+                    name, self.tables[name].localCheckpoint(eager=True)
+                )
         self._dirty.clear()
 
     def state_tables(self) -> list[str]:
@@ -283,6 +356,8 @@ class TableStore:
         # deltas recorded during the failed fold are no longer part of the
         # table; poison so the next snapshot fully rewrites (safe direction)
         self._snap_deltas = {n: None for n in tables}
+        # same for the mirror chains: the reinstated content predates them
+        self._mirror_chain = {n: None for n in tables}
         self.triggers = dict(triggers)
         for gone in set(self.tables) - set(tables):
             self.tables.pop(gone, None)

@@ -430,6 +430,31 @@ class LocalEval:
             )
         return True
 
+    def insert_rows(
+        self, name: str, columns: list[str], rows: list[tuple]
+    ) -> bool:
+        """Append delta rows to an existing mirror (incremental mirror
+        maintenance for provable pure-append tables — Stream._advance_mirror).
+        Type-checks every value BEFORE inserting so a single call is
+        all-or-nothing; returns False on unmirrorable values (caller drops
+        the whole mirror)."""
+        for r in rows:
+            for v in r:
+                if not isinstance(v, _MIRRORABLE_TYPES):
+                    return False
+        if not rows:
+            return True
+        cols = ", ".join(f'"{c}"' for c in columns)
+        ph = ", ".join("?" for _ in columns)
+        try:
+            self._con.executemany(
+                f'insert into "{name}" ({cols}) values ({ph})',
+                [tuple(r) for r in rows],
+            )
+        except sqlite3.Error:
+            return False
+        return True
+
     def drop_table(self, name: str) -> None:
         self._con.execute(f'drop table if exists "{name}"')
 

@@ -226,6 +226,9 @@ class Stream:
         # see localexec.py — removes the per-commit Python-runner jobs)
         self._local_eval_inst: localexec.LocalEval | None = None
         self._mirror_versions: dict[str, int] = {}
+        # rows currently staged per mirror — the append-growth budget
+        # (_MIRROR_CAP_APPEND) is enforced against this
+        self._mirror_rows: dict[str, int] = {}
         # table versions whose mirror staging FAILED (> cap /
         # unmirrorable) — skip re-probing until the version changes
         self._mirror_failed: dict[str, int] = {}
@@ -580,7 +583,7 @@ class Stream:
                             "is_state": tdef.is_state,
                             "paths": paths,
                         }
-                        self.store.register(
+                        self.store.reregister_preserving(
                             name, self._read_chain(tdef.schema, paths)
                         )
                         self._snap_table_versions[name] = (
@@ -601,7 +604,7 @@ class Stream:
                 }
                 # re-point the live DataFrame at the durable copy: truncates
                 # lineage and drops references to the previous snapshot files
-                self.store.register(
+                self.store.reregister_preserving(
                     name, self.spark.read.schema(tdef.schema).parquet(path)
                 )
                 self._snap_table_versions[name] = self.store.table_version(
@@ -3224,6 +3227,14 @@ class Stream:
     # EXISTS) also skip the per-commit Spark job; bigger tables keep the
     # Spark path (broadcast joins are what Spark is FOR at that size)
     _MIRROR_CAP = 256
+    # a mirror that is ALREADY staged keeps serving while the table grows
+    # by provable pure appends (TableStore.mirror_deltas): each commit
+    # inserts only the delta rows — O(delta) maintenance, no Spark job —
+    # up to this many rows. Chat-message-sized live state stays on the
+    # ~3,000 rt/s local path instead of dropping to the ~100 ms Spark
+    # floor at 257 rows; any non-append mutation poisons the chain and
+    # the next version check falls back to Spark (the safe direction).
+    _MIRROR_CAP_APPEND = 16384
 
     def _purge_stale_mirrors(self) -> None:
         """Drop mirrors whose table left the store (module swap, DROP):
@@ -3250,7 +3261,8 @@ class Stream:
         le = self._local_eval
         for name in sorted(names):
             ver = self.store.table_version(name)
-            if self._mirror_versions.get(name) == ver:
+            staged = self._mirror_versions.get(name)
+            if staged == ver:
                 continue
             if self._mirror_failed.get(name) == ver:
                 # this exact version already failed staging (> cap /
@@ -3261,6 +3273,28 @@ class Stream:
             df = self.store.tables.get(name)
             if df is None:
                 return False
+            if staged is None:
+                # never staged, but the append chain may be complete since
+                # CREATE (provably empty base): bootstrap by replaying the
+                # deltas into an empty mirror — no take(), no Spark job,
+                # and no 256-row ceiling on the first look
+                base = self.store.mirror_base(name)
+                if (
+                    base is not None
+                    and self.store.mirror_deltas(name, base) is not None
+                    and le.stage_table(name, df.columns, [])
+                ):
+                    self._mirror_rows[name] = 0
+                    staged = base
+            if staged is not None:
+                advanced = self._advance_mirror(name, df, staged, ver)
+                if advanced == "advanced":
+                    continue
+                if advanced == "toobig":
+                    return False
+                # "restage" falls through to the full path below
+                self._mirror_versions.pop(name, None)
+                self._mirror_rows.pop(name, None)
             rows = df.take(self._MIRROR_CAP + 1)
             if len(rows) > self._MIRROR_CAP:
                 self._mirror_versions.pop(name, None)
@@ -3275,7 +3309,53 @@ class Stream:
                 self._mirror_failed[name] = ver
                 return False
             self._mirror_versions[name] = ver
+            self._mirror_rows[name] = len(rows)
         return True
+
+    def _advance_mirror(self, name: str, df, staged: int, ver: int) -> str:
+        """Try to advance an already-staged mirror to ``ver`` by inserting
+        only the append-delta rows (TableStore.mirror_deltas) — no Spark
+        job, O(delta) sqlite inserts. Returns "advanced" (mirror now at
+        ``ver``), "restage" (chain unprovable → caller re-stages fully,
+        which re-applies the 256-row cap), or "toobig" (growth passed
+        _MIRROR_CAP_APPEND / unmirrorable values → mirror dropped and the
+        version negative-cached, caller uses Spark)."""
+        deltas = self.store.mirror_deltas(name, staged)
+        if deltas is None:
+            return "restage"
+        le = self._local_eval
+
+        def _fail() -> str:
+            self._mirror_versions.pop(name, None)
+            self._mirror_rows.pop(name, None)
+            self._mirror_failed[name] = ver
+            le.drop_table(name)
+            return "toobig"
+
+        cols = df.columns
+        total = self._mirror_rows.get(name, 0)
+        batches: list[list[tuple]] = []
+        for d in deltas:
+            if d.columns != cols:
+                if set(d.columns) >= set(cols):
+                    d = d.select(*cols)
+                else:
+                    return "restage"
+            # LocalRelation plans (proved in mirror_deltas): collect() is a
+            # driver-side literal read, not a cluster scan
+            drows = d.collect()
+            total += len(drows)
+            if total > self._MIRROR_CAP_APPEND:
+                return _fail()
+            batches.append([tuple(r[c] for c in cols) for r in drows])
+        for rows_ in batches:
+            if not le.insert_rows(name, cols, rows_):
+                # unmirrorable value types; earlier batches may already be
+                # in — the mirror is dropped either way, nothing can answer
+                return _fail()
+        self._mirror_versions[name] = ver
+        self._mirror_rows[name] = total
+        return "advanced"
 
     def _known_tables(self) -> set[str]:
         return {n.lower() for n in self.store.defs} | {

@@ -561,19 +561,132 @@ class TestReadPath:
         assert after[-1]["content"] == "m6"
         assert after == self._spark_rows(s, "a", LeafQuery("messages"))
 
-    def test_oversized_table_falls_back_to_spark(self, spark, tmp_path):
+    def test_append_grown_mirror_keeps_serving(self, spark, tmp_path):
+        """r11: a mirror staged under _MIRROR_CAP keeps serving while the
+        table grows by provable pure appends — each commit advances the
+        sqlite mirror by inserting only the delta rows (no Spark job,
+        TableStore.mirror_deltas), up to _MIRROR_CAP_APPEND."""
+        import unittest.mock as mock
+
         from .fixtures import msg
 
         s = self._chat(spark, tmp_path)
         cap = Stream._MIRROR_CAP
         s.add_events([msg("bulk", f"x{i}", 100 + i) for i in range(cap)])
         q = LeafQuery("message_stats", limit=1000)
+        expect = self._spark_rows(s, "a", q)
+        with mock.patch.object(
+            Stream, "query_df", side_effect=AssertionError("spark path used")
+        ):
+            got = s.query("a", q)
+        assert got == expect
+        assert s._mirror_rows["messages"] > cap
+
+    def test_oversized_initial_staging_falls_back(self, spark, tmp_path):
+        """A table already over _MIRROR_CAP with NO staged mirror (fresh
+        process / poisoned chain) stays on the Spark path — the raised
+        append cap only applies to mirrors grown incrementally."""
+        from .fixtures import msg
+
+        s = self._chat(spark, tmp_path)
+        s.add_events(
+            [msg("bulk", f"x{i}", 100 + i) for i in range(Stream._MIRROR_CAP)]
+        )
+        # simulate a fresh driver: no staged mirror, no append history
+        s._mirror_versions.pop("messages", None)
+        s._mirror_rows.pop("messages", None)
+        s._mirror_failed.pop("messages", None)
+        s.store._mirror_chain["messages"] = None
+        s._local_eval.drop_table("messages")
         assert s._local_query(
             s.module.query_def("message_stats").sql,
             {"start": 1, "limit": 1000, "requesting_user": "a"},
         ) is None
-        rows = s.query("a", q)
-        assert rows == self._spark_rows(s, "a", q)
+        q = LeafQuery("message_stats", limit=1000)
+        assert s.query("a", q) == self._spark_rows(s, "a", q)
+
+    def test_append_cap_drops_mirror(self, spark, tmp_path):
+        """Growth past _MIRROR_CAP_APPEND drops the mirror (negative-cached
+        by version) and the query falls back to Spark with identical rows."""
+        import unittest.mock as mock
+
+        from .fixtures import msg
+
+        s = self._chat(spark, tmp_path)
+        with mock.patch.object(Stream, "_MIRROR_CAP_APPEND", 300):
+            s.add_events([msg("bulk", f"x{i}", 100 + i) for i in range(300)])
+            q = LeafQuery("message_stats", limit=1000)
+            assert s._local_query(
+                s.module.query_def("message_stats").sql,
+                {"start": 1, "limit": 1000, "requesting_user": "a"},
+            ) is None
+            assert "messages" not in s._mirror_versions
+            assert s.query("a", q) == self._spark_rows(s, "a", q)
+
+    def test_non_append_mutation_drops_grown_mirror(self, spark, tmp_path):
+        """Any non-append registration poisons the chain; a grown mirror
+        (> _MIRROR_CAP rows) cannot restage and falls back to Spark."""
+        from .fixtures import msg
+
+        s = self._chat(spark, tmp_path)
+        s.add_events(
+            [msg("bulk", f"x{i}", 100 + i) for i in range(Stream._MIRROR_CAP)]
+        )
+        s.query("a", LeafQuery("messages", limit=1000))  # stages the mirror
+        assert s._mirror_rows["messages"] > Stream._MIRROR_CAP
+        # a content-changing re-registration outside the append protocol
+        s.store.mutated("messages", s.store.tables["messages"])
+        assert s._local_query(
+            s.module.query_def("message_stats").sql,
+            {"start": 1, "limit": 1000, "requesting_user": "a"},
+        ) is None
+        q = LeafQuery("message_stats", limit=1000)
+        assert s.query("a", q) == self._spark_rows(s, "a", q)
+
+    def test_grown_mirror_survives_persist_and_checkpoint(self, spark, tmp_path):
+        """persist_state and checkpoint_all re-register the SAME content
+        (snapshot re-point / localCheckpoint): the chain records no-op
+        entries, so the grown mirror advances without restaging."""
+        import unittest.mock as mock
+
+        from .fixtures import msg
+
+        s = self._chat(spark, tmp_path)
+        s.add_events(
+            [msg("bulk", f"x{i}", 100 + i) for i in range(Stream._MIRROR_CAP)]
+        )
+        q = LeafQuery("message_stats", limit=1000)
+        expect = self._spark_rows(s, "a", q)
+        s.persist_state()
+        s.store.checkpoint_all()
+        with mock.patch.object(
+            Stream, "query_df", side_effect=AssertionError("spark path used")
+        ):
+            got = s.query("a", q)
+        assert got == expect
+
+    @pytest.mark.slow
+    def test_mirror_serves_ten_thousand_row_table(self, spark, tmp_path):
+        """The VERDICT r10 ask: chat-message-sized live state (10k rows)
+        served from the mirror, value-identical to Spark."""
+        import unittest.mock as mock
+
+        from .fixtures import msg
+
+        s = self._chat(spark, tmp_path)
+        at = 100
+        for _ in range(5):
+            s.add_events([msg("bulk", f"x{at + i}", at + i) for i in range(2000)])
+            at += 2000
+        q = LeafQuery("message_stats", limit=1000)
+        expect = self._spark_rows(s, "a", q)
+        assert expect[0]["n"] >= 10_000
+        with mock.patch.object(
+            Stream, "query_df", side_effect=AssertionError("spark path used")
+        ):
+            got = s.query("a", q)
+        assert got == expect
+        assert s._mirror_rows["messages"] >= 10_000
 
     def test_events_log_reference_not_served_locally(self, spark, tmp_path):
         s = self._chat(spark, tmp_path)

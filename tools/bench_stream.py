@@ -90,6 +90,35 @@ def main() -> None:
         finally:
             shutil.rmtree(sroot, ignore_errors=True)
 
+        # r11 append-grown mirror: a chat-message-sized table (10k rows —
+        # over _MIRROR_CAP, within _MIRROR_CAP_APPEND, grown by provable
+        # pure appends) keeps the driver-side sqlite read path; before the
+        # incremental maintenance it dropped to the Spark floor at 257 rows
+        mroot = tempfile.mkdtemp(prefix="stream_bench_mid_")
+        try:
+            ms = Stream(spark, mroot, "did:plc:benchmid")
+            ms.provide_module(CHAT)
+            j = 0
+            while j < 10_000:
+                ms.add_events(
+                    [msg("did:plc:u", f"m{k}", k) for k in range(j, j + 2000)]
+                )
+                j += 2000
+            t0 = time.time()
+            n_mq = 500
+            for k in range(n_mq):
+                rows = ms.query(
+                    "did:plc:u",
+                    LeafQuery("messages", start=(k % 100) * 50 + 1, limit=50),
+                )
+                assert rows
+            out["midsize_local_query_roundtrips_per_sec"] = round(
+                n_mq / (time.time() - t0), 2
+            )
+            out["midsize_rows_mirrored"] = ms._mirror_rows.get("messages")
+        finally:
+            shutil.rmtree(mroot, ignore_errors=True)
+
         # reopen with snapshot (fast path)
         del s
         t0 = time.time()
