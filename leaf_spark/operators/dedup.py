@@ -20,6 +20,7 @@ shuffle payload is small; at 1000 executors the band join shuffles on
 
 from __future__ import annotations
 
+import logging
 import math
 import os
 import re
@@ -28,9 +29,43 @@ from urllib.parse import unquote, urlparse
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+_LOG = logging.getLogger(__name__)
+
+
 def normalized(text: Column) -> Column:
     """Lowercase + whitespace-collapse — the canonical form for hashing."""
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def _resolve_cap(
+    df: DataFrame,
+    text_col: str,
+    shingle_words: int,
+    bucket_cap: int | None,
+    auto_cap: int | None,
+) -> int | None:
+    """``auto_cap`` (an evidence-pair budget) overrides ``bucket_cap`` by
+    running :func:`suggest_bucket_cap` on the corpus itself — the sizing
+    knob applied, not just callable. The suggestion (cap + predicted
+    volume + recall loss) is logged so a run's capping decision is
+    auditable; cap=None means the uncapped volume already fits."""
+    if auto_cap is None:
+        return bucket_cap
+    sug = suggest_bucket_cap(
+        df, text_col=text_col, shingle_words=shingle_words, budget_pairs=auto_cap
+    )
+    _LOG.info(
+        "auto bucket_cap for budget %d pairs: cap=%s exact=%d predicted=%d "
+        "recall_loss=%.4f over_cap_buckets=%d max_bucket=%d",
+        auto_cap,
+        sug["cap"],
+        sug["exact_evidence_pairs"],
+        sug["predicted_evidence_pairs"],
+        sug["predicted_recall_loss"],
+        sug["over_cap_buckets"],
+        sug["max_bucket"],
+    )
+    return sug["cap"]
 
 
 def _size_conf_bytes(spark, key: str, default: int) -> int:
@@ -277,7 +312,8 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_words: int = 3,
     jaccard_threshold: float = 0.5,
-    bucket_cap: int = 1000,
+    bucket_cap: int | None = 1000,
+    auto_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding.
 
@@ -293,9 +329,18 @@ def minhash_lsh_pairs(
     downstream clustering (connected_components), only redundant intra-
     cluster edges are dropped. No effect on buckets under the cap.
 
+    ``auto_cap`` (an evidence-pair budget) sizes the cap from the corpus's
+    shingle-bucket profile via :func:`suggest_bucket_cap` instead of the
+    fixed default. The shingle profile is what DRIVES band collisions —
+    the mass-duplication failure mode the cap guards is identical — but
+    band buckets are not shingle buckets, so for this operator the budget
+    is a sizing heuristic, not the exact volume it is for
+    :func:`containment_pairs`.
+
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     assert num_hashes % bands == 0
+    bucket_cap = _resolve_cap(df, text_col, shingle_words, bucket_cap, auto_cap)
     r = num_hashes // bands
     # compute shingles + signatures exactly once (checkpoint cuts the
     # three downstream consumers off from recomputing the string hashing)
@@ -646,7 +691,8 @@ def containment_pairs(
     id_col: str = "doc_id",
     shingle_words: int = 3,
     containment_threshold: float = 0.8,
-    bucket_cap: int = 1000,
+    bucket_cap: int | None = 1000,
+    auto_cap: int | None = None,
 ) -> DataFrame:
     """Sub-document duplication via shingle CONTAINMENT
     c(A→B) = |A∩B| / min(|A|,|B|): a short document embedded verbatim inside
@@ -674,9 +720,16 @@ def containment_pairs(
     ids and counts, no arrays. Algebraically identical to the exact
     intersect (each shared hash is in exactly one bucket class).
 
+    ``auto_cap`` (an evidence-pair budget) sizes ``bucket_cap`` from this
+    corpus's own bucket profile via :func:`suggest_bucket_cap` — for THIS
+    operator the prediction is exact by construction (the budget counts
+    the same Σ C(|b|,2) + chain terms the inverted index emits).
+
     Output: (id_small, id_big, containment), smaller set first, ≥ threshold.
     """
     from pyspark.sql import Window
+
+    bucket_cap = _resolve_cap(df, text_col, shingle_words, bucket_cap, auto_cap)
 
     # materialize the INT index (id, h), never the arrays: the exploded
     # form is what every downstream branch consumes, and checkpointing it

@@ -556,3 +556,75 @@ class TestSuggestBucketCap:
         assert 0.0 <= got["predicted_recall_loss"] < 1.0
         if got["cap"] is not None:
             assert 1 <= got["cap"] <= got["max_bucket"]
+
+    def test_auto_cap_applied_and_prediction_matches_join(self, spark):
+        """r11: the knob is APPLIED, not just callable — containment_pairs
+        with auto_cap=budget equals the manually-capped run at the
+        suggested cap, and the prediction matches the REAL candidate join
+        fan-out at that cap (within 10%; exact by construction here)."""
+        import os
+
+        import pytest as _pytest
+
+        path = "/root/testdata/sf0.1/documents.parquet"
+        if not os.path.exists(path):
+            _pytest.skip("sf0.1 testdata not present")
+        from pyspark.sql import functions as F
+
+        from leaf_spark.operators.dedup import (
+            _MERSENNE_31,
+            _word_shingles,
+            containment_pairs,
+            suggest_bucket_cap,
+        )
+
+        df = spark.read.parquet(path).select("doc_id", "text")
+        probe = suggest_bucket_cap(df, budget_pairs=2**62)
+        budget = max(1, probe["exact_evidence_pairs"] // 4)
+        sug = suggest_bucket_cap(df, budget_pairs=budget)
+        assert sug["cap"] is not None  # the budget forces capping
+
+        def rows(out):
+            return sorted(
+                (r["id_small"], r["id_big"], round(r["containment"], 9))
+                for r in out.collect()
+            )
+
+        auto = rows(containment_pairs(df, auto_cap=budget))
+        manual = rows(containment_pairs(df, bucket_cap=sug["cap"]))
+        assert auto == manual
+
+        # observed evidence volume: the actual self-join fan-out at the cap
+        # plus the chain rows — measured with a REAL join, not the
+        # histogram arithmetic the prediction used
+        ex = df.select(
+            F.col("doc_id").alias("id"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        _word_shingles(F.col("text"), 3),
+                        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)),
+                    )
+                )
+            ).alias("h"),
+        )
+        sz = ex.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+        small = ex.join(sz.where(F.col("n") <= sug["cap"]).select("h"), "h")
+        joined = (
+            small.alias("a")
+            .join(
+                small.alias("b"),
+                (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .count()
+        )
+        chains = (
+            sz.where(F.col("n") > sug["cap"])
+            .agg(F.sum(F.col("n") - 1))
+            .collect()[0][0]
+            or 0
+        )
+        observed = joined + int(chains)
+        assert abs(observed - sug["predicted_evidence_pairs"]) <= max(
+            1, observed // 10
+        )
