@@ -448,8 +448,13 @@ class DmlExecutor:
             # SQLite filters accept numeric truthiness (WHERE
             # drisl_exists(p, '.k')); Spark demands BOOLEAN. Retry once
             # with every WHERE/HAVING coerced — retry-only so boolean
-            # filters keep their pushdown-able conjunct form
-            if "FILTER_NOT_BOOLEAN" not in str(e):
+            # filters keep their pushdown-able conjunct form. A prefix
+            # NOT over a numeric operand raises DATATYPE_MISMATCH (not
+            # FILTER_NOT_BOOLEAN); the coercion rewrites those too.
+            msg = str(e)
+            if "FILTER_NOT_BOOLEAN" not in msg and not (
+                "DATATYPE_MISMATCH" in msg and '"BOOLEAN"' in msg
+            ):
                 raise
             return self.store.spark.sql(
                 sqlcompat.coerce_filter_truthiness(mapped), args=args or {}
@@ -1207,24 +1212,44 @@ class DmlExecutor:
         )
 
         # INTEGER PRIMARY KEY auto-assignment (the SQLite rowid alias):
-        # omitted or literal-NULL ids become max(existing)+1, +2, … .
-        # The row_number window is single-partition — sequential-id
-        # assignment is inherently serial; event-batch-sized inserts only
-        # (bulk loads at scale should carry their own ids).
-        if auto_pk and (auto_pk not in target_cols or any_null_pk):
+        # omitted or NULL ids auto-assign. SQLite's semantics are a
+        # sequential fold over the rows in order — cur_max starts at
+        # max(existing), every row raises it (explicit ids via max(),
+        # autos to cur_max+1) — which has a closed form over __ord__:
+        # with c_i = cumulative autos through row i and key_j =
+        # explicit_j − c_j, auto row i gets max(base, runmax(key)_i)+c_i.
+        # That reproduces the interleaved explicit/auto sequence EXACTLY
+        # (the r10 code numbered autos past the batch max instead — a
+        # documented divergence, now gone) and runtime NULLs from SELECT
+        # sources auto-assign too (previously only literal VALUES NULLs
+        # were detected, so a nullable id expression stored NULL — r11
+        # fix). The window is single-partition: sequential ids are
+        # inherently serial; event-batch-sized inserts only (bulk loads
+        # at scale should carry their own ids).
+        # internal emitters whose ids are ALREADY assigned (never null):
+        # the pooled-round executor (``… from …__poolsrc__``) and the
+        # localized fold path (``… from …__localsrc__``, which runs the
+        # same sequential max+1 fold driver-side in
+        # Stream._assign_local_rowids precisely so its literal plan —
+        # the LocalRelation the snapshot/mirror chains key on — is not
+        # wrapped in assignment windows here). Exempting them skips a
+        # table-max job per statement on the compiled-fold hot path.
+        src_low = src_sql.lower().strip()
+        preassigned = src_low.endswith("__poolsrc__") or src_low.endswith(
+            "__localsrc__"
+        )
+        if auto_pk and not (preassigned and auto_pk in target_cols) and (
+            auto_pk not in target_cols
+            or any_null_pk
+            or not src_low.startswith("values")
+        ):
             from pyspark.sql import Window
 
-            # base above BOTH the existing max and any explicit incoming id
-            # (set-wise assignment can't interleave with explicit ids the
-            # way SQLite's sequential fold does; starting past the batch
-            # max guarantees no collision — documented divergence)
             base = (
                 self.store.tables[name]
                 .agg(F.coalesce(F.max(auto_pk), F.lit(0)).alias("m"))
                 .first()["m"]
             ) or 0
-            inc_max = aligned.agg(F.max(auto_pk).alias("m")).first()["m"]
-            base = max(base, inc_max or 0)
             order_col = (
                 F.col("__ord__")
                 if "__ord__" in aligned.columns
@@ -1233,15 +1258,25 @@ class DmlExecutor:
             w = Window.orderBy(order_col).rowsBetween(
                 Window.unboundedPreceding, Window.currentRow
             )
-            inc = F.sum(
+            c = F.sum(
                 F.when(F.col(auto_pk).isNull(), 1).otherwise(0)
             ).over(w)
+            key = F.when(F.col(auto_pk).isNotNull(), F.col(auto_pk) - c)
+            runmax = F.max(key).over(w)
             ftype = next(
                 f.dataType for f in tdef.schema.fields if f.name == auto_pk
             )
             aligned = aligned.withColumn(
                 auto_pk,
-                F.coalesce(F.col(auto_pk), (F.lit(base) + inc).cast(ftype)),
+                F.coalesce(
+                    F.col(auto_pk),
+                    (
+                        F.greatest(
+                            F.coalesce(runmax, F.lit(base)), F.lit(base)
+                        )
+                        + c
+                    ).cast(ftype),
+                ),
             )
 
         # NOT NULL enforcement (SQLite aborts the statement, which aborts

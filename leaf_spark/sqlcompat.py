@@ -1145,6 +1145,65 @@ _FILTER_CLAUSE_ENDS = frozenset({
 })
 
 
+# tokens a PREFIX ``not`` can follow (vs the postfix ``x not in/like/…``
+# and ``is not`` forms, where the previous token is an expression/`is`)
+_NOT_PREFIX_PREV = frozenset(
+    {"(", ",", "and", "or", "not", "where", "having", "when", "then",
+     "else", "on", "=", "<>", "!=", "<", ">", "<=", ">="}
+)
+_NOT_OPERAND_STOPS = frozenset(
+    {"and", "or", "group", "order", "limit", "having", "union",
+     "intersect", "except", "window", "then", "else", "end", "when"}
+)
+
+
+def _rewrite_prefix_not(toks: list[str], lows: list[str]) -> list[str]:
+    """Rewrite every prefix ``not <operand>`` (any depth) into
+    ``not (case when (op) is null then cast(null as boolean) else
+    truthy(op) end)`` — SQLite's NOT coerces its operand through numeric
+    truthiness and propagates NULL (``WHERE NOT NULL`` excludes the
+    row), while Spark's NOT demands a BOOLEAN operand outright.
+    ``not exists(…)`` is left alone (already boolean); rightmost-first
+    so earlier indices stay valid."""
+    toks = list(toks)
+    lows = list(lows)
+    sites = [
+        i
+        for i, low in enumerate(lows)
+        if low == "not"
+        and _is_word(toks[i])
+        and (i == 0 or lows[i - 1] in _NOT_PREFIX_PREV)
+        and not (i + 1 < len(lows) and lows[i + 1] == "exists")
+    ]
+    for i in reversed(sites):
+        d = 0
+        j = i + 1
+        n = len(toks)
+        while j < n:
+            tj = toks[j]
+            if tj == "(":
+                d += 1
+            elif tj == ")":
+                if d == 0:
+                    break
+                d -= 1
+            elif tj in (",", ";") and d == 0:
+                break
+            elif d == 0 and _is_word(tj) and lows[j] in _NOT_OPERAND_STOPS:
+                break
+            j += 1
+        op = " ".join(toks[i + 1 : j])
+        if not op:
+            continue
+        repl = (
+            f"not (case when ({op}) is null then cast(null as boolean) "
+            f"else {_sqlite_truthy('(' + op + ')')} end)"
+        )
+        toks[i : j] = [repl]
+        lows[i : j] = [repl]
+    return toks
+
+
 def _coerce_filter_tokens(toks: list[str], lows: list[str]) -> list[str]:
     out: list[str] = []
     i, n = 0, len(toks)
@@ -1170,6 +1229,10 @@ def _coerce_filter_tokens(toks: list[str], lows: list[str]) -> list[str]:
                     break
                 j += 1
             inner = _coerce_filter_tokens(toks[i + 1 : j], lows[i + 1 : j])
+            inner_lows = [
+                t.lower() if _is_word(t) else t for t in inner
+            ]
+            inner = _rewrite_prefix_not(inner, inner_lows)
             out.append(_sqlite_truthy("( " + " ".join(inner) + " )"))
             i = j
             continue

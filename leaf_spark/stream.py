@@ -1213,6 +1213,9 @@ class Stream:
             names, rows = self._local_eval.run_select(src, local_rows)
         except (localexec.LocalEvalError, localexec.LocalAbort):
             return None
+        rows = self._assign_local_rowids(toks, lows, isel, names, rows)
+        if rows is None:
+            return None
         # positional rename (sqlite expression names may collide or fail
         # to parse); keep the __ord__ marker the upsert path looks for
         cols = [
@@ -1238,6 +1241,81 @@ class Stream:
             + view
             + ((" " + " ".join(toks[icut:])) if icut >= 0 else "")
         )
+
+    def _assign_local_rowids(
+        self,
+        toks: list[str],
+        lows: list[str],
+        isel: int,
+        names: list[str],
+        rows: list[tuple],
+    ) -> list[tuple] | None:
+        """Fill NULL rowid-alias ids in driver-evaluated insert rows with
+        SQLite's sequential max+1 fold (explicit ids raise the running
+        max) — done HERE, in plain Python over the literal rows, so the
+        emitted ``__localsrc__`` statement carries fully-assigned ids and
+        the dml layer can skip its window-based assignment: the insert
+        delta stays a LocalRelation, which is what the incremental
+        snapshot chain and the mirror append chain key on. Only applies
+        when the pk is among the INSERT columns (the 'occasional id
+        override' shape); pk-omitted inserts keep the dml path. None on
+        a malformed shape (caller falls back to the Spark path)."""
+        try:
+            into_i = lows.index("into")
+            j = into_i + 1
+            parts = [toks[j]]
+            j += 1
+            if j < len(toks) and toks[j] == ".":
+                parts += [".", toks[j + 1]]
+                j += 2
+            flat = (
+                "".join(parts)
+                .lower()
+                .replace("state.", "state_")
+                .replace("main.", "")
+            )
+            tdef = self.store.defs.get(flat)
+            if tdef is None or len(tdef.primary_key) != 1:
+                return rows
+            pk = tdef.primary_key[0]
+            f_ = next(
+                (f for f in tdef.schema.fields if f.name == pk), None
+            )
+            if f_ is None or not isinstance(
+                f_.dataType, (T.LongType, T.IntegerType)
+            ):
+                return rows
+            if j < isel and toks[j] == "(":
+                cols = [
+                    t for t in toks[j + 1 : toks.index(")", j)] if _is_word(t)
+                ]
+            else:
+                cols = [f.name for f in tdef.schema.fields]
+            lc = [c.lower() for c in cols]
+            if pk.lower() not in lc:
+                return rows
+            ci = lc.index(pk.lower())
+            if ci >= len(names) or all(
+                r[ci] is not None for r in rows
+            ):
+                return rows
+            cur = (
+                self.store.tables[flat]
+                .agg(F.coalesce(F.max(pk), F.lit(0)).alias("m"))
+                .first()["m"]
+            ) or 0
+            out = []
+            for r in rows:
+                v = r[ci]
+                if v is None:
+                    cur += 1
+                    out.append(r[:ci] + (cur,) + r[ci + 1 :])
+                else:
+                    cur = max(cur, int(v))
+                    out.append(r)
+            return out
+        except Exception:
+            return None
 
     def _parse_upsert_shape(
         self, stmt: str
@@ -2491,7 +2569,7 @@ class Stream:
             if tdef is None:
                 return None
             fields = {f.name.lower() for f in tdef.schema.fields}
-            if fields & {"__ord__", "__round__", "__stmt__"}:
+            if fields & {"__ord__", "__round__", "__stmt__", "__pk__", "__newid__"}:
                 return None
             ins_idxs = [i for i in idxs if per_stmt[i][0] == "insert"]
             del_idxs = [i for i in idxs if per_stmt[i][0] == "delete"]
@@ -2661,8 +2739,10 @@ class Stream:
                 f_.dataType, (T.LongType, T.IntegerType)
             ):
                 return None
-            if pk.lower() in {c.lower() for c in cols}:
-                return None  # explicit ids: nothing to sequence
+            # pk listed in the insert columns is fine (r11): a runtime-NULL
+            # id auto-assigns, an explicit one pins — the pooled executor
+            # runs the same sequential-fold closed form dml.py uses, over
+            # the global (idx, statement) order
             return raw_target, cols, " ".join(toks[isel:])
         except Exception:
             return None
@@ -2722,12 +2802,16 @@ class Stream:
             return
         if all(tag == "plainins" for _, (tag, _) in group):
             # shared plain inserts into a rowid-alias table: assign ids
-            # explicitly as max + global (event idx, statement) rank —
-            # the exact per-event sequence — then each statement inserts
-            # ONCE (plain inserts commute after ids are fixed). The rank
-            # window is single-partition like the dml layer's own
-            # assignment: sequential ids are inherently serial,
-            # event-batch-sized only.
+            # with the sequential-fold closed form over the global
+            # (event idx, statement) order — c = autos so far, explicit
+            # ids enter as key = id − c, auto row i gets
+            # max(base, runmax(key)_i) + c_i (dml.py uses the identical
+            # formula; with no explicit ids it degenerates to the r10
+            # base + rank). Then each statement inserts ONCE (plain
+            # inserts commute after ids are fixed). The window is
+            # single-partition like the dml layer's own assignment:
+            # sequential ids are inherently serial, event-batch-sized
+            # only.
             raw0 = group[0][1][1][0]
             flat0 = (
                 raw0.lower()
@@ -2748,41 +2832,68 @@ class Stream:
                     .localCheckpoint(eager=True)
                 )
                 srcs2.append((si, raw, cols, src))
+                pk_col = next(
+                    (c for c in cols if c.lower() == pk.lower()), None
+                )
                 frames.append(
-                    src.select("__ord__", F.lit(si).alias("__stmt__"))
+                    src.select(
+                        "__ord__",
+                        F.lit(si).alias("__stmt__"),
+                        (
+                            F.col(pk_col).cast(pk_type)
+                            if pk_col is not None
+                            else F.lit(None).cast(pk_type)
+                        ).alias("__pk__"),
+                    )
                 )
             pool = frames[0]
             for fr in frames[1:]:
                 pool = pool.unionByName(fr)
-            w = Window.orderBy(F.col("__ord__"), F.col("__stmt__"))
-            pool = pool.withColumn(
-                "__rank__", F.row_number().over(w)
-            ).localCheckpoint(eager=True)
-            live = {
-                r["__stmt__"]
-                for r in pool.select("__stmt__").distinct().collect()
-            }
             base = (
                 self.store.tables[flat0]
                 .agg(F.coalesce(F.max(pk), F.lit(0)).alias("m"))
                 .first()["m"]
             ) or 0
+            w = Window.orderBy(
+                F.col("__ord__"), F.col("__stmt__")
+            ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            c = F.sum(
+                F.when(F.col("__pk__").isNull(), 1).otherwise(0)
+            ).over(w)
+            key = F.when(F.col("__pk__").isNotNull(), F.col("__pk__") - c)
+            runmax = F.max(key).over(w)
+            pool = pool.withColumn(
+                "__newid__",
+                F.coalesce(
+                    F.col("__pk__"),
+                    (
+                        F.greatest(
+                            F.coalesce(runmax, F.lit(base)), F.lit(base)
+                        )
+                        + c
+                    ).cast(pk_type),
+                ),
+            ).localCheckpoint(eager=True)
+            live = {
+                r["__stmt__"]
+                for r in pool.select("__stmt__").distinct().collect()
+            }
             view = self.store.view_prefix + "__poolsrc__"
             for si, raw, cols, src in srcs2:
                 if si not in live:
                     continue
                 picked = pool.where(F.col("__stmt__") == si).select(
-                    "__ord__", "__rank__"
+                    "__ord__", "__newid__"
                 )
+                cols_wo_pk = [c for c in cols if c.lower() != pk.lower()]
                 sub = src.join(picked, "__ord__").select(
-                    (F.lit(base) + F.col("__rank__"))
-                    .cast(pk_type)
-                    .alias(pk),
-                    *cols,
+                    F.col("__newid__").cast(pk_type).alias(pk),
+                    *cols_wo_pk,
                 )
                 sub.createOrReplaceTempView(view)
+                collist = " , ".join([pk, *cols_wo_pk])
                 ex.execute(
-                    f"insert into {raw} ( {pk} , {' , '.join(cols)} ) "
+                    f"insert into {raw} ( {collist} ) "
                     f"select * from {view}",
                     is_state=is_state,
                 )
@@ -3013,15 +3124,11 @@ class Stream:
                 f_.dataType, (T.LongType, T.IntegerType)
             ):
                 return False
-            if j < len(toks) and toks[j] == "(":
-                cols = [
-                    t.lower()
-                    for t in toks[j + 1 : toks.index(")", j)]
-                    if _is_word(t)
-                ]
-            else:
-                cols = [f.name.lower() for f in tdef.schema.fields]
-            return pk.lower() not in cols
+            # rowid-alias targets ALWAYS carry __ord__: even with the pk
+            # listed in the insert columns, a runtime-NULL id expression
+            # auto-assigns, and the assignment sequence (dml.py's
+            # sequential-fold closed form) is defined by event order
+            return True
         except Exception:
             return False
 

@@ -483,10 +483,24 @@ DML_SCRIPTS = [
         "update u set n = n / 2 where n > 4",
         "delete from u where n <= 1",
     ],
+    # prefix NOT over numeric / NULL / text operands (SQLite truthiness +
+    # NULL propagation — r11: NOT previously failed Spark analysis on
+    # non-boolean operands; WHERE NOT NULL must exclude, not include)
+    [
+        "create table u (k integer primary key, n integer, s text)",
+        "insert into u values (1, 0, '0'), (2, 3, '1.5x'), "
+        "(3, null, 'true'), (4, 1, null)",
+        "delete from u where not n",
+        "delete from u where not s",
+    ],
 ]
 
 
-@pytest.mark.parametrize("script", DML_SCRIPTS, ids=["upsert", "or_clauses", "update_div"])
+@pytest.mark.parametrize(
+    "script",
+    DML_SCRIPTS,
+    ids=["upsert", "or_clauses", "update_div", "not_truthiness"],
+)
 def test_dml_state_matches_sqlite(spark, script):
     ex = DmlExecutor(TableStore(spark, f"t_dml_{abs(hash(tuple(script))) % 10**8}_"))
     con = sqlite3.connect(":memory:")

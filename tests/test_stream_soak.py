@@ -1812,9 +1812,10 @@ class TestRowidReplayOrder:
             "insert into logx (id, tag) select idx, user from event "
             "on conflict(id) do nothing"
         )  # conflict
-        assert not s._ord_needed(
+        assert s._ord_needed(
             "insert into logx (id, tag) select idx, user from event"
-        )  # explicit id, no conflict
+        )  # r11: explicit id expressions may be NULL at runtime —
+        # auto-assignment order is event order, so __ord__ rides along
 
 
 class TestPooledPlainInserts:
@@ -1872,26 +1873,131 @@ class TestPooledPlainInserts:
         s2.catch_up()
         assert s2.query(None, LeafQuery("logb")) == expect
 
-    def test_explicit_id_statement_refuses_pool(self, spark, tmp_path):
+    def test_explicit_id_statement_pools_with_exact_interleave(
+        self, spark, tmp_path
+    ):
+        """r11 (VERDICT r10 #8): plain inserts mixing explicit and auto
+        ids pool too — explicit ids pin, autos follow SQLite's
+        sequential max+1 fold (the closed form over global (idx,
+        statement) order), verified against a stdlib sqlite3 oracle."""
+        import sqlite3
+
         mod = BasicModuleDef(
             init_sql=(
                 "create table if not exists logc "
                 "(id integer primary key, tag text not null)"
             ),
             materializer=(
-                "insert into logc (id, tag) select idx * 10, 'a' from event; "
-                "insert into logc (tag) select 'b' from event;"
+                "insert into logc (id, tag) "
+                "select drisl_extract_int(payload, '.id'), 'a' || idx "
+                "from event; "
+                "insert into logc (tag) select 'b' || idx from event "
+                "where drisl_exists(payload, '.b');"
             ),
-            queries=(QueryDef("logc", "select id from logc order by id"),),
+            queries=(
+                QueryDef("logc", "select id, tag from logc order by id"),
+            ),
         )
         s = Stream(spark, str(tmp_path), "did:plc:pins2")
         s.provide_module(mod)
         stmts = [
             st.strip() for st in mod.materializer.split(";") if st.strip()
         ]
-        # one statement supplies explicit ids: the interleaved max+1
-        # sequence depends on live state per event — stays per-event
-        assert s._pool_plan(stmts) is None
+        plan = s._pool_plan(stmts)
+        assert plan is not None
+        assert all(tag == "plainins" for _, (tag, _) in plan["logc"])
+        # e1: auto a + b; e2: explicit 100 a; e3: auto a + b; e4: explicit
+        # 5 a (below the running max); e5: auto a
+        s.add_events(
+            [
+                ev("u", b=1),
+                ev("u", id=100),
+                ev("u", b=1),
+                ev("u", id=5),
+                ev("u", x=1),
+            ]
+        )
+        got = [
+            (r["id"], r["tag"])
+            for r in s.query(None, LeafQuery("logc", limit=100))
+        ]
+        # stdlib sqlite3 runs the reference's per-event fold
+        con = sqlite3.connect(":memory:")
+        con.execute("create table logc (id integer primary key, tag text)")
+        for idx, (eid, has_b) in enumerate(
+            [(None, True), (100, False), (None, True), (5, False), (None, False)],
+            start=1,
+        ):
+            con.execute(
+                "insert into logc (id, tag) values (?, ?)",
+                (eid, f"a{idx}"),
+            )
+            if has_b:
+                con.execute(
+                    "insert into logc (tag) values (?)", (f"b{idx}",)
+                )
+        want = sorted(con.execute("select id, tag from logc").fetchall())
+        assert got == want
+        # replay never enters the per-event loop
+        s2 = Stream(spark, str(tmp_path), "did:plc:pins2")
+
+        def no_single_row(rows, schema):
+            raise AssertionError("per-event fold ran for a pooled module")
+
+        s2._event_local_df = no_single_row
+        s2.provide_module(mod)
+        s2.catch_up()
+        got2 = [
+            (r["id"], r["tag"])
+            for r in s2.query(None, LeafQuery("logc", limit=100))
+        ]
+        assert got2 == want
+
+
+def test_runtime_null_id_auto_assigns_like_sqlite(spark, tmp_path):
+    """r11 regression: a nullable id EXPRESSION in a single plain insert
+    (the 'occasional id override' shape) stored NULL ids — only literal
+    VALUES NULLs were detected. The set-wise path now runs SQLite's
+    sequential-fold closed form: autos interleave with explicit ids
+    exactly (cross-batch too), verified against stdlib sqlite3."""
+    import sqlite3
+
+    mod = BasicModuleDef(
+        init_sql=(
+            "create table if not exists t "
+            "(id integer primary key, x text not null)"
+        ),
+        materializer=(
+            "insert into t (id, x) "
+            "select drisl_extract_int(payload, '.id'), "
+            "drisl_extract(payload, '.x') from event"
+        ),
+        queries=(QueryDef("rows", "select id, x from t order by id"),),
+    )
+    s = Stream(spark, str(tmp_path), "did:plc:mixid")
+    s.provide_module(mod)
+    batches = [
+        [(None, "a"), (100, "b"), (None, "c"), (5, "d"), (None, "e")],
+        [(None, "f"), (50, "g"), (None, "h")],
+    ]
+    for b in batches:
+        s.add_events(
+            [
+                ev("u", **({"id": i, "x": x} if i is not None else {"x": x}))
+                for i, x in b
+            ]
+        )
+    got = sorted(
+        (r["id"], r["x"])
+        for r in s.query(None, LeafQuery("rows", limit=100))
+    )
+    con = sqlite3.connect(":memory:")
+    con.execute("create table t (id integer primary key, x text not null)")
+    for b in batches:
+        for i, x in b:
+            con.execute("insert into t (id, x) values (?, ?)", (i, x))
+    assert got == sorted(con.execute("select id, x from t").fetchall())
+    assert all(i is not None for i, _ in got)
 
 
 def test_soak_pooled_trio_full_lifecycle(spark, tmp_path):
