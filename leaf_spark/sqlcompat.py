@@ -1278,7 +1278,108 @@ def _translate_cached(sql: str) -> str:
     tokens = [
         t.replace("\\", "\\\\") if t.startswith("'") else t for t in tokens
     ]
+    tokens = _scalar_subquery_limit(tokens)
     return _rewrite_json_each(_expand_sqldiv(_j(_translate_tokens(tokens))))
+
+
+# prev-token classes for _scalar_subquery_limit: a ``( select`` group in
+# one of these positions is definitely NOT a scalar expression
+_SUBQ_NONSCALAR_PREV = frozenset(
+    {"in", "exists", "from", "join", "union", "intersect", "except",
+     "all", "as", "insert", "into", "values", "view", "trigger",
+     "begin", ";"}
+)
+_SUBQ_SCALAR_OPS = frozenset(
+    {"=", "<", ">", "<=", ">=", "<>", "!=", "+", "-", "*", "/", "%", "||"}
+)
+_SUBQ_SCALAR_WORDS = frozenset(
+    {"select", "set", "where", "having", "when", "then", "else", "on",
+     "by", "limit", "offset", "and", "or", "not", "return", "returning"}
+)
+
+
+def _scalar_subquery_limit(toks: list[str]) -> list[str]:
+    """Append ``limit 1`` to subqueries in SCALAR expression position:
+    SQLite evaluates a scalar subquery to its FIRST row (extra rows are
+    silently ignored), while Spark raises SCALAR_SUBQUERY_TOO_MANY_ROWS
+    at runtime — so the rewrite only ever turns an error into the
+    reference's answer. Conservative by construction: ambiguous
+    positions (derived tables in comma-joins, compound members, VALUES
+    tuples) and subqueries that already carry a top-level LIMIT are left
+    untouched (unchanged behavior)."""
+    lows = [t.lower() if _is_word(t) else t for t in toks]
+    out = list(toks)
+    sites = [
+        i
+        for i in range(len(toks) - 1)
+        if toks[i] == "(" and lows[i + 1] == "select"
+    ]
+    for i in reversed(sites):
+        prev = lows[i - 1] if i > 0 else None
+        scalar = False
+        if prev in _SUBQ_SCALAR_OPS or prev in _SUBQ_SCALAR_WORDS:
+            scalar = True
+        elif prev == "(":
+            # function argument (coalesce((select …), 0)) is scalar; a
+            # parenthesized FROM/IN/compound member is not — classify by
+            # what precedes the OUTER paren
+            pp = lows[i - 2] if i > 1 else None
+            # scalar iff the outer paren is a function CALL: preceded by
+            # a plausible function-name identifier (not a clause keyword,
+            # not IN/EXISTS/FROM grouping)
+            scalar = (
+                pp is not None
+                and _is_word(out[i - 2])
+                and pp not in _SUBQ_NONSCALAR_PREV
+                and pp not in _NOT_FN_WORDS
+            )
+        elif prev == ",":
+            # walk back at this depth: a SELECT-list comma is scalar, a
+            # FROM-list (comma join) or tuple comma is not
+            k, d = i - 2, 0
+            ctx = None
+            while k >= 0:
+                tk = out[k]
+                if tk == ")":
+                    d += 1
+                elif tk == "(":
+                    if d == 0:
+                        ctx = "paren"
+                        break
+                    d -= 1
+                elif d == 0 and _is_word(tk):
+                    lw = lows[k]
+                    if lw == "select":
+                        ctx = "select"
+                        break
+                    if lw in ("from", "values"):
+                        ctx = lw
+                        break
+                k -= 1
+            scalar = ctx == "select"
+        if not scalar:
+            continue
+        # matching close paren + top-level LIMIT check inside the group
+        d = 0
+        j = i
+        has_limit = False
+        n = len(out)
+        while j < n:
+            tj = out[j]
+            if tj == "(":
+                d += 1
+            elif tj == ")":
+                d -= 1
+                if d == 0:
+                    break
+            elif d == 1 and _is_word(tj) and lows[j] == "limit":
+                has_limit = True
+            j += 1
+        if j >= n or has_limit:
+            continue
+        out[j:j] = ["limit", "1"]
+        lows[j:j] = ["limit", "1"]
+    return out
 
 
 _INT_TYPES_SQL = "('bigint', 'int', 'smallint', 'tinyint')"

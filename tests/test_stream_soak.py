@@ -1954,6 +1954,82 @@ class TestPooledPlainInserts:
         assert got2 == want
 
 
+class TestOrderSensitivitySoak:
+    """r11 (VERDICT r10 #9): scan-order semantics — scalar subqueries,
+    LIMIT without ORDER BY, whole-table row order — must survive every
+    persistence transition (snapshot chain, restore, log compaction,
+    mirror-served reads vs Spark reads). The r10 chain-order fix had one
+    targeted test; this seeded soak probes ORDER-BY-free shapes against
+    an insertion-order model after each transition, on BOTH read paths."""
+
+    MOD = BasicModuleDef(
+        init_sql=(
+            "create table if not exists log "
+            "(id integer primary key, tag text not null)"
+        ),
+        materializer=(
+            "insert into log (tag) select "
+            "drisl_extract(payload, '.tag') from event"
+        ),
+        queries=(
+            # all ORDER-BY-free: results are defined by scan order,
+            # which must equal insertion order at every transition
+            QueryDef("first_row", "select tag from log limit 1"),
+            QueryDef("scalar_sub", "select (select tag from log) as t"),
+            QueryDef("all_rows", "select id, tag from log limit $limit"),
+        ),
+    )
+
+    def _assert_order(self, s: Stream, tags: list[str]) -> None:
+        import unittest.mock as mock
+
+        expect = {
+            "first_row": [{"tag": tags[0]}] if tags else [],
+            "scalar_sub": [{"t": tags[0] if tags else None}],
+            "all_rows": [
+                {"id": i + 1, "tag": t} for i, t in enumerate(tags)
+            ],
+        }
+        for qname, want in expect.items():
+            q = LeafQuery(qname, limit=1000)
+            got_default = s.query(None, q)  # mirror-served when eligible
+            with mock.patch.object(
+                Stream, "_local_query", lambda self, sql, args: None
+            ):
+                got_spark = s.query(None, q)  # forced Spark path
+            assert got_default == want, (qname, "default path")
+            assert got_spark == want, (qname, "spark path")
+
+    def test_soak_transitions_keep_scan_order(self, spark, tmp_path):
+        rng = random.Random(20260816)
+        s = Stream(spark, str(tmp_path), "did:plc:ordsoak")
+        s.provide_module(self.MOD)
+        tags: list[str] = []
+        self._assert_order(s, tags)  # empty-table probes
+        n = 0
+        for step in range(24):
+            op = rng.random()
+            if op < 0.55 or not tags:
+                b = rng.randint(1, 5)
+                evs = [ev("u", tag=f"t{n + j}") for j in range(b)]
+                tags += [f"t{n + j}" for j in range(b)]
+                n += b
+                s.add_events(evs)
+            elif op < 0.72:
+                s.persist_state()  # snapshot (chain or rewrite)
+            elif op < 0.85:
+                s.compact_log()
+            else:
+                # reopen: snapshot restore or full replay
+                if rng.random() < 0.5:
+                    import shutil as _sh
+
+                    _sh.rmtree(s._snapshot_base(), ignore_errors=True)
+                s = Stream(spark, str(tmp_path), "did:plc:ordsoak")
+                s.provide_module(self.MOD)
+            self._assert_order(s, tags)
+
+
 def test_runtime_null_id_auto_assigns_like_sqlite(spark, tmp_path):
     """r11 regression: a nullable id EXPRESSION in a single plain insert
     (the 'occasional id override' shape) stored NULL ids — only literal
