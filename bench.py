@@ -67,8 +67,34 @@ HEADLINE = [
 ]
 
 
+def _host_fingerprint() -> dict:
+    """Host context for cross-round normalization (VERDICT r10 #5: the
+    same commit benched 1.12× slower on a noisier VM and the judge had
+    to re-run to adjudicate). load1 is sampled BEFORE the JVM starts."""
+    try:
+        load1, load5, _ = os.getloadavg()
+    except OSError:
+        load1 = load5 = None
+    mem_kb = None
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    mem_kb = int(line.split()[1])
+                    break
+    except OSError:
+        pass
+    return {
+        "cpus": os.cpu_count(),
+        "load1_prelaunch": round(load1, 2) if load1 is not None else None,
+        "load5_prelaunch": round(load5, 2) if load5 is not None else None,
+        "mem_gib": round(mem_kb / 1048576, 1) if mem_kb else None,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    host = _host_fingerprint()
     from leaf_spark.queries import all_cases
     from leaf_spark.session import get_spark
 
@@ -99,6 +125,14 @@ def main() -> None:
         cases[name].spark_fn(spark, sf_dir).count()
         return time.time() - t0
 
+    # calibration pair (VERDICT r10 #5): q01 timed COLD (first touch of
+    # the measured dir after the sf0.001 warm-up — includes codegen reuse
+    # but first-scan IO) and WARM (immediately after). Future rounds
+    # normalize a uniform host band by comparing calibration values
+    # instead of re-adjudicating every query.
+    cal_cold = timed("q01_pricing_summary")
+    cal_warm = timed("q01_pricing_summary")
+
     # interleave whole passes (run 1 of all queries, then run 2, ...) so a
     # transient host-load spike degrades one PASS, not every sample of one
     # query — the median per query then shrugs it off
@@ -125,6 +159,11 @@ def main() -> None:
                 "heavy": heavy,
                 "spread": spread,
                 "runs": RUNS,
+                "host": host,
+                "calibration": {
+                    "q01_cold": round(cal_cold, 3),
+                    "q01_warm": round(cal_warm, 3),
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
