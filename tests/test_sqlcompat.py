@@ -488,3 +488,45 @@ class TestAuthorizerNamespaceHardening:
             a.check("create temp table tt (x int)", policy)
             a.check("create temporary table tt (x int)", policy)
             a.check("insert into temp.tt select 1", policy)
+
+
+class TestScalarSubqueryLimit:
+    """r11: SQLite scalar subqueries take the FIRST row; Spark raises
+    SCALAR_SUBQUERY_TOO_MANY_ROWS — translate appends LIMIT 1 in
+    unambiguous scalar positions only (the rewrite can only turn a
+    runtime error into the reference's answer)."""
+
+    def test_scalar_positions_get_limit(self):
+        from leaf_spark.sqlcompat import translate
+
+        assert translate("select (select tag from log) as t") == (
+            "select(select tag from log limit 1) as t"
+        )
+        assert "limit 1) as b" in translate(
+            "select a, (select v from t) as b from x"
+        )
+        assert "limit 1)" in translate(
+            "select coalesce((select v from t where k = 1), 0) as v"
+        )
+        assert "limit 1)" in translate(
+            "select * from t where x = (select max(v) from u)"
+        )
+
+    def test_nonscalar_positions_untouched(self):
+        from leaf_spark.sqlcompat import translate
+
+        for sql in (
+            "select * from t where x in (select v from u)",
+            "select * from t1, (select a from t2) as d",
+            "select * from (select a from t2)",
+            "insert into t (a) select x from (select x from u)",
+            "select * from t where exists (select 1 from u)",
+            "create view vv as select a from t union select b from u",
+        ):
+            assert "limit 1" not in translate(sql), sql
+
+    def test_prelimited_subquery_untouched(self):
+        from leaf_spark.sqlcompat import translate
+
+        out = translate("select (select v from t limit 5) as v")
+        assert "limit 5" in out and "limit 1" not in out
