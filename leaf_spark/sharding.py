@@ -641,6 +641,18 @@ def _worker_main(argv: list[str]) -> None:
     with open(tmp, "w") as f:
         f.write(str(port))
     os.replace(tmp, ns.port_file)
+
+    def _orphan_watch() -> None:
+        # a supervisor that dies without close() must not leak shard JVMs:
+        # when this process is reparented (ppid → 1 / changed), shut down
+        ppid = os.getppid()
+        while True:
+            time.sleep(5)
+            if os.getppid() != ppid:
+                worker.close()
+                os._exit(0)
+
+    threading.Thread(target=_orphan_watch, daemon=True).start()
     try:
         worker.serve_forever()
     finally:
