@@ -279,11 +279,11 @@ class TestDefaultsAndAutoPk:
     def test_auto_pk_on_literal_null(self, dstore):
         ex = _ex(dstore)
         ex.execute("insert into t values (null, 1, 'a', 0), (9, 2, 'b', 0), (null, 3, 'c', 0)")
-        # auto ids start past the batch's explicit max (collision-free
-        # set-wise assignment; SQLite's sequential interleave would give
-        # 1, 9, 10 — divergence documented in dml.py)
-        assert [r["id"] for r in self._rows(dstore)] == [9, 10, 11]
-        assert [r["n"] for r in self._rows(dstore)] == [2, 1, 3]
+        # r11: auto ids follow SQLite's sequential interleave EXACTLY
+        # (the closed-form assignment in dml.py replaced the old
+        # past-batch-max divergence): null → 1, explicit 9, null → 10
+        assert [r["id"] for r in self._rows(dstore)] == [1, 9, 10]
+        assert [r["n"] for r in self._rows(dstore)] == [1, 2, 3]
 
     def test_auto_pk_continues_from_max(self, dstore):
         ex = _ex(dstore)
