@@ -77,6 +77,100 @@ def _ingest_worker(argv: list[str]) -> None:
     _sys.exit(0)
 
 
+def main_latency_sharded(n_streams: int, n_commits: int, n_shards: int) -> None:
+    """Commit→push latency THROUGH the shard supervisor: subscriber
+    clients hold live subscriptions over socket.io; a committer client
+    posts event batches; latency = event_batch ack → the subscriber's
+    stream/subscription_response for that commit. Quantifies what the
+    shard RPC relay adds on top of the single-driver push path
+    (SCALE.md's 4×8 table)."""
+    import tempfile as _tf
+
+    from leaf_spark import drisl
+    from leaf_spark.server import Connection
+    from leaf_spark.sharding import LeafShardSupervisor, shard_of
+    from leaf_spark.socketio import LeafSocketIOClient
+
+    root = _tf.mkdtemp(prefix="fleet_latency_bench_")
+    sup = LeafShardSupervisor(
+        root,
+        n_shards=n_shards,
+        tokens={"bench-token": Connection(user="did:plc:bench")},
+    ).start()
+    try:
+        setup = LeafSocketIOClient(sup.host, sup.port, token="bench-token")
+        cid = setup.call("module/upload", {"module": CHAT.to_codec()})["Ok"]["cid"]
+        dids: list[str] = []
+        i = 0
+        while len(dids) < n_streams:
+            cand = f"did:plc:lat{i}"
+            if shard_of(cand, n_shards) == len(dids) % n_shards:
+                dids.append(cand)
+            i += 1
+        subs = []
+        for did in dids:
+            setup.call("stream/create", {"streamDid": did, "moduleCid": cid})
+            cli = LeafSocketIOClient(sup.host, sup.port, token="bench-token")
+            out = cli.call(
+                "stream/subscribe_events",
+                {"streamDid": did, "query": {"name": "messages"}},
+            )
+            assert "Ok" in out, out
+            subs.append((did, cli))
+        # warm: one commit + push per stream
+        for did, cli in subs:
+            setup.call(
+                "stream/event_batch",
+                {"streamDid": did, "payloads": [drisl.encode({"content": "w", "sentAt": 0})]},
+            )
+            cli.next_event(timeout=120)
+
+        samples: list[float] = []
+        for k in range(n_commits):
+            for did, cli in subs:
+                t0 = time.time()
+                out = setup.call(
+                    "stream/event_batch",
+                    {
+                        "streamDid": did,
+                        "payloads": [
+                            drisl.encode({"content": f"m{k}", "sentAt": k + 1})
+                        ],
+                    },
+                )
+                assert "Ok" in out, out
+                t_ack = time.time()
+                while True:
+                    kind, payload = cli.next_event(timeout=120)
+                    if kind == "stream/subscription_response":
+                        break
+                samples.append((time.time() - t_ack) * 1000)
+        setup.close()
+        for _, cli in subs:
+            cli.close()
+        samples.sort()
+
+        def q(p: float) -> float:
+            return round(samples[min(len(samples) - 1, int(p * len(samples)))], 1)
+
+        print(
+            json.dumps(
+                {
+                    "mode": "latency_sharded",
+                    "n_shards": n_shards,
+                    "n_streams": n_streams,
+                    "n_commits": n_commits,
+                    "samples": len(samples),
+                    "push_latency_ms_p50": q(0.50),
+                    "push_latency_ms_p95": q(0.95),
+                    "push_latency_ms_max": round(samples[-1], 1),
+                }
+            )
+        )
+    finally:
+        sup.close()
+
+
 def main_sharded(n_streams: int, per_stream: int, batch: int, n_shards: int) -> None:
     import os
     import subprocess
@@ -191,6 +285,12 @@ def main() -> None:
         i = argv.index("--shards")
         n_shards = int(argv[i + 1])
         del argv[i : i + 2]
+    if argv and argv[0] == "latency":
+        # usage: bench_fleet.py latency [streams] [commits] --shards N
+        n_streams = int(argv[1]) if len(argv) > 1 else 4
+        n_commits = int(argv[2]) if len(argv) > 2 else 5
+        main_latency_sharded(n_streams, n_commits, max(1, n_shards))
+        return
     n_streams = int(argv[0]) if len(argv) > 0 else 4
     per_stream = int(argv[1]) if len(argv) > 1 else 4000
     batch = int(argv[2]) if len(argv) > 2 else 2000
