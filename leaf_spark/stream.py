@@ -2781,12 +2781,48 @@ class Stream:
             .replace("main.", "")
         )
 
+    def _pooled_source_df(
+        self,
+        ex: DmlExecutor,
+        src_sql: str,
+        cols: list[str] | None,
+        is_state: bool,
+        local_rows: list[tuple] | None,
+    ):
+        """Source relation for one pooled statement. When the staged
+        events are driver-local and the source reads only ``event``,
+        evaluate it in sqlite and stage the result as a JVM-local literal
+        frame — no source job AND no checkpoint job (a LocalRelation is
+        already re-scan-free across the rounds that join it). Any miss
+        falls back to the Spark select + lineage cut."""
+        if local_rows is not None and localexec.eligible(
+            src_sql, self._known_tables(), allow_abort=False
+        ):
+            try:
+                names, rows = self._local_eval.run_select(src_sql, local_rows)
+            except (localexec.LocalEvalError, localexec.LocalAbort):
+                names = None
+            if names is not None:
+                out_names = [*cols, "__ord__"] if cols is not None else list(names)
+                if len(out_names) == len(names):
+                    schema = localexec.infer_spark_schema(out_names, rows)
+                    if schema is not None:
+                        try:
+                            return self._event_local_df(rows, schema)
+                        except Exception:
+                            pass
+        src = ex.execute(src_sql, is_state=is_state)
+        if cols is not None:
+            src = src.toDF(*cols, "__ord__")
+        return src.localCheckpoint(eager=True)
+
     def _exec_pooled_rounds(
         self,
         ex: DmlExecutor,
         group: list[tuple[int, tuple]],
         is_state: bool,
         flat_target: str | None = None,
+        local_rows: list[tuple] | None = None,
     ) -> None:
         """Apply one shared-target statement group in pooled per-key
         occurrence rounds (see _pool_plan). Group entries are tagged:
@@ -2826,10 +2862,8 @@ class Stream:
             srcs2 = []
             frames = []
             for si, (_tag, (raw, cols, src_sql)) in group:
-                src = (
-                    ex.execute(src_sql, is_state=is_state)
-                    .toDF(*cols, "__ord__")
-                    .localCheckpoint(eager=True)
+                src = self._pooled_source_df(
+                    ex, src_sql, cols, is_state, local_rows
                 )
                 srcs2.append((si, raw, cols, src))
                 pk_col = next(
@@ -2921,13 +2955,11 @@ class Stream:
             else:  # update: source is explicitly aliased (__k__, __e*__)
                 src_sql = shape[2]
                 cols = None
-            # checkpoint: each source select is re-joined once per round
-            # below — without the lineage cut every round would re-run
-            # the select (the _exec_roundwise discipline)
-            src = ex.execute(src_sql, is_state=is_state)
-            if cols is not None:
-                src = src.toDF(*cols, "__ord__")
-            src = src.localCheckpoint(eager=True)
+            # each source select is re-joined once per round below — the
+            # helper either stages a driver-evaluated LocalRelation (no
+            # job, re-scan-free) or cuts lineage with a localCheckpoint
+            # (the _exec_roundwise discipline)
+            src = self._pooled_source_df(ex, src_sql, cols, is_state, local_rows)
             srcs.append((si, tag, shape, src))
             if tag == "update":
                 kf = src.select(
@@ -3244,6 +3276,7 @@ class Stream:
                             pooled[shared_first[i]],
                             is_state,
                             flat_target=shared_first[i],
+                            local_rows=local_rows,
                         )
                     continue
                 if self._delete_target(stmt) is not None:
