@@ -249,6 +249,52 @@ def test_remaining_endpoints_route_by_did(sharded):
         cli.close()
 
 
+def test_polling_transport_through_supervisor(sharded):
+    """The supervisor embeds an unmodified LeafSocketIOServer, so the
+    engine.io HTTP-polling transport must route through the shards too —
+    including a live subscription push relayed shard → supervisor →
+    polling outbox."""
+    from leaf_spark.socketio import LeafSocketIOPollingClient
+
+    did0, _ = _dids_on_shards(2)
+    cli = LeafSocketIOPollingClient(
+        sharded.host, sharded.port, token="alice-token"
+    )
+    try:
+        kind, payload = cli.next_event()
+        assert kind == "authenticated" and payload == {"did": "did:plc:alice"}
+        cid = cli.call("module/upload", {"module": CHAT.to_codec()})["Ok"]["cid"]
+        assert "Ok" in cli.call(
+            "stream/create", {"streamDid": did0, "moduleCid": cid}
+        )
+        sub_id = cli.call(
+            "stream/subscribe_events",
+            {"streamDid": did0, "query": {"name": "messages"}},
+        )["Ok"]["subscriptionId"]
+        out = cli.call(
+            "stream/event_batch",
+            {
+                "streamDid": did0,
+                "payloads": [drisl.encode({"content": "poll-relay", "sentAt": 1})],
+            },
+        )
+        assert out["Ok"]["latestEvent"] == 1
+        rows = cli.call(
+            "stream/query", {"streamDid": did0, "query": {"name": "messages"}}
+        )["Ok"]["rows"]
+        assert [r["content"]["value"] for r in rows] == ["poll-relay"]
+        deadline = time.monotonic() + 60
+        got = None
+        while got is None and time.monotonic() < deadline:
+            kind, payload = cli.next_event(timeout=5)
+            if kind == "stream/subscription_response":
+                got = payload
+        assert got is not None, "no push on the polling transport"
+        assert got["subscriptionId"] == sub_id
+    finally:
+        cli.close()
+
+
 def test_catalog_meta_persist_is_concurrent_safe(spark, tmp_root):
     """Concurrent commits on different streams of one catalog race on
     streams_meta.json (.tmp rename + json.dump during mutation) — found by
