@@ -337,8 +337,37 @@ _ROUND12_FRONT = [
 ]
 
 
+# Committed round-13 rotation plan (the ahead-of-time ledger for the
+# sweep's third block): once _ROUND12_FRONT scores in r12, the stalest
+# official block is the r09 window (last scored r09, 4 rounds old at
+# r13). That block — verbatim the 50 names in CORRECTNESS_r09.json, in
+# the order the driver scored them — is the r13 front. r13 activates
+# this by swapping the name in _ordered().
+_ROUND13_FRONT = [
+    "q111_hash_vector_ann", "q112_psi_drift", "q113_label_noise",
+    "q114_column_profile", "q115_mmr_selection", "q116_leakage_free_split",
+    "q04_left_join", "q05_semi_join", "q06_anti_join", "q07_distinct",
+    "q08_set_ops", "q09_order_limit_offset", "q10_having",
+    "q11_window_topk", "q12_window_running", "q13_cte",
+    "q14_scalar_subquery", "q15_correlated_subquery", "q16_cross_join",
+    "q17_recursive_cte", "q19_agg_of_agg", "q20_conditional",
+    "q21_string_fns", "q22_math", "q23_datetime", "q25_total",
+    "q27_json_object", "q28_json_group_array", "q29_like_glob",
+    "q37_typeof", "q39_json_each", "q31_events_range_scan",
+    "q35_events_topk_users", "q36_events_two_pages",
+    "q124_png_decode_stats", "q123_pagerank_checkpointed",
+    "q138_doc_graph_triangles", "q131_quota_dedup_rank",
+    "q132_prefix_dedup", "q133_minhash_error",
+    "q135_source_znorm_quality", "q136_stratified_eval_holdout",
+    "q137_vocab_coverage_curve", "q140_source_jsd",
+    "q141_embedding_covariance", "q142_random_projection",
+    "q143_calibration_bins", "q144_ks_statistic",
+    "q145_survivor_selection", "q146_confusion_matrix",
+]
+
+
 def _ordered(reg: dict[str, QueryCase]) -> dict[str, QueryCase]:
-    front = [n for n in _ROUND11_FRONT if n in reg]
+    front = [n for n in _ROUND12_FRONT if n in reg]
     rest = [n for n in reg if n not in set(front)]
     return {n: reg[n] for n in [*front, *rest]}
 
