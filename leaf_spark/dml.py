@@ -1234,10 +1234,15 @@ class DmlExecutor:
         # the LocalRelation the snapshot/mirror chains key on — is not
         # wrapped in assignment windows here). Exempting them skips a
         # table-max job per statement on the compiled-fold hot path.
+        # Gate on the EXACT internal view name (prefix included, as its own
+        # token after "from"), not a bare suffix — a module table/view whose
+        # name merely ends in __poolsrc__/__localsrc__ must NOT inherit the
+        # exemption (it would store NULL pks where SQLite assigns max+1).
         src_low = src_sql.lower().strip()
-        preassigned = src_low.endswith("__poolsrc__") or src_low.endswith(
-            "__localsrc__"
-        )
+        pfx = self.store.view_prefix.lower()
+        preassigned = src_low.endswith(
+            f"from {pfx}__poolsrc__"
+        ) or src_low.endswith(f"from {pfx}__localsrc__")
         if auto_pk and not (preassigned and auto_pk in target_cols) and (
             auto_pk not in target_cols
             or any_null_pk

@@ -37,9 +37,18 @@ through the supervisor.
 Internal RPC (supervisor ↔ shard): one persistent TCP connection per
 shard, length-prefixed DRISL frames:
 
+    hello     {hello: secret}           # first frame; shard replies
+                                        # {hello: "ok"} or closes
     request   {id, user, trusted, endpoint, args: bytes}
     response  {id, ack: bytes}          # the LeafServer Result ack verbatim
     push      {push: {subscriptionId, streamDid, rows, hasMore, error}}
+
+The loopback RPC port is NOT an open door: the supervisor generates a
+per-run secret and every shard requires it in the hello frame before
+serving (constant-time compare). Without it, any local process could
+send ``trusted=True`` frames and bypass the supervisor's token/JWT gate.
+Subprocess shards receive the secret via the spawn environment
+(``LEAF_SHARD_SECRET``), never the command line.
 
 Endpoint args bytes are forwarded VERBATIM (no supervisor re-encode); the
 supervisor decodes them once only to extract the routing key. Broadcast
@@ -50,8 +59,10 @@ AND over shards, ``admin/list_streams`` concatenates.
 
 from __future__ import annotations
 
+import hmac
 import os
 import queue
+import secrets as _secrets
 import socket
 import struct
 import subprocess
@@ -63,7 +74,13 @@ from dataclasses import dataclass, field
 
 from . import drisl
 from .server import Connection, LeafServer
-from .streaming.subscribe import RESULT_CHANNEL_CAPACITY, SubscriptionResponse
+from .streaming.subscribe import (
+    EMIT_BASE_DELAY,
+    EMIT_DEADLINE,
+    EMIT_MAX_DELAY,
+    RESULT_CHANNEL_CAPACITY,
+    SubscriptionResponse,
+)
 
 _LEN = struct.Struct(">I")
 MAX_FRAME = 64 * 1024 * 1024  # internal frames can carry full event batches
@@ -115,11 +132,12 @@ def _read_exact(sock: socket.socket, n: int) -> bytes | None:
 class ShardWorker:
     """One shard: a LeafServer over its own catalog, served over the RPC."""
 
-    def __init__(self, spark, root_dir: str):
+    def __init__(self, spark, root_dir: str, secret: str | None = None):
         from .catalog import StreamCatalog
 
         self.catalog = StreamCatalog(spark, root_dir)
         self.server = LeafServer(self.catalog)
+        self._secret = secret
         self._stop = threading.Event()
         self._listener: socket.socket | None = None
 
@@ -156,6 +174,16 @@ class ShardWorker:
         # connection dies so their worker entries and push threads don't leak
         conn_subs: list[tuple[str, str]] = []
         try:
+            if self._secret is not None:
+                # per-run secret handshake: the first frame must carry it
+                # (constant-time compare) or the connection is dropped —
+                # a bare loopback connect must NOT get trusted dispatch
+                hello = _read_frame(sock)
+                if hello is None or not hmac.compare_digest(
+                    str(hello.get("hello") or ""), self._secret
+                ):
+                    return
+                _write_frame(sock, send_lock, {"hello": "ok"})
             while not self._stop.is_set():
                 req = _read_frame(sock)
                 if req is None:
@@ -190,7 +218,14 @@ class ShardWorker:
         conn = Connection(user=req.get("user"), trusted=bool(req.get("trusted")))
         endpoint = req["endpoint"]
         args_bytes = bytes(req.get("args") or b"")
-        ack = self.server.handle(conn, endpoint, args_bytes)
+        if endpoint == "_shard/handle_taken":
+            # supervisor-internal probe backing the GLOBAL set_handle
+            # uniqueness check (the reference's check is one process-wide
+            # map, storage.rs:254-290; per-shard catalogs only see their
+            # own streams)
+            ack = self._handle_taken(args_bytes)
+        else:
+            ack = self.server.handle(conn, endpoint, args_bytes)
         try:
             _write_frame(sock, send_lock, {"id": req["id"], "ack": ack})
         except OSError:
@@ -207,6 +242,19 @@ class ShardWorker:
                     args=(sock, send_lock, conn_stop, stream_did, sub_id),
                     daemon=True,
                 ).start()
+
+    def _handle_taken(self, args_bytes: bytes) -> bytes:
+        try:
+            args = drisl.decode(args_bytes) if args_bytes else {}
+            h = args.get("handle")
+            exclude = args.get("excludeDid")
+            taken = h is not None and any(
+                i.handle == h and i.stream_did != exclude
+                for i in self.catalog.list_streams()
+            )
+            return drisl.encode({"Ok": {"taken": bool(taken)}})
+        except Exception as ex:
+            return drisl.encode({"Err": f"{type(ex).__name__}: {ex}"})
 
     def _push_relay(
         self,
@@ -256,28 +304,56 @@ class ShardWorker:
 
 @dataclass
 class _RemoteSub:
-    """Supervisor-local mirror of a shard-side subscription: the push relay
-    fills ``channel``; the socket.io push loop drains it."""
+    """Supervisor-local mirror of a shard-side subscription. The demux
+    thread hands pushes to the unbounded ``handoff``; a per-subscription
+    drain thread moves them into the bounded ``channel`` with the same
+    backoff/deadline semantics as SubscriptionWorker._emit — so sharded
+    mode applies the reference's bounded-channel backpressure instead of
+    silently dropping batches on a slow consumer. The socket.io push loop
+    and poll_subscription drain ``channel``."""
 
     sub_id: str
     stream_did: str
     channel: "queue.Queue[SubscriptionResponse]" = field(
         default_factory=lambda: queue.Queue(maxsize=RESULT_CHANNEL_CAPACITY)
     )
+    handoff: "queue.Queue" = field(default_factory=queue.Queue)
+
+
+# pushes relayed before the supervisor registers the _RemoteSub (the ack
+# races the relay thread shard-side) buffer here; bounded per sub and
+# pruned by age so a never-registered id cannot grow without bound
+_ORPHAN_PUSH_CAP = 64
+_ORPHAN_PUSH_TTL = 60.0
 
 
 class ShardClient:
     """Persistent RPC connection to one shard; thread-safe, multiplexed."""
 
-    def __init__(self, host: str, port: int, timeout: float = 60.0):
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        timeout: float = 60.0,
+        secret: str | None = None,
+    ):
         self.sock = socket.create_connection((host, port), timeout=timeout)
-        self.sock.settimeout(None)
         self._send_lock = threading.Lock()
         self._next_id = 0
         self._id_lock = threading.Lock()
         self._pending: dict[int, queue.Queue] = {}
         self.subs: dict[str, _RemoteSub] = {}
+        self._sub_lock = threading.Lock()
+        self._orphans: dict[str, list[SubscriptionResponse]] = {}
+        self._orphan_at: dict[str, float] = {}
         self._closed = threading.Event()
+        if secret is not None:
+            _write_frame(self.sock, self._send_lock, {"hello": secret})
+            reply = _read_frame(self.sock)
+            if reply is None or reply.get("hello") != "ok":
+                self.sock.close()
+                raise ConnectionError("shard rejected the RPC handshake")
+        self.sock.settimeout(None)
         self._reader = threading.Thread(target=self._read_loop, daemon=True)
         self._reader.start()
 
@@ -324,21 +400,25 @@ class ShardClient:
                 p = frame.get("push")
                 if p is None:
                     continue
-                sub = self.subs.get(p["subscriptionId"])
-                if sub is None:
-                    continue
-                try:
-                    # drop-on-full, NEVER block: this thread also demuxes
-                    # acks — an undrained orphan sub must not stall them
-                    sub.channel.put_nowait(
-                        SubscriptionResponse(
-                            rows=p["rows"],
-                            has_more=bool(p["hasMore"]),
-                            error=p.get("error"),
-                        )
-                    )
-                except queue.Full:
-                    pass
+                resp = SubscriptionResponse(
+                    rows=p["rows"],
+                    has_more=bool(p["hasMore"]),
+                    error=p.get("error"),
+                )
+                with self._sub_lock:
+                    sub = self.subs.get(p["subscriptionId"])
+                    if sub is None:
+                        # the shard's push relay won the race against our
+                        # dispatch thread registering the mirror — buffer
+                        # (the FIRST backfill batch arrives here; dropping
+                        # it loses it permanently, the shard channel is
+                        # already drained)
+                        self._buffer_orphan(p["subscriptionId"], resp)
+                    else:
+                        # unbounded handoff, NEVER blocks: this thread
+                        # also demuxes acks — backpressure is applied by
+                        # the per-sub drain thread, not here
+                        sub.handoff.put(resp)
         except (OSError, ValueError):
             pass
         finally:
@@ -347,8 +427,70 @@ class ShardClient:
             for ch in list(self._pending.values()):
                 ch.put(drisl.encode({"Err": "ConnectionError: shard connection lost"}))
 
+    def _buffer_orphan(self, sub_id: str, resp: SubscriptionResponse) -> None:
+        now = time.monotonic()
+        for sid, at in list(self._orphan_at.items()):
+            if now - at > _ORPHAN_PUSH_TTL:
+                self._orphans.pop(sid, None)
+                self._orphan_at.pop(sid, None)
+        buf = self._orphans.setdefault(sub_id, [])
+        self._orphan_at.setdefault(sub_id, now)
+        if len(buf) < _ORPHAN_PUSH_CAP:
+            buf.append(resp)
+
+    def register_sub(self, sub_id: str, stream_did: str) -> _RemoteSub:
+        """Publish the supervisor-side mirror; any pushes that arrived
+        before registration re-enter IN ORDER ahead of later ones."""
+        sub = _RemoteSub(sub_id, stream_did)
+        with self._sub_lock:
+            for resp in self._orphans.pop(sub_id, []):
+                sub.handoff.put(resp)
+            self._orphan_at.pop(sub_id, None)
+            self.subs[sub_id] = sub
+        threading.Thread(
+            target=self._drain_sub, args=(sub,), daemon=True
+        ).start()
+        return sub
+
+    def drop_sub(self, sub_id: str) -> None:
+        with self._sub_lock:
+            sub = self.subs.pop(sub_id, None)
+            self._orphans.pop(sub_id, None)
+            self._orphan_at.pop(sub_id, None)
+        if sub is not None:
+            sub.handoff.put(None)  # drain-thread sentinel
+
+    def _drain_sub(self, sub: _RemoteSub) -> None:
+        """Move pushes handoff → bounded channel with the single-driver
+        emit semantics (10 ms doubling to 1 s, give up after
+        EMIT_DEADLINE of continuous backpressure — subscribe.py:_emit)."""
+        while not self._closed.is_set():
+            try:
+                resp = sub.handoff.get(timeout=0.25)
+            except queue.Empty:
+                continue
+            if resp is None:
+                return
+            delay = EMIT_BASE_DELAY
+            deadline = time.monotonic() + EMIT_DEADLINE
+            while not self._closed.is_set():
+                try:
+                    sub.channel.put(resp, timeout=delay)
+                    break
+                except queue.Full:
+                    if time.monotonic() >= deadline:
+                        break  # consumer never drained: reference bailout
+                    delay = min(delay * 2, EMIT_MAX_DELAY)
+
     def close(self) -> None:
         self._closed.set()
+        with self._sub_lock:
+            subs = list(self.subs.values())
+            self.subs.clear()
+            self._orphans.clear()
+            self._orphan_at.clear()
+        for sub in subs:
+            sub.handoff.put(None)
         try:
             self.sock.close()
         except OSError:
@@ -390,6 +532,9 @@ class ShardRouter:
     def __init__(self, clients: list[ShardClient]):
         self.clients = clients
         self.catalog = _CatalogFacade(self)
+        # serializes set_handle check+apply so two concurrent claims of
+        # the same handle on different shards cannot both pass the probe
+        self._handle_lock = threading.Lock()
 
     def client_for(self, stream_did: str) -> ShardClient:
         return self.clients[shard_of(stream_did, len(self.clients))]
@@ -444,15 +589,37 @@ class ShardRouter:
         if stream_did is None:
             raise ValueError(f"unknown endpoint {endpoint!r}")
         client = self.client_for(stream_did)
+        if endpoint == "stream/set_handle" and args.get("handle") is not None:
+            # handle uniqueness is GLOBAL in the reference (one process-wide
+            # map); each shard's catalog only checks its own streams, so
+            # probe the others first — serialized so concurrent claims of
+            # the same handle cannot both pass
+            handle = args["handle"]
+            probe = drisl.encode({"handle": handle, "excludeDid": stream_did})
+            with self._handle_lock:
+                for c in self.clients:
+                    if c is client:
+                        continue
+                    resp = drisl.decode(
+                        c.call(conn.user, conn.trusted, "_shard/handle_taken", probe)
+                    )
+                    if "Err" in resp:
+                        return drisl.encode(resp)
+                    if resp["Ok"]["taken"]:
+                        # the exact error the owning catalog raises on a
+                        # same-shard collision (catalog.py set_handle)
+                        return drisl.encode(
+                            {"Err": f"ValueError: handle {handle!r} already taken"}
+                        )
+                return client.call(conn.user, conn.trusted, endpoint, args_drisl)
         ack = client.call(conn.user, conn.trusted, endpoint, args_drisl)
         if endpoint == "stream/subscribe_events":
             decoded = drisl.decode(ack)
             if "Ok" in decoded:
-                sub_id = decoded["Ok"]["subscriptionId"]
-                client.subs[sub_id] = _RemoteSub(sub_id, stream_did)
+                client.register_sub(decoded["Ok"]["subscriptionId"], stream_did)
         elif endpoint == "stream/unsubscribe":
             if "Ok" in drisl.decode(ack):
-                client.subs.pop(args.get("subscriptionId"), None)
+                client.drop_sub(args.get("subscriptionId"))
         return ack
 
     def _poll_local(self, args: dict) -> dict:
@@ -517,6 +684,7 @@ class LeafShardSupervisor:
         self._spark = spark
         self._cpus = cpus_per_shard
         self._spawn_timeout = spawn_timeout
+        self._secret = _secrets.token_hex(32)
         self._procs: list[subprocess.Popen] = []
         self._workers: list[ShardWorker] = []
         self.router: ShardRouter | None = None
@@ -530,7 +698,9 @@ class LeafShardSupervisor:
         ports = (
             self._start_inprocess() if self._spark is not None else self._spawn()
         )
-        clients = [ShardClient("127.0.0.1", p) for p in ports]
+        clients = [
+            ShardClient("127.0.0.1", p, secret=self._secret) for p in ports
+        ]
         self.router = ShardRouter(clients)
         self.sio = LeafSocketIOServer(
             self.router,
@@ -550,7 +720,9 @@ class LeafShardSupervisor:
     def _start_inprocess(self) -> list[int]:
         ports = []
         for i in range(self.n_shards):
-            w = ShardWorker(self._spark, self._shard_root(i))
+            w = ShardWorker(
+                self._spark, self._shard_root(i), secret=self._secret
+            )
             ports.append(w.listen())
             threading.Thread(target=w.serve_forever, daemon=True).start()
             self._workers.append(w)
@@ -580,6 +752,9 @@ class LeafShardSupervisor:
                         f"leaf-shard-{i}",
                     ],
                     cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    # secret travels in the environment, never argv (argv is
+                    # world-readable in the process table)
+                    env={**os.environ, "LEAF_SHARD_SECRET": self._secret},
                 )
             )
         ports = []
@@ -635,7 +810,9 @@ def _worker_main(argv: list[str]) -> None:
         ns.app, master=f"local[{ns.cpus}]", shuffle_partitions=ns.cpus
     )
     spark.sparkContext.setLogLevel("ERROR")
-    worker = ShardWorker(spark, ns.root)
+    worker = ShardWorker(
+        spark, ns.root, secret=os.environ.get("LEAF_SHARD_SECRET")
+    )
     port = worker.listen()
     tmp = ns.port_file + ".tmp"
     with open(tmp, "w") as f:

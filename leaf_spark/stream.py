@@ -1275,7 +1275,16 @@ class Stream:
                 .replace("main.", "")
             )
             tdef = self.store.defs.get(flat)
-            if tdef is None or len(tdef.primary_key) != 1:
+            if tdef is None:
+                # target didn't resolve under THIS parse (quoted names,
+                # schema-qualified shapes this walk doesn't cover). The
+                # rows may still carry NULL rowid-alias pks that SQLite
+                # would assign, and the dml layer skips assignment for
+                # __localsrc__ statements — so signal the caller to take
+                # the normal Spark path rather than pass unassigned rows
+                # through (ADVICE r11, dml.py preassigned-id exemption).
+                return None
+            if len(tdef.primary_key) != 1:
                 return rows
             pk = tdef.primary_key[0]
             f_ = next(

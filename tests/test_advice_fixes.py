@@ -849,3 +849,97 @@ class TestRound7Advice:
             "Aggregate [k] [k, count(1)]\n+- Relation [a] parquet",
         ):
             assert not _is_narrow_over_scan(_FakeDf(bad)), bad
+
+
+class TestRound11Advice:
+    """Round-11 advisor findings (low): the preassigned-id exemption must
+    key on the EXACT internal ``__poolsrc__``/``__localsrc__`` view name
+    (prefix included), not a bare suffix — and ``_assign_local_rowids``
+    must signal Spark-path fallback (None) when its independent parse
+    cannot resolve the insert target."""
+
+    def test_user_table_named_like_poolsrc_still_auto_assigns(self, spark):
+        from leaf_spark.dml import DmlExecutor, TableStore
+
+        store = TableStore(spark, "advq11a_")
+        ex = DmlExecutor(store)
+        ex.execute("create table src__poolsrc__ (v integer)")
+        ex.execute("insert into src__poolsrc__ values (10), (20)")
+        ex.execute("create table tgt (id integer primary key, v integer)")
+        # source reads a USER table whose name merely ends in __poolsrc__ —
+        # the suffix-keyed exemption (pre-fix) skipped auto-assignment here
+        # and stored NULL primary keys where SQLite assigns max+1
+        ex.execute(
+            "insert into tgt (id, v) select null, v from src__poolsrc__"
+        )
+        rows = sorted(
+            (r["id"], r["v"]) for r in store.tables["tgt"].collect()
+        )
+        assert rows == [(1, 10), (2, 20)]
+
+    def test_user_table_named_like_localsrc_still_auto_assigns(self, spark):
+        from leaf_spark.dml import DmlExecutor, TableStore
+
+        store = TableStore(spark, "advq11b_")
+        ex = DmlExecutor(store)
+        ex.execute("create table t__localsrc__ (v integer)")
+        ex.execute("insert into t__localsrc__ values (7)")
+        ex.execute("create table tgt (id integer primary key, v integer)")
+        ex.execute("insert into tgt (id, v) select null, v from t__localsrc__")
+        assert [(r["id"], r["v"]) for r in store.tables["tgt"].collect()] == [
+            (1, 7)
+        ]
+
+    def test_internal_localsrc_view_is_still_exempt(self, spark, tmp_root):
+        """The real localized-fold path still skips the window job AND
+        assigns ids exactly (the whole point of the exemption)."""
+        mod = BasicModuleDef(
+            init_sql=(
+                "create table if not exists items (id integer primary key, v text not null)"
+            ),
+            materializer=(
+                "insert into items (id, v) "
+                "select null, drisl_extract(payload, '.v') from event;"
+            ),
+            queries=(QueryDef("items", "select id, v from items order by id"),),
+        )
+        s = Stream(spark, tmp_root, "did:plc:advq11c")
+        s.provide_module(mod)
+        s.add_events([ev("u", v="a"), ev("u", v="b")])
+        s.add_events([ev("u", v="c")])
+        rows = s.query(None, LeafQuery("items"))
+        assert rows == [
+            {"id": 1, "v": "a"},
+            {"id": 2, "v": "b"},
+            {"id": 3, "v": "c"},
+        ]
+
+    def test_assign_local_rowids_unresolvable_target_returns_none(
+        self, spark, tmp_root
+    ):
+        from leaf_spark.sqlcompat import tokenize, _is_word
+
+        mod = BasicModuleDef(
+            init_sql=(
+                "create table if not exists items (id integer primary key, v text)"
+            ),
+            materializer="insert into items (id, v) select null, 'x' from event;",
+            queries=(QueryDef("items", "select id, v from items"),),
+        )
+        s = Stream(spark, tmp_root, "did:plc:advq11d")
+        s.provide_module(mod)
+        stmt = 'insert into "items" ( id , v ) select null , 1'
+        toks = tokenize(stmt)
+        lows = [t.lower() if _is_word(t) else t for t in toks]
+        isel = lows.index("select")
+        out = s._assign_local_rowids(
+            toks, lows, isel, ["id", "v"], [(None, 1)]
+        )
+        assert out is None  # quoted target → unresolved → Spark fallback
+        # sanity: the unquoted shape still resolves and assigns
+        toks2 = tokenize("insert into items ( id , v ) select null , 1")
+        lows2 = [t.lower() if _is_word(t) else t for t in toks2]
+        out2 = s._assign_local_rowids(
+            toks2, lows2, lows2.index("select"), ["id", "v"], [(None, 1)]
+        )
+        assert out2 == [(1, 1)]

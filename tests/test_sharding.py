@@ -376,3 +376,168 @@ def test_subprocess_shards_smoke(tmp_path):
             cli.close()
     finally:
         sup.close()
+
+
+# -- round-11 advice regressions ---------------------------------------------
+
+
+def test_shard_rpc_rejects_unauthenticated_connections(sharded):
+    """The loopback RPC port must not grant trusted dispatch to any local
+    process: without the per-run secret handshake the shard drops the
+    connection before serving a single frame (ADVICE r11 medium)."""
+    import socket as _socket
+    import struct as _struct
+
+    port = sharded.router.clients[0].sock.getpeername()[1]
+
+    def _send_raw(frames: list[dict]) -> bytes:
+        s = _socket.create_connection(("127.0.0.1", port), timeout=5)
+        try:
+            s.settimeout(5)
+            # a reset (server closed with our frame unread) is a rejection
+            # just like a clean EOF — only an ACTUAL ack bytes is a breach
+            try:
+                for f in frames:
+                    blob = drisl.encode(f)
+                    s.sendall(_struct.pack(">I", len(blob)) + blob)
+                return s.recv(4096)
+            except TimeoutError:
+                return b"<timeout>"
+            except OSError:
+                return b""
+        finally:
+            s.close()
+
+    forged = {
+        "id": 1,
+        "user": "did:plc:mallory",
+        "trusted": True,
+        "endpoint": "admin/list_streams",
+        "args": drisl.encode({}),
+    }
+    # no handshake at all → closed without an ack
+    assert _send_raw([forged]) == b""
+    # wrong secret → closed
+    assert _send_raw([{"hello": "not-the-secret"}, forged]) == b""
+
+
+def test_shard_client_requires_matching_secret(spark, tmp_path):
+    from leaf_spark.sharding import ShardClient, ShardWorker
+    import threading as _threading
+
+    w = ShardWorker(spark, str(tmp_path / "s0"), secret="right")
+    port = w.listen()
+    _threading.Thread(target=w.serve_forever, daemon=True).start()
+    try:
+        with pytest.raises(ConnectionError):
+            ShardClient("127.0.0.1", port, timeout=5, secret="wrong")
+        ok = ShardClient("127.0.0.1", port, timeout=5, secret="right")
+        ack = drisl.decode(ok.call(None, False, "module/exists", drisl.encode({"cid": "x"})))
+        assert ack == {"Ok": {"exists": False}}
+        ok.close()
+    finally:
+        w.close()
+
+
+def test_set_handle_unique_across_shards(sharded):
+    """Handle uniqueness is global in the reference (one process-wide map,
+    storage.rs:254-290); two streams hashed to different shards must not
+    both claim one handle (ADVICE r11 medium)."""
+    did0, did1 = _dids_on_shards(2)
+    cli = _client(sharded)
+    try:
+        cid = cli.call("module/upload", {"module": CHAT.to_codec()})["Ok"]["cid"]
+        for did in (did0, did1):
+            cli.call("stream/create", {"streamDid": did, "moduleCid": cid})
+        assert "Ok" in cli.call(
+            "stream/set_handle", {"streamDid": did0, "handle": "taken.example"}
+        )
+        out = cli.call(
+            "stream/set_handle", {"streamDid": did1, "handle": "taken.example"}
+        )
+        assert "Err" in out and "already taken" in out["Err"]
+        # re-claiming your own handle stays idempotent; a fresh handle works
+        assert "Ok" in cli.call(
+            "stream/set_handle", {"streamDid": did0, "handle": "taken.example"}
+        )
+        assert "Ok" in cli.call(
+            "stream/set_handle", {"streamDid": did1, "handle": "other.example"}
+        )
+        # clearing needs no global probe
+        assert "Ok" in cli.call(
+            "stream/set_handle", {"streamDid": did1, "handle": None}
+        )
+    finally:
+        cli.close()
+
+
+def test_push_before_registration_is_buffered(spark, tmp_path):
+    """The shard-side push relay starts the instant the subscribe ack is
+    written; a push that beats the supervisor's mirror registration must be
+    buffered, not dropped — it carries the FIRST backfill batch, which the
+    shard channel has already drained (ADVICE r11 high)."""
+    from leaf_spark.sharding import ShardClient, ShardWorker
+    import threading as _threading
+
+    w = ShardWorker(spark, str(tmp_path / "s0"), secret="s")
+    port = w.listen()
+    _threading.Thread(target=w.serve_forever, daemon=True).start()
+    cli = ShardClient("127.0.0.1", port, secret="s")
+    did = "did:plc:prereg"
+    try:
+        cid = drisl.decode(
+            cli.call("did:plc:alice", False, "module/upload",
+                     drisl.encode({"module": CHAT.to_codec()}))
+        )["Ok"]["cid"]
+        cli.call("did:plc:alice", False, "stream/create",
+                 drisl.encode({"streamDid": did, "moduleCid": cid}))
+        cli.call("did:plc:alice", False, "stream/event_batch",
+                 drisl.encode({"streamDid": did, "payloads": [
+                     drisl.encode({"content": "early", "sentAt": 1})]}))
+        # subscribe with an explicit start → immediate backfill push; do NOT
+        # register the mirror yet (this models the race window)
+        ack = drisl.decode(
+            cli.call("did:plc:alice", False, "stream/subscribe_events",
+                     drisl.encode({"streamDid": did,
+                                   "query": {"name": "messages", "start": 1}}))
+        )
+        sub_id = ack["Ok"]["subscriptionId"]
+        deadline = time.monotonic() + 30
+        while sub_id not in cli._orphans:
+            assert time.monotonic() < deadline, "backfill push never arrived"
+            time.sleep(0.02)
+        sub = cli.register_sub(sub_id, did)
+        r = sub.channel.get(timeout=10)
+        assert [row["content"]["value"] for row in r.rows] == ["early"]
+        assert sub_id not in cli._orphans  # consumed, not duplicated
+    finally:
+        cli.close()
+        w.close()
+
+
+def test_remote_sub_backpressure_does_not_drop(spark, tmp_path):
+    """Sharded mode must apply the single-driver bounded-channel semantics:
+    a consumer that drains (within EMIT_DEADLINE) sees EVERY response, in
+    order, even when >capacity responses arrive in a burst (ADVICE r11
+    medium — the old demux-thread put_nowait dropped on queue.Full)."""
+    from leaf_spark.sharding import ShardClient, ShardWorker
+    from leaf_spark.streaming.subscribe import (
+        RESULT_CHANNEL_CAPACITY,
+        SubscriptionResponse,
+    )
+    import threading as _threading
+
+    w = ShardWorker(spark, str(tmp_path / "s0"), secret="s")
+    port = w.listen()
+    _threading.Thread(target=w.serve_forever, daemon=True).start()
+    cli = ShardClient("127.0.0.1", port, secret="s")
+    try:
+        sub = cli.register_sub("sub-bp", "did:plc:bp")
+        n = RESULT_CHANNEL_CAPACITY * 3 + 5
+        for i in range(n):
+            sub.handoff.put(SubscriptionResponse(rows=[{"i": i}], has_more=False))
+        got = [sub.channel.get(timeout=10).rows[0]["i"] for _ in range(n)]
+        assert got == list(range(n))
+    finally:
+        cli.close()
+        w.close()
