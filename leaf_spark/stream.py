@@ -1599,9 +1599,10 @@ class Stream:
 
     def _parse_pooled_delete(
         self, stmt: str, key: str
-    ) -> tuple[str, str, str] | None:
+    ) -> tuple[str, str, str, list[str], str] | None:
         """Parse a DELETE so it can join a pooled-round group keyed on
-        ``key``: (raw target, source SQL, residual predicate).
+        ``key``: (raw target, source SQL, residual predicate,
+        mixed-guard source columns, mixed-guard predicate).
 
         Required shape: ``DELETE FROM t WHERE <conjunction>`` where
         exactly ONE depth-0 conjunct is ``<key> = (SELECT <expr> FROM
@@ -1620,7 +1621,18 @@ class Stream:
         [where <event conjs>]``. Execution per round: ``delete from t
         where <key> in (select <key> from <round view>) [and
         (<residual>)]``. NULL keys never match either side — the same
-        no-op as the reference's ``k = NULL``."""
+        no-op as the reference's ``k = NULL``.
+
+        r12 extension — MIXED event/target conjuncts (the guarded
+        delete, ``… AND n < (SELECT cap FROM event)``) classify via
+        ``_classify_mixed_conj``: each event subquery becomes a
+        ``__e<n>__`` source column (the key then aliases ``__k__`` so
+        target columns correlate cleanly) and execution switches to
+        ``DELETE FROM t WHERE EXISTS (SELECT 1 FROM <round view> WHERE
+        __k__ = <key> AND <guard>)`` — the guard reads the pre-round
+        row of the op's own key, which is the sequential fold's
+        evaluation order restricted to that key (keys are unique per
+        round, deletes of different keys commute)."""
         try:
             toks = tokenize(stmt)
             lows = [t.lower() if _is_word(t) else t for t in toks]
@@ -1646,9 +1658,8 @@ class Stream:
                 return None
             if any(t.table == flat for t in self.store.triggers.values()):
                 return None
-            if key.lower() not in {
-                f.name.lower() for f in tdef.schema.fields
-            }:
+            fields = {f.name.lower() for f in tdef.schema.fields}
+            if key.lower() not in fields:
                 return None
             if j >= len(toks) or lows[j] != "where":
                 return None
@@ -1666,6 +1677,7 @@ class Stream:
             key_expr: list[str] | None = None
             ev_conjs: list[list[str]] = []
             residual: list[list[str]] = []
+            mixed: list[tuple[list[str], list[list[str]]]] = []
             for lo, hi in self._top_spans(toks, lows, "and", wlo, len(toks)):
                 span = toks[lo:hi]
                 slows = lows[lo:hi]
@@ -1673,7 +1685,13 @@ class Stream:
                     span, slows, key, flat, known
                 )
                 if got is None:
-                    return None
+                    mg = self._classify_mixed_conj(
+                        span, slows, flat, fields, known
+                    )
+                    if mg is None:
+                        return None
+                    mixed.append(mg)
+                    continue
                 kind, payload = got
                 if kind == "key":
                     if key_expr is not None:
@@ -1685,10 +1703,25 @@ class Stream:
                     residual.append(payload)
             if key_expr is None:
                 return None
-            src = (
-                f"select {' '.join(key_expr)} as {key} , idx as __ord__ "
-                f"from event"
-            )
+            e_exprs: list[list[str]] = []
+            mixed_parts: list[str] = []
+            for mtoks, mexprs in mixed:
+                final: list[str] = []
+                for t in mtoks:
+                    if t.startswith("\x00E"):
+                        e_exprs.append(mexprs[int(t[2:])])
+                        final += ["(", f"__e{len(e_exprs)}__", ")"]
+                    else:
+                        final.append(t)
+                mixed_parts.append("( " + " ".join(final) + " )")
+            ecols = [f"__e{n + 1}__" for n in range(len(e_exprs))]
+            key_alias = "__k__" if ecols else key
+            sels = [f"{' '.join(key_expr)} as {key_alias}"]
+            sels += [
+                f"{' '.join(e)} as __e{n + 1}__"
+                for n, e in enumerate(e_exprs)
+            ]
+            src = f"select {', '.join(sels)} , idx as __ord__ from event"
             if ev_conjs:
                 src += " where " + " and ".join(
                     "( " + " ".join(c) + " )" for c in ev_conjs
@@ -1696,7 +1729,7 @@ class Stream:
             res = " and ".join(
                 "( " + " ".join(c) + " )" for c in residual
             )
-            return raw_target, src, res
+            return raw_target, src, res, ecols, " and ".join(mixed_parts)
         except Exception:
             return None
 
@@ -1784,6 +1817,7 @@ class Stream:
             key_col: str | None = None
             ev_conjs: list[list[str]] = []
             residual: list[list[str]] = []
+            mixed: list[tuple[list[str], list[list[str]]]] = []
             for lo, hi in self._top_spans(
                 toks, lows, "and", where_i + 1, len(toks)
             ):
@@ -1810,7 +1844,16 @@ class Stream:
                     span, slows, key or "\x00nokey", flat, known
                 )
                 if got is None:
-                    return None
+                    # guarded-counter shape (r12): a conjunct mixing an
+                    # event subquery with target columns compiles too —
+                    # it applies at round time against the pre-round row
+                    mg = self._classify_mixed_conj(
+                        span, slows, flat, fields, known
+                    )
+                    if mg is None:
+                        return None
+                    mixed.append(mg)
+                    continue
                 kind, payload = got
                 if kind == "key":
                     if key_expr is not None:
@@ -1885,6 +1928,20 @@ class Stream:
                 set_parts.append(" ".join(out))
             if not set_parts:
                 return None
+            # mixed conjuncts: materialize their event subqueries as
+            # further __e<n>__ source columns (numbering continues the
+            # SET clause's) and fold the rewritten conjunct into the
+            # residual — the round join applies it against the
+            # pre-round target row
+            for mtoks, mexprs in mixed:
+                final: list[str] = []
+                for t in mtoks:
+                    if t.startswith("\x00E"):
+                        e_exprs.append(mexprs[int(t[2:])])
+                        final += ["(", f"__e{len(e_exprs)}__", ")"]
+                    else:
+                        final.append(t)
+                residual.append(final)
             sels = [f"{' '.join(key_expr)} as __k__"]
             sels += [
                 f"{' '.join(e)} as __e{n + 1}__"
@@ -2093,6 +2150,95 @@ class Stream:
             if low in known and prv != "." and nxt != ".":
                 return None
         return "residual", span
+
+    def _classify_mixed_conj(
+        self,
+        span: list[str],
+        slows: list[str],
+        flat: str,
+        fields: set[str],
+        known: set[str],
+    ) -> tuple[list[str], list[list[str]]] | None:
+        """MIXED event/target conjunct of a pooled keyed UPDATE/DELETE —
+        the guarded-counter shape (``… AND n < (SELECT cap FROM
+        event)``): contains BOTH scalar ``(select <expr> from event)``
+        subqueries and target-column references. Returns (tokens with
+        ``\\x00E<k>`` sentinels replacing each subquery, [expr token
+        lists]), or None (unpoolable).
+
+        The caller materializes each expr as a ``__e<n>__`` SOURCE
+        column and applies the conjunct at round-apply time against the
+        pre-round table — which is exactly the sequential fold's guard
+        evaluation (lib.rs:543-569) restricted to the op's own key: the
+        key-equality conjunct scopes the op to one row, rank r applies
+        after ranks <r of the same key, and cross-key ops commute
+        because the guard reads only the joined row. Gates: every
+        subquery expr passes ``_event_expr_ok``; every bare identifier
+        is a target column (or keyword/number); qualified refs only as
+        ``<flat>.<col>``; no aggregates or unsafe fns; no EXISTS over
+        the subquery (scalar collapse would change its meaning)."""
+        if any(f.startswith("__") for f in fields):
+            return None  # target cols would collide with __e<n>__ refs
+        out: list[str] = []
+        exprs: list[list[str]] = []
+        saw_target = False
+        i, n = 0, len(span)
+        while i < n:
+            t = span[i]
+            if t == "(" and i + 1 < n and slows[i + 1] == "select":
+                d = 0
+                k = i
+                while k < n:
+                    if span[k] == "(":
+                        d += 1
+                    elif span[k] == ")":
+                        d -= 1
+                        if d == 0:
+                            break
+                    k += 1
+                expr = self._scalar_event_subq(
+                    span[i : k + 1], slows[i : k + 1]
+                )
+                if expr is None or not self._event_expr_ok(expr, known):
+                    return None
+                if out and out[-1].lower() == "exists":
+                    return None
+                out.append(f"\x00E{len(exprs)}")
+                exprs.append(expr)
+                i = k + 1
+                continue
+            if _is_word(t):
+                low = slows[i]
+                nxt = span[i + 1] if i + 1 < n else ""
+                prv = span[i - 1] if i > 0 else ""
+                if low == "select":
+                    return None  # non-event subquery
+                if nxt == "(":
+                    if low in self._DELETE_UNSAFE_FNS or low in (
+                        "count", "sum", "avg", "min", "max", "total",
+                        "group_concat",
+                    ):
+                        return None
+                elif prv == ".":
+                    if low not in fields:
+                        return None
+                    saw_target = True
+                elif nxt == ".":
+                    if low != flat:
+                        return None  # only the target may qualify
+                elif low in localexec._KEYWORDS:
+                    pass
+                elif low in fields:
+                    saw_target = True
+                elif low in ("event", "events") or low in known:
+                    return None
+                else:
+                    return None  # unknown identifier: not provably safe
+            out.append(t)
+            i += 1
+        if not exprs or not saw_target:
+            return None  # pure shapes belong to the event/residual classes
+        return out, exprs
 
     def _event_expr_ok(self, expr: list[str], known: set[str]) -> bool:
         """An expression destined for the pooled-delete SOURCE select
@@ -2958,9 +3104,12 @@ class Stream:
         for si, (tag, shape) in group:
             if tag == "upsert":
                 cols, _, src_sql, _, tail_sql = shape
-            elif tag == "delete":  # source selects (key, __ord__)
-                _key, _raw, src_sql, _res = shape
-                cols = [keys[0]]
+            elif tag == "delete":  # source selects (key,[__e*__],__ord__)
+                _key, _raw, src_sql, _res, ecols, _mix = shape
+                # a mixed-guard delete keys its source __k__ (like
+                # updates) so the EXISTS guard can correlate the bare
+                # target columns outward
+                cols = (["__k__", *ecols] if ecols else [keys[0]])
             else:  # update: source is explicitly aliased (__k__, __e*__)
                 src_sql = shape[2]
                 cols = None
@@ -2970,7 +3119,7 @@ class Stream:
             # (the _exec_roundwise discipline)
             src = self._pooled_source_df(ex, src_sql, cols, is_state, local_rows)
             srcs.append((si, tag, shape, src))
-            if tag == "update":
+            if tag == "update" or (tag == "delete" and "__k__" in src.columns):
                 kf = src.select(
                     F.col("__k__").alias(keys[0]),
                     F.col("__ord__"),
@@ -3045,16 +3194,39 @@ class Stream:
                         is_state=is_state,
                     )
                 elif tag == "delete":
-                    key, raw_target, _src_sql, residual = shape
-                    sub = src.join(picked, "__ord__").select(keys[0])
-                    sub.createOrReplaceTempView(view)
-                    sql = (
-                        f"delete from {raw_target} where {key} in "
-                        f"( select {key} from {view} )"
-                    )
+                    key, raw_target, _src_sql, residual, ecols, mix = shape
+                    if ecols:
+                        # guarded delete (r12): the round view carries
+                        # __k__ + the materialized event exprs; the
+                        # guard correlates the target row through
+                        # EXISTS and evaluates against the PRE-ROUND
+                        # table — bare target columns resolve outward
+                        # (nothing in the view shadows them; fields
+                        # starting with __ are rejected at parse)
+                        sub = src.join(picked, "__ord__").select(
+                            "__k__", *ecols
+                        )
+                        sub.createOrReplaceTempView(view)
+                        sql = (
+                            f"delete from {raw_target} where exists ( "
+                            f"select 1 from {view} where __k__ = {key} "
+                            f"and ( {mix} ) )"
+                        )
+                    else:
+                        sub = src.join(picked, "__ord__").select(keys[0])
+                        sub.createOrReplaceTempView(view)
+                        sql = (
+                            f"delete from {raw_target} where {key} in "
+                            f"( select {key} from {view} )"
+                        )
                     if residual:
                         sql += f" and ( {residual} )"
                     ex.execute(sql, is_state=is_state)
+                    if ecols:
+                        # the EXISTS guard embeds the target in its own
+                        # delete plan — checkpoint after the round like
+                        # updates do, or plans nest once per round
+                        round_had_update = True
                 else:  # update → upsert with a target-joining source
                     # NOT an UPDATE…FROM: its existing⋈matches self-join
                     # under the fold's insert-union trips Spark's

@@ -2140,3 +2140,189 @@ def test_soak_pooled_trio_full_lifecycle(spark, tmp_path):
             {"id": k, "bal": v} for k, v in sorted(model.items())
         ]
         assert got == want, step
+
+
+class TestGuardedConjuncts:
+    """r12 (VERDICT r11 #4): MIXED event/target conjuncts in keyed
+    updates/deletes compile into the pooled-round tier — the
+    guarded-counter shape ``… WHERE k = (SELECT … FROM event) AND n <
+    (SELECT … FROM event)``. The guard evaluates against the pre-round
+    table, which is the sequential fold's order restricted to the op's
+    own key. Verified against a stdlib-sqlite3 per-event fold."""
+
+    GUARDED = BasicModuleDef(
+        init_sql=(
+            "create table if not exists gc "
+            "(k text primary key, n integer not null, cap integer not null)"
+        ),
+        materializer=(
+            # seed: first sighting of a key fixes its cap
+            "insert into gc (k, n, cap) "
+            "select drisl_extract(payload, '.k'), 0, "
+            "drisl_extract_int(payload, '.cap') from event "
+            "where drisl_exists(payload, '.cap') "
+            "on conflict (k) do nothing; "
+            # guarded counter: bump only while under the event's limit
+            # AND the row's own cap is positive (mixed + residual)
+            "update gc set n = n + 1 "
+            "where k = (select drisl_extract(payload, '.k') from event) "
+            "and n < (select drisl_extract_int(payload, '.lim') from event) "
+            "and cap > 0;"
+        ),
+        queries=(
+            QueryDef("gc", "select k, n, cap from gc order by k"),
+        ),
+    )
+
+    GUARDED_DEL = BasicModuleDef(
+        init_sql=(
+            "create table if not exists gd "
+            "(k text primary key, n integer not null)"
+        ),
+        materializer=(
+            "insert into gd (k, n) "
+            "select drisl_extract(payload, '.k'), "
+            "drisl_extract_int(payload, '.v') from event "
+            "where drisl_exists(payload, '.v') "
+            "on conflict (k) do update set n = n + excluded.n; "
+            # guarded delete: evict the key once it reaches the event cap
+            "delete from gd "
+            "where k = (select drisl_extract(payload, '.k') from event) "
+            "and n >= (select drisl_extract_int(payload, '.cap') from event);"
+        ),
+        queries=(
+            QueryDef("gd", "select k, n from gd order by k"),
+        ),
+    )
+
+    @staticmethod
+    def _events(seed, n):
+        rng = random.Random(seed)
+        out = []
+        for _ in range(n):
+            p = {"k": f"k{rng.randrange(4)}"}
+            if rng.random() < 0.7:
+                p["cap"] = rng.randrange(0, 3)
+            if rng.random() < 0.8:
+                p["lim"] = rng.randrange(0, 4)
+            if rng.random() < 0.6:
+                p["v"] = rng.randrange(1, 4)
+            out.append(p)
+        return out
+
+    def test_guarded_update_pools(self, spark, tmp_path):
+        s = Stream(spark, str(tmp_path), "did:plc:guard1")
+        s.provide_module(self.GUARDED)
+        stmts = [
+            st.strip()
+            for st in self.GUARDED.materializer.split(";")
+            if st.strip()
+        ]
+        assert s._compile_script(stmts) is None
+        plan = s._pool_plan(stmts)
+        assert plan is not None and "gc" in plan
+        tags = sorted(tag for _, (tag, _) in plan["gc"])
+        assert tags == ["update", "upsert"]
+
+    def test_guarded_update_matches_sqlite_fold(self, spark, tmp_path):
+        import sqlite3
+
+        payloads = self._events(12, 40)
+        s = Stream(spark, str(tmp_path), "did:plc:guard2")
+        s.provide_module(self.GUARDED)
+        # two batches (pooled) + singles (localized path) must agree
+        s.add_events([ev("u", **p) for p in payloads[:25]])
+        s.add_events([ev("u", **p) for p in payloads[25:35]])
+        for p in payloads[35:]:
+            s.add_events([ev("u", **p)])
+        got = [
+            (r["k"], r["n"], r["cap"])
+            for r in s.query(None, LeafQuery("gc", limit=100))
+        ]
+        con = sqlite3.connect(":memory:")
+        con.execute(
+            "create table gc (k text primary key, n integer, cap integer)"
+        )
+        for p in payloads:  # the reference's per-event fold
+            if "cap" in p:
+                con.execute(
+                    "insert into gc values (?, 0, ?) "
+                    "on conflict (k) do nothing",
+                    (p["k"], p["cap"]),
+                )
+            con.execute(
+                "update gc set n = n + 1 where k = ? and n < ? and cap > 0",
+                (p["k"], p.get("lim")),
+            )
+        want = sorted(con.execute("select k, n, cap from gc").fetchall())
+        assert got == want
+        # replay: identical, never per-event
+        s2 = Stream(spark, str(tmp_path), "did:plc:guard2")
+
+        def no_single_row(rows, schema):
+            raise AssertionError("per-event fold ran for a pooled module")
+
+        s2._event_local_df = no_single_row
+        s2.provide_module(self.GUARDED)
+        s2.catch_up()
+        got2 = [
+            (r["k"], r["n"], r["cap"])
+            for r in s2.query(None, LeafQuery("gc", limit=100))
+        ]
+        assert got2 == want
+
+    def test_guarded_delete_matches_sqlite_fold(self, spark, tmp_path):
+        import sqlite3
+
+        payloads = self._events(34, 40)
+        s = Stream(spark, str(tmp_path), "did:plc:guard3")
+        s.provide_module(self.GUARDED_DEL)
+        stmts = [
+            st.strip()
+            for st in self.GUARDED_DEL.materializer.split(";")
+            if st.strip()
+        ]
+        plan = s._pool_plan(stmts)
+        assert plan is not None and "gd" in plan
+        tags = sorted(tag for _, (tag, _) in plan["gd"])
+        assert tags == ["delete", "upsert"]
+        s.add_events([ev("u", **p) for p in payloads[:30]])
+        s.add_events([ev("u", **p) for p in payloads[30:]])
+        got = [
+            (r["k"], r["n"])
+            for r in s.query(None, LeafQuery("gd", limit=100))
+        ]
+        con = sqlite3.connect(":memory:")
+        con.execute("create table gd (k text primary key, n integer)")
+        for p in payloads:
+            if "v" in p:
+                con.execute(
+                    "insert into gd values (?, ?) on conflict (k) "
+                    "do update set n = n + excluded.n",
+                    (p["k"], p["v"]),
+                )
+            con.execute(
+                "delete from gd where k = ? and n >= ?",
+                (p["k"], p.get("cap")),
+            )
+        want = sorted(con.execute("select k, n from gd").fetchall())
+        assert got == want
+
+    def test_guard_no_ops_on_missing_event_field(self, spark, tmp_path):
+        """An event without the guard's field yields NULL → guard never
+        passes (SQLite NULL comparison) — the pooled compile must
+        preserve that no-op exactly."""
+        s = Stream(spark, str(tmp_path), "did:plc:guard4")
+        s.provide_module(self.GUARDED)
+        s.add_events(
+            [
+                ev("u", k="a", cap=5),           # seed only (no lim)
+                ev("u", k="a", cap=5, lim=2),    # n 0→1
+                ev("u", k="a"),                  # NULL lim → no-op
+                ev("u", k="a", lim=2),           # n 1→2
+                ev("u", k="a", lim=2),           # n=2 not < 2 → no-op
+            ]
+        )
+        assert s.query(None, LeafQuery("gc")) == [
+            {"k": "a", "n": 2, "cap": 5}
+        ]
