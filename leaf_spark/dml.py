@@ -86,6 +86,24 @@ class TriggerDef:
     body: tuple[str, ...]  # raw statements (translated at fire time)
 
 
+def _is_literal_plan(plan) -> bool:
+    """True when an OPTIMIZED plan is a driver-local literal: a single
+    LocalRelation, or a Union tree whose every node is Union/LocalRelation
+    (Catalyst flattens nested unions but has no rule folding a union of
+    LocalRelations into one — the fold-chain merge produces exactly that
+    shape, and its collect() is still a values read, no table scan)."""
+    name = plan.nodeName()
+    if name == "LocalRelation":
+        return True
+    if name != "Union":
+        return False
+    for line in plan.treeString().splitlines():
+        node = line.lstrip(" :+-")
+        if not (node.startswith("LocalRelation") or node.startswith("Union")):
+            return False
+    return True
+
+
 @dataclass
 class TableStore:
     """Per-(stream, module) managed tables: name → DataFrame + schema.
@@ -115,16 +133,26 @@ class TableStore:
     # prove append-only falls back to the full rewrite — the safe
     # direction. Missing key = untouched since the last snapshot.
     _snap_deltas: dict = field(default_factory=dict)
-    # mirror append chain: name → list of (version_after, delta_df | None)
-    # registrations since the mirror consumer last synced, or None once
+    # mirror append chain: name → list of (lo_ver, hi_ver, delta_df | None)
+    # entries — each advances a mirror at version lo to hi — or None once
     # poisoned by a non-append registration. Like _snap_deltas but keyed
     # by VERSION instead of "since last snapshot", so the localexec sqlite
     # mirrors (Stream._mirror_tables) can advance a mirror staged at any
     # version by inserting only the delta rows — the O(delta) read-path
-    # analogue of the incremental snapshot. A (ver, None) entry records a
+    # analogue of the incremental snapshot. A None delta records a
     # content-preserving re-registration (checkpoint/persist re-point).
+    # r12: past _MIRROR_CHAIN_CAP entries the chain FOLDS its two oldest
+    # entries into one (delta = union of the two LocalRelations) instead
+    # of dropping history — dropping silently forced a full restage on
+    # long-running append-only tables, and a mirror grown past
+    # Stream._MIRROR_CAP cannot restage at all (permanent Spark floor).
+    # Consumed entries are pruned by mirror_synced(); the fold-span bound
+    # caps pathological no-reader chains (the union's ANALYSIS cost is
+    # linear in folded entry count — beyond the bound a restage is
+    # cheaper than the plan walk).
     _mirror_chain: dict = field(default_factory=dict)
-    _MIRROR_CHAIN_CAP = 64  # mirrors staler than this many registrations restage
+    _MIRROR_CHAIN_CAP = 64
+    _MIRROR_FOLD_SPAN = 16384  # matches Stream._MIRROR_CAP_APPEND
     # version at which the table was provably EMPTY (set by create): lets a
     # never-staged mirror bootstrap by replaying the full append chain from
     # an empty base instead of a take() over the grown table
@@ -239,8 +267,9 @@ class TableStore:
         chain = self._mirror_chain.get(name)
         self.register(name, df)  # poisons the chain; repaired just below
         if chain is not None:
-            chain.append((self._table_versions[name], delta))
-            self._mirror_chain[name] = chain[-self._MIRROR_CHAIN_CAP :]
+            ver = self._table_versions[name]
+            chain.append((ver - 1, ver, delta))
+            self._mirror_chain[name] = self._fold_chain(name, chain)
         self._dirty.add(name)
         self._mutations += 1
         if self._mutations % 32 == 0:
@@ -254,8 +283,47 @@ class TableStore:
         chain = self._mirror_chain.get(name)
         self.register(name, df)
         if chain is not None:
-            chain.append((self._table_versions[name], None))
-            self._mirror_chain[name] = chain[-self._MIRROR_CHAIN_CAP :]
+            ver = self._table_versions[name]
+            chain.append((ver - 1, ver, None))
+            self._mirror_chain[name] = self._fold_chain(name, chain)
+
+    def _fold_chain(self, name: str, chain: list) -> list | None:
+        """Bound chain length by FOLDING the two oldest entries into one
+        (their deltas union — LocalRelation ∪ LocalRelation optimizes
+        back to a LocalRelation, so the mirror_deltas proof still holds)
+        instead of dropping history. Returns the chain, or None when a
+        fold is impossible (column drift) or the oldest entry's version
+        span passed _MIRROR_FOLD_SPAN (pathological no-reader chain —
+        restaging beats an ever-wider union's analysis cost)."""
+        while len(chain) > self._MIRROR_CHAIN_CAP:
+            l1, h1, d1 = chain[0]
+            l2, h2, d2 = chain[1]
+            if h2 - l1 > self._MIRROR_FOLD_SPAN:
+                return None
+            if d1 is None:
+                merged = d2
+            elif d2 is None:
+                merged = d1
+            else:
+                cols = self.tables[name].columns
+                try:
+                    if d1.columns != cols:
+                        d1 = d1.select(*cols)
+                    if d2.columns != cols:
+                        d2 = d2.select(*cols)
+                    merged = d1.unionAll(d2)
+                except Exception:
+                    return None  # column drift across the fold boundary
+            chain[:2] = [(l1, h2, merged)]
+        return chain
+
+    def mirror_synced(self, name: str, ver: int) -> None:
+        """The (single) mirror consumer is staged at ``ver``: entries that
+        only advance OLDER versions can never be consumed again — prune
+        them so the fold bound is spent on live history, not dead."""
+        chain = self._mirror_chain.get(name)
+        if chain:
+            self._mirror_chain[name] = [e for e in chain if e[1] > ver]
 
     def mirror_base(self, name: str) -> int | None:
         """Version at which ``name`` was empty (its CREATE), if known."""
@@ -271,17 +339,22 @@ class TableStore:
         if chain is None:
             return None
         cur = self.table_version(name)
-        need = [e for e in chain if e[0] > since_ver]
-        if len(need) != cur - since_ver:
-            return None  # gap: history trimmed past the mirror's version
+        pos = since_ver
         out = []
-        for _, d in need:
+        for lo, hi, d in chain:
+            if hi <= pos:
+                continue  # already consumed (pruned lazily)
+            if lo != pos:
+                # lo > pos: gap (history folded/trimmed past the mirror);
+                # lo < pos: the entry STRADDLES the mirror's version — its
+                # folded delta contains rows the mirror already holds
+                return None
+            pos = hi
             if d is None:
                 continue  # content-preserving re-registration
             try:
-                if (
-                    d._jdf.queryExecution().optimizedPlan().nodeName()
-                    != "LocalRelation"
+                if not _is_literal_plan(
+                    d._jdf.queryExecution().optimizedPlan()
                 ):
                     self._mirror_chain[name] = None
                     return None
@@ -289,6 +362,8 @@ class TableStore:
                 self._mirror_chain[name] = None
                 return None
             out.append(d)
+        if pos != cur:
+            return None  # chain does not reach the current version
         return out
 
     def snap_deltas(self, name: str) -> list | None:

@@ -3631,6 +3631,7 @@ class Stream:
                 return False
             self._mirror_versions[name] = ver
             self._mirror_rows[name] = len(rows)
+            self.store.mirror_synced(name, ver)
         return True
 
     def _advance_mirror(self, name: str, df, staged: int, ver: int) -> str:
@@ -3676,6 +3677,9 @@ class Stream:
                 return _fail()
         self._mirror_versions[name] = ver
         self._mirror_rows[name] = total
+        # prune consumed history so the chain's fold budget covers LIVE
+        # entries only (r12 chain-longevity: fold, never drop unconsumed)
+        self.store.mirror_synced(name, ver)
         return "advanced"
 
     def _known_tables(self) -> set[str]:

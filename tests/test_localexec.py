@@ -863,3 +863,102 @@ class TestReadPathHardening:
         after = s._local_eval._dcache
         # the first batch's payloads were evicted at second-batch start
         assert all(k not in after for k in first), "cache not reset"
+
+
+class TestMirrorChainLongevity:
+    """r12 (VERDICT r11 #7): the append chain FOLDS past _MIRROR_CHAIN_CAP
+    instead of dropping history — a long run of commits between reads must
+    never force a restage (which a >_MIRROR_CAP mirror cannot do at all)."""
+
+    def _chat(self, spark, tmp_path):
+        from .fixtures import msg
+
+        s = Stream(spark, str(tmp_path), "did:plc:chainfold")
+        s.provide_module(CHAT)
+        s.add_events([msg("a", "seed", 1)])
+        return s
+
+    def _spark_rows(self, s, user, q):
+        import unittest.mock as mock
+
+        with mock.patch.object(
+            Stream, "_local_query", lambda self, sql, args: None
+        ):
+            return s.query(user, q)
+
+    def test_100_commit_append_stream_never_leaves_mirror(
+        self, spark, tmp_path
+    ):
+        import unittest.mock as mock
+
+        from leaf_spark.dml import TableStore
+
+        from .fixtures import msg
+
+        s = self._chat(spark, tmp_path)
+        q = LeafQuery("message_stats", limit=1000)
+        s.query("a", q)  # stage the mirror at 1 row
+        assert "messages" in s._mirror_versions
+        cap = TableStore._MIRROR_CHAIN_CAP
+        n = 100
+        assert n > cap  # the scenario the old truncation broke
+        for i in range(n):  # NO reads in between: the chain must fold
+            s.add_events([msg("bulk", f"x{i}", 100 + i)])
+        chain = s.store._mirror_chain["messages"]
+        assert chain is not None and len(chain) <= cap
+        # contiguous coverage survived the folds
+        deltas = s.store.mirror_deltas(
+            "messages", s._mirror_versions["messages"]
+        )
+        assert deltas is not None
+        expect = self._spark_rows(s, "a", q)
+        with mock.patch.object(
+            Stream, "query_df", side_effect=AssertionError("spark path used")
+        ):
+            got = s.query("a", q)
+        assert got == expect
+        assert s._mirror_rows["messages"] == n + 1
+        # consumed history is pruned; the NEXT commit+read stays local too
+        assert s.store._mirror_chain["messages"] == []
+        s.add_events([msg("bulk", "tail", 999)])
+        with mock.patch.object(
+            Stream, "query_df", side_effect=AssertionError("spark path used")
+        ):
+            got2 = s.query("a", q)
+        assert got2 == self._spark_rows(s, "a", q)
+        assert s._mirror_rows["messages"] == n + 2
+
+    def test_interleaved_reads_prune_the_chain(self, spark, tmp_path):
+        from leaf_spark.dml import TableStore
+
+        from .fixtures import msg
+
+        s = self._chat(spark, tmp_path)
+        q = LeafQuery("message_stats", limit=1000)
+        s.query("a", q)
+        for i in range(3 * TableStore._MIRROR_CHAIN_CAP):
+            s.add_events([msg("bulk", f"y{i}", 100 + i)])
+            s.query("a", q)  # sync every commit → chain never accumulates
+            chain = s.store._mirror_chain["messages"]
+            assert chain is not None and len(chain) <= 2
+        assert s._mirror_rows["messages"] == 3 * TableStore._MIRROR_CHAIN_CAP + 1
+
+    def test_fold_span_bound_poisons_pathological_chains(
+        self, spark, tmp_path
+    ):
+        import unittest.mock as mock
+
+        from leaf_spark.dml import TableStore
+
+        from .fixtures import msg
+
+        s = self._chat(spark, tmp_path)
+        s.query("a", LeafQuery("messages", limit=10))
+        with mock.patch.object(TableStore, "_MIRROR_FOLD_SPAN", 8):
+            for i in range(TableStore._MIRROR_CHAIN_CAP + 10):
+                s.add_events([msg("bulk", f"z{i}", 100 + i)])
+        # beyond the bound the chain poisons (restage fallback, not wrong
+        # answers) and queries still serve with identical rows via Spark
+        assert s.store._mirror_chain["messages"] is None
+        q = LeafQuery("message_stats", limit=1000)
+        assert s.query("a", q) == self._spark_rows(s, "a", q)
