@@ -22,9 +22,12 @@ measured cure into a deployment mode:
 
 Routing is deterministic (sha-256 of the DID mod N), so reopening a
 supervisor over the same root with the same shard count finds every stream
-where it was left. Changing ``n_shards`` over an existing root is NOT a
-resharding operation — streams would hash to new owners; migrate the shard
-directories first.
+where it was left. Changing ``n_shards`` over an existing root is NOT an
+in-place operation — streams would hash to new owners. Run
+``python tools/reshard.py <root> <new_n>`` offline first: it recomputes
+every stream's owner, moves the stream directories and catalog metadata,
+and verifies placement (streams are fully self-contained on disk, the
+reference's file-per-stream portability, streams.rs:36-46).
 
 Auth is forwarded per-request, not per-connection: the supervisor
 authenticates the external socket.io connection exactly like the
