@@ -20,14 +20,17 @@ measured cure into a deployment mode:
 - relays live-subscription pushes from the owning shard back onto the
   client's socket.io connection.
 
-Routing is deterministic (sha-256 of the DID mod N), so reopening a
-supervisor over the same root with the same shard count finds every stream
-where it was left. Changing ``n_shards`` over an existing root is NOT an
-in-place operation — streams would hash to new owners. Run
-``python tools/reshard.py <root> <new_n>`` offline first: it recomputes
-every stream's owner, moves the stream directories and catalog metadata,
-and verifies placement (streams are fully self-contained on disk, the
-reference's file-per-stream portability, streams.rs:36-46).
+Routing is hash-of-DID (sha-256 mod N) plus a PLACEMENT OVERLAY derived
+from the on-disk layout at supervisor start: wherever a stream's directory
+actually lives is where it is served (streams are fully self-contained on
+disk — the reference's file-per-stream portability, streams.rs:36-46). So
+reopening a supervisor over the same root finds every stream where it was
+left even after ``n_shards`` changes (old streams stay parked on their old
+shards; new streams hash across the new count). Rebalancing is online —
+``admin/move_stream {streamDid, targetShard}`` (trusted-only) live-moves a
+stream with its subscription cursors intact and no client reconnect — or
+offline in bulk via ``python tools/reshard.py <root> <new_n>``, which
+restores pure-hash placement.
 
 Auth is forwarded per-request, not per-connection: the supervisor
 authenticates the external socket.io connection exactly like the
@@ -63,6 +66,7 @@ AND over shards, ``admin/list_streams`` concatenates.
 from __future__ import annotations
 
 import hmac
+import json
 import os
 import queue
 import secrets as _secrets
@@ -143,6 +147,10 @@ class ShardWorker:
         self._secret = secret
         self._stop = threading.Event()
         self._listener: socket.socket | None = None
+        # sub_id → set once its push relay has exited (all queued responses
+        # written to the supervisor socket); the release path waits on this
+        # so a migrated cursor can never outrun an unrelayed batch
+        self._relay_done: dict[str, threading.Event] = {}
 
     def listen(self, host: str = "127.0.0.1", port: int = 0) -> int:
         self._listener = socket.create_server((host, port))
@@ -227,6 +235,10 @@ class ShardWorker:
             # map, storage.rs:254-290; per-shard catalogs only see their
             # own streams)
             ack = self._handle_taken(args_bytes)
+        elif endpoint == "_shard/release_stream":
+            ack = self._release_stream(args_bytes)
+        elif endpoint == "_shard/adopt_stream":
+            ack = self._adopt_stream(args_bytes)
         else:
             ack = self.server.handle(conn, endpoint, args_bytes)
         try:
@@ -245,6 +257,19 @@ class ShardWorker:
                     args=(sock, send_lock, conn_stop, stream_did, sub_id),
                     daemon=True,
                 ).start()
+        elif endpoint == "_shard/adopt_stream":
+            # migrated subscriptions need a push relay on THIS connection,
+            # exactly as if they had been subscribed here
+            decoded = drisl.decode(ack)
+            if "Ok" in decoded:
+                stream_did = drisl.decode(args_bytes)["streamDid"]
+                for sub_id in decoded["Ok"]["adopted"]:
+                    conn_subs.append((stream_did, sub_id))
+                    threading.Thread(
+                        target=self._push_relay,
+                        args=(sock, send_lock, conn_stop, stream_did, sub_id),
+                        daemon=True,
+                    ).start()
 
     def _handle_taken(self, args_bytes: bytes) -> bytes:
         try:
@@ -259,6 +284,93 @@ class ShardWorker:
         except Exception as ex:
             return drisl.encode({"Err": f"{type(ex).__name__}: {ex}"})
 
+    def _release_stream(self, args_bytes: bytes) -> bytes:
+        """Migration source half (supervisor-internal): quiesce the stream's
+        subscription worker, wait until every queued push has been RELAYED
+        (not just dequeued — the socket is FIFO, so the supervisor reads all
+        of them before this ack), export each subscription's cursor, drop
+        the catalog meta entry, and evict the stream. After this returns the
+        stream directory is cold on disk and safe to rename."""
+        try:
+            args = drisl.decode(args_bytes) if args_bytes else {}
+            did = args["streamDid"]
+            if did not in self.catalog._meta:
+                raise KeyError(f"no such stream {did}")
+            worker = self.catalog.worker(did)
+            stream = self.catalog.open(did)
+            with worker._lock:
+                subs = list(worker.subs.values())
+            for sub in subs:
+                worker.unsubscribe(sub.sub_id)
+            # barrier (taken OUTSIDE stream._lock: an in-flight _service
+            # acquires it, so holding it here would deadlock the barrier):
+            # any _service already running completes — and emits — first
+            worker.quiesce()
+            # relay threads drain each channel fully, then exit (their
+            # empty-poll sees the sub gone); wait for the exits so the
+            # exported cursors cannot outrun unrelayed batches
+            deadline = time.monotonic() + 10.0
+            for sub in subs:
+                done = self._relay_done.get(sub.sub_id)
+                if done is not None:
+                    done.wait(max(0.0, deadline - time.monotonic()))
+                    self._relay_done.pop(sub.sub_id, None)
+            exported = [
+                {
+                    "subscriptionId": sub.sub_id,
+                    "user": sub.user,
+                    "query": {
+                        "name": sub.query.name,
+                        "params": {
+                            k: v.to_wire() for k, v in sub.query.params.items()
+                        },
+                        "start": sub.query.start,
+                        "limit": sub.query.limit,
+                    },
+                    "latestEvent": sub.latest_event,
+                }
+                for sub in subs
+            ]
+            # writes serialize on stream._lock: taking it waits out any
+            # in-flight event_batch (the supervisor's per-DID gate blocks
+            # new ones), so the directory is cold once this block exits
+            with stream._lock:
+                with self.catalog._meta_lock:
+                    meta = self.catalog._meta.pop(did)
+                    self.catalog._save_meta()
+                self.catalog.evict(did)
+            return drisl.encode({"Ok": {"meta": meta, "subs": exported}})
+        except Exception as ex:
+            return drisl.encode({"Err": f"{type(ex).__name__}: {ex}"})
+
+    def _adopt_stream(self, args_bytes: bytes) -> bytes:
+        """Migration target half: install the meta entry, open the stream
+        from its (just-moved) directory, and recreate each subscription with
+        its exported cursor. Push relays are started by _handle_one after
+        the ack, exactly like fresh subscribes."""
+        try:
+            args = drisl.decode(args_bytes) if args_bytes else {}
+            did = args["streamDid"]
+            with self.catalog._meta_lock:
+                if did in self.catalog._meta:
+                    raise ValueError(f"stream {did} already on this shard")
+                self.catalog._meta[did] = dict(args["meta"])
+                self.catalog._save_meta()
+            worker = self.catalog.worker(did)  # opens + replays the stream
+            adopted = []
+            for s in args.get("subs") or []:
+                q = LeafServer._decode_query(s["query"])
+                worker.adopt(
+                    s["subscriptionId"], s.get("user"), q, int(s["latestEvent"])
+                )
+                adopted.append(s["subscriptionId"])
+            info = self.catalog.stream_info(did)
+            return drisl.encode(
+                {"Ok": {"adopted": adopted, "latestEvent": info.latest_event}}
+            )
+        except Exception as ex:
+            return drisl.encode({"Err": f"{type(ex).__name__}: {ex}"})
+
     def _push_relay(
         self,
         sock: socket.socket,
@@ -269,6 +381,20 @@ class ShardWorker:
     ) -> None:
         """Drain the real subscription channel; frame each response up to
         the supervisor (which re-emits it on the client's transport)."""
+        done = self._relay_done.setdefault(sub_id, threading.Event())
+        try:
+            self._push_relay_inner(sock, send_lock, conn_stop, stream_did, sub_id)
+        finally:
+            done.set()
+
+    def _push_relay_inner(
+        self,
+        sock: socket.socket,
+        send_lock: threading.Lock,
+        conn_stop: threading.Event,
+        stream_did: str,
+        sub_id: str,
+    ) -> None:
         worker = self.catalog.worker(stream_did)
         stream = self.catalog.open(stream_did)
         sub = worker.subs.get(sub_id)
@@ -455,6 +581,27 @@ class ShardClient:
         ).start()
         return sub
 
+    def adopt_mirror(self, sub: _RemoteSub) -> None:
+        """Re-home a mirror migrated from another shard's client, KEEPING
+        its channel/handoff (and the drain thread pumping them — the thread
+        belongs to the source client but only exits on its sentinel or the
+        source closing, so it keeps serving the object here). Pushes the
+        target shard relayed before this registration sit in the orphan
+        buffer; splice them behind whatever the source already handed off —
+        the source relay finished before the move, so this preserves
+        delivery order."""
+        with self._sub_lock:
+            for resp in self._orphans.pop(sub.sub_id, []):
+                sub.handoff.put(resp)
+            self._orphan_at.pop(sub.sub_id, None)
+            self.subs[sub.sub_id] = sub
+
+    def detach_mirror(self, sub_id: str) -> _RemoteSub | None:
+        """Remove the mirror WITHOUT the drain-thread sentinel (the object
+        lives on under the adopting client)."""
+        with self._sub_lock:
+            return self.subs.pop(sub_id, None)
+
     def drop_sub(self, sub_id: str) -> None:
         with self._sub_lock:
             sub = self.subs.pop(sub_id, None)
@@ -501,10 +648,21 @@ class ShardClient:
 
 
 class _WorkerFacade:
-    """What LeafSocketIOServer._push_loop needs from ``catalog.worker()``."""
+    """What LeafSocketIOServer._push_loop needs from ``catalog.worker()``.
 
-    def __init__(self, client: ShardClient):
-        self.subs = client.subs
+    ``subs`` is resolved through the router ON EVERY ACCESS: a live stream
+    move re-homes the mirror onto the target shard's client, and the push
+    loop's liveness check (``sub_id in worker.subs``) must follow it —
+    a snapshot of the source client's dict would read as "unsubscribed"
+    the moment the mirror migrates."""
+
+    def __init__(self, router: "ShardRouter", stream_did: str):
+        self._router = router
+        self._stream_did = stream_did
+
+    @property
+    def subs(self) -> dict:
+        return self._router.client_for(self._stream_did).subs
 
 
 class _StreamFacade:
@@ -520,7 +678,7 @@ class _CatalogFacade:
         self._router = router
 
     def worker(self, stream_did: str) -> _WorkerFacade:
-        return _WorkerFacade(self._router.client_for(stream_did))
+        return _WorkerFacade(self._router, stream_did)
 
     def open(self, stream_did: str) -> _StreamFacade:
         return _StreamFacade()
@@ -528,19 +686,49 @@ class _CatalogFacade:
 
 class ShardRouter:
     """LeafServer-shaped front: ``handle()`` + ``catalog`` facade, routing
-    every request to the shard that owns its stream DID."""
+    every request to the shard that owns its stream DID.
 
-    ENDPOINTS = LeafServer.ENDPOINTS
+    Ownership = ``placement`` overlay first (streams parked off their hash
+    owner — built from the on-disk layout at supervisor start and updated
+    by live moves), hash of the DID otherwise. Disk is the source of truth:
+    wherever a stream's directory lives is where it is served, so a changed
+    ``n_shards`` or a crashed move never strands a stream (the supervisor's
+    startup scan re-derives the overlay)."""
 
-    def __init__(self, clients: list[ShardClient]):
+    # the reference surface plus the sharded-mode rebalancing extension
+    ENDPOINTS = LeafServer.ENDPOINTS + ("admin/move_stream",)
+
+    #: ceiling on how long a request addressed to a mid-move stream waits
+    #: for the move to finish before proceeding (moves take ~the cost of
+    #: one stream open; this is a safety margin, not an expected wait)
+    MOVE_WAIT = 60.0
+
+    def __init__(
+        self,
+        clients: list[ShardClient],
+        placement: dict[str, int] | None = None,
+        shard_roots: list[str] | None = None,
+        journal_path: str | None = None,
+    ):
         self.clients = clients
         self.catalog = _CatalogFacade(self)
+        self.placement: dict[str, int] = dict(placement or {})
+        self.shard_roots = shard_roots
+        self._journal_path = journal_path
         # serializes set_handle check+apply so two concurrent claims of
         # the same handle on different shards cannot both pass the probe
         self._handle_lock = threading.Lock()
+        # DID → Event while a live move is in flight; requests for that DID
+        # wait on it (set when the move completes or fails)
+        self._moving: dict[str, threading.Event] = {}
+        self._place_lock = threading.Lock()
+
+    def shard_index_for(self, stream_did: str) -> int:
+        i = self.placement.get(stream_did)
+        return shard_of(stream_did, len(self.clients)) if i is None else i
 
     def client_for(self, stream_did: str) -> ShardClient:
-        return self.clients[shard_of(stream_did, len(self.clients))]
+        return self.clients[self.shard_index_for(stream_did)]
 
     def handle(self, conn: Connection, endpoint: str, args_drisl: bytes) -> bytes:
         try:
@@ -583,6 +771,22 @@ class ShardRouter:
             return drisl.encode({"Ok": {"streams": merged}})
 
         args = drisl.decode(args_drisl) if args_drisl else {}
+        if endpoint == "admin/move_stream":
+            # sharded-mode extension (no single-driver analog): live-move a
+            # stream to another shard; trusted-only like admin/list_streams
+            if not conn.trusted:
+                raise PermissionError("admin endpoints require a trusted connection")
+            return drisl.encode(
+                {"Ok": self.move_stream(args["streamDid"], int(args["targetShard"]))}
+            )
+        stream_did_early = args.get("streamDid")
+        if stream_did_early is not None:
+            # a live move of this stream is in flight: wait it out so the
+            # request lands on the post-move owner (release/adopt leave no
+            # instant at which the stream is open on both shards)
+            mv = self._moving.get(stream_did_early)
+            if mv is not None:
+                mv.wait(self.MOVE_WAIT)
         if endpoint == "stream/poll_subscription":
             # served locally from the supervisor-side mirror queue — the
             # shard's own channel is drained by its push relay, so
@@ -624,6 +828,113 @@ class ShardRouter:
             if "Ok" in drisl.decode(ack):
                 client.drop_sub(args.get("subscriptionId"))
         return ack
+
+    # -- live stream migration -------------------------------------------------
+
+    def move_stream(self, stream_did: str, target: int) -> dict:
+        """Live-move one stream to another shard with its subscriptions'
+        cursors intact. Sequence: gate the DID (new requests wait) →
+        ``_shard/release_stream`` on the owner (quiesce worker, relay out
+        queued pushes, export cursors, drop meta, evict) → rename the
+        stream directory into the target root → ``_shard/adopt_stream``
+        (install meta, replay, recreate subscriptions) → re-home the
+        supervisor-side mirrors → flip the placement overlay.
+
+        Crash-safe via a journal in the supervisor root: the exported meta
+        entry (incl. handle) is journaled before the rename, and the
+        supervisor's startup scan reconciles whichever side of the rename
+        a crash left the directory on (stream dirs are self-contained —
+        the reference's file-per-stream portability, streams.rs:36-46)."""
+        n = len(self.clients)
+        if not 0 <= target < n:
+            raise ValueError(f"targetShard {target} out of range 0..{n - 1}")
+        with self._place_lock:
+            if stream_did in self._moving:
+                raise RuntimeError(f"move of {stream_did} already in flight")
+            gate = threading.Event()
+            self._moving[stream_did] = gate
+        try:
+            src_i = self.shard_index_for(stream_did)
+            if src_i == target:
+                return {"moved": False, "shard": target, "subscriptions": 0}
+            src, dst = self.clients[src_i], self.clients[target]
+            journal = {"streamDid": stream_did, "from": src_i, "to": target}
+            self._journal_write(journal)
+            rel = drisl.decode(
+                src.call(
+                    None,
+                    True,
+                    "_shard/release_stream",
+                    drisl.encode({"streamDid": stream_did}),
+                )
+            )
+            if "Err" in rel:
+                raise RuntimeError(f"release on shard{src_i} failed: {rel['Err']}")
+            meta, subs = rel["Ok"]["meta"], rel["Ok"]["subs"]
+            # journal the exported meta BEFORE the rename: a crash after the
+            # rename must not lose the handle (stream.json doesn't carry it)
+            journal["meta"] = meta
+            self._journal_write(journal)
+            if self.shard_roots is not None:
+                from .stream import _safe_dirname
+
+                sdir = _safe_dirname(stream_did)
+                src_p = os.path.join(self.shard_roots[src_i], "streams", sdir)
+                dst_p = os.path.join(self.shard_roots[target], "streams", sdir)
+                if os.path.isdir(src_p):
+                    os.makedirs(os.path.dirname(dst_p), exist_ok=True)
+                    os.rename(src_p, dst_p)
+            ack = drisl.decode(
+                dst.call(
+                    None,
+                    True,
+                    "_shard/adopt_stream",
+                    drisl.encode(
+                        {"streamDid": stream_did, "meta": meta, "subs": subs}
+                    ),
+                )
+            )
+            if "Err" in ack:
+                raise RuntimeError(f"adopt on shard{target} failed: {ack['Err']}")
+            # re-home mirrors: register on target FIRST, then flip placement,
+            # then detach from source — the push loop's liveness check
+            # (_WorkerFacade.subs → client_for) finds the mirror at every
+            # instant of that sequence
+            for s in subs:
+                sid = s["subscriptionId"]
+                mirror = src.subs.get(sid)
+                if mirror is not None:
+                    dst.adopt_mirror(mirror)
+            with self._place_lock:
+                if shard_of(stream_did, n) == target:
+                    self.placement.pop(stream_did, None)
+                else:
+                    self.placement[stream_did] = target
+            for s in subs:
+                src.detach_mirror(s["subscriptionId"])
+            self._journal_clear()
+            return {
+                "moved": True,
+                "from": src_i,
+                "to": target,
+                "subscriptions": len(subs),
+            }
+        finally:
+            with self._place_lock:
+                self._moving.pop(stream_did, None)
+            gate.set()
+
+    def _journal_write(self, obj: dict) -> None:
+        if self._journal_path is None:
+            return
+        tmp = self._journal_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(obj, f)
+        os.replace(tmp, self._journal_path)
+
+    def _journal_clear(self) -> None:
+        if self._journal_path is not None and os.path.exists(self._journal_path):
+            os.unlink(self._journal_path)
 
     def _poll_local(self, args: dict) -> dict:
         sub = self.client_for(args["streamDid"]).subs.get(args["subscriptionId"])
@@ -698,13 +1009,19 @@ class LeafShardSupervisor:
     def start(self) -> "LeafShardSupervisor":
         from .socketio import LeafSocketIOServer
 
+        placement = self._recover_layout()
         ports = (
             self._start_inprocess() if self._spark is not None else self._spawn()
         )
         clients = [
             ShardClient("127.0.0.1", p, secret=self._secret) for p in ports
         ]
-        self.router = ShardRouter(clients)
+        self.router = ShardRouter(
+            clients,
+            placement=placement,
+            shard_roots=[self._shard_root(i) for i in range(self.n_shards)],
+            journal_path=self._journal_path(),
+        )
         self.sio = LeafSocketIOServer(
             self.router,
             host=self._host,
@@ -719,6 +1036,137 @@ class LeafShardSupervisor:
 
     def _shard_root(self, i: int) -> str:
         return os.path.join(self.root_dir, f"shard{i}")
+
+    def _journal_path(self) -> str:
+        return os.path.join(self.root_dir, ".move_journal.json")
+
+    def move_stream(self, stream_did: str, target: int) -> dict:
+        """Live-move one stream to another shard (see ShardRouter.move_stream)."""
+        assert self.router is not None, "start() first"
+        return self.router.move_stream(stream_did, target)
+
+    def _recover_layout(self) -> dict[str, int]:
+        """Derive the DID → shard placement overlay from the on-disk layout
+        (runs BEFORE workers start, so healed meta files are what they
+        load). Disk is the source of truth:
+
+        - a pending move journal is reconciled: whichever root the stream
+          directory actually sits in gets the journaled meta entry (incl.
+          the handle, which stream.json doesn't carry), the other side's
+          entry is dropped;
+        - a stream directory with no meta entry anywhere (crash inside a
+          move's rename window, or an operator hand-placing a stream dir —
+          the reference's file-per-stream portability) gets its entry
+          rebuilt from stream.json;
+        - every stream living on a shard other than its hash owner joins
+          the overlay — so growing ``n_shards`` over an existing root just
+          works (old streams stay parked where they are; tools/reshard.py
+          becomes a rebalance optimization, not a correctness requirement);
+        - shard directories at index >= n_shards that still hold streams
+          are refused loudly (serving would silently strand them).
+        """
+        os.makedirs(self.root_dir, exist_ok=True)
+        journal: dict | None = None
+        jp = self._journal_path()
+        if os.path.exists(jp):
+            try:
+                with open(jp) as f:
+                    journal = json.load(f)
+            except (OSError, ValueError):
+                journal = None
+
+        # refuse stranded high shards (shrink without reshard.py)
+        for name in os.listdir(self.root_dir):
+            p = os.path.join(self.root_dir, name)
+            if not (name.startswith("shard") and name[5:].isdigit()):
+                continue
+            if int(name[5:]) < self.n_shards or not os.path.isdir(p):
+                continue
+            meta_p = os.path.join(p, "streams_meta.json")
+            held: dict = {}
+            if os.path.exists(meta_p):
+                with open(meta_p) as f:
+                    held = json.load(f)
+            sdir = os.path.join(p, "streams")
+            dirs = os.listdir(sdir) if os.path.isdir(sdir) else []
+            if held or dirs:
+                raise RuntimeError(
+                    f"{p} holds {max(len(held), len(dirs))} streams but "
+                    f"n_shards={self.n_shards} — run tools/reshard.py "
+                    f"{self.root_dir} {self.n_shards} first"
+                )
+
+        placement: dict[str, int] = {}
+        owner_of: dict[str, int] = {}
+        for i in range(self.n_shards):
+            sroot = self._shard_root(i)
+            meta_p = os.path.join(sroot, "streams_meta.json")
+            meta: dict = {}
+            if os.path.exists(meta_p):
+                with open(meta_p) as f:
+                    meta = json.load(f)
+            changed = False
+            streams_dir = os.path.join(sroot, "streams")
+            for d in os.listdir(streams_dir) if os.path.isdir(streams_dir) else []:
+                sj = os.path.join(streams_dir, d, "stream.json")
+                if not os.path.exists(sj):
+                    continue
+                with open(sj) as f:
+                    state = json.load(f)
+                did = state.get("stream_did")
+                if not did or did in meta:
+                    continue
+                # meta entry lost mid-move: prefer the journaled entry
+                # (preserves handle), else rebuild from stream.json
+                if journal and journal.get("streamDid") == did and journal.get("meta"):
+                    meta[did] = dict(journal["meta"])
+                else:
+                    meta[did] = {
+                        "handle": None,
+                        "latest_event": int(state.get("latest_idx", 0)),
+                        "module_cid": state.get("module_cid"),
+                    }
+                changed = True
+            for did in list(meta):
+                if did in owner_of:
+                    raise RuntimeError(
+                        f"stream {did} present on shard{owner_of[did]} AND "
+                        f"shard{i} — resolve the duplicate before serving"
+                    )
+                owner_of[did] = i
+                if shard_of(did, self.n_shards) != i:
+                    placement[did] = i
+            if changed:
+                os.makedirs(sroot, exist_ok=True)
+                tmp = meta_p + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(meta, f)
+                os.replace(tmp, meta_p)
+        # a journal whose stream is accounted for (or never existed) is stale
+        if journal is not None:
+            did = journal.get("streamDid")
+            if did is not None and did not in owner_of:
+                # released (meta popped) but directory never moved AND no
+                # directory found: the stream had no folded data — restore
+                # the journaled meta entry on the journaled source shard
+                src_i = int(journal.get("from", 0))
+                if 0 <= src_i < self.n_shards and journal.get("meta"):
+                    sroot = self._shard_root(src_i)
+                    meta_p = os.path.join(sroot, "streams_meta.json")
+                    meta = {}
+                    if os.path.exists(meta_p):
+                        with open(meta_p) as f:
+                            meta = json.load(f)
+                    meta[did] = dict(journal["meta"])
+                    os.makedirs(sroot, exist_ok=True)
+                    tmp = meta_p + ".tmp"
+                    with open(tmp, "w") as f:
+                        json.dump(meta, f)
+                    os.replace(tmp, meta_p)
+                    if shard_of(did, self.n_shards) != src_i:
+                        placement[did] = src_i
+            os.unlink(jp)
+        return placement
 
     def _start_inprocess(self) -> list[int]:
         ports = []

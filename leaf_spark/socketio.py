@@ -499,7 +499,10 @@ class LeafSocketIOServer:
         if not data:
             return
         name, args = data[0], (data[1] if len(data) > 1 else b"")
-        if name not in LeafServer.ENDPOINTS:
+        # consult the SERVED object's surface: a LeafServer exposes exactly
+        # the reference's 13+1 endpoints; a ShardRouter adds the sharded-mode
+        # admin/move_stream extension
+        if name not in self.server.ENDPOINTS:
             ack_body = drisl.encode({"Err": f"ValueError: unknown endpoint {name!r}"})
         else:
             ack_body = self.server.handle(

@@ -112,6 +112,31 @@ class SubscriptionWorker:
         with self._lock:
             self.subs.pop(sub_id, None)
 
+    def adopt(
+        self, sub_id: str, user: str | None, q: LeafQuery, latest_event: int
+    ) -> ActiveSubscription:
+        """Recreate a subscription migrated from another shard with its
+        cursor intact (sharding.py live stream moves). The immediate
+        needs_update is a no-op when the stream head hasn't advanced —
+        _service's idle pre-check returns before emitting — so adoption
+        never duplicates batches the source shard already delivered."""
+        with self._lock:
+            if sub_id in self.subs:
+                raise ValueError(f"subscription {sub_id} already active")
+            sub = ActiveSubscription(sub_id, user, q, latest_event)
+            self.subs[sub_id] = sub
+        self._msgs.put(("needs_update", sub_id))
+        return sub
+
+    def quiesce(self, timeout: float = 10.0) -> bool:
+        """Barrier: returns once every message enqueued before the call —
+        including any in-flight _service — has been processed. Used by the
+        shard release path to guarantee no further enqueues land on a
+        subscription channel after its cursor is exported."""
+        done = threading.Event()
+        self._msgs.put(("barrier", done))
+        return done.wait(timeout)
+
     # -- worker loop (lib.rs:888-985) ----------------------------------------
 
     def _emit(self, ch: queue.Queue, item: Any) -> bool:
@@ -149,6 +174,9 @@ class SubscriptionWorker:
             kind, arg = msg
             if kind == "stop":
                 return
+            if kind == "barrier":
+                arg.set()
+                continue
             if kind == "updated":
                 with self._lock:
                     chans = list(self.update_channels)

@@ -541,3 +541,333 @@ def test_remote_sub_backpressure_does_not_drop(spark, tmp_path):
     finally:
         cli.close()
         w.close()
+
+
+# ---------------------------------------------------------------------------
+# live migration + placement recovery (r12)
+# ---------------------------------------------------------------------------
+
+
+def _drain_pushes(cli, want: int, timeout: float = 60.0) -> list[dict]:
+    """Collect `want` stream/subscription_response payloads."""
+    out: list[dict] = []
+    deadline = time.monotonic() + timeout
+    while len(out) < want and time.monotonic() < deadline:
+        kind, payload = cli.next_event(timeout=max(0.1, deadline - time.monotonic()))
+        if kind == "stream/subscription_response":
+            out.append(payload)
+    return out
+
+
+class TestLiveMigration:
+    def test_move_preserves_data_handle_and_routing(self, sharded):
+        did0, _did1 = _dids_on_shards(2)
+        cli = _client(sharded)
+        try:
+            cid = cli.call("module/upload", {"module": CHAT.to_codec()})["Ok"]["cid"]
+            cli.call("stream/create", {"streamDid": did0, "moduleCid": cid})
+            cli.call(
+                "stream/event_batch",
+                {
+                    "streamDid": did0,
+                    "payloads": [drisl.encode({"content": "pre-move", "sentAt": 1})],
+                },
+            )
+            cli.call("stream/set_handle", {"streamDid": did0, "handle": "mv.example"})
+
+            res = sharded.move_stream(did0, 1)
+            assert res["moved"] is True and res["to"] == 1
+
+            # served from shard1 now: data + handle intact, writes land there
+            rows = cli.call(
+                "stream/query", {"streamDid": did0, "query": {"name": "messages"}}
+            )["Ok"]["rows"]
+            assert [r["content"]["value"] for r in rows] == ["pre-move"]
+            info = cli.call("stream/info", {"streamDid": did0})["Ok"]
+            assert info["handle"] == "mv.example"
+            cli.call(
+                "stream/event_batch",
+                {
+                    "streamDid": did0,
+                    "payloads": [drisl.encode({"content": "post-move", "sentAt": 2})],
+                },
+            )
+            src_cat = sharded._workers[0].catalog
+            dst_cat = sharded._workers[1].catalog
+            assert did0 not in src_cat._meta
+            assert dst_cat._meta[did0]["latest_event"] == 2
+            assert dst_cat._meta[did0]["handle"] == "mv.example"
+            # admin listing still sees it exactly once
+            listing = cli.call("admin/list_streams", {})
+            # alice is untrusted → Err; use the supervisor-side catalogs above
+            assert "Err" in listing
+        finally:
+            cli.close()
+
+    def test_move_with_live_subscription_exactly_once(self, sharded):
+        did0, _ = _dids_on_shards(2)
+        cli = _client(sharded)
+        try:
+            cid = cli.call("module/upload", {"module": CHAT.to_codec()})["Ok"]["cid"]
+            cli.call("stream/create", {"streamDid": did0, "moduleCid": cid})
+            sub_id = cli.call(
+                "stream/subscribe_events",
+                {"streamDid": did0, "query": {"name": "messages"}},
+            )["Ok"]["subscriptionId"]
+            cli.call(
+                "stream/event_batch",
+                {
+                    "streamDid": did0,
+                    "payloads": [drisl.encode({"content": "m1", "sentAt": 1})],
+                },
+            )
+            first = _drain_pushes(cli, 1)
+            assert len(first) == 1
+            assert [r["content"]["value"] for r in first[0]["response"]["Ok"]["rows"]] == ["m1"]
+
+            res = sharded.move_stream(did0, 1)
+            assert res["moved"] is True and res["subscriptions"] == 1
+
+            cli.call(
+                "stream/event_batch",
+                {
+                    "streamDid": did0,
+                    "payloads": [drisl.encode({"content": "m2", "sentAt": 2})],
+                },
+            )
+            second = _drain_pushes(cli, 1)
+            assert len(second) == 1, "push after move never arrived"
+            got = [r["content"]["value"] for r in second[0]["response"]["Ok"]["rows"]]
+            assert got == ["m2"], f"expected exactly-once m2, got {got}"
+            assert second[0]["subscriptionId"] == sub_id
+
+            # unsubscribe through the new owner cleans both sides
+            assert "Ok" in cli.call(
+                "stream/unsubscribe", {"streamDid": did0, "subscriptionId": sub_id}
+            )
+            assert sub_id not in sharded.router.client_for(did0).subs
+        finally:
+            cli.close()
+
+    def test_admin_move_stream_endpoint_trust_gate(self, sharded):
+        did0, _ = _dids_on_shards(2)
+        alice = _client(sharded)
+        admin = _client(sharded, token="admin-token")
+        try:
+            cid = alice.call("module/upload", {"module": CHAT.to_codec()})["Ok"]["cid"]
+            alice.call("stream/create", {"streamDid": did0, "moduleCid": cid})
+            denied = alice.call(
+                "admin/move_stream", {"streamDid": did0, "targetShard": 1}
+            )
+            assert "Err" in denied and "trusted" in denied["Err"]
+            moved = admin.call(
+                "admin/move_stream", {"streamDid": did0, "targetShard": 1}
+            )["Ok"]
+            assert moved["moved"] is True and moved["to"] == 1
+            # single-driver server must NOT expose the extension
+            from leaf_spark.server import LeafServer
+
+            assert "admin/move_stream" not in LeafServer.ENDPOINTS
+            # idempotent: moving to the current owner is a no-op
+            again = admin.call(
+                "admin/move_stream", {"streamDid": did0, "targetShard": 1}
+            )["Ok"]
+            assert again["moved"] is False
+        finally:
+            alice.close()
+            admin.close()
+
+    def test_queries_during_move_never_fail(self, sharded):
+        import threading as _threading
+
+        did0, _ = _dids_on_shards(2)
+        cli = _client(sharded)
+        try:
+            cid = cli.call("module/upload", {"module": CHAT.to_codec()})["Ok"]["cid"]
+            cli.call("stream/create", {"streamDid": did0, "moduleCid": cid})
+            cli.call(
+                "stream/event_batch",
+                {
+                    "streamDid": did0,
+                    "payloads": [drisl.encode({"content": "x", "sentAt": 1})],
+                },
+            )
+            errs: list[str] = []
+            stop = _threading.Event()
+
+            def hammer():
+                q = _client(sharded)
+                try:
+                    while not stop.is_set():
+                        out = q.call(
+                            "stream/query",
+                            {"streamDid": did0, "query": {"name": "messages"}},
+                        )
+                        if "Err" in out:
+                            errs.append(out["Err"])
+                            return
+                finally:
+                    q.close()
+
+            t = _threading.Thread(target=hammer, daemon=True)
+            t.start()
+            try:
+                # bounce the stream between shards a few times under load
+                for target in (1, 0, 1):
+                    assert sharded.move_stream(did0, target)["moved"] is True
+            finally:
+                stop.set()
+                t.join(timeout=30)
+            assert errs == [], f"query failed during move: {errs[:1]}"
+        finally:
+            cli.close()
+
+
+class TestPlacementRecovery:
+    def _mk(self, spark, root, n, tokens=None):
+        return LeafShardSupervisor(
+            root,
+            n_shards=n,
+            tokens=tokens
+            or {"alice-token": Connection(user="did:plc:alice")},
+            spark=spark,
+        ).start()
+
+    def test_grow_shard_count_serves_parked_streams(self, spark, tmp_root):
+        dids = _dids_on_shards(2)
+        sup = self._mk(spark, tmp_root, 2)
+        cli = _client(sup)
+        try:
+            cid = cli.call("module/upload", {"module": CHAT.to_codec()})["Ok"]["cid"]
+            for i, did in enumerate(dids):
+                cli.call("stream/create", {"streamDid": did, "moduleCid": cid})
+                cli.call(
+                    "stream/event_batch",
+                    {
+                        "streamDid": did,
+                        "payloads": [
+                            drisl.encode({"content": f"row{i}", "sentAt": i + 1})
+                        ],
+                    },
+                )
+        finally:
+            cli.close()
+            sup.close()
+
+        # reopen over the SAME root with MORE shards: every old stream must
+        # still be served (placement overlay), no reshard required
+        sup4 = self._mk(spark, tmp_root, 4)
+        cli = _client(sup4)
+        try:
+            for i, did in enumerate(dids):
+                rows = cli.call(
+                    "stream/query", {"streamDid": did, "query": {"name": "messages"}}
+                )["Ok"]["rows"]
+                assert [r["content"]["value"] for r in rows] == [f"row{i}"]
+            # parked streams are in the overlay iff their hash-4 owner moved
+            for did in dids:
+                old = shard_of(did, 2)
+                if shard_of(did, 4) != old:
+                    assert sup4.router.placement[did] == old
+        finally:
+            cli.close()
+            sup4.close()
+
+    def test_shrink_with_stranded_streams_refused(self, spark, tmp_root):
+        dids = _dids_on_shards(2)
+        sup = self._mk(spark, tmp_root, 2)
+        cli = _client(sup)
+        try:
+            cid = cli.call("module/upload", {"module": CHAT.to_codec()})["Ok"]["cid"]
+            cli.call("stream/create", {"streamDid": dids[1], "moduleCid": cid})
+        finally:
+            cli.close()
+            sup.close()
+        with pytest.raises(RuntimeError, match="reshard"):
+            self._mk(spark, tmp_root, 1)
+
+    def test_crash_after_rename_heals_with_handle(self, spark, tmp_root):
+        import json as _json
+        import shutil as _shutil
+
+        from leaf_spark.stream import _safe_dirname
+
+        did = _dids_on_shards(2)[0]  # hashes to shard0
+        sup = self._mk(spark, tmp_root, 2)
+        cli = _client(sup)
+        try:
+            cid = cli.call("module/upload", {"module": CHAT.to_codec()})["Ok"]["cid"]
+            cli.call("stream/create", {"streamDid": did, "moduleCid": cid})
+            cli.call(
+                "stream/event_batch",
+                {
+                    "streamDid": did,
+                    "payloads": [drisl.encode({"content": "kept", "sentAt": 1})],
+                },
+            )
+            cli.call("stream/set_handle", {"streamDid": did, "handle": "heal.example"})
+        finally:
+            cli.close()
+            sup.close()
+
+        # simulate a crash between release+rename and adopt: meta entry
+        # removed from shard0, dir renamed into shard1, journal left behind
+        s0, s1 = os.path.join(tmp_root, "shard0"), os.path.join(tmp_root, "shard1")
+        with open(os.path.join(s0, "streams_meta.json")) as f:
+            meta0 = _json.load(f)
+        entry = meta0.pop(did)
+        with open(os.path.join(s0, "streams_meta.json"), "w") as f:
+            _json.dump(meta0, f)
+        os.makedirs(os.path.join(s1, "streams"), exist_ok=True)
+        _shutil.move(
+            os.path.join(s0, "streams", _safe_dirname(did)),
+            os.path.join(s1, "streams", _safe_dirname(did)),
+        )
+        with open(os.path.join(tmp_root, ".move_journal.json"), "w") as f:
+            _json.dump({"streamDid": did, "from": 0, "to": 1, "meta": entry}, f)
+
+        sup2 = self._mk(spark, tmp_root, 2)
+        cli = _client(sup2)
+        try:
+            assert sup2.router.placement[did] == 1  # served where the dir is
+            rows = cli.call(
+                "stream/query", {"streamDid": did, "query": {"name": "messages"}}
+            )["Ok"]["rows"]
+            assert [r["content"]["value"] for r in rows] == ["kept"]
+            info = cli.call("stream/info", {"streamDid": did})["Ok"]
+            assert info["handle"] == "heal.example"  # journal preserved it
+            assert not os.path.exists(os.path.join(tmp_root, ".move_journal.json"))
+        finally:
+            cli.close()
+            sup2.close()
+
+    def test_moved_stream_survives_restart(self, spark, tmp_root):
+        did = _dids_on_shards(2)[0]
+        sup = self._mk(spark, tmp_root, 2)
+        cli = _client(sup)
+        try:
+            cid = cli.call("module/upload", {"module": CHAT.to_codec()})["Ok"]["cid"]
+            cli.call("stream/create", {"streamDid": did, "moduleCid": cid})
+            cli.call(
+                "stream/event_batch",
+                {
+                    "streamDid": did,
+                    "payloads": [drisl.encode({"content": "sticky", "sentAt": 1})],
+                },
+            )
+            assert sup.move_stream(did, 1)["moved"] is True
+        finally:
+            cli.close()
+            sup.close()
+
+        sup2 = self._mk(spark, tmp_root, 2)
+        cli = _client(sup2)
+        try:
+            assert sup2.router.placement[did] == 1
+            rows = cli.call(
+                "stream/query", {"streamDid": did, "query": {"name": "messages"}}
+            )["Ok"]["rows"]
+            assert [r["content"]["value"] for r in rows] == ["sticky"]
+        finally:
+            cli.close()
+            sup2.close()
