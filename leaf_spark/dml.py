@@ -66,6 +66,14 @@ class TableDef:
     is_state: bool = False
     # column → SQL default expression (SQLite DEFAULT clause)
     defaults: dict[str, str] = field(default_factory=dict)
+    # lowercased columns carrying a DDL-declared single-column UNIQUE
+    # constraint (column-level UNIQUE or one-column table-level
+    # UNIQUE(col)). Uniqueness is metadata for the fold compiler's
+    # keyed-update tier (stream.py pooled rounds accept these as
+    # conflict keys alongside the pk); like the pk it is not separately
+    # enforced on plain inserts. CREATE UNIQUE INDEX columns live in
+    # TableStore.unique_indexes (droppable, so tracked by index name).
+    unique_cols: set = field(default_factory=set)
 
 
 @dataclass
@@ -166,6 +174,11 @@ class TableStore:
     last_rowid: int = 0
     changes: int = 0
     total_changes: int = 0
+    # CREATE UNIQUE INDEX registry: index name → (flat table, column) for
+    # plain single-column unique indexes. Like TableDef.unique_cols this is
+    # compiler metadata (pooled-update key eligibility), kept separate so
+    # DROP INDEX can retract exactly what the index declared.
+    unique_indexes: dict = field(default_factory=dict)
 
     def record_change(self, n: int, last_id: int | None = None) -> None:
         self.changes = int(n)
@@ -240,11 +253,23 @@ class TableStore:
             raise ValueError(f"no such table {name}")
         del self.defs[name]
         del self.tables[name]
+        # indexes drop with their table (SQLite semantics)
+        self.unique_indexes = {
+            ix: tc for ix, tc in self.unique_indexes.items() if tc[0] != name
+        }
         # None, not pop: a missing key means "untouched since last
         # snapshot", which a recreate under the same name must not
         # inherit (see create())
         self._snap_deltas[name] = None
         self.spark.catalog.dropTempView(self.view_name(name))
+
+    def unique_key_cols(self, name: str) -> set:
+        """Lowercased columns of ``name`` with a declared single-column
+        uniqueness guarantee (DDL UNIQUE + live CREATE UNIQUE INDEX)."""
+        tdef = self.defs.get(name)
+        cols = set(tdef.unique_cols) if tdef is not None else set()
+        cols |= {c for (t, c) in self.unique_indexes.values() if t == name}
+        return cols
 
     def mutated(self, name: str, df: DataFrame) -> None:
         self._snap_deltas[name] = None  # not provably append-only
@@ -573,7 +598,11 @@ class DmlExecutor:
             self._create_table(raw_sql, is_state)
             return None
         if kind == "create_index":
-            return None  # no Spark analog: partitioning/file-skipping instead
+            # no Spark analog for the index itself (partitioning/
+            # file-skipping instead), but a UNIQUE index declares key
+            # metadata the fold compiler uses — record it
+            self._register_unique_index(raw_sql)
+            return None
         if kind == "create_view":
             self._create_view(sql)
             return None
@@ -587,6 +616,8 @@ class DmlExecutor:
                 self.store.drop(name, if_exists="if" in toks)
             elif "view" in toks:
                 self.store.views.pop(name, None)
+            elif "index" in toks:
+                self.store.unique_indexes.pop(name, None)
             elif "trigger" in toks:
                 if name not in self.store.triggers and "if" not in toks:
                     raise SqlTranslationError(f"no such trigger {name}")
@@ -933,6 +964,7 @@ class DmlExecutor:
         fields: list[T.StructField] = []
         pk: list[str] = []
         defaults: dict[str, str] = {}
+        unique_cols: set[str] = set()
         for col_toks in args:
             cl = [t.lower() if _is_word(t) else t for t in col_toks]
             if not col_toks:
@@ -944,6 +976,14 @@ class DmlExecutor:
                     if p is not None:
                         key_args, _ = _find_args(col_toks, p)
                         pk.extend(a[0].lower() for a in key_args if a)
+                elif head == "unique":  # table-level UNIQUE (a[, b…])
+                    p = col_toks.index("(") if "(" in col_toks else None
+                    if p is not None:
+                        key_args, _ = _find_args(col_toks, p)
+                        # only a ONE-column constraint makes that column
+                        # individually unique
+                        if len(key_args) == 1 and len(key_args[0]) == 1:
+                            unique_cols.add(key_args[0][0].lower())
                 continue
             col = head
             styp = cl[1] if len(cl) > 1 and _is_word(col_toks[1]) else "any"
@@ -952,6 +992,8 @@ class DmlExecutor:
             if "primary" in cl and "key" in cl:
                 pk.append(col)
                 nullable = False
+            elif "unique" in cl:
+                unique_cols.add(col)
             if "default" in cl:
                 d = cl.index("default")
                 if d + 1 < len(col_toks) and col_toks[d + 1] == "(":
@@ -962,8 +1004,57 @@ class DmlExecutor:
                 elif d + 1 < len(col_toks):
                     defaults[col] = col_toks[d + 1]
             fields.append(T.StructField(col, dtype, nullable))
-        tdef = TableDef(name, T.StructType(fields), tuple(pk), is_state, defaults)
+        tdef = TableDef(
+            name, T.StructType(fields), tuple(pk), is_state, defaults,
+            unique_cols,
+        )
         self.store.create(tdef, if_not_exists)
+
+    def _register_unique_index(self, raw_sql: str) -> None:
+        """Record ``CREATE UNIQUE INDEX [IF NOT EXISTS] ix ON t(col)`` as
+        single-column uniqueness metadata. Conservative: multi-column,
+        expression, COLLATE'd, and partial (WHERE) indexes declare nothing
+        (a pooled-update key needs plain-equality uniqueness)."""
+        try:
+            toks = tokenize(raw_sql)
+            lows = [t.lower() if _is_word(t) else t for t in toks]
+            if "unique" not in lows[:3] or "on" not in lows:
+                return
+            i = lows.index("index") + 1
+            while i < len(lows) and lows[i] in ("if", "not", "exists"):
+                i += 1
+            ix_name = lows[i]
+            on_i = lows.index("on", i)
+            j = on_i + 1
+            parts = [toks[j]]
+            j += 1
+            if j < len(toks) and toks[j] == ".":
+                parts += [".", toks[j + 1]]
+                j += 2
+            flat = (
+                "".join(parts).lower().replace("state.", "state_").replace(
+                    "main.", ""
+                )
+            )
+            if j >= len(toks) or toks[j] != "(":
+                return
+            key_args, close = _find_args(toks, j)
+            if close + 1 < len(toks):  # partial index (WHERE …) etc.
+                return
+            if len(key_args) != 1:
+                return
+            col = key_args[0]
+            cl = [t.lower() if _is_word(t) else t for t in col]
+            if not (_is_word(col[0]) and cl[1:] in ([], ["asc"], ["desc"])):
+                return
+            tdef = self.store.defs.get(flat)
+            if tdef is None or cl[0] not in {
+                f.name.lower() for f in tdef.schema.fields
+            }:
+                return
+            self.store.unique_indexes[ix_name] = (flat, cl[0])
+        except Exception:
+            return
 
     def _create_view(self, sql: str) -> None:
         toks = tokenize(sql)

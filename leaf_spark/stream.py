@@ -558,7 +558,15 @@ class Stream:
                     # references the existing files (no rewrite, no
                     # re-register → the table's version stays stable, so
                     # localexec mirrors keyed on it stay valid too)
-                    tables_meta[name] = {**pm, "paths": prev_paths}
+                    tables_meta[name] = {
+                        **pm,
+                        "paths": prev_paths,
+                        # schema metadata refreshes from the live def even
+                        # when the data is untouched (a pre-fix manifest
+                        # may lack these keys)
+                        "defaults": dict(tdef.defaults),
+                        "unique_cols": sorted(tdef.unique_cols),
+                    }
                     continue
                 rel = f"v{seq:06d}/{name}"
                 path = os.path.join(base, rel)
@@ -581,6 +589,8 @@ class Stream:
                             "schema": schema_json,
                             "primary_key": list(tdef.primary_key),
                             "is_state": tdef.is_state,
+                            "defaults": dict(tdef.defaults),
+                            "unique_cols": sorted(tdef.unique_cols),
                             "paths": paths,
                         }
                         self.store.reregister_preserving(
@@ -600,6 +610,8 @@ class Stream:
                     "schema": schema_json,
                     "primary_key": list(tdef.primary_key),
                     "is_state": tdef.is_state,
+                    "defaults": dict(tdef.defaults),
+                    "unique_cols": sorted(tdef.unique_cols),
                     "paths": [rel],
                 }
                 # re-point the live DataFrame at the durable copy: truncates
@@ -620,6 +632,10 @@ class Stream:
                 "triggers": {
                     n: t.__dict__ | {"body": list(t.body)}
                     for n, t in self.store.triggers.items()
+                },
+                "unique_indexes": {
+                    ix: list(tc)
+                    for ix, tc in self.store.unique_indexes.items()
                 },
             }
             tmp = self._snapshot_manifest_path() + ".tmp"
@@ -694,7 +710,16 @@ class Stream:
         for name, meta in manifest["tables"].items():
             schema = T.StructType.fromJson(json.loads(meta["schema"]))
             tdef = TableDef(
-                name, schema, tuple(meta["primary_key"]), meta["is_state"]
+                name,
+                schema,
+                tuple(meta["primary_key"]),
+                meta["is_state"],
+                # pre-fix manifests carry no defaults/unique_cols — a
+                # restore from one loses DDL DEFAULT expressions until
+                # the next persist refreshes the manifest (the old,
+                # silently-diverging behavior, now only transitional)
+                dict(meta.get("defaults", {})),
+                set(meta.get("unique_cols", [])),
             )
             # per-table path chain: unchanged tables reference files from
             # an earlier seq; append-only tables a list of delta dirs
@@ -708,6 +733,10 @@ class Stream:
             self._snap_table_versions[name] = self.store.table_version(name)
             self.store.snapshot_written(name)
         self.store.views = dict(manifest.get("views", {}))
+        self.store.unique_indexes = {
+            ix: tuple(tc)
+            for ix, tc in manifest.get("unique_indexes", {}).items()
+        }
         from .dml import TriggerDef
 
         self.store.triggers = {
@@ -1959,11 +1988,17 @@ class Stream:
             )
             # the round rewrite expresses the update as an upsert on the
             # key; with a NON-unique key the conflict machinery would
-            # collapse the multi-row update — require the single-column
-            # primary key (the accumulate-by-key shape always has one),
-            # and refuse key reassignment (the upsert's conflict target
-            # cannot also be SET)
-            if [k.lower() for k in tdef.primary_key] != [key_col.lower()]:
+            # collapse the multi-row update — require the key be the
+            # single-column primary key OR carry a declared single-column
+            # UNIQUE constraint / unique index (r12: the register-then-
+            # update-by-handle module shape keys on a unique TEXT column,
+            # not the rowid pk), and refuse key reassignment (the
+            # upsert's conflict target cannot also be SET)
+            if [
+                k.lower() for k in tdef.primary_key
+            ] != [key_col.lower()] and key_col.lower() not in (
+                self.store.unique_key_cols(flat)
+            ):
                 return None
             assigned = {p.split("=", 1)[0].strip().lower() for p in set_parts}
             if key_col.lower() in assigned:

@@ -61,6 +61,44 @@ class TestSnapshotReopen:
             {"name": "x", "value": 111}
         ]
 
+    def test_column_defaults_survive_reopen(self, spark, tmp_root):
+        """r12 fix: a snapshot-restored stream skips init_sql, so DDL
+        DEFAULT expressions must come back from the manifest — before
+        the fix the post-restart fold inserted NULL where SQLite applies
+        the default (the reference keeps defaults in the .db schema)."""
+        from leaf_spark.module import BasicModuleDef, QueryDef
+        from leaf_spark import drisl
+        from leaf_spark.types import IncomingEvent
+
+        mod = BasicModuleDef(
+            init_sql=(
+                "create table if not exists notes (id integer primary "
+                "key, body text not null, tag text default 'untagged')"
+            ),
+            materializer=(
+                "insert into notes (body) "
+                "select drisl_extract(payload, '.body') from event"
+            ),
+            queries=(
+                QueryDef("notes", "select id, body, tag from notes order by id"),
+            ),
+        )
+
+        def note(body):
+            return IncomingEvent("did:plc:defaults", drisl.encode({"body": body}))
+
+        s = Stream(spark, tmp_root, "did:plc:defaults")
+        s.provide_module(mod)
+        s.add_events([note("one")])
+        s.persist_state()
+        s2 = Stream(spark, tmp_root, "did:plc:defaults")
+        s2.provide_module(mod)  # snapshot restore, init_sql skipped
+        s2.add_events([note("two")])
+        assert s2.query(None, LeafQuery("notes")) == [
+            {"id": 1, "body": "one", "tag": "untagged"},
+            {"id": 2, "body": "two", "tag": "untagged"},
+        ]
+
     def test_auto_snapshot_interval(self, spark, tmp_root):
         s = Stream(spark, tmp_root, "did:plc:persist3", snapshot_every=2)
         s.provide_module(CHAT)

@@ -2326,3 +2326,186 @@ class TestGuardedConjuncts:
         assert s.query(None, LeafQuery("gc")) == [
             {"k": "a", "n": 2, "cap": 5}
         ]
+
+
+class TestUniqueKeyedUpdates:
+    """r12: pooled per-key rounds accept a declared single-column UNIQUE
+    key (column-level UNIQUE, table-level UNIQUE(col), or CREATE UNIQUE
+    INDEX) as the update's conflict key — the register-then-update-by-
+    handle module shape, which keys on a unique TEXT column instead of
+    the rowid pk (reference folds it per event through SQLite,
+    leaf-stream/src/lib.rs:543-569; the unique index makes the upsert
+    rewrite sound). Verified against a stdlib-sqlite3 per-event fold."""
+
+    @staticmethod
+    def _module(ddl):
+        return BasicModuleDef(
+            init_sql=ddl,
+            materializer=(
+                # register a handle (id pinned to idx: pooled upserts
+                # require an explicit INTEGER pk)
+                "insert into accounts (id, handle) "
+                "select idx, drisl_extract(payload, '.reg') from event "
+                "where drisl_exists(payload, '.reg') "
+                "on conflict (handle) do nothing; "
+                # accumulate score BY HANDLE — keyed on the unique
+                # column, not the pk
+                "update accounts set score = score + "
+                "(select drisl_extract_int(payload, '.pts') from event) "
+                "where handle = "
+                "(select drisl_extract(payload, '.h') from event);"
+            ),
+            queries=(
+                QueryDef(
+                    "accounts",
+                    "select handle, score from accounts order by handle",
+                ),
+            ),
+        )
+
+    COLUMN_UNIQUE = (
+        "create table if not exists accounts (id integer primary key, "
+        "handle text unique, score integer not null default 0)"
+    )
+    TABLE_UNIQUE = (
+        "create table if not exists accounts (id integer primary key, "
+        "handle text, score integer not null default 0, unique (handle))"
+    )
+    INDEX_UNIQUE = (
+        "create table if not exists accounts (id integer primary key, "
+        "handle text, score integer not null default 0); "
+        "create unique index if not exists accounts_handle "
+        "on accounts (handle)"
+    )
+
+    @pytest.mark.parametrize(
+        "ddl", [COLUMN_UNIQUE, TABLE_UNIQUE, INDEX_UNIQUE],
+        ids=["column", "table", "index"],
+    )
+    def test_unique_keyed_update_pools(self, spark, tmp_path, ddl):
+        mod = self._module(ddl)
+        s = Stream(spark, str(tmp_path), "did:plc:uq1")
+        s.provide_module(mod)
+        stmts = [
+            st.strip() for st in mod.materializer.split(";") if st.strip()
+        ]
+        assert s._compile_script(stmts) is None
+        plan = s._pool_plan(stmts)
+        assert plan is not None and "accounts" in plan
+        tags = sorted(tag for _, (tag, _) in plan["accounts"])
+        assert tags == ["update", "upsert"]
+
+    def test_without_unique_declaration_refuses(self, spark, tmp_path):
+        """The same shape WITHOUT a uniqueness declaration on the key must
+        stay per-event: an upsert rewrite on a non-unique key would
+        collapse multi-row updates."""
+        mod = self._module(
+            "create table if not exists accounts (id integer primary key, "
+            "handle text, score integer not null default 0)"
+        )
+        s = Stream(spark, str(tmp_path), "did:plc:uq2")
+        s.provide_module(mod)
+        stmts = [
+            st.strip() for st in mod.materializer.split(";") if st.strip()
+        ]
+        assert s._pool_plan(stmts) is None
+        # … and the per-event fold still computes the right answer
+        s.add_events([ev("u", reg="a"), ev("u", h="a", pts=3)])
+        assert s.query(None, LeafQuery("accounts")) == [
+            {"handle": "a", "score": 3}
+        ]
+
+    @staticmethod
+    def _events(seed, n):
+        rng = random.Random(seed)
+        out = []
+        for _ in range(n):
+            p = {}
+            if rng.random() < 0.5:
+                p["reg"] = f"h{rng.randrange(4)}"
+            if rng.random() < 0.8:
+                p["h"] = f"h{rng.randrange(5)}"  # h4 never registers
+                p["pts"] = rng.randrange(1, 5)
+            out.append(p)
+        return out
+
+    def test_matches_sqlite_fold_and_replays_pooled(self, spark, tmp_path):
+        import sqlite3
+
+        payloads = self._events(21, 40)
+        mod = self._module(self.COLUMN_UNIQUE)
+        s = Stream(spark, str(tmp_path), "did:plc:uq3")
+        s.provide_module(mod)
+        s.add_events([ev("u", **p) for p in payloads[:25]])
+        s.add_events([ev("u", **p) for p in payloads[25:35]])
+        for p in payloads[35:]:
+            s.add_events([ev("u", **p)])
+        got = [
+            (r["handle"], r["score"])
+            for r in s.query(None, LeafQuery("accounts", limit=100))
+        ]
+        con = sqlite3.connect(":memory:")
+        con.execute(
+            "create table accounts (id integer primary key, "
+            "handle text unique, score integer not null default 0)"
+        )
+        for idx, p in enumerate(payloads, start=1):
+            if "reg" in p:
+                con.execute(
+                    "insert into accounts (id, handle) values (?, ?) "
+                    "on conflict (handle) do nothing",
+                    (idx, p["reg"]),
+                )
+            con.execute(
+                "update accounts set score = score + ? where handle = ?",
+                (p.get("pts"), p.get("h")),
+            )
+        want = sorted(
+            con.execute(
+                "select handle, score from accounts order by handle"
+            ).fetchall()
+        )
+        assert got == want
+        # replay: identical, never the per-event loop
+        s2 = Stream(spark, str(tmp_path), "did:plc:uq3")
+
+        def no_single_row(rows, schema):
+            raise AssertionError("per-event fold ran for a pooled module")
+
+        s2._event_local_df = no_single_row
+        s2.provide_module(mod)
+        s2.catch_up()
+        got2 = [
+            (r["handle"], r["score"])
+            for r in s2.query(None, LeafQuery("accounts", limit=100))
+        ]
+        assert got2 == want
+
+    def test_unique_metadata_survives_snapshot_restore(
+        self, spark, tmp_path
+    ):
+        """A snapshot-restored stream skips init_sql, so the unique
+        declaration must come back from the manifest — both DDL
+        unique_cols and CREATE UNIQUE INDEX registrations — or the
+        post-restart fold would silently drop to per-event."""
+        for name, ddl in (
+            ("did:plc:uq4", self.COLUMN_UNIQUE),
+            ("did:plc:uq5", self.INDEX_UNIQUE),
+        ):
+            mod = self._module(ddl)
+            s = Stream(spark, str(tmp_path), name)
+            s.provide_module(mod)
+            s.add_events([ev("u", reg="a"), ev("u", h="a", pts=2)])
+            s.persist_state()
+            s2 = Stream(spark, str(tmp_path), name)
+            s2.provide_module(mod)  # snapshot restore, no init_sql
+            stmts = [
+                st.strip()
+                for st in mod.materializer.split(";")
+                if st.strip()
+            ]
+            assert s2._pool_plan(stmts) is not None
+            s2.add_events([ev("u", h="a", pts=5)])
+            assert s2.query(None, LeafQuery("accounts")) == [
+                {"handle": "a", "score": 7}
+            ]
