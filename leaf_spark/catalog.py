@@ -114,6 +114,13 @@ class StreamCatalog:
         # same .tmp file (the loser's os.replace hits FileNotFoundError)
         # and json.dump can iterate _meta mid-mutation
         self._meta_lock = threading.RLock()
+        # per-DID open serialization: two concurrent COLD opens of one
+        # stream would otherwise both construct + replay it and race on
+        # its stream.json commit (same FileNotFoundError shape as above —
+        # surfaced by shard revival, where a request can race the
+        # revival's own resubscribe open)
+        self._open_locks: dict[str, threading.Lock] = {}
+        self._open_guard = threading.Lock()
 
     def _load_meta(self) -> dict:
         if os.path.exists(self._meta_path):
@@ -157,16 +164,26 @@ class StreamCatalog:
         self._open[stream.stream_did] = _Entry(stream, worker)
 
     def open(self, stream_did: str) -> Stream:
-        if stream_did in self._open:
-            return self._open[stream_did].stream
-        if stream_did not in self._meta:
-            raise KeyError(f"no such stream {stream_did}")
-        stream = Stream(self.spark, self.root, stream_did, self.authorizer)
-        cid = self._meta[stream_did].get("module_cid") or stream.state.module_cid
-        if cid:
-            stream.provide_module(self.modules.get(cid))
-        self._register(stream)
-        return stream
+        e = self._open.get(stream_did)
+        if e is not None:
+            return e.stream
+        with self._open_guard:
+            lk = self._open_locks.setdefault(stream_did, threading.Lock())
+        with lk:
+            e = self._open.get(stream_did)  # lost the open race: reuse
+            if e is not None:
+                return e.stream
+            if stream_did not in self._meta:
+                raise KeyError(f"no such stream {stream_did}")
+            stream = Stream(self.spark, self.root, stream_did, self.authorizer)
+            cid = (
+                self._meta[stream_did].get("module_cid")
+                or stream.state.module_cid
+            )
+            if cid:
+                stream.provide_module(self.modules.get(cid))
+            self._register(stream)
+            return stream
 
     def worker(self, stream_did: str) -> SubscriptionWorker:
         self.open(stream_did)

@@ -147,6 +147,11 @@ class ShardWorker:
         self._secret = secret
         self._stop = threading.Event()
         self._listener: socket.socket | None = None
+        # live supervisor connections: severed on close() so an in-process
+        # "crash" (kill_shard) EOFs the supervisor side immediately — the
+        # monitor's death signal, matching what a process exit does
+        self._conns: set[socket.socket] = set()
+        self._conns_lock = threading.Lock()
         # sub_id → set once its push relay has exited (all queued responses
         # written to the supervisor socket); the release path waits on this
         # so a migrated cursor can never outrun an unrelayed batch
@@ -174,6 +179,22 @@ class ShardWorker:
                 self._listener.close()
             except OSError:
                 pass
+        with self._conns_lock:
+            conns = list(self._conns)
+        for s in conns:
+            # shutdown, not just close: the serve thread is blocked in
+            # recv on this fd, which holds the kernel socket open — a bare
+            # close() would defer the FIN until that recv returns (never),
+            # and the supervisor would not see the death. shutdown sends
+            # the FIN immediately and wakes the blocked recv.
+            try:
+                s.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                s.close()
+            except OSError:
+                pass
         self.catalog.close()
 
     # -- one supervisor connection --------------------------------------------
@@ -184,6 +205,8 @@ class ShardWorker:
         # subs opened over THIS supervisor connection: unsubscribed when the
         # connection dies so their worker entries and push threads don't leak
         conn_subs: list[tuple[str, str]] = []
+        with self._conns_lock:
+            self._conns.add(sock)
         try:
             if self._secret is not None:
                 # per-run secret handshake: the first frame must carry it
@@ -208,6 +231,8 @@ class ShardWorker:
             pass
         finally:
             conn_stop.set()
+            with self._conns_lock:
+                self._conns.discard(sock)
             for did, sub_id in conn_subs:
                 try:
                     self.catalog.worker(did).unsubscribe(sub_id)
@@ -239,10 +264,29 @@ class ShardWorker:
             ack = self._release_stream(args_bytes)
         elif endpoint == "_shard/adopt_stream":
             ack = self._adopt_stream(args_bytes)
+        elif endpoint == "_shard/resubscribe":
+            ack = self._resubscribe(args_bytes)
         else:
             ack = self.server.handle(conn, endpoint, args_bytes)
+        extra: dict = {}
+        if endpoint == "stream/subscribe_events":
+            # attach the subscription's REGISTRATION cursor to the RPC
+            # envelope (not the client-visible ack): the supervisor mirror
+            # needs the pre-service value — the live latest_event may
+            # already count batches still queued un-relayed, and a crash
+            # before their relay must resume below them
+            d0 = drisl.decode(ack)
+            if "Ok" in d0:
+                sid0 = d0["Ok"]["subscriptionId"]
+                did0 = drisl.decode(args_bytes)["streamDid"]
+                sub0 = self.catalog.worker(did0).subs.get(sid0)
+                if sub0 is not None:
+                    extra = {
+                        "subId": sid0,
+                        "subLatest": int(sub0.initial_latest),
+                    }
         try:
-            _write_frame(sock, send_lock, {"id": req["id"], "ack": ack})
+            _write_frame(sock, send_lock, {"id": req["id"], "ack": ack, **extra})
         except OSError:
             conn_stop.set()
             return
@@ -257,7 +301,7 @@ class ShardWorker:
                     args=(sock, send_lock, conn_stop, stream_did, sub_id),
                     daemon=True,
                 ).start()
-        elif endpoint == "_shard/adopt_stream":
+        elif endpoint in ("_shard/adopt_stream", "_shard/resubscribe"):
             # migrated subscriptions need a push relay on THIS connection,
             # exactly as if they had been subscribed here
             decoded = drisl.decode(ack)
@@ -371,6 +415,35 @@ class ShardWorker:
         except Exception as ex:
             return drisl.encode({"Err": f"{type(ex).__name__}: {ex}"})
 
+    def _resubscribe(self, args_bytes: bytes) -> bytes:
+        """Crash-recovery half of the supervisor's shard revival: recreate
+        subscriptions on a freshly restarted worker from the supervisor's
+        mirror records (sub id + user + query + last RELAYED cursor). The
+        stream is already on this shard's disk — unlike _adopt_stream there
+        is no meta/dir adoption, just worker.adopt per subscription; the
+        immediate needs_update then re-queries from the cursor, recovering
+        any batch the dead worker committed but never relayed."""
+        try:
+            args = drisl.decode(args_bytes) if args_bytes else {}
+            did = args["streamDid"]
+            worker = self.catalog.worker(did)  # opens + replays the stream
+            adopted = []
+            for s in args.get("subs") or []:
+                q = LeafServer._decode_query(s["query"])
+                try:
+                    worker.adopt(
+                        s["subscriptionId"],
+                        s.get("user"),
+                        q,
+                        int(s["latestEvent"]),
+                    )
+                except ValueError:
+                    pass  # already active (a duplicate revival is a no-op)
+                adopted.append(s["subscriptionId"])
+            return drisl.encode({"Ok": {"adopted": adopted}})
+        except Exception as ex:
+            return drisl.encode({"Err": f"{type(ex).__name__}: {ex}"})
+
     def _push_relay(
         self,
         sock: socket.socket,
@@ -418,6 +491,9 @@ class ShardWorker:
                             "rows": stream.rows_to_wire(r.rows),
                             "hasMore": r.has_more,
                             "error": r.error,
+                            # post-batch cursor: the mirror's exactly-once
+                            # resume point if this shard later crashes
+                            "latestEvent": r.latest_event,
                         }
                     },
                 )
@@ -443,10 +519,24 @@ class _RemoteSub:
 
     sub_id: str
     stream_did: str
+    # recovery records (r12 shard revival): the effective user + raw wire
+    # query captured at subscribe time, and the cursor after the last push
+    # ACCEPTED into the handoff — together exactly the _shard/resubscribe
+    # payload that recreates this subscription on a restarted worker with
+    # no duplicate and no lost batch
+    user: str | None = None
+    query_wire: dict | None = None
+    latest_event: int = 0
     channel: "queue.Queue[SubscriptionResponse]" = field(
         default_factory=lambda: queue.Queue(maxsize=RESULT_CHANNEL_CAPACITY)
     )
     handoff: "queue.Queue" = field(default_factory=queue.Queue)
+
+    def accept(self, resp: SubscriptionResponse) -> None:
+        """Advance the mirror cursor and enqueue for the drain thread."""
+        if resp.latest_event is not None:
+            self.latest_event = max(self.latest_event, int(resp.latest_event))
+        self.handoff.put(resp)
 
 
 # pushes relayed before the supervisor registers the _RemoteSub (the ack
@@ -471,6 +561,10 @@ class ShardClient:
         self._next_id = 0
         self._id_lock = threading.Lock()
         self._pending: dict[int, queue.Queue] = {}
+        # sub_id → registration cursor, stashed by the read loop from the
+        # subscribe ack's RPC envelope BEFORE the ack is delivered — so
+        # register_sub always finds it
+        self.sub_hints: dict[str, int] = {}
         self.subs: dict[str, _RemoteSub] = {}
         self._sub_lock = threading.Lock()
         self._orphans: dict[str, list[SubscriptionResponse]] = {}
@@ -522,6 +616,10 @@ class ShardClient:
                 if frame is None:
                     return
                 if "ack" in frame:
+                    if "subId" in frame:
+                        self.sub_hints[frame["subId"]] = int(
+                            frame.get("subLatest") or 0
+                        )
                     ch = self._pending.get(frame["id"])
                     if ch is not None:
                         ch.put(frame["ack"])
@@ -533,6 +631,7 @@ class ShardClient:
                     rows=p["rows"],
                     has_more=bool(p["hasMore"]),
                     error=p.get("error"),
+                    latest_event=p.get("latestEvent"),
                 )
                 with self._sub_lock:
                     sub = self.subs.get(p["subscriptionId"])
@@ -547,7 +646,7 @@ class ShardClient:
                         # unbounded handoff, NEVER blocks: this thread
                         # also demuxes acks — backpressure is applied by
                         # the per-sub drain thread, not here
-                        sub.handoff.put(resp)
+                        sub.accept(resp)
         except (OSError, ValueError):
             pass
         finally:
@@ -567,13 +666,28 @@ class ShardClient:
         if len(buf) < _ORPHAN_PUSH_CAP:
             buf.append(resp)
 
-    def register_sub(self, sub_id: str, stream_did: str) -> _RemoteSub:
+    def register_sub(
+        self,
+        sub_id: str,
+        stream_did: str,
+        user: str | None = None,
+        query_wire: dict | None = None,
+    ) -> _RemoteSub:
         """Publish the supervisor-side mirror; any pushes that arrived
-        before registration re-enter IN ORDER ahead of later ones."""
-        sub = _RemoteSub(sub_id, stream_did)
+        before registration re-enter IN ORDER ahead of later ones. The
+        (user, query, cursor) triple is retained for crash revival —
+        the initial cursor comes from the subscribe ack's envelope hint
+        (the shard-side registration cursor, pre-service)."""
+        sub = _RemoteSub(
+            sub_id,
+            stream_did,
+            user=user,
+            query_wire=query_wire,
+            latest_event=self.sub_hints.pop(sub_id, 0),
+        )
         with self._sub_lock:
             for resp in self._orphans.pop(sub_id, []):
-                sub.handoff.put(resp)
+                sub.accept(resp)
             self._orphan_at.pop(sub_id, None)
             self.subs[sub_id] = sub
         threading.Thread(
@@ -592,9 +706,20 @@ class ShardClient:
         delivery order."""
         with self._sub_lock:
             for resp in self._orphans.pop(sub.sub_id, []):
-                sub.handoff.put(resp)
+                sub.accept(resp)
             self._orphan_at.pop(sub.sub_id, None)
             self.subs[sub.sub_id] = sub
+
+    def revive_mirror(self, sub: _RemoteSub) -> None:
+        """Re-home a mirror whose owning client DIED (shard crash): like
+        adopt_mirror, but the source's drain thread exited with its
+        client's _closed flag — start a fresh one here to keep pumping the
+        surviving handoff/channel pair (the socket.io push loop and
+        poll_subscription still hold this same object)."""
+        self.adopt_mirror(sub)
+        threading.Thread(
+            target=self._drain_sub, args=(sub,), daemon=True
+        ).start()
 
     def detach_mirror(self, sub_id: str) -> _RemoteSub | None:
         """Remove the mirror WITHOUT the drain-thread sentinel (the object
@@ -722,13 +847,37 @@ class ShardRouter:
         # wait on it (set when the move completes or fails)
         self._moving: dict[str, threading.Event] = {}
         self._place_lock = threading.Lock()
+        # shard index → Event while the supervisor is reviving a crashed
+        # worker; requests for that shard wait it out instead of erroring
+        self._reviving: dict[int, threading.Event] = {}
 
     def shard_index_for(self, stream_did: str) -> int:
         i = self.placement.get(stream_did)
         return shard_of(stream_did, len(self.clients)) if i is None else i
 
     def client_for(self, stream_did: str) -> ShardClient:
-        return self.clients[self.shard_index_for(stream_did)]
+        idx = self.shard_index_for(stream_did)
+        c = self.clients[idx]
+        if not c._closed.is_set():
+            return c
+        # dead shard: wait out an in-flight revival so the request lands
+        # on the restarted worker (bounded — a revival is one worker
+        # spawn, not a full supervisor start). The supervisor's monitor
+        # opens the revival gate within MONITOR_INTERVAL of the death;
+        # if none appears quickly there is no supervisor watching this
+        # router — fail fast with the dead client (its error path).
+        deadline = time.monotonic() + self.MOVE_WAIT
+        grace = time.monotonic() + 2.0
+        while c._closed.is_set() and time.monotonic() < deadline:
+            ev = self._reviving.get(idx)
+            if ev is not None:
+                ev.wait(max(0.0, deadline - time.monotonic()))
+            elif time.monotonic() > grace:
+                break
+            else:
+                time.sleep(0.05)
+            c = self.clients[idx]
+        return c
 
     def handle(self, conn: Connection, endpoint: str, args_drisl: bytes) -> bytes:
         try:
@@ -823,7 +972,19 @@ class ShardRouter:
         if endpoint == "stream/subscribe_events":
             decoded = drisl.decode(ack)
             if "Ok" in decoded:
-                client.register_sub(decoded["Ok"]["subscriptionId"], stream_did)
+                override = args.get("userOverride")
+                client.register_sub(
+                    decoded["Ok"]["subscriptionId"],
+                    stream_did,
+                    # the server's _effective_user (override requires a
+                    # trusted conn, which the shard already enforced)
+                    user=(
+                        override
+                        if override is not None and conn.trusted
+                        else conn.user
+                    ),
+                    query_wire=args.get("query"),
+                )
         elif endpoint == "stream/unsubscribe":
             if "Ok" in drisl.decode(ack):
                 client.drop_sub(args.get("subscriptionId"))
@@ -924,6 +1085,75 @@ class ShardRouter:
                 self._moving.pop(stream_did, None)
             gate.set()
 
+    # -- shard crash revival ---------------------------------------------------
+
+    def revive_shard(self, idx: int, new_client: ShardClient) -> dict:
+        """Swap in the client of a freshly restarted shard worker and
+        recreate its live subscriptions from the supervisor-side mirrors.
+
+        Shard state is all on disk (event log + snapshots + meta, A6/A21),
+        so the restarted worker replays streams lazily on first request;
+        the only live state lost with the process is the subscription set —
+        rebuilt here via _shard/resubscribe from each mirror's (user,
+        query, last-relayed-cursor) record. Mirrors keep their channel
+        objects, so attached socket.io push loops and pollers resume
+        transparently; the adopt-side immediate needs_update re-queries
+        from the cursor, recovering batches the dead worker committed but
+        never relayed — exactly-once continuation, no duplicates (the
+        cursor only advances on pushes the supervisor actually accepted).
+        """
+        old = self.clients[idx]
+        with old._sub_lock:
+            mirrors = list(old.subs.values())
+        self.clients[idx] = new_client
+        by_stream: dict[str, list[_RemoteSub]] = {}
+        for sub in mirrors:
+            if self.shard_index_for(sub.stream_did) != idx:
+                continue  # stream moved away — its mirror lives elsewhere
+            # detach BEFORE the old client's close(): close() sends the
+            # drain-thread sentinel into every still-registered mirror's
+            # handoff, which would kill the fresh drain thread started here
+            old.detach_mirror(sub.sub_id)
+            new_client.revive_mirror(sub)
+            by_stream.setdefault(sub.stream_did, []).append(sub)
+        revived = 0
+        for did, subs in by_stream.items():
+            payload = {
+                "streamDid": did,
+                "subs": [
+                    {
+                        "subscriptionId": s.sub_id,
+                        "user": s.user,
+                        "query": s.query_wire,
+                        "latestEvent": int(s.latest_event),
+                    }
+                    for s in subs
+                    if s.query_wire is not None
+                ],
+            }
+            try:
+                ack = drisl.decode(
+                    new_client.call(
+                        None, True, "_shard/resubscribe", drisl.encode(payload)
+                    )
+                )
+                err = ack.get("Err")
+            except Exception as ex:
+                err = f"{type(ex).__name__}: {ex}"
+            if err is not None:
+                # surfaced, not swallowed: the subscriber learns its feed
+                # broke and can resubscribe (reference error-forwarding
+                # semantics, lib.rs:965-979)
+                for s in subs:
+                    s.accept(
+                        SubscriptionResponse(
+                            [], False, error=f"shard revival failed: {err}"
+                        )
+                    )
+            else:
+                revived += len(payload["subs"])
+        return {"shard": idx, "subscriptions": revived}
+
     def _journal_write(self, obj: dict) -> None:
         if self._journal_path is None:
             return
@@ -1003,6 +1233,8 @@ class LeafShardSupervisor:
         self._workers: list[ShardWorker] = []
         self.router: ShardRouter | None = None
         self.sio = None
+        self._stop_monitor = threading.Event()
+        self._monitor: threading.Thread | None = None
 
     # -- lifecycle -------------------------------------------------------------
 
@@ -1032,6 +1264,8 @@ class LeafShardSupervisor:
             server_did=self._server_did,
         ).start()
         self.host, self.port = self.sio.host, self.sio.port
+        self._monitor = threading.Thread(target=self._monitor_loop, daemon=True)
+        self._monitor.start()
         return self
 
     def _shard_root(self, i: int) -> str:
@@ -1168,63 +1402,150 @@ class LeafShardSupervisor:
             os.unlink(jp)
         return placement
 
-    def _start_inprocess(self) -> list[int]:
-        ports = []
-        for i in range(self.n_shards):
-            w = ShardWorker(
-                self._spark, self._shard_root(i), secret=self._secret
-            )
-            ports.append(w.listen())
-            threading.Thread(target=w.serve_forever, daemon=True).start()
+    def _start_inprocess_one(self, i: int) -> int:
+        w = ShardWorker(self._spark, self._shard_root(i), secret=self._secret)
+        port = w.listen()
+        threading.Thread(target=w.serve_forever, daemon=True).start()
+        if i < len(self._workers):
+            self._workers[i] = w
+        else:
             self._workers.append(w)
-        return ports
+        return port
 
-    def _spawn(self) -> list[int]:
+    def _start_inprocess(self) -> list[int]:
+        return [self._start_inprocess_one(i) for i in range(self.n_shards)]
+
+    def _spawn_one(self, i: int) -> tuple[subprocess.Popen, str]:
         total = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
         cpus = self._cpus or max(2, total // self.n_shards)
-        port_files = []
-        for i in range(self.n_shards):
-            os.makedirs(self._shard_root(i), exist_ok=True)
-            pf = os.path.join(self._shard_root(i), f".port.{uuid.uuid4().hex}")
-            port_files.append(pf)
-            self._procs.append(
-                subprocess.Popen(
-                    [
-                        sys.executable,
-                        "-m",
-                        "leaf_spark.sharding",
-                        "--root",
-                        self._shard_root(i),
-                        "--port-file",
-                        pf,
-                        "--cpus",
-                        str(cpus),
-                        "--app",
-                        f"leaf-shard-{i}",
-                    ],
-                    cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                    # secret travels in the environment, never argv (argv is
-                    # world-readable in the process table)
-                    env={**os.environ, "LEAF_SHARD_SECRET": self._secret},
-                )
-            )
-        ports = []
+        os.makedirs(self._shard_root(i), exist_ok=True)
+        pf = os.path.join(self._shard_root(i), f".port.{uuid.uuid4().hex}")
+        proc = subprocess.Popen(
+            [
+                sys.executable,
+                "-m",
+                "leaf_spark.sharding",
+                "--root",
+                self._shard_root(i),
+                "--port-file",
+                pf,
+                "--cpus",
+                str(cpus),
+                "--app",
+                f"leaf-shard-{i}",
+            ],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            # secret travels in the environment, never argv (argv is
+            # world-readable in the process table)
+            env={**os.environ, "LEAF_SHARD_SECRET": self._secret},
+        )
+        return proc, pf
+
+    @staticmethod
+    def _await_port(i: int, proc: subprocess.Popen, pf: str, deadline: float) -> int:
+        while not os.path.exists(pf):
+            if proc.poll() is not None:
+                raise RuntimeError(f"shard {i} exited with {proc.returncode}")
+            if time.monotonic() > deadline:
+                raise TimeoutError(f"shard {i} did not report a port")
+            time.sleep(0.1)
+        with open(pf) as f:
+            port = int(f.read().strip())
+        os.unlink(pf)
+        return port
+
+    def _spawn(self) -> list[int]:
+        spawned = [self._spawn_one(i) for i in range(self.n_shards)]
+        self._procs = [p for p, _ in spawned]
         deadline = time.monotonic() + self._spawn_timeout
-        for i, pf in enumerate(port_files):
-            while not os.path.exists(pf):
-                if self._procs[i].poll() is not None:
-                    raise RuntimeError(
-                        f"shard {i} exited with {self._procs[i].returncode}"
+        return [
+            self._await_port(i, p, pf, deadline)
+            for i, (p, pf) in enumerate(spawned)
+        ]
+
+    # -- shard crash detection + revival --------------------------------------
+
+    #: seconds between liveness sweeps; also the floor between successive
+    #: revival attempts of one shard (doubles per consecutive failure,
+    #: capped — a permanently-broken shard keeps erroring, honestly)
+    MONITOR_INTERVAL = 0.5
+    REVIVE_BACKOFF_MAX = 30.0
+
+    def _monitor_loop(self) -> None:
+        backoff: dict[int, float] = {}
+        not_before: dict[int, float] = {}
+        while not self._stop_monitor.wait(self.MONITOR_INTERVAL):
+            assert self.router is not None
+            for i in range(self.n_shards):
+                if self._stop_monitor.is_set():
+                    return
+                if not self.router.clients[i]._closed.is_set():
+                    backoff.pop(i, None)
+                    continue
+                if time.monotonic() < not_before.get(i, 0.0):
+                    continue
+                try:
+                    self._revive_shard(i)
+                    backoff.pop(i, None)
+                except Exception:
+                    b = min(
+                        backoff.get(i, 1.0) * 2, self.REVIVE_BACKOFF_MAX
                     )
-                if time.monotonic() > deadline:
-                    raise TimeoutError(f"shard {i} did not report a port")
-                time.sleep(0.1)
-            with open(pf) as f:
-                ports.append(int(f.read().strip()))
-            os.unlink(pf)
-        return ports
+                    backoff[i] = b
+                    not_before[i] = time.monotonic() + b
+
+    def _revive_shard(self, i: int) -> dict:
+        """Restart a dead shard worker in place and rebuild its live
+        subscriptions (ShardRouter.revive_shard). Requests addressed to the
+        shard wait on the revival gate instead of erroring; calls already
+        in flight when the worker died got the shard-connection-lost error
+        (an event_batch ack lost that way is the usual at-most-once RPC
+        ambiguity — the batch is durable iff its log append completed)."""
+        assert self.router is not None
+        gate = threading.Event()
+        self.router._reviving[i] = gate
+        old_client = self.router.clients[i]
+        try:
+            if self._spark is not None:
+                try:
+                    self._workers[i].close()  # release catalog + listener
+                except Exception:
+                    pass
+                port = self._start_inprocess_one(i)
+            else:
+                proc = self._procs[i]
+                if proc.poll() is None:
+                    proc.kill()
+                proc.wait(timeout=30)
+                p2, pf = self._spawn_one(i)
+                self._procs[i] = p2
+                port = self._await_port(
+                    i, p2, pf, time.monotonic() + self._spawn_timeout
+                )
+            new_client = ShardClient(
+                "127.0.0.1", port, secret=self._secret
+            )
+            result = self.router.revive_shard(i, new_client)
+            old_client.close()
+            return result
+        finally:
+            gate.set()
+            self.router._reviving.pop(i, None)
+
+    def kill_shard(self, i: int) -> None:
+        """Crash injection (tests/ops): hard-stop shard ``i``'s worker. The
+        monitor detects the dead connection and revives it."""
+        if self._spark is not None:
+            self._workers[i].close()
+        else:
+            self._procs[i].kill()
 
     def close(self) -> None:
+        # stop the monitor FIRST: shutting workers down below trips the
+        # same dead-connection signal a crash does
+        self._stop_monitor.set()
+        if self._monitor is not None:
+            self._monitor.join(timeout=5)
         if self.sio is not None:
             self.sio.close()
         if self.router is not None:

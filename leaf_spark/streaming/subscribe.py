@@ -49,6 +49,10 @@ class SubscriptionResponse:
     rows: list[dict]
     has_more: bool
     error: str | None = None
+    # cursor AFTER this batch (the sub's latest_event at emit time) — lets a
+    # relay consumer (sharding.py mirrors) track exactly-once continuation
+    # points; None on error responses (the cursor did not advance)
+    latest_event: int | None = None
 
 
 @dataclass
@@ -57,6 +61,10 @@ class ActiveSubscription:
     user: str | None
     query: LeafQuery
     latest_event: int
+    # the cursor at REGISTRATION, before any service cycle ran — the only
+    # safe resume point for a consumer that has received zero batches
+    # (latest_event may already reflect batches still queued un-relayed)
+    initial_latest: int = 0
     channel: "queue.Queue[SubscriptionResponse]" = field(
         default_factory=lambda: queue.Queue(maxsize=RESULT_CHANNEL_CAPACITY)
     )
@@ -103,7 +111,9 @@ class SubscriptionWorker:
         with self._lock:
             head = self.stream.state.latest_idx
             latest = (q.start - 1) if q.start is not None else head
-            sub = ActiveSubscription(uuid.uuid4().hex, user, q, latest)
+            sub = ActiveSubscription(
+                uuid.uuid4().hex, user, q, latest, initial_latest=latest
+            )
             self.subs[sub.sub_id] = sub
         self._msgs.put(("needs_update", sub.sub_id))
         return sub
@@ -123,7 +133,9 @@ class SubscriptionWorker:
         with self._lock:
             if sub_id in self.subs:
                 raise ValueError(f"subscription {sub_id} already active")
-            sub = ActiveSubscription(sub_id, user, q, latest_event)
+            sub = ActiveSubscription(
+                sub_id, user, q, latest_event, initial_latest=latest_event
+            )
             self.subs[sub_id] = sub
         self._msgs.put(("needs_update", sub_id))
         return sub
@@ -244,7 +256,10 @@ class SubscriptionWorker:
         query_last = min(q2.last_event(), stream_latest)
         has_more = query_last < stream_latest
         sub.latest_event = query_last
-        self._emit(sub.channel, SubscriptionResponse(rows, has_more))
+        self._emit(
+            sub.channel,
+            SubscriptionResponse(rows, has_more, latest_event=query_last),
+        )
         if has_more:
             self._msgs.put(("needs_update", sub_id))  # self-scheduling drain
 

@@ -871,3 +871,258 @@ class TestPlacementRecovery:
         finally:
             cli.close()
             sup2.close()
+
+
+# ---------------------------------------------------------------------------
+# shard crash detection + revival (r12)
+# ---------------------------------------------------------------------------
+
+
+def _wait_revived(sup, idx: int, timeout: float = 60.0) -> None:
+    """Wait until the monitor has SWAPPED in a live replacement client
+    (object identity, not just _closed — the dead client reads as live
+    for the instant before EOF detection)."""
+    old = sup.router.clients[idx]
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        c = sup.router.clients[idx]
+        if c is not old and not c._closed.is_set():
+            return
+        time.sleep(0.05)
+    raise AssertionError(f"shard {idx} never revived")
+
+
+def _wait_death_detected(sup, idx: int, timeout: float = 30.0) -> None:
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if sup.router.clients[idx]._closed.is_set():
+            return
+        time.sleep(0.02)
+    raise AssertionError(f"shard {idx} death never detected")
+
+
+class TestShardCrashRecovery:
+    """The supervisor's monitor detects a dead shard worker, restarts it in
+    place, and rebuilds its live subscriptions from the supervisor-side
+    mirrors — shard state is all on disk (A6 replay), so data survives; the
+    subscription cursor relayed with every push makes continuation
+    exactly-once. The reference's analog is its own crash-restart recovery
+    (leaf-server/src/streams.rs:101-150 reopen + replay); the monitor is
+    the multi-process extension of it."""
+
+    def _setup_stream(self, sharded, cli, did):
+        cid = cli.call("module/upload", {"module": CHAT.to_codec()})["Ok"]["cid"]
+        assert "Ok" in cli.call(
+            "stream/create", {"streamDid": did, "moduleCid": cid}
+        )
+
+    def test_crash_revives_with_data_intact(self, sharded):
+        did0, did1 = _dids_on_shards(2)
+        cli = _client(sharded)
+        try:
+            self._setup_stream(sharded, cli, did0)
+            cli.call(
+                "stream/event_batch",
+                {
+                    "streamDid": did0,
+                    "payloads": [drisl.encode({"content": "pre", "sentAt": 1})],
+                },
+            )
+            sharded.kill_shard(0)
+            _wait_revived(sharded, 0)
+            # data replayed from disk; new writes land
+            rows = cli.call(
+                "stream/query", {"streamDid": did0, "query": {"name": "messages"}}
+            )["Ok"]["rows"]
+            assert [r["content"]["value"] for r in rows] == ["pre"]
+            out = cli.call(
+                "stream/event_batch",
+                {
+                    "streamDid": did0,
+                    "payloads": [drisl.encode({"content": "post", "sentAt": 2})],
+                },
+            )
+            assert out["Ok"]["latestEvent"] == 2
+        finally:
+            cli.close()
+
+    def test_request_during_revival_waits_not_errors(self, sharded):
+        did0, _ = _dids_on_shards(2)
+        cli = _client(sharded)
+        try:
+            self._setup_stream(sharded, cli, did0)
+            cli.call(
+                "stream/event_batch",
+                {
+                    "streamDid": did0,
+                    "payloads": [drisl.encode({"content": "a", "sentAt": 1})],
+                },
+            )
+            sharded.kill_shard(0)
+            # query as soon as the death is DETECTED (the instant before
+            # detection is an honest at-most-once error window) — the
+            # router must hold the request through the revival instead of
+            # erroring
+            _wait_death_detected(sharded, 0)
+            out = cli.call(
+                "stream/query",
+                {"streamDid": did0, "query": {"name": "messages"}},
+                timeout=90,
+            )
+            assert "Ok" in out, f"query during revival failed: {out}"
+            assert [r["content"]["value"] for r in out["Ok"]["rows"]] == ["a"]
+        finally:
+            cli.close()
+
+    def test_crash_with_live_subscription_exactly_once(self, sharded):
+        did0, _ = _dids_on_shards(2)
+        cli = _client(sharded)
+        try:
+            self._setup_stream(sharded, cli, did0)
+            sub_id = cli.call(
+                "stream/subscribe_events",
+                {"streamDid": did0, "query": {"name": "messages"}},
+            )["Ok"]["subscriptionId"]
+            cli.call(
+                "stream/event_batch",
+                {
+                    "streamDid": did0,
+                    "payloads": [drisl.encode({"content": "m1", "sentAt": 1})],
+                },
+            )
+            first = _drain_pushes(cli, 1)
+            assert [
+                r["content"]["value"] for r in first[0]["response"]["Ok"]["rows"]
+            ] == ["m1"]
+            sharded.kill_shard(0)
+            _wait_revived(sharded, 0)
+            cli.call(
+                "stream/event_batch",
+                {
+                    "streamDid": did0,
+                    "payloads": [drisl.encode({"content": "m2", "sentAt": 2})],
+                },
+            )
+            second = _drain_pushes(cli, 1)
+            assert len(second) == 1, "push after revival never arrived"
+            got = [
+                r["content"]["value"] for r in second[0]["response"]["Ok"]["rows"]
+            ]
+            assert got == ["m2"], f"expected exactly-once m2, got {got}"
+            assert second[0]["subscriptionId"] == sub_id
+        finally:
+            cli.close()
+
+    def test_committed_but_unrelayed_batch_recovered(self, sharded):
+        """The hard case: a batch commits on the shard but the worker dies
+        before its push relays. The mirror cursor (advanced only by pushes
+        the supervisor ACCEPTED) resumes below it, and the revival's
+        immediate needs_update re-queries the replayed log — the batch
+        arrives after revival, exactly once."""
+        did0, _ = _dids_on_shards(2)
+        cli = _client(sharded)
+        try:
+            self._setup_stream(sharded, cli, did0)
+            sub_id = cli.call(
+                "stream/subscribe_events",
+                {"streamDid": did0, "query": {"name": "messages"}},
+            )["Ok"]["subscriptionId"]
+            cli.call(
+                "stream/event_batch",
+                {
+                    "streamDid": did0,
+                    "payloads": [drisl.encode({"content": "m1", "sentAt": 1})],
+                },
+            )
+            first = _drain_pushes(cli, 1)
+            assert [
+                r["content"]["value"] for r in first[0]["response"]["Ok"]["rows"]
+            ] == ["m1"]
+            # freeze the shard-side subscription service so the next commit
+            # emits NO push (deterministic committed-unrelayed injection)
+            shard_worker = sharded._workers[0].catalog.worker(did0)
+            shard_worker._service = lambda *a, **k: None
+            cli.call(
+                "stream/event_batch",
+                {
+                    "streamDid": did0,
+                    "payloads": [drisl.encode({"content": "m2", "sentAt": 2})],
+                },
+            )
+            time.sleep(0.5)  # the (frozen) service window passes
+            sharded.kill_shard(0)
+            _wait_revived(sharded, 0)
+            recovered = _drain_pushes(cli, 1)
+            assert len(recovered) == 1, "committed-unrelayed batch lost"
+            got = [
+                r["content"]["value"]
+                for r in recovered[0]["response"]["Ok"]["rows"]
+            ]
+            assert got == ["m2"], f"expected exactly m2 recovered, got {got}"
+        finally:
+            cli.close()
+
+    def test_other_shard_untouched_by_revival(self, sharded):
+        did0, did1 = _dids_on_shards(2)
+        cli = _client(sharded)
+        try:
+            cid = cli.call("module/upload", {"module": CHAT.to_codec()})["Ok"]["cid"]
+            for did in (did0, did1):
+                cli.call("stream/create", {"streamDid": did, "moduleCid": cid})
+                cli.call(
+                    "stream/event_batch",
+                    {
+                        "streamDid": did,
+                        "payloads": [drisl.encode({"content": "x", "sentAt": 1})],
+                    },
+                )
+            w1 = sharded._workers[1]
+            sharded.kill_shard(0)
+            _wait_revived(sharded, 0)
+            assert sharded._workers[1] is w1  # shard 1 never restarted
+            rows = cli.call(
+                "stream/query", {"streamDid": did1, "query": {"name": "messages"}}
+            )["Ok"]["rows"]
+            assert [r["content"]["value"] for r in rows] == ["x"]
+        finally:
+            cli.close()
+
+
+@pytest.mark.slow
+def test_subprocess_shard_crash_revival(tmp_path):
+    """True multi-driver crash: SIGKILL one shard JVM subprocess; the
+    monitor respawns it (fresh JVM) and the stream serves from replay."""
+    sup = LeafShardSupervisor(
+        str(tmp_path / "sharded"),
+        n_shards=2,
+        tokens={"alice-token": Connection(user="did:plc:alice")},
+        cpus_per_shard=2,
+    )
+    try:
+        sup.start()
+        did0, _ = _dids_on_shards(2)
+        cli = _client(sup)
+        try:
+            cid = cli.call("module/upload", {"module": CHAT.to_codec()})["Ok"]["cid"]
+            cli.call("stream/create", {"streamDid": did0, "moduleCid": cid})
+            cli.call(
+                "stream/event_batch",
+                {
+                    "streamDid": did0,
+                    "payloads": [drisl.encode({"content": "pre", "sentAt": 1})],
+                },
+            )
+            old_pid = sup._procs[0].pid
+            sup.kill_shard(0)
+            _wait_revived(sup, 0, timeout=180)
+            assert sup._procs[0].pid != old_pid
+            out = cli.call(
+                "stream/query",
+                {"streamDid": did0, "query": {"name": "messages"}},
+                timeout=120,
+            )
+            assert [r["content"]["value"] for r in out["Ok"]["rows"]] == ["pre"]
+        finally:
+            cli.close()
+    finally:
+        sup.close()
