@@ -1126,3 +1126,88 @@ def test_subprocess_shard_crash_revival(tmp_path):
             cli.close()
     finally:
         sup.close()
+
+
+class TestRebalance:
+    """admin/rebalance (r12): one-shot count-based rebalance over the live
+    move path — streams-per-shard is the binding resource (per-shard
+    driver GIL at >=8 ingest streams, SCALE.md §3), so an imbalanced
+    tenant set is evened out online, preferring moves that restore pure
+    hash placement (shrinking the overlay)."""
+
+    def _mk_streams(self, cli, dids):
+        cid = cli.call("module/upload", {"module": CHAT.to_codec()})["Ok"]["cid"]
+        for k, did in enumerate(dids):
+            cli.call("stream/create", {"streamDid": did, "moduleCid": cid})
+            cli.call(
+                "stream/event_batch",
+                {
+                    "streamDid": did,
+                    "payloads": [
+                        drisl.encode({"content": f"c{k}", "sentAt": k + 1})
+                    ],
+                },
+            )
+
+    def test_rebalance_evens_counts_and_purifies_placement(self, sharded):
+        # 4 streams, two per hash shard; park ALL of them on shard 1
+        dids = []
+        j, want0, want1 = 0, 2, 2
+        while want0 or want1:
+            d = f"did:plc:rb{j}"
+            o = shard_of(d, 2)
+            if o == 0 and want0:
+                dids.append(d)
+                want0 -= 1
+            elif o == 1 and want1:
+                dids.append(d)
+                want1 -= 1
+            j += 1
+        cli = _client(sharded)
+        try:
+            self._mk_streams(cli, dids)
+            for d in dids:
+                if sharded.router.shard_index_for(d) != 1:
+                    sharded.move_stream(d, 1)
+            res = sharded.rebalance()
+            assert res["errors"] == []
+            assert sorted(res["counts"].values()) == [2, 2]
+            # hash-owned-by-0 streams are back on 0 → overlay empty
+            assert sharded.router.placement == {}
+            # every stream still serves its data (live moves, no loss)
+            for k, d in enumerate(dids):
+                rows = cli.call(
+                    "stream/query", {"streamDid": d, "query": {"name": "messages"}}
+                )["Ok"]["rows"]
+                assert [r["content"]["value"] for r in rows] == [f"c{k}"]
+        finally:
+            cli.close()
+
+    def test_rebalance_endpoint_trust_gate_and_noop(self, sharded):
+        alice = _client(sharded)
+        admin = _client(sharded, token="admin-token")
+        try:
+            assert "Err" in alice.call("admin/rebalance", {})
+            out = admin.call("admin/rebalance", {})
+            assert out["Ok"]["moves"] == [] and out["Ok"]["errors"] == []
+        finally:
+            alice.close()
+            admin.close()
+
+    def test_rebalance_respects_max_moves(self, sharded):
+        dids = []
+        j = 0
+        while len(dids) < 3:
+            d = f"did:plc:rbm{j}"
+            if shard_of(d, 2) == 0:
+                dids.append(d)
+            j += 1
+        cli = _client(sharded)
+        admin = _client(sharded, token="admin-token")
+        try:
+            self._mk_streams(cli, dids)
+            out = admin.call("admin/rebalance", {"maxMoves": 1})["Ok"]
+            assert len(out["moves"]) == 1
+        finally:
+            cli.close()
+            admin.close()
