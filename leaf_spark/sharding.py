@@ -261,7 +261,7 @@ class ShardWorker:
             # own streams)
             ack = self._handle_taken(args_bytes)
         elif endpoint == "_shard/release_stream":
-            ack = self._release_stream(args_bytes)
+            ack = self._release_stream(sock, send_lock, args_bytes)
         elif endpoint == "_shard/adopt_stream":
             ack = self._adopt_stream(args_bytes)
         elif endpoint == "_shard/resubscribe":
@@ -296,11 +296,7 @@ class ShardWorker:
                 stream_did = drisl.decode(args_bytes)["streamDid"]
                 sub_id = decoded["Ok"]["subscriptionId"]
                 conn_subs.append((stream_did, sub_id))
-                threading.Thread(
-                    target=self._push_relay,
-                    args=(sock, send_lock, conn_stop, stream_did, sub_id),
-                    daemon=True,
-                ).start()
+                self._start_relay(sock, send_lock, conn_stop, stream_did, sub_id)
         elif endpoint in ("_shard/adopt_stream", "_shard/resubscribe"):
             # migrated subscriptions need a push relay on THIS connection,
             # exactly as if they had been subscribed here
@@ -309,11 +305,28 @@ class ShardWorker:
                 stream_did = drisl.decode(args_bytes)["streamDid"]
                 for sub_id in decoded["Ok"]["adopted"]:
                     conn_subs.append((stream_did, sub_id))
-                    threading.Thread(
-                        target=self._push_relay,
-                        args=(sock, send_lock, conn_stop, stream_did, sub_id),
-                        daemon=True,
-                    ).start()
+                    self._start_relay(
+                        sock, send_lock, conn_stop, stream_did, sub_id
+                    )
+
+    def _start_relay(
+        self,
+        sock: socket.socket,
+        send_lock: threading.Lock,
+        conn_stop: threading.Event,
+        stream_did: str,
+        sub_id: str,
+    ) -> None:
+        """Spawn a push relay with its completion event registered FIRST:
+        a release arriving before the thread is scheduled must still find
+        (and wait on) the event, or its cursor export could outrun the
+        queued backfill the relay hasn't written yet."""
+        self._relay_done.setdefault(sub_id, threading.Event())
+        threading.Thread(
+            target=self._push_relay,
+            args=(sock, send_lock, conn_stop, stream_did, sub_id),
+            daemon=True,
+        ).start()
 
     def _handle_taken(self, args_bytes: bytes) -> bytes:
         try:
@@ -328,7 +341,9 @@ class ShardWorker:
         except Exception as ex:
             return drisl.encode({"Err": f"{type(ex).__name__}: {ex}"})
 
-    def _release_stream(self, args_bytes: bytes) -> bytes:
+    def _release_stream(
+        self, sock: socket.socket, send_lock: threading.Lock, args_bytes: bytes
+    ) -> bytes:
         """Migration source half (supervisor-internal): quiesce the stream's
         subscription worker, wait until every queued push has been RELAYED
         (not just dequeued — the socket is FIFO, so the supervisor reads all
@@ -359,6 +374,36 @@ class ShardWorker:
                 if done is not None:
                     done.wait(max(0.0, deadline - time.monotonic()))
                     self._relay_done.pop(sub.sub_id, None)
+            # residue sweep: a relay exits on (channel empty + sub gone),
+            # but an in-flight _service that was already past its liveness
+            # check when unsubscribe popped the sub can emit AFTER that
+            # exit poll — the quiesce barrier only guarantees the emit
+            # happened, not that a relay saw it. The exported cursor counts
+            # such a batch (latest_event advanced at emit), so relay any
+            # remaining channel items here, on this same connection: relay
+            # threads are exited (waited above), the socket is the one all
+            # of this shard's pushes ride, and FIFO puts these ahead of
+            # the release ack the supervisor is blocked on.
+            for sub in subs:
+                while True:
+                    try:
+                        r = sub.channel.get_nowait()
+                    except queue.Empty:
+                        break
+                    _write_frame(
+                        sock,
+                        send_lock,
+                        {
+                            "push": {
+                                "subscriptionId": sub.sub_id,
+                                "streamDid": did,
+                                "rows": stream.rows_to_wire(r.rows),
+                                "hasMore": r.has_more,
+                                "error": r.error,
+                                "latestEvent": r.latest_event,
+                            }
+                        },
+                    )
             exported = [
                 {
                     "subscriptionId": sub.sub_id,
@@ -438,7 +483,11 @@ class ShardWorker:
                         int(s["latestEvent"]),
                     )
                 except ValueError:
-                    pass  # already active (a duplicate revival is a no-op)
+                    # already active: a duplicate revival is a no-op — and
+                    # it must stay OUT of the ack's adopted list, or the
+                    # caller starts a second push relay draining the same
+                    # channel (two relays interleave writes out of order)
+                    continue
                 adopted.append(s["subscriptionId"])
             return drisl.encode({"Ok": {"adopted": adopted}})
         except Exception as ex:
@@ -459,6 +508,11 @@ class ShardWorker:
             self._push_relay_inner(sock, send_lock, conn_stop, stream_did, sub_id)
         finally:
             done.set()
+            # drop the entry once set: a later release treats a missing
+            # event as "relay already exited" (it then sweeps the channel
+            # itself), and long-lived workers don't accumulate one event
+            # per historical subscription
+            self._relay_done.pop(sub_id, None)
 
     def _push_relay_inner(
         self,
@@ -978,8 +1032,15 @@ class ShardRouter:
                         return drisl.encode(
                             {"Err": f"ValueError: handle {handle!r} already taken"}
                         )
-                return client.call(conn.user, conn.trusted, endpoint, args_drisl)
+                ack = client.call(conn.user, conn.trusted, endpoint, args_drisl)
+                ack, _ = self._retry_if_moved(
+                    conn, endpoint, args_drisl, stream_did, client, ack
+                )
+                return ack
         ack = client.call(conn.user, conn.trusted, endpoint, args_drisl)
+        ack, client = self._retry_if_moved(
+            conn, endpoint, args_drisl, stream_did, client, ack
+        )
         if endpoint == "stream/subscribe_events":
             decoded = drisl.decode(ack)
             if "Ok" in decoded:
@@ -1000,6 +1061,35 @@ class ShardRouter:
             if "Ok" in drisl.decode(ack):
                 client.drop_sub(args.get("subscriptionId"))
         return ack
+
+    def _retry_if_moved(
+        self,
+        conn: Connection,
+        endpoint: str,
+        args_drisl: bytes,
+        stream_did: str,
+        client: ShardClient,
+        ack: bytes,
+    ) -> tuple[bytes, ShardClient]:
+        """Close the gate race: a request that read ``_moving`` before a
+        move registered can land on the source shard after release popped
+        the stream — the shard raises ``KeyError: no such stream`` before
+        touching anything, so re-issuing on the current owner is safe
+        (nothing was applied). Only retries when ownership actually
+        changed; a genuinely unknown stream returns the original error."""
+        try:
+            err = drisl.decode(ack).get("Err")
+        except Exception:
+            return ack, client
+        if not (isinstance(err, str) and "no such stream" in err):
+            return ack, client
+        mv = self._moving.get(stream_did)
+        if mv is not None:
+            mv.wait(self.MOVE_WAIT)
+        c2 = self.client_for(stream_did)
+        if c2 is client:
+            return ack, client
+        return c2.call(conn.user, conn.trusted, endpoint, args_drisl), c2
 
     # -- live stream migration -------------------------------------------------
 

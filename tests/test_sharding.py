@@ -1211,3 +1211,186 @@ class TestRebalance:
         finally:
             cli.close()
             admin.close()
+
+
+# ---------------------------------------------------------------------------
+# release/dispatch race hardening (r12 self-review)
+# ---------------------------------------------------------------------------
+
+
+class TestMoveRaceHardening:
+    def test_stranded_request_retries_on_new_owner(self, sharded):
+        """A request that read the move gate before the move registered can
+        land on the source shard after release popped the stream; the shard
+        raises KeyError before any side effect, and the router re-issues on
+        the current owner instead of surfacing a spurious error."""
+        did0, _ = _dids_on_shards(2)
+        h = shard_of(did0, 2)
+        cli = _client(sharded)
+        try:
+            cid = cli.call("module/upload", {"module": CHAT.to_codec()})["Ok"]["cid"]
+            cli.call("stream/create", {"streamDid": did0, "moduleCid": cid})
+            cli.call(
+                "stream/event_batch",
+                {
+                    "streamDid": did0,
+                    "payloads": [drisl.encode({"content": "kept", "sentAt": 1})],
+                },
+            )
+            assert sharded.move_stream(did0, 1 - h)["moved"] is True
+            # model the race: call the OLD owner directly, as a request that
+            # was routed before the move would have
+            args = drisl.encode({"streamDid": did0, "query": {"name": "messages"}})
+            old = sharded.router.clients[h]
+            stale = old.call("did:plc:alice", False, "stream/query", args)
+            assert "no such stream" in drisl.decode(stale)["Err"]
+            ack, owner = sharded.router._retry_if_moved(
+                Connection(user="did:plc:alice"),
+                "stream/query",
+                args,
+                did0,
+                old,
+                stale,
+            )
+            decoded = drisl.decode(ack)
+            assert "Ok" in decoded, decoded
+            assert owner is sharded.router.clients[1 - h]
+            rows = decoded["Ok"]["rows"]
+            assert [r["content"]["value"] for r in rows] == ["kept"]
+            # a genuinely unknown stream keeps its error (no owner change)
+            bogus = drisl.encode(
+                {"streamDid": "did:plc:nosuch", "query": {"name": "messages"}}
+            )
+            owner0 = sharded.router.client_for("did:plc:nosuch")
+            bad = owner0.call("did:plc:alice", False, "stream/query", bogus)
+            same, c2 = sharded.router._retry_if_moved(
+                Connection(user="did:plc:alice"),
+                "stream/query",
+                bogus,
+                "did:plc:nosuch",
+                owner0,
+                bad,
+            )
+            assert same == bad and c2 is owner0
+        finally:
+            cli.close()
+
+    def test_release_relays_stranded_channel_residue(self, spark, tmp_path):
+        """A relay thread exits on (channel empty + sub gone), but an
+        in-flight _service past its liveness check can emit AFTER that exit
+        poll; quiesce only guarantees the emit happened. The release path
+        must sweep such residue onto the wire itself — the exported cursor
+        already counts it, so dropping it loses the batch for good."""
+        import socket as _socket
+        import threading as _threading
+
+        from leaf_spark.sharding import ShardWorker, _read_frame
+
+        w = ShardWorker(spark, str(tmp_path / "s0"))
+        did = "did:plc:residue"
+        conn = Connection(user="did:plc:alice")
+        try:
+            cid = drisl.decode(
+                w.server.handle(
+                    conn, "module/upload", drisl.encode({"module": CHAT.to_codec()})
+                )
+            )["Ok"]["cid"]
+            w.server.handle(
+                conn,
+                "stream/create",
+                drisl.encode({"streamDid": did, "moduleCid": cid}),
+            )
+            w.server.handle(
+                conn,
+                "stream/event_batch",
+                drisl.encode(
+                    {
+                        "streamDid": did,
+                        "payloads": [drisl.encode({"content": "r1", "sentAt": 1})],
+                    }
+                ),
+            )
+            # subscribe with backfill but NO push relay (we bypass
+            # _handle_one): the serviced batch sits in the channel exactly
+            # like post-exit-poll residue
+            ack = drisl.decode(
+                w.server.handle(
+                    conn,
+                    "stream/subscribe_events",
+                    drisl.encode(
+                        {"streamDid": did, "query": {"name": "messages", "start": 1}}
+                    ),
+                )
+            )
+            sub_id = ack["Ok"]["subscriptionId"]
+            sub = w.catalog.worker(did).subs[sub_id]
+            deadline = time.monotonic() + 30
+            while sub.channel.qsize() == 0:
+                assert time.monotonic() < deadline, "backfill never serviced"
+                time.sleep(0.02)
+            a, b = _socket.socketpair()
+            try:
+                rel = drisl.decode(
+                    w._release_stream(
+                        a, _threading.Lock(), drisl.encode({"streamDid": did})
+                    )
+                )
+                assert "Ok" in rel, rel
+                b.settimeout(10)
+                frame = _read_frame(b)
+                assert frame is not None and "push" in frame
+                p = frame["push"]
+                assert p["subscriptionId"] == sub_id
+                assert [r["content"]["value"] for r in p["rows"]] == ["r1"]
+                # the exported cursor matches the swept batch — an adopting
+                # shard resumes above it without re-delivering it
+                exported = {
+                    s["subscriptionId"]: s["latestEvent"] for s in rel["Ok"]["subs"]
+                }
+                assert exported[sub_id] == p["latestEvent"]
+            finally:
+                a.close()
+                b.close()
+        finally:
+            w.close()
+
+    def test_duplicate_resubscribe_acks_no_relay(self, spark, tmp_path):
+        """A sub already active on the worker must stay OUT of the
+        _shard/resubscribe ack's adopted list — the caller starts one push
+        relay per adopted id, and two relays on one channel interleave
+        writes out of order."""
+        from leaf_spark.sharding import ShardWorker
+
+        w = ShardWorker(spark, str(tmp_path / "s0"))
+        did = "did:plc:dupresub"
+        conn = Connection(user="did:plc:alice")
+        try:
+            cid = drisl.decode(
+                w.server.handle(
+                    conn, "module/upload", drisl.encode({"module": CHAT.to_codec()})
+                )
+            )["Ok"]["cid"]
+            w.server.handle(
+                conn,
+                "stream/create",
+                drisl.encode({"streamDid": did, "moduleCid": cid}),
+            )
+            payload = drisl.encode(
+                {
+                    "streamDid": did,
+                    "subs": [
+                        {
+                            "subscriptionId": "sub-dup",
+                            "user": "did:plc:alice",
+                            "query": {"name": "messages"},
+                            "latestEvent": 0,
+                        }
+                    ],
+                }
+            )
+            first = drisl.decode(w._resubscribe(payload))
+            assert first["Ok"]["adopted"] == ["sub-dup"]
+            second = drisl.decode(w._resubscribe(payload))
+            assert second["Ok"]["adopted"] == []
+        finally:
+            w.close()
