@@ -989,7 +989,8 @@ class ShardRouter:
             return drisl.encode(
                 {
                     "Ok": self.rebalance(
-                        None if max_moves is None else int(max_moves)
+                        None if max_moves is None else int(max_moves),
+                        metric=args.get("metric") or "streams",
                     )
                 }
             )
@@ -1186,17 +1187,25 @@ class ShardRouter:
                 self._moving.pop(stream_did, None)
             gate.set()
 
-    def rebalance(self, max_moves: int | None = None) -> dict:
-        """One-shot COUNT-based rebalance over live moves: even out the
-        streams-per-shard distribution (the binding resource at every
-        measured config is the per-shard driver GIL at ≥8 concurrent
-        ingest streams — SCALE.md §3 — so stream count is the honest v1
-        balance metric; rate-weighted policies layer on the same
-        move_stream primitive). Streams whose HASH owner is an
-        underloaded shard move first — each such move also shrinks the
-        placement overlay. Every move is the live exactly-once path;
-        a failed move is recorded and skipped, never retried blindly."""
+    def rebalance(
+        self, max_moves: int | None = None, metric: str = "streams"
+    ) -> dict:
+        """One-shot rebalance over live moves. ``metric="streams"``
+        (default) evens out the streams-per-shard COUNT — the binding
+        resource at every measured config is the per-shard driver GIL at
+        ≥8 concurrent ingest streams (SCALE.md §3), so count is the
+        honest v1 balance metric. ``metric="events"`` weighs each stream
+        by its lifetime event count (``latestEvent`` — already in the
+        listing, no sampling needed) and greedily narrows the
+        heaviest/lightest shard spread: the hot-stream case count-based
+        balancing cannot see. Streams whose HASH owner is an underloaded
+        shard move first on ties — each such move also shrinks the
+        placement overlay. Every move is the live exactly-once path; a
+        failed move is recorded and skipped, never retried blindly."""
+        if metric not in ("streams", "events"):
+            raise ValueError(f"unknown rebalance metric {metric!r}")
         per_shard: dict[int, list[str]] = {i: [] for i in range(len(self.clients))}
+        weights: dict[str, int] = {}
         for c_i, c in enumerate(self.clients):
             ack = drisl.decode(
                 c.call(None, True, "admin/list_streams", drisl.encode({}))
@@ -1207,6 +1216,9 @@ class ShardRouter:
                 )
             for s in ack["Ok"]["streams"]:
                 per_shard[c_i].append(s["streamDid"])
+                weights[s["streamDid"]] = int(s.get("latestEvent") or 0)
+        if metric == "events":
+            return self._rebalance_weighted(per_shard, weights, max_moves)
         n = len(self.clients)
         total = sum(len(v) for v in per_shard.values())
         ceil_target = -(-total // n)
@@ -1252,6 +1264,61 @@ class ShardRouter:
             "moves": moves,
             "errors": errors,
             "counts": {str(i): len(per_shard[i]) for i in range(n)},
+        }
+
+    def _rebalance_weighted(
+        self,
+        per_shard: dict[int, list[str]],
+        weights: dict[str, int],
+        max_moves: int | None,
+    ) -> dict:
+        """Greedy weighted balance: move, from the heaviest shard to the
+        lightest, the stream whose weight best halves their spread —
+        strictly-improving only (a stream at least as heavy as the gap
+        would just swap which shard is overloaded), so the loop
+        terminates without oscillation. On near-ties (within 10% of the
+        best improvement) prefer a stream whose hash owner is the
+        destination, shrinking the placement overlay for free."""
+        n = len(self.clients)
+        moves: list[dict] = []
+        errors: list[dict] = []
+
+        def load(i: int) -> int:
+            return sum(weights[d] for d in per_shard[i])
+
+        while max_moves is None or len(moves) < max_moves:
+            src = max(range(n), key=load)
+            dst = min(range(n), key=load)
+            gap = load(src) - load(dst)
+            # improvement of moving weight w across the gap is
+            # gap - |gap - 2w| > 0  ⇔  0 < w < gap
+            cands = [d for d in per_shard[src] if 0 < weights[d] < gap]
+            if not cands:
+                break
+            best = min(cands, key=lambda d: abs(gap - 2 * weights[d]))
+            near = [
+                d
+                for d in cands
+                if abs(gap - 2 * weights[d])
+                <= abs(gap - 2 * weights[best]) + gap // 10
+            ]
+            pick = next((d for d in near if shard_of(d, n) == dst), best)
+            try:
+                res = self.move_stream(pick, dst)
+            except Exception as ex:
+                errors.append({"streamDid": pick, "error": str(ex)})
+                per_shard[src].remove(pick)  # skip it, keep balancing
+                continue
+            per_shard[src].remove(pick)
+            per_shard[dst].append(pick)
+            moves.append(
+                {"streamDid": pick, "from": src, "to": dst, "weight": weights[pick]}
+            )
+        return {
+            "moves": moves,
+            "errors": errors,
+            "counts": {str(i): len(per_shard[i]) for i in range(n)},
+            "loads": {str(i): load(i) for i in range(n)},
         }
 
     # -- shard crash revival ---------------------------------------------------
@@ -1448,10 +1515,12 @@ class LeafShardSupervisor:
         assert self.router is not None, "start() first"
         return self.router.move_stream(stream_did, target)
 
-    def rebalance(self, max_moves: int | None = None) -> dict:
+    def rebalance(
+        self, max_moves: int | None = None, metric: str = "streams"
+    ) -> dict:
         """Even out streams-per-shard via live moves (ShardRouter.rebalance)."""
         assert self.router is not None, "start() first"
-        return self.router.rebalance(max_moves)
+        return self.router.rebalance(max_moves, metric=metric)
 
     def _recover_layout(self) -> dict[str, int]:
         """Derive the DID → shard placement overlay from the on-disk layout

@@ -1394,3 +1394,67 @@ class TestMoveRaceHardening:
             assert second["Ok"]["adopted"] == []
         finally:
             w.close()
+
+
+class TestWeightedRebalance:
+    """admin/rebalance metric="events" (r12): weigh streams by lifetime
+    event count so one hot tenant spreads away from cold ones — the case
+    count-based balancing cannot see (2 streams per shard can still be
+    9:1 in load)."""
+
+    def _mk_weighted(self, cli, spec):
+        """spec: [(did, n_events)] — streams created in order."""
+        cid = cli.call("module/upload", {"module": CHAT.to_codec()})["Ok"]["cid"]
+        for did, n in spec:
+            cli.call("stream/create", {"streamDid": did, "moduleCid": cid})
+            if n:
+                cli.call(
+                    "stream/event_batch",
+                    {
+                        "streamDid": did,
+                        "payloads": [
+                            drisl.encode({"content": f"e{i}", "sentAt": i + 1})
+                            for i in range(n)
+                        ],
+                    },
+                )
+
+    def test_event_weighted_balance_splits_hot_from_cold(self, sharded):
+        # three streams hash-owned by shard 0 with weights 6/5/1 and an
+        # empty shard 1: count-based would move one arbitrary stream;
+        # event-weighted must land near a 6/6 split
+        dids = []
+        j = 0
+        while len(dids) < 3:
+            d = f"did:plc:wrb{j}"
+            if shard_of(d, 2) == 0:
+                dids.append(d)
+            j += 1
+        spec = list(zip(dids, (6, 5, 1)))
+        admin = _client(sharded, token="admin-token")
+        cli = _client(sharded)
+        try:
+            self._mk_weighted(cli, spec)
+            out = admin.call("admin/rebalance", {"metric": "events"})["Ok"]
+            assert out["errors"] == []
+            loads = {int(k): v for k, v in out["loads"].items()}
+            assert max(loads.values()) - min(loads.values()) <= 2, loads
+            # the data still answers from wherever each stream landed
+            for did, n in spec:
+                rows = cli.call(
+                    "stream/query", {"streamDid": did, "query": {"name": "messages"}}
+                )["Ok"]["rows"]
+                assert len(rows) == n
+        finally:
+            cli.close()
+            admin.close()
+
+    def test_weighted_noop_when_balanced_and_bad_metric_rejected(self, sharded):
+        admin = _client(sharded, token="admin-token")
+        try:
+            out = admin.call("admin/rebalance", {"metric": "events"})["Ok"]
+            assert out["moves"] == []
+            bad = admin.call("admin/rebalance", {"metric": "bytes"})
+            assert "Err" in bad and "metric" in bad["Err"]
+        finally:
+            admin.close()
