@@ -875,7 +875,11 @@ class ShardRouter:
     startup scan re-derives the overlay)."""
 
     # the reference surface plus the sharded-mode rebalancing extensions
-    ENDPOINTS = LeafServer.ENDPOINTS + ("admin/move_stream", "admin/rebalance")
+    ENDPOINTS = LeafServer.ENDPOINTS + (
+        "admin/move_stream",
+        "admin/rebalance",
+        "admin/status",
+    )
 
     #: ceiling on how long a request addressed to a mid-move stream waits
     #: for the move to finish before proceeding (moves take ~the cost of
@@ -994,6 +998,10 @@ class ShardRouter:
                     )
                 }
             )
+        if endpoint == "admin/status":
+            if not conn.trusted:
+                raise PermissionError("admin endpoints require a trusted connection")
+            return drisl.encode({"Ok": self.status()})
         stream_did_early = args.get("streamDid")
         if stream_did_early is not None:
             # a live move of this stream is in flight: wait it out so the
@@ -1062,6 +1070,48 @@ class ShardRouter:
             if "Ok" in drisl.decode(ack):
                 client.drop_sub(args.get("subscriptionId"))
         return ack
+
+    def status(self) -> dict:
+        """Fleet snapshot for operators (``admin/status``, trusted-only):
+        per-shard liveness, stream/event/subscription counts, the
+        placement-overlay size (how far placement has drifted from pure
+        hash — what ``tools/reshard.py`` would reset), and moves in
+        flight. The natural pre-flight for ``admin/rebalance``: the
+        counts and loads here are exactly the balance inputs."""
+        shards: list[dict] = []
+        for i, c in enumerate(self.clients):
+            info: dict = {
+                "shard": i,
+                "alive": not c._closed.is_set(),
+                "reviving": i in self._reviving,
+                "subscriptions": len(c.subs),
+            }
+            if info["alive"]:
+                try:
+                    ack = drisl.decode(
+                        c.call(
+                            None,
+                            True,
+                            "admin/list_streams",
+                            drisl.encode({}),
+                            timeout=30,
+                        )
+                    )
+                    ss = ack.get("Ok", {}).get("streams", [])
+                    info["streams"] = len(ss)
+                    info["events"] = sum(
+                        int(s.get("latestEvent") or 0) for s in ss
+                    )
+                    if "Err" in ack:
+                        info["error"] = ack["Err"]
+                except Exception as ex:
+                    info["error"] = f"{type(ex).__name__}: {ex}"
+            shards.append(info)
+        return {
+            "shards": shards,
+            "placementOverlay": len(self.placement),
+            "movesInFlight": sorted(self._moving),
+        }
 
     def _retry_if_moved(
         self,

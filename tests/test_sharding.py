@@ -1458,3 +1458,49 @@ class TestWeightedRebalance:
             assert "Err" in bad and "metric" in bad["Err"]
         finally:
             admin.close()
+
+
+class TestAdminStatus:
+    """admin/status (r12): the operator's fleet snapshot — per-shard
+    liveness + stream/event/subscription counts, placement-overlay size,
+    and in-flight moves. Trusted-only like the other admin endpoints."""
+
+    def test_status_reports_fleet_shape(self, sharded):
+        did0, did1 = _dids_on_shards(2)
+        alice = _client(sharded)
+        admin = _client(sharded, token="admin-token")
+        try:
+            denied = alice.call("admin/status", {})
+            assert "Err" in denied and "trusted" in denied["Err"]
+            cid = alice.call("module/upload", {"module": CHAT.to_codec()})["Ok"]["cid"]
+            for did, n in ((did0, 2), (did1, 1)):
+                alice.call("stream/create", {"streamDid": did, "moduleCid": cid})
+                alice.call(
+                    "stream/event_batch",
+                    {
+                        "streamDid": did,
+                        "payloads": [
+                            drisl.encode({"content": f"s{i}", "sentAt": i + 1})
+                            for i in range(n)
+                        ],
+                    },
+                )
+            out = admin.call("admin/status", {})["Ok"]
+            assert [s["shard"] for s in out["shards"]] == [0, 1]
+            assert all(s["alive"] and not s["reviving"] for s in out["shards"])
+            assert sum(s["streams"] for s in out["shards"]) == 2
+            assert sum(s["events"] for s in out["shards"]) == 3
+            assert out["placementOverlay"] == 0
+            assert out["movesInFlight"] == []
+            # a live move shows up in the overlay afterwards
+            h = shard_of(did0, 2)
+            assert sharded.move_stream(did0, 1 - h)["moved"] is True
+            out2 = admin.call("admin/status", {})["Ok"]
+            assert out2["placementOverlay"] == 1
+            # single-driver server must NOT expose the extension
+            from leaf_spark.server import LeafServer
+
+            assert "admin/status" not in LeafServer.ENDPOINTS
+        finally:
+            alice.close()
+            admin.close()
