@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .dedup import normalized, spread
+from .dedup import let_, normalized, spread
 
 
 def words_of(text: Column) -> Column:
@@ -37,14 +37,22 @@ def words_of(text: Column) -> Column:
 
 def word_ngrams(words: Column, n: int) -> Column:
     """All (non-distinct) n-word grams of a word array; empty when the doc
-    has fewer than n words."""
-    return F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    has fewer than n words.
+
+    ``words`` is let_-bound so each gram slices a bound variable instead of
+    re-evaluating the caller's word expression — lambdas have no CSE, so an
+    inlined split(text) here used to cost O(len²) per doc (see
+    :func:`leaf_spark.operators.dedup.let_`)."""
+    return let_(
+        words,
+        lambda w: F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - n),
+                lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
 
 def repetition_metrics(
@@ -53,46 +61,66 @@ def repetition_metrics(
     """Gopher-style repetition signals, one row per document.
 
     All builtin higher-order functions over the word array — a single
-    narrow projection (whole-stage codegen, no shuffle, linear scan at any
-    scale). The top-bigram count is O(distinct² ) array ops per doc, which
-    is bounded by document length, not corpus size.
+    narrow projection (no shuffle, linear scan at any scale). The word
+    array and both gram arrays are let_-bound, so the split and each gram
+    construction run exactly ONCE per document; the four metric columns are
+    unpacked from one struct in a second projection (the struct producer is
+    expensive + multiply-referenced, so CollapseProject keeps the split and
+    the struct is evaluated once per row). Before the r12 binding rewrite
+    this projection re-expanded the split per gram and per column —
+    measured 18.7 s → see OPTIMIZATION_r12.md (q58).
     """
-    w = words_of(F.col(text_col))
-    bigrams = word_ngrams(w, 2)
-    five = word_ngrams(w, 5)
-    n_words = F.size(w)
-    n_bi = F.size(bigrams)
-    # Top-bigram multiplicity as the longest run in the sorted gram array —
-    # one linear aggregate pass. (A nested transform/filter count would make
-    # Catalyst re-expand the gram-construction expression per outer element:
-    # no CSE inside lambda bodies → O(len²) expression evaluations.)
-    run = F.aggregate(
-        F.array_sort(bigrams),
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
-            ).alias("best"),
-        ),
+
+    def run_best(sorted_grams: Column) -> Column:
+        # Top-gram multiplicity as the longest run in the sorted gram array —
+        # one linear aggregate pass.
+        return F.aggregate(
+            sorted_grams,
+            F.struct(
+                F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+        )["best"]
+
+    def metrics(w: Column) -> Column:
+        n_words = F.size(w)
+        return let_(
+            F.struct(word_ngrams(w, 2).alias("bi"), word_ngrams(w, 5).alias("five")),
+            lambda g: F.struct(
+                n_words.cast("bigint").alias("n_words"),
+                (
+                    1.0 - F.size(F.array_distinct(w)) / F.greatest(n_words, F.lit(1))
+                ).alias("dup_word_frac"),
+                (
+                    F.coalesce(run_best(F.array_sort(g["bi"])), F.lit(0))
+                    / F.greatest(F.size(g["bi"]), F.lit(1))
+                ).alias("top_bigram_frac"),
+                F.when(F.size(g["five"]) == 0, F.lit(0.0))
+                .otherwise(
+                    1.0 - F.size(F.array_distinct(g["five"])) / F.size(g["five"])
+                )
+                .alias("dup_5gram_frac"),
+            ),
+        )
+
+    staged = df.select(
+        F.col(id_col), let_(words_of(F.col(text_col)), metrics).alias("__m__")
     )
-    top_bi = run["best"]
-    return df.select(
+    return staged.select(
         F.col(id_col),
-        n_words.cast("bigint").alias("n_words"),
-        (1.0 - F.size(F.array_distinct(w)) / F.greatest(n_words, F.lit(1))).alias(
-            "dup_word_frac"
-        ),
-        (F.coalesce(top_bi, F.lit(0)) / F.greatest(n_bi, F.lit(1))).alias(
-            "top_bigram_frac"
-        ),
-        F.when(F.size(five) == 0, F.lit(0.0))
-        .otherwise(1.0 - F.size(F.array_distinct(five)) / F.size(five))
-        .alias("dup_5gram_frac"),
+        F.col("__m__.n_words").alias("n_words"),
+        F.col("__m__.dup_word_frac").alias("dup_word_frac"),
+        F.col("__m__.top_bigram_frac").alias("top_bigram_frac"),
+        F.col("__m__.dup_5gram_frac").alias("dup_5gram_frac"),
     )
 
 

@@ -37,6 +37,25 @@ def normalized(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
+def let_(value: Column, body) -> Column:
+    """Bind ``value`` as a lambda variable and evaluate ``body`` over it —
+    the higher-order-function analog of a SQL lateral alias.
+
+    Why this exists (r12 optimization, guide §4/§1): higher-order-function
+    lambdas are CodegenFallback expressions with NO common-subexpression
+    elimination — a Column expression referenced inside a lambda body is
+    re-evaluated on EVERY lambda invocation. Building the n-grams of
+    ``split(normalized(text))`` by slicing that split expression inside a
+    ``transform`` therefore costs O(len²) string work per document (the
+    full lower+regexp+split pipeline re-runs per gram). Wrapping the shared
+    value in a 1-element array and binding it as the lambda argument makes
+    every use a variable read — the value is computed once per row. No
+    optimizer rule re-inlines transform-over-literal-array, so the binding
+    survives Catalyst (verified in tests/test_let_binding.py).
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def _resolve_cap(
     df: DataFrame,
     text_col: str,
@@ -199,16 +218,22 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _word_shingles(text: Column, n: int) -> Column:
-    """Distinct n-word shingles as an array<string> (empty-safe)."""
-    words = F.split(normalized(text), " ")
-    return F.array_distinct(
-        F.when(
-            F.size(words) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(words) - n),
-                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", words)))
+    """Distinct n-word shingles as an array<string> (empty-safe).
+
+    The split word array is let_-bound so each shingle slices a bound
+    variable instead of re-running the lower+regexp+split pipeline
+    (O(len) per doc, was O(len²) — see :func:`let_`)."""
+    return let_(
+        F.split(normalized(text), " "),
+        lambda words: F.array_distinct(
+            F.when(
+                F.size(words) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(words) - n),
+                    lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+                ),
+            ).otherwise(F.array(F.concat_ws(" ", words)))
+        ),
     )
 
 
