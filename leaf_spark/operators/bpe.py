@@ -118,10 +118,15 @@ def _learn(
     corpus. ``track_totals=False`` skips the per-iteration corpus-size
     aggregate (one Spark job per merge) for callers that only need the
     encoded vocab."""
+    # lazy checkpoints throughout the loop (r12): eager=True ran a separate
+    # materialization job per merge; eager=False folds that materialization
+    # into the next action that reads the vocab (the argmax or the
+    # corpus-size aggregate), cutting one Spark job per iteration while
+    # keeping lineage flat.
     vocab = (
         word_vocab(docs, text_col)
         .select("word", "freq", chars_with_terminal(F.col("word")).alias("syms"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     results = []
     for rank in range(1, num_merges + 1):
@@ -156,7 +161,7 @@ def _learn(
             apply_merge(F.col("syms"), F.lit(best["l"]), F.lit(best["r"])).alias(
                 "syms"
             ),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         total_after = (
             vocab.agg(
                 F.sum(F.col("freq") * F.size("syms")).cast("bigint")

@@ -286,47 +286,77 @@ def minhash_signatures(
     return base.select("id", "shingles", "hs", sig)
 
 
+def _sorted_array_pairs(ids: Column) -> Column:
+    """All (id_a, id_b) position pairs i < j of a sorted id array as an
+    array<struct<id_a,id_b>> — the in-bucket clique without a self-join."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
 def _bucketed_pairs(
     bucketed: DataFrame, bucket_cols: list[str], bucket_cap: int | None
 ) -> DataFrame:
     """Distinct (id_a, id_b) candidate pairs from a bucketed relation.
 
-    Buckets ≤ bucket_cap emit all pairs (self-join on the bucket key);
-    larger buckets emit only the id-sorted consecutive chain — n-1 pairs
-    instead of n(n-1)/2 — which keeps every member transitively connected
-    for clustering while bounding the join fan-out (the scale guard against
-    mass-duplicated content). bucket_cap=None disables the guard."""
+    Buckets ≤ bucket_cap emit all pairs; larger buckets emit only the
+    id-sorted consecutive chain — n-1 pairs instead of n(n-1)/2 — which
+    keeps every member transitively connected for clustering while
+    bounding the fan-out (the scale guard against mass-duplicated
+    content). bucket_cap=None disables the guard.
+
+    Plan shape (r12 rewrite, guide §2.4): ONE hash exchange on the bucket
+    key + one sort feed both branches — a window sizes each bucket and
+    lead() emits the over-cap chains from the same sorted run, while
+    ≤ cap rows group into an id array (memory bounded by the cap) whose
+    clique pairs are an array expression. The old shape self-joined the
+    bucketed relation and window-counted it separately, recomputing the
+    banded input 3× behind 3 full-data exchanges. Output is identical:
+    the self-join's a.id < b.id clique equals the position pairs of the
+    sorted distinct-id array (ids are unique per bucket for every caller;
+    an id_a < id_b filter guards the general case)."""
     from pyspark.sql import Window
 
-    cond_cols = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in bucket_cols]
+    narrow = bucketed.select(*bucket_cols, "id")
 
     if bucket_cap is None:
-        src = bucketed
-        big = None
-    else:
-        w_cnt = Window.partitionBy(*bucket_cols)
-        sized = bucketed.withColumn("__bsz__", F.count(F.lit(1)).over(w_cnt))
-        src = sized.where(F.col("__bsz__") <= bucket_cap).drop("__bsz__")
-        big = sized.where(F.col("__bsz__") > bucket_cap).drop("__bsz__")
-
-    a, b = src.alias("a"), src.alias("b")
-    cond = cond_cols[0]
-    for c in cond_cols[1:]:
-        cond = cond & c
-    pairs = a.join(b, cond & (F.col("a.id") < F.col("b.id"))).select(
-        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
-    )
-
-    if big is not None:
-        w_ord = Window.partitionBy(*bucket_cols).orderBy("id")
-        chain = (
-            big.withColumn("__nid__", F.lead("id").over(w_ord))
-            .where(F.col("__nid__").isNotNull())
-            .select(F.col("id").alias("id_a"), F.col("__nid__").alias("id_b"))
+        # guard explicitly disabled: whole-bucket cliques (test/audit use)
+        pairs = (
+            narrow.groupBy(*bucket_cols)
+            .agg(F.array_sort(F.collect_list("id")).alias("__ids__"))
+            .select(F.explode(_sorted_array_pairs(F.col("__ids__"))).alias("p"))
+            .select("p.id_a", "p.id_b")
+            .where(F.col("id_a") < F.col("id_b"))
         )
-        pairs = pairs.unionByName(chain)
+        return pairs.dropDuplicates(["id_a", "id_b"])
 
-    return pairs.dropDuplicates(["id_a", "id_b"])
+    w_cnt = Window.partitionBy(*bucket_cols)
+    w_ord = Window.partitionBy(*bucket_cols).orderBy("id")
+    sized = narrow.select(
+        *bucket_cols,
+        "id",
+        F.count(F.lit(1)).over(w_cnt).alias("__bsz__"),
+        F.lead("id").over(w_ord).alias("__nid__"),
+    )
+    small_pairs = (
+        sized.where(F.col("__bsz__") <= bucket_cap)
+        .groupBy(*bucket_cols)
+        .agg(F.array_sort(F.collect_list("id")).alias("__ids__"))
+        .select(F.explode(_sorted_array_pairs(F.col("__ids__"))).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    chain = sized.where(
+        (F.col("__bsz__") > bucket_cap) & F.col("__nid__").isNotNull()
+    ).select(F.col("id").alias("id_a"), F.col("__nid__").alias("id_b"))
+
+    return small_pairs.unionByName(chain).dropDuplicates(["id_a", "id_b"])
 
 
 def minhash_lsh_pairs(
@@ -789,6 +819,10 @@ def containment_pairs(
     big = exploded.join(F.broadcast(big_h), "h")
 
     # pairs + small-bucket intersection counts in ONE join + ONE aggregation
+    # (r12 note: a collect_list-per-bucket rewrite was measured 2× SLOWER
+    # here — millions of shingle buckets push ObjectHashAggregate past its
+    # 128-key sort-based fallback, while this self-join reuses one exchange
+    # and streams — so the join shape stays)
     a, b = small.alias("a"), small.alias("b")
     pair_counts = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))

@@ -744,7 +744,11 @@ def q96_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         join sizes sb on sb.doc_id = db
         where cast(n_common as double) / (sa.sz + sb.sz - n_common) >= 0.5
         """
-    )
+    # materialize the similarity graph once (r12): without this checkpoint
+    # the word self-join subplan is embedded into EVERY power iteration of
+    # the rank recurrence (plans/r12/q96_pagerank_before.txt shows 8
+    # SortMergeJoins / 12 exchanges for a 120-node graph)
+    ).localCheckpoint()
     edges = pairs.selectExpr("da as src", "db as dst").unionAll(
         pairs.selectExpr("db as src", "da as dst")
     )
@@ -850,7 +854,11 @@ def q123_pagerank_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
         join sizes sb on sb.doc_id = db
         where cast(n_common as double) / (sa.sz + sb.sz - n_common) >= 0.5
         """
-    )
+    # materialize the similarity graph once (r12): without this checkpoint
+    # the word self-join subplan is embedded into EVERY power iteration of
+    # the rank recurrence (plans/r12/q96_pagerank_before.txt shows 8
+    # SortMergeJoins / 12 exchanges for a 120-node graph)
+    ).localCheckpoint()
     edges = pairs.selectExpr("da as src", "db as dst").unionAll(
         pairs.selectExpr("db as src", "da as dst")
     )

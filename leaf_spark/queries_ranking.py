@@ -159,11 +159,37 @@ _Q155_FINAL = """
 """
 
 
+# Spark-side solve: identical text plus BROADCAST hints on the
+# source-bounded tables (wi/p1/p2 are one row per source; e is the
+# sources^2-bounded win matrix). The hint-free solve planned 7
+# SortMergeJoins with 12 exchanges over ~20-row inputs because the
+# localCheckpoint'd win matrix reports no size statistics
+# (plans/r12/q155_bradley_terry_before.txt); broadcasting them is
+# scale-correct at any corpus size. The DuckDB oracle keeps the
+# unhinted text (r12).
+_Q155_FINAL_SPARK = (
+    _Q155_FINAL
+    .replace("select e.i, wi.w_total,", "select /*+ BROADCAST(wi) */ e.i, wi.w_total,", 1)
+    .replace(
+        """select e.i,
+             round(cast(wi.w_total as double) /""",
+        """select /*+ BROADCAST(wi, pa, pb) */ e.i,
+             round(cast(wi.w_total as double) /""",
+        1,
+    )
+    .replace(
+        "select p1.i as source,",
+        "select /*+ BROADCAST(p2) */ p1.i as source,",
+        1,
+    )
+)
+
+
 def _q155_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir, names=("documents",))
     w = spark.sql(_Q155_WINS).localCheckpoint()
     w.createOrReplaceTempView("__q155_w__")
-    return spark.sql(_Q155_FINAL.replace("{W}", "__q155_w__"))
+    return spark.sql(_Q155_FINAL_SPARK.replace("{W}", "__q155_w__"))
 
 
 register(

@@ -96,13 +96,19 @@ def test_q31_idx_range_reaches_scan(spark, cases):
     assert "LessThanOrEqual(event_id,3500)" in pushed
 
 
-def test_q15_decorrelated_to_join(spark, cases):
-    """Correlated scalar subquery must not execute per-row: Catalyst
-    rewrites it to aggregate + join (one pass over lineitem per side)."""
-    plan = plan_of(cases["q15_correlated_subquery"].spark_fn(spark, SF_DIR))
-    assert "Join" in plan
-    assert "HashAggregate" in plan
+def test_q15_single_pass_window(spark, cases):
+    """The correlated per-orderkey mean must not execute per-row NOR scan
+    lineitem twice: the r12 form is one scan + one hash exchange + a
+    window over l_orderkey (the pre-r12 decorrelated aggregate+join shape
+    re-scanned lineitem for the aggregate side)."""
+    df = cases["q15_correlated_subquery"].spark_fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Window" in plan
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
+    assert shuffle_count(plan) == 1, plan
+    fmt = plan_of(df, "formatted")
+    assert len(_scan_blocks(fmt)) == 1  # lineitem scanned exactly once
 
 
 def test_hot_paths_have_no_rowwise_python(spark, cases):

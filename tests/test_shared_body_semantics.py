@@ -44,7 +44,6 @@ SHARED_BODY_SEMANTICS = {
     "q12_window_running": "tests.test_shared_body_semantics::test_q12_window_running_planted",
     "q13_cte": "tests.test_shared_body_semantics::test_q13_cte_planted",
     "q14_scalar_subquery": "tests.test_shared_body_semantics::test_q14_scalar_subquery_planted",
-    "q15_correlated_subquery": "tests.test_shared_body_semantics::test_q15_correlated_subquery_planted",
     "q16_cross_join": "tests.test_shared_body_semantics::test_q16_cross_join_planted",
     "q18_ineq_join": "tests.test_shared_body_semantics::test_q18_ineq_join_planted",
     "q19_agg_of_agg": "tests.test_shared_body_semantics::test_q19_agg_of_agg_planted",
@@ -464,7 +463,19 @@ def test_q14_scalar_subquery_planted(planted):
 
 
 def test_q15_correlated_subquery_planted(planted):
-    rows = _run(planted, "q15_correlated_subquery")
+    """q15 stopped being shared-body in r12 (Spark side = single-pass
+    window form; oracle keeps the correlated subquery), so BOTH texts are
+    run on the planted views and checked against the Python recompute —
+    the differential gate now also falsifies the pair for real."""
+    from leaf_spark.queries_relational import _Q15, _Q15_SPARK
+
+    spark_rows = [r.asDict() for r in planted.sql(_Q15_SPARK).collect()]
+    oracle_rows = [r.asDict() for r in planted.sql(_Q15).collect()]
+    for rows in (spark_rows, oracle_rows):
+        _check_q15(rows)
+
+
+def _check_q15(rows):
     per_order: dict = {}
     for li in LINEITEM:
         per_order.setdefault(li[0], []).append(li)
