@@ -93,10 +93,72 @@ def batch_cosine_topk(
     )
 
 
+# Hyperplane weights are evaluated ONCE per query as a scalar-subquery
+# tensor, not per row (r12, guide §1.2/§4): sign(xxhash64(t, p, i)) is
+# data-independent, but the original signature expression re-evaluated it
+# per vector element PER ROW — num_tables x num_planes x dim interpreted
+# hash calls per row dominated the ANN operators (q51 measured ~10 s at
+# sf0.1). The tensor subquery reads `from range(1)` so it stays a real
+# ScalarSubquery (a no-FROM body is inlined back into the per-row
+# expression by OptimizeOneRowRelationSubquery); Spark executes it once
+# and references the result as a runtime constant. Signatures are then
+# num_planes in-order zip_with folds over the let_-bound plane rows —
+# bit-identical to the per-row hash form (same integer-typed hash calls,
+# same fold order). Two alternatives were tried and rejected: literal
+# plane arrays (CreateArray trees of `dim` literals made Catalyst
+# analysis the bottleneck — q113 went 4.5 s -> 14 s) and a broadcast
+# plane DataFrame (plans as BroadcastNestedLoopJoin, which the
+# no-nested-loop scale contract in tests/test_plans.py forbids).
+#
+# Fixed-dimension assumption: tensor width comes from the first row
+# (embedding tables carry one model dimension by contract); shorter rows
+# slice the plane to the row's width, like the per-row form did.
+
+
+def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Embedding width from the first row (None on an empty input)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"]) if row is not None and row["d"] is not None else None
+
+
+def _plane_tensor(dim: int, num_planes: int, num_tables: int) -> Column:
+    """array<array<array<double>>> [table][plane][dim] of ±1.0 weights as a
+    run-once scalar subquery; xxhash64 argument types (int, int, int) match
+    the original per-row expression exactly, so every sign is identical."""
+    return F.expr(
+        f"(select transform(sequence(0, {num_tables - 1}), t -> "
+        f"transform(sequence(0, {num_planes - 1}), p -> "
+        f"transform(sequence(0, {dim - 1}), i -> "
+        "case when xxhash64(t, p, i) > 0 then 1.0d else -1.0d end))) "
+        "from range(1))"
+    )
+
+
+def _sig_expr(vec: Column, m: Column, num_planes: int) -> Column:
+    """'0'/'1' bit array: bit p = [dot(vec, m[p]) > 0] — the same in-order
+    fold as the hash form, weights read from the bound plane matrix."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_planes - 1)),
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.slice(F.element_at(m, p + F.lit(1)), 1, F.size(vec)),
+                    lambda x, s: x.cast("double") * s,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+
+
 def signature_bits(vec: Column, num_planes: int = 16, table: int = 0) -> Column:
-    """LSH bit array: bit p = [dot(vec, plane_p) > 0], planes from
-    sign(xxhash64(table, p, i)). Returns array<string> of '0'/'1'.
-    ``table`` seeds an independent plane set (multi-table LSH)."""
+    """LSH bit array via per-row hashing (kept for single-signature uses;
+    the bucket/probe builders below use the run-once plane tensor).
+    Returns array<string> of '0'/'1'."""
 
     def plane_dot(p: Column) -> Column:
         return F.aggregate(
@@ -126,53 +188,69 @@ def hyperplane_signature(vec: Column, num_planes: int = 16) -> Column:
 
 def _corpus_buckets(c: DataFrame, num_planes: int, num_tables: int) -> DataFrame:
     """(id, v, bucket) — each vector exploded into its ``num_tables``
-    "table:signature" index buckets."""
-    c_buckets = F.array(
-        *[
-            F.concat_ws(
-                ":",
-                F.lit(str(t)),
-                F.concat_ws("", signature_bits(F.col("v"), num_planes, t)),
-            )
-            for t in range(num_tables)
-        ]
+    "table:signature" index buckets via the run-once plane tensor.
+
+    posexplode(tensor) makes each table's plane matrix a plain ATTRIBUTE
+    (subquery expressions are rejected inside higher-order functions, so
+    the matrix must already be a bound column when the signature lambda
+    reads it)."""
+    dim = _probe_dim(c, "v") or 1
+    tensor = _plane_tensor(dim, num_planes, num_tables)
+    return c.select(
+        "id", "v", F.posexplode(tensor).alias("tbl", "m")
+    ).select(
+        "id",
+        "v",
+        F.concat_ws(
+            ":",
+            F.col("tbl").cast("string"),
+            F.concat_ws("", _sig_expr(F.col("v"), F.col("m"), num_planes)),
+        ).alias("bucket"),
     )
-    return c.select("id", "v", F.explode(c_buckets).alias("bucket"))
 
 
 def _query_probes(
     q: DataFrame, num_planes: int, num_tables: int, multiprobe_bits: int
 ) -> DataFrame:
     """(qid, qv, bucket) — each query exploded into its own bucket plus the
-    hamming<=multiprobe_bits flips, per table."""
+    hamming<=multiprobe_bits flips, per table.
+
+    The bit array is let_-bound, so the signature folds run ONCE per
+    (query, table) and every multiprobe flip is a cheap string edit of the
+    bound bits — the old form re-evaluated the full signature expression
+    once per flipped position."""
+    from .dedup import let_
+
+    dim = _probe_dim(q, "qv") or 1
+    tensor = _plane_tensor(dim, num_planes, num_tables)
+    tbl_s = F.col("tbl").cast("string")
     flip = lambda b: F.when(b == "1", F.lit("0")).otherwise(F.lit("1"))  # noqa: E731
 
-    def _table_probes(t: int) -> Column:
-        bits = signature_bits(F.col("qv"), num_planes, t)
-        own = F.array(F.concat_ws(":", F.lit(str(t)), F.concat_ws("", bits)))
+    def probes_of(bits: Column) -> Column:
+        own = F.array(F.concat_ws(":", tbl_s, F.concat_ws("", bits)))
         if multiprobe_bits < 1:
             return own
-
-        def flipped_sig(p: Column) -> Column:
-            return F.concat_ws(
+        hamming1 = F.transform(
+            F.sequence(F.lit(0), F.lit(num_planes - 1)),
+            lambda p: F.concat_ws(
                 ":",
-                F.lit(str(t)),
+                tbl_s,
                 F.concat_ws(
                     "",
                     F.transform(
                         bits, lambda x, i: F.when(i == p, flip(x)).otherwise(x)
                     ),
                 ),
-            )
-
-        hamming1 = F.transform(
-            F.sequence(F.lit(0), F.lit(num_planes - 1)), flipped_sig
+            ),
         )
         return F.concat(own, hamming1)
 
-    probe_arrays = [_table_probes(t) for t in range(num_tables)]
-    probes = F.array_distinct(F.concat(*probe_arrays))
-    return q.select("qid", "qv", F.explode(probes).alias("bucket"))
+    probes = F.array_distinct(
+        let_(_sig_expr(F.col("qv"), F.col("m"), num_planes), probes_of)
+    )
+    return q.select(
+        "qid", "qv", F.posexplode(tensor).alias("tbl", "m")
+    ).select("qid", "qv", F.explode(probes).alias("bucket"))
 
 
 def lsh_self_candidate_pairs(
@@ -389,25 +467,63 @@ def semantic_dedup_pairs(
     failure mode at 100 TB — production raises num_seeds so |c| stays
     bounded and salts the self-join (operators/skew.py) for hot clusters.
     """
-    v = df.select(F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v"))
+    # r12 plan/arithmetic notes (values bit-identical to the pre-r12 form):
+    # - vector norms are computed ONCE per row/seed and reused — cosine =
+    #   dot/(norm_a*norm_b) multiplies the same sqrt results the inlined
+    #   cosine_expr produced, but the quadratic within-cluster stage now
+    #   folds 1 array aggregate per pair instead of 3;
+    # - the argmax cluster comes straight out of the seed-scores
+    #   aggregation (max over (sim, -sid) structs carrying the vector) —
+    #   the old shape re-joined the scored rows against the argmax, which
+    #   re-ran the broadcast join + all seed cosines a second time.
+    v = df.select(
+        F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
+    ).withColumn("nv", norm_expr(F.col("v")))
     seeds = (
         v.orderBy("id")
         .limit(num_seeds)
-        .select(F.col("id").alias("sid"), F.col("v").alias("sv"))
+        .select(F.col("id").alias("sid"), F.col("v").alias("sv"), F.col("nv").alias("nsv"))
     )
     sims = v.join(F.broadcast(seeds)).select(
-        "id", "v", "sid", F.round(cosine_expr(F.col("v"), F.col("sv")), 5).alias("sim")
-    )
-    best = sims.groupBy("id").agg(
-        F.max(F.struct(F.col("sim"), (-F.col("sid")).alias("neg_sid"))).alias("b")
+        "id",
+        "v",
+        "nv",
+        "sid",
+        F.round(
+            dot_expr(F.col("v"), F.col("sv")) / (F.col("nv") * F.col("nsv")), 5
+        ).alias("sim"),
     )
     assigned = (
-        sims.join(best, "id")
-        .where((F.col("sim") == F.col("b.sim")) & (F.col("sid") == -F.col("b.neg_sid")))
-        .select(F.col("sid").alias("cluster"), "id", "v")
+        sims.groupBy("id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("sim"),
+                    (-F.col("sid")).alias("neg_sid"),
+                    F.col("v"),
+                    F.col("nv"),
+                )
+            ).alias("b")
+        )
+        .select(
+            (-F.col("b.neg_sid")).alias("cluster"),
+            "id",
+            F.col("b.v").alias("v"),
+            F.col("b.nv").alias("nv"),
+        )
     )
-    a = assigned.select("cluster", F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = assigned.select("cluster", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    a = assigned.select(
+        "cluster",
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+    )
+    b = assigned.select(
+        "cluster",
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+    )
     return (
         a.join(b, "cluster")
         .where(F.col("id_a") < F.col("id_b"))
@@ -415,7 +531,9 @@ def semantic_dedup_pairs(
             "cluster",
             "id_a",
             "id_b",
-            F.round(cosine_expr(F.col("va"), F.col("vb")), 5).alias("cosine"),
+            F.round(
+                dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 5
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
