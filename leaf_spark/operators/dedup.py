@@ -448,6 +448,10 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
     Fully distributed: explode words → posexplode bit contributions →
     two hash-aggregations → bit reassembly. No cross join, no UDF.
+    (r12 note: a single 64-sum-column aggregation — one shuffle, no bit
+    explode — was measured 2-3× SLOWER: 64 separate aggregate-buffer
+    updates per word row cost more than the 64× row blowup through the
+    fast two-level int-sum path, so the explode shape stays.)
     """
     words = spread(df).select(
         F.col(id_col).alias("id"),
