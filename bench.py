@@ -125,6 +125,20 @@ def main() -> None:
         cases[name].spark_fn(spark, sf_dir).count()
         return time.time() - t0
 
+    def timed_noop(name: str) -> float:
+        """Guide §1.4: count() lets the optimizer prune columns — for
+        projection-shaped queries it skips nearly all of the real compute
+        (q58's full materialization was 90× its count() time before the
+        r12 rewrite; q01's decimal aggregation is ~6× its count() time).
+        The noop sink computes every column of every row. Reported in a
+        SEPARATE section; the historical count-based numbers stay
+        untouched for cross-round comparability."""
+        t0 = time.time()
+        cases[name].spark_fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.time() - t0
+
     # calibration pair (VERDICT r10 #5): q01 timed COLD (first touch of
     # the measured dir after the sf0.001 warm-up — includes codegen reuse
     # but first-scan IO) and WARM (immediately after). Future rounds
@@ -148,6 +162,17 @@ def main() -> None:
     }
     heavy = {n: round(statistics.median(samples[n]), 3) for n in HEAVY}
 
+    # noop-sink passes (guide §1.4): full-materialization medians in their
+    # own section — see timed_noop. 3 interleaved passes (the medians are
+    # stable; this section doubles neither the runs nor the bench wall).
+    noop_samples: dict[str, list[float]] = {n: [] for n in HEADLINE + HEAVY}
+    for _ in range(min(RUNS, 3)):
+        for name in HEADLINE + HEAVY:
+            noop_samples[name].append(timed_noop(name))
+    noop = {
+        n: round(statistics.median(s), 3) for n, s in noop_samples.items()
+    }
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -157,6 +182,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "heavy": heavy,
+                "noop": noop,
                 "spread": spread,
                 "runs": RUNS,
                 "host": host,
