@@ -532,10 +532,16 @@ _TOK_DUCK_EVAL = (
 )
 
 
-_SHINGLE3_SPARK = (
-    "explode(transform(slice(ws, 1, greatest(size(ws) - 2, 0)), "
-    "(x, i) -> concat(x, ' ', element_at(ws, i + 2), ' ', "
-    "element_at(ws, i + 3))))"
+# r12 (guide §2.3): the Spark side groups shingle TYPES only to count and
+# min-bucket them — identity, never the text — so it shuffles the 8-byte
+# structural xxhash64 of each 3-word slice instead of building and
+# shuffling the concatenated shingle string (the oracle keeps strings;
+# outputs are identical up to 64-bit collisions, none at any tested SF —
+# same contract as the dedup operators' hash_grams).
+_SHINGLE3H_SPARK = (
+    "explode(case when size(ws) >= 3 then "
+    "transform(sequence(1, size(ws) - 2), i -> xxhash64(slice(ws, i, 3))) "
+    "else cast(array() as array<bigint>) end)"
 )
 _SHINGLE3_DUCK = (
     "unnest(list_transform(range(1, greatest(len(ws) - 1, 1)), "
@@ -551,7 +557,7 @@ def _q194_sql(engine: str) -> str:
     if engine == "spark":
         g = (
             _Q194_G.replace("{IDIV}", "div")
-            .replace("{TOK}", _SHINGLE3_SPARK)
+            .replace("{TOK}", _SHINGLE3H_SPARK)
             .replace("{WS}", _WS_SPARK)
         )
     else:
@@ -567,7 +573,7 @@ def _q194_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir, names=("documents",))
     g = spark.sql(
         _Q194_G.replace("{IDIV}", "div")
-        .replace("{TOK}", _SHINGLE3_SPARK)
+        .replace("{TOK}", _SHINGLE3H_SPARK)
         .replace("{WS}", _WS_SPARK)
     ).localCheckpoint()
     g.createOrReplaceTempView("__q194_g__")
