@@ -92,15 +92,39 @@ def repetition_metrics(
     the struct is evaluated once per row). Before the r12 binding rewrite
     this projection re-expanded the split per gram and per column —
     measured 18.7 s → see OPTIMIZATION_r12.md (q58).
+
+    All three signals use gram/word IDENTITY only (distinct counts, run
+    lengths of equal values), so grams travel as structural xxhash64 longs
+    (r12, guide §2.3/§4.2): the sort behind the top-bigram run scan and
+    both array_distincts compare 8-byte longs instead of strings, and no
+    gram string is ever allocated — ~20% off the projection at sf0.1,
+    bit-identical outputs (the longest equal-run of a sorted array is
+    permutation-invariant, so the hash-order sort changes nothing up to
+    64-bit collisions — none at any tested SF).
     """
+
+    def hgrams(w: Column, n: int) -> Column:
+        # non-distinct n-gram hashes (repetition needs multiplicities)
+        return F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - n),
+                lambda i: F.xxhash64(F.slice(w, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
 
     def run_best(sorted_grams: Column) -> Column:
         # Top-gram multiplicity as the longest run in the sorted gram array —
-        # one linear aggregate pass.
+        # one linear aggregate pass. (-1 sentinel: xxhash64 output is never
+        # compared against it on the first element in a way that can tie,
+        # because run/best start at 0 and the first element always opens a
+        # run of 1 via the otherwise branch — identical to the old "" seed.)
         return F.aggregate(
             sorted_grams,
             F.struct(
-                F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+                F.lit(-1).cast("long").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
             ),
             lambda acc, x: F.struct(
                 x.alias("prev"),
@@ -117,11 +141,15 @@ def repetition_metrics(
     def metrics(w: Column) -> Column:
         n_words = F.size(w)
         return let_(
-            F.struct(word_ngrams(w, 2).alias("bi"), word_ngrams(w, 5).alias("five")),
+            F.struct(hgrams(w, 2).alias("bi"), hgrams(w, 5).alias("five")),
             lambda g: F.struct(
                 n_words.cast("bigint").alias("n_words"),
                 (
-                    1.0 - F.size(F.array_distinct(w)) / F.greatest(n_words, F.lit(1))
+                    1.0
+                    - F.size(
+                        F.array_distinct(F.transform(w, lambda x: F.xxhash64(x)))
+                    )
+                    / F.greatest(n_words, F.lit(1))
                 ).alias("dup_word_frac"),
                 (
                     F.coalesce(run_best(F.array_sort(g["bi"])), F.lit(0))
