@@ -163,7 +163,10 @@ def repetition_metrics(
             ),
         )
 
-    staged = df.select(
+    # spread(): a single-file corpus arrives as 1-2 scan partitions and this
+    # projection is the heaviest per-row compute in the text family — at
+    # real scale (files >> cores) the repartition is a no-op (r12, guide §2)
+    staged = spread(df).select(
         F.col(id_col), let_(words_of(F.col(text_col)), metrics).alias("__m__")
     )
     return staged.select(
@@ -362,7 +365,9 @@ def pii_scrub(
     masked = F.regexp_replace(t, _EMAIL_RE, "<EMAIL>")
     masked = F.regexp_replace(masked, _IPV4_RE, "<IP>")
     masked = F.regexp_replace(masked, _PHONE_RE, "<PHONE>")
-    return df.withColumns(
+    # spread(): six regex passes per row — parallelize small single-file
+    # scans; no-op once the input spans >= cores partitions (r12, guide §2)
+    return spread(df).withColumns(
         {
             "n_emails": F.regexp_count(t, F.lit(_EMAIL_RE)).cast("bigint"),
             "n_phones": F.regexp_count(

@@ -22,7 +22,7 @@ except ImportError:  # pragma: no cover - environment-dependent
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .dedup import normalized
+from .dedup import normalized, spread
 
 # Tiny built-in stopword profiles for the heuristic language id. Real
 # deployments would swap in fastText-style models via a pandas UDF; the
@@ -137,7 +137,10 @@ def document_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         langid_expr(t).alias("lang_pred"),
         fingerprint(t).alias("fp"),
     ]
-    return df.select(*cols)
+    # spread(): the profile stack (regex + shingle fingerprint per row) is
+    # compute-bound; single-file scans otherwise run it on 1-2 cores —
+    # no-op at real scale where files exceed parallelism (r12, guide §2)
+    return spread(df).select(*cols)
 
 
 # Gopher-rule thresholds (Rae et al. 2021, table A1 — simplified to the
@@ -190,7 +193,9 @@ def gopher_filter(
     keep = None
     for c in rules.values():
         keep = c if keep is None else (keep & c)
-    return df.select(
+    # spread(): three full-text regex scans + array filters per row — the
+    # same single-file parallelism fix as document_profile (r12, guide §2)
+    return spread(df).select(
         F.col(id_col),
         n_tokens.cast("bigint").alias("n_tokens"),
         *[c.alias(k) for k, c in rules.items()],

@@ -570,11 +570,20 @@ def _q194_sql(engine: str) -> str:
 
 
 def _q194_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_tables(spark, sf_dir, names=("documents",))
+    from .operators.dedup import spread
+
+    t = load_tables(spark, sf_dir, names=("documents",))
+    # spread(): the shingle hashing under g is this query's dominant
+    # compute (sf1.0 phase profile: 4.9 s of 6.0) and a single-file corpus
+    # scan otherwise runs it on 2 partitions; no-op at real scale. Only
+    # the ws subquery reads the spread view — the 1-row width aggregate
+    # stays on the raw table (a repartition would cost more than the agg).
+    spread(t["documents"]).createOrReplaceTempView("__q194_docs__")
     g = spark.sql(
         _Q194_G.replace("{IDIV}", "div")
         .replace("{TOK}", _SHINGLE3H_SPARK)
         .replace("{WS}", _WS_SPARK)
+        .replace("as ws from documents", "as ws from __q194_docs__")
     ).localCheckpoint()
     g.createOrReplaceTempView("__q194_g__")
     return spark.sql(_Q194_FINAL.replace("{G}", "__q194_g__"))
