@@ -825,38 +825,89 @@ def containment_pairs(
         F.col(id_col).alias("id"),
         F.explode(_shingle_hash_sets(F.col(text_col), shingle_words)).alias("h"),
     ).localCheckpoint()
-    sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
-    # bucket sizing via a groupBy on the 16-byte key + broadcast of the
-    # (rare) over-cap hashes — NOT a window over the full index: the
-    # big-hash table is boilerplate-sized (usually empty), so the split is
-    # two map-side joins instead of a whole-index shuffle
-    big_h = (
-        exploded.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("__bsz__"))
-        .where(F.col("__bsz__") > bucket_cap)
-        .select("h")
+    # Bucket profile probe (r12, guide §1.2/§2.5): ONE small job over the
+    # checkpointed index answers both adaptive questions — (a) does ANY
+    # bucket exceed the cap (clean corpora then skip the anti-join, chain
+    # window, union re-aggregation and correction joins the general plan
+    # pays even when those branches are empty), and (b) how many evidence
+    # rows Σ_{|b|≤cap} C(|b|,2) the pair self-join will emit, which sizes
+    # the pair aggregation's partitioning below. The sum is exact for the
+    # streamed side of the pair join (over-cap buckets are anti-joined
+    # out) and costs one extra reduce-to-1-row stage on top of the
+    # big-bucket scan the old limit(1) probe already paid.
+    bsz = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("__bsz__"))
+    n = F.col("__bsz__")
+    small_bucket = n <= F.lit(bucket_cap) if bucket_cap is not None else F.lit(True)
+    prof = bsz.agg(
+        F.max(n).alias("__maxb__"),
+        # double: sizing only — immune to bigint overflow on degenerate
+        # (single-shingle) corpora at scale
+        F.sum(F.when(small_bucket, n.cast("double") * (n - 1)).otherwise(0.0)).alias(
+            "__ev2__"
+        ),
+    ).first()
+    has_big = bucket_cap is not None and (prof["__maxb__"] or 0) > bucket_cap
+    evidence_rows = int((prof["__ev2__"] or 0.0) / 2)
+    big_h = bsz.where(n > bucket_cap).select("h")
+
+    # Deliberate join/aggregation shape for the broadcastable regime
+    # (r12, guide §3 + §2.1). The pair self-join emits one row per shared
+    # shingle — at sf1.0 that is 112 M rows from a 2.6 M-row index — and
+    # the (id_a, id_b) count behind it was the single most expensive
+    # phase in the suite (16 s: a no-op partial agg over ~unique pairs,
+    # a 2.7 GB exchange, and 32 overloaded reducers). When the planner
+    # would broadcast the index anyway (same stats, same threshold), pin
+    # the BUILD side explicitly and hash-partition the STREAMED side by
+    # id: HashPartitioning(id_a) satisfies the aggregation's clustering,
+    # so evidence rows are aggregated in-place by a single complete
+    # HashAggregate per partition — no partial pass, no evidence
+    # exchange. The partition count is sized from the probe's evidence
+    # count (scale-adaptive, guide §2.5 — NOT a constant multiple of the
+    # local core count): ~pairsPerTask evidence rows per task bounds each
+    # task's aggregation hash table, floored at the cluster's slot count.
+    # Measured: 16.8 → 6.9 s at sf1.0 (112 M evidence → 112 tasks) and
+    # 0.80 → 0.53 s at sf0.1 (1.1 M evidence → floor of 32), identical
+    # rows. Above the broadcast threshold everything keeps the symmetric
+    # shape (SMJ on h + partial/final agg) — the 100 TB path is
+    # untouched, and the extra index exchange is never paid there.
+    spark = df.sparkSession
+    stats_bytes = int(
+        exploded._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     )
-    # Adaptive shape (r12, guide §1.2 — the AQE idea one level up): one
-    # cheap aggregation over the checkpointed index decides whether ANY
-    # bucket exceeds the cap. Clean corpora (no mass-duplicated
-    # boilerplate) take the plain self-join+aggregate — no anti-join, no
-    # chain window, no union re-aggregation, no correction joins, which
-    # the general plan pays even when every one of those branches is
-    # empty. Boilerplate-bearing corpora take the full capped path
-    # unchanged. Outputs are identical by construction: with no over-cap
-    # bucket, chain and correction are empty and max(__ns__) = __ns__.
-    has_big = bool(big_h.limit(1).count())
-    small = (
-        exploded.join(F.broadcast(big_h), "h", "left_anti") if has_big else exploded
+    bcast_limit = _size_conf_bytes(
+        spark, "spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024
     )
+    if 0 < stats_bytes <= bcast_limit:
+        per_task = int(
+            spark.conf.get("spark.leaf_spark.containment.pairsPerTask", "1000000")
+        )
+        par = spark.sparkContext.defaultParallelism
+        npart = max(par, min(64 * par, math.ceil(evidence_rows / max(per_task, 1))))
+        stream = exploded.repartition(npart, F.col("id"))
+        build = F.broadcast
+    else:
+        stream = exploded
+        build = lambda d: d  # noqa: E731 — planner picks (SMJ at scale)
+    # sizes stays on the UN-repartitioned index: partial agg runs on the
+    # scan partitions and only ~1 row per doc crosses its exchange (the
+    # stream-side variant re-planned the repartition into every consumer
+    # and shipped raw index rows 3×, measured +1 s at sf0.1)
+    sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    if has_big:
+        # the broadcast anti-join preserves the streamed side's
+        # partitioning, so the complete-aggregate shape survives capping
+        small_a = stream.join(F.broadcast(big_h), "h", "left_anti")
+        small_b = exploded.join(F.broadcast(big_h), "h", "left_anti")
+    else:
+        small_a, small_b = stream, exploded
 
     # pairs + small-bucket intersection counts in ONE join + ONE aggregation
     # (r12 note: a collect_list-per-bucket rewrite was measured 2× SLOWER
     # here — millions of shingle buckets push ObjectHashAggregate past its
     # 128-key sort-based fallback, while this self-join reuses one exchange
     # and streams — so the join shape stays)
-    a, b = small.alias("a"), small.alias("b")
+    a, b = small_a.alias("a"), build(small_b).alias("b")
     pair_counts = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))

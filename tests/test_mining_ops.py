@@ -244,6 +244,33 @@ def test_containment_no_python_in_plan(spark):
     assert "BatchEvalPython" not in plan_of(df, "formatted")
 
 
+def test_containment_broadcastable_regime_plan(spark, tmp_path):
+    """r12: when the shingle index's stats fit the broadcast threshold,
+    the pair self-join must pin the index as the BUILD side and
+    hash-partition the streamed side by id (REPARTITION_BY_NUM) so the
+    (id_a, id_b) aggregation runs as a complete HashAggregate on the
+    join's output partitioning — no SortMergeJoin, no evidence exchange.
+    (Above the threshold the symmetric SMJ shape is the contract; that
+    regime is stats-driven and not constructible from a toy corpus.)
+
+    The corpus goes through parquet: a createDataFrame lineage leaves the
+    checkpointed index's stats at Long.Max (unknown), which correctly
+    falls back to the symmetric shape — the regime pick needs the real
+    file-derived stats a production input has."""
+    from leaf_spark.operators.dedup import containment_pairs
+
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"w{i} common a b c d e f") for i in range(8)],
+        ["doc_id", "text"],
+    ).write.parquet(path)
+    df = containment_pairs(spark.read.parquet(path))
+    plan = plan_of(df, "formatted")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "REPARTITION_BY_NUM" in plan
+
+
 def test_containment_big_bucket_correction_is_exact(spark):
     """Exercises the capped-bucket path of the count-based verification:
     with a tiny bucket_cap, boilerplate shingles land in BIG buckets and
