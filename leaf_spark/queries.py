@@ -46,6 +46,31 @@ class QueryCase:
 _REGISTRY: dict[str, QueryCase] = {}
 
 
+def staged_sort(df: DataFrame, *cols: str) -> DataFrame:
+    """``orderBy`` with a hash exchange under it, so the range-sampling
+    pass re-executes a shuffle read instead of the query (r12, guide
+    §7.2/§2.4).
+
+    A range Exchange computes its partition bounds by SAMPLING ITS CHILD
+    — executing every operator down to the nearest materialized shuffle
+    a second time. A final sort that sits directly on an expensive,
+    exchange-free segment (a complete aggregation over a broadcast join,
+    an array-intersect verify join reading a checkpoint) therefore runs
+    that whole segment twice. Hash-repartitioning on the leading sort
+    key first inserts the missing boundary: the extra exchange carries
+    only the final output rows (linear, usually tiny), and the sampling
+    pass then reads shuffle files. Rows and final order are identical —
+    orderBy is a total sort regardless of input partitioning. Only worth
+    it when the segment below is expensive relative to one extra
+    exchange of the output: q90 (the one caller) measured 12.4 → 7.1 s
+    at sf1.0, while the same staging on q49/q96/q168/q190 — whose
+    under-sort segments are cheap or whose outputs are large — measured
+    flat to 2× WORSE and was reverted (see OPTIMIZATION_r12.md)."""
+    from pyspark.sql import functions as F
+
+    return df.repartition(F.col(cols[0])).orderBy(*cols)
+
+
 def register(name: str, oracle: str | None, doc: str = ""):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         _REGISTRY[name] = QueryCase(name, fn, oracle, doc)

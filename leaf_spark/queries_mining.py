@@ -319,10 +319,18 @@ def q90_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import containment_pairs
 
     t = load_tables(spark, sf_dir, names=("documents",))
-    return (
-        containment_pairs(t["documents"], containment_threshold=0.8)
-        .select("id_small", "id_big", F.round("containment", 6).alias("containment"))
-        .orderBy("id_small", "id_big")
+    # staged_sort: the complete pair aggregation has no exchange between
+    # it and the final sort, so range sampling would run the whole pair
+    # pipeline twice (measured 12.4 vs 7.1 s at sf1.0 — r12, see
+    # queries.staged_sort)
+    from .queries import staged_sort
+
+    return staged_sort(
+        containment_pairs(t["documents"], containment_threshold=0.8).select(
+            "id_small", "id_big", F.round("containment", 6).alias("containment")
+        ),
+        "id_small",
+        "id_big",
     )
 
 
@@ -756,6 +764,9 @@ def q96_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id")
     )
     pr = pagerank_quantized(edges, nodes, iters=3, damping_pct=85)
+    # (staged_sort tried here and NOT kept: the 120-node rank recurrence's
+    # re-execution under range sampling costs less than the extra
+    # exchange+stage — 7-run A/B was a wash; see OPTIMIZATION_r12.md)
     return pr.select(F.col("id").alias("doc_id"), "rank").orderBy("doc_id")
 
 

@@ -147,6 +147,20 @@ def test_exact_dedup_single_shuffle_with_partial_agg(spark):
     assert re.search(r"partial_(min|count)", plan)
 
 
+def test_q90_sort_is_staged_behind_hash_exchange(spark, cases):
+    """r12: q90's final orderBy must sit on a hash exchange of the output
+    rows (queries.staged_sort) — a bare range exchange SAMPLES its child
+    by executing it, which would run the exchange-free pair pipeline
+    twice (measured 12.4 vs 7.1 s at sf1.0). The formatted plan must
+    show a REPARTITION hash exchange below the rangepartitioning one."""
+    plan = plan_of(
+        cases["q90_containment_dedup"].spark_fn(spark, SF_DIR), "formatted"
+    )
+    range_pos = plan.find("Arguments: rangepartitioning")
+    assert range_pos != -1, plan
+    assert "REPARTITION" in plan, plan
+
+
 def test_window_topk_bounded_shuffles(spark, cases):
     plan = plan_of(cases["q11_window_topk"].spark_fn(spark, SF_DIR))
     assert "Window" in plan
