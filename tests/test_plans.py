@@ -158,7 +158,10 @@ def test_q90_sort_is_staged_behind_hash_exchange(spark, cases):
     )
     range_pos = plan.find("Arguments: rangepartitioning")
     assert range_pos != -1, plan
-    assert "REPARTITION" in plan, plan
+    # REPARTITION_BY_COL is produced only by repartition(col(...)) — the
+    # staged-sort hash exchange; spread()'s REPARTITION_BY_NUM wouldn't match
+    assert "REPARTITION_BY_COL" in plan, plan
+    assert plan.find("REPARTITION_BY_COL") < range_pos, plan
 
 
 def test_window_topk_bounded_shuffles(spark, cases):
