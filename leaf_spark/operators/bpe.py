@@ -28,6 +28,12 @@ from ..localdf import arrow_local_df
 
 from .text import words_expr
 
+# Loop-checkpoint mode for _learn (see its comment): False = lazy
+# (materialization folds into the next consuming action), True = eager
+# (a dedicated job per merge). Module-level so the r13 A/B harness can
+# flip it without re-importing.
+_EAGER_LOOP_CKPT = False
+
 
 def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq) over the whitespace-tokenized lowercased corpus — the
@@ -122,11 +128,14 @@ def _learn(
     # materialization job per merge; eager=False folds that materialization
     # into the next action that reads the vocab (the argmax or the
     # corpus-size aggregate), cutting one Spark job per iteration while
-    # keeping lineage flat.
+    # keeping lineage flat. _EAGER_LOOP_CKPT exposes the choice so the
+    # r13 A/B (VERDICT r12 "Next round #5": the driver measured the lazy
+    # form 0.82x with overlapping spreads) can flip it in-process; the
+    # committed default is whichever side the interleaved A/B wins.
     vocab = (
         word_vocab(docs, text_col)
         .select("word", "freq", chars_with_terminal(F.col("word")).alias("syms"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=_EAGER_LOOP_CKPT)
     )
     results = []
     for rank in range(1, num_merges + 1):
@@ -161,7 +170,7 @@ def _learn(
             apply_merge(F.col("syms"), F.lit(best["l"]), F.lit(best["r"])).alias(
                 "syms"
             ),
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=_EAGER_LOOP_CKPT)
         total_after = (
             vocab.agg(
                 F.sum(F.col("freq") * F.size("syms")).cast("bigint")

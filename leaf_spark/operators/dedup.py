@@ -340,7 +340,13 @@ def _bucketed_pairs(
     id-sorted consecutive chain — n-1 pairs instead of n(n-1)/2 — which
     keeps every member transitively connected for clustering while
     bounding the fan-out (the scale guard against mass-duplicated
-    content). bucket_cap=None disables the guard.
+    content). bucket_cap=None disables the guard — TEST/AUDIT USE ONLY
+    (ADVICE r12): that path materializes each bucket's full id list and
+    its C(n,2) pair array in a single aggregation row, so one
+    pathological bucket can OOM an executor where the capped path (and
+    the pre-r12 self-join) streamed. Production callers must pass a
+    finite cap; the capped branch's per-row memory is bounded by
+    C(bucket_cap, 2) struct entries (~16 MB at the 1000 default).
 
     Plan shape (r12 rewrite, guide §2.4): ONE hash exchange on the bucket
     key + one sort feed both branches — a window sizes each bucket and
@@ -810,6 +816,14 @@ def containment_pairs(
     the same Σ C(|b|,2) + chain terms the inverted index emits).
 
     Output: (id_small, id_big, containment), smaller set first, ≥ threshold.
+
+    Construction-time actions (contract, ADVICE r12): building this
+    DataFrame RUNS Spark jobs — the index materialization, the bucket
+    profile probe, and a plan-stats read — so the call is not lazy, and
+    the has_big/broadcast/partition-count regime is frozen from the
+    probe. That is sound ONLY because ``exploded`` is eagerly
+    localCheckpoint'd first: the probe and the final plan read the same
+    materialized partitions. Do not make that checkpoint lazy.
     """
     from pyspark.sql import Window
 
@@ -821,6 +835,11 @@ def containment_pairs(
     # materialization in the operator. spread() first: the shingle hashing
     # is the operator's dominant compute and a single-file input would
     # otherwise run it on one core (measured 6.7 s -> sub-second at sf0.1).
+    # NOTE: this EAGER checkpoint is load-bearing (ADVICE r12): the bucket
+    # probe below and the final plan must observe the same materialized
+    # data, or the frozen has_big/broadcast/npart regime could disagree
+    # with what executes. Pinned by
+    # tests/test_mining_ops.py::test_containment_checkpoint_is_eager.
     exploded = spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(_shingle_hash_sets(F.col(text_col), shingle_words)).alias("h"),

@@ -110,14 +110,18 @@ def batch_cosine_topk(
 # plane DataFrame (plans as BroadcastNestedLoopJoin, which the
 # no-nested-loop scale contract in tests/test_plans.py forbids).
 #
-# Fixed-dimension assumption: tensor width comes from the first row
-# (embedding tables carry one model dimension by contract); shorter rows
-# slice the plane to the row's width, like the per-row form did.
+# Dimension probe: tensor width is max(size(vec)) over the table, not
+# the first row (ADVICE r12): a mixed-width corpus (or a null/short
+# first row) would make zip_with null-pad the plane slice, nulling the
+# dot products so every bit of the wider rows collapsed to '0' — silent
+# recall loss plus one hot all-pairs bucket. With the max width, shorter
+# rows slice the plane to their own width (exactly what the per-row
+# hash form did) and null vectors are ignored by the aggregate.
 
 
 def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
-    """Embedding width from the first row (None on an empty input)."""
-    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    """Max embedding width over the table (None on empty/all-null input)."""
+    row = df.select(F.max(F.size(F.col(vec_col))).alias("d")).first()
     return int(row["d"]) if row is not None and row["d"] is not None else None
 
 

@@ -362,22 +362,30 @@ _ROUND12_FRONT = [
 ]
 
 
-# Committed round-13 rotation plan (the ahead-of-time ledger for the
-# sweep's third block): once _ROUND12_FRONT scores in r12, the stalest
-# official block is the r09 window (last scored r09, 4 rounds old at
-# r13). That block — verbatim the 50 names in CORRECTNESS_r09.json, in
-# the order the driver scored them — is the r13 front. r13 activates
-# this by swapping the name in _ordered().
+# Committed round-13 rotation plan. The base block is the r09 window
+# (stalest official block — last scored r09, 4 rounds old at r13),
+# AMENDED per VERDICT r12 "Next round #3": the r12 optimization round
+# rewrote the minhash/text/LSH families AFTER their last oracle scoring,
+# so their post-rewrite correctness rested on builder-run differentials
+# only. The 13 rewritten entries (q49/q50/q51/q52/q55/q58/q59/q60/q61/
+# q72/q121/q155/q194) replace the 13 stalest UNTOUCHED simple
+# relational/function entries from the r09 block (q07-q10, q13, q14,
+# q19-q23, q25, q29 — single-operator queries whose code is unchanged
+# since their r09 green and which share their operator families with
+# retained entries like q04-q06/q11/q12/q15-q17). r13 activates this
+# ledger in _ordered().
 _ROUND13_FRONT = [
     "q111_hash_vector_ann", "q112_psi_drift", "q113_label_noise",
     "q114_column_profile", "q115_mmr_selection", "q116_leakage_free_split",
-    "q04_left_join", "q05_semi_join", "q06_anti_join", "q07_distinct",
-    "q08_set_ops", "q09_order_limit_offset", "q10_having",
-    "q11_window_topk", "q12_window_running", "q13_cte",
-    "q14_scalar_subquery", "q15_correlated_subquery", "q16_cross_join",
-    "q17_recursive_cte", "q19_agg_of_agg", "q20_conditional",
-    "q21_string_fns", "q22_math", "q23_datetime", "q25_total",
-    "q27_json_object", "q28_json_group_array", "q29_like_glob",
+    "q04_left_join", "q05_semi_join", "q06_anti_join",
+    "q49_minhash_lsh", "q50_simhash", "q51_ann_lsh",
+    "q11_window_topk", "q12_window_running",
+    "q52_document_profile", "q55_dedup_clusters",
+    "q58_repetition_metrics", "q15_correlated_subquery", "q16_cross_join",
+    "q17_recursive_cte", "q59_crossdoc_ngram_overlap", "q60_pii_scrub",
+    "q61_decontaminate", "q72_gopher_filter", "q121_ann_label_noise",
+    "q155_bradley_terry", "q194_heaps_law",
+    "q27_json_object", "q28_json_group_array",
     "q37_typeof", "q39_json_each", "q31_events_range_scan",
     "q35_events_topk_users", "q36_events_two_pages",
     "q124_png_decode_stats", "q123_pagerank_checkpointed",
@@ -392,7 +400,7 @@ _ROUND13_FRONT = [
 
 
 def _ordered(reg: dict[str, QueryCase]) -> dict[str, QueryCase]:
-    front = [n for n in _ROUND12_FRONT if n in reg]
+    front = [n for n in _ROUND13_FRONT if n in reg]
     rest = [n for n in reg if n not in set(front)]
     return {n: reg[n] for n in [*front, *rest]}
 

@@ -159,30 +159,58 @@ _Q155_FINAL = """
 """
 
 
-# Spark-side solve: identical text plus BROADCAST hints on the
-# source-bounded tables (wi/p1/p2 are one row per source; e is the
-# sources^2-bounded win matrix). The hint-free solve planned 7
-# SortMergeJoins with 12 exchanges over ~20-row inputs because the
-# localCheckpoint'd win matrix reports no size statistics
-# (plans/r12/q155_bradley_terry_before.txt); broadcasting them is
-# scale-correct at any corpus size. The DuckDB oracle keeps the
-# unhinted text (r12).
-_Q155_FINAL_SPARK = (
-    _Q155_FINAL
-    .replace("select e.i, wi.w_total,", "select /*+ BROADCAST(wi) */ e.i, wi.w_total,", 1)
-    .replace(
-        """select e.i,
-             round(cast(wi.w_total as double) /""",
-        """select /*+ BROADCAST(wi, pa, pb) */ e.i,
-             round(cast(wi.w_total as double) /""",
-        1,
+# Spark-side solve (r13): algebraically identical, restructured so the
+# per-source tables are never joined when a single aggregation suffices.
+# The r12 form kept the oracle's 7-join text and BROADCAST-hinted every
+# solve table; the seven per-query broadcast builds (each a driver job)
+# cost MORE than the tiny SortMergeJoins they replaced on the driver's
+# bench (0.613 -> 1.040 s, VERDICT r12 "What's wrong #1"). This form
+# removes five of the seven joins outright instead of hinting them:
+#   - wi (sum of wins per i) and p1's denominator aggregate over e GROUP
+#     BY the same key i, and wi.i is unique — the join was a no-op row-
+#     wise, so p1 is ONE aggregation over e (no wi join);
+#   - p2 carries pa.w_total / pa.p through its GROUP BY (both are
+#     functionally determined by i), so the final p1-join-p2 projection
+#     falls out of p2's own aggregation (no wi join, no final join).
+# Exactly two joins remain (pa/pb attach iteration-1 strengths to both
+# endpoints of every e row) — those are hinted BROADCAST because p1 is
+# one row per source at any corpus size, and the localCheckpoint'd win
+# matrix reports no size statistics for the planner to see that. Every
+# arithmetic term (round/decimal(38,6) sums, cast order) is verbatim
+# from the oracle text, and the group keys only add functionally-
+# dependent columns, so the output is bit-identical; the differential
+# gate re-proves it per SF. The DuckDB oracle keeps the 7-join text.
+_Q155_FINAL_SPARK = """
+    with w as (select * from {W}),
+    e as (
+      select sa as i, sb as j, wa as wins, wa + wb as nij from w
+      union all
+      select sb as i, sa as j, wb as wins, wa + wb as nij from w
+    ),
+    p1 as (
+      select i, cast(sum(wins) as bigint) as w_total,
+             round(cast(cast(sum(wins) as bigint) as double) /
+               cast(sum(cast(round(cast(nij as double) / 2.0, 6)
+                             as decimal(38,6))) as double), 6) as p
+      from e
+      group by i
+    ),
+    p2 as (
+      select /*+ BROADCAST(pa, pb) */
+             e.i, pa.w_total, pa.p as p_it1,
+             round(cast(pa.w_total as double) /
+               cast(sum(cast(round(cast(e.nij as double) / (pa.p + pb.p), 6)
+                             as decimal(38,6))) as double), 6) as p
+      from e
+      join p1 pa on pa.i = e.i
+      join p1 pb on pb.i = e.j
+      group by e.i, pa.w_total, pa.p
     )
-    .replace(
-        "select p1.i as source,",
-        "select /*+ BROADCAST(p2) */ p1.i as source,",
-        1,
-    )
-)
+    select i as source, w_total as n_wins,
+           p_it1 as strength_it1, p as strength_it2
+    from p2
+    order by strength_it2 desc, source
+"""
 
 
 def _q155_spark(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -271,6 +271,27 @@ def test_containment_broadcastable_regime_plan(spark, tmp_path):
     assert "REPARTITION_BY_NUM" in plan
 
 
+def test_containment_checkpoint_is_eager():
+    """ADVICE r12: containment_pairs freezes its has_big/broadcast/npart
+    regime from a construction-time probe over the checkpointed index.
+    That is only consistent because the index checkpoint is EAGER — the
+    probe and the final plan then read the same materialized partitions.
+    Pin the call so a future lazy-checkpoint sweep (like the r12 BPE one)
+    cannot silently break the contract."""
+    import inspect
+    import re
+
+    from leaf_spark.operators import dedup
+
+    src = inspect.getsource(dedup.containment_pairs)
+    m = re.search(r"exploded = .*?\.localCheckpoint\(([^)]*)\)", src, re.S)
+    assert m is not None, "exploded index is no longer localCheckpoint'd"
+    assert "eager=False" not in m.group(1), (
+        "the index checkpoint must stay eager: the bucket probe and the "
+        "executed plan must observe the same data"
+    )
+
+
 def test_containment_big_bucket_correction_is_exact(spark):
     """Exercises the capped-bucket path of the count-based verification:
     with a tiny bucket_cap, boilerplate shingles land in BIG buckets and
