@@ -67,6 +67,21 @@ def get_spark(
         # with every job in the one default pool, FAIR degenerates to
         # FIFO — bench.py numbers are identical by construction.
         .config("spark.scheduler.mode", "FAIR")
+        # Generated-class cache (STATIC conf, r13). The default 100-entry
+        # cache holds ~6 queries' worth of whole-stage-codegen units
+        # (~17/query measured on the bench set), so any workload that
+        # cycles through more than a handful of distinct queries —
+        # the bench's interleaved passes, the 200-query differential
+        # gate, a multi-query application on a real cluster — evicts
+        # and janino-recompiles every stage on every revisit (measured:
+        # 878 recompiles per 2 bench passes at 100 vs ~26 at 5000, a
+        # ~30% whole-pass wall-time cost; quiet-host pass 28.2→18.7 s).
+        # 5000 entries ≈ 300 queries' units; classes are tens of KB, so
+        # worst-case cache footprint is a few hundred MB of metaspace.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "5000"),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

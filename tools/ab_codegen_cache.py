@@ -68,24 +68,39 @@ def main() -> None:
     for n in names:
         cases[n].spark_fn(spark, warm).count()
 
+    def steal_jiffies() -> int:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+
     before = codegen_compile_ms()
     samples: dict[str, list[float]] = {n: [] for n in names}
     pass_totals = []
     for p in range(passes):
         t0 = time.time()
+        s0 = steal_jiffies()
         for n in names:
             t1 = time.time()
             cases[n].spark_fn(spark, sf_dir).count()
             samples[n].append(time.time() - t1)
         pass_totals.append(time.time() - t0)
-        print(f"pass {p}: {pass_totals[-1]:.2f}s", flush=True)
+        # steal jiffies are summed over all 32 cpus; /100/32 ≈ seconds of
+        # whole-machine freeze during the pass — flags hypervisor pauses
+        print(
+            f"pass {p}: {pass_totals[-1]:.2f}s "
+            f"steal={(steal_jiffies() - s0) / 100 / 32:.2f}s",
+            flush=True,
+        )
     after = codegen_compile_ms()
 
     med = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    mins = {n: round(min(s), 3) for n, s in samples.items()}
     print("per-query medians:", med)
+    print("per-query mins:", mins)
     print(
         f"maxEntries={max_entries} passes={passes} "
         f"total_med={round(statistics.median(pass_totals), 2)} "
+        f"total_min={round(min(pass_totals), 2)} "
+        f"min_sum={round(sum(mins.values()), 2)} "
         f"compiles_during_passes={after[1] - before[1]}"
     )
 
