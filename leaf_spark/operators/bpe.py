@@ -31,8 +31,13 @@ from .text import words_expr
 # Loop-checkpoint mode for _learn (see its comment): False = lazy
 # (materialization folds into the next consuming action), True = eager
 # (a dedicated job per merge). Module-level so the r13 A/B harness can
-# flip it without re-importing.
-_EAGER_LOOP_CKPT = False
+# flip it without re-importing. r13 adjudication (VERDICT r12 #5: the
+# driver measured the r12 lazy change 0.82x): 9-run interleaved A/B
+# under bench conditions — eager med 1.792 s / min 1.615 vs lazy med
+# 1.904 / min 1.629 — the lazy form saves no wall time (the folded
+# materialization just moves the job boundary), so the default reverts
+# to the pre-r12 eager mode the driver measured at 1.40 s.
+_EAGER_LOOP_CKPT = True
 
 
 def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -331,6 +331,11 @@ def _sorted_array_pairs(ids: Column) -> Column:
     )
 
 
+# Probed single-branch fast path for _bucketed_pairs (r13) — module flag
+# so the A/B harness can flip it in-process; see the docstring below.
+_PROBE_BUCKETS = True
+
+
 def _bucketed_pairs(
     bucketed: DataFrame, bucket_cols: list[str], bucket_cap: int | None
 ) -> DataFrame:
@@ -357,10 +362,41 @@ def _bucketed_pairs(
     banded input 3× behind 3 full-data exchanges. Output is identical:
     the self-join's a.id < b.id clique equals the position pairs of the
     sorted distinct-id array (ids are unique per bucket for every caller;
-    an id_a < id_b filter guards the general case)."""
+    an id_a < id_b filter guards the general case).
+
+    Probed fast path (r13, guide §1.2/§2.4 — the q90 probed-regime
+    pattern): checkpointed inputs never canonicalize equal, so the two
+    branches cannot share their exchange and the bucketed relation is
+    computed AND shuffled twice. A construction-time probe (max bucket
+    size via a map-side-partial count — shuffle bytes ~ #distinct
+    buckets, not rows) decides the regime: when NO bucket exceeds the
+    cap (every non-mass-duplicated corpus), the chain branch is provably
+    empty and one groupBy branch emits the cliques — one full shuffle of
+    the bucketed rows instead of two, no window, no sorts, no union.
+    Memory stays bounded by C(cap, 2) BECAUSE the probe ran. Over-cap
+    corpora keep the streaming two-branch shape. The probe makes the
+    call construction-time-eager, like containment_pairs (see its
+    contract note)."""
     from pyspark.sql import Window
 
     narrow = bucketed.select(*bucket_cols, "id")
+
+    if bucket_cap is not None and _PROBE_BUCKETS:
+        max_bucket = (
+            narrow.groupBy(*bucket_cols)
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .agg(F.max("__n__").alias("__mx__"))
+            .first()["__mx__"]
+        )
+        if max_bucket is not None and max_bucket <= bucket_cap:
+            pairs = (
+                narrow.groupBy(*bucket_cols)
+                .agg(F.array_sort(F.collect_list("id")).alias("__ids__"))
+                .select(F.explode(_sorted_array_pairs(F.col("__ids__"))).alias("p"))
+                .select("p.id_a", "p.id_b")
+                .where(F.col("id_a") < F.col("id_b"))
+            )
+            return pairs.dropDuplicates(["id_a", "id_b"])
 
     if bucket_cap is None:
         # guard explicitly disabled: whole-bucket cliques (test/audit use)
@@ -373,12 +409,19 @@ def _bucketed_pairs(
         )
         return pairs.dropDuplicates(["id_a", "id_b"])
 
-    w_cnt = Window.partitionBy(*bucket_cols)
+    # ONE window spec (r13): the bucket size as a whole-frame count over
+    # the SAME ordered spec as the lead() — an unordered count window
+    # spec beside the ordered one planned a second Sort of every bucket
+    # in the chain branch (plans/r13/q49_minhash_lsh_before.txt nodes
+    # 20/22); with one spec both functions share one sorted run.
     w_ord = Window.partitionBy(*bucket_cols).orderBy("id")
+    w_all = w_ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     sized = narrow.select(
         *bucket_cols,
         "id",
-        F.count(F.lit(1)).over(w_cnt).alias("__bsz__"),
+        F.count(F.lit(1)).over(w_all).alias("__bsz__"),
         F.lead("id").over(w_ord).alias("__nid__"),
     )
     small_pairs = (
@@ -465,9 +508,16 @@ def minhash_lsh_pairs(
     # the pair-dedup; shingle-hash sets are joined back in afterwards
     cand = _bucketed_pairs(banded, ["band_id", "bucket"], bucket_cap)
 
+    # Attach both endpoints' shingle sets from ONE broadcast (r13): the
+    # r12 form renamed hsets' columns BEFORE each join, so the two
+    # broadcast subtrees were not canonically equal and the hset relation
+    # was broadcast-built twice per query. Renaming AFTER each join keeps
+    # the build subtree identical, so exchange reuse ships it once.
     paired = (
-        cand.join(hsets.select(F.col("id").alias("id_a"), F.col("hs").alias("sh_a")), "id_a")
-        .join(hsets.select(F.col("id").alias("id_b"), F.col("hs").alias("sh_b")), "id_b")
+        cand.join(hsets, cand["id_a"] == hsets["id"])
+        .select("id_a", "id_b", F.col("hs").alias("sh_a"))
+        .join(hsets, F.col("id_b") == hsets["id"])
+        .select("id_a", "id_b", "sh_a", F.col("hs").alias("sh_b"))
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -530,15 +580,16 @@ def simhash_neardup_pairs(
         "c -> (simhash >> (c * 16)) & 65535L)) as (chunk_id, chunk)",
     )
     cand = _bucketed_pairs(chunked, ["chunk_id", "chunk"], bucket_cap)
-    ha = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
-    hb = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    # one shared broadcast for both endpoint joins (r13, same reuse trick
+    # as minhash_lsh_pairs: rename after the join, not before)
     return (
-        cand.join(ha, "id_a")
-        .join(hb, "id_b")
+        cand.join(sh, cand["id_a"] == sh["id"])
+        .select("id_a", "id_b", F.col("simhash").alias("sh_a"))
+        .join(sh, F.col("id_b") == sh["id"])
         .select(
             "id_a",
             "id_b",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("simhash"))).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
     )
@@ -970,10 +1021,15 @@ def containment_pairs(
     else:
         scored = pair_counts.withColumn("__inter__", F.col("__ns__").cast("double"))
 
+    # one shared broadcast for both endpoint joins (r13: renaming after
+    # each join keeps the two build subtrees canonically equal, so
+    # exchange reuse ships the sizes relation once instead of twice)
+    keep = [c for c in scored.columns]
     paired = (
-        scored
-        .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        scored.join(sizes, scored["id_a"] == sizes["id"])
+        .select(*keep, F.col("sz").alias("sz_a"))
+        .join(sizes, F.col("id_b") == sizes["id"])
+        .select(*keep, "sz_a", F.col("sz").alias("sz_b"))
     )
     small_first = F.col("sz_a") <= F.col("sz_b")
     return (
