@@ -331,9 +331,22 @@ def _sorted_array_pairs(ids: Column) -> Column:
     )
 
 
-# Probed single-branch fast path for _bucketed_pairs (r13) — module flag
-# so the A/B harness can flip it in-process; see the docstring below.
-_PROBE_BUCKETS = True
+# Streaming over-cap fallback for _bucketed_pairs (module flag, audit /
+# pathological-corpus use — see the docstring below). False = the default
+# single-pass conditional emission.
+_STREAM_OVERCAP = False
+
+
+def _chain_array_pairs(ids: Column) -> Column:
+    """Consecutive (ids[i], ids[i+1]) pairs of a sorted id array as an
+    array<struct<id_a,id_b>> — the same n-1 connectivity chain the
+    window/lead() form emits, as a pure array expression."""
+    return F.transform(
+        F.slice(ids, 1, F.size(ids) - 1),
+        lambda x, i: F.struct(
+            x.alias("id_a"), F.element_at(ids, i + 2).alias("id_b")
+        ),
+    )
 
 
 def _bucketed_pairs(
@@ -353,50 +366,63 @@ def _bucketed_pairs(
     finite cap; the capped branch's per-row memory is bounded by
     C(bucket_cap, 2) struct entries (~16 MB at the 1000 default).
 
-    Plan shape (r12 rewrite, guide §2.4): ONE hash exchange on the bucket
-    key + one sort feed both branches — a window sizes each bucket and
-    lead() emits the over-cap chains from the same sorted run, while
-    ≤ cap rows group into an id array (memory bounded by the cap) whose
-    clique pairs are an array expression. The old shape self-joined the
-    bucketed relation and window-counted it separately, recomputing the
-    banded input 3× behind 3 full-data exchanges. Output is identical:
+    Streaming shape (r12 rewrite, now the ``_STREAM_OVERCAP`` fallback,
+    guide §2.4): ONE hash exchange on the bucket key + one sort feed two
+    branches — a window sizes each bucket and lead() emits the over-cap
+    chains from the same sorted run, while ≤ cap rows group into an id
+    array (memory bounded by the cap) whose clique pairs are an array
+    expression. The pre-r12 shape self-joined the bucketed relation and
+    window-counted it separately, recomputing the banded input 3× behind
+    3 full-data exchanges. Output is identical across every shape here:
     the self-join's a.id < b.id clique equals the position pairs of the
     sorted distinct-id array (ids are unique per bucket for every caller;
-    an id_a < id_b filter guards the general case).
+    an id_a < id_b filter guards the general case), and the array chain
+    equals the window chain.
 
-    Probed fast path (r13, guide §1.2/§2.4 — the q90 probed-regime
-    pattern): checkpointed inputs never canonicalize equal, so the two
-    branches cannot share their exchange and the bucketed relation is
-    computed AND shuffled twice. A construction-time probe (max bucket
-    size via a map-side-partial count — shuffle bytes ~ #distinct
-    buckets, not rows) decides the regime: when NO bucket exceeds the
-    cap (every non-mass-duplicated corpus), the chain branch is provably
-    empty and one groupBy branch emits the cliques — one full shuffle of
-    the bucketed rows instead of two, no window, no sorts, no union.
-    Memory stays bounded by C(cap, 2) BECAUSE the probe ran. Over-cap
-    corpora keep the streaming two-branch shape. The probe makes the
-    call construction-time-eager, like containment_pairs (see its
-    contract note)."""
+    Single-pass conditional emission (r13.2, guide §2.4 "remove shuffles
+    outright"): ONE hash aggregation emits per-bucket conditionally —
+    buckets ≤ cap explode the clique array of their sorted ids, over-cap
+    buckets the consecutive-pair chain array of the SAME sorted ids
+    (identical to the lead()-over-sorted-window chain, see
+    _chain_array_pairs), so no whole-plan regime decision is needed and
+    the output is identical in every regime by construction. The r13.1
+    probed design ran a separate max-bucket-size job first; since
+    buckets are near-unique for every banding caller, its partial
+    counts barely combine and the probe shuffled ~1 row per bucket —
+    the same order of bytes as the main exchange, i.e. the operator
+    shuffled its banded input TWICE at any scale, plus a fixed job
+    round-trip (~0.55 s at sf0.1) locally. Measured: candidate stage
+    med 2.33 s vs 2.94 s probed at sf0.1, identical pair sets.
+
+    Memory: a bucket's sorted id array lives in one aggregation row —
+    bounded by the cap only for ≤ cap buckets; an over-cap bucket
+    materializes 8 B/id plus its n-1 chain-struct array (~40 B/id
+    total — LINEAR in the bucket, vs the C(cap,2) clique bound). A
+    10M-member pathological bucket (10M docs sharing one band value)
+    costs ~400 MB in one task — survivable but not streaming; corpora
+    where a single bucket approaches executor memory should flip
+    ``_STREAM_OVERCAP``, which keeps the r12 streaming two-branch
+    window shape below (one sorted run sizes buckets and lead()-chains
+    the over-cap rows row-by-row)."""
     from pyspark.sql import Window
 
     narrow = bucketed.select(*bucket_cols, "id")
 
-    if bucket_cap is not None and _PROBE_BUCKETS:
-        max_bucket = (
+    if bucket_cap is not None and not _STREAM_OVERCAP:
+        ids = F.col("__ids__")
+        emit = F.when(
+            F.size(ids) <= bucket_cap,
+            # the clique side filters a < b INSIDE the array (parity with
+            # the two-branch shape, where only small_pairs filtered)
+            F.filter(_sorted_array_pairs(ids), lambda p: p.id_a < p.id_b),
+        ).otherwise(_chain_array_pairs(ids))
+        pairs = (
             narrow.groupBy(*bucket_cols)
-            .agg(F.count(F.lit(1)).alias("__n__"))
-            .agg(F.max("__n__").alias("__mx__"))
-            .first()["__mx__"]
+            .agg(F.array_sort(F.collect_list("id")).alias("__ids__"))
+            .select(F.explode(emit).alias("p"))
+            .select("p.id_a", "p.id_b")
         )
-        if max_bucket is not None and max_bucket <= bucket_cap:
-            pairs = (
-                narrow.groupBy(*bucket_cols)
-                .agg(F.array_sort(F.collect_list("id")).alias("__ids__"))
-                .select(F.explode(_sorted_array_pairs(F.col("__ids__"))).alias("p"))
-                .select("p.id_a", "p.id_b")
-                .where(F.col("id_a") < F.col("id_b"))
-            )
-            return pairs.dropDuplicates(["id_a", "id_b"])
+        return pairs.dropDuplicates(["id_a", "id_b"])
 
     if bucket_cap is None:
         # guard explicitly disabled: whole-bucket cliques (test/audit use)
