@@ -659,7 +659,19 @@ def connected_components(
     ``max_iters`` as the safety bound. Labels are checkpointed per round to
     keep lineage flat. At extreme graph sizes swap the loop body for the
     large-star/small-star variant (O(log n) rounds, same join shape).
+
+    One job per iteration (r13, guide §2.4/§1.2): the convergence check
+    used to be its own job — a new⋈old equality join + count AFTER each
+    checkpoint, i.e. 2 driver round-trips and one extra join per round.
+    The old label instead rides the min-aggregation (every id has exactly
+    one labels row, so max() over the union recovers it next to the new
+    min), and an ``observe`` on the checkpoint materialization counts the
+    ids whose label changed — the convergence answer arrives as a metric
+    of the SAME job that materializes the round. The loop exit condition
+    (changed == 0) and the label sequence are identical by construction.
     """
+    from pyspark.sql import Observation
+
     sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
         edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
@@ -668,21 +680,27 @@ def connected_components(
         nbr = sym.join(labels, sym["dst"] == labels["id"]).select(
             F.col("src").alias("id"), F.col("cluster")
         )
+        obs = Observation()
+        cluster_t = labels.schema["cluster"].dataType
         new = (
-            labels.unionByName(nbr)
+            labels.withColumn("__old__", F.col("cluster"))
+            .unionByName(nbr.withColumn("__old__", F.lit(None).cast(cluster_t)))
             .groupBy("id")
-            .agg(F.min("cluster").alias("cluster"))
+            .agg(
+                F.min("cluster").alias("cluster"),
+                # each id has exactly one labels row → max() is its old label
+                F.max("__old__").alias("__old__"),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("cluster") != F.col("__old__"), 1).otherwise(0)
+                ).alias("changed"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.cluster") != F.col("o.cluster"))
-            .limit(1)
-            .count()
-        )
-        labels = new
-        if changed == 0:
+        labels = new.select("id", "cluster")
+        if not obs.get["changed"]:
             break
     return labels
 
