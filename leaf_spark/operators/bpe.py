@@ -169,20 +169,36 @@ def _learn(
         if not top:  # every word fully merged — nothing left to learn
             break
         best = top[0]
-        vocab = vocab.select(
+        merged = vocab.select(
             "word",
             "freq",
             apply_merge(F.col("syms"), F.lit(best["l"]), F.lit(best["r"])).alias(
                 "syms"
             ),
-        ).localCheckpoint(eager=_EAGER_LOOP_CKPT)
-        total_after = (
-            vocab.agg(
-                F.sum(F.col("freq") * F.size("syms")).cast("bigint")
-            ).collect()[0][0]
-            if track_totals
-            else None
         )
+        if track_totals and _EAGER_LOOP_CKPT:
+            # one job per merge, not two (r13, guide §2.4): the corpus-size
+            # aggregate rides the eager checkpoint materialization as an
+            # observe() metric instead of a second collect job. Only valid
+            # eager — a lazy checkpoint runs no action, so obs.get would
+            # block; the lazy A/B arm keeps the separate aggregate below.
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            vocab = merged.observe(
+                obs,
+                F.sum(F.col("freq") * F.size("syms")).cast("bigint").alias("tot"),
+            ).localCheckpoint(eager=True)
+            total_after = obs.get["tot"]
+        else:
+            vocab = merged.localCheckpoint(eager=_EAGER_LOOP_CKPT)
+            total_after = (
+                vocab.agg(
+                    F.sum(F.col("freq") * F.size("syms")).cast("bigint")
+                ).collect()[0][0]
+                if track_totals
+                else None
+            )
         results.append(
             (rank, best["l"], best["r"], best["l"] + best["r"], best["cnt"], total_after)
         )
