@@ -507,3 +507,93 @@ def test_pagerank_iters10_checkpointed_matches_numpy_reference(spark):
     # not all 10
     plan = res._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Join") <= 2 * 4
+
+
+# ---------------------------------------------------------------------------
+# r13.2 pair-generation internals: conditional emission vs streaming shape
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_pairs_conditional_equals_streaming(spark):
+    """The default single-pass conditional emission (cliques <= cap,
+    sorted-consecutive chains over cap, no probe job) must produce
+    exactly the streaming two-branch window shape's output on a MIXED
+    corpus — some buckets under the cap, one over it."""
+    from leaf_spark.operators import dedup as D
+
+    rows = (
+        # bucket A: 7 members (over cap=3 -> chain)
+        [("b0", 10, i) for i in range(7)]
+        # bucket B: 3 members (at cap -> clique)
+        + [("b0", 20, i) for i in (100, 101, 102)]
+        # bucket C: 1 member (no pairs)
+        + [("b0", 30, 200)]
+        # a second bucket column value exercises multi-column keys
+        + [("b1", 10, i) for i in (7, 3, 5)]
+    )
+    bucketed = spark.createDataFrame(rows, ["band", "bucket", "id"])
+
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in D._bucketed_pairs(bucketed, ["band", "bucket"], 3).collect()
+    )
+    old = D._STREAM_OVERCAP
+    D._STREAM_OVERCAP = True
+    try:
+        ref = sorted(
+            (r["id_a"], r["id_b"])
+            for r in D._bucketed_pairs(bucketed, ["band", "bucket"], 3).collect()
+        )
+    finally:
+        D._STREAM_OVERCAP = old
+    assert got == ref
+    # chain for the 7-member bucket, cliques for the 3-member ones
+    expected = sorted(
+        [(i, i + 1) for i in range(6)]          # over-cap chain (bucket A)
+        + [(100, 101), (100, 102), (101, 102)]  # clique (bucket B)
+        + [(3, 5), (3, 7), (5, 7)]              # clique (bucket b1)
+    )
+    assert got == expected
+    # the default plan needs no window and no union: one aggregation
+    plan = plan_of(D._bucketed_pairs(bucketed, ["band", "bucket"], 3))
+    assert "Window" not in plan
+    assert "Union" not in plan
+
+
+def test_connected_components_observe_convergence(spark):
+    """The fused convergence check (old label riding the aggregation +
+    observe on the checkpoint job) must converge to per-component min
+    labels and stop early — identical to the join-count form."""
+    from leaf_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        # component {1,2,3} as a path, component {7,9} as an edge,
+        # vertex 5 isolated
+        [(2, 3), (1, 2), (7, 9)],
+        ["id_a", "id_b"],
+    )
+    vertices = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 7, 9)], ["id"])
+    got = {
+        r["id"]: r["cluster"] for r in connected_components(edges, vertices).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 9: 7}
+
+
+def test_bpe_totals_identical_eager_and_lazy(spark):
+    """track_totals must report the same corpus-size curve through the
+    observe-fused eager arm and the legacy lazy collect arm."""
+    from leaf_spark.operators import bpe as B
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        ["doc_id", "text"],
+    )
+    eager = B._learn(docs, 3, "text", 1)[1]
+    old = B._EAGER_LOOP_CKPT
+    B._EAGER_LOOP_CKPT = False
+    try:
+        lazy = B._learn(docs, 3, "text", 1)[1]
+    finally:
+        B._EAGER_LOOP_CKPT = old
+    assert eager == lazy
+    assert all(r[5] is not None for r in eager)
