@@ -374,6 +374,13 @@ _ROUND12_FRONT = [
 # since their r09 green and which share their operator families with
 # retained entries like q04-q06/q11/q12/q15-q17). r13 activates this
 # ledger in _ordered().
+#
+# Session-2 amendment (same logic as VERDICT r12 #3): the r13 job-count
+# pass changed connected_components (q100's clustering) and the BPE
+# training loop (q109/q110) AFTER their r12 oracle scoring, so those
+# three replace three more stale untouched single-operator function
+# entries (q27/q28/q37 — JSON/typeof, unchanged since their r09 green;
+# q39_json_each stays as the family's scored representative).
 _ROUND13_FRONT = [
     "q111_hash_vector_ann", "q112_psi_drift", "q113_label_noise",
     "q114_column_profile", "q115_mmr_selection", "q116_leakage_free_split",
@@ -385,8 +392,8 @@ _ROUND13_FRONT = [
     "q17_recursive_cte", "q59_crossdoc_ngram_overlap", "q60_pii_scrub",
     "q61_decontaminate", "q72_gopher_filter", "q121_ann_label_noise",
     "q155_bradley_terry", "q194_heaps_law",
-    "q27_json_object", "q28_json_group_array",
-    "q37_typeof", "q39_json_each", "q31_events_range_scan",
+    "q109_bpe_merges", "q110_bpe_encode",
+    "q100_cluster_histogram", "q39_json_each", "q31_events_range_scan",
     "q35_events_topk_users", "q36_events_two_pages",
     "q124_png_decode_stats", "q123_pagerank_checkpointed",
     "q138_doc_graph_triangles", "q131_quota_dedup_rank",
